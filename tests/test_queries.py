@@ -1,0 +1,44 @@
+"""Run every __spark_entry__ query against the DuckDB oracle at sf0.001
+(the driver does the same at sf0.01) — exact value comparison."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from tests.oracle import compare, duck_con
+
+SF_DIR = os.environ.get("TC_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_vs_oracle(spark, name):
+    qdf = QUERIES[name](spark, SF_DIR)
+    if name not in ORACLES:
+        assert qdf.count() >= 0  # rows-only check (driver does the same)
+        return
+    con = duck_con(SF_DIR)
+    oracle = con.sql(ORACLES[name]).df()
+    issues = compare(qdf, oracle)
+    assert not issues, f"{name}: " + "; ".join(issues)
+
+
+def test_every_query_has_oracle_or_reason():
+    missing = set(QUERIES) - set(ORACLES)
+    # non-SQL-expressible ops may be listed here with a justification
+    allowed_weak = {
+        name for name in missing if name.startswith(("q_minhash", "q_simhash", "q_stream", "q_multimodal", "q_ivf"))
+    }
+    assert missing == allowed_weak, f"queries lacking oracle: {missing - allowed_weak}"
