@@ -460,7 +460,10 @@ _SESSIONS_30M = """
 WITH e AS (
   SELECT user_id, event_id, value, epoch_ms(ts) AS t FROM events
 ), marked AS (
-  SELECT *, CASE WHEN t - lag(t) OVER w >= 1800000 OR lag(t) OVER w IS NULL
+  -- Spark session_window merges when the inter-event gap == the timeout
+  -- (strictly-greater closes); the reference closes at >= timeout
+  -- (InThreadSessionWindow.java:50-136) — documented delta, Spark wins.
+  SELECT *, CASE WHEN t - lag(t) OVER w > 1800000 OR lag(t) OVER w IS NULL
                  THEN 1 ELSE 0 END AS new_s
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
 ), sess AS (

@@ -33,11 +33,11 @@ def load_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        # epoch-ns BIGINT → TimestampType (µs floor — matches DuckDB's
-        # ns→µs truncation when it reads the same file).
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        # epoch-ns BIGINT → TimestampType. Integer division is mandatory:
+        # `/` coerces the ~1.7e18 ns value to double (exact only to 2^53)
+        # and corrupts microseconds. `div` stays in long arithmetic and
+        # matches DuckDB's exact ns→µs truncation of the same file.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
