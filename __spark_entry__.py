@@ -414,6 +414,102 @@ def q_flagship_top100(spark, sf_dir):
     return top.select("window_start", "window_end", "event_type", "sales_volume", "rank").df
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (SURVEY extensions; first-class for
+# the 100 TB corpus use case)
+# ---------------------------------------------------------------------------
+
+
+def q_text_analysis(spark, sf_dir):
+    """Text profile: token counts, stopword ratio, quality score,
+    language ID, fingerprint (operators/text.py) — all codegen
+    expressions, no Python UDFs."""
+    from table_computing_spark.operators import text as tx
+
+    d = _t(spark, sf_dir, "documents")
+    return tx.analyze(d.df, "text").select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_bpe",
+        "stopword_ratio_en",
+        "quality",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized-text fingerprint (operators/dedup.exact)."""
+    from table_computing_spark.operators import dedup
+
+    return dedup.exact(_t(spark, sf_dir, "documents").df)
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    """Exact token-set Jaccard near-dup pairs via inverted-index join
+    (operators/dedup.ngram_jaccard_pairs)."""
+    from table_computing_spark.operators import dedup
+
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents").df, threshold=0.5
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (xxhash64-based → no portable SQL
+    oracle; exact-Jaccard parity is tested in tests/test_training_ops)."""
+    from table_computing_spark.operators import dedup
+
+    return dedup.minhash_lsh(
+        _t(spark, sf_dir, "documents").df,
+        num_hashes=64,
+        bands=16,
+        jaccard_threshold=0.5,
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs, 16-bit-chunk blocked (xxhash64-based →
+    rows-only check; planted-duplicate test in tests/test_training_ops)."""
+    from table_computing_spark.operators import dedup
+
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents").df, max_hamming=6)
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for query vectors (vec_id % 50 == 0)
+    over the embeddings corpus (operators/similarity.cosine_topk)."""
+    from table_computing_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    return sim.cosine_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=10)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold 0.4 — this
+    synthetic corpus's max pairwise cosine is ~0.51)."""
+    from table_computing_spark.operators import similarity as sim
+
+    return sim.cosine_pairs(_t(spark, sf_dir, "embeddings").df, threshold=0.4)
+
+
+def q_lsh_bucketed_topk(spark, sf_dir):
+    """Sign-LSH bucketed ANN top-10 — the scale path: candidates meet in
+    a bucket equi-join, not a cross join."""
+    from table_computing_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    return sim.lsh_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=10, bits=4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media columns → feature vectors via Arrow mapInPandas
+    (decode stubbed — operators/multimodal.py; plumbing is real)."""
+    from table_computing_spark.operators import multimodal as mm
+
+    return mm.extract_features(mm.make_demo_media(spark, 64))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_filter_select": q_filter_select,
@@ -439,6 +535,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_over_by_size": q_over_by_size,
         "q_over_by_duration": q_over_by_duration,
         "q_flagship_top100": q_flagship_top100,
+        "q_text_analysis": q_text_analysis,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_jaccard": q_dedup_jaccard,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_cosine_topk": q_cosine_topk,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_lsh_bucketed_topk": q_lsh_bucketed_topk,
+        "q_multimodal_features": q_multimodal_features,
     }
 
 
@@ -659,5 +764,117 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY sales_volume DESC, event_type ASC) AS rank
               FROM agg
             ) WHERE rank <= 100
+        """,
+        # -- training-data ops ------------------------------------------------
+        "q_text_analysis": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+                     length(text) AS n_chars
+              FROM documents
+            ), feat AS (
+              SELECT doc_id, text, n_chars, toks,
+                     len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+                     len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS sw_en,
+                     len(list_intersect(list_distinct(toks), ['der','die','das','und','ist','nicht','ein','mit','auf','zu'])) AS s_de,
+                     len(list_intersect(list_distinct(toks), ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
+                     len(list_intersect(list_distinct(toks), ['el','la','los','y','es','un','una','de','en','se'])) AS s_es,
+                     len(list_intersect(list_distinct(toks), ['le','la','les','et','est','un','une','des','dans','que'])) AS s_fr,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+              FROM base
+            )
+            SELECT doc_id, n_tokens, n_tokens_bpe,
+                   round(CASE WHEN len(toks) > 0
+                              THEN CAST(sw_en AS DOUBLE) / len(toks) ELSE 0.0 END, 6) AS stopword_ratio_en,
+                   round(
+                     (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.5 END) * 0.3
+                     + (CASE WHEN len(toks) > 0
+                             AND CAST(n_chars AS DOUBLE)/len(toks) BETWEEN 3.0 AND 12.0
+                             THEN 1.0 ELSE 0.5 END) * 0.3
+                     + (CASE WHEN n_chars > 0
+                             THEN CAST(alpha_chars AS DOUBLE)/n_chars ELSE 0.0 END) * 0.4,
+                   6) AS quality,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+            FROM feat
+        """,
+        "q_dedup_exact": r"""
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+              FROM documents
+            ), g AS (
+              SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS group_size
+              FROM fp GROUP BY fingerprint
+            )
+            SELECT doc_id, fingerprint, canonical_id, group_size,
+                   CAST(doc_id = canonical_id AS INT) AS is_canonical
+            FROM fp JOIN g USING (fingerprint)
+        """,
+        "q_dedup_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS tok
+              FROM documents
+            ), sizes AS (
+              SELECT id, count(*) AS sz FROM toks GROUP BY id
+            ), shared AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+              GROUP BY 1, 2
+            ), scored AS (
+              SELECT id_a, id_b,
+                     round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6) AS jaccard
+              FROM shared
+              JOIN sizes sa ON sa.id = id_a
+              JOIN sizes sb ON sb.id = id_b
+            )
+            SELECT * FROM scored WHERE jaccard >= 0.5
+        """,
+        "q_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id % 50 = 0),
+                 c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings),
+                 s AS (SELECT query_id, neighbor_id,
+                              round(list_cosine_similarity(qv, cv), 4) AS cos_sim
+                       FROM q, c WHERE query_id <> neighbor_id),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM s)
+            SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 10
+        """,
+        "q_embedding_neardup": """
+            WITH s AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            )
+            SELECT * FROM s WHERE cos_sim >= 0.4
+        """,
+        "q_lsh_bucketed_topk": """
+            WITH bucketed AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                   + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                   + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+              FROM embeddings
+            ), s AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.v, c.v), 4) AS cos_sim
+              FROM bucketed q JOIN bucketed c
+                ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+              WHERE q.vec_id % 50 = 0
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM s
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 10
         """,
     }

@@ -1,0 +1,122 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (it has no text ops — SURVEY §2.2 notes
+UDF-everything), these are the corpus-hygiene primitives a 100 TB text
+pipeline needs: tokenization, language ID, quality scoring, token
+counting, fingerprinting. Everything is built from JVM-side expressions
+(regexp / array functions) so the hot path stays in whole-stage codegen
+— no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from table_computing_spark.table import ColumnLike, _col
+
+# word-ish tokens: letter runs | digit runs | any other non-space symbol
+# (a BPE-ish pre-tokenizer split, cf. GPT-2's regex family)
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword-overlap
+# heuristic. Deliberately small + ASCII so the same literals embed in
+# any SQL oracle.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "dans", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "de", "en", "se"),
+}
+
+
+def tokens(c: ColumnLike, lowercase: bool = True) -> Column:
+    """Whitespace tokenization → array<string> (empty tokens removed)."""
+    col = F.lower(_col(c)) if lowercase else _col(c)
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def token_count(c: ColumnLike) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(c, lowercase=False))
+
+
+def token_count_bpe(c: ColumnLike) -> Column:
+    """BPE-ish regex token count (letter runs / digit runs / symbols)."""
+    return F.size(F.regexp_extract_all(_col(c), F.lit(TOKEN_REGEX), 0))
+
+
+def stopword_ratio(c: ColumnLike, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of `lang`."""
+    toks = tokens(c)
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in STOPWORDS[lang]]))
+    )
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(c: ColumnLike) -> Column:
+    """Heuristic document quality in [0,1]: combines length band,
+    mean-token-length band, and alpha-character density. Pure
+    expressions → cheap at any scale; tune weights per corpus."""
+    col = _col(c)
+    n_chars = F.length(col)
+    toks = tokens(c)
+    n_toks = F.size(toks)
+    mean_tok = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
+    alpha_chars = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
+    len_ok = F.when((n_chars >= 100) & (n_chars <= 20000), F.lit(1.0)).otherwise(F.lit(0.5))
+    tok_ok = F.when((mean_tok >= 3.0) & (mean_tok <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(len_ok * 0.3 + tok_ok * 0.3 + alpha_ratio * 0.4, 6)
+
+
+def lang_id(c: ColumnLike) -> Column:
+    """Stopword-overlap language ID over distinct tokens. Returns the
+    language with the highest overlap count ('und' when all zero); ties
+    break by language-code order — deterministic on every engine."""
+    toks = F.array_distinct(tokens(c))
+    # fold: strictly-greater score takes the crown, so the first
+    # (code-sorted) language wins ties
+    expr = F.lit("und")
+    expr_score = F.lit(0)
+    for lang, words in sorted(STOPWORDS.items()):
+        s = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        take = s > expr_score
+        expr = F.when(take, F.lit(lang)).otherwise(expr)
+        expr_score = F.when(take, s).otherwise(expr_score)
+    return expr
+
+
+def fingerprint(c: ColumnLike) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text. Stable across engines; the join key for exact dedup."""
+    norm = F.trim(F.regexp_replace(F.lower(_col(c)), r"\s+", " "))
+    return F.md5(norm.cast("binary"))
+
+
+def shingles(c: ColumnLike, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct) — the MinHash input unit."""
+    toks = tokens(c)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text profile: token counts, quality, language, fingerprint."""
+    return df.withColumns(
+        {
+            "n_tokens": token_count(text_col),
+            "n_tokens_bpe": token_count_bpe(text_col),
+            "stopword_ratio_en": F.round(stopword_ratio(text_col, "en"), 6),
+            "quality": quality_score(text_col),
+            "lang_pred": lang_id(text_col),
+            "fingerprint": fingerprint(text_col),
+        }
+    )
