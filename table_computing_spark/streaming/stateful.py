@@ -1,0 +1,121 @@
+"""Stateful streaming over-windows via applyInPandasWithState.
+
+ref window/OverWindowBySize.java:54-89 — per key, a ring buffer of the
+last N rows (SortedTable by orderBy cols); EVERY input row gets agg
+columns computed over the buffer ending at that row.
+ref window/OverWindowByDuration.java:63-92 + InThreadOverWindow.java:38-104
+— same, but the buffer is a trailing time range [t - size + 1, t].
+
+The reference reaches these semantics with hand-managed per-thread maps
+behind a `rehash`; here the shuffle is the groupBy and the buffer lives
+in the state store (checkpointable, fault-tolerant — strictly more than
+the reference, which loses state on crash; README.md:141-152).
+
+State is the trailing buffer serialized as a JSON string — schema-stable
+across arbitrary input columns, and bounded: N rows (by-size) or one
+time-range of rows (by-duration) per key.
+
+Batch equivalents with identical semantics: operators/windows.py
+over_by_size / over_by_duration (WindowSpec frames) — the correctness
+oracle for these functions (tests/test_streaming.py compares both).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Sequence
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+RowAgg = Callable[[pd.DataFrame], dict[str, Any]]
+"""(trailing buffer ending at the current row) → {output col → value} —
+the OverFunction.agg(key, bufferRows) analog (function/OverFunction.java:7-10)."""
+
+
+def _run_buffered(
+    pdfs: Iterator[pd.DataFrame],
+    state,
+    order_col: str,
+    agg_fn: RowAgg,
+    added_cols: list[str],
+    keep_fn: Callable[[pd.DataFrame], pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        buf = pd.read_json(state.get[0], orient="table")
+    else:
+        buf = None
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+    out_rows = {c: [] for c in added_cols}
+    history = batch if buf is None else pd.concat([buf, batch], ignore_index=True)
+    n_old = 0 if buf is None else len(buf)
+    for i in range(len(batch)):
+        upto = history.iloc[: n_old + i + 1]
+        trailing = keep_fn(upto)
+        vals = agg_fn(trailing)
+        for c in added_cols:
+            out_rows[c].append(vals[c])
+    keep = keep_fn(history)
+    state.update((keep.to_json(orient="table"),))
+    for c in added_cols:
+        batch[c] = out_rows[c]
+    yield batch
+
+
+def stream_over_by_size(
+    sdf: DataFrame,
+    partition_by: Sequence[str],
+    order_col: str,
+    n: int,
+    agg_fn: RowAgg,
+    added_fields: Sequence[T.StructField],
+) -> DataFrame:
+    """Streaming trailing count window: ROWS (n-1) PRECEDING → CURRENT
+    per key, agg recomputed on every row (ref OverWindowBySize.java:54-89).
+
+    Rows must arrive per key in nondecreasing `order_col` across
+    micro-batches (the reference throws OutOfOrderException otherwise —
+    table/SlideTableByColumn.java:36-44; feed through a watermark/sorted
+    source for the same guarantee)."""
+    out_schema = T.StructType(list(sdf.schema.fields) + list(added_fields))
+    state_schema = T.StructType([T.StructField("buf", T.StringType())])
+    added = [f.name for f in added_fields]
+
+    def fn(key, pdfs, state):
+        yield from _run_buffered(
+            pdfs, state, order_col, agg_fn, added, lambda h: h.iloc[-n:]
+        )
+
+    return sdf.groupBy(*partition_by).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
+def stream_over_by_duration(
+    sdf: DataFrame,
+    partition_by: Sequence[str],
+    time_col_ms: str,
+    duration_ms: int,
+    agg_fn: RowAgg,
+    added_fields: Sequence[T.StructField],
+) -> DataFrame:
+    """Streaming trailing time window: RANGE (duration-1) PRECEDING →
+    CURRENT per key over an epoch-ms column (ref
+    OverWindowByDuration.java:63-92 — buffer [t - size + 1, t])."""
+    out_schema = T.StructType(list(sdf.schema.fields) + list(added_fields))
+    state_schema = T.StructType([T.StructField("buf", T.StringType())])
+    added = [f.name for f in added_fields]
+
+    def keep(h: pd.DataFrame) -> pd.DataFrame:
+        cutoff = h[time_col_ms].iloc[-1] - duration_ms + 1
+        return h[h[time_col_ms] >= cutoff]
+
+    def fn(key, pdfs, state):
+        yield from _run_buffered(pdfs, state, time_col_ms, agg_fn, added, keep)
+
+    return sdf.groupBy(*partition_by).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
