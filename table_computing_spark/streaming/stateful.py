@@ -119,3 +119,86 @@ def stream_over_by_duration(
     return sdf.groupBy(*partition_by).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+SessionTransform = Callable[[tuple, pd.DataFrame, int, int], pd.DataFrame]
+"""(key, session rows, session_start_ms, session_end_ms) → output rows —
+the TimeWindowFunction analog (function/TimeWindowFunction.java:7-12):
+the raw-row session variant that plain `session_window` aggregation
+cannot express."""
+
+
+def stream_session_apply(
+    sdf: DataFrame,
+    partition_by: Sequence[str],
+    event_time_col: str,
+    gap_ms: int,
+    transform: SessionTransform,
+    output_schema: T.StructType,
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Gap-based session windows firing a RAW-ROW transform per session
+    (ref window/SessionWindow.java:93-123 + InThreadSessionWindow.java:50-136
+    with a TimeWindowFunction: the user function sees every buffered row
+    of the session and may emit any number of output rows).
+
+    Mechanics: per key, buffer rows in state. A session fires when
+      (a) a new row arrives >= gap after the buffered last time — the
+          reference's in-band close (InThreadSessionWindow.java:50-57), or
+      (b) the event-time watermark passes lastTime + gap — the timeout
+          path (the reference's no-data flush, extrapolated wall clock;
+          here the declarative watermark clock).
+    Session bounds are [firstTime, lastTime + 1) exactly like the
+    reference (SessionWindowTest.java:21-126 asserts e.g. [3,14) for
+    gap=10).
+
+    `event_time_col` must be a TimestampType column with a watermark —
+    this function applies `withWatermark(event_time_col, watermark)`.
+    The epoch-ms time used for gap logic is derived from it.
+    """
+    sdf = sdf.withWatermark(event_time_col, watermark)
+    state_schema = T.StructType([T.StructField("buf", T.StringType())])
+    tcol = event_time_col
+
+    def fn(key, pdfs, state):
+        import pandas as pd  # noqa: F811 — worker-side import
+
+        if state.exists:
+            buf = pd.read_json(state.get[0], orient="table")
+        else:
+            buf = None
+
+        if state.hasTimedOut:
+            # watermark passed lastTime + gap → flush the open session
+            if buf is not None and len(buf):
+                t_ms = (buf[tcol].astype("int64") // 1_000_000).tolist()
+                out = transform(key, buf, t_ms[0], t_ms[-1] + 1)
+                state.remove()
+                if out is not None and len(out):
+                    yield out
+            else:
+                state.remove()
+            return
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(tcol, kind="mergesort").reset_index(drop=True)
+        history = batch if buf is None else pd.concat([buf, batch], ignore_index=True)
+        t_ms = (history[tcol].astype("int64") // 1_000_000).to_numpy()
+
+        # split history into sessions at gaps >= gap_ms
+        start = 0
+        for i in range(1, len(history)):
+            if t_ms[i] - t_ms[i - 1] >= gap_ms:
+                rows = history.iloc[start:i]
+                out = transform(key, rows, int(t_ms[start]), int(t_ms[i - 1]) + 1)
+                if out is not None and len(out):
+                    yield out
+                start = i
+        open_rows = history.iloc[start:].reset_index(drop=True)
+        state.update((open_rows.to_json(orient="table"),))
+        # flush when the watermark passes lastTime + gap
+        state.setTimeoutTimestamp(int(t_ms[-1]) + gap_ms)
+
+    return sdf.groupBy(*partition_by).applyInPandasWithState(
+        fn, output_schema, state_schema, "append", "EventTimeTimeout"
+    )

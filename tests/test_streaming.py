@@ -197,6 +197,66 @@ class TestStatefulOverWindows:
         )
 
 
+class TestStreamSessionApply:
+    def test_raw_row_sessions_in_band_and_timeout(self, spark, tmp_path_factory):
+        """TimeWindowFunction-over-sessions (ref SessionWindow +
+        InThreadSessionWindow with raw rows): sessions closed by a later
+        row emit in-band; sessions whose lastTime+gap falls behind the
+        watermark emit via EventTimeTimeout; a key's still-open trailing
+        session stays in state (the reference holds it until finishDelay
+        likewise)."""
+        batch_3 = [(10, 1, "click", 60.0, 60_000)]
+        d = tmp_path_factory.mktemp("session_src")
+        for i, batch in enumerate([BATCH_1, BATCH_2, batch_3]):
+            p = d / f"batch_{i}.json"
+            with open(p, "w") as f:
+                for event_id, user_id, event_type, value, t_ms in batch:
+                    f.write(json.dumps({
+                        "event_id": event_id, "user_id": user_id,
+                        "event_type": event_type, "value": value, "t_ms": t_ms,
+                    }) + "\n")
+            mt = time.time() + i
+            os.utime(p, (mt, mt))
+
+        sdf = _read_stream(spark, str(d)).withColumn(
+            "event_time", F.timestamp_millis(F.col("t_ms"))
+        )
+
+        def transform(key, rows, start_ms, end_ms):
+            import pandas as pd
+            return pd.DataFrame({
+                "user_id": [key[0]],
+                "session_start": [start_ms],
+                "session_end": [end_ms],
+                "n": [len(rows)],
+                "total": [float(rows["value"].sum())],
+            })
+
+        from table_computing_spark.streaming.stateful import stream_session_apply
+
+        out = stream_session_apply(
+            sdf, ["user_id"], "event_time", gap_ms=10_000,
+            transform=transform,
+            output_schema=T.StructType([
+                T.StructField("user_id", T.LongType()),
+                T.StructField("session_start", T.LongType()),
+                T.StructField("session_end", T.LongType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("total", T.DoubleType()),
+            ]),
+            watermark="5 seconds",
+        )
+        got = _run_to_table(spark, out, "t_session_apply")
+        assert _rows(got, "user_id", "session_start") == [
+            (1, 1_000, 14_001, 4, 100.0),    # closed in-band by t=36s
+            (1, 36_000, 36_001, 1, 50.0),    # closed in-band by t=60s
+            (2, 4_000, 8_001, 2, 12.0),      # closed in-band by t=21s
+            (2, 21_000, 21_001, 1, 9.0),     # closed in-band by t=37s
+            (2, 37_000, 37_001, 1, 11.0),    # flushed by EventTimeTimeout
+        ]
+        # user 1's trailing session (t=60s) is still open → not emitted
+
+
 class TestDimensionTable:
     def test_refresh_and_join(self, spark):
         calls = []
@@ -256,6 +316,69 @@ class TestDimensionTable:
             (6, 10), (7, 20), (8, 10), (9, 20),
         ]
         assert dim.reload_count >= 2  # refreshed across micro-batches
+
+
+class TestStreamingFlagship:
+    def test_top100_pipeline_streaming(self, spark, stream_dir, tmp_path):
+        """The reference's flagship Top100Test pipeline (Top100Test.java:
+        147-182), streaming end-to-end: stream → broadcast dimension
+        left-join → hopping-window volume → per-window top-N ranking in
+        foreachBatch (two-stage streaming top-N). Final ranking must
+        equal the batch pipeline on the same data."""
+        dim_rows = [("click", 10), ("view", 20)]
+        dim = DimensionTable(
+            lambda: spark.createDataFrame(dim_rows, "event_type string, weight int"),
+            refresh_interval_s=3600.0,
+        )
+        sdf = _read_stream(spark, stream_dir)
+        enriched = dim.join(sdf, on=["event_type"], how="left")
+        windowed = stream_slide(
+            enriched, "t_ms", "10 seconds", "5 seconds", ["event_type"],
+            watermark="5 seconds",
+            volume=F.sum(F.col("value") * F.col("weight")),
+        )
+        final: dict[tuple, tuple] = {}
+
+        def rank_batch(batch_df, batch_id):
+            from pyspark.sql.window import Window as W
+            w = W.partitionBy("window_start").orderBy(
+                F.col("volume").desc(), F.col("event_type").asc()
+            )
+            ranked = batch_df.withColumn("rank", F.row_number().over(w)).filter(
+                F.col("rank") <= 100
+            )
+            for r in ranked.collect():  # tiny per-window ranking table
+                final[(r.window_start, r.event_type)] = (r.volume, r.rank)
+
+        q = (
+            windowed.writeStream.foreachBatch(rank_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+        # batch oracle: identical pipeline on the full static frame
+        batch = _batch_df(spark).join(
+            F.broadcast(spark.createDataFrame(dim_rows, "event_type string, weight int")),
+            "event_type", "left",
+        )
+        expected_w = tw.slide(
+            Table(batch), "t_ms", "10 seconds", "5 seconds", ["event_type"],
+            volume=F.sum(F.col("value") * F.col("weight")),
+        )
+        expected = expected_w.top_n(
+            ["window_start"], [F.col("volume").desc(), F.col("event_type").asc()],
+            n=100, rank_col="rank",
+        ).df
+        exp = {
+            (r.window_start, r.event_type): (r.volume, r.rank)
+            for r in expected.collect()
+        }
+        assert final == exp
+        dim.unpersist()
 
 
 class TestKafkaExpressions:
