@@ -502,6 +502,40 @@ def q_lsh_bucketed_topk(spark, sf_dir):
     return sim.lsh_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=10, bits=4)
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-aware salted join (operators/skew.py): salt must be
+    invisible in the result — oracle is the plain join."""
+    from table_computing_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").df
+    o = _t(spark, sf_dir, "orders").df
+    joined = salted_join(li, o, on=[("l_orderkey", "o_orderkey")], how="inner", salt=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,4)")).cast("double"), 2
+            ).alias("total_price"),
+        )
+        .withColumnRenamed("o_orderpriority", "priority")
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN with full probe (n_probe == n_centroids) — scans every
+    inverted list, so the result is exactly brute-force top-k and the
+    cosine oracle applies; shallow-probe recall is pytest-checked
+    (operators/similarity.ivf_topk)."""
+    from table_computing_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    return sim.ivf_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0),
+        k=10, n_centroids=8, n_probe=8, iters=2,
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary media columns → feature vectors via Arrow mapInPandas
     (decode stubbed — operators/multimodal.py; plumbing is real)."""
@@ -543,6 +577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_embedding_neardup": q_embedding_neardup,
         "q_lsh_bucketed_topk": q_lsh_bucketed_topk,
+        "q_salted_join": q_salted_join,
+        "q_ivf_topk": q_ivf_topk,
         "q_multimodal_features": q_multimodal_features,
     }
 
@@ -856,6 +892,25 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             )
             SELECT * FROM s WHERE cos_sim >= 0.4
+        """,
+        "q_salted_join": """
+            SELECT o_orderpriority AS priority,
+                   count(*) AS n_items,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "q_ivf_topk": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id % 50 = 0),
+                 c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings),
+                 s AS (SELECT query_id, neighbor_id,
+                              round(list_cosine_similarity(qv, cv), 4) AS cos_sim
+                       FROM q, c WHERE query_id <> neighbor_id),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM s)
+            SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 10
         """,
         "q_lsh_bucketed_topk": """
             WITH bucketed AS (

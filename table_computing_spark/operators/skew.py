@@ -1,0 +1,60 @@
+"""Skew-aware join — explicit salting for hot keys.
+
+The reference shuffles with a plain hash of the key tuple
+(sp/Rehash.java:314-331): one hot key → one thread of one server melts,
+and the README's only mitigation is "add servers". On Spark, AQE's
+skew-join handles sort-merge skew automatically (enabled in
+session.py), but explicit salting is still the tool when
+  * the hot side feeds a stateful/streaming op where AQE is off,
+  * both sides are too large to broadcast AND the skew is extreme
+    enough that even split sub-partitions overwhelm a task, or
+  * you want deterministic partition fan-out (benchmarking).
+
+Mechanics: the skewed (large) side gets a uniform salt in [0, s);
+the other side is replicated s times with every salt value; the join
+key becomes (keys..., salt). Row multiplicity is unchanged — each
+original pair meets exactly once, for any join type, because the
+replicated side carries every salt exactly once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT = "__tc_salt"
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str] | Sequence[tuple[str, str]],
+    how: str = "inner",
+    salt: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Join with the skewed side salted and `other` replicated `salt`×.
+
+    `on` is a list of column names (same on both sides) or
+    (skewed_col, other_col) pairs. Supported join types: inner, left
+    (left = the skewed side). `rand(seed)` is per-partition
+    deterministic, so task retries reproduce the same salt.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left with the skewed side on the left")
+    pairs = [(c, c) if isinstance(c, str) else tuple(c) for c in on]
+
+    s = skewed.withColumn(SALT, F.floor(F.rand(seed) * salt).cast("int"))
+    o = other.withColumn(SALT, F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+
+    cond = (s[SALT] == o[SALT])
+    for lc, rc in pairs:
+        cond = cond & (s[lc] == o[rc])
+    joined = s.join(o, cond, how).drop(s[SALT]).drop(o[SALT])
+    # drop duplicate key columns for same-named keys (mirror plain join-on-names)
+    for lc, rc in pairs:
+        if lc == rc:
+            joined = joined.drop(o[rc])
+    return joined

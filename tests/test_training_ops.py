@@ -123,3 +123,47 @@ def test_multimodal_feature_plumbing(spark):
     # determinism: first image feature reproducible
     img0 = by_id[0]
     assert img0["modality"] == "image" and img0["decode_ok"]
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """IVF with n_probe == n_centroids scans every inverted list →
+    must reproduce exact brute-force top-k (machinery correctness);
+    a shallow probe must stay a subset-ranked result."""
+    from table_computing_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = sim.cosine_topk(emb, queries, k=5)
+    ivf_all = sim.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8, iters=2)
+    key = lambda df: {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim) for r in df.collect()
+    }
+    assert key(ivf_all) == key(exact)
+
+    ivf_shallow = sim.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2, iters=2)
+    got = key(ivf_shallow)
+    exact_k = key(exact)
+    # shallow probe: every returned neighbor's similarity is <= the
+    # exact best at that rank, and recall@5 is nontrivial
+    hits = sum(
+        1 for qk, v in got.items() if qk in exact_k and v[0] == exact_k[qk][0]
+    )
+    assert hits / max(len(exact_k), 1) > 0.3
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change join semantics (inner and left, with
+    unmatched left rows surviving)."""
+    from table_computing_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")] * 50, "k int, v string"
+    )
+    right = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, w double")
+
+    for how in ("inner", "left"):
+        plain = left.join(right, "k", how)
+        salted = salted_join(left, right, on=["k"], how=how, salt=8)
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        ), how
