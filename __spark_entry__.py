@@ -128,6 +128,35 @@ def q_avg_ref_nulls(spark, sf_dir):
     )
 
 
+def q_rollup(spark, sf_dir):
+    """ROLLUP subtotals (Spark-native; SURVEY §2.4 'grouping sets —
+    free in Spark')."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.group_by_rollup(
+            ["o_orderstatus", "o_orderpriority"],
+            n=F.count(F.lit(1)),
+            total=F.round(tcf.sum_exact("o_totalprice").cast("double"), 2),
+        )
+        .df
+    )
+
+
+def q_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) + exact multi-agg (reference has no distinct
+    aggregation — SURVEY §2.4; Spark-native)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.group_by(
+            ["l_returnflag"],
+            n_orders=F.countDistinct("l_orderkey"),
+            n_parts=F.countDistinct("l_partkey"),
+            n_rows=tcf.count_all(),
+        )
+        .df
+    )
+
+
 def q_join_inner(spark, sf_dir):
     """Inner equi-join (ref table/Table.java:610-616)."""
     o = _t(spark, sf_dir, "orders")
@@ -550,6 +579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_project_negative": q_project_negative,
         "q_groupby_agg": q_groupby_agg,
         "q_avg_ref_nulls": q_avg_ref_nulls,
+        "q_rollup": q_rollup,
+        "q_count_distinct": q_count_distinct,
         "q_join_inner": q_join_inner,
         "q_join_left": q_join_left,
         "q_join_full_outer": q_join_full_outer,
@@ -649,6 +680,21 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(v), 6) AS avg_sql,
                    count(*) AS n
             FROM t GROUP BY event_type
+        """,
+        "q_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "q_count_distinct": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_orderkey) AS n_orders,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         "q_join_inner": """
             SELECT c_mktsegment,

@@ -301,6 +301,18 @@ class Table:
         exprs = [v.alias(k) for k, v in aggs.items()]
         return self._wrap(self._df.groupBy(*[F.col(k) for k in keys]).agg(*exprs))
 
+    def group_by_rollup(self, keys: Sequence[str], **aggs: Column) -> "Table":
+        """ROLLUP aggregation — hierarchical subtotals + grand total
+        (Spark-native addition; SURVEY §2.4 notes grouping sets are
+        absent in the reference and free in Spark)."""
+        exprs = [v.alias(k) for k, v in aggs.items()]
+        return self._wrap(self._df.rollup(*[F.col(k) for k in keys]).agg(*exprs))
+
+    def group_by_cube(self, keys: Sequence[str], **aggs: Column) -> "Table":
+        """CUBE aggregation — all grouping-set combinations."""
+        exprs = [v.alias(k) for k, v in aggs.items()]
+        return self._wrap(self._df.cube(*[F.col(k) for k in keys]).agg(*exprs))
+
     def group_by_apply(
         self,
         keys: Sequence[str],

@@ -432,3 +432,34 @@ class TestJdbcDdl:
             "  INDEX `idx_name` (`name`)\n"
             ")"
         )
+
+
+class TestMetrics:
+    def test_throughput_listener_collects_batches(self, spark, stream_dir):
+        """Throughput/Delay/QueueSize parity (ref sp/Throughput.java:18-64,
+        sp/Delay.java:16-87) via StreamingQueryListener progress events."""
+        from table_computing_spark.streaming.metrics import ThroughputListener
+
+        listener = ThroughputListener()
+        spark.streams.addListener(listener)
+        try:
+            sdf = _read_stream(spark, stream_dir)
+            out = stream_tumble(
+                sdf, "t_ms", "10 seconds", ["event_type"], n=F.count(F.lit(1))
+            )
+            _run_to_table(spark, out, "t_metrics", "complete")
+            # listener events are delivered asynchronously after the
+            # bounded query terminates — wait for them to drain
+            expected_rows = len(BATCH_1) + len(BATCH_2)
+            deadline = time.time() + 15
+            while (
+                sum(m.input_rows for m in listener.history) < expected_rows
+                and time.time() < deadline
+            ):
+                time.sleep(0.2)
+        finally:
+            spark.streams.removeListener(listener)
+        rows = sum(m.input_rows for m in listener.history)
+        assert rows == len(BATCH_1) + len(BATCH_2)
+        assert listener.totals()["input_rows"] == rows
+        assert any(m.state_rows > 0 for m in listener.history)
