@@ -76,8 +76,11 @@ def minhash_signatures(
         F.col(id_col).alias("__id"),
         F.explode_outer(shingles(F.col(text_col), k=shingle_k)).alias("__sh"),
     )
+    # hash the shingle STRING once; the num_hashes family then hashes the
+    # resulting 8-byte long — 64 string hashes/row would cost ~2x
+    sh_rows = sh_rows.select("__id", F.xxhash64("__sh").alias("__h"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"m{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"m{i}")
         for i in range(num_hashes)
     ]
     sig = sh_rows.groupBy("__id").agg(*aggs)
@@ -112,6 +115,13 @@ def minhash_lsh(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    # the signature table feeds three branches of this plan (banding +
+    # both sides of the agreement join) — persist so the shingle
+    # explode/aggregate runs once, not three times. MEMORY_AND_DISK:
+    # signatures are ~8·num_hashes bytes/doc, far smaller than the text.
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sig.select(
         "__id",
         F.explode(

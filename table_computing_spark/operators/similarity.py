@@ -115,9 +115,56 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    broadcast_limit: int = 200_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
-    Brute force O(N^2/2) — use lsh buckets (below) past ~10^5 vectors."""
+
+    Physical strategy mirrors a broadcast nested-loop join done right:
+    when the corpus fits under `broadcast_limit` rows, one side is
+    broadcast as a dense normalized matrix and each partition scores its
+    rows against it with a single BLAS matmul inside mapInPandas — the
+    shuffle carries N input rows and the (sparse) hits, never the O(N²)
+    pair stream. Past the limit, fall back to the pair-join formulation;
+    past ~10^5 vectors use the LSH buckets instead."""
+    import numpy as np
+    from pyspark.sql import types as T2
+
+    n = df.count()
+    if n <= broadcast_limit:
+        rows = df.select(id_col, vec_col).collect()
+        ids = np.array([r[0] for r in rows], dtype="int64")
+        M = np.array([list(r[1]) for r in rows], dtype="float64")
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sc = df.sparkSession.sparkContext
+        b_ids, b_m = sc.broadcast(ids), sc.broadcast(Mn)
+
+        out_schema = T2.StructType(
+            [
+                T2.StructField("id_a", T2.LongType()),
+                T2.StructField("id_b", T2.LongType()),
+                T2.StructField("cos_sim", T2.DoubleType()),
+            ]
+        )
+
+        def score(batches):
+            C_ids, C = b_ids.value, b_m.value
+            for pdf in batches:
+                ida = pdf[id_col].to_numpy(dtype="int64")
+                A = np.array(pdf[vec_col].tolist(), dtype="float64")
+                A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+                S = A @ C.T
+                keep = (S >= threshold) & (ida[:, None] < C_ids[None, :])
+                ai, ci = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "id_a": ida[ai],
+                        "id_b": C_ids[ci],
+                        "cos_sim": np.round(S[ai, ci], round_to),
+                    }
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(score, out_schema)
+
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
