@@ -87,6 +87,95 @@ def extract_features(df: DataFrame, batch_size: int = 1024) -> DataFrame:
     return df.mapInPandas(_map, schema=FEATURE_SCHEMA)
 
 
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing: binary in → binary out + updated meta.
+
+    The pixel work is STUBBED (`NotImplementedError` surfaces as
+    resize_ok=false — no imaging libs in this container); schema,
+    Arrow batching, and meta rewrite are the real contract. Swap the
+    stub body for PIL `Image.open(BytesIO(b)).resize((w,h))`."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("modality", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField("meta", T.StringType(), True),
+            T.StructField("resize_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def _resize_stub(content: bytes, w: int, h: int) -> bytes:
+        raise NotImplementedError("image resize needs PIL/opencv")
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json as _json
+
+        for pdf in batches:
+            out_content, out_meta, ok = [], [], []
+            for content, modality, meta in zip(
+                pdf["content"], pdf["modality"], pdf["meta"]
+            ):
+                try:
+                    if modality != "image" or content is None:
+                        raise NotImplementedError
+                    resized = _resize_stub(content, width, height)
+                    m = _json.loads(meta) if meta else {}
+                    m.update({"w": width, "h": height})
+                    out_content.append(resized)
+                    out_meta.append(_json.dumps(m))
+                    ok.append(True)
+                except NotImplementedError:
+                    out_content.append(content)
+                    out_meta.append(meta)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "content": out_content,
+                    "meta": out_meta,
+                    "resize_ok": ok,
+                }
+            )
+
+    return df.mapInPandas(_map, schema=out_schema)
+
+
+def sample_frames(df: DataFrame, every_n: int = 30, max_frames: int = 8) -> DataFrame:
+    """Video frame sampling plumbing: one video row → up to `max_frames`
+    frame rows (media_id, frame_idx, frame binary). The codec is
+    STUBBED deterministically: the demo 'video' payload is treated as a
+    concatenation of 4-byte 'frames', sampled every `every_n`-th —
+    replace the slicing with pyav/ffmpeg keyframe extraction; the
+    one-to-many Arrow fan-out is the real contract."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), True),
+        ]
+    )
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for media_id, modality, content in zip(
+                pdf["media_id"], pdf["modality"], pdf["content"]
+            ):
+                if modality != "video" or content is None:
+                    continue
+                n_frames = max(len(content) // 4, 0)
+                for j, fi in enumerate(range(0, n_frames, every_n)):
+                    if j >= max_frames:
+                        break
+                    ids.append(media_id)
+                    idxs.append(fi)
+                    frames.append(bytes(content[fi * 4 : fi * 4 + 4]))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(_map, schema=out_schema)
+
+
 def make_demo_media(spark, n: int = 64) -> DataFrame:
     """Synthesize a small media table (deterministic bytes) for tests."""
     rows = [

@@ -167,3 +167,18 @@ def test_salted_join_equals_plain_join(spark):
         assert sorted(map(tuple, salted.collect())) == sorted(
             map(tuple, plain.collect())
         ), how
+
+
+def test_multimodal_resize_and_frame_sampling(spark):
+    """Resize stub surfaces resize_ok=false without corrupting rows;
+    frame sampling fans one video row out to N frame rows."""
+    media = multimodal.make_demo_media(spark, 30)
+    resized = multimodal.resize_images(media, 32, 32).collect()
+    assert len(resized) == 30
+    assert all(not r["resize_ok"] for r in resized)  # stub: no codec
+    frames = multimodal.sample_frames(media, every_n=2, max_frames=2).collect()
+    videos_with_content = [
+        r for r in media.collect() if r["modality"] == "video" and r["content"]
+    ]
+    assert len(frames) == 2 * len(videos_with_content)
+    assert all(len(r["frame"]) == 4 for r in frames)
