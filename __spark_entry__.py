@@ -347,6 +347,69 @@ def q_union_distinct(spark, sf_dir):
     return hi.append(urgent).distinct().select("o_custkey").df
 
 
+def q_order_by_limit(spark, sf_dir):
+    """Global sort + limit (SURVEY §2.7 — absent as reference operators,
+    Spark-native; Catalyst plans TakeOrderedAndProject, the bounded-heap
+    top-k the reference hand-rolls in util/WindowUtil.java:19-53)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.order_by(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .df
+    )
+
+
+def q_udaf_apply(spark, sf_dir):
+    """AggregationFunction escape hatch (ref function/AggregationFunction
+    .java:7-9 via Table.group_by_apply → applyInPandas): opaque pandas
+    UDAF computing a weighted average per group."""
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+
+    def weighted(key, pdf):
+        w = pdf["user_id"].astype("float64")
+        v = pdf["value"].astype("float64")
+        tot = float(w.sum())
+        return (round(float((v * w).sum() / tot), 6) if tot else None, len(pdf))
+
+    return ev.group_by_apply(
+        ["event_type"],
+        weighted,
+        T.StructType(
+            [
+                T.StructField("wavg", T.DoubleType()),
+                T.StructField("n", T.LongType()),
+            ]
+        ),
+    ).df
+
+
+def q_select_rows(spark, sf_dir):
+    """ScalarFunction escape hatch with the null-drop contract (ref
+    table/Table.java:306-331 via Table.select_rows → mapInPandas):
+    returning None drops the row, N output columns at once."""
+    o = _t(spark, sf_dir, "orders")
+
+    def fn(row):
+        if row["o_totalprice"] < 100_000:
+            return None  # null return drops the row (reference semantics)
+        return (row["o_orderkey"], int(row["o_totalprice"] // 1000))
+
+    from pyspark.sql import types as T
+
+    return o.select_rows(
+        fn,
+        T.StructType(
+            [
+                T.StructField("okey", T.LongType()),
+                T.StructField("kprice", T.LongType()),
+            ]
+        ),
+    ).df
+
+
 def q_window_tumble(spark, sf_dir):
     """Tumbling window (ref window/TumbleWindow.java:10-50)."""
     ev = _t(spark, sf_dir, "events")
@@ -594,6 +657,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_date_functions": q_date_functions,
         "q_transform_explode": q_transform_explode,
         "q_union_distinct": q_union_distinct,
+        "q_order_by_limit": q_order_by_limit,
+        "q_udaf_apply": q_udaf_apply,
+        "q_select_rows": q_select_rows,
         "q_window_tumble": q_window_tumble,
         "q_window_slide": q_window_slide,
         "q_window_session": q_window_session,
@@ -792,6 +858,25 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
             )
+        """,
+        "q_order_by_limit": """
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "q_udaf_apply": """
+            SELECT event_type,
+                   round(sum(value * user_id) / sum(CAST(user_id AS DOUBLE)), 6) AS wavg,
+                   count(*) AS n
+            FROM events
+            GROUP BY event_type
+        """,
+        "q_select_rows": """
+            SELECT o_orderkey AS okey,
+                   CAST(floor(o_totalprice / 1000) AS BIGINT) AS kprice
+            FROM orders
+            WHERE o_totalprice >= 100000
         """,
         "q_window_tumble": """
             SELECT event_type,
