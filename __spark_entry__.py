@@ -262,6 +262,58 @@ def q_semi_anti_join(spark, sf_dir):
     return with_orders.append(without).df
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/temporal.asof_join — one window pass per
+    key, no candidate pairs): each order picks the user's latest event
+    at-or-before the order date."""
+    from table_computing_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").df
+    # unique (key, time) on the right: latest value per user per ts
+    right = (
+        ev.groupBy("user_id", "ts").agg(F.max("value").alias("last_value"))
+        .withColumn("ev_ms", tcf.epoch_ms("ts"))
+        .drop("ts")
+    )
+    left = (
+        _t(spark, sf_dir, "orders").df
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("user_id"),
+            tcf.epoch_ms("o_orderdate").alias("o_ms"),
+        )
+    )
+    out = asof_join(
+        left, right, on=["user_id"], left_time="o_ms", right_time="ev_ms",
+        how="left",
+    )
+    return out.select("o_orderkey", "user_id", "o_ms", "last_value")
+
+
+def q_range_join(spark, sf_dir):
+    """Range (point-in-interval) join without a cross join
+    (operators/temporal.range_join — bucketed candidates + residual
+    filter): lineitems shipped inside a big order's 7-day window."""
+    from table_computing_spark.operators.temporal import range_join
+
+    o = _t(spark, sf_dir, "orders").df
+    intervals = o.filter(F.col("o_totalprice") > 400_000).select(
+        "o_orderkey",
+        tcf.epoch_ms("o_orderdate").alias("w_start"),
+        (tcf.epoch_ms("o_orderdate") + F.lit(7 * 86_400_000)).alias("w_end"),
+    )
+    points = _t(spark, sf_dir, "lineitem").df.select(
+        tcf.epoch_ms("l_shipdate").alias("ship_ms")
+    )
+    joined = range_join(
+        points, intervals, "ship_ms", "w_start", "w_end",
+        bucket_width=7 * 86_400_000.0,
+    )
+    return joined.groupBy("o_orderkey", "w_start").agg(
+        F.count(F.lit(1)).alias("n_shipped")
+    )
+
+
 def q_over_rank(spark, sf_dir):
     """Table.over + rank → ROW_NUMBER per partition (ref
     table/Table.java:469-533, util/OrderByWindowUtil.java:3-7)."""
@@ -650,6 +702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_nullsafe": q_join_nullsafe,
         "q_join_multi": q_join_multi,
         "q_semi_anti_join": q_semi_anti_join,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
         "q_over_rank": q_over_rank,
         "q_top_n": q_top_n,
         "q_group_concat": q_group_concat,
@@ -808,6 +862,33 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT c_custkey, 0 AS has_orders FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "q_asof_join": """
+            WITH right_t AS (
+              SELECT user_id, epoch_ms(ts) AS ev_ms, max(value) AS last_value
+              FROM events GROUP BY user_id, ts
+            ), left_t AS (
+              SELECT o_orderkey, o_custkey AS user_id,
+                     epoch_ms(o_orderdate) AS o_ms
+              FROM orders
+            )
+            SELECT o_orderkey, left_t.user_id AS user_id, o_ms, last_value
+            FROM left_t ASOF LEFT JOIN right_t
+              ON left_t.user_id = right_t.user_id AND o_ms >= ev_ms
+        """,
+        "q_range_join": """
+            WITH intervals AS (
+              SELECT o_orderkey,
+                     epoch_ms(o_orderdate) AS w_start,
+                     epoch_ms(o_orderdate) + 7 * 86400000 AS w_end
+              FROM orders WHERE o_totalprice > 400000
+            ), points AS (
+              SELECT epoch_ms(l_shipdate) AS ship_ms FROM lineitem
+            )
+            SELECT o_orderkey, w_start, count(*) AS n_shipped
+            FROM points JOIN intervals
+              ON ship_ms >= w_start AND ship_ms < w_end
+            GROUP BY o_orderkey, w_start
         """,
         "q_over_rank": """
             SELECT c_nationkey, c_custkey, rank FROM (

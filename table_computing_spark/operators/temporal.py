@@ -1,0 +1,135 @@
+"""Temporal joins Spark lacks natively: as-of and range (interval).
+
+Neither exists in the reference either (SURVEY §2.3 'not present:
+range/as-of/interval joins') — its users hand-roll them inside
+JoinCriteria lambdas as index lookups. Here they are first-class,
+composed from shuffle-friendly primitives (no UDFs, no cross joins):
+
+  asof_join   — union both sides, one window pass per key: each left
+                row picks the latest right row with t_r <= t_l via
+                last(ignoreNulls) over (key ORDER BY t, side).
+                ONE shuffle on the key — the same cost as an equi-join;
+                never builds candidate pairs.
+  range_join  — point-in-interval: intervals explode into fixed-width
+                buckets, points map to their bucket, candidates meet in
+                a bucket equi-join, a residual filter keeps true hits.
+                Shuffle is O(points + intervals × spans), never
+                O(points × intervals).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    how: str = "inner",
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    `right_time` <= `left_time` within the same `on` key (pandas
+    merge_asof / DuckDB ASOF JOIN semantics; ties on right_time resolve
+    to the last right row in (time, input) order).
+
+    how='left' keeps unmatched left rows (right columns null).
+    Right columns that collide with left names get `suffix`.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("asof_join supports inner/left")
+    keys = list(on)
+    lcols = [c for c in left.columns if c not in keys]
+    rcols = [c for c in right.columns if c not in keys and c != right_time]
+    rnames = {c: (c + suffix if c in left.columns else c) for c in rcols}
+
+    # union layout: keys, time, side (0=right first on time ties → t_r <= t_l
+    # is inclusive), left payload, right payload
+    lpart = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_time).cast("double").alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(rnames[c]) for c in rcols],
+        F.lit(None).cast("double").alias("__rt"),
+    )
+    rpart = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_time).cast("double").alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(rnames[c]) for c in rcols],
+        F.col(right_time).cast("double").alias("__rt"),
+    )
+    u = lpart.unionByName(rpart)
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = u.select(
+        *keys,
+        "__t",
+        "__side",
+        *lcols,
+        *[F.last(rnames[c], ignorenulls=True).over(w).alias(rnames[c]) for c in rcols],
+        F.last("__rt", ignorenulls=True).over(w).alias("__rt"),
+    )
+    out = filled.filter(F.col("__side") == 1)
+    if how == "inner":
+        out = out.filter(F.col("__rt").isNotNull())
+    # lcols already carries the original left_time column (typed);
+    # __t/__side/__rt were only plumbing
+    return out.select(*keys, *lcols, *[rnames[c] for c in rcols])
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: rows of `points` matched to every row of
+    `intervals` with start <= point < end — WITHOUT a cross join.
+
+    Each interval registers in ceil(span / bucket_width) buckets; each
+    point probes exactly one bucket; the bucket equi-join + residual
+    range filter is exact. Pick `bucket_width` near the typical interval
+    span: shuffle is O(points + sum(spans)/width).
+    """
+    if how != "inner":
+        raise ValueError("range_join is inner (outer variants via anti-join)")
+    p = points.withColumn(
+        "__bucket", F.floor(F.col(point_col).cast("double") / bucket_width).cast("bigint")
+    )
+    i = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("double") / bucket_width).cast("bigint"),
+                F.floor(
+                    # end is exclusive: the last covered bucket is the one
+                    # containing the greatest value < end
+                    (F.col(end_col).cast("double") - 1e-9) / bucket_width
+                ).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        p.join(i, "__bucket")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("__bucket")
+    )

@@ -1,0 +1,55 @@
+"""As-of and range join tests — pandas merge_asof is the local oracle
+(the DuckDB ASOF JOIN oracle runs in the driver gate via
+__spark_entry__ q_asof_join)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from table_computing_spark.operators.temporal import asof_join, range_join
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    quotes = [
+        ("A", 1, 10.0), ("A", 5, 11.0), ("A", 9, 12.0),
+        ("B", 2, 20.0), ("B", 8, 21.0),
+    ]
+    trades = [
+        ("A", 0, 100), ("A", 1, 101), ("A", 6, 102), ("A", 12, 103),
+        ("B", 2, 200), ("B", 7, 201), ("C", 5, 300),
+    ]
+    qdf = spark.createDataFrame(quotes, "k string, t bigint, px double")
+    tdf = spark.createDataFrame(trades, "k string, t bigint, qty int")
+
+    got = asof_join(
+        tdf, qdf, on=["k"], left_time="t", right_time="t", how="left"
+    )
+    pd_exp = pd.merge_asof(
+        pd.DataFrame(trades, columns=["k", "t", "qty"]).sort_values("t"),
+        pd.DataFrame(quotes, columns=["k", "t", "px"]).sort_values("t"),
+        on="t", by="k", direction="backward",
+    )
+    exp = {
+        (r.k, r.t): (None if pd.isna(r.px) else r.px) for r in pd_exp.itertuples()
+    }
+    rows = {(r["k"], r["t"]): r["px"] for r in got.collect()}
+    assert rows == exp
+
+    inner = asof_join(tdf, qdf, on=["k"], left_time="t", right_time="t", how="inner")
+    assert inner.count() == sum(1 for v in exp.values() if v is not None)
+
+
+def test_range_join_equals_naive(spark):
+    points = spark.range(0, 200).select(F.col("id").alias("pid"), (F.col("id") * 3).alias("x"))
+    intervals = spark.createDataFrame(
+        [(0, 10, 50), (1, 45, 46), (2, 40, 300), (3, 590, 600), (4, 700, 800)],
+        "iid int, lo bigint, hi bigint",
+    )
+    got = range_join(points, intervals, "x", "lo", "hi", bucket_width=50.0)
+    naive = points.join(
+        intervals, (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi"))
+    )
+    key = lambda df: sorted((r["pid"], r["iid"]) for r in df.collect())
+    assert key(got) == key(naive)
+    assert got.count() > 0
