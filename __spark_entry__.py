@@ -157,6 +157,22 @@ def q_count_distinct(spark, sf_dir):
     )
 
 
+def q_percentile(spark, sf_dir):
+    """Exact percentiles (linear interpolation — Spark percentile() and
+    DuckDB quantile_cont agree bit-for-bit; Spark-native addition, the
+    reference has no quantile operator)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.group_by(
+            ["l_returnflag"],
+            p50=F.percentile("l_extendedprice", F.lit(0.5)),
+            p95=F.percentile("l_extendedprice", F.lit(0.95)),
+            n=tcf.count_all(),
+        )
+        .df
+    )
+
+
 def q_join_inner(spark, sf_dir):
     """Inner equi-join (ref table/Table.java:610-616)."""
     o = _t(spark, sf_dir, "orders")
@@ -696,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_avg_ref_nulls": q_avg_ref_nulls,
         "q_rollup": q_rollup,
         "q_count_distinct": q_count_distinct,
+        "q_percentile": q_percentile,
         "q_join_inner": q_join_inner,
         "q_join_left": q_join_left,
         "q_join_full_outer": q_join_full_outer,
@@ -813,6 +830,14 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_orderkey) AS n_orders,
                    count(DISTINCT l_partkey) AS n_parts,
                    count(*) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "q_percentile": """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5) AS p50,
+                   quantile_cont(l_extendedprice, 0.95) AS p95,
+                   count(*) AS n
             FROM lineitem
             GROUP BY l_returnflag
         """,

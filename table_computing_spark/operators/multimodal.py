@@ -188,4 +188,6 @@ def make_demo_media(spark, n: int = 64) -> DataFrame:
         )
         for i in range(n)
     ]
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # few partitions: 64 demo rows across 32 default slices would spawn
+    # a Python worker per near-empty partition
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
