@@ -157,6 +157,22 @@ def q_count_distinct(spark, sf_dir):
     )
 
 
+def q_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ sketch counts (SURVEY §2.4 'HLL/approx sketches —
+    free in Spark'). Engines implement different sketches, so the
+    driver gate is rows-only; the ±5% accuracy bound vs exact counts is
+    pytest-checked (tests/test_queries.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.group_by(
+            ["l_returnflag"],
+            approx_orders=F.approx_count_distinct("l_orderkey", rsd=0.02),
+            approx_parts=F.approx_count_distinct("l_partkey", rsd=0.02),
+        )
+        .df
+    )
+
+
 def q_percentile(spark, sf_dir):
     """Exact percentiles (linear interpolation — Spark percentile() and
     DuckDB quantile_cont agree bit-for-bit; Spark-native addition, the
@@ -713,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup": q_rollup,
         "q_count_distinct": q_count_distinct,
         "q_percentile": q_percentile,
+        "q_approx_distinct": q_approx_distinct,
         "q_join_inner": q_join_inner,
         "q_join_left": q_join_left,
         "q_join_full_outer": q_join_full_outer,

@@ -42,3 +42,31 @@ def test_every_query_has_oracle_or_reason():
         name for name in missing if name.startswith(("q_minhash", "q_simhash", "q_stream", "q_multimodal", "q_ivf"))
     }
     assert missing == allowed_weak, f"queries lacking oracle: {missing - allowed_weak}"
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL++ sketch counts stay within the declared 2% rsd (checked at
+    3 sigma ~ 6%) of exact distincts — the accuracy contract backing the
+    rows-only q_approx_distinct gate."""
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["l_returnflag"]: (r["approx_orders"], r["approx_parts"])
+        for r in m.queries()["q_approx_distinct"](spark, sf).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["n_orders"], r["n_parts"])
+        for r in spark.read.parquet(f"{sf}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / e < 0.06, (k, a, e)
