@@ -39,7 +39,14 @@ def test_every_query_has_oracle_or_reason():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops may be listed here with a justification
     allowed_weak = {
-        name for name in missing if name.startswith(("q_minhash", "q_simhash", "q_stream", "q_multimodal", "q_ivf"))
+        name
+        for name in missing
+        # hash-based candidate generation (engine-specific xxhash64),
+        # stubbed codecs, and sketch aggregates have no portable SQL
+        # oracle; each carries a pytest accuracy/semantics check instead
+        if name.startswith(
+            ("q_minhash", "q_simhash", "q_stream", "q_multimodal", "q_approx")
+        )
     }
     assert missing == allowed_weak, f"queries lacking oracle: {missing - allowed_weak}"
 
