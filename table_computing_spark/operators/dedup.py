@@ -72,15 +72,39 @@ def minhash_signatures(
     (shorter than k tokens) still get a signature (null mins → hashed
     per-id below, so they never collide with real buckets).
     """
-    sh_rows = _spread(df).select(
+    # shingle construction stays in codegen: posexplode the token array,
+    # then k-1 lead() calls over (doc, position) assemble each word
+    # k-gram — no per-element lambdas (text.shingles' transform/slice
+    # path is interpreted and was the hot spot). explode_outer keeps
+    # empty docs (null token) so they still receive a sentinel signature.
+    # Minhash is duplicate-insensitive, so no shingle dedup is needed.
+    from pyspark.sql.window import Window as W
+
+    tok_rows = _spread(df).select(
         F.col(id_col).alias("__id"),
-        F.explode_outer(shingles(F.col(text_col), k=shingle_k)).alias("__sh"),
+        F.posexplode_outer(tokens(F.col(text_col))).alias("__pos", "__tok"),
+    )
+    w = W.partitionBy("__id").orderBy("__pos")
+    parts = [F.col("__tok")] + [F.lead("__tok", i).over(w) for i in range(1, shingle_k)]
+    # a row is a complete k-gram iff its last lead exists; trailing rows
+    # (and empty docs' single null-token row) carry __sh = null and fall
+    # through to the per-id sentinel below
+    sh_rows = tok_rows.select(
+        "__id",
+        F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("__sh"),
     )
     # hash the shingle STRING once; the num_hashes family then hashes the
-    # resulting 8-byte long — 64 string hashes/row would cost ~2x
-    sh_rows = sh_rows.select("__id", F.xxhash64("__sh").alias("__h"))
+    # resulting 8-byte long — 64 string hashes/row would cost ~2x.
+    # CAUTION: xxhash64 SKIPS null arguments (hash of the remaining args),
+    # so nulls must be propagated explicitly or every shingle-less doc
+    # would share one constant signature and bucket together.
+    sh_rows = sh_rows.select(
+        "__id", F.when(F.col("__sh").isNotNull(), F.xxhash64("__sh")).alias("__h")
+    )
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"m{i}")
+        F.min(
+            F.when(F.col("__h").isNotNull(), F.xxhash64(F.lit(i), F.col("__h")))
+        ).alias(f"m{i}")
         for i in range(num_hashes)
     ]
     sig = sh_rows.groupBy("__id").agg(*aggs)
