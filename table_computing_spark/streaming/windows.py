@@ -84,6 +84,33 @@ def stream_slide(
     return _emit(grouped)
 
 
+def stream_dedup_exact(
+    sdf: DataFrame,
+    time_col: str,
+    keys: Sequence[str] | None = None,
+    watermark: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact deduplication — the training-pipeline ingest op:
+    keep the first occurrence of each fingerprint (or explicit key set).
+
+    With `watermark` set, uses dropDuplicatesWithinWatermark: state for
+    a fingerprint is evicted once the watermark passes it — bounded
+    state, dedup only within the watermark horizon (the 100 TB
+    configuration). Without it, state grows unboundedly but dedup is
+    global (bounded replays / small streams)."""
+    from table_computing_spark.operators.text import fingerprint
+
+    if keys is None:
+        sdf = sdf.withColumn("fingerprint", fingerprint(F.col(text_col)))
+        keys = ["fingerprint"]
+    if watermark is not None:
+        sdf, et = _with_event_time(sdf, time_col)
+        sdf = sdf.withWatermark(et, watermark)
+        return sdf.dropDuplicatesWithinWatermark(list(keys)).drop("__event_time")
+    return sdf.dropDuplicates(list(keys))
+
+
 def stream_session(
     sdf: DataFrame,
     time_col: str,

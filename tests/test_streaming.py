@@ -463,3 +463,35 @@ class TestMetrics:
         assert rows == len(BATCH_1) + len(BATCH_2)
         assert listener.totals()["input_rows"] == rows
         assert any(m.state_rows > 0 for m in listener.history)
+
+
+class TestStreamDedup:
+    def test_streaming_exact_dedup(self, spark, tmp_path_factory):
+        """First occurrence per fingerprint survives; exact duplicates
+        across micro-batches are dropped (training-pipeline ingest)."""
+        from table_computing_spark.streaming.windows import stream_dedup_exact
+
+        d = tmp_path_factory.mktemp("dedup_src")
+        batches = [
+            [(1, "the quick brown fox", 1_000), (2, "lazy dog", 2_000)],
+            [(3, "The quick  brown fox", 3_000),  # normalized dup of 1
+             (4, "something new", 4_000),
+             (5, "lazy dog", 5_000)],              # dup of 2
+        ]
+        for i, batch in enumerate(batches):
+            p = d / f"b{i}.json"
+            with open(p, "w") as f:
+                for doc_id, text, t_ms in batch:
+                    f.write(json.dumps({"doc_id": doc_id, "text": text, "t_ms": t_ms}) + "\n")
+            mt = time.time() + i
+            os.utime(p, (mt, mt))
+
+        sdf = (
+            spark.readStream.schema("doc_id long, text string, t_ms long")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(d))
+        )
+        out = stream_dedup_exact(sdf, "t_ms", watermark="10 seconds")
+        got = _run_to_table(spark, out, "t_dedup")
+        ids = sorted(r["doc_id"] for r in got.collect())
+        assert ids == [1, 2, 4]
