@@ -721,7 +721,10 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from table_computing_spark.queries_tpch import TPCH_QUERIES
+
     return {
+        **TPCH_QUERIES,
         "q_filter_select": q_filter_select,
         "q_project_negative": q_project_negative,
         "q_groupby_agg": q_groupby_agg,
@@ -801,7 +804,10 @@ WITH e AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    from table_computing_spark.queries_tpch import TPCH_ORACLES
+
     return {
+        **TPCH_ORACLES,
         "q_filter_select": """
             SELECT l_orderkey, l_linenumber, l_quantity AS qty,
                    round(l_extendedprice * (1 - l_discount), 4) AS revenue
