@@ -47,6 +47,8 @@ def main() -> None:
             failures[name] = f"{type(e).__name__}: {e}"[:200]
             print(f"[bench] {name}: FAILED {failures[name]}", file=sys.stderr, flush=True)
 
+    streaming = _bench_streaming(spark, sf_dir)
+
     out = {
         "metric": "total_query_sec",
         "value": round(sum(timings.values()), 3),
@@ -54,10 +56,65 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "streaming": streaming,
     }
     if failures:
         out["failures"] = failures
     print(json.dumps(out))
+
+
+def _bench_streaming(spark, sf_dir: str) -> dict:
+    """Micro-batch throughput: replay the events table as a parquet
+    file stream through a watermarked tumbling aggregation (the
+    reference's canonical workload shape) and report rows/sec from the
+    engine's own progress metrics."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.streaming.metrics import ThroughputListener
+    from table_computing_spark.streaming.windows import stream_tumble
+
+    try:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        # file streams need a directory source; glob-filter to events
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        sdf = sdf.withColumn("t_ms", F.expr("ts div 1000000"))
+        out = stream_tumble(
+            sdf, "t_ms", "1 hour", ["event_type"],
+            watermark="10 seconds",
+            n=F.count(F.lit(1)),
+            total=F.sum(F.col("value")),
+        )
+        listener = ThroughputListener()
+        spark.streams.addListener(listener)
+        t0 = time.perf_counter()
+        q = (
+            out.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="tc_bench_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        wall = time.perf_counter() - t0
+        deadline = time.time() + 10
+        while not listener.history and time.time() < deadline:
+            time.sleep(0.2)
+        spark.streams.removeListener(listener)
+        totals = listener.totals()
+        return {
+            "input_rows": totals["input_rows"],
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(totals["input_rows"] / wall, 1) if wall else 0.0,
+            "n_batches": len(listener.history),
+        }
+    except Exception as e:  # noqa: BLE001 — streaming bench is best-effort
+        return {"error": f"{type(e).__name__}: {e}"[:200]}
 
 
 if __name__ == "__main__":
