@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) — randomized semantics checks the
+reference's suite lacks entirely (SURVEY §5: assert-based unit tests
+only). Each property pins an operator against an independent naive
+implementation on generated data. Example counts stay small: every
+example spins Spark jobs."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from table_computing_spark.operators.temporal import asof_join, range_join
+from table_computing_spark.table import Table
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+keys = st.sampled_from(["a", "b", "c"])
+times = st.integers(min_value=0, max_value=50)
+
+
+@_SETTINGS
+@given(
+    left=st.lists(st.tuples(keys, times), min_size=1, max_size=15),
+    right=st.lists(st.tuples(keys, times), min_size=0, max_size=15),
+)
+def test_asof_join_property(spark, left, right):
+    """asof_join == per-row 'latest right at-or-before left' scan."""
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k string, t bigint, lid int"
+    )
+    # unique (k, t) on the right: keep the max payload per key/time
+    rmap: dict[tuple, int] = {}
+    for i, (k, t) in enumerate(right):
+        rmap[(k, t)] = max(rmap.get((k, t), -1), i * 10)
+    rdf = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rmap.items()] or [("zz", -1, -1)],
+        "k string, t bigint, rv int",
+    )
+    got = {
+        (r["k"], r["t"], r["lid"]): r["rv"]
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_time="t", right_time="t", how="left"
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        # latest right time at-or-before t wins
+        best_t = max((rt for (rk, rt) in rmap if rk == k and rt <= t), default=None)
+        expected = rmap[(k, best_t)] if best_t is not None else None
+        assert got[(k, t, i)] == expected, (k, t, got[(k, t, i)], expected)
+
+
+@_SETTINGS
+@given(
+    points=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=20),
+    intervals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),
+            st.integers(min_value=1, max_value=60),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    width=st.sampled_from([7.0, 25.0, 100.0]),
+)
+def test_range_join_property(spark, points, intervals, width):
+    """range_join == naive inequality join for any bucket width."""
+    pdf = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(points)], "pid int, x bigint"
+    )
+    idf = spark.createDataFrame(
+        [(i, lo, lo + span) for i, (lo, span) in enumerate(intervals)],
+        "iid int, lo bigint, hi bigint",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(pdf, idf, "x", "lo", "hi", bucket_width=width).collect()
+    )
+    naive = sorted(
+        (i, j)
+        for i, x in enumerate(points)
+        for j, (lo, span) in enumerate(intervals)
+        if lo <= x < lo + span
+    )
+    assert got == naive
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["x", "y"]), st.integers(-5, 5)),
+        min_size=1,
+        max_size=20,
+    ),
+    n=st.sampled_from([1, 3]),
+)
+def test_over_by_size_property(spark, rows, n):
+    """Trailing count window == pandas rolling over the same order."""
+    from table_computing_spark.operators import windows as tw
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k string, v bigint, rid int"
+    )
+    got = {
+        r["rid"]: (r["tsum"], r["tn"])
+        for r in tw.over_by_size(
+            Table(df), ["k"], [F.col("rid").asc()], n=n,
+            tsum=F.sum("v"), tn=F.count(F.lit(1)),
+        ).df.collect()
+    }
+    pdf = pd.DataFrame([(k, v, i) for i, (k, v) in enumerate(rows)], columns=["k", "v", "rid"])
+    for k, g in pdf.groupby("k"):
+        roll = g.sort_values("rid")["v"].rolling(n, min_periods=1)
+        for rid, s, c in zip(g.sort_values("rid")["rid"], roll.sum(), roll.count()):
+            assert got[rid] == (int(s), int(c)), (k, rid)
