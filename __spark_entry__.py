@@ -494,6 +494,35 @@ def q_select_rows(spark, sf_dir):
     ).df
 
 
+def q_pivot(spark, sf_dir):
+    """Pivot (Spark-native groupBy().pivot(); reference users hand-roll
+    this as N conditional aggregates in a UDAF)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.df.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def q_lag_lead(spark, sf_dir):
+    """LAG/LEAD analytics over partition-ordered rows (Table.over with
+    offset functions; ref OverWindowFunction sees the whole partition —
+    table/Table.java:469-533)."""
+    ev = _t(spark, sf_dir, "events")
+    with_ms = ev.select("event_id", "user_id", "value", t=tcf.epoch_ms("ts"))
+    out = with_ms.over(
+        ["user_id"],
+        [F.col("t").asc(), F.col("event_id").asc()],
+        prev_value=lambda w: F.lag("value", 1).over(w),
+        next_value=lambda w: F.lead("value", 1).over(w),
+        gap_ms=lambda w: F.col("t") - F.lag("t", 1).over(w),
+    )
+    return out.select("event_id", "user_id", "prev_value", "next_value", "gap_ms").df
+
+
 def q_window_tumble(spark, sf_dir):
     """Tumbling window (ref window/TumbleWindow.java:10-50)."""
     ev = _t(spark, sf_dir, "events")
@@ -749,6 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_transform_explode": q_transform_explode,
         "q_union_distinct": q_union_distinct,
         "q_order_by_limit": q_order_by_limit,
+        "q_pivot": q_pivot,
+        "q_lag_lead": q_lag_lead,
         "q_udaf_apply": q_udaf_apply,
         "q_select_rows": q_select_rows,
         "q_window_tumble": q_window_tumble,
@@ -987,6 +1018,23 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
             )
+        """,
+        "q_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+                   sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+                   sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+                   sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error
+            FROM events GROUP BY user_id
+        """,
+        "q_lag_lead": """
+            SELECT event_id, user_id,
+                   lag(value)  OVER w AS prev_value,
+                   lead(value) OVER w AS next_value,
+                   epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
         """,
         "q_order_by_limit": """
             SELECT o_orderkey, o_totalprice, o_orderpriority
