@@ -142,6 +142,21 @@ def q_rollup(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — subtotals by status, by priority, and
+    the grand total in one pass (Spark-native; SURVEY §2.4)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.group_by_grouping_sets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            ["o_orderstatus", "o_orderpriority"],
+            n=F.count(F.lit(1)),
+            total=F.round(tcf.sum_exact("o_totalprice").cast("double"), 2),
+        )
+        .df
+    )
+
+
 def q_count_distinct(spark, sf_dir):
     """COUNT(DISTINCT) + exact multi-agg (reference has no distinct
     aggregation — SURVEY §2.4; Spark-native)."""
@@ -759,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_groupby_agg": q_groupby_agg,
         "q_avg_ref_nulls": q_avg_ref_nulls,
         "q_rollup": q_rollup,
+        "q_grouping_sets": q_grouping_sets,
         "q_count_distinct": q_count_distinct,
         "q_percentile": q_percentile,
         "q_approx_distinct": q_approx_distinct,
@@ -878,6 +894,13 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS total
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "q_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """,
         "q_count_distinct": """
             SELECT l_returnflag,

@@ -313,6 +313,19 @@ class Table:
         exprs = [v.alias(k) for k, v in aggs.items()]
         return self._wrap(self._df.cube(*[F.col(k) for k in keys]).agg(*exprs))
 
+    def group_by_grouping_sets(
+        self,
+        grouping_sets: Sequence[Sequence[str]],
+        keys: Sequence[str],
+        **aggs: Column,
+    ) -> "Table":
+        """Explicit GROUPING SETS — arbitrary subtotal combinations."""
+        exprs = [v.alias(k) for k, v in aggs.items()]
+        sets = [[F.col(c) for c in s] for s in grouping_sets]
+        return self._wrap(
+            self._df.groupingSets(sets, *[F.col(k) for k in keys]).agg(*exprs)
+        )
+
     def group_by_apply(
         self,
         keys: Sequence[str],
@@ -342,6 +355,53 @@ class Table:
             return pd.DataFrame([list(key) + vals], columns=list(keys) + out_names)
 
         return self._wrap(self._df.groupBy(*keys).applyInPandas(_apply, schema=full))
+
+    def group_by_partial(
+        self,
+        keys: Sequence[str],
+        partial_fn: Callable,
+        merge_fn: Callable,
+        state_schema: T.StructType,
+        output_schema: T.StructType,
+    ) -> "Table":
+        """Two-phase custom aggregation — the scale path for opaque
+        UDAFs that `group_by_apply` (whole-group collection) can't take
+        to 100 TB.
+
+        partial_fn(pandas_df) -> per-key partial-state DataFrame with
+        columns keys + state_schema, computed per Arrow batch WITHIN
+        each input partition (the map-side combine: shuffle carries one
+        state row per key per batch, not every input row).
+        merge_fn(key_tuple, state_pandas_df) -> tuple of output values
+        per output_schema (the reduce side).
+
+        Mirrors Spark's own partial/final HashAggregate split for
+        builtin aggregates (ref §2.4 notes the reference has no partial
+        aggregation at all — single-node per thread).
+        """
+        state_full = T.StructType(
+            [self._df.schema[k] for k in keys] + list(state_schema.fields)
+        )
+        out_full = T.StructType(
+            [self._df.schema[k] for k in keys] + list(output_schema.fields)
+        )
+        out_names = [f.name for f in output_schema.fields]
+
+        def _partial(batches):
+            for pdf in batches:
+                yield partial_fn(pdf)
+
+        def _merge(key, states):
+            import pandas as pd
+
+            res = merge_fn(key, states)
+            vals = list(res) if isinstance(res, (tuple, list)) else [res]
+            return pd.DataFrame([list(key) + vals], columns=list(keys) + out_names)
+
+        partials = self._df.mapInPandas(_partial, schema=state_full)
+        return self._wrap(
+            partials.groupBy(*keys).applyInPandas(_merge, schema=out_full)
+        )
 
     # -- batch OVER window (ref §2.5) ----------------------------------------
 

@@ -77,3 +77,50 @@ def test_approx_distinct_within_tolerance(spark):
     for k in exact:
         for a, e in zip(approx[k], exact[k]):
             assert abs(a - e) / e < 0.06, (k, a, e)
+
+
+def test_group_by_partial_equals_direct(spark):
+    """Two-phase UDAF (map-side partials + merge) must equal the direct
+    whole-group computation — here a weighted average decomposed into
+    (sum_vw, sum_w) partial states."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from table_computing_spark.table import Table
+
+    df = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_type", "user_id", "value"
+    ).repartition(8)
+    t = Table(df)
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("event_type")
+        return pd.DataFrame({
+            "event_type": list(g.groups),
+            "sum_vw": g.apply(lambda x: float((x["value"] * x["user_id"]).sum()), include_groups=False).values,
+            "sum_w": g["user_id"].sum().astype("float64").values,
+        })
+
+    def merge(key, states: pd.DataFrame):
+        return (round(float(states["sum_vw"].sum() / states["sum_w"].sum()), 6),)
+
+    got = {
+        r["event_type"]: r["wavg"]
+        for r in t.group_by_partial(
+            ["event_type"], partial, merge,
+            T.StructType([
+                T.StructField("sum_vw", T.DoubleType()),
+                T.StructField("sum_w", T.DoubleType()),
+            ]),
+            T.StructType([T.StructField("wavg", T.DoubleType())]),
+        ).df.collect()
+    }
+    exp = {
+        r["event_type"]: round(r["wavg"], 6)
+        for r in df.groupBy("event_type")
+        .agg((F.sum(F.col("value") * F.col("user_id")) / F.sum("user_id")).alias("wavg"))
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-6, k
