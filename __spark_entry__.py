@@ -538,6 +538,64 @@ def q_lag_lead(spark, sf_dir):
     return out.select("event_id", "user_id", "prev_value", "next_value", "gap_ms").df
 
 
+def q_filter_rows(spark, sf_dir):
+    """Criteria escape hatch — opaque Python predicate via Arrow-batched
+    pandas UDF (ref criteria/Criteria.java:5-7 via Table.filter_rows)."""
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.filter_rows(
+            lambda acctbal, nationkey: acctbal > 2000.0 and nationkey % 2 == 0,
+            "s_acctbal", "s_nationkey",
+        )
+        .select("s_suppkey", "s_nationkey", bal=F.col("s_acctbal"))
+        .df
+    )
+
+
+def q_transform_rows(spark, sf_dir):
+    """TransformFunction (UDTF) escape hatch — one row → N rows from
+    arbitrary Python (ref table/Table.java:333-373 via transform_rows):
+    one row per whole 100k-dollar bucket of the order price."""
+    from pyspark.sql import types as T
+
+    o = _t(spark, sf_dir, "orders")
+
+    def buckets(row):
+        n = int(row["o_totalprice"] // 100_000)
+        return [(row["o_orderkey"], i) for i in range(n + 1)]
+
+    return o.transform_rows(
+        buckets,
+        T.StructType(
+            [
+                T.StructField("okey", T.LongType()),
+                T.StructField("bucket", T.IntegerType()),
+            ]
+        ),
+    ).df
+
+
+def q_over_apply(spark, sf_dir):
+    """OverWindowFunction escape hatch — whole sorted partition as a
+    pandas frame (ref table/Table.java:469-533 via over_apply): share of
+    each customer's balance within their nation."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    c = _t(spark, sf_dir, "customer")
+
+    def share(pdf: pd.DataFrame) -> pd.DataFrame:
+        tot = pdf["c_acctbal"].sum()
+        return pd.DataFrame(
+            {"bal_share": (pdf["c_acctbal"] / tot).round(6).astype("float64")}
+        )
+
+    out = c.over_apply(["c_nationkey"], ["c_custkey"], share, T.StructType(
+        [T.StructField("bal_share", T.DoubleType())]
+    ))
+    return out.select("c_custkey", "c_nationkey", "bal_share").df
+
+
 def q_window_tumble(spark, sf_dir):
     """Tumbling window (ref window/TumbleWindow.java:10-50)."""
     ev = _t(spark, sf_dir, "events")
@@ -794,6 +852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_transform_explode": q_transform_explode,
         "q_union_distinct": q_union_distinct,
         "q_order_by_limit": q_order_by_limit,
+        "q_filter_rows": q_filter_rows,
+        "q_transform_rows": q_transform_rows,
+        "q_over_apply": q_over_apply,
         "q_pivot": q_pivot,
         "q_lag_lead": q_lag_lead,
         "q_udaf_apply": q_udaf_apply,
@@ -1041,6 +1102,22 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
             )
+        """,
+        "q_filter_rows": """
+            SELECT s_suppkey, s_nationkey, s_acctbal AS bal
+            FROM supplier
+            WHERE s_acctbal > 2000.0 AND s_nationkey % 2 = 0
+        """,
+        "q_transform_rows": """
+            SELECT o_orderkey AS okey,
+                   -- explicit floor: DuckDB CAST(double AS INT) rounds
+                   CAST(unnest(generate_series(0, CAST(floor(o_totalprice / 100000) AS INT))) AS INT) AS bucket
+            FROM orders
+        """,
+        "q_over_apply": """
+            SELECT c_custkey, c_nationkey,
+                   round(c_acctbal / sum(c_acctbal) OVER (PARTITION BY c_nationkey), 6) AS bal_share
+            FROM customer
         """,
         "q_pivot": """
             SELECT user_id,
