@@ -81,6 +81,33 @@ class StreamProcessing:
         self._queries.append(q)
         return q
 
+    def top_n(
+        self,
+        windowed: DataFrame,
+        partition_by: list[str],
+        order_by: list,
+        n: int,
+        sink: Callable[[DataFrame, int], None],
+        rank_col: str = "rank",
+    ) -> StreamingQuery:
+        """Two-stage streaming top-N (the Top100Test pipeline tail,
+        SURVEY §7.2 M3): a streaming windowed aggregate feeds a
+        per-micro-batch ranking — window functions aren't allowed on
+        unbounded streams, but each batch of aggregate UPDATES is tiny,
+        so ranking runs complete-mode per trigger and `sink` receives
+        the current top-N table."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window as W
+
+        def rank_and_emit(batch_df: DataFrame, batch_id: int) -> None:
+            w = W.partitionBy(*partition_by).orderBy(*order_by)
+            ranked = batch_df.withColumn(rank_col, F.row_number().over(w)).filter(
+                F.col(rank_col) <= n
+            )
+            sink(ranked, batch_id)
+
+        return self.compute(windowed, rank_and_emit, output_mode="complete")
+
     def await_all(self, timeout_s: float | None = None) -> None:
         """Block until every query finishes; re-raises the first query
         error (ref global-error stop :27-34)."""

@@ -495,3 +495,43 @@ class TestStreamDedup:
         got = _run_to_table(spark, out, "t_dedup")
         ids = sorted(r["doc_id"] for r in got.collect())
         assert ids == [1, 2, 4]
+
+
+class TestStreamTopN:
+    def test_two_stage_streaming_topn(self, spark, stream_dir, tmp_path):
+        """StreamProcessing.top_n: windowed agg → per-batch ranking;
+        final table equals the batch pipeline's top-N."""
+        sdf = _read_stream(spark, stream_dir)
+        windowed = stream_slide(
+            sdf, "t_ms", "10 seconds", "5 seconds", ["event_type"],
+            watermark="5 seconds", total=F.sum("value"),
+        )
+        final: dict = {}
+
+        def sink(ranked, batch_id):
+            final.clear()
+            final.update({
+                (r.window_start, r.event_type): (r.total, r.rank)
+                for r in ranked.collect()
+            })
+
+        sp = StreamProcessing(checkpoint_root=str(tmp_path), bounded=True)
+        sp.top_n(
+            windowed, ["window_start"],
+            [F.col("total").desc(), F.col("event_type").asc()], n=1, sink=sink,
+        )
+        sp.await_all(120)
+
+        expected_w = tw.slide(
+            Table(_batch_df(spark)), "t_ms", "10 seconds", "5 seconds",
+            ["event_type"], total=F.sum("value"),
+        )
+        expected = expected_w.top_n(
+            ["window_start"], [F.col("total").desc(), F.col("event_type").asc()],
+            n=1, rank_col="rank",
+        ).df
+        exp = {
+            (r.window_start, r.event_type): (r.total, r.rank)
+            for r in expected.collect()
+        }
+        assert final == exp
