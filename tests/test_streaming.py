@@ -535,3 +535,32 @@ class TestStreamTopN:
             for r in expected.collect()
         }
         assert final == exp
+
+
+class TestStatefulOverByDuration:
+    def test_stream_over_by_duration_crosses_batches(self, spark, stream_dir):
+        """Trailing time-range window: buffer eviction at t-duration+1
+        must match the batch RANGE frame across micro-batch boundaries."""
+        from table_computing_spark.streaming.stateful import stream_over_by_duration
+
+        sdf = _read_stream(spark, stream_dir)
+
+        def agg(buf):
+            return {"tsum": float(buf["value"].sum()), "tn": len(buf)}
+
+        out = stream_over_by_duration(
+            sdf, ["user_id"], "t_ms", duration_ms=12_000, agg_fn=agg,
+            added_fields=[
+                T.StructField("tsum", T.DoubleType()),
+                T.StructField("tn", T.IntegerType()),
+            ],
+        )
+        got = _run_to_table(spark, out, "t_obd")
+
+        expected = tw.over_by_duration(
+            Table(_batch_df(spark)), ["user_id"], "t_ms", duration_ms=12_000,
+            tsum=F.sum("value"), tn=F.count(F.lit(1)),
+        ).df
+        assert _rows(got.select("event_id", "tsum", "tn"), "event_id") == _rows(
+            expected.select("event_id", "tsum", "tn"), "event_id"
+        )
