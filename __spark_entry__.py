@@ -814,6 +814,35 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_sample_split(spark, sf_dir):
+    """Reproducible hash-keyed train/test split + per-stratum counts
+    (operators/sampling.py — same md5 decision in any engine/run)."""
+    from table_computing_spark.operators.sampling import train_test_split
+
+    d = _t(spark, sf_dir, "documents").df
+    return (
+        train_test_split(d, "doc_id", test_fraction=0.125)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic downsampling — the training-mix
+    operator (operators/sampling.stratified_sample)."""
+    from table_computing_spark.operators.sampling import stratified_sample
+
+    ev = _t(spark, sf_dir, "events").df
+    out = stratified_sample(
+        ev, "event_type", {"click": 0.25, "view": 0.5, "purchase": 1.0}, "event_id"
+    )
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary media columns → feature vectors via Arrow mapInPandas
     (decode stubbed — operators/multimodal.py; plumbing is real)."""
@@ -875,6 +904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_bucketed_topk": q_lsh_bucketed_topk,
         "q_salted_join": q_salted_join,
         "q_ivf_topk": q_ivf_topk,
+        "q_sample_split": q_sample_split,
+        "q_stratified_sample": q_stratified_sample,
         "q_multimodal_features": q_multimodal_features,
     }
 
@@ -1208,6 +1239,23 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY sales_volume DESC, event_type ASC) AS rank
               FROM agg
             ) WHERE rank <= 100
+        """,
+        "q_sample_split": """
+            WITH tagged AS (
+              SELECT doc_id,
+                     CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '20000000'
+                          THEN 'test' ELSE 'train' END AS split
+              FROM documents
+            )
+            SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM tagged GROUP BY split
+        """,
+        "q_stratified_sample": """
+            SELECT event_type, count(*) AS n FROM events
+            WHERE (event_type = 'click'    AND substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < '40000000')
+               OR (event_type = 'view'     AND substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < '80000000')
+               OR (event_type = 'purchase' AND substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < 'g')
+            GROUP BY event_type
         """,
         # -- training-data ops ------------------------------------------------
         "q_text_analysis": r"""

@@ -182,3 +182,31 @@ def test_multimodal_resize_and_frame_sampling(spark):
     ]
     assert len(frames) == 2 * len(videos_with_content)
     assert all(len(r["frame"]) == 4 for r in frames)
+
+
+def test_deterministic_sampling_properties(spark):
+    """Hash-keyed sampling: stable across repartitioning, fraction
+    within tolerance, split is a partition of the corpus."""
+    from pyspark.sql import functions as F
+    from table_computing_spark.operators.sampling import (
+        deterministic_sample,
+        train_test_split,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    s1 = {r["doc_id"] for r in deterministic_sample(d, "doc_id", 0.25).select("doc_id").collect()}
+    s2 = {
+        r["doc_id"]
+        for r in deterministic_sample(d.repartition(17), "doc_id", 0.25)
+        .select("doc_id").collect()
+    }
+    assert s1 == s2  # layout-independent
+    n = d.count()
+    assert abs(len(s1) / n - 0.25) < 0.05
+
+    split = train_test_split(d, "doc_id", test_fraction=0.125)
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["test"] + counts["train"] == n
+    assert abs(counts["test"] / n - 0.125) < 0.04
+    # full-fraction edge: threshold 'g' keeps everything
+    assert deterministic_sample(d, "doc_id", 1.0).count() == n
