@@ -509,6 +509,41 @@ def q_select_rows(spark, sf_dir):
     ).df
 
 
+def q_json_extract(spark, sf_dir):
+    """Semi-structured JSON column handling (the Kafka-boundary parse
+    of ref sp/input/KafkaStreamTable.java:151-177, applied to a stored
+    column): extract + aggregate on a JSON field."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k_val=k)
+        .group_by(
+            ["event_type"],
+            n=tcf.count_all(),
+            sum_k=F.sum("k_val"),
+            max_k=F.max("k_val"),
+        )
+        .df
+    )
+
+
+def q_unpivot(spark, sf_dir):
+    """Unpivot/melt (Spark-native DataFrame.unpivot) — wide metrics to
+    long (metric, value) rows."""
+    c = _t(spark, sf_dir, "customer").df
+    wide = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(30,2)")).cast("double"), 2).alias("total_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+    return wide.unpivot(
+        ["c_mktsegment"],
+        ["n_customers", "total_bal", "max_bal"],
+        "metric",
+        "value",
+    )
+
+
 def q_pivot(spark, sf_dir):
     """Pivot (Spark-native groupBy().pivot(); reference users hand-roll
     this as N conditional aggregates in a UDAF)."""
@@ -886,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_over_apply": q_over_apply,
         "q_pivot": q_pivot,
         "q_lag_lead": q_lag_lead,
+        "q_json_extract": q_json_extract,
+        "q_unpivot": q_unpivot,
         "q_udaf_apply": q_udaf_apply,
         "q_select_rows": q_select_rows,
         "q_window_tumble": q_window_tumble,
@@ -1133,6 +1170,27 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
             )
+        """,
+        "q_json_extract": """
+            SELECT event_type,
+                   count(*) AS n,
+                   sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+                   max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "q_unpivot": """
+            WITH wide AS (
+              SELECT c_mktsegment,
+                     CAST(count(*) AS DOUBLE) AS n_customers,
+                     round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE), 2) AS total_bal,
+                     round(max(c_acctbal), 2) AS max_bal
+              FROM customer GROUP BY c_mktsegment
+            )
+            SELECT c_mktsegment, 'n_customers' AS metric, n_customers AS value FROM wide
+            UNION ALL
+            SELECT c_mktsegment, 'total_bal', total_bal FROM wide
+            UNION ALL
+            SELECT c_mktsegment, 'max_bal', max_bal FROM wide
         """,
         "q_filter_rows": """
             SELECT s_suppkey, s_nationkey, s_acctbal AS bal
