@@ -631,6 +631,19 @@ def q_over_apply(spark, sf_dir):
     return out.select("c_custkey", "c_nationkey", "bal_share").df
 
 
+def q_set_ops(spark, sf_dir):
+    """INTERSECT + EXCEPT ALL (SURVEY §2.7 set ops): customers in both
+    the high-value and urgent-order cohorts, and the urgent-only rest."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 250_000).select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    both = hi.intersect(urgent).select("o_custkey", tag=F.lit("both"))
+    only_urgent = urgent.except_all(hi).distinct().select(
+        "o_custkey", tag=F.lit("urgent_only")
+    )
+    return both.append(only_urgent).df
+
+
 def q_window_tumble(spark, sf_dir):
     """Tumbling window (ref window/TumbleWindow.java:10-50)."""
     ev = _t(spark, sf_dir, "events")
@@ -915,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_date_functions": q_date_functions,
         "q_transform_explode": q_transform_explode,
         "q_union_distinct": q_union_distinct,
+        "q_set_ops": q_set_ops,
         "q_order_by_limit": q_order_by_limit,
         "q_filter_rows": q_filter_rows,
         "q_transform_rows": q_transform_rows,
@@ -1243,6 +1257,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(o_totalprice / 1000) AS BIGINT) AS kprice
             FROM orders
             WHERE o_totalprice >= 100000
+        """,
+        "q_set_ops": """
+            WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 250000),
+                 urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM hi INTERSECT SELECT * FROM urgent)
+            UNION ALL
+            SELECT DISTINCT o_custkey, 'urgent_only' FROM (SELECT * FROM urgent EXCEPT ALL SELECT * FROM hi)
         """,
         "q_window_tumble": """
             SELECT event_type,

@@ -480,6 +480,17 @@ class Table:
 
     union = append
 
+    def intersect(self, other: "Table | DataFrame") -> "Table":
+        """Set intersection, distinct rows (SURVEY §2.7 — absent in the
+        reference, free in Spark)."""
+        o = other.df if isinstance(other, Table) else other
+        return self._wrap(self._df.intersect(o))
+
+    def except_all(self, other: "Table | DataFrame") -> "Table":
+        """Multiset difference preserving duplicates (EXCEPT ALL)."""
+        o = other.df if isinstance(other, Table) else other
+        return self._wrap(self._df.exceptAll(o))
+
     def distinct(self, *cols: str) -> "Table":
         return self._wrap(self._df.dropDuplicates(list(cols)) if cols else self._df.distinct())
 
