@@ -719,6 +719,81 @@ def q_over_by_duration(spark, sf_dir):
     ).df
 
 
+_STREAM_RUNS = {"n": 0}
+
+
+def _run_stream_to_df(spark, sdf, mode="complete"):
+    """Execute a bounded Structured Streaming query (availableNow) and
+    return its final result as a batch DataFrame — lets streaming
+    executions sit under the driver's DuckDB oracle gate."""
+    _STREAM_RUNS["n"] += 1
+    name = f"tc_stream_q_{_STREAM_RUNS['n']}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    return spark.table(name)
+
+
+def q_streaming_tumble(spark, sf_dir):
+    """REAL Structured Streaming execution under the oracle gate: the
+    events table replayed as a parquet file stream through a
+    watermarked tumbling aggregation (streaming/windows.stream_tumble);
+    final state must hash-match the same SQL as the batch tumble."""
+    from table_computing_spark.streaming.windows import stream_tumble
+
+    # raw parquet schema: ts is epoch-ns BIGINT under nanosAsLong (the
+    # loader's converted TimestampType schema would not match the files)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sdf = sdf.withColumn("t_ms", F.expr("ts div 1000000"))
+    out = stream_tumble(
+        sdf, "t_ms", "1 hour", ["event_type"],
+        watermark="10 seconds",
+        n=tcf.count_all(),
+        total=F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2),
+    )
+    return _run_stream_to_df(spark, out, "complete")
+
+
+def q_streaming_session(spark, sf_dir):
+    """Streaming session windows (session_window + watermark) under the
+    oracle gate — final sessions equal the batch/SQL islands-and-gaps
+    computation."""
+    from table_computing_spark.streaming.windows import stream_session
+
+    # raw parquet schema: ts is epoch-ns BIGINT under nanosAsLong (the
+    # loader's converted TimestampType schema would not match the files)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sdf = sdf.withColumn("t_ms", F.expr("ts div 1000000"))
+    out = stream_session(
+        sdf, "t_ms", "30 minutes", ["user_id"],
+        watermark="10 seconds",
+        n=tcf.count_all(),
+        total=F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2),
+    )
+    return _run_stream_to_df(spark, out, "complete")
+
+
 def q_flagship_top100(spark, sf_dir):
     """Top100Test pipeline at scale: hopping window volume + per-window
     top-100 (Top100Test.java:147-182)."""
@@ -940,6 +1015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_udaf_apply": q_udaf_apply,
         "q_select_rows": q_select_rows,
         "q_window_tumble": q_window_tumble,
+        "q_streaming_tumble": q_streaming_tumble,
+        "q_streaming_session": q_streaming_session,
         "q_window_slide": q_window_slide,
         "q_window_session": q_window_session,
         "q_over_by_size": q_over_by_size,
@@ -1273,6 +1350,22 @@ def oracle_sql() -> dict[str, str]:
                    (epoch_ms(ts) // 3600000) * 3600000 + 3600000 AS window_end
             FROM events
             GROUP BY event_type, window_start, window_end
+        """,
+        "q_streaming_tumble": """
+            SELECT event_type,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total,
+                   (epoch_ms(ts) // 3600000) * 3600000 AS window_start,
+                   (epoch_ms(ts) // 3600000) * 3600000 + 3600000 AS window_end
+            FROM events
+            GROUP BY event_type, window_start, window_end
+        """,
+        "q_streaming_session": _SESSIONS_30M + """
+            SELECT user_id, count(*) AS n,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total,
+                   min(t) AS session_start,
+                   max(t) + 1800000 AS session_end
+            FROM sess GROUP BY user_id, sid
         """,
         "q_window_slide": _HOP_EVENTS + """
             SELECT event_type, count(*) AS n,
