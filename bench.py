@@ -31,8 +31,15 @@ def main() -> None:
 
     qs = entry.queries()
 
-    # JVM/codegen warm-up so q1 doesn't pay session startup.
+    # JVM/codegen warm-up so q1 doesn't pay session startup: exercise the
+    # parquet scan path + a shuffle join + a hash agg once, untimed.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as F
+
+    warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    warm.join(warm.selectExpr("r_regionkey as k"), warm.r_regionkey == F.col("k")).groupBy(
+        "r_name"
+    ).count().write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
@@ -46,6 +53,11 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — a failing query must not hide the rest
             failures[name] = f"{type(e).__name__}: {e}"[:200]
             print(f"[bench] {name}: FAILED {failures[name]}", file=sys.stderr, flush=True)
+        # Isolate queries: a query that persists intermediates (minhash
+        # signatures, IVF centroids) must not degrade every later query
+        # via executor-memory pressure. Cache release happens outside the
+        # timed window — each timing is the query's own cost.
+        spark.catalog.clearCache()
 
     streaming = _bench_streaming(spark, sf_dir)
 
