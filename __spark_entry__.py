@@ -839,6 +839,15 @@ def q_text_analysis(spark, sf_dir):
     )
 
 
+def q_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition quality signals (operators/text.py
+    repetition_metrics): dup-line / dup-bigram / top-bigram fractions —
+    the standard pretraining-corpus repetition filters."""
+    from table_computing_spark.operators import text as tx
+
+    return tx.repetition_metrics(_t(spark, sf_dir, "documents").df)
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup by normalized-text fingerprint (operators/dedup.exact)."""
     from table_computing_spark.operators import dedup
@@ -1023,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_over_by_duration": q_over_by_duration,
         "q_flagship_top100": q_flagship_top100,
         "q_text_analysis": q_text_analysis,
+        "q_repetition_metrics": q_repetition_metrics,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_minhash_lsh": q_minhash_lsh,
@@ -1466,6 +1476,40 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS lang_pred,
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
             FROM feat
+        """,
+        "q_repetition_metrics": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ), linestats AS (
+              SELECT doc_id,
+                     CASE WHEN len(lines) > 0
+                          THEN round((len(lines) - len(list_distinct(lines)))
+                                     / CAST(len(lines) AS DOUBLE), 6)
+                          ELSE 0.0 END AS dup_line_frac
+              FROM base
+            ), tok AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS pos
+              FROM base
+            ), bg AS (
+              SELECT doc_id,
+                     tok || chr(1) || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+              FROM tok
+            ), per_bg AS (
+              SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL
+              GROUP BY doc_id, b
+            ), stats AS (
+              SELECT doc_id, sum(c) AS nb, count(*) AS db, max(c) AS topc
+              FROM per_bg GROUP BY doc_id
+            )
+            SELECT l.doc_id, l.dup_line_frac,
+                   coalesce(round((nb - db) / CAST(nb AS DOUBLE), 6), 0.0) AS dup_bigram_frac,
+                   coalesce(round(topc / CAST(nb AS DOUBLE), 6), 0.0) AS top_bigram_frac,
+                   CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams
+            FROM linestats l LEFT JOIN stats USING (doc_id)
         """,
         "q_dedup_exact": r"""
             WITH fp AS (

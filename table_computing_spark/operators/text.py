@@ -108,6 +108,76 @@ def shingles(c: ColumnLike, k: int = 3) -> Column:
     )
 
 
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1
+    'repetition filters'): the classic quality gates for pretraining
+    corpora. Returns one row per doc:
+
+        dup_line_frac    — 1 - distinct_lines/lines (native array exprs,
+                           no explode)
+        dup_bigram_frac  — fraction of word-bigram occurrences that are
+                           repeats of an earlier occurrence
+        top_bigram_frac  — occurrences of the most frequent bigram over
+                           all bigram occurrences
+        n_bigrams        — total bigram occurrences (0 for <2 tokens)
+
+    Scale shape: line stats never leave the row; bigram stats are one
+    token explode + a per-doc window (partitioned by doc, so no global
+    sort) + two hash aggregates keyed on (doc, bigram) then doc — all
+    map-side-combinable, shuffle width O(distinct bigrams)."""
+    from pyspark.sql.window import Window as W
+
+    lines = F.array_remove(F.split(F.col(text_col), "\n"), "")
+    nl = F.size(lines)
+    base = df.select(
+        F.col(id_col),
+        F.round(
+            F.when(
+                nl > 0, (nl - F.size(F.array_distinct(lines))) / nl.cast("double")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_frac"),
+    )
+
+    tok_rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode_outer(tokens(F.col(text_col))).alias("__pos", "__tok"),
+    )
+    w = W.partitionBy("__id").orderBy("__pos")
+    nxt = F.lead("__tok", 1).over(w)
+    bg = tok_rows.select(
+        "__id",
+        F.when(nxt.isNotNull(), F.concat_ws("\x01", F.col("__tok"), nxt)).alias("__bg"),
+    )
+    per_bg = (
+        bg.filter(F.col("__bg").isNotNull())
+        .groupBy("__id", "__bg")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    stats = per_bg.groupBy("__id").agg(
+        F.sum("__c").alias("__nb"),
+        F.count(F.lit(1)).alias("__db"),
+        F.max("__c").alias("__topc"),
+    )
+    nb = F.col("__nb").cast("double")
+    return (
+        base.join(stats, base[id_col] == stats["__id"], "left")
+        .select(
+            id_col,
+            "dup_line_frac",
+            F.coalesce(F.round((F.col("__nb") - F.col("__db")) / nb, 6), F.lit(0.0)).alias(
+                "dup_bigram_frac"
+            ),
+            F.coalesce(F.round(F.col("__topc") / nb, 6), F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
+            F.coalesce(F.col("__nb"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        )
+    )
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text profile: token counts, quality, language, fingerprint."""
     return df.withColumns(
