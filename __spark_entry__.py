@@ -912,6 +912,18 @@ def q_lsh_bucketed_topk(spark, sf_dir):
     return sim.lsh_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=10, bits=4)
 
 
+def q_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe sign-LSH ANN top-10 (Lv et al. VLDB'07): each query
+    also probes the `bits` Hamming-1 buckets — recall rises toward
+    exact while candidates stay a bucket equi-join."""
+    from table_computing_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    return sim.lsh_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=10, bits=4, multiprobe=4
+    )
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-aware salted join (operators/skew.py): salt must be
     invisible in the result — oracle is the plain join."""
@@ -1040,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_embedding_neardup": q_embedding_neardup,
         "q_lsh_bucketed_topk": q_lsh_bucketed_topk,
+        "q_lsh_multiprobe": q_lsh_multiprobe,
         "q_salted_join": q_salted_join,
         "q_ivf_topk": q_ivf_topk,
         "q_sample_split": q_sample_split,
@@ -1597,6 +1610,29 @@ def oracle_sql() -> dict[str, str]:
                      round(list_cosine_similarity(q.v, c.v), 4) AS cos_sim
               FROM bucketed q JOIN bucketed c
                 ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+              WHERE q.vec_id % 50 = 0
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM s
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 10
+        """,
+        "q_lsh_multiprobe": """
+            WITH bucketed AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                   + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                   + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+              FROM embeddings
+            ), s AS (
+              -- multiprobe=4 over 4 bits == candidates within Hamming
+              -- distance 1 of the query bucket
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.v, c.v), 4) AS cos_sim
+              FROM bucketed q JOIN bucketed c
+                ON xor(q.bucket, c.bucket) IN (0, 1, 2, 4, 8)
+               AND q.vec_id <> c.vec_id
               WHERE q.vec_id % 50 = 0
             ), r AS (
               SELECT *, row_number() OVER (PARTITION BY query_id

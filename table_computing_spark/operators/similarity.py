@@ -319,14 +319,28 @@ def lsh_topk(
     vec_col: str = "embedding",
     bits: int = 4,
     round_to: int = 4,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's sign-LSH
-    bucket — bucket equi-join instead of a cross join. Recall improves
-    with multi-probe (probe adjacent buckets) — future knob."""
+    bucket — bucket equi-join instead of a cross join.
+
+    `multiprobe=m` additionally probes the m buckets at Hamming
+    distance 1 (query bucket with bit i flipped, i < m) — the standard
+    multi-probe LSH recall/cost dial (Lv et al., VLDB'07): vectors near
+    a hyperplane land on its far side with high probability, and those
+    are exactly the Hamming-1 buckets. Cost is (1+m)× candidate rows,
+    still a bucket equi-join (the QUERY side fans out, which is the
+    small side), recall → 1 as m → bits."""
+    probe_bucket = sign_bucket(F.col(vec_col), bits)
+    if multiprobe > 0:
+        m = min(multiprobe, bits)
+        probe_bucket = F.explode(
+            F.array(probe_bucket, *[probe_bucket.bitwiseXOR(F.lit(1 << i)) for i in range(m)])
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        sign_bucket(F.col(vec_col), bits).alias("__bucket"),
+        probe_bucket.alias("__bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

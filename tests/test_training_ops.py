@@ -105,6 +105,40 @@ def test_lsh_topk_same_bucket_correctness(spark):
     assert sorted(got) == sorted(want)
 
 
+def test_lsh_multiprobe_improves_recall(spark):
+    """Multi-probe LSH: (a) every candidate is within Hamming 1 of the
+    query bucket, (b) per-query recall@5 vs brute force is >= the
+    single-bucket recall (the probe set is a strict superset), (c)
+    strictly more (query, neighbor) results overall on this corpus."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    single = similarity.lsh_topk(emb, queries, k=5, bits=4).collect()
+    multi = similarity.lsh_topk(emb, queries, k=5, bits=4, multiprobe=4).collect()
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", similarity.sign_bucket(F.col("embedding"), 4).alias("b")
+        ).collect()
+    }
+    assert all(
+        bin(buckets[r["query_id"]] ^ buckets[r["neighbor_id"]]).count("1") <= 1
+        for r in multi
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    rec_single = len({(r["query_id"], r["neighbor_id"]) for r in single} & exact)
+    rec_multi = len({(r["query_id"], r["neighbor_id"]) for r in multi} & exact)
+    assert rec_multi >= rec_single
+    # superset candidate pool → at every (query, rank) the multiprobe
+    # similarity dominates the single-bucket one, strictly somewhere
+    s_at = {(r["query_id"], r["rank"]): r["cos_sim"] for r in single}
+    m_at = {(r["query_id"], r["rank"]): r["cos_sim"] for r in multi}
+    assert all(m_at[k] >= s for k, s in s_at.items())
+    assert any(m_at[k] > s for k, s in s_at.items())
+
+
 def test_multimodal_feature_plumbing(spark):
     media = multimodal.make_demo_media(spark, 64)
     out = multimodal.extract_features(media).collect()
