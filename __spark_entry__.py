@@ -794,6 +794,28 @@ def q_streaming_session(spark, sf_dir):
     return _run_stream_to_df(spark, out, "complete")
 
 
+def q_stream_minhash(spark, sf_dir):
+    """Streaming MinHash+LSH near-dup candidate pairs
+    (streaming/dedup.stream_minhash_pairs): the documents table replayed
+    as a bounded file stream with synthetic event time; the only
+    stateful operator is the (band, bucket) anchor registry — the
+    per-doc signature is computed inside the row (vectorized pandas
+    UDF), never a streaming aggregate. Engine-internal hashing → rows
+    checked by the driver; planted-duplicate recall is pinned in
+    tests/test_streaming.py."""
+    from table_computing_spark.streaming.dedup import stream_minhash_pairs
+
+    doc_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sdf = (
+        spark.readStream.schema(doc_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_millis(F.col("doc_id") * 1000))
+    )
+    out = stream_minhash_pairs(sdf, "ts", watermark="10 seconds")
+    return _run_stream_to_df(spark, out, "append")
+
+
 def q_flagship_top100(spark, sf_dir):
     """Top100Test pipeline at scale: hopping window volume + per-window
     top-100 (Top100Test.java:147-182)."""
@@ -1038,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_tumble": q_window_tumble,
         "q_streaming_tumble": q_streaming_tumble,
         "q_streaming_session": q_streaming_session,
+        "q_stream_minhash": q_stream_minhash,
         "q_window_slide": q_window_slide,
         "q_window_session": q_window_session,
         "q_over_by_size": q_over_by_size,

@@ -497,6 +497,52 @@ class TestStreamDedup:
         assert ids == [1, 2, 4]
 
 
+class TestStreamMinhash:
+    def test_streaming_minhash_pairs(self, spark, tmp_path_factory):
+        """Near-dup docs across micro-batches surface as candidate
+        pairs anchored to the first-seen doc; unrelated docs never
+        pair. State is per (band, bucket), one anchor row each."""
+        from table_computing_spark.streaming.dedup import stream_minhash_pairs
+
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        near = base.replace("lazy", "sleepy")  # one token → high Jaccard
+        other = "completely different subject matter about spark shuffles and state"
+        d = tmp_path_factory.mktemp("minhash_src")
+        batches = [
+            [(1, base, 1_000), (2, other, 2_000)],
+            [(3, near, 3_000), (4, "unrelated short text entirely new", 4_000)],
+            [(5, base, 5_000)],  # exact dup of 1, two batches later
+        ]
+        for i, batch in enumerate(batches):
+            p = d / f"b{i}.json"
+            with open(p, "w") as f:
+                for doc_id, text, t_ms in batch:
+                    f.write(
+                        json.dumps({"doc_id": doc_id, "text": text, "t_ms": t_ms}) + "\n"
+                    )
+            mt = time.time() + i
+            os.utime(p, (mt, mt))
+
+        sdf = (
+            spark.readStream.schema("doc_id long, text string, t_ms long")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(d))
+            .withColumn("ts", F.timestamp_millis(F.col("t_ms")))
+        )
+        out = stream_minhash_pairs(sdf, "ts", watermark="10 seconds")
+        got = _run_to_table(spark, out, "t_minhash_pairs")
+        pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+        # exact dup: every band collides → (1, 5) must appear
+        assert (1, 5) in pairs
+        # near dup: at least one band collides
+        assert (1, 3) in pairs
+        # unrelated docs never pair with anything
+        flat = {x for p in pairs for x in p}
+        assert 2 not in flat and 4 not in flat
+        # anchoring is first-seen: nothing ever pairs AS anchor to doc 1
+        assert all(a == 1 for (a, b) in pairs if b in (3, 5))
+
+
 class TestStreamTopN:
     def test_two_stage_streaming_topn(self, spark, stream_dir, tmp_path):
         """StreamProcessing.top_n: windowed agg → per-batch ranking;
