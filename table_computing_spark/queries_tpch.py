@@ -232,8 +232,11 @@ def q1_pricing_summary(spark, sf_dir):
 def q2_best_supplier(spark, sf_dir):
     """Q2 (adapted: no partsupp/supplycost): for each STANDARD size-15
     part, the richest supplier (max s_acctbal) among suppliers that ever
-    shipped it, restricted to EUROPE — aggregate-then-equijoin-back, the
-    same decorrelation as the original's correlated min() subquery."""
+    shipped it, restricted to EUROPE. The original's correlated min()
+    subquery decorrelates to a PARTITION-MAX WINDOW over the candidate
+    set — one pass plus one shuffle on p_partkey — instead of the
+    textbook aggregate-then-self-join, which would compute the whole
+    candidate subtree (including the lineitem distinct) twice."""
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     )
@@ -247,9 +250,10 @@ def q2_best_supplier(spark, sf_dir):
         .join(n, on=[("s_nationkey", "n_nationkey")], null_safe=False, broadcast_other=True)
         .join(r, on=[("n_regionkey", "r_regionkey")], null_safe=False, broadcast_other=True)
     )
-    best = cand.group_by(["p_partkey"], best_bal=F.max("s_acctbal"))
+    from pyspark.sql.window import Window as W
+
     return (
-        cand.join(best, on=["p_partkey"], null_safe=False)
+        cand.select_all(best_bal=F.max("s_acctbal").over(W.partitionBy("p_partkey")))
         .filter(F.col("s_acctbal") == F.col("best_bal"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey")
         .order_by(
