@@ -204,6 +204,24 @@ def q_percentile(spark, sf_dir):
     )
 
 
+def q_approx_quantile(spark, sf_dir):
+    """Approximate quantiles via Spark's percentile_approx (Greenwald-
+    Khanna sketch) — the mergeable-sketch path for 100 TB where exact
+    percentile's full sort-per-group is off the table. Sketches differ
+    per engine → rows-only driver gate; the rank-error bound vs exact
+    percentiles is pytest-checked (tests/test_queries.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.group_by(
+            ["l_returnflag"],
+            ap50=F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)),
+            ap95=F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)),
+            n=tcf.count_all(),
+        )
+        .df
+    )
+
+
 def q_join_inner(spark, sf_dir):
     """Inner equi-join (ref table/Table.java:610-616)."""
     o = _t(spark, sf_dir, "orders")
@@ -1030,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": q_grouping_sets,
         "q_count_distinct": q_count_distinct,
         "q_percentile": q_percentile,
+        "q_approx_quantile": q_approx_quantile,
         "q_approx_distinct": q_approx_distinct,
         "q_join_inner": q_join_inner,
         "q_join_left": q_join_left,

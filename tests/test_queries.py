@@ -79,6 +79,34 @@ def test_approx_distinct_within_tolerance(spark):
             assert abs(a - e) / e < 0.06, (k, a, e)
 
 
+def test_approx_quantile_within_tolerance(spark):
+    """percentile_approx (GK sketch, accuracy=10000) must land within a
+    tight relative band of the exact interpolated percentile — the
+    accuracy contract backing the rows-only q_approx_quantile gate."""
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["l_returnflag"]: (r["ap50"], r["ap95"])
+        for r in m.queries()["q_approx_quantile"](spark, sf).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p95"])
+        for r in spark.read.parquet(f"{sf}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / e < 0.01, (k, a, e)
+
+
 def test_group_by_partial_equals_direct(spark):
     """Two-phase UDAF (map-side partials + merge) must equal the direct
     whole-group computation — here a weighted average decomposed into
