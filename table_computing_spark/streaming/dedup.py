@@ -3,27 +3,33 @@ unbounded document stream.
 
 Batch minhash (operators/dedup.py) computes signatures with an
 explode + groupBy aggregate; in streaming that would be a stateful
-aggregation BEFORE the dedup state op (two chained stateful operators).
-Instead the whole signature → band-bucket pipeline runs INSIDE one row
-(a vectorized Arrow-batched pandas UDF), so the only stateful operator
-is the bucket registry:
+aggregation BEFORE the dedup state op. Instead the whole signature →
+band-bucket pipeline runs INSIDE one row (a vectorized Arrow-batched
+pandas UDF), and the dedup state itself stays entirely JVM-side:
 
     doc row ──(pandas UDF: shingle→minhash→band buckets array)──▶
-    posexplode ──▶ (band, bucket) rows ──groupBy(band, bucket)──▶
-    applyInPandasWithState: first doc to claim a bucket is the anchor;
-    every later doc in the same bucket emits a candidate pair
-    (id_a=anchor, id_b=later, band, bucket).
+    posexplode ──▶ (band, bucket) rows ──▶
+      anchors = dropDuplicatesWithinWatermark(band, bucket)   [JVM state]
+      pairs   = anchors ⋈ band-rows on bucket, |Δt| ≤ retention [JVM state]
+
+The first doc observed in a bucket is its ANCHOR; every other doc whose
+signature collides there within the retention horizon emits a candidate
+pair (id_a=anchor, id_b=doc, band, bucket). No Python runs per key —
+both stateful operators (streaming dedup, stream-stream join) are
+Spark's own, so state is bounded, checkpointable, and never pays a
+per-bucket Python round-trip (an earlier applyInPandasWithState
+formulation spent ~0.25 ms of Python per occupied bucket — fatal at
+O(docs × bands) buckets).
 
 Output is the streaming analog of batch minhash_lsh's candidate pairs:
 the same (a, b) pair may surface from several bands — consumers dedup /
 verify downstream (exact Jaccard on the candidate set is cheap).
 
-State is ONE row per occupied (band, bucket) — O(distinct buckets), not
-O(docs) — and expires `state_retention_ms` after the bucket's last
-event via EventTimeTimeout, so a 100 TB/day stream holds only the
-retention horizon. A doc arriving after its anchor expired re-anchors
-the bucket (documented recall loss at the horizon — the standard
-trade).
+Within one micro-batch the anchor among simultaneously-arriving bucket
+members is arbitrary (dropDuplicates keeps the first row it sees), but
+the symmetric |Δt| ≤ retention join bound makes the PAIR COUNT per
+bucket deterministic (n members → n-1 pairs) regardless of which member
+anchors. Across micro-batches the earlier batch always anchors.
 
 The hash family here (pandas hash_array + splitmix-style affine mixes)
 is deterministic across runs/executors but intentionally NOT the batch
@@ -52,6 +58,9 @@ def _band_buckets_udf(num_hashes: int, bands: int, shingle_k: int):
     if rows_per_band * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
 
+    # cap the (num_hashes × shingles) work matrix at ~100 MB per chunk
+    max_shingles_per_chunk = max(200_000 // max(num_hashes // 64, 1), 10_000)
+
     @pandas_udf(T.ArrayType(T.LongType()))
     def buckets(ids: pd.Series, texts: pd.Series) -> pd.Series:
         import numpy as np
@@ -60,7 +69,33 @@ def _band_buckets_udf(num_hashes: int, bands: int, shingle_k: int):
         idx = np.arange(num_hashes, dtype=np.uint64)
         A = idx * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
         B = idx * np.uint64(0xBF58476D1CE4E5B9)
-        out = []
+        fnv = np.uint64(1099511628211)
+
+        # shingle assembly is a Python string loop; everything numeric
+        # after it is ONE vectorized pass per chunk: a single hash_array
+        # over all shingles, the affine hash family as one (H × S)
+        # matrix, per-doc minima via minimum.reduceat on the segment
+        # starts — no per-document numpy call overhead.
+        all_sh: list[str] = []
+        seg_starts: list[int] = []
+        out: list[list[int]] = []
+
+        def flush():
+            if not seg_starts:
+                return
+            base = pd.util.hash_array(np.array(all_sh, dtype=object)).astype(
+                np.uint64
+            )
+            M = base[None, :] * A[:, None] + B[:, None]  # wraps mod 2^64
+            mins = np.minimum.reduceat(M, np.array(seg_starts), axis=1)  # (H, D)
+            bb = mins.T.reshape(-1, bands, rows_per_band)
+            acc = np.zeros((bb.shape[0], bands), dtype=np.uint64)
+            for r in range(rows_per_band):
+                acc = acc * fnv + bb[:, :, r]
+            out.extend(row.astype(np.int64).tolist() for row in acc)
+            all_sh.clear()
+            seg_starts.clear()
+
         for doc_id, txt in zip(ids, texts):
             toks = (txt or "").lower().split()
             if len(toks) >= shingle_k:
@@ -71,13 +106,11 @@ def _band_buckets_udf(num_hashes: int, bands: int, shingle_k: int):
             else:
                 # sentinel: unique per doc, never collides with real text
                 sh = [f"\x00sentinel\x00{doc_id}"]
-            base = pd.util.hash_array(np.array(sh, dtype=object)).astype(np.uint64)
-            M = base[None, :] * A[:, None] + B[:, None]  # (H, S), wraps mod 2^64
-            mins = M.min(axis=1).reshape(bands, rows_per_band)
-            acc = np.zeros(bands, dtype=np.uint64)
-            for r in range(rows_per_band):
-                acc = acc * np.uint64(1099511628211) + mins[:, r]
-            out.append(acc.astype(np.int64).tolist())
+            if all_sh and len(all_sh) + len(sh) > max_shingles_per_chunk:
+                flush()
+            seg_starts.append(len(all_sh))
+            all_sh.extend(sh)
+        flush()
         return pd.Series(out)
 
     return buckets
@@ -98,8 +131,10 @@ def stream_minhash_pairs(
 
     `event_time_col` must be TimestampType; a watermark is applied here.
     Returns an append stream of (id_a, id_b, band, bucket) where id_a is
-    the bucket's anchor (first-seen doc) and id_b a later doc whose
-    signature collided in that band.
+    the bucket's anchor (first-observed doc) and id_b another doc whose
+    signature collided in that band within `state_retention_ms` of the
+    anchor. Both stateful operators are JVM-native; the symmetric time
+    bound lets Spark expire both sides' join state at the watermark.
     """
     sdf = sdf.withWatermark(event_time_col, watermark)
     mk = _band_buckets_udf(num_hashes, bands, shingle_k)
@@ -108,39 +143,19 @@ def stream_minhash_pairs(
         F.col(event_time_col).alias("__t"),
         F.posexplode(mk(F.col(id_col), F.col(text_col))).alias("band", "bucket"),
     )
-    out_schema = T.StructType(
-        [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
-            T.StructField("band", T.IntegerType()),
-            T.StructField("bucket", T.LongType()),
-        ]
+    anchors = ex.dropDuplicatesWithinWatermark(["band", "bucket"]).select(
+        F.col("__id").alias("id_a"),
+        F.col("__t").alias("__ta"),
+        F.col("band").alias("__band_a"),
+        F.col("bucket").alias("__bucket_a"),
     )
-    state_schema = T.StructType([T.StructField("anchor", T.LongType())])
-
-    def fn(key, pdfs, state):
-        band, bucket = key
-        if state.hasTimedOut:
-            state.remove()
-            return
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        if not len(batch):
-            return
-        batch = batch.sort_values(["__t", "__id"], kind="mergesort")
-        anchor = int(state.get[0]) if state.exists else None
-        pairs = []
-        for doc in batch["__id"].astype("int64"):
-            doc = int(doc)
-            if anchor is None:
-                anchor = doc
-            elif doc != anchor:
-                pairs.append((anchor, doc, int(band), int(bucket)))
-        state.update((anchor,))
-        last_ms = int(batch["__t"].max().value // 1_000_000)
-        state.setTimeoutTimestamp(last_ms + state_retention_ms)
-        if pairs:
-            yield pd.DataFrame(pairs, columns=["id_a", "id_b", "band", "bucket"])
-
-    return ex.groupBy("band", "bucket").applyInPandasWithState(
-        fn, out_schema, state_schema, "append", "EventTimeTimeout"
-    )
+    ret = F.expr(f"INTERVAL {int(state_retention_ms)} MILLISECONDS")
+    return anchors.join(
+        ex,
+        (F.col("__band_a") == F.col("band"))
+        & (F.col("__bucket_a") == F.col("bucket"))
+        & (F.col("__t") >= F.col("__ta") - ret)
+        & (F.col("__t") <= F.col("__ta") + ret)
+        & (F.col("id_a") != F.col("__id")),
+        "inner",
+    ).select("id_a", F.col("__id").alias("id_b"), "band", "bucket")
