@@ -740,6 +740,27 @@ def q_over_by_duration(spark, sf_dir):
 _STREAM_RUNS = {"n": 0}
 
 
+class _state_partitions:
+    """Scoped spark.sql.shuffle.partitions override for streaming runs.
+
+    Streaming state-store open/commit cost is per partition per
+    micro-batch, so state partitioning is per-query CAPACITY sizing
+    (key cardinality), not the batch shuffle default — at this SF, 8
+    partitions run the stateful queries 1.3-4x faster than 32. The
+    conf is read at stream start; restoring it after termination leaves
+    batch queries untouched."""
+
+    def __init__(self, spark, n: int = 8):
+        self.spark, self.n = spark, str(n)
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def _run_stream_to_df(spark, sdf, mode="complete"):
     """Execute a bounded Structured Streaming query (availableNow) and
     return its final result as a batch DataFrame — lets streaming
@@ -783,7 +804,8 @@ def q_streaming_tumble(spark, sf_dir):
         n=tcf.count_all(),
         total=F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2),
     )
-    return _run_stream_to_df(spark, out, "complete")
+    with _state_partitions(spark):
+        return _run_stream_to_df(spark, out, "complete")
 
 
 def q_streaming_session(spark, sf_dir):
@@ -809,7 +831,8 @@ def q_streaming_session(spark, sf_dir):
         n=tcf.count_all(),
         total=F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2),
     )
-    return _run_stream_to_df(spark, out, "complete")
+    with _state_partitions(spark):
+        return _run_stream_to_df(spark, out, "complete")
 
 
 def q_stream_minhash(spark, sf_dir):
@@ -831,16 +854,8 @@ def q_stream_minhash(spark, sf_dir):
         .withColumn("ts", F.timestamp_millis(F.col("doc_id") * 1000))
     )
     out = stream_minhash_pairs(sdf, "ts", watermark="10 seconds")
-    # state partitions are per-query capacity sizing: two stateful
-    # operators x N partitions of state-store open/commit per micro-batch
-    # dominate at this key volume — 8 is 3x faster than 32 here; a real
-    # deployment sizes this to its bucket cardinality
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _state_partitions(spark):
         return _run_stream_to_df(spark, out, "append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def q_flagship_top100(spark, sf_dir):
