@@ -835,6 +835,53 @@ def q_streaming_session(spark, sf_dir):
         return _run_stream_to_df(spark, out, "complete")
 
 
+def q_streaming_slide(spark, sf_dir):
+    """Streaming hopping windows (size 1h, hop 30m) under the oracle
+    gate — final state hash-matches the batch hopping-window SQL."""
+    from table_computing_spark.streaming.windows import stream_slide
+
+    # raw parquet schema: ts is epoch-ns BIGINT under nanosAsLong (the
+    # loader's converted TimestampType schema would not match the files)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sdf = sdf.withColumn("t_ms", F.expr("ts div 1000000"))
+    out = stream_slide(
+        sdf, "t_ms", "1 hour", "30 minutes", ["event_type"],
+        watermark="10 seconds",
+        n=tcf.count_all(),
+    )
+    with _state_partitions(spark):
+        return _run_stream_to_df(spark, out, "complete")
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on the text
+    fingerprint) under the FULL oracle gate: the surviving fingerprint
+    set equals SELECT DISTINCT md5(normalized text) — value-hashable
+    because which physical row survives doesn't matter once only the
+    fingerprint is projected."""
+    from table_computing_spark.streaming.windows import stream_dedup_exact
+
+    doc_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sdf = (
+        spark.readStream.schema(doc_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        # +1s offset: epoch-0 event time is not strictly after the initial
+        # watermark and the row would be silently dropped as late
+        .withColumn("ts", F.timestamp_millis((F.col("doc_id") + 1) * 1000))
+    )
+    out = stream_dedup_exact(sdf, "ts", watermark="10 seconds").select("fingerprint")
+    with _state_partitions(spark):
+        return _run_stream_to_df(spark, out, "append")
+
+
 def q_stream_minhash(spark, sf_dir):
     """Streaming MinHash+LSH near-dup candidate pairs
     (streaming/dedup.stream_minhash_pairs): the documents table replayed
@@ -851,7 +898,9 @@ def q_stream_minhash(spark, sf_dir):
         spark.readStream.schema(doc_schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_millis(F.col("doc_id") * 1000))
+        # +1s offset: epoch-0 event time is not strictly after the initial
+        # watermark and the row would be silently dropped as late
+        .withColumn("ts", F.timestamp_millis((F.col("doc_id") + 1) * 1000))
     )
     out = stream_minhash_pairs(sdf, "ts", watermark="10 seconds")
     with _state_partitions(spark):
@@ -1103,6 +1152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_tumble": q_window_tumble,
         "q_streaming_tumble": q_streaming_tumble,
         "q_streaming_session": q_streaming_session,
+        "q_streaming_slide": q_streaming_slide,
+        "q_stream_dedup": q_stream_dedup,
         "q_stream_minhash": q_stream_minhash,
         "q_window_slide": q_window_slide,
         "q_window_session": q_window_session,
@@ -1462,6 +1513,17 @@ def oracle_sql() -> dict[str, str]:
             FROM hops
             WHERE t >= window_start AND t < window_start + 3600000
             GROUP BY event_type, window_start
+        """,
+        "q_streaming_slide": _HOP_EVENTS + """
+            SELECT event_type, count(*) AS n,
+                   window_start, window_start + 3600000 AS window_end
+            FROM hops
+            WHERE t >= window_start AND t < window_start + 3600000
+            GROUP BY event_type, window_start
+        """,
+        "q_stream_dedup": r"""
+            SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
         """,
         "q_window_session": _SESSIONS_30M + """
             SELECT user_id, count(*) AS n,
