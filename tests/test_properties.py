@@ -90,6 +90,45 @@ def test_range_join_property(spark, points, intervals, width):
     assert got == naive
 
 
+_words = st.sampled_from(["aa", "bb", "cc", "dd"])
+_line = st.lists(_words, min_size=0, max_size=6).map(" ".join)
+_doc = st.lists(_line, min_size=0, max_size=4).map("\n".join)
+
+
+@_SETTINGS
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+def test_repetition_metrics_property(spark, docs):
+    """repetition_metrics == a direct python computation of dup-line /
+    dup-bigram / top-bigram fractions, including empty docs, one-token
+    docs, and docs that are all blank lines."""
+    from table_computing_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["dup_line_frac"], r["dup_bigram_frac"], r["top_bigram_frac"], r["n_bigrams"]
+        )
+        for r in repetition_metrics(df).collect()
+    }
+    assert set(got) == set(range(len(docs)))
+    for i, d in enumerate(docs):
+        lines = [l for l in d.split("\n") if l != ""]
+        dlf = round((len(lines) - len(set(lines))) / len(lines), 6) if lines else 0.0
+        toks = d.lower().split()
+        bgs = [(a, b) for a, b in zip(toks, toks[1:])]
+        if bgs:
+            counts: dict = {}
+            for b in bgs:
+                counts[b] = counts.get(b, 0) + 1
+            dbf = round((len(bgs) - len(counts)) / len(bgs), 6)
+            tbf = round(max(counts.values()) / len(bgs), 6)
+        else:
+            dbf = tbf = 0.0
+        assert got[i] == (dlf, dbf, tbf, len(bgs)), (i, repr(d), got[i], (dlf, dbf, tbf))
+
+
 @_SETTINGS
 @given(
     rows=st.lists(
