@@ -391,6 +391,27 @@ def q_over_rank(spark, sf_dir):
     return ranked.filter(F.col("rank") <= 3).select("c_nationkey", "c_custkey", "rank").df
 
 
+def q_window_ranks(spark, sf_dir):
+    """Full analytic-rank family in one window pass: dense_rank, ntile,
+    percent_rank, cume_dist (Spark-native additions; the reference's
+    over() exposes only row_number — util/OrderByWindowUtil.java:3-7).
+    Order is total (acctbal desc, custkey asc) so every rank is
+    deterministic; percent_rank/cume_dist are exact IEEE ratios on both
+    engines."""
+    c = _t(spark, sf_dir, "customer")
+    ranked = c.over(
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        drank=lambda w: F.dense_rank().over(w),
+        quartile=lambda w: F.ntile(4).over(w),
+        prank=lambda w: F.round(F.percent_rank().over(w), 6),
+        cdist=lambda w: F.round(F.cume_dist().over(w), 6),
+    )
+    return ranked.select(
+        "c_nationkey", "c_custkey", "drank", "quartile", "prank", "cdist"
+    ).df
+
+
 def q_top_n(spark, sf_dir):
     """util/WindowUtil.java:19-53 topN — per-group top-k by value."""
     p = _t(spark, sf_dir, "part")
@@ -1132,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_over_rank": q_over_rank,
+        "q_window_ranks": q_window_ranks,
         "q_top_n": q_top_n,
         "q_group_concat": q_group_concat,
         "q_scalar_functions": q_scalar_functions,
@@ -1359,6 +1381,16 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
               FROM customer
             ) WHERE rank <= 3
+        """,
+        "q_window_ranks": """
+            SELECT c_nationkey, c_custkey,
+                   dense_rank()   OVER w AS drank,
+                   ntile(4)       OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS prank,
+                   round(cume_dist()    OVER w, 6) AS cdist
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal DESC, c_custkey ASC)
         """,
         "q_top_n": """
             SELECT p_brand, p_partkey, p_retailprice, rank FROM (

@@ -61,3 +61,23 @@ def test_bucketed_aggregation_has_no_shuffle(spark, bucketed_pair):
     agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
+    """Hive-style partitionBy layout: a filter on the partition column
+    must prune at PLANNING time (PartitionFilters on the scan, only the
+    matching directory's files read) — the other half of the
+    write-layout story besides bucketing, and the first lever against a
+    100 TB scan."""
+    d = str(tmp_path_factory.mktemp("part_events"))
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(d)
+
+    rd = spark.read.parquet(d).filter(F.col("event_type") == "click")
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+    # files actually read come only from the matching partition dir
+    files = [r[0] for r in rd.select(F.input_file_name()).distinct().collect()]
+    assert files and all("event_type=click" in f for f in files)
+    # and values are intact
+    assert rd.count() == ev.filter(F.col("event_type") == "click").count()
