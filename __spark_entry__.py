@@ -973,6 +973,22 @@ def q_text_analysis(spark, sf_dir):
     )
 
 
+def q_fuzzy_pairs(spark, sf_dir):
+    """Bounded edit-distance near-match pairs over part names
+    (operators/text.fuzzy_pairs): blocking-key equi-join on
+    (p_brand, p_size) + length pre-filter, then levenshtein — classic
+    record-linkage decomposition, never a global cross join."""
+    from table_computing_spark.operators import text as tx
+
+    return tx.fuzzy_pairs(
+        _t(spark, sf_dir, "part").df,
+        text_col="p_name",
+        id_col="p_partkey",
+        block_cols=["p_brand", "p_size"],
+        max_distance=4,
+    )
+
+
 def q_repetition_metrics(spark, sf_dir):
     """Gopher-style repetition quality signals (operators/text.py
     repetition_metrics): dup-line / dup-bigram / top-bigram fractions —
@@ -1184,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_flagship_top100": q_flagship_top100,
         "q_text_analysis": q_text_analysis,
         "q_repetition_metrics": q_repetition_metrics,
+        "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_minhash_lsh": q_minhash_lsh,
@@ -1649,6 +1666,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS lang_pred,
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
             FROM feat
+        """,
+        "q_fuzzy_pairs": """
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   levenshtein(a.p_name, b.p_name) AS distance
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             AND a.p_partkey < b.p_partkey
+             AND abs(length(a.p_name) - length(b.p_name)) <= 4
+            WHERE levenshtein(a.p_name, b.p_name) <= 4
         """,
         "q_repetition_metrics": r"""
             WITH base AS (

@@ -178,6 +178,52 @@ def repetition_metrics(
     )
 
 
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    max_distance: int = 3,
+) -> DataFrame:
+    """Bounded edit-distance near-match pairs (record-linkage /
+    title-dedup primitive): candidates meet in a BLOCK equi-join on
+    `block_cols` (the standard blocking-key decomposition — never a
+    global cross join), then a length pre-filter (|len_a - len_b| ≤ d
+    is necessary for edit distance ≤ d, and cheap) gates the O(m·n)
+    levenshtein to surviving candidates.
+
+    Returns (id_a, id_b, distance) with id_a < id_b. Scale: cost is
+    Σ block_size² · levenshtein — pick blocking keys that bound block
+    size; at 100 TB add a coarse fingerprint (e.g. first-k chars) to
+    the block key."""
+    sel = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__s"),
+        F.length(text_col).alias("__len"),
+        *block_cols,
+    )
+    a = sel.alias("a")
+    b = sel.alias("b")
+    block_eq = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond = block_eq[0]
+    for c in block_eq[1:]:
+        cond = cond & c
+    cond = (
+        cond
+        & (F.col("a.__id") < F.col("b.__id"))
+        & (F.abs(F.col("a.__len") - F.col("b.__len")) <= max_distance)
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.levenshtein(F.col("a.__s"), F.col("b.__s")).alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text profile: token counts, quality, language, fingerprint."""
     return df.withColumns(
