@@ -973,6 +973,95 @@ def q_text_analysis(spark, sf_dir):
     )
 
 
+def q_retention_cohort(spark, sf_dir):
+    """Product-analytics shape: daily cohort retention triangle — cohort
+    = each user's first active day; for offsets 0..7, distinct users
+    active that day. Two hash aggregates + one equi-join, all keyed on
+    user/day."""
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", F.expr("unix_millis(cast(ts as timestamp)) div 86400000").alias("day")
+    )
+    act = ev.distinct()
+    firsts = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(firsts, "user_id")
+        .withColumn("day_offset", F.col("day") - F.col("cohort_day"))
+        .filter((F.col("day_offset") >= 0) & (F.col("day_offset") <= 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+    )
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered-funnel completion: view → click after that view →
+    purchase after that click. Each stage is a conditional min-time
+    aggregate joined forward — the decorrelated form of three ordered
+    EXISTS subqueries."""
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_millis(cast(ts as timestamp))").alias("ms"),
+    )
+    mv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t_view"))
+    )
+    mc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(mv, "user_id")
+        .filter(F.col("ms") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t_click"))
+    )
+    mp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(mc, "user_id")
+        .filter(F.col("ms") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t_purchase"))
+    )
+    a = mv.groupBy().agg(F.count(F.lit(1)).alias("n_view"))
+    b = mc.groupBy().agg(F.count(F.lit(1)).alias("n_view_click"))
+    c = mp.groupBy().agg(F.count(F.lit(1)).alias("n_full_funnel"))
+    return a.crossJoin(b).crossJoin(c)
+
+
+def q_pipeline_curation(spark, sf_dir):
+    """The flagship corpus-curation pipeline, end to end: profile
+    (quality/language) + repetition metrics + exact dedup → filter to
+    canonical, English, high-quality, low-repetition docs → per-source
+    corpus stats. Every stage is an oracle-checked operator; this query
+    checks their COMPOSITION under one optimizer plan."""
+    from table_computing_spark.operators import dedup
+    from table_computing_spark.operators import text as tx
+
+    d = _t(spark, sf_dir, "documents").df
+    prof = tx.analyze(d, "text")
+    rep = tx.repetition_metrics(d).select("doc_id", "dup_bigram_frac")
+    dd = dedup.exact(d).select("doc_id", "is_canonical")
+    return (
+        prof.join(rep, "doc_id")
+        .join(dd, "doc_id")
+        .filter(
+            (F.col("lang_pred") == "en")
+            & (F.col("quality") >= 0.9)
+            & (F.col("dup_bigram_frac") <= 0.05)
+            & (F.col("is_canonical") == 1)
+        )
+        .groupBy("source")
+        .agg(
+            tcf.count_all().alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
+        )
+    )
+
+
 def q_fuzzy_pairs(spark, sf_dir):
     """Bounded edit-distance near-match pairs over part names
     (operators/text.fuzzy_pairs): blocking-key equi-join on
@@ -1200,6 +1289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_flagship_top100": q_flagship_top100,
         "q_text_analysis": q_text_analysis,
         "q_repetition_metrics": q_repetition_metrics,
+        "q_retention_cohort": q_retention_cohort,
+        "q_funnel": q_funnel,
+        "q_pipeline_curation": q_pipeline_curation,
         "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_jaccard": q_dedup_jaccard,
@@ -1666,6 +1758,87 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS lang_pred,
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
             FROM feat
+        """,
+        "q_retention_cohort": """
+            WITH act AS (
+              SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+            ), firsts AS (
+              SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
+            )
+            SELECT cohort_day, day - cohort_day AS day_offset,
+                   count(DISTINCT act.user_id) AS n_users
+            FROM act JOIN firsts USING (user_id)
+            WHERE day - cohort_day BETWEEN 0 AND 7
+            GROUP BY cohort_day, day_offset
+        """,
+        "q_funnel": """
+            WITH ev AS (
+              SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+            ), mv AS (
+              SELECT user_id, min(ms) AS t_view FROM ev
+              WHERE event_type = 'view' GROUP BY user_id
+            ), mc AS (
+              SELECT ev.user_id, min(ms) AS t_click FROM ev JOIN mv USING (user_id)
+              WHERE event_type = 'click' AND ms >= t_view GROUP BY ev.user_id
+            ), mp AS (
+              SELECT ev.user_id, min(ms) AS t_purchase FROM ev JOIN mc USING (user_id)
+              WHERE event_type = 'purchase' AND ms >= t_click GROUP BY ev.user_id
+            )
+            SELECT (SELECT count(*) FROM mv) AS n_view,
+                   (SELECT count(*) FROM mc) AS n_view_click,
+                   (SELECT count(*) FROM mp) AS n_full_funnel
+        """,
+        "q_pipeline_curation": r"""
+            WITH base AS (
+              SELECT doc_id, source, text,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+                     length(text) AS n_chars
+              FROM documents
+            ), feat AS (
+              SELECT doc_id, source,
+                     len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+                     round(
+                       (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.5 END) * 0.3
+                       + (CASE WHEN len(toks) > 0
+                               AND CAST(n_chars AS DOUBLE)/len(toks) BETWEEN 3.0 AND 12.0
+                               THEN 1.0 ELSE 0.5 END) * 0.3
+                       + (CASE WHEN n_chars > 0
+                               THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)/n_chars
+                               ELSE 0.0 END) * 0.4,
+                     6) AS quality,
+                     len(list_intersect(list_distinct(toks), ['der','die','das','und','ist','nicht','ein','mit','auf','zu'])) AS s_de,
+                     len(list_intersect(list_distinct(toks), ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
+                     len(list_intersect(list_distinct(toks), ['el','la','los','y','es','un','una','de','en','se'])) AS s_es,
+                     len(list_intersect(list_distinct(toks), ['le','la','les','et','est','un','une','des','dans','que'])) AS s_fr,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+              FROM base
+            ), tok AS (
+              SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM base
+            ), bg AS (
+              SELECT doc_id, tok || chr(1) || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+              FROM tok
+            ), per_bg AS (
+              SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY doc_id, b
+            ), rep AS (
+              SELECT doc_id, round((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE), 6) AS dup_bigram_frac
+              FROM per_bg GROUP BY doc_id
+            ), canon AS (
+              SELECT fingerprint, min(doc_id) AS canonical_id FROM feat GROUP BY fingerprint
+            )
+            SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+                   round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality
+            FROM feat
+            LEFT JOIN rep USING (doc_id)
+            JOIN canon USING (fingerprint)
+            WHERE (CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        ELSE 'fr' END) = 'en'
+              AND quality >= 0.9
+              AND coalesce(dup_bigram_frac, 0.0) <= 0.05
+              AND doc_id = canonical_id
+            GROUP BY source
         """,
         "q_fuzzy_pairs": """
             SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
