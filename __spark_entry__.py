@@ -903,6 +903,55 @@ def q_stream_dedup(spark, sf_dir):
         return _run_stream_to_df(spark, out, "append")
 
 
+def q_stream_over(spark, sf_dir):
+    """Stateful streaming trailing-count over-window
+    (streaming/stateful.stream_over_by_size — the reference's
+    OverWindowBySize, window/OverWindowBySize.java:54-89) under the FULL
+    value-hash oracle: every event carries the sum/count of its user's
+    trailing 5 rows; sums are integer cents so the value is
+    addition-order-independent on any engine."""
+    from pyspark.sql import types as T
+
+    from table_computing_spark.streaming.stateful import stream_over_by_size
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_id", "user_id", "ts", "value")
+    )
+
+    import pandas as pd
+
+    from table_computing_spark.streaming.stateful import VectorizedRowAgg
+
+    def trailing(history: "pd.DataFrame", n_old: int) -> "pd.DataFrame":
+        roll = history["value"].mul(100).round().rolling(5, min_periods=1)
+        return pd.DataFrame(
+            {
+                "tsum_cents": roll.sum().iloc[n_old:].astype("int64").values,
+                "tn": roll.count().iloc[n_old:].astype("int64").values,
+            }
+        )
+
+    out = stream_over_by_size(
+        sdf,
+        ["user_id"],
+        "ts",  # raw epoch-ns BIGINT: unique, so ordering is total
+        5,
+        VectorizedRowAgg(trailing),
+        [
+            T.StructField("tsum_cents", T.LongType()),
+            T.StructField("tn", T.LongType()),
+        ],
+    ).select("event_id", "user_id", "tsum_cents", "tn")
+    with _state_partitions(spark):
+        return _run_stream_to_df(spark, out, "append")
+
+
 def q_stream_minhash(spark, sf_dir):
     """Streaming MinHash+LSH near-dup candidate pairs
     (streaming/dedup.stream_minhash_pairs): the documents table replayed
@@ -1281,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_session": q_streaming_session,
         "q_streaming_slide": q_streaming_slide,
         "q_stream_dedup": q_stream_dedup,
+        "q_stream_over": q_stream_over,
         "q_stream_minhash": q_stream_minhash,
         "q_window_slide": q_window_slide,
         "q_window_session": q_window_session,
@@ -1661,6 +1711,15 @@ def oracle_sql() -> dict[str, str]:
             FROM hops
             WHERE t >= window_start AND t < window_start + 3600000
             GROUP BY event_type, window_start
+        """,
+        "q_stream_over": """
+            SELECT event_id, user_id,
+                   sum(CAST(round(value * 100, 0) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS tsum_cents,
+                   count(*) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS tn
+            FROM events
         """,
         "q_stream_dedup": r"""
             SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint

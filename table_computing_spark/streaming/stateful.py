@@ -35,11 +35,24 @@ RowAgg = Callable[[pd.DataFrame], dict[str, Any]]
 the OverFunction.agg(key, bufferRows) analog (function/OverFunction.java:7-10)."""
 
 
+class VectorizedRowAgg:
+    """Batch-at-once variant of RowAgg for aggregates pandas can roll
+    (sum/count/mean/min/max...): `fn(history, n_old)` sees the whole
+    key history (state buffer + sorted batch) and returns a DataFrame
+    of the added columns aligned to rows [n_old:]. Same semantics as
+    the per-row loop, ~100x less Python dispatch — use it when the
+    aggregate is expressible as a pandas rolling; fall back to a plain
+    RowAgg for arbitrary buffer functions."""
+
+    def __init__(self, fn: Callable[[pd.DataFrame, int], pd.DataFrame]):
+        self.fn = fn
+
+
 def _run_buffered(
     pdfs: Iterator[pd.DataFrame],
     state,
     order_col: str,
-    agg_fn: RowAgg,
+    agg_fn: RowAgg | VectorizedRowAgg,
     added_cols: list[str],
     keep_fn: Callable[[pd.DataFrame], pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
@@ -49,19 +62,24 @@ def _run_buffered(
         buf = None
     batch = pd.concat(list(pdfs), ignore_index=True)
     batch = batch.sort_values(order_col, kind="mergesort").reset_index(drop=True)
-    out_rows = {c: [] for c in added_cols}
     history = batch if buf is None else pd.concat([buf, batch], ignore_index=True)
     n_old = 0 if buf is None else len(buf)
-    for i in range(len(batch)):
-        upto = history.iloc[: n_old + i + 1]
-        trailing = keep_fn(upto)
-        vals = agg_fn(trailing)
+    if isinstance(agg_fn, VectorizedRowAgg):
+        added = agg_fn.fn(history, n_old)
         for c in added_cols:
-            out_rows[c].append(vals[c])
+            batch[c] = added[c].values
+    else:
+        out_rows = {c: [] for c in added_cols}
+        for i in range(len(batch)):
+            upto = history.iloc[: n_old + i + 1]
+            trailing = keep_fn(upto)
+            vals = agg_fn(trailing)
+            for c in added_cols:
+                out_rows[c].append(vals[c])
+        for c in added_cols:
+            batch[c] = out_rows[c]
     keep = keep_fn(history)
     state.update((keep.to_json(orient="table"),))
-    for c in added_cols:
-        batch[c] = out_rows[c]
     yield batch
 
 
