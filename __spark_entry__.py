@@ -952,6 +952,70 @@ def q_stream_over(spark, sf_dir):
         return _run_stream_to_df(spark, out, "append")
 
 
+def q_stream_over_duration(spark, sf_dir):
+    """Stateful streaming trailing TIME-RANGE over-window
+    (streaming/stateful.stream_over_by_duration — the reference's
+    OverWindowByDuration, window/OverWindowByDuration.java:63-92) under
+    the full value-hash oracle: each event carries its user's trailing
+    1h sum/count. The vectorized agg computes all rows of a key batch
+    with one prefix-sum + searchsorted instead of a per-row buffer
+    scan."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from table_computing_spark.streaming.stateful import (
+        VectorizedRowAgg,
+        stream_over_by_duration,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("ts div 1000000").alias("t_ms"),
+            "value",
+        )
+    )
+
+    def trailing(history: "pd.DataFrame", n_old: int) -> "pd.DataFrame":
+        import numpy as np
+
+        t = history["t_ms"].to_numpy(dtype="int64")
+        cents = history["value"].mul(100).round().to_numpy(dtype="int64")
+        cs = np.concatenate(([0], np.cumsum(cents)))
+        # trailing window [t_i - duration + 1, t_i]: first index with
+        # t >= t_i - duration + 1 (t is sorted within the key)
+        starts = np.searchsorted(t, t - 3_600_000 + 1, side="left")
+        idx = np.arange(len(t))
+        return pd.DataFrame(
+            {
+                "tsum_cents": (cs[idx + 1] - cs[starts])[n_old:],
+                "tn": (idx + 1 - starts)[n_old:],
+            }
+        )
+
+    out = stream_over_by_duration(
+        sdf,
+        ["user_id"],
+        "t_ms",
+        3_600_000,
+        VectorizedRowAgg(trailing),
+        [
+            T.StructField("tsum_cents", T.LongType()),
+            T.StructField("tn", T.LongType()),
+        ],
+    ).select("event_id", "user_id", "tsum_cents", "tn")
+    with _state_partitions(spark):
+        return _run_stream_to_df(spark, out, "append")
+
+
 def q_stream_minhash(spark, sf_dir):
     """Streaming MinHash+LSH near-dup candidate pairs
     (streaming/dedup.stream_minhash_pairs): the documents table replayed
@@ -1019,6 +1083,40 @@ def q_text_analysis(spark, sf_dir):
         "quality",
         "lang_pred",
         "fingerprint",
+    )
+
+
+def q_data_profile(spark, sf_dir):
+    """Deequ-style data-quality profile: per-column row count,
+    completeness, and exact distinct count in ONE pass — columns are
+    unpivoted to (col_name, value) narrow rows so a single shuffle
+    serves every column (vs 7 independent count-distinct scans, or an
+    Expand blowup from multi-distinct aggregates). String casting is
+    injective per engine, so distinct counts are engine-portable even
+    where renderings differ."""
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_returnflag", "l_shipdate",
+    ]
+    li = _t(spark, sf_dir, "lineitem").df
+    stacked = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.*")
+    return stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_present"),
+        F.count_distinct(F.col("v")).alias("n_distinct"),
+        F.round(F.count("v") / F.count(F.lit(1)), 6).alias("completeness"),
     )
 
 
@@ -1331,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_slide": q_streaming_slide,
         "q_stream_dedup": q_stream_dedup,
         "q_stream_over": q_stream_over,
+        "q_stream_over_duration": q_stream_over_duration,
         "q_stream_minhash": q_stream_minhash,
         "q_window_slide": q_window_slide,
         "q_window_session": q_window_session,
@@ -1339,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_flagship_top100": q_flagship_top100,
         "q_text_analysis": q_text_analysis,
         "q_repetition_metrics": q_repetition_metrics,
+        "q_data_profile": q_data_profile,
         "q_retention_cohort": q_retention_cohort,
         "q_funnel": q_funnel,
         "q_pipeline_curation": q_pipeline_curation,
@@ -1721,6 +1821,15 @@ def oracle_sql() -> dict[str, str]:
                                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS tn
             FROM events
         """,
+        "q_stream_over_duration": """
+            SELECT event_id, user_id,
+                   sum(CAST(round(value * 100, 0) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                           RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW) AS tsum_cents,
+                   count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                                  RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW) AS tn
+            FROM events
+        """,
         "q_stream_dedup": r"""
             SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
             FROM documents
@@ -1817,6 +1926,42 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS lang_pred,
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
             FROM feat
+        """,
+        "q_data_profile": """
+            SELECT 'l_orderkey' AS col_name, count(*) AS n_rows, count(l_orderkey) AS n_present,
+                   count(DISTINCT l_orderkey) AS n_distinct,
+                   round(CAST(count(l_orderkey) AS DOUBLE) / count(*), 6) AS completeness
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_partkey' AS col_name, count(*) AS n_rows, count(l_partkey) AS n_present,
+                   count(DISTINCT l_partkey) AS n_distinct,
+                   round(CAST(count(l_partkey) AS DOUBLE) / count(*), 6) AS completeness
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_suppkey' AS col_name, count(*) AS n_rows, count(l_suppkey) AS n_present,
+                   count(DISTINCT l_suppkey) AS n_distinct,
+                   round(CAST(count(l_suppkey) AS DOUBLE) / count(*), 6) AS completeness
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity' AS col_name, count(*) AS n_rows, count(l_quantity) AS n_present,
+                   count(DISTINCT l_quantity) AS n_distinct,
+                   round(CAST(count(l_quantity) AS DOUBLE) / count(*), 6) AS completeness
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice' AS col_name, count(*) AS n_rows, count(l_extendedprice) AS n_present,
+                   count(DISTINCT l_extendedprice) AS n_distinct,
+                   round(CAST(count(l_extendedprice) AS DOUBLE) / count(*), 6) AS completeness
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag' AS col_name, count(*) AS n_rows, count(l_returnflag) AS n_present,
+                   count(DISTINCT l_returnflag) AS n_distinct,
+                   round(CAST(count(l_returnflag) AS DOUBLE) / count(*), 6) AS completeness
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_shipdate' AS col_name, count(*) AS n_rows, count(l_shipdate) AS n_present,
+                   count(DISTINCT l_shipdate) AS n_distinct,
+                   round(CAST(count(l_shipdate) AS DOUBLE) / count(*), 6) AS completeness
+            FROM lineitem
         """,
         "q_retention_cohort": """
             WITH act AS (
