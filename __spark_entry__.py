@@ -1120,6 +1120,22 @@ def q_data_profile(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """EXACT token heavy hitters via two-phase Misra-Gries
+    (operators/frequency.py): per-partition bounded MG summaries
+    (mapInPandas) nominate a candidate superset, a broadcast semi-join
+    recounts candidates exactly, and the integer threshold
+    cnt * 32 > total keeps every token above 1/32 of the corpus. The
+    shuffle carries O(partitions x capacity) candidate rows instead of
+    one partial-agg row per distinct token — the difference between a
+    bounded and an O(distinct) shuffle at 100 TB n-gram scale."""
+    from table_computing_spark.operators import frequency, text as tx
+
+    d = _t(spark, sf_dir, "documents").df
+    toks = d.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+    return frequency.heavy_hitters(toks, "tok", k=32)
+
+
 def q_retention_cohort(spark, sf_dir):
     """Product-analytics shape: daily cohort retention triangle — cohort
     = each user's first active day; for offsets 0..7, distinct users
@@ -1439,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_analysis": q_text_analysis,
         "q_repetition_metrics": q_repetition_metrics,
         "q_data_profile": q_data_profile,
+        "q_heavy_hitters": q_heavy_hitters,
         "q_retention_cohort": q_retention_cohort,
         "q_funnel": q_funnel,
         "q_pipeline_curation": q_pipeline_curation,
@@ -1962,6 +1979,18 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_shipdate) AS n_distinct,
                    round(CAST(count(l_shipdate) AS DOUBLE) / count(*), 6) AS completeness
             FROM lineitem
+        """,
+        "q_heavy_hitters": r"""
+            WITH toks AS (
+              SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+              FROM documents
+            ), n AS (SELECT count(*) AS total FROM toks WHERE tok IS NOT NULL)
+            SELECT tok, count(*) AS cnt
+            FROM toks, n
+            WHERE tok IS NOT NULL
+            GROUP BY tok, n.total
+            HAVING count(*) * 32 > n.total
         """,
         "q_retention_cohort": """
             WITH act AS (

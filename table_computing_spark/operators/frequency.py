@@ -1,0 +1,113 @@
+"""Frequent-item (heavy-hitter) detection at 100 TB scale.
+
+The reference has no sketch operators (its aggregation surface is
+UDF-everything, sp/StreamProcessing.java:77-109); heavy hitters are a
+core corpus-hygiene primitive for training-data pipelines (frequent
+tokens / boilerplate n-grams / dominant hosts), so we add them
+first-class.
+
+Two-phase EXACT algorithm (Misra-Gries candidates + recount):
+
+1. Per-partition Misra-Gries summary with `capacity` counters
+   (mapInPandas, Arrow-batched pandas value_counts merged into a
+   bounded counter with the Agarwal et al. "Mergeable Summaries" prune:
+   subtract the (capacity+1)-th largest counter from all, drop <= 0).
+   Guarantee: an item absent from a partition's summary has partition
+   count <= n_p/(capacity+1); absent from ALL summaries => global count
+   <= n/(capacity+1). So for any k <= capacity, the union of summaries
+   is a SUPERSET of every item with global count > n/k.
+2. Exact recount of the candidate set only: broadcast the candidates,
+   hash-semi-join the scan against them, groupBy(candidate).count().
+
+Why not a plain groupBy(key).count().having(...)? That shuffles one
+partial-agg row per DISTINCT key per partition. With billions of
+distinct keys (token n-grams at 100 TB), the shuffle and the final
+hash-agg state are O(distinct). Here the shuffle is O(partitions x
+capacity) in phase 1 and O(candidates) in phase 2 — both tiny — while
+the scans stay embarrassingly parallel. The result is still EXACT
+(candidates are recounted, never estimated), which is what lets the
+driver hash-match it against a DuckDB GROUP BY/HAVING oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def misra_gries_summaries(
+    df: DataFrame, key_col: str, capacity: int = 64
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries: (key, mg_count) with at most
+    `capacity` rows per partition. mg_count is a LOWER bound on the
+    partition count, under-counting by at most n_p/(capacity+1).
+
+    Null keys are ignored (they are not items). Memory per task is
+    O(capacity + arrow_batch_distinct), independent of partition size.
+    """
+    key_field = df.schema[key_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_field.dataType),
+            T.StructField("mg_count", T.LongType()),
+        ]
+    )
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: pd.Series | None = None
+        for pdf in batches:
+            vc = pdf[key_col].dropna().value_counts()
+            if vc.empty:
+                continue
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > capacity:
+                cut = acc.nlargest(capacity + 1).iloc[-1]
+                acc = acc.subtract(cut)
+                acc = acc[acc > 0]
+        if acc is not None and len(acc):
+            yield pd.DataFrame(
+                {key_col: acc.index, "mg_count": acc.to_numpy(dtype="int64")}
+            )
+
+    return df.select(key_col).mapInPandas(summarize, out_schema)
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, k: int = 32, capacity: int | None = None
+) -> DataFrame:
+    """EXACT heavy hitters: every non-null key whose count satisfies
+    `count * k > total_rows`, as (key, cnt). One lazy plan, no driver
+    actions.
+
+    `capacity` (default 2k) must be >= k for the superset guarantee.
+    The threshold compare is pure integer math (cnt * k > n) so it is
+    engine-portable — no float division at the decision boundary.
+    """
+    if capacity is None:
+        capacity = 2 * k
+    if capacity < k:
+        raise ValueError(f"capacity {capacity} must be >= k {k}")
+    candidates = (
+        misra_gries_summaries(df, key_col, capacity)
+        .groupBy(key_col)
+        .agg(F.sum("mg_count").alias("mg_lower"))
+        .select(key_col)
+    )
+    base = df.filter(F.col(key_col).isNotNull())
+    exact = (
+        base.join(F.broadcast(candidates), on=key_col, how="left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # count(*) over a parquet scan prunes to an empty ReadSchema — near
+    # free next to the two data scans.
+    total = base.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(k) > F.col("__n"))
+        .select(key_col, "cnt")
+    )

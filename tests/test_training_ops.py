@@ -244,3 +244,45 @@ def test_deterministic_sampling_properties(spark):
     assert abs(counts["test"] / n - 0.125) < 0.04
     # full-fraction edge: threshold 'g' keeps everything
     assert deterministic_sample(d, "doc_id", 1.0).count() == n
+
+
+def test_heavy_hitters_exact_under_mg_pruning(spark):
+    """Skewed keys + tiny MG capacity: the per-partition summaries must
+    prune (distinct >> capacity) yet heavy_hitters stays EXACT — the
+    Misra-Gries superset guarantee means no true heavy hitter is lost
+    at the candidate stage."""
+    from collections import Counter
+
+    from table_computing_spark.operators import frequency
+
+    # key i in 0..19 appears (i+1)^2 times (skew), plus 3000 singletons
+    rows = [(f"k{i}",) for i in range(20) for _ in range((i + 1) ** 2)]
+    rows += [(f"tail{j}",) for j in range(3000)]
+    df = spark.createDataFrame(rows, "key string").repartition(8)
+
+    cap = 8
+    summaries = frequency.misra_gries_summaries(df, "key", capacity=cap)
+    per_part = (
+        summaries.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert all(r["n"] <= cap for r in per_part)
+    assert summaries.count() < df.count()  # pruning actually happened
+
+    k = 24
+    got = {r["key"]: r["cnt"] for r in frequency.heavy_hitters(df, "key", k=k, capacity=cap * 3).collect()}
+    exact = Counter(r[0] for r in rows)
+    n = len(rows)
+    want = {key: c for key, c in exact.items() if c * k > n}
+    assert got == want and want  # non-trivial and exact
+
+
+def test_heavy_hitters_rejects_capacity_below_k(spark):
+    import pytest as _pytest
+
+    from table_computing_spark.operators import frequency
+
+    df = spark.createDataFrame([("a",)], "key string")
+    with _pytest.raises(ValueError):
+        frequency.heavy_hitters(df, "key", k=16, capacity=8)
