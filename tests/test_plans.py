@@ -1,0 +1,120 @@
+"""Automated physical-plan audit — the 100 TB contract, enforced.
+
+PLANS.md documents what the headline plans must look like; this test
+keeps every batch query honest as the surface grows:
+
+- no CartesianProduct anywhere (quadratic at scale);
+- no BatchEvalPython (row-at-a-time Python UDF) — Python only enters
+  via Arrow (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas);
+- every lineitem scan prunes columns (never reads all 16 fields);
+- headline scans carry PushedFilters down to parquet;
+- dimension joins are broadcast, and the Q1 shape keeps its single
+  pre-sort shuffle.
+
+Streaming queries are excluded (building them executes a micro-batch
+run; their state/shuffle story is asserted in test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.01"
+
+BATCH_QUERIES = sorted(
+    n for n in entrymod.queries() if not n.startswith(("q_stream", "q_streaming"))
+)
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name in BATCH_QUERIES:
+        out[name] = plan_of(entrymod.queries()[name](spark, SF))
+    return out
+
+
+def scan_blocks(plan: str, table: str) -> list[str]:
+    """Detail blocks of parquet scans of `table` in a formatted plan."""
+    blocks = re.split(r"\n\n", plan)
+    return [
+        b
+        for b in blocks
+        if "Scan parquet" in b and f"{table}.parquet" in b and "ReadSchema" in b
+    ]
+
+
+def read_schema_width(block: str) -> int:
+    m = re.search(r"ReadSchema: struct<(.*)>", block)
+    assert m, block
+    body = m.group(1)
+    return 0 if not body else body.count(",") + 1
+
+
+def test_no_cartesian_product(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not offenders, offenders
+
+
+def test_no_row_at_a_time_python_udf(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not offenders, offenders
+
+
+def test_lineitem_scans_always_prune_columns(plans):
+    # lineitem is the fact table (16 columns); a full-width read means a
+    # missing projection and is exactly what kills a 100 TB scan.
+    fat = {
+        n: [read_schema_width(b) for b in scan_blocks(p, "lineitem")]
+        for n, p in plans.items()
+    }
+    offenders = {n: ws for n, ws in fat.items() if any(w >= 16 for w in ws)}
+    assert not offenders, offenders
+
+
+def test_q1_pushdown_pruning_and_single_agg_shuffle(plans):
+    p = plans["q_groupby_agg"]
+    (scan,) = scan_blocks(p, "lineitem")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in scan
+    assert read_schema_width(scan) <= 6
+    # partial -> Exchange -> final agg, plus at most the output sort
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+
+
+def test_filter_scan_pushes_all_predicates(plans):
+    (scan,) = scan_blocks(plans["q_filter_select"], "lineitem")
+    m = re.search(r"PushedFilters: \[(.*?)\]", scan)
+    assert m and "GreaterThan(l_quantity" in m.group(1), scan
+
+
+def test_dimension_joins_broadcast(plans):
+    # Q5 shape: supplier/nation/region must come in as broadcast joins,
+    # never shuffled sort-merge, at any SF where they fit the threshold.
+    for name in ("q_join_multi", "q_join_broadcast"):
+        if name in plans:
+            assert "BroadcastHashJoin" in plans[name], name
+            assert "SortMergeJoin" not in plans[name], name
+
+
+def test_heavy_hitters_recount_is_broadcast_semi(plans):
+    p = plans["q_heavy_hitters"]
+    assert "BroadcastHashJoin LeftSemi BuildRight" in p, p
+    assert "SortMergeJoin" not in p
+
+
+def test_every_batch_query_plans(plans):
+    # plan construction itself succeeded for the whole surface
+    assert len(plans) == len(BATCH_QUERIES)
