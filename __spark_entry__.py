@@ -1267,6 +1267,21 @@ def q_dedup_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup pairs → canonical dedup GROUPS via distributed
+    connected components (operators/graph.py, Kiveris et al.
+    large-star/small-star). Every document gets (canonical_id,
+    group_size); canonical = min doc_id of its component. The oracle
+    recomputes the same closure with a DuckDB recursive CTE
+    (min-over-reachable-labels), so the whole pairs→groups pipeline is
+    value-hash-matched."""
+    from table_computing_spark.operators import dedup, graph
+
+    d = _t(spark, sf_dir, "documents").df
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.9)
+    return graph.dedup_groups(d, pairs)
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates (xxhash64-based → no portable SQL
     oracle; exact-Jaccard parity is tested in tests/test_training_ops)."""
@@ -1462,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_jaccard": q_dedup_jaccard,
+        "q_dedup_groups": q_dedup_groups,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_pairs": q_simhash_pairs,
         "q_cosine_topk": q_cosine_topk,
@@ -2148,6 +2164,38 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sb ON sb.id = id_b
             )
             SELECT * FROM scored WHERE jaccard >= 0.5
+        """,
+        "q_dedup_groups": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id AS id,
+                     unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS tok
+              FROM documents
+            ), sizes AS (
+              SELECT id, count(*) AS sz FROM toks GROUP BY id
+            ), shared AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b
+              FROM shared
+              JOIN sizes sa ON sa.id = id_a
+              JOIN sizes sb ON sb.id = id_b
+              WHERE round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6) >= 0.9
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ), reach(n, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.n
+            ), comp AS (
+              SELECT n AS doc_id, min(lab) AS canonical_id FROM reach GROUP BY n
+            )
+            SELECT doc_id, canonical_id,
+                   count(*) OVER (PARTITION BY canonical_id) AS group_size
+            FROM comp
         """,
         "q_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -1,0 +1,115 @@
+"""Distributed connected components — turning near-dup PAIRS into
+dedup GROUPS.
+
+The reference stops at pairwise joins (its join surface is
+sp/Rehash.java + Table.join; no graph ops). A training-data pipeline
+needs the transitive closure: if A~B and B~C, one canonical document
+must represent {A,B,C}. At 100 TB the near-dup graph has billions of
+edges, so we use the alternating large-star/small-star algorithm of
+Kiveris et al., "Connected Components in MapReduce and Beyond" (SOCC
+'14): O(log²) rounds in the worst case, 2 rounds on the clique-ish
+graphs MinHash/Jaccard dedup actually produces, every round a pair of
+groupBy-min shuffles on the node id — never a transitive-closure
+blowup, never driver-side graph state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as (u > v) canonical pairs, no self loops."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u, connect every LARGER neighbor to the minimum of
+    the closed neighborhood min(N(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u (edges held as u > v), connect u and all its
+    smaller neighbors to their minimum."""
+    e = edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    m = e.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = e.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    roots = m.select(F.col("u"), F.col("m").alias("v"))
+    return nbrs.union(roots)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in `pairs`, where
+    component is the MINIMUM node id of its connected component.
+
+    The convergence test is EXACT (equal edge counts + empty anti-join
+    against the previous round's edge set — both sets are distinct, so
+    that implies set equality), never a hash that could stop early on a
+    collision. Driver involvement per round is two scalars; each round
+    localCheckpoints the edge set eagerly so lineage (and the
+    re-execution cost of iteration k) stays O(1) instead of O(k) — the
+    standard trap of iterative DataFrame algorithms."""
+    edges = _canon(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    edges = edges.localCheckpoint(eager=True)
+    prev, prev_n = edges, edges.count()
+    for _ in range(max_iters):
+        edges = _canon(_small_star(_large_star(edges)))
+        edges = edges.localCheckpoint(eager=True)
+        n = edges.count()
+        if n == prev_n and edges.exceptAll(prev).isEmpty():
+            break
+        prev, prev_n = edges, n
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iters} rounds")
+    # Converged: every edge is (node > root, root = component min).
+    roots = edges.select(F.col("v").alias("node")).distinct()
+    return edges.select(F.col("u").alias("node"), F.col("v").alias("component")).union(
+        roots.select("node", F.col("node").alias("component"))
+    )
+
+
+def dedup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Canonical-document assignment: every row of `df` gets
+    (id, canonical_id, group_size). Rows in no pair are their own
+    singleton group. canonical_id = min id of the component — the
+    deterministic "keep this one" choice a dedup pipeline needs."""
+    cc = connected_components(pairs, src=src, dst=dst)
+    out = (
+        df.select(F.col(id_col))
+        .join(cc.withColumnRenamed("node", id_col), on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+        )
+    )
+    sizes = out.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("group_size"))
+    return out.join(sizes, "canonical_id").select(id_col, "canonical_id", "group_size")

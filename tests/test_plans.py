@@ -115,6 +115,14 @@ def test_heavy_hitters_recount_is_broadcast_semi(plans):
     assert "SortMergeJoin" not in p
 
 
+def test_top_n_uses_window_group_limit(plans):
+    # row_number <= n must rewrite to WindowGroupLimit twice: a partial
+    # per-mapper limit BEFORE the shuffle (only n rows per group per
+    # task ever shuffle) and a final one after.
+    p = plans["q_flagship_top100"]
+    assert len(re.findall(r"\(\d+\) WindowGroupLimit", p)) == 2, p
+
+
 def test_every_batch_query_plans(plans):
     # plan construction itself succeeded for the whole surface
     assert len(plans) == len(BATCH_QUERIES)

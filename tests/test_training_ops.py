@@ -286,3 +286,28 @@ def test_heavy_hitters_rejects_capacity_below_k(spark):
     df = spark.createDataFrame([("a",)], "key string")
     with _pytest.raises(ValueError):
         frequency.heavy_hitters(df, "key", k=16, capacity=8)
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    """Chain (worst case for plain label propagation), clique, isolated
+    pair, and a document with no pairs — large-star/small-star must
+    label each with its component minimum within the iteration cap."""
+    from table_computing_spark.operators.graph import connected_components, dedup_groups
+
+    edges = [(i, i + 1) for i in range(19)]
+    edges += [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+    edges += [(200, 201)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    cc = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert all(cc[i] == 0 for i in range(20))
+    assert all(cc[i] == 100 for i in range(100, 105))
+    assert cc[200] == 200 and cc[201] == 200
+
+    docs = spark.createDataFrame([(i,) for i in [*range(20), 300]], "doc_id long")
+    g = {
+        r["doc_id"]: (r["canonical_id"], r["group_size"])
+        for r in dedup_groups(docs, pairs).collect()
+    }
+    assert g[300] == (300, 1)  # pairless doc → singleton group
+    assert g[5] == (0, 20)
