@@ -1041,6 +1041,36 @@ def q_stream_minhash(spark, sf_dir):
         return _run_stream_to_df(spark, out, "append")
 
 
+def q_stream_ivf_assign(spark, sf_dir):
+    """Incremental IVF index maintenance as a streaming view
+    (operators/similarity.ivf_assign): embeddings replayed as a file
+    stream; each arriving vector is routed to its nearest-centroid
+    inverted-file cell (stateless Arrow matmul — zero shuffle on the
+    per-row path), and the per-cell registry (vector count + exact
+    micro-unit sum of centroid cosines) is maintained as a 16-group
+    complete-mode aggregate. Centroids are the 16 lowest-id vectors
+    (deterministic seed — SQL-expressible, so the full stream sits
+    under the value-hash oracle)."""
+    from table_computing_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = emb.orderBy("vec_id").limit(16).select("embedding").collect()
+    centroids = [list(r["embedding"]) for r in seeds]
+
+    sdf = (
+        spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    assigned = ivf_assign(sdf, centroids)
+    out = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.round(F.col("cos_sim") * 1000000).cast("long")).alias("sum_sim_e6"),
+    )
+    with _state_partitions(spark):
+        return _run_stream_to_df(spark, out, "complete")
+
+
 def q_flagship_top100(spark, sf_dir):
     """Top100Test pipeline at scale: hopping window volume + per-window
     top-100 (Top100Test.java:147-182)."""
@@ -1462,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_over": q_stream_over,
         "q_stream_over_duration": q_stream_over_duration,
         "q_stream_minhash": q_stream_minhash,
+        "q_stream_ivf_assign": q_stream_ivf_assign,
         "q_window_slide": q_window_slide,
         "q_window_session": q_window_session,
         "q_over_by_size": q_over_by_size,
@@ -1862,6 +1893,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
                                   RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW) AS tn
             FROM events
+        """,
+        "q_stream_ivf_assign": """
+            WITH c AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     CAST(embedding AS DOUBLE[]) AS ce
+              FROM embeddings ORDER BY vec_id LIMIT 16
+            ), s AS (
+              SELECT e.vec_id, c.cell,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) AS sim
+              FROM embeddings e CROSS JOIN c
+            ), r AS (
+              SELECT vec_id, cell, sim,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, cell ASC) AS rn
+              FROM s
+            )
+            SELECT cell, count(*) AS n_vectors,
+                   sum(CAST(round(round(sim, 6) * 1000000, 0) AS BIGINT)) AS sum_sim_e6
+            FROM r WHERE rn = 1
+            GROUP BY cell
         """,
         "q_stream_dedup": r"""
             SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint

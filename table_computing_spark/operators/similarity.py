@@ -360,3 +360,41 @@ def lsh_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Nearest-centroid assignment → (id, cell, cos_sim): the
+    *incremental* half of an IVF index. The UDF is stateless, so the
+    same operator runs on a batch frame (index build) and a streaming
+    frame (online index maintenance: each arriving vector is routed to
+    its inverted-file cell inside the micro-batch, no shuffle at all —
+    the argmax is a closure-captured k × dim matmul per Arrow batch).
+
+    Ties on cosine break toward the LOWEST cell id (np.argmax takes the
+    first maximum), which is what makes the assignment engine-portable.
+    """
+    import numpy as np
+
+    C = np.array(centroids, dtype="float64")
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("cell int, cos_sim double")
+    def assign(v: pd.Series) -> pd.DataFrame:
+        M = np.array(v.tolist(), dtype="float64")
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = M @ Cn.T
+        cell = np.argmax(S, axis=1)
+        sim = S[np.arange(len(S)), cell]
+        return pd.DataFrame(
+            {"cell": cell.astype("int32"), "cos_sim": np.round(sim, round_to)}
+        )
+
+    return df.select(id_col, assign(F.col(vec_col)).alias("__a")).select(
+        id_col, "__a.cell", "__a.cos_sim"
+    )
