@@ -1041,6 +1041,45 @@ def q_stream_minhash(spark, sf_dir):
         return _run_stream_to_df(spark, out, "append")
 
 
+def q_stream_enrich(spark, sf_dir):
+    """The reference's CANONICAL pipeline (README.md:101-131: consume →
+    leftJoin(DimensionTable) → window) as one streaming execution under
+    the value-hash oracle: events file stream → broadcast
+    customer⋈nation dimension snapshot (streaming/dimension.
+    DimensionTable — the refresh/persist/broadcast path) → watermarked
+    tumbling window per nation. The dimension join is per-row,
+    broadcast, zero shuffle; the only stateful operator is the window
+    aggregate."""
+    from table_computing_spark.streaming.dimension import DimensionTable
+    from table_computing_spark.streaming.windows import stream_tumble
+
+    def load_dim():
+        c = _t(spark, sf_dir, "customer").df.select("c_custkey", "c_nationkey")
+        n = _t(spark, sf_dir, "nation").df.select("n_nationkey", "n_name")
+        return c.join(n, c.c_nationkey == n.n_nationkey).select("c_custkey", "n_name")
+
+    dim = DimensionTable(load_dim, refresh_interval_s=3600.0)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", F.expr("ts div 1000000").alias("t_ms"), "value")
+    )
+    enriched = dim.join(sdf, on=[("user_id", "c_custkey")], how="left")
+    out = stream_tumble(
+        enriched, "t_ms", "1 hour", ["n_name"],
+        watermark="10 seconds",
+        n=tcf.count_all(),
+        total=F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2),
+    )
+    with _state_partitions(spark):
+        return _run_stream_to_df(spark, out, "complete")
+
+
 def q_stream_ivf_assign(spark, sf_dir):
     """Incremental IVF index maintenance as a streaming view
     (operators/similarity.ivf_assign): embeddings replayed as a file
@@ -1492,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_over": q_stream_over,
         "q_stream_over_duration": q_stream_over_duration,
         "q_stream_minhash": q_stream_minhash,
+        "q_stream_enrich": q_stream_enrich,
         "q_stream_ivf_assign": q_stream_ivf_assign,
         "q_window_slide": q_window_slide,
         "q_window_session": q_window_session,
@@ -1893,6 +1933,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
                                   RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW) AS tn
             FROM events
+        """,
+        "q_stream_enrich": """
+            SELECT n.n_name,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total,
+                   (epoch_ms(e.ts) // 3600000) * 3600000 AS window_start,
+                   (epoch_ms(e.ts) // 3600000) * 3600000 + 3600000 AS window_end
+            FROM events e
+            LEFT JOIN customer c ON e.user_id = c.c_custkey
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name, window_start, window_end
         """,
         "q_stream_ivf_assign": """
             WITH c AS (
