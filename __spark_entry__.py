@@ -1205,6 +1205,49 @@ def q_heavy_hitters(spark, sf_dir):
     return frequency.heavy_hitters(toks, "tok", k=32)
 
 
+def q_text_scrub(spark, sf_dir):
+    """PII redaction (operators/text.scrub): email/URL/phone spans →
+    typed placeholders, plus per-kind audit counts on the pre-scrub
+    text. All codegen regexp chains (RE2-safe patterns, identical
+    semantics in Java regex and RE2). The corpus has no PII, so the
+    input is constructed deterministically from customer columns —
+    both engines build and scrub the same strings."""
+    from table_computing_spark.operators import text as tx
+
+    c = _t(spark, sf_dir, "customer").df
+    raw = F.concat(
+        F.col("c_name"),
+        F.lit(" reachable at "),
+        F.lower(F.col("c_name")),
+        F.lit("@example.com or "),
+        F.lit("+"),
+        (F.col("c_nationkey") + 10).cast("string"),
+        F.lit("-555-0"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" see https://example.com/u/"),
+        F.col("c_custkey").cast("string"),
+    )
+    counts = tx.scrub_counts(raw)
+    return c.select(
+        "c_custkey",
+        tx.scrub(raw).alias("scrubbed"),
+        counts["email"].alias("n_email"),
+        counts["url"].alias("n_url"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords (operators/text.
+    tf_idf_top_terms): two hash aggs (tf, df) + a term equi-join + a
+    WindowGroupLimit-rewritten rank filter. Engine-portable ranking via
+    (tfidf DESC, term ASC)."""
+    from table_computing_spark.operators import text as tx
+
+    d = _t(spark, sf_dir, "documents").df
+    return tx.tf_idf_top_terms(d, "text", "doc_id", k=3)
+
+
 def q_retention_cohort(spark, sf_dir):
     """Product-analytics shape: daily cohort retention triangle — cohort
     = each user's first active day; for offsets 0..7, distinct users
@@ -1542,6 +1585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_metrics": q_repetition_metrics,
         "q_data_profile": q_data_profile,
         "q_heavy_hitters": q_heavy_hitters,
+        "q_text_scrub": q_text_scrub,
+        "q_tfidf_terms": q_tfidf_terms,
         "q_retention_cohort": q_retention_cohort,
         "q_funnel": q_funnel,
         "q_pipeline_curation": q_pipeline_curation,
@@ -2097,6 +2142,51 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_shipdate) AS n_distinct,
                    round(CAST(count(l_shipdate) AS DOUBLE) / count(*), 6) AS completeness
             FROM lineitem
+        """,
+        "q_text_scrub": r"""
+            WITH base AS (
+              SELECT c_custkey,
+                     concat(c_name, ' reachable at ', lower(c_name),
+                            '@example.com or ',
+                            '+', CAST(c_nationkey + 10 AS VARCHAR), '-555-0',
+                            lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'),
+                            ' see https://example.com/u/', CAST(c_custkey AS VARCHAR)) AS raw
+              FROM customer
+            )
+            SELECT c_custkey,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(raw,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       'https?://[^\s]+', '<URL>', 'g'),
+                     '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+                   len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(raw, 'https?://[^\s]+')) AS n_url,
+                   len(regexp_extract_all(raw, '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS n_phone
+            FROM base
+        """,
+        "q_tfidf_terms": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+            ), n AS (SELECT count(*) AS nd FROM documents),
+            scored AS (
+              SELECT doc_id, tf.term AS term,
+                     round(tf * ln(CAST(nd AS DOUBLE) / df), 6) AS tfidf
+              FROM tf JOIN dfreq ON tf.term = dfreq.term, n
+            ), r AS (
+              SELECT doc_id, term, tfidf,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, term ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
         """,
         "q_heavy_hitters": r"""
             WITH toks AS (

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from table_computing_spark.table import ColumnLike, _col
 
@@ -95,6 +96,35 @@ def fingerprint(c: ColumnLike) -> Column:
     return F.md5(norm.cast("binary"))
 
 
+# PII-ish patterns for corpus scrubbing. Deliberately RE2-safe (no
+# backreferences/lookaround) so the same literals run in Spark (Java
+# regex) and any RE2 engine (DuckDB) identically.
+SCRUB_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+}
+
+
+def scrub(c: ColumnLike, kinds: "tuple[str, ...]" = ("email", "url", "phone")) -> Column:
+    """Redact PII-ish spans: each matched span becomes `<KIND>`. Applied
+    in `kinds` order (earlier patterns win overlaps) — pure codegen
+    regexp_replace chain, no Python."""
+    out = _col(c)
+    for kind in kinds:
+        out = F.regexp_replace(out, SCRUB_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def scrub_counts(c: ColumnLike, kinds: "tuple[str, ...]" = ("email", "url", "phone")) -> "dict[str, Column]":
+    """Per-kind match counts on the PRE-scrub text (audit trail for the
+    redaction step)."""
+    return {
+        kind: F.size(F.regexp_extract_all(_col(c), F.lit(SCRUB_PATTERNS[kind]), 0))
+        for kind in kinds
+    }
+
+
 def shingles(c: ColumnLike, k: int = 3) -> Column:
     """Word k-gram shingle array (distinct) — the MinHash input unit."""
     toks = tokens(c)
@@ -175,6 +205,46 @@ def repetition_metrics(
             ),
             F.coalesce(F.col("__nb"), F.lit(0)).cast("bigint").alias("n_bigrams"),
         )
+    )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms → (id, term, tfidf, rank).
+
+    tf = in-doc term count, idf = ln(N/df) with N = |documents|; ranking
+    is (tfidf DESC, term ASC) so ties are engine-portable. Shape at
+    scale: explode → (doc,term) hash agg for tf, (term) hash agg for
+    df, an equi-join on term (both sides already partitioned by term
+    from their aggs), and the rank<=k filter rewrites to a pre-shuffle
+    WindowGroupLimit — only k rows per doc per mapper reach the final
+    window sort."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df")),
+                round_to,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 
