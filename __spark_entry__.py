@@ -1080,6 +1080,54 @@ def q_stream_enrich(spark, sf_dir):
         return _run_stream_to_df(spark, out, "complete")
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream INTERVAL join under the value-hash oracle
+    (streaming/joins.interval_join): every click paired with the same
+    user's views in the trailing 24 h — both sides watermarked, state
+    bounded by the range predicate (O(rate x bound), stream-length
+    independent). The reference cannot express stream x stream
+    correlation at all (dimension snapshots only)."""
+    from table_computing_spark.streaming.joins import interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    base = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.timestamp_millis(F.expr("ts div 1000000")).alias("t"),
+        )
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("t").alias("c_time"),
+    )
+    views = base.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("t").alias("v_time"),
+    )
+    joined = interval_join(
+        clicks, views,
+        on=[("c_user", "v_user")],
+        left_time="c_time", right_time="v_time",
+        lower_ms=86_400_000, upper_ms=0,
+    )
+    out = joined.select(
+        "click_id", "view_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_millis("c_time") - F.unix_millis("v_time")).alias("gap_ms"),
+    )
+    with _state_partitions(spark):
+        return _run_stream_to_df(spark, out, "append")
+
+
 def q_stream_ivf_assign(spark, sf_dir):
     """Incremental IVF index maintenance as a streaming view
     (operators/similarity.ivf_assign): embeddings replayed as a file
@@ -1575,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_over_duration": q_stream_over_duration,
         "q_stream_minhash": q_stream_minhash,
         "q_stream_enrich": q_stream_enrich,
+        "q_stream_interval_join": q_stream_interval_join,
         "q_stream_ivf_assign": q_stream_ivf_assign,
         "q_window_slide": q_window_slide,
         "q_window_session": q_window_session,
@@ -1989,6 +2038,15 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN customer c ON e.user_id = c.c_custkey
             LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name, window_start, window_end
+        """,
+        "q_stream_interval_join": """
+            SELECT c.event_id AS click_id, v.event_id AS view_id,
+                   c.user_id AS user_id,
+                   epoch_ms(c.ts) - epoch_ms(v.ts) AS gap_ms
+            FROM events c JOIN events v
+              ON c.user_id = v.user_id
+             AND c.event_type = 'click' AND v.event_type = 'view'
+             AND epoch_ms(v.ts) BETWEEN epoch_ms(c.ts) - 86400000 AND epoch_ms(c.ts)
         """,
         "q_stream_ivf_assign": """
             WITH c AS (
