@@ -157,3 +157,31 @@ def test_over_by_size_property(spark, rows, n):
         roll = g.sort_values("rid")["v"].rolling(n, min_periods=1)
         for rid, s, c in zip(g.sort_values("rid")["rid"], roll.sum(), roll.count()):
             assert got[rid] == (int(s), int(c)), (k, rid)
+
+
+@_SETTINGS
+@given(
+    data=st.lists(
+        st.sampled_from([f"k{i}" for i in range(12)]), min_size=1, max_size=300
+    ),
+    k=st.integers(min_value=2, max_value=10),
+    capacity=st.integers(min_value=1, max_value=6),
+)
+def test_heavy_hitters_exact_property(spark, data, k, capacity):
+    """For ANY key distribution and any capacity >= k, two-phase
+    Misra-Gries heavy hitters equals the brute-force count*k > n set —
+    the candidate stage may prune aggressively but never loses a true
+    heavy hitter."""
+    from collections import Counter
+
+    from table_computing_spark.operators import frequency
+
+    cap = max(capacity, k)  # contract: capacity >= k
+    df = spark.createDataFrame([(x,) for x in data], "key string").repartition(4)
+    got = {
+        r["key"]: r["cnt"]
+        for r in frequency.heavy_hitters(df, "key", k=k, capacity=cap).collect()
+    }
+    c = Counter(data)
+    want = {key: n for key, n in c.items() if n * k > len(data)}
+    assert got == want
