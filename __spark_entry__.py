@@ -1296,6 +1296,31 @@ def q_tfidf_terms(spark, sf_dir):
     return tx.tf_idf_top_terms(d, "text", "doc_id", k=3)
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking (operators/text.chunk_documents): every
+    document split into <=16-token training sequences. Pure row-local
+    codegen (sequence/transform/slice/explode) — zero shuffle at any
+    scale."""
+    from table_computing_spark.operators import text as tx
+
+    return tx.chunk_documents(
+        _t(spark, sf_dir, "documents").df, max_tokens=16
+    )
+
+
+def q_token_budget(spark, sf_dir):
+    """Corpus curation under a per-language token budget
+    (operators/text.token_budget_select): rank by quality within each
+    lang, keep the strict prefix with cumulative tokens <= 3000. One
+    per-group window pass; hash-partitioned by lang, never a global
+    sort."""
+    from table_computing_spark.operators import text as tx
+
+    return tx.token_budget_select(
+        _t(spark, sf_dir, "documents").df, budget=3000, by=["lang"]
+    )
+
+
 def q_retention_cohort(spark, sf_dir):
     """Product-analytics shape: daily cohort retention triangle — cohort
     = each user's first active day; for offsets 0..7, distinct users
@@ -1636,6 +1661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_heavy_hitters": q_heavy_hitters,
         "q_text_scrub": q_text_scrub,
         "q_tfidf_terms": q_tfidf_terms,
+        "q_doc_chunks": q_doc_chunks,
+        "q_token_budget": q_token_budget,
         "q_retention_cohort": q_retention_cohort,
         "q_funnel": q_funnel,
         "q_pipeline_curation": q_pipeline_curation,
@@ -2245,6 +2272,50 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
+        """,
+        "q_doc_chunks": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ), c AS (
+              SELECT doc_id, len(toks) AS n,
+                     greatest(CAST(ceil(len(toks) / 16.0) AS INT), 1) AS n_chunks,
+                     toks
+              FROM t
+            )
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx, n_chunks,
+                   array_to_string(toks[i*16+1 : i*16+16], ' ') AS chunk_text,
+                   CAST(least(n - i*16, 16) AS INT) AS chunk_tokens
+            FROM c, unnest(range(n_chunks)) AS u(i)
+        """,
+        "q_token_budget": r"""
+            WITH base AS (
+              SELECT doc_id, lang,
+                     len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+              FROM documents
+            ), scored AS (
+              SELECT doc_id, lang, n_tokens,
+                     round(
+                       (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.5 END) * 0.3
+                       + (CASE WHEN n_tokens > 0
+                               AND CAST(n_chars AS DOUBLE)/n_tokens BETWEEN 3.0 AND 12.0
+                               THEN 1.0 ELSE 0.5 END) * 0.3
+                       + (CASE WHEN n_chars > 0
+                               THEN CAST(alpha_chars AS DOUBLE)/n_chars ELSE 0.0 END) * 0.4,
+                     6) AS quality
+              FROM base
+            ), cum AS (
+              SELECT doc_id, lang, quality, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY lang
+                                         ORDER BY quality DESC, doc_id ASC
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+              FROM scored
+            )
+            SELECT doc_id, lang, quality, n_tokens, cum_tokens
+            FROM cum WHERE cum_tokens <= 3000
         """,
         "q_heavy_hitters": r"""
             WITH toks AS (

@@ -248,6 +248,76 @@ def tf_idf_top_terms(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+) -> DataFrame:
+    """Split each document into fixed-budget context windows →
+    (id, chunk_idx, n_chunks, chunk_text, chunk_tokens). The training
+    prep step that turns variable-length documents into <= max_tokens
+    sequences.
+
+    Pure codegen: sequence + transform build the per-chunk token
+    slices, explode fans them out — row-local work, embarrassingly
+    parallel, zero shuffle. Empty documents yield one empty chunk (the
+    row is kept, not dropped)."""
+    toks = tokens(F.col(text_col), lowercase=False)
+    n = F.size(toks)
+    n_chunks = F.greatest(F.ceil(n / F.lit(max_tokens)), F.lit(1)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(F.slice(toks, i * max_tokens + 1, max_tokens), " ").alias(
+                "chunk_text"
+            ),
+            F.least(n - i * max_tokens, F.lit(max_tokens)).alias("chunk_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        n_chunks.alias("n_chunks"),
+        F.explode(chunks).alias("__c"),
+    ).select(id_col, "__c.chunk_idx", "n_chunks", "__c.chunk_text", "__c.chunk_tokens")
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """Corpus curation under a token budget: rank documents by
+    (quality DESC, id ASC) — optionally per `by` group (e.g. language)
+    — and keep the prefix whose CUMULATIVE token count stays within
+    `budget`. A document that would cross the budget line is excluded
+    (strict prefix).
+
+    One window pass computes the running sum; the filter is
+    cum_tokens <= budget. At scale the sort is per-group (hash
+    partition by the group keys), never global."""
+    part = list(by) if by else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col("quality").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = df.select(
+        F.col(id_col),
+        *part,
+        F.round(quality_score(F.col(text_col)), 6).alias("quality"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, *part, "quality", "n_tokens", "cum_tokens")
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     text_col: str,
