@@ -1560,6 +1560,31 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroids (mean pooling) — the class-centroid
+    op underlying IVF fit (similarity.ivf_fit) put directly under the
+    value-hash oracle: posexplode to (label, dim, x) narrow rows, one
+    hash agg keyed (label, dim). Sums use exact integer nano-units so
+    the result is independent of float summation order — REQUIRED for
+    engine portability AND for run-to-run determinism on a cluster
+    (double sums reorder across partitions)."""
+    emb = _t(spark, sf_dir, "embeddings").df
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("x") * 1e9).cast("long")).alias("sum_nano"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n",
+            F.round(F.col("sum_nano") / (F.col("n") * F.lit(1e9)), 6).alias("mean_x"),
+        )
+    )
+
+
 def q_sample_split(spark, sf_dir):
     """Reproducible hash-keyed train/test split + per-stratum counts
     (operators/sampling.py — same md5 decision in any engine/run)."""
@@ -1678,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_multiprobe": q_lsh_multiprobe,
         "q_salted_join": q_salted_join,
         "q_ivf_topk": q_ivf_topk,
+        "q_embedding_centroids": q_embedding_centroids,
         "q_sample_split": q_sample_split,
         "q_stratified_sample": q_stratified_sample,
         "q_multimodal_features": q_multimodal_features,
@@ -2272,6 +2298,17 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
+        """,
+        "q_embedding_centroids": """
+            WITH ex AS (
+              SELECT label, CAST(i AS INT) AS dim,
+                     CAST(embedding[i + 1] AS DOUBLE) AS x
+              FROM embeddings, unnest(range(len(embedding))) AS u(i)
+            )
+            SELECT label, dim, count(*) AS n,
+                   round(sum(CAST(round(x * 1000000000, 0) AS BIGINT))
+                         / (count(*) * 1000000000.0), 6) AS mean_x
+            FROM ex GROUP BY label, dim
         """,
         "q_doc_chunks": r"""
             WITH t AS (
