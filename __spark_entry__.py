@@ -1560,6 +1560,20 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_moment_stats(spark, sf_dir):
+    """Population mean/variance/correlation of (l_quantity,
+    l_extendedprice) per return flag via EXACT integer-unit moment sums
+    (functions/aggregate.moment_stats). Built-in corr()/var_pop()
+    accumulate doubles in partition order — nondeterministic on a
+    cluster; this version is bit-identical under any partitioning and
+    any engine."""
+    li = _t(spark, sf_dir, "lineitem").df
+    return tcf.moment_stats(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag"],
+        x_scale=0, y_scale=2,
+    )
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-label embedding centroids (mean pooling) — the class-centroid
     op underlying IVF fit (similarity.ivf_fit) put directly under the
@@ -1703,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_multiprobe": q_lsh_multiprobe,
         "q_salted_join": q_salted_join,
         "q_ivf_topk": q_ivf_topk,
+        "q_moment_stats": q_moment_stats,
         "q_embedding_centroids": q_embedding_centroids,
         "q_sample_split": q_sample_split,
         "q_stratified_sample": q_stratified_sample,
@@ -2298,6 +2313,33 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
+        """,
+        "q_moment_stats": """
+            WITH u AS (
+              SELECT l_returnflag,
+                     CAST(round(l_quantity, 0) AS HUGEINT) AS xi,
+                     CAST(round(l_extendedprice * 100, 0) AS HUGEINT) AS yi
+              FROM lineitem
+            ), m AS (
+              SELECT l_returnflag,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     sum(xi) AS sx, sum(yi) AS sy,
+                     sum(xi * xi) AS sxx, sum(yi * yi) AS syy,
+                     sum(xi * yi) AS sxy
+              FROM u GROUP BY l_returnflag
+            )
+            SELECT l_returnflag,
+                   CAST(n AS BIGINT) AS n,
+                   round(CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0), 6) AS mean_x,
+                   round(CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6) AS mean_y,
+                   round(CAST(n * sxx - sx * sx AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1.0 * 1.0), 6) AS var_x,
+                   round(CAST(n * syy - sy * sy AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 100.0 * 100.0), 6) AS var_y,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_xy
+            FROM m
         """,
         "q_embedding_centroids": """
             WITH ex AS (

@@ -70,3 +70,50 @@ def group_concat(c: ColumnLike, sort: bool = True, sep: str = ",") -> Column:
     if sort:
         lst = F.sort_array(lst)
     return F.array_join(lst, sep)
+
+
+def moment_stats(
+    df,
+    x: str,
+    y: str,
+    by: "list[str]",
+    x_scale: int = 0,
+    y_scale: int = 2,
+):
+    """Population mean/variance/correlation per group from EXACT
+    integer-unit sums (x at 10^-x_scale resolution, y at 10^-y_scale).
+
+    Why not corr()/var_pop(): their double accumulators are
+    order-dependent, so results drift across partitionings and engines.
+    Here the five moments (Σx, Σy, Σx², Σy², Σxy) are summed as exact
+    decimals — associative, partitioning-independent — and only the
+    final closed-form formulas run in floating point, on identical
+    integer inputs in an identical operation order. Engine-portable to
+    the last bit (before the 6-dp round), and the map-side partial agg
+    still applies.
+    """
+    xi = F.round(F.col(x) * (10 ** x_scale)).cast("decimal(38,0)")
+    yi = F.round(F.col(y) * (10 ** y_scale)).cast("decimal(38,0)")
+    g = df.select(*by, xi.alias("__x"), yi.alias("__y")).groupBy(*by)
+    m = g.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    fx, fy = float(10 ** x_scale), float(10 ** y_scale)
+    var_num_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var_num_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    corr_num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return m.select(
+        *by,
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sx").cast("double") / (n_d * fx), 6).alias("mean_x"),
+        F.round(F.col("sy").cast("double") / (n_d * fy), 6).alias("mean_y"),
+        F.round(var_num_x / (n_d * n_d * fx * fx), 6).alias("var_x"),
+        F.round(var_num_y / (n_d * n_d * fy * fy), 6).alias("var_y"),
+        F.round(corr_num / (F.sqrt(var_num_x) * F.sqrt(var_num_y)), 6).alias("corr_xy"),
+    )

@@ -311,3 +311,21 @@ def test_connected_components_chain_clique_singleton(spark):
     }
     assert g[300] == (300, 1)  # pairless doc → singleton group
     assert g[5] == (0, 20)
+
+
+def test_moment_stats_partitioning_independent(spark):
+    """The whole point of exact integer-unit moments: identical results
+    (to the last bit, pre-round) under any partitioning — where
+    built-in corr()/var_pop() double accumulators drift."""
+    from table_computing_spark import functions as tcf
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    a = tcf.moment_stats(
+        li.repartition(1), "l_quantity", "l_extendedprice", ["l_returnflag"]
+    ).collect()
+    b = tcf.moment_stats(
+        li.repartition(13), "l_quantity", "l_extendedprice", ["l_returnflag"]
+    ).collect()
+    ka = {r["l_returnflag"]: tuple(r) for r in a}
+    kb = {r["l_returnflag"]: tuple(r) for r in b}
+    assert ka == kb and len(ka) == 3
