@@ -1321,6 +1321,21 @@ def q_token_budget(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing (operators/text.pack_sequences):
+    documents packed into <=512-token training bins, shard-local
+    (id % 8) so the inherently sequential fill runs embarrassingly
+    parallel across shards. The oracle replays the same greedy
+    recurrence as a DuckDB recursive CTE — the full packing decision
+    sequence is value-hash-matched."""
+    from table_computing_spark.operators import text as tx
+
+    d = _t(spark, sf_dir, "documents").df.select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    return tx.pack_sequences(d, budget=512, shards=8)
+
+
 def q_retention_cohort(spark, sf_dir):
     """Product-analytics shape: daily cohort retention triangle — cohort
     = each user's first active day; for offsets 0..7, distinct users
@@ -1701,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_scrub": q_text_scrub,
         "q_tfidf_terms": q_tfidf_terms,
         "q_doc_chunks": q_doc_chunks,
+        "q_pack_sequences": q_pack_sequences,
         "q_token_budget": q_token_budget,
         "q_retention_cohort": q_retention_cohort,
         "q_funnel": q_funnel,
@@ -2367,6 +2383,24 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[i*16+1 : i*16+16], ' ') AS chunk_text,
                    CAST(least(n - i*16, 16) AS INT) AS chunk_tokens
             FROM c, unnest(range(n_chunks)) AS u(i)
+        """,
+        "q_pack_sequences": r"""
+            WITH RECURSIVE items AS (
+              SELECT doc_id % 8 AS shard, doc_id,
+                     CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+                     row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+              FROM documents
+            ), pack(shard, rn, doc_id, n_tokens, bin, fill) AS (
+              SELECT shard, rn, doc_id, n_tokens, 0, n_tokens
+              FROM items WHERE rn = 1
+              UNION ALL
+              SELECT i.shard, i.rn, i.doc_id, i.n_tokens,
+                     CASE WHEN p.fill + i.n_tokens <= 512 THEN p.bin ELSE p.bin + 1 END,
+                     CASE WHEN p.fill + i.n_tokens <= 512 THEN p.fill + i.n_tokens ELSE i.n_tokens END
+              FROM pack p JOIN items i ON i.shard = p.shard AND i.rn = p.rn + 1
+            )
+            SELECT doc_id, shard, n_tokens, CAST(bin AS INT) AS bin, fill
+            FROM pack
         """,
         "q_token_budget": r"""
             WITH base AS (

@@ -318,6 +318,55 @@ def token_budget_select(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    shards: int = 8,
+) -> DataFrame:
+    """Greedy sequence packing: items are assigned to <=budget-token
+    bins, filling each bin in id order and opening a new one when the
+    next item would overflow (an over-budget item gets a bin alone).
+
+    Packing is inherently sequential, so it runs SHARD-LOCAL: items are
+    sharded by `id % shards` (explicit, engine-portable — not Spark's
+    internal hash), each shard packs independently in one applyInPandas
+    pass, and bin ids are (shard, bin) pairs. Shards scale the
+    parallelism; determinism is total — independent of input
+    partitioning, because order within a shard is by id."""
+    import pandas as pd
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+        bins, fills = [], []
+        bin_i, fill = 0, 0
+        first = True
+        for w in pdf[weight_col].astype("int64"):
+            if first:
+                bin_i, fill, first = 0, w, False
+            elif fill + w <= budget:
+                fill += w
+            else:
+                bin_i, fill = bin_i + 1, w
+            bins.append(bin_i)
+            fills.append(fill)
+        out = pdf[[id_col, "shard", weight_col]].copy()
+        out["bin"] = pd.Series(bins, dtype="int32")
+        out["fill"] = pd.Series(fills, dtype="int64")
+        return out
+
+    items = df.select(
+        F.col(id_col),
+        (F.col(id_col) % shards).alias("shard"),
+        F.col(weight_col).cast("long"),
+    )
+    schema = (
+        f"{id_col} long, shard long, {weight_col} long, bin int, fill long"
+    )
+    return items.groupBy("shard").applyInPandas(pack, schema)
+
+
 def fuzzy_pairs(
     df: DataFrame,
     text_col: str,

@@ -329,3 +329,28 @@ def test_moment_stats_partitioning_independent(spark):
     ka = {r["l_returnflag"]: tuple(r) for r in a}
     kb = {r["l_returnflag"]: tuple(r) for r in b}
     assert ka == kb and len(ka) == 3
+
+
+def test_pack_sequences_invariants(spark):
+    """Budget respected (oversized items alone in a bin), every item
+    placed exactly once, and the packing is identical under any input
+    partitioning."""
+    from table_computing_spark.operators.text import pack_sequences
+
+    rows = [(i, w) for i, w in enumerate([100, 400, 50, 700, 512, 1, 511, 300, 299, 2])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, budget=512, shards=2).collect()
+    assert sorted(r["doc_id"] for r in out) == [r[0] for r in rows]
+    from collections import defaultdict
+    fills = defaultdict(int)
+    for r in out:
+        fills[(r["shard"], r["bin"])] += r["n_tokens"]
+    for (s, b), tot in fills.items():
+        members = [r for r in out if (r["shard"], r["bin"]) == (s, b)]
+        assert tot <= 512 or len(members) == 1  # oversized → alone
+    a = {(r["doc_id"], r["shard"], r["bin"]) for r in out}
+    b = {
+        (r["doc_id"], r["shard"], r["bin"])
+        for r in pack_sequences(df.repartition(7), budget=512, shards=2).collect()
+    }
+    assert a == b
