@@ -610,3 +610,66 @@ class TestStatefulOverByDuration:
         assert _rows(got.select("event_id", "tsum", "tn"), "event_id") == _rows(
             expected.select("event_id", "tsum", "tn"), "event_id"
         )
+
+
+class TestCheckpointRecovery:
+    def test_resume_from_checkpoint_restores_state(self, spark, tmp_path):
+        """Fault-tolerance the reference does not have (its README lists
+        crash/OOM as operational limits): run 1 processes BATCH_1 and
+        checkpoints; run 2 — a NEW query on the same checkpoint — sees
+        only BATCH_2's file, yet its complete-mode output must equal
+        the batch aggregate over BOTH batches, proving window state was
+        restored, not recomputed from the source."""
+
+        def write(batch, name, bump):
+            p = tmp_path / "src" / name
+            with open(p, "w") as f:
+                for event_id, user_id, event_type, value, t_ms in batch:
+                    f.write(json.dumps({
+                        "event_id": event_id, "user_id": user_id,
+                        "event_type": event_type, "value": value, "t_ms": t_ms,
+                    }) + "\n")
+            mt = time.time() + bump
+            os.utime(p, (mt, mt))
+
+        (tmp_path / "src").mkdir()
+        ckpt = str(tmp_path / "ckpt")
+
+        def pipeline():
+            sdf = spark.readStream.schema(EVENT_SCHEMA).json(str(tmp_path / "src"))
+            return stream_tumble(
+                sdf, "t_ms", "10 seconds", ["event_type"],
+                watermark="5 seconds",
+                n=F.count(F.lit(1)), total=F.sum("value"),
+            )
+
+        def run(name):
+            q = (
+                pipeline().writeStream.format("memory").queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            assert q.exception() is None
+            n_in = sum(p["numInputRows"] for p in q.recentProgress)
+            return spark.table(name), n_in
+
+        write(BATCH_1, "b0.json", 0)
+        first, n1 = run("ck_run1")
+        assert first.count() > 0 and n1 == len(BATCH_1)
+
+        write(BATCH_2, "b1.json", 1)
+        got, n2 = run("ck_run2")
+        # the checkpoint's source offsets must skip b0.json entirely —
+        # otherwise this test would pass vacuously by reprocessing
+        assert n2 == len(BATCH_2)
+
+        expected = tw.tumble(
+            Table(_batch_df(spark)), "t_ms", "10 seconds", ["event_type"],
+            n=F.count(F.lit(1)), total=F.sum("value"),
+        ).df.select("window_start", "window_end", "event_type", "n", "total")
+        assert _rows(got.select(*expected.columns), "window_start", "event_type") == _rows(
+            expected, "window_start", "event_type"
+        )
