@@ -1467,6 +1467,39 @@ def q_dedup_jaccard(spark, sf_dir):
     )
 
 
+def q_curation_canonical(spark, sf_dir):
+    """End of the dedup pipeline: per exact-duplicate group
+    (fingerprint), KEEP the best document by (quality DESC, doc_id ASC)
+    — the argmax keeper a curation pipeline actually ships, vs
+    q_dedup_exact's min-id canonical. One fingerprint window; the
+    rank==1 filter rewrites to WindowGroupLimit."""
+    from pyspark.sql.window import Window as W
+
+    from table_computing_spark.operators import text as tx
+
+    d = _t(spark, sf_dir, "documents").df.select(
+        "doc_id",
+        tx.fingerprint(F.col("text")).alias("fingerprint"),
+        F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    w = W.partitionBy("fingerprint").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("pos", F.row_number().over(w))
+        .withColumn(
+            "group_size", F.count(F.lit(1)).over(W.partitionBy("fingerprint"))
+        )
+        .select(
+            "doc_id",
+            "fingerprint",
+            "quality",
+            "group_size",
+            (F.col("pos") == 1).cast("int").alias("keep"),
+        )
+    )
+
+
 def q_dedup_groups(spark, sf_dir):
     """Near-dup pairs → canonical dedup GROUPS via distributed
     connected components (operators/graph.py, Kiveris et al.
@@ -1725,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_dedup_groups": q_dedup_groups,
+        "q_curation_canonical": q_curation_canonical,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_pairs": q_simhash_pairs,
         "q_cosine_topk": q_cosine_topk,
@@ -2598,6 +2632,32 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sb ON sb.id = id_b
             )
             SELECT * FROM scored WHERE jaccard >= 0.5
+        """,
+        "q_curation_canonical": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+                     length(text) AS n_chars,
+                     len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_toks,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+              FROM documents
+            ), scored AS (
+              SELECT doc_id, fingerprint,
+                     round(
+                       (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.5 END) * 0.3
+                       + (CASE WHEN n_toks > 0
+                               AND CAST(n_chars AS DOUBLE)/n_toks BETWEEN 3.0 AND 12.0
+                               THEN 1.0 ELSE 0.5 END) * 0.3
+                       + (CASE WHEN n_chars > 0
+                               THEN CAST(alpha_chars AS DOUBLE)/n_chars ELSE 0.0 END) * 0.4,
+                     6) AS quality
+              FROM base
+            )
+            SELECT doc_id, fingerprint, quality,
+                   count(*) OVER (PARTITION BY fingerprint) AS group_size,
+                   CAST(row_number() OVER (PARTITION BY fingerprint
+                                           ORDER BY quality DESC, doc_id ASC) = 1 AS INT) AS keep
+            FROM scored
         """,
         "q_dedup_groups": r"""
             WITH RECURSIVE toks AS (
