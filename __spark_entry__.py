@@ -1336,6 +1336,28 @@ def q_pack_sequences(spark, sf_dir):
     return tx.pack_sequences(d, budget=512, shards=8)
 
 
+def q_latest_per_key(spark, sf_dir):
+    """Latest-record-per-key compaction (the SCD/upsert pattern —
+    changelog → current state): each user's most recent event by
+    (ts DESC, event_id DESC). row_number()==1 rewrites to a pre-shuffle
+    WindowGroupLimit, so only one row per user per mapper shuffles —
+    the compaction stays O(keys), not O(events)."""
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+    )
+    w = W.partitionBy("user_id").orderBy(
+        F.col("t_ms").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value", "t_ms")
+    )
+
+
 def q_retention_cohort(spark, sf_dir):
     """Product-analytics shape: daily cohort retention triangle — cohort
     = each user's first active day; for offsets 0..7, distinct users
@@ -1751,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_chunks": q_doc_chunks,
         "q_pack_sequences": q_pack_sequences,
         "q_token_budget": q_token_budget,
+        "q_latest_per_key": q_latest_per_key,
         "q_retention_cohort": q_retention_cohort,
         "q_funnel": q_funnel,
         "q_pipeline_curation": q_pipeline_curation,
@@ -2475,6 +2498,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE tok IS NOT NULL
             GROUP BY tok, n.total
             HAVING count(*) * 32 > n.total
+        """,
+        "q_latest_per_key": """
+            SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS t_ms
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
         """,
         "q_retention_cohort": """
             WITH act AS (
