@@ -1237,6 +1237,72 @@ def q_data_profile(spark, sf_dir):
     )
 
 
+def q_histogram(spark, sf_dir):
+    """Fixed-bin histogram of l_extendedprice per return flag — bucket
+    index computed in pure integer arithmetic (cents * nbins //
+    range_cents), so bin edges are engine-exact (float width_bucket
+    implementations disagree at boundaries). One hash agg on
+    (flag, bucket); at scale this is the canonical map-side-combine
+    distribution sketch."""
+    li = _t(spark, sf_dir, "lineitem").df
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    bucket = F.least(
+        F.floor((cents * 20) / F.lit(11_000_000)), F.lit(19)
+    ).cast("int")
+    return (
+        li.select(F.col("l_returnflag"), bucket.alias("bucket"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "l_returnflag",
+            "bucket",
+            (F.col("bucket") * 5500.0).alias("lo"),
+            ((F.col("bucket") + 1) * 5500.0).alias("hi"),
+            "n",
+        )
+    )
+
+
+def q_integrity_checks(spark, sf_dir):
+    """Deequ-style constraint suite as ONE DataFrame: each row is
+    (check, n_violations). Domain checks are filter-counts (pushed to
+    the scan); referential integrity is an ANTI-join count — the only
+    formulation that stays a hash join at 100 TB instead of a
+    distinct-collect."""
+    li = _t(spark, sf_dir, "lineitem").df
+    o = _t(spark, sf_dir, "orders").df
+    c = _t(spark, sf_dir, "customer").df
+    checks = [
+        (
+            "quantity_in_1_50",
+            li.filter(~F.col("l_quantity").between(1, 50)),
+        ),
+        ("price_positive", li.filter(F.col("l_extendedprice") <= 0)),
+        ("discount_in_0_1", li.filter(~F.col("l_discount").between(0.0, 1.0))),
+        (
+            "lineitem_orders_fk",
+            li.join(
+                o.select("o_orderkey"),
+                li.l_orderkey == o.o_orderkey,
+                "left_anti",
+            ),
+        ),
+        (
+            "orders_customer_fk",
+            o.join(
+                c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti"
+            ),
+        ),
+    ]
+    out = None
+    for name, df in checks:
+        row = df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check"), "n_violations"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def q_heavy_hitters(spark, sf_dir):
     """EXACT token heavy hitters via two-phase Misra-Gries
     (operators/frequency.py): per-partition bounded MG summaries
@@ -1767,6 +1833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_analysis": q_text_analysis,
         "q_repetition_metrics": q_repetition_metrics,
         "q_data_profile": q_data_profile,
+        "q_histogram": q_histogram,
+        "q_integrity_checks": q_integrity_checks,
         "q_heavy_hitters": q_heavy_hitters,
         "q_text_scrub": q_text_scrub,
         "q_tfidf_terms": q_tfidf_terms,
@@ -2486,6 +2554,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, quality, n_tokens, cum_tokens
             FROM cum WHERE cum_tokens <= 3000
+        """,
+        "q_histogram": """
+            WITH b AS (
+              SELECT l_returnflag,
+                     CAST(least(floor((CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 20)
+                                      / 11000000), 19) AS INT) AS bucket
+              FROM lineitem
+            )
+            SELECT l_returnflag, bucket,
+                   bucket * 5500.0 AS lo, (bucket + 1) * 5500.0 AS hi,
+                   count(*) AS n
+            FROM b GROUP BY l_returnflag, bucket
+        """,
+        "q_integrity_checks": """
+            SELECT 'quantity_in_1_50' AS check, count(*) AS n_violations
+            FROM lineitem WHERE l_quantity NOT BETWEEN 1 AND 50
+            UNION ALL
+            SELECT 'price_positive', count(*) FROM lineitem WHERE l_extendedprice <= 0
+            UNION ALL
+            SELECT 'discount_in_0_1', count(*) FROM lineitem
+            WHERE l_discount NOT BETWEEN 0.0 AND 1.0
+            UNION ALL
+            SELECT 'lineitem_orders_fk', count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+            UNION ALL
+            SELECT 'orders_customer_fk', count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
         """,
         "q_heavy_hitters": r"""
             WITH toks AS (
