@@ -1402,6 +1402,28 @@ def q_pack_sequences(spark, sf_dir):
     return tx.pack_sequences(d, budget=512, shards=8)
 
 
+def q_mode_per_key(spark, sf_dir):
+    """Mode (most frequent event_type) per user with a deterministic
+    (count DESC, value ASC) tie-break. Two-stage: the (user, type)
+    count agg shrinks the data to O(keys x types) BEFORE the per-user
+    argmax — the argmax window then runs on the aggregate, never the
+    raw events, and its rank==1 filter is WindowGroupLimit-rewritten."""
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events").df.select("user_id", "event_type")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "cnt")
+    )
+
+
 def q_latest_per_key(spark, sf_dir):
     """Latest-record-per-key compaction (the SCD/upsert pattern —
     changelog → current state): each user's most recent event by
@@ -1841,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_chunks": q_doc_chunks,
         "q_pack_sequences": q_pack_sequences,
         "q_token_budget": q_token_budget,
+        "q_mode_per_key": q_mode_per_key,
         "q_latest_per_key": q_latest_per_key,
         "q_retention_cohort": q_retention_cohort,
         "q_funnel": q_funnel,
@@ -2593,6 +2616,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE tok IS NOT NULL
             GROUP BY tok, n.total
             HAVING count(*) * 32 > n.total
+        """,
+        "q_mode_per_key": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*) AS cnt
+              FROM events GROUP BY user_id, event_type
+            )
+            SELECT user_id, event_type AS mode_type, cnt
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY cnt DESC, event_type ASC) AS rn
+              FROM c
+            ) WHERE rn = 1
         """,
         "q_latest_per_key": """
             SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS t_ms
