@@ -1402,6 +1402,40 @@ def q_pack_sequences(spark, sf_dir):
     return tx.pack_sequences(d, budget=512, shards=8)
 
 
+def q_anomaly_zscore(spark, sf_dir):
+    """Per-type z-score outliers: events whose value is > 2.5 sigma
+    from their type's mean. The per-type moments come from EXACT
+    integer-cent sums (same discipline as q_moment_stats), broadcast
+    back onto the event scan — so the anomaly VERDICT is deterministic
+    under any partitioning, which a fraud/alerting pipeline needs
+    (built-in stddev drifts in the last ulps and flips boundary
+    rows)."""
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("decimal(38,0)").alias("vc"),
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("ss"),
+    )
+    var_num = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    n_d = F.col("n").cast("double")
+    stats = m.select(
+        "event_type",
+        (F.col("s").cast("double") / n_d).alias("mean_c"),
+        (F.sqrt(var_num) / n_d).alias("sd_c"),
+    )
+    scored = ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("vc").cast("double") - F.col("mean_c")) / F.col("sd_c"), 6
+        ).alias("z"),
+    )
+    return scored.filter(F.abs(F.col("z")) > 2.5)
+
+
 def q_mode_per_key(spark, sf_dir):
     """Mode (most frequent event_type) per user with a deterministic
     (count DESC, value ASC) tie-break. Two-stage: the (user, type)
@@ -1863,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_chunks": q_doc_chunks,
         "q_pack_sequences": q_pack_sequences,
         "q_token_budget": q_token_budget,
+        "q_anomaly_zscore": q_anomaly_zscore,
         "q_mode_per_key": q_mode_per_key,
         "q_latest_per_key": q_latest_per_key,
         "q_retention_cohort": q_retention_cohort,
@@ -2616,6 +2651,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE tok IS NOT NULL
             GROUP BY tok, n.total
             HAVING count(*) * 32 > n.total
+        """,
+        "q_anomaly_zscore": """
+            WITH ev AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100, 0) AS HUGEINT) AS vc
+              FROM events
+            ), m AS (
+              SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                     sum(vc) AS s, sum(vc * vc) AS ss
+              FROM ev GROUP BY event_type
+            ), stats AS (
+              SELECT event_type,
+                     CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+                     sqrt(CAST(n * ss - s * s AS DOUBLE)) / CAST(n AS DOUBLE) AS sd_c
+              FROM m
+            )
+            SELECT event_id, ev.event_type,
+                   round((CAST(vc AS DOUBLE) - mean_c) / sd_c, 6) AS z
+            FROM ev JOIN stats ON ev.event_type = stats.event_type
+            WHERE abs(round((CAST(vc AS DOUBLE) - mean_c) / sd_c, 6)) > 2.5
         """,
         "q_mode_per_key": """
             WITH c AS (
