@@ -1128,6 +1128,53 @@ def q_stream_interval_join(spark, sf_dir):
         return _run_stream_to_df(spark, out, "append")
 
 
+def q_stream_anomaly(spark, sf_dir):
+    """Online scoring: the train-batch / score-stream pattern. Per-type
+    moments are fit ONCE on the batch table (exact integer-cent sums),
+    then every streaming event is scored against the broadcast model
+    and only |z| > 2.5 outliers are emitted — a completely STATELESS
+    streaming pipeline (no watermark, no state store): per-row
+    broadcast join + filter, the minimal-latency shape for alerting."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    ev_batch = _t(spark, sf_dir, "events").df.select(
+        "event_type", F.round(F.col("value") * 100).cast("decimal(38,0)").alias("vc")
+    )
+    m = ev_batch.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("ss"),
+    )
+    var_num = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    n_d = F.col("n").cast("double")
+    stats = m.select(
+        "event_type",
+        (F.col("s").cast("double") / n_d).alias("mean_c"),
+        (F.sqrt(var_num) / n_d).alias("sd_c"),
+    )
+
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            "event_id", "event_type",
+            F.round(F.col("value") * 100).cast("decimal(38,0)").alias("vc"),
+        )
+    )
+    scored = sdf.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("vc").cast("double") - F.col("mean_c")) / F.col("sd_c"), 6
+        ).alias("z"),
+    )
+    out = scored.filter(F.abs(F.col("z")) > 2.5)
+    return _run_stream_to_df(spark, out, "append")
+
+
 def q_stream_ivf_assign(spark, sf_dir):
     """Incremental IVF index maintenance as a streaming view
     (operators/similarity.ivf_assign): embeddings replayed as a file
@@ -1881,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_enrich": q_stream_enrich,
         "q_stream_interval_join": q_stream_interval_join,
         "q_stream_ivf_assign": q_stream_ivf_assign,
+        "q_stream_anomaly": q_stream_anomaly,
         "q_window_slide": q_window_slide,
         "q_window_session": q_window_session,
         "q_over_by_size": q_over_by_size,
@@ -2653,6 +2701,26 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) * 32 > n.total
         """,
         "q_anomaly_zscore": """
+            WITH ev AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100, 0) AS HUGEINT) AS vc
+              FROM events
+            ), m AS (
+              SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                     sum(vc) AS s, sum(vc * vc) AS ss
+              FROM ev GROUP BY event_type
+            ), stats AS (
+              SELECT event_type,
+                     CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+                     sqrt(CAST(n * ss - s * s AS DOUBLE)) / CAST(n AS DOUBLE) AS sd_c
+              FROM m
+            )
+            SELECT event_id, ev.event_type,
+                   round((CAST(vc AS DOUBLE) - mean_c) / sd_c, 6) AS z
+            FROM ev JOIN stats ON ev.event_type = stats.event_type
+            WHERE abs(round((CAST(vc AS DOUBLE) - mean_c) / sd_c, 6)) > 2.5
+        """,
+        "q_stream_anomaly": """
             WITH ev AS (
               SELECT event_id, event_type,
                      CAST(round(value * 100, 0) AS HUGEINT) AS vc
