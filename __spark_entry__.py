@@ -1875,11 +1875,284 @@ def q_multimodal_features(spark, sf_dir):
     return mm.extract_features(mm.make_demo_media(spark, 64))
 
 
+# ---------------------------------------------------------------------------
+# §2 gate compositions — the driver hashes only the FIRST 50 queries()
+# entries, so each q_gate_* packs one whole SURVEY §2 operator family into
+# a single oracle-checked pipeline. The granular per-operator queries stay
+# in the tail for rotation (and for bench/pytest coverage).
+# ---------------------------------------------------------------------------
+
+
+def q_gate_relational(spark, sf_dir):
+    """§2.2 gate — filter → scalar select → projectNegative in one
+    pipeline (ref table/Table.java:265-331,639-659; util/ScalarUtil.java:
+    8-55; util/DateUtil.java:8-23). Composes q_filter_select,
+    q_scalar_functions, q_date_functions and q_project_negative."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_totalprice") > 150_000)
+            & (F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            prio5=tcf.substr("o_orderpriority", 0, 5),
+            prio_num=tcf.to_integer(tcf.substr("o_orderpriority", 0, 1)),
+            price_k=tcf.to_long(F.floor(F.col("o_totalprice") / 1000)),
+            price_str=tcf.to_str(tcf.to_long(F.floor("o_totalprice"))),
+            order_ms=tcf.epoch_ms("o_orderdate"),
+            order_month=F.date_format("o_orderdate", "yyyy-MM"),
+            roundtrip=tcf.to_date(tcf.epoch_ms("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+        )
+        .project_negative("o_orderstatus")
+        .df
+    )
+
+
+def q_gate_rowwise_udf(spark, sf_dir):
+    """§2.9 gate — the three row-wise escape hatches CHAINED: Criteria
+    (filter_rows) → ScalarFunction with null-drop (select_rows) →
+    TransformFunction UDTF (transform_rows); ref criteria/Criteria.java:
+    5-7, table/Table.java:306-373. Composes q_filter_rows,
+    q_select_rows, q_transform_rows."""
+    from pyspark.sql import types as T
+
+    o = _t(spark, sf_dir, "orders")
+    flt = o.filter_rows(
+        lambda price, key: price > 120_000.0 and key % 3 == 0,
+        "o_totalprice", "o_orderkey",
+    )
+
+    def sel(row):
+        if row["o_totalprice"] < 150_000:
+            return None  # null return drops the row (reference semantics)
+        return (row["o_orderkey"], int(row["o_totalprice"] // 50_000))
+
+    selected = flt.select_rows(
+        sel,
+        T.StructType(
+            [
+                T.StructField("okey", T.LongType()),
+                T.StructField("bucket50k", T.LongType()),
+            ]
+        ),
+    )
+
+    def expand(row):
+        return [(row["okey"], i) for i in range(int(row["bucket50k"]) % 3 + 1)]
+
+    return selected.transform_rows(
+        expand,
+        T.StructType(
+            [
+                T.StructField("okey", T.LongType()),
+                T.StructField("i", T.IntegerType()),
+            ]
+        ),
+    ).df
+
+
+def q_gate_joins(spark, sf_dir):
+    """§2.3 gate — inner equi-join + left join + multi-key broadcast join
+    in one plan (ref table/Table.java:610-624; SURVEY §2.3). Composes
+    q_join_inner, q_join_left, q_join_multi."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    seg = c.group_by(["c_nationkey", "c_mktsegment"], n_seg=tcf.count_all()).select(
+        sk_nation=F.col("c_nationkey"),
+        sk_seg=F.col("c_mktsegment"),
+        n_seg=F.col("n_seg"),
+    )
+    return (
+        o.join(c, on=[("o_custkey", "c_custkey")], null_safe=False)
+        .left_join(n, on=[("c_nationkey", "n_nationkey")], null_safe=False, broadcast_other=True)
+        .join(
+            seg,
+            on=[("c_nationkey", "sk_nation"), ("c_mktsegment", "sk_seg")],
+            null_safe=False,
+            broadcast_other=True,
+        )
+        .group_by(
+            ["n_name", "c_mktsegment"],
+            n_orders=tcf.count_all(),
+            total=F.round(tcf.sum_exact("o_totalprice").cast("double"), 2),
+            max_seg=F.max("n_seg"),
+        )
+        .df
+    )
+
+
+def q_gate_aggregate(spark, sf_dir):
+    """§2.4 gate — two-level aggregation: per-nation multi-agg with the
+    reference's null-counting avg (util/AggregationUtil.java:73-75),
+    re-aggregated per region with groupConcat (AggregationUtil.java:8-15).
+    Composes q_groupby_agg, q_avg_ref_nulls, q_group_concat."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    vsum = F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+    per_nation = (
+        c.select(
+            "c_nationkey",
+            "c_acctbal",
+            v=F.when(F.col("c_acctbal") > 5000, F.col("c_acctbal")).otherwise(F.lit(None)),
+        )
+        .group_by(
+            ["c_nationkey"],
+            n_cust=tcf.count_all(),
+            sum_bal=F.round(tcf.sum_exact("c_acctbal").cast("double"), 2),
+            avg_ref=F.round(vsum / F.count(F.lit(1)), 6),
+            avg_sql=F.round(vsum / F.count("v"), 6),
+        )
+    )
+    return (
+        per_nation.join(n, on=[("c_nationkey", "n_nationkey")], null_safe=False, broadcast_other=True)
+        .group_by(
+            ["n_regionkey"],
+            names=tcf.group_concat("n_name"),
+            n_cust=F.sum("n_cust"),
+            total_bal=F.round(F.sum(F.col("sum_bal").cast("decimal(30,2)")).cast("double"), 2),
+            avg_ref_max=F.max("avg_ref"),
+            avg_sql_min=F.min("avg_sql"),
+        )
+        .df
+    )
+
+
+def q_gate_over(spark, sf_dir):
+    """§2.5 gate — the full analytic family in ONE window pass:
+    row_number/dense_rank/ntile/percent_rank/cume_dist + lag/lead (ref
+    table/Table.java:469-533, util/OrderByWindowUtil.java:3-7). Composes
+    q_over_rank, q_window_ranks, q_lag_lead."""
+    c = _t(spark, sf_dir, "customer")
+    ranked = c.over(
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        rank=lambda w: F.row_number().over(w),
+        drank=lambda w: F.dense_rank().over(w),
+        quartile=lambda w: F.ntile(4).over(w),
+        prank=lambda w: F.round(F.percent_rank().over(w), 6),
+        cdist=lambda w: F.round(F.cume_dist().over(w), 6),
+        prev_bal=lambda w: F.lag("c_acctbal", 1).over(w),
+        next_bal=lambda w: F.lead("c_acctbal", 1).over(w),
+    )
+    return ranked.select(
+        "c_nationkey", "c_custkey", "rank", "drank", "quartile", "prank",
+        "cdist", "prev_bal", "next_bal",
+    ).df
+
+
+def q_gate_setops(spark, sf_dir):
+    """§2.7 gate — append + intersect + exceptAll + distinct in one
+    result (ref table/Table.java:192-202; SURVEY §2.7). Composes
+    q_set_ops and q_union_distinct."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 250_000).select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    both = hi.intersect(urgent).select("o_custkey", tag=F.lit("both"))
+    only_urgent = urgent.except_all(hi).distinct().select(
+        "o_custkey", tag=F.lit("urgent_only")
+    )
+    any_cohort = hi.append(urgent).distinct().select("o_custkey", tag=F.lit("any"))
+    return both.append(only_urgent).append(any_cohort).df
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Declaration order is load-bearing: the driver's correctness gate
+    hashes only the FIRST 50 entries. Positions 1-50 therefore carry the
+    whole SURVEY §2 operator gate (composed q_gate_* pipelines, windows,
+    streaming, the UDF escape-hatch surface) plus the flagship LLM-data
+    operators; TPC-H q2..q22 and the granular per-operator queries sit in
+    the tail and rotate across rounds."""
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
-    return {
-        **TPCH_QUERIES,
+    tpch_tail = dict(TPCH_QUERIES)
+    window_50 = {
+        # flagship TPC-H shapes (q12 carries the round-1 oracle-dtype fix)
+        "q_tpch_q1": tpch_tail.pop("q_tpch_q1"),
+        "q_tpch_q12": tpch_tail.pop("q_tpch_q12"),
+        # §2.2 declarative relational surface
+        "q_gate_relational": q_gate_relational,
+        "q_transform_explode": q_transform_explode,
+        # §2.9 UDF escape hatches (row-wise chain, UDAF, over-apply)
+        "q_gate_rowwise_udf": q_gate_rowwise_udf,
+        "q_udaf_apply": q_udaf_apply,
+        "q_over_apply": q_over_apply,
+        # §2.3 joins
+        "q_gate_joins": q_gate_joins,
+        "q_join_full_outer": q_join_full_outer,
+        "q_join_nullsafe": q_join_nullsafe,
+        "q_semi_anti_join": q_semi_anti_join,
+        # §2.4 aggregation
+        "q_gate_aggregate": q_gate_aggregate,
+        # §2.5 over-windows
+        "q_gate_over": q_gate_over,
+        "q_top_n": q_top_n,
+        # §2.7 sort / set ops
+        "q_order_by_limit": q_order_by_limit,
+        "q_gate_setops": q_gate_setops,
+        # §2.6 time windows (batch)
+        "q_window_tumble": q_window_tumble,
+        "q_window_slide": q_window_slide,
+        "q_window_session": q_window_session,
+        "q_over_by_size": q_over_by_size,
+        "q_over_by_duration": q_over_by_duration,
+        # §2.6/§2.8 streaming
+        "q_streaming_tumble": q_streaming_tumble,
+        "q_streaming_slide": q_streaming_slide,
+        "q_streaming_session": q_streaming_session,
+        "q_stream_over": q_stream_over,
+        "q_stream_over_duration": q_stream_over_duration,
+        "q_stream_dedup": q_stream_dedup,
+        "q_stream_enrich": q_stream_enrich,
+        "q_stream_interval_join": q_stream_interval_join,
+        "q_stream_anomaly": q_stream_anomaly,
+        "q_stream_ivf_assign": q_stream_ivf_assign,
+        "q_stream_minhash": q_stream_minhash,
+        # flagship LLM-data pipeline operators
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_groups": q_dedup_groups,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_cosine_topk": q_cosine_topk,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_dedup_jaccard": q_dedup_jaccard,
+        "q_curation_canonical": q_curation_canonical,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_lsh_bucketed_topk": q_lsh_bucketed_topk,
+        "q_lsh_multiprobe": q_lsh_multiprobe,
+        "q_ivf_topk": q_ivf_topk,
+        "q_salted_join": q_salted_join,
+        "q_text_analysis": q_text_analysis,
+        "q_repetition_metrics": q_repetition_metrics,
+        "q_text_scrub": q_text_scrub,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_doc_chunks": q_doc_chunks,
+    }
+    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
+    tail = {
+        # never-driver-checked remainder first (rotation candidates)
+        "q_pack_sequences": q_pack_sequences,
+        "q_token_budget": q_token_budget,
+        "q_anomaly_zscore": q_anomaly_zscore,
+        "q_mode_per_key": q_mode_per_key,
+        "q_latest_per_key": q_latest_per_key,
+        "q_retention_cohort": q_retention_cohort,
+        "q_funnel": q_funnel,
+        "q_pipeline_curation": q_pipeline_curation,
+        "q_fuzzy_pairs": q_fuzzy_pairs,
+        "q_moment_stats": q_moment_stats,
+        "q_embedding_centroids": q_embedding_centroids,
+        "q_sample_split": q_sample_split,
+        "q_stratified_sample": q_stratified_sample,
+        "q_multimodal_features": q_multimodal_features,
+        "q_data_profile": q_data_profile,
+        "q_histogram": q_histogram,
+        "q_integrity_checks": q_integrity_checks,
+        "q_flagship_top100": q_flagship_top100,
+        # driver-green in round 1
+        **tpch_tail,
         "q_filter_select": q_filter_select,
         "q_project_negative": q_project_negative,
         "q_groupby_agg": q_groupby_agg,
@@ -1892,84 +2165,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct": q_approx_distinct,
         "q_join_inner": q_join_inner,
         "q_join_left": q_join_left,
-        "q_join_full_outer": q_join_full_outer,
-        "q_join_nullsafe": q_join_nullsafe,
         "q_join_multi": q_join_multi,
-        "q_semi_anti_join": q_semi_anti_join,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_over_rank": q_over_rank,
         "q_window_ranks": q_window_ranks,
-        "q_top_n": q_top_n,
         "q_group_concat": q_group_concat,
         "q_scalar_functions": q_scalar_functions,
         "q_date_functions": q_date_functions,
-        "q_transform_explode": q_transform_explode,
         "q_union_distinct": q_union_distinct,
         "q_set_ops": q_set_ops,
-        "q_order_by_limit": q_order_by_limit,
         "q_filter_rows": q_filter_rows,
         "q_transform_rows": q_transform_rows,
-        "q_over_apply": q_over_apply,
+        "q_select_rows": q_select_rows,
         "q_pivot": q_pivot,
         "q_lag_lead": q_lag_lead,
         "q_json_extract": q_json_extract,
         "q_unpivot": q_unpivot,
-        "q_udaf_apply": q_udaf_apply,
-        "q_select_rows": q_select_rows,
-        "q_window_tumble": q_window_tumble,
-        "q_streaming_tumble": q_streaming_tumble,
-        "q_streaming_session": q_streaming_session,
-        "q_streaming_slide": q_streaming_slide,
-        "q_stream_dedup": q_stream_dedup,
-        "q_stream_over": q_stream_over,
-        "q_stream_over_duration": q_stream_over_duration,
-        "q_stream_minhash": q_stream_minhash,
-        "q_stream_enrich": q_stream_enrich,
-        "q_stream_interval_join": q_stream_interval_join,
-        "q_stream_ivf_assign": q_stream_ivf_assign,
-        "q_stream_anomaly": q_stream_anomaly,
-        "q_window_slide": q_window_slide,
-        "q_window_session": q_window_session,
-        "q_over_by_size": q_over_by_size,
-        "q_over_by_duration": q_over_by_duration,
-        "q_flagship_top100": q_flagship_top100,
-        "q_text_analysis": q_text_analysis,
-        "q_repetition_metrics": q_repetition_metrics,
-        "q_data_profile": q_data_profile,
-        "q_histogram": q_histogram,
-        "q_integrity_checks": q_integrity_checks,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_text_scrub": q_text_scrub,
-        "q_tfidf_terms": q_tfidf_terms,
-        "q_doc_chunks": q_doc_chunks,
-        "q_pack_sequences": q_pack_sequences,
-        "q_token_budget": q_token_budget,
-        "q_anomaly_zscore": q_anomaly_zscore,
-        "q_mode_per_key": q_mode_per_key,
-        "q_latest_per_key": q_latest_per_key,
-        "q_retention_cohort": q_retention_cohort,
-        "q_funnel": q_funnel,
-        "q_pipeline_curation": q_pipeline_curation,
-        "q_fuzzy_pairs": q_fuzzy_pairs,
-        "q_dedup_exact": q_dedup_exact,
-        "q_dedup_jaccard": q_dedup_jaccard,
-        "q_dedup_groups": q_dedup_groups,
-        "q_curation_canonical": q_curation_canonical,
-        "q_minhash_lsh": q_minhash_lsh,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_cosine_topk": q_cosine_topk,
-        "q_embedding_neardup": q_embedding_neardup,
-        "q_lsh_bucketed_topk": q_lsh_bucketed_topk,
-        "q_lsh_multiprobe": q_lsh_multiprobe,
-        "q_salted_join": q_salted_join,
-        "q_ivf_topk": q_ivf_topk,
-        "q_moment_stats": q_moment_stats,
-        "q_embedding_centroids": q_embedding_centroids,
-        "q_sample_split": q_sample_split,
-        "q_stratified_sample": q_stratified_sample,
-        "q_multimodal_features": q_multimodal_features,
     }
+    return {**window_50, **tail}
 
 
 # ---------------------------------------------------------------------------
@@ -2009,6 +2223,88 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         **TPCH_ORACLES,
+        "q_gate_relational": """
+            SELECT o_orderkey,
+                   substr(o_orderpriority, 1, 5) AS prio5,
+                   CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+                   CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+                   CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) AS price_str,
+                   epoch_ms(o_orderdate) AS order_ms,
+                   strftime(o_orderdate, '%Y-%m') AS order_month,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS roundtrip
+            FROM orders
+            WHERE o_totalprice > 150000 AND o_orderpriority <> '4-NOT SPECIFIED'
+        """,
+        "q_gate_rowwise_udf": """
+            WITH flt AS (
+              SELECT o_orderkey AS okey,
+                     CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket50k
+              FROM orders
+              WHERE o_totalprice > 120000 AND o_orderkey % 3 = 0
+                AND o_totalprice >= 150000
+            )
+            SELECT okey,
+                   CAST(unnest(generate_series(0, CAST(bucket50k % 3 AS INT))) AS INT) AS i
+            FROM flt
+        """,
+        "q_gate_joins": """
+            WITH seg AS (
+              SELECT c_nationkey AS sk_nation, c_mktsegment AS sk_seg,
+                     count(*) AS n_seg
+              FROM customer GROUP BY 1, 2
+            )
+            SELECT n_name, c_mktsegment,
+                   count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS total,
+                   max(n_seg) AS max_seg
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            LEFT JOIN nation ON c_nationkey = n_nationkey
+            JOIN seg ON c_nationkey = sk_nation AND c_mktsegment = sk_seg
+            GROUP BY n_name, c_mktsegment
+        """,
+        "q_gate_aggregate": """
+            WITH per_nation AS (
+              SELECT c_nationkey,
+                     count(*) AS n_cust,
+                     round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE), 2) AS sum_bal,
+                     round(CAST(sum(CAST(CASE WHEN c_acctbal > 5000 THEN c_acctbal END AS DECIMAL(18,6))) AS DOUBLE)
+                           / count(*), 6) AS avg_ref,
+                     round(CAST(sum(CAST(CASE WHEN c_acctbal > 5000 THEN c_acctbal END AS DECIMAL(18,6))) AS DOUBLE)
+                           / count(CASE WHEN c_acctbal > 5000 THEN c_acctbal END), 6) AS avg_sql
+              FROM customer GROUP BY c_nationkey
+            )
+            SELECT n_regionkey,
+                   string_agg(coalesce(n_name, 'null'), ',' ORDER BY coalesce(n_name, 'null')) AS names,
+                   CAST(sum(n_cust) AS BIGINT) AS n_cust,
+                   round(CAST(sum(CAST(sum_bal AS DECIMAL(30,2))) AS DOUBLE), 2) AS total_bal,
+                   max(avg_ref) AS avg_ref_max,
+                   min(avg_sql) AS avg_sql_min
+            FROM per_nation JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_regionkey
+        """,
+        "q_gate_over": """
+            SELECT c_nationkey, c_custkey,
+                   row_number()   OVER w AS rank,
+                   dense_rank()   OVER w AS drank,
+                   ntile(4)       OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS prank,
+                   round(cume_dist()    OVER w, 6) AS cdist,
+                   lag(c_acctbal)  OVER w AS prev_bal,
+                   lead(c_acctbal) OVER w AS next_bal
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal DESC, c_custkey ASC)
+        """,
+        "q_gate_setops": """
+            WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 250000),
+                 urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM hi INTERSECT SELECT * FROM urgent)
+            UNION ALL
+            SELECT DISTINCT o_custkey, 'urgent_only' FROM (SELECT * FROM urgent EXCEPT ALL SELECT * FROM hi)
+            UNION ALL
+            SELECT DISTINCT o_custkey, 'any' FROM (SELECT * FROM hi UNION ALL SELECT * FROM urgent)
+        """,
         "q_filter_select": """
             SELECT l_orderkey, l_linenumber, l_quantity AS qty,
                    round(l_extendedprice * (1 - l_discount), 4) AS revenue

@@ -72,7 +72,22 @@ def main() -> None:
     }
     if failures:
         out["failures"] = failures
-    print(json.dumps(out))
+
+    # Round-1 postmortem: a py4j callback listener let the JVM dump a stack
+    # trace AFTER the JSON line in merged output, breaking the driver's
+    # parser. Protocol now: stop Spark first, flush stderr, then emit the
+    # JSON line as the process's absolute last stdout write — and duplicate
+    # it to BENCH_LOCAL.json as a backup channel.
+    spark.stop()
+    line = json.dumps(out)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 def _bench_streaming(spark, sf_dir: str) -> dict:
@@ -84,7 +99,6 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
 
     from pyspark.sql import functions as F
 
-    from table_computing_spark.streaming.metrics import ThroughputListener
     from table_computing_spark.streaming.windows import stream_tumble
 
     try:
@@ -102,8 +116,6 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
             n=F.count(F.lit(1)),
             total=F.sum(F.col("value")),
         )
-        listener = ThroughputListener()
-        spark.streams.addListener(listener)
         t0 = time.perf_counter()
         q = (
             out.writeStream.format("noop")
@@ -114,16 +126,17 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
         )
         q.awaitTermination(300)
         wall = time.perf_counter() - t0
-        deadline = time.time() + 10
-        while not listener.history and time.time() < deadline:
-            time.sleep(0.2)
-        spark.streams.removeListener(listener)
-        totals = listener.totals()
+        # Poll progress via plain py4j (q.recentProgress) — NO callback
+        # listener: the py4j callback server delivers late onQueryProgress
+        # events as stack traces after process teardown, which corrupted the
+        # round-1 bench capture.
+        progresses = q.recentProgress or []
+        input_rows = sum(int(p.get("numInputRows", 0)) for p in progresses)
         return {
-            "input_rows": totals["input_rows"],
+            "input_rows": input_rows,
             "wall_sec": round(wall, 3),
-            "rows_per_sec": round(totals["input_rows"] / wall, 1) if wall else 0.0,
-            "n_batches": len(listener.history),
+            "rows_per_sec": round(input_rows / wall, 1) if wall else 0.0,
+            "n_batches": sum(1 for p in progresses if int(p.get("numInputRows", 0)) > 0),
         }
     except Exception as e:  # noqa: BLE001 — streaming bench is best-effort
         return {"error": f"{type(e).__name__}: {e}"[:200]}

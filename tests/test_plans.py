@@ -126,3 +126,28 @@ def test_top_n_uses_window_group_limit(plans):
 def test_every_batch_query_plans(plans):
     # plan construction itself succeeded for the whole surface
     assert len(plans) == len(BATCH_QUERIES)
+
+
+def test_cosine_pairs_big_n_path_is_blocked_not_cartesian(spark):
+    # Past the broadcast bound, cosine_pairs must route to sign-LSH
+    # blocking (bucket equi-join) — the round-1 crossJoin fallback was a
+    # scale-killer and is gone. Force the big-N path with a zero limit.
+    from table_computing_spark.operators.similarity import cosine_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(cosine_pairs(emb, threshold=0.9, broadcast_limit=0))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "hashpartitioning(__bucket" in p or "__bucket" in p, p
+
+
+def test_cosine_pairs_broadcast_bound_is_byte_based(spark):
+    # 200k rows of 1024-dim float64 is >1.5 GB — the row-count bound
+    # alone must NOT select the collect+broadcast path for wide vectors.
+    from table_computing_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(64)
+    dim = len(emb.first()["embedding"])
+    # byte budget below one row's matrix footprint → must take LSH path
+    p = plan_of(sim.cosine_pairs(emb, broadcast_bytes=dim * 8 - 1))
+    assert "MapInPandas" not in p, p  # broadcast path would MapInPandas-score
+    assert "CartesianProduct" not in p, p
