@@ -2623,18 +2623,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_stream_over": """
             SELECT event_id, user_id,
-                   sum(CAST(round(value * 100, 0) AS BIGINT))
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
                      OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
-                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS tsum_cents,
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS tsum_cents,
                    count(*) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
                                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS tn
             FROM events
         """,
         "q_stream_over_duration": """
             SELECT event_id, user_id,
-                   sum(CAST(round(value * 100, 0) AS BIGINT))
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
                      OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
-                           RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW) AS tsum_cents,
+                           RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW) AS BIGINT) AS tsum_cents,
                    count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
                                   RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW) AS tn
             FROM events
@@ -2675,7 +2675,7 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT cell, count(*) AS n_vectors,
-                   sum(CAST(round(round(sim, 6) * 1000000, 0) AS BIGINT)) AS sum_sim_e6
+                   CAST(sum(CAST(round(round(sim, 6) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_sim_e6
             FROM r WHERE rn = 1
             GROUP BY cell
         """,
