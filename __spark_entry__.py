@@ -63,6 +63,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str):
     return load_table(spark, sf_dir, name)
 
 
+def _ts_ms(ev_schema) -> F.Column:
+    """Epoch-ms BIGINT from the RAW events `ts` column, whatever
+    physical type the generator wrote (the streaming queries read the
+    raw parquet schema, bypassing sources/parquet.load_df):
+      bigint        → epoch-ns under nanosAsLong; integer `div` keeps
+                      long arithmetic (float `/` corrupts µs).
+      timestamp*    → native timestamp[us]; NTZ→LTZ cast is the
+                      identity instant under the UTC session TZ.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(ev_schema["ts"].dataType, (T.LongType, T.IntegerType)):
+        return F.expr("ts div 1000000")
+    return F.unix_millis(F.col("ts").cast("timestamp"))
+
+
 def q_filter_select(spark, sf_dir):
     """Table.filter + select (ref table/Table.java:265-280,306-331)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -808,8 +824,8 @@ def q_streaming_tumble(spark, sf_dir):
     final state must hash-match the same SQL as the batch tumble."""
     from table_computing_spark.streaming.windows import stream_tumble
 
-    # raw parquet schema: ts is epoch-ns BIGINT under nanosAsLong (the
-    # loader's converted TimestampType schema would not match the files)
+    # raw parquet schema (the loader's normalized TimestampType schema
+    # would not match the files); _ts_ms dispatches on the actual dtype
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -818,7 +834,7 @@ def q_streaming_tumble(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    sdf = sdf.withColumn("t_ms", F.expr("ts div 1000000"))
+    sdf = sdf.withColumn("t_ms", _ts_ms(ev_schema))
     out = stream_tumble(
         sdf, "t_ms", "1 hour", ["event_type"],
         watermark="10 seconds",
@@ -835,8 +851,8 @@ def q_streaming_session(spark, sf_dir):
     computation."""
     from table_computing_spark.streaming.windows import stream_session
 
-    # raw parquet schema: ts is epoch-ns BIGINT under nanosAsLong (the
-    # loader's converted TimestampType schema would not match the files)
+    # raw parquet schema (the loader's normalized TimestampType schema
+    # would not match the files); _ts_ms dispatches on the actual dtype
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -845,7 +861,7 @@ def q_streaming_session(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    sdf = sdf.withColumn("t_ms", F.expr("ts div 1000000"))
+    sdf = sdf.withColumn("t_ms", _ts_ms(ev_schema))
     out = stream_session(
         sdf, "t_ms", "30 minutes", ["user_id"],
         watermark="10 seconds",
@@ -861,8 +877,8 @@ def q_streaming_slide(spark, sf_dir):
     gate — final state hash-matches the batch hopping-window SQL."""
     from table_computing_spark.streaming.windows import stream_slide
 
-    # raw parquet schema: ts is epoch-ns BIGINT under nanosAsLong (the
-    # loader's converted TimestampType schema would not match the files)
+    # raw parquet schema (the loader's normalized TimestampType schema
+    # would not match the files); _ts_ms dispatches on the actual dtype
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -871,7 +887,7 @@ def q_streaming_slide(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    sdf = sdf.withColumn("t_ms", F.expr("ts div 1000000"))
+    sdf = sdf.withColumn("t_ms", _ts_ms(ev_schema))
     out = stream_slide(
         sdf, "t_ms", "1 hour", "30 minutes", ["event_type"],
         watermark="10 seconds",
@@ -979,7 +995,7 @@ def q_stream_over_duration(spark, sf_dir):
         .select(
             "event_id",
             "user_id",
-            F.expr("ts div 1000000").alias("t_ms"),
+            _ts_ms(ev_schema).alias("t_ms"),
             "value",
         )
     )
@@ -1067,7 +1083,7 @@ def q_stream_enrich(spark, sf_dir):
         spark.readStream.schema(ev_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .select("user_id", F.expr("ts div 1000000").alias("t_ms"), "value")
+        .select("user_id", _ts_ms(ev_schema).alias("t_ms"), "value")
     )
     enriched = dim.join(sdf, on=[("user_id", "c_custkey")], how="left")
     out = stream_tumble(
@@ -1100,7 +1116,7 @@ def q_stream_interval_join(spark, sf_dir):
             "event_id",
             "user_id",
             "event_type",
-            F.timestamp_millis(F.expr("ts div 1000000")).alias("t"),
+            F.timestamp_millis(_ts_ms(ev_schema)).alias("t"),
         )
     )
     clicks = base.filter(F.col("event_type") == "click").select(
