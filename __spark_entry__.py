@@ -2076,79 +2076,27 @@ def q_gate_setops(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
-    hashes only the FIRST 50 entries. Positions 1-50 therefore carry the
-    whole SURVEY §2 operator gate (composed q_gate_* pipelines, windows,
-    streaming, the UDF escape-hatch surface) plus the flagship LLM-data
-    operators; TPC-H q2..q22 and the granular per-operator queries sit in
-    the tail and rotate across rounds."""
+    hashes only the FIRST 50 entries, so the window rotates each round
+    until every declared query has a green row in some round's
+    CORRECTNESS file.
+
+    Round-4 window: (a) the 25 queries never inside any prior round's
+    window (r01 covered the granular relational + TPC-H set, r02/r03 the
+    gates + windows + streaming + LLM ops), (b) the 13 queries whose r03
+    rows ERRed on the stale events-ts load (all locally re-verified
+    green after the dtype-dispatch fix — this confirms the recovery
+    driver-side), (c) the 5 formerly rows-only queries that now carry
+    portable oracles, and (d) 7 composed q_gate_* / streaming keepers so
+    every operator family retains a current-round green row."""
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
     tpch_tail = dict(TPCH_QUERIES)
     window_50 = {
-        # flagship TPC-H shapes (q12 carries the round-1 oracle-dtype fix)
-        "q_tpch_q1": tpch_tail.pop("q_tpch_q1"),
-        "q_tpch_q12": tpch_tail.pop("q_tpch_q12"),
-        # §2.2 declarative relational surface
-        "q_gate_relational": q_gate_relational,
-        "q_transform_explode": q_transform_explode,
-        # §2.9 UDF escape hatches (row-wise chain, UDAF, over-apply)
-        "q_gate_rowwise_udf": q_gate_rowwise_udf,
-        "q_udaf_apply": q_udaf_apply,
-        "q_over_apply": q_over_apply,
-        # §2.3 joins
-        "q_gate_joins": q_gate_joins,
-        "q_join_full_outer": q_join_full_outer,
-        "q_join_nullsafe": q_join_nullsafe,
-        "q_semi_anti_join": q_semi_anti_join,
-        # §2.4 aggregation
-        "q_gate_aggregate": q_gate_aggregate,
-        # §2.5 over-windows
-        "q_gate_over": q_gate_over,
-        "q_top_n": q_top_n,
-        # §2.7 sort / set ops
-        "q_order_by_limit": q_order_by_limit,
-        "q_gate_setops": q_gate_setops,
-        # §2.6 time windows (batch)
-        "q_window_tumble": q_window_tumble,
-        "q_window_slide": q_window_slide,
-        "q_window_session": q_window_session,
-        "q_over_by_size": q_over_by_size,
-        "q_over_by_duration": q_over_by_duration,
-        # §2.6/§2.8 streaming
-        "q_streaming_tumble": q_streaming_tumble,
-        "q_streaming_slide": q_streaming_slide,
-        "q_streaming_session": q_streaming_session,
-        "q_stream_over": q_stream_over,
-        "q_stream_over_duration": q_stream_over_duration,
-        "q_stream_dedup": q_stream_dedup,
-        "q_stream_enrich": q_stream_enrich,
-        "q_stream_interval_join": q_stream_interval_join,
-        "q_stream_anomaly": q_stream_anomaly,
-        "q_stream_ivf_assign": q_stream_ivf_assign,
-        "q_stream_minhash": q_stream_minhash,
-        # flagship LLM-data pipeline operators
-        "q_dedup_exact": q_dedup_exact,
-        "q_dedup_groups": q_dedup_groups,
-        "q_minhash_lsh": q_minhash_lsh,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_cosine_topk": q_cosine_topk,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_dedup_jaccard": q_dedup_jaccard,
-        "q_curation_canonical": q_curation_canonical,
-        "q_embedding_neardup": q_embedding_neardup,
-        "q_lsh_bucketed_topk": q_lsh_bucketed_topk,
-        "q_lsh_multiprobe": q_lsh_multiprobe,
-        "q_ivf_topk": q_ivf_topk,
-        "q_salted_join": q_salted_join,
-        "q_text_analysis": q_text_analysis,
-        "q_repetition_metrics": q_repetition_metrics,
-        "q_text_scrub": q_text_scrub,
-        "q_tfidf_terms": q_tfidf_terms,
-        "q_doc_chunks": q_doc_chunks,
-    }
-    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
-    tail = {
-        # never-driver-checked remainder first (rotation candidates)
+        # (a) first driver check ever for these 25
+        "q_flagship_top100": q_flagship_top100,
+        "q_filter_rows": q_filter_rows,
+        "q_transform_rows": q_transform_rows,
+        "q_select_rows": q_select_rows,
         "q_pack_sequences": q_pack_sequences,
         "q_token_budget": q_token_budget,
         "q_anomaly_zscore": q_anomaly_zscore,
@@ -2166,8 +2114,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_data_profile": q_data_profile,
         "q_histogram": q_histogram,
         "q_integrity_checks": q_integrity_checks,
-        "q_flagship_top100": q_flagship_top100,
-        # driver-green in round 1
+        "q_pivot": q_pivot,
+        "q_lag_lead": q_lag_lead,
+        "q_json_extract": q_json_extract,
+        "q_unpivot": q_unpivot,
+        # (b) r03 ERR-loader recovery confirmation
+        "q_udaf_apply": q_udaf_apply,
+        "q_window_tumble": q_window_tumble,
+        "q_window_slide": q_window_slide,
+        "q_window_session": q_window_session,
+        "q_over_by_size": q_over_by_size,
+        "q_over_by_duration": q_over_by_duration,
+        "q_streaming_tumble": q_streaming_tumble,
+        "q_streaming_slide": q_streaming_slide,
+        "q_streaming_session": q_streaming_session,
+        "q_stream_over_duration": q_stream_over_duration,
+        "q_stream_enrich": q_stream_enrich,
+        "q_stream_interval_join": q_stream_interval_join,
+        "q_stream_anomaly": q_stream_anomaly,
+        # (c) formerly rows-only, now under portable oracles
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_stream_minhash": q_stream_minhash,
+        "q_approx_quantile": q_approx_quantile,
+        "q_approx_distinct": q_approx_distinct,
+        # (d) keepers: one green row per operator family each round
+        "q_gate_relational": q_gate_relational,
+        "q_gate_rowwise_udf": q_gate_rowwise_udf,
+        "q_gate_joins": q_gate_joins,
+        "q_gate_aggregate": q_gate_aggregate,
+        "q_gate_over": q_gate_over,
+        "q_gate_setops": q_gate_setops,
+        "q_stream_over": q_stream_over,
+    }
+    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
+    tail = {
+        # all green in r01-r03 windows, code unchanged
+        "q_tpch_q1": tpch_tail.pop("q_tpch_q1"),
+        "q_tpch_q12": tpch_tail.pop("q_tpch_q12"),
+        "q_transform_explode": q_transform_explode,
+        "q_over_apply": q_over_apply,
+        "q_join_full_outer": q_join_full_outer,
+        "q_join_nullsafe": q_join_nullsafe,
+        "q_semi_anti_join": q_semi_anti_join,
+        "q_top_n": q_top_n,
+        "q_order_by_limit": q_order_by_limit,
+        "q_stream_dedup": q_stream_dedup,
+        "q_stream_ivf_assign": q_stream_ivf_assign,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_groups": q_dedup_groups,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_cosine_topk": q_cosine_topk,
+        "q_dedup_jaccard": q_dedup_jaccard,
+        "q_curation_canonical": q_curation_canonical,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_lsh_bucketed_topk": q_lsh_bucketed_topk,
+        "q_lsh_multiprobe": q_lsh_multiprobe,
+        "q_ivf_topk": q_ivf_topk,
+        "q_salted_join": q_salted_join,
+        "q_text_analysis": q_text_analysis,
+        "q_repetition_metrics": q_repetition_metrics,
+        "q_text_scrub": q_text_scrub,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_doc_chunks": q_doc_chunks,
         **tpch_tail,
         "q_filter_select": q_filter_select,
         "q_project_negative": q_project_negative,
@@ -2177,8 +2186,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": q_grouping_sets,
         "q_count_distinct": q_count_distinct,
         "q_percentile": q_percentile,
-        "q_approx_quantile": q_approx_quantile,
-        "q_approx_distinct": q_approx_distinct,
         "q_join_inner": q_join_inner,
         "q_join_left": q_join_left,
         "q_join_multi": q_join_multi,
@@ -2191,13 +2198,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_date_functions": q_date_functions,
         "q_union_distinct": q_union_distinct,
         "q_set_ops": q_set_ops,
-        "q_filter_rows": q_filter_rows,
-        "q_transform_rows": q_transform_rows,
-        "q_select_rows": q_select_rows,
-        "q_pivot": q_pivot,
-        "q_lag_lead": q_lag_lead,
-        "q_json_extract": q_json_extract,
-        "q_unpivot": q_unpivot,
     }
     return {**window_50, **tail}
 
@@ -2521,7 +2521,7 @@ def oracle_sql() -> dict[str, str]:
         "q_json_extract": """
             SELECT event_type,
                    count(*) AS n,
-                   sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
                    max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
             FROM events GROUP BY event_type
         """,
