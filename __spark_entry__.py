@@ -190,15 +190,33 @@ def q_count_distinct(spark, sf_dir):
 
 def q_approx_distinct(spark, sf_dir):
     """HyperLogLog++ sketch counts (SURVEY §2.4 'HLL/approx sketches —
-    free in Spark'). Engines implement different sketches, so the
-    driver gate is rows-only; the ±5% accuracy bound vs exact counts is
-    pytest-checked (tests/test_queries.py)."""
+    free in Spark') under a portable accuracy oracle: engines implement
+    different sketches, so the hash-checked claim is the exact counts
+    plus a flag that Spark's rsd=0.02 estimate landed within ±5% of
+    exact — deterministic for fixed data, so it hash-matches the
+    oracle's literal 1s whenever the sketch meets its own bound."""
     li = _t(spark, sf_dir, "lineitem")
+    tol = 0.05
     return (
         li.group_by(
             ["l_returnflag"],
             approx_orders=F.approx_count_distinct("l_orderkey", rsd=0.02),
             approx_parts=F.approx_count_distinct("l_partkey", rsd=0.02),
+            exact_orders=F.countDistinct("l_orderkey"),
+            exact_parts=F.countDistinct("l_partkey"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            "exact_parts",
+            orders_ok=(
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                <= F.lit(tol) * F.col("exact_orders")
+            ).cast("int"),
+            parts_ok=(
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= F.lit(tol) * F.col("exact_parts")
+            ).cast("int"),
         )
         .df
     )
@@ -224,15 +242,28 @@ def q_approx_quantile(spark, sf_dir):
     """Approximate quantiles via Spark's percentile_approx (Greenwald-
     Khanna sketch) — the mergeable-sketch path for 100 TB where exact
     percentile's full sort-per-group is off the table. Sketches differ
-    per engine → rows-only driver gate; the rank-error bound vs exact
-    percentiles is pytest-checked (tests/test_queries.py)."""
+    per engine, so the portable hash-checked claim is the exact
+    quantile_cont values plus flags that the approx landed within 2% of
+    them (deterministic for fixed data; GK with accuracy=10000 bounds
+    rank error at n/10000, far tighter than 2% of value here)."""
     li = _t(spark, sf_dir, "lineitem")
+    tol = 0.02
     return (
         li.group_by(
             ["l_returnflag"],
             ap50=F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)),
             ap95=F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)),
+            p50=F.percentile("l_extendedprice", F.lit(0.5)),
+            p95=F.percentile("l_extendedprice", F.lit(0.95)),
             n=tcf.count_all(),
+        )
+        .select(
+            "l_returnflag",
+            p50=F.round("p50", 4),
+            p95=F.round("p95", 4),
+            n=F.col("n"),
+            ok50=(F.abs(F.col("ap50") - F.col("p50")) <= F.lit(tol) * F.col("p50")).cast("int"),
+            ok95=(F.abs(F.col("ap95") - F.col("p95")) <= F.lit(tol) * F.col("p95")).cast("int"),
         )
         .df
     )
@@ -1033,14 +1064,22 @@ def q_stream_over_duration(spark, sf_dir):
 
 
 def q_stream_minhash(spark, sf_dir):
-    """Streaming MinHash+LSH near-dup candidate pairs
-    (streaming/dedup.stream_minhash_pairs): the documents table replayed
-    as a bounded file stream with synthetic event time; the only
+    """Streaming MinHash+LSH near-dup detection under the FULL value-hash
+    oracle (streaming/dedup.stream_minhash_pairs): the documents table
+    replayed as a bounded file stream with synthetic event time; the only
     stateful operator is the (band, bucket) anchor registry — the
     per-doc signature is computed inside the row (vectorized pandas
-    UDF), never a streaming aggregate. Engine-internal hashing → rows
-    checked by the driver; planted-duplicate recall is pinned in
-    tests/test_streaming.py."""
+    UDF), never a streaming aggregate.
+
+    Portable formulation: the raw candidate pairs are anchor-relative
+    (which clique member anchors a bucket is scheduling-dependent), so
+    the oracle-checked projection is the set of DOCS with a verified
+    near-duplicate — candidates post-filtered by exact 3-shingle
+    Jaccard >= 0.5 (operators/dedup.jaccard_for_pairs), then the
+    distinct ids of both pair sides. Dup groups are Jaccard-cliques in
+    this corpus (min within-group pair j = 0.8), so every member pairs
+    with any anchor and the id set is anchor-invariant."""
+    from table_computing_spark.operators import dedup as bdedup
     from table_computing_spark.streaming.dedup import stream_minhash_pairs
 
     doc_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -1049,12 +1088,27 @@ def q_stream_minhash(spark, sf_dir):
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
         # +1s offset: epoch-0 event time is not strictly after the initial
-        # watermark and the row would be silently dropped as late
-        .withColumn("ts", F.timestamp_millis((F.col("doc_id") + 1) * 1000))
+        # watermark and the row would be silently dropped as late.
+        # 10 ms spacing keeps the WHOLE corpus inside the 1 h pair-state
+        # retention (200k docs = 2000 s < 3600 s) — at 1 s spacing,
+        # planted pairs more than 3600 doc-ids apart fell outside the
+        # |Δt| bound and were silently unpaired at sf0.1.
+        .withColumn("ts", F.timestamp_millis(F.lit(1000) + F.col("doc_id") * 10))
     )
     out = stream_minhash_pairs(sdf, "ts", watermark="10 seconds")
     with _state_partitions(spark):
-        return _run_stream_to_df(spark, out, "append")
+        raw = _run_stream_to_df(spark, out, "append")
+    pairs = raw.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
+    docs = _t(spark, sf_dir, "documents").df
+    verified = bdedup.jaccard_for_pairs(docs, pairs).filter(F.col("jaccard") >= 0.5)
+    return (
+        verified.select(F.col("id_a").alias("doc_id"))
+        .union(verified.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
 
 
 def q_stream_enrich(spark, sf_dir):
@@ -1723,24 +1777,59 @@ def q_dedup_groups(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (xxhash64-based → no portable SQL
-    oracle; exact-Jaccard parity is tested in tests/test_training_ops)."""
+    """MinHash+LSH near-dup detection under the FULL value-hash oracle:
+    banded-LSH candidate generation (dedup.minhash_lsh_candidates,
+    16 bands × 4 rows of 64 minhashes) then exact shingle-Jaccard
+    verification of only the candidates (dedup.jaccard_for_pairs) — the
+    production two-stage near-dup pipeline. Output pairs carry exact
+    3-shingle Jaccard >= 0.5 and hash-match the oracle's all-pairs exact
+    computation because banding recall is total on this corpus: planted
+    dups sit at j >= 0.8 where the per-pair miss probability is <= 2e-4
+    (and xxhash64 banding is deterministic — verified empirically at
+    sf0.01 and sf0.1, see tests/test_training_ops)."""
     from table_computing_spark.operators import dedup
 
-    return dedup.minhash_lsh(
-        _t(spark, sf_dir, "documents").df,
-        num_hashes=64,
-        bands=16,
-        jaccard_threshold=0.5,
-    )
+    docs = _t(spark, sf_dir, "documents").df
+    cand = dedup.minhash_lsh_candidates(docs, num_hashes=64, bands=16)
+    return dedup.jaccard_for_pairs(docs, cand).filter(F.col("jaccard") >= 0.5)
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs, 16-bit-chunk blocked (xxhash64-based →
-    rows-only check; planted-duplicate test in tests/test_training_ops)."""
+    """SimHash near-dup detection under a portable RECALL oracle.
+
+    SimHash is genuinely lossy: true near-dups (3-shingle j >= 0.89)
+    reach Hamming distance 12 on this corpus, so no safe Hamming cutoff
+    reproduces the exact pair set and a pair-level hash check would be
+    dishonest. The hash-checked claim instead: (a) the exact all-pairs
+    shingle-Jaccard >= 0.5 ground truth COUNT (dedup.
+    shingle_jaccard_pairs — both engines compute it), and (b) a flag
+    that multi-probe-blocked Hamming<=7 simhash candidates
+    (dedup.simhash_pairs), verified by exact Jaccard
+    (dedup.jaccard_for_pairs), recover >= 90% of that truth set
+    (empirically 100% at sf0.01, 94% at sf0.1 — deterministic for
+    fixed data)."""
     from table_computing_spark.operators import dedup
 
-    return dedup.simhash_pairs(_t(spark, sf_dir, "documents").df, max_hamming=6)
+    docs = _t(spark, sf_dir, "documents").df
+    cand = dedup.simhash_pairs(docs, max_hamming=7).select("id_a", "id_b")
+    found = (
+        dedup.jaccard_for_pairs(docs, cand)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+        .withColumn("__hit", F.lit(1))
+    )
+    truth = dedup.shingle_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    return (
+        truth.join(found, ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__n_found"),
+        )
+        .select(
+            "n_true_pairs",
+            (F.col("__n_found") >= F.lit(0.9) * F.col("n_true_pairs")).cast("int").alias("recall_ok"),
+        )
+    )
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -1885,10 +1974,27 @@ def q_stratified_sample(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Binary media columns → feature vectors via Arrow mapInPandas
-    (decode stubbed — operators/multimodal.py; plumbing is real)."""
+    (decode stubbed — operators/multimodal.py; the Spark-side plumbing
+    — schema, batching, null/modality handling — is real and now under
+    the FULL value-hash oracle: the demo media table is deterministic
+    (make_demo_media: content byte j of media i = (i*7+j) % 256), so
+    the oracle reproduces every feature analytically. The float
+    features are exposed as recovered bytes (round(f*255)) to keep the
+    comparison integer-exact; feature[j] = byte/255 is a bijection."""
     from table_computing_spark.operators import multimodal as mm
 
-    return mm.extract_features(mm.make_demo_media(spark, 64))
+    feats = mm.extract_features(mm.make_demo_media(spark, 64))
+    byte_cols = {
+        f"b{j}": F.round(F.element_at("feature", j + 1) * 255).cast("int")
+        for j in range(8)
+    }
+    return feats.select(
+        "media_id",
+        "modality",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("decode_ok").cast("int").alias("decode_ok"),
+        *[c.alias(n) for n, c in byte_cols.items()],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3208,6 +3314,131 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, fingerprint, canonical_id, group_size,
                    CAST(doc_id = canonical_id AS INT) AS is_canonical
             FROM fp JOIN g USING (fingerprint)
+        """,
+        "q_approx_distinct": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_orderkey) AS exact_orders,
+                   count(DISTINCT l_partkey) AS exact_parts,
+                   CAST(1 AS INT) AS orders_ok,
+                   CAST(1 AS INT) AS parts_ok
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_approx_quantile": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+                   count(*) AS n,
+                   CAST(1 AS INT) AS ok50,
+                   CAST(1 AS INT) AS ok95
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        # exact 3-shingle Jaccard over ALL pairs — the Spark side must
+        # find every >= 0.5 pair through banded LSH + exact verification
+        "q_minhash_lsh": r"""
+            WITH t AS (
+              SELECT doc_id AS id,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ), sh AS (
+              SELECT id, unnest(list_distinct(
+                       [array_to_string(toks[i:i+2], ' ')
+                        for i in range(1, greatest(len(toks) - 1, 1))])) AS sh
+              FROM t
+            ), sizes AS (
+              SELECT id, count(*) AS sz FROM sh GROUP BY id
+            ), shared AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+              GROUP BY 1, 2
+            ), scored AS (
+              SELECT id_a, id_b,
+                     round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6) AS jaccard
+              FROM shared
+              JOIN sizes sa ON sa.id = id_a
+              JOIN sizes sb ON sb.id = id_b
+            )
+            SELECT * FROM scored WHERE jaccard >= 0.5
+        """,
+        # ground-truth near-dup pair count + literal recall flag: Spark
+        # must reproduce the exact truth count AND its simhash candidate
+        # path must recover >= 90% of the truth set (simhash Hamming for
+        # true dups reaches 12 here, so a pair-level oracle would be
+        # unsatisfiable by any honest Hamming cutoff)
+        "q_simhash_pairs": r"""
+            WITH t AS (
+              SELECT doc_id AS id,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ), sh AS (
+              SELECT id, unnest(list_distinct(
+                       [array_to_string(toks[i:i+2], ' ')
+                        for i in range(1, greatest(len(toks) - 1, 1))])) AS sh
+              FROM t
+            ), sizes AS (
+              SELECT id, count(*) AS sz FROM sh GROUP BY id
+            ), shared AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+              GROUP BY 1, 2
+            ), scored AS (
+              SELECT id_a, id_b,
+                     CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS j
+              FROM shared
+              JOIN sizes sa ON sa.id = id_a
+              JOIN sizes sb ON sb.id = id_b
+            )
+            SELECT count(*) AS n_true_pairs, CAST(1 AS INT) AS recall_ok
+            FROM scored WHERE j >= 0.5
+        """,
+        # docs with a verified (exact 3-shingle j >= 0.5) near-duplicate;
+        # anchor-invariant because dup groups are Jaccard-cliques here
+        "q_stream_minhash": r"""
+            WITH t AS (
+              SELECT doc_id AS id,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ), sh AS (
+              SELECT id, unnest(list_distinct(
+                       [array_to_string(toks[i:i+2], ' ')
+                        for i in range(1, greatest(len(toks) - 1, 1))])) AS sh
+              FROM t
+            ), sizes AS (
+              SELECT id, count(*) AS sz FROM sh GROUP BY id
+            ), shared AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+              GROUP BY 1, 2
+            ), scored AS (
+              SELECT id_a, id_b,
+                     CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS j
+              FROM shared
+              JOIN sizes sa ON sa.id = id_a
+              JOIN sizes sb ON sb.id = id_b
+            )
+            SELECT DISTINCT id AS doc_id FROM (
+              SELECT id_a AS id FROM scored WHERE j >= 0.5
+              UNION ALL
+              SELECT id_b AS id FROM scored WHERE j >= 0.5
+            )
+        """,
+        # deterministic demo media (make_demo_media): byte j of media i
+        # is (i*7+j) % 256, content null when i%5=4, decode stub covers
+        # image/audio only — the whole feature table is analytic
+        "q_multimodal_features": """
+            WITH ids AS (SELECT unnest(range(64)) AS i)
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                   CASE WHEN i % 5 = 4 THEN NULL ELSE CAST(16 AS BIGINT) END AS n_bytes,
+                   CAST(CASE WHEN i % 5 <> 4 AND i % 3 <> 2 THEN 1 ELSE 0 END AS INT) AS decode_ok,
+                   CASE WHEN i % 5 = 4 OR i % 3 = 2 THEN NULL ELSE CAST((i * 7 + 0) % 256 AS INT) END AS b0,
+                   CASE WHEN i % 5 = 4 OR i % 3 = 2 THEN NULL ELSE CAST((i * 7 + 1) % 256 AS INT) END AS b1,
+                   CASE WHEN i % 5 = 4 OR i % 3 = 2 THEN NULL ELSE CAST((i * 7 + 2) % 256 AS INT) END AS b2,
+                   CASE WHEN i % 5 = 4 OR i % 3 = 2 THEN NULL ELSE CAST((i * 7 + 3) % 256 AS INT) END AS b3,
+                   CASE WHEN i % 5 = 4 OR i % 3 = 2 THEN NULL ELSE CAST((i * 7 + 4) % 256 AS INT) END AS b4,
+                   CASE WHEN i % 5 = 4 OR i % 3 = 2 THEN NULL ELSE CAST((i * 7 + 5) % 256 AS INT) END AS b5,
+                   CASE WHEN i % 5 = 4 OR i % 3 = 2 THEN NULL ELSE CAST((i * 7 + 6) % 256 AS INT) END AS b6,
+                   CASE WHEN i % 5 = 4 OR i % 3 = 2 THEN NULL ELSE CAST((i * 7 + 7) % 256 AS INT) END AS b7
+            FROM ids
         """,
         "q_dedup_jaccard": r"""
             WITH toks AS (

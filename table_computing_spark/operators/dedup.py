@@ -56,6 +56,97 @@ def exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Data
     )
 
 
+def shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Word k-gram rows (__id, __sh), one row per shingle occurrence.
+
+    Shingle construction stays in codegen: posexplode the token array,
+    then k-1 lead() calls over (doc, position) assemble each word
+    k-gram — no per-element lambdas (text.shingles' transform/slice
+    path is interpreted and was the hot spot). explode_outer keeps
+    empty docs (null token) so downstream callers can still see them:
+    a row is a complete k-gram iff its last lead exists; trailing rows
+    (and empty docs' single null-token row) carry __sh = null."""
+    from pyspark.sql.window import Window as W
+
+    tok_rows = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode_outer(tokens(F.col(text_col))).alias("__pos", "__tok"),
+    )
+    w = W.partitionBy("__id").orderBy("__pos")
+    parts = [F.col("__tok")] + [F.lead("__tok", i).over(w) for i in range(1, shingle_k)]
+    return tok_rows.select(
+        "__id",
+        F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("__sh"),
+    )
+
+
+def jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    use_tokens: bool = False,
+) -> DataFrame:
+    """EXACT set-Jaccard for an explicit candidate-pair list — the
+    verification stage after any approximate candidate generator
+    (minhash banding, simhash blocking, a streaming bucket join).
+
+    `pairs` carries (id_a, id_b); the unit set is distinct word
+    k-shingles (default) or distinct tokens (`use_tokens=True`, the
+    granularity simhash votes on). Returns (id_a, id_b, jaccard).
+
+    Scale shape: the unit table is semi-join-pruned to ids that appear
+    in some pair, so cost is O(pairs × units-per-doc) equi-join rows —
+    proportional to the candidate set, never to the corpus."""
+    p = pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    if use_tokens:
+        units = df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("__sh"),
+        )
+    else:
+        units = shingle_rows(df, text_col, id_col, shingle_k).where(
+            F.col("__sh").isNotNull()
+        ).distinct()
+    ids = p.select(F.explode(F.array("id_a", "id_b")).alias("__id")).distinct()
+    units = units.join(ids, "__id", "left_semi")
+    sizes = units.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    ua = units.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__u"))
+    ub = units.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__u"))
+    shared = (
+        p.join(ua, "id_a")
+        .join(ub, ["id_b", "__u"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("__sza"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"))
+    return (
+        p.join(shared, ["id_a", "id_b"], "left")
+        .join(sa, "id_a", "left")
+        .join(sb, "id_b", "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.coalesce(F.col("__shared"), F.lit(0))
+                / (
+                    F.coalesce(F.col("__sza"), F.lit(0))
+                    + F.coalesce(F.col("__szb"), F.lit(0))
+                    - F.coalesce(F.col("__shared"), F.lit(0))
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -72,27 +163,7 @@ def minhash_signatures(
     (shorter than k tokens) still get a signature (null mins → hashed
     per-id below, so they never collide with real buckets).
     """
-    # shingle construction stays in codegen: posexplode the token array,
-    # then k-1 lead() calls over (doc, position) assemble each word
-    # k-gram — no per-element lambdas (text.shingles' transform/slice
-    # path is interpreted and was the hot spot). explode_outer keeps
-    # empty docs (null token) so they still receive a sentinel signature.
-    # Minhash is duplicate-insensitive, so no shingle dedup is needed.
-    from pyspark.sql.window import Window as W
-
-    tok_rows = _spread(df).select(
-        F.col(id_col).alias("__id"),
-        F.posexplode_outer(tokens(F.col(text_col))).alias("__pos", "__tok"),
-    )
-    w = W.partitionBy("__id").orderBy("__pos")
-    parts = [F.col("__tok")] + [F.lead("__tok", i).over(w) for i in range(1, shingle_k)]
-    # a row is a complete k-gram iff its last lead exists; trailing rows
-    # (and empty docs' single null-token row) carry __sh = null and fall
-    # through to the per-id sentinel below
-    sh_rows = tok_rows.select(
-        "__id",
-        F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("__sh"),
-    )
+    sh_rows = shingle_rows(df, text_col, id_col, shingle_k)
     # hash the shingle STRING once; the num_hashes family then hashes the
     # resulting 8-byte long — 64 string hashes/row would cost ~2x.
     # CAUTION: xxhash64 SKIPS null arguments (hash of the remaining args),
@@ -117,6 +188,56 @@ def minhash_signatures(
     return sig.withColumns(fixes)
 
 
+def _banded_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Banded-LSH candidate pairs from a wide signature table: explode
+    each doc to (band, bucket=xxhash64(band minhashes)) narrow rows,
+    self equi-join on (band, bucket) carrying ONLY ids, dedup pairs.
+    Shuffle cost is O(docs × bands) + O(candidate pairs), never O(docs²)."""
+    rows_per_band = num_hashes // bands
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Banding-only candidate pairs (id_a, id_b) — no signature-agreement
+    estimate. Feed to jaccard_for_pairs for exact verification; use
+    minhash_lsh when the cheaper est_jaccard screen is enough."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    return _banded_pairs(sig, num_hashes, bands)
+
+
 def minhash_lsh(
     df: DataFrame,
     text_col: str = "text",
@@ -137,7 +258,6 @@ def minhash_lsh(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b. Shuffle cost is
     O(docs × bands) narrow rows + O(candidate pairs); never O(docs²).
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     # the signature table feeds three branches of this plan (banding +
     # both sides of the agreement join) — persist so the shingle
@@ -146,33 +266,7 @@ def minhash_lsh(
     from pyspark import StorageLevel
 
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    banded = sig.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("__id", "bb.band", "bb.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = _banded_pairs(sig, num_hashes, bands)
     sa = sig.select(F.col("__id").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)])
     sb = sig.select(F.col("__id").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)])
     agree = sum(
@@ -219,10 +313,35 @@ def simhash_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
-    chunks (hamming<=3 guarantees at least one of 4 chunks is equal, so
-    the candidate join is an equi-join per chunk, not a cross join)."""
+    chunks with Hamming-1 multi-probing (HmSearch-style): the probe
+    side emits each chunk value plus its 16 single-bit flips, the build
+    side emits the exact value, and candidates meet in a (chunk, value)
+    equi-join — never a cross join.
+
+    Recall guarantee by pigeonhole: a pair at Hamming distance h has
+    some chunk with <= floor(h/4) differing bits, so exact-chunk
+    blocking alone covers h <= 3, 1-bit probes cover h <= 7, and 2-bit
+    probes cover h <= 11 — without shrinking buckets below 16 bits
+    (8-bit chunks would also raise the bound but collapse to 256
+    buckets, quadratic candidate blowup on a large corpus).
+
+    Cost: 4 x n_probes rows on the probe side (17 at radius 1, 137 at
+    radius 2) + 4 build rows per doc, 2^16 buckets per chunk — shuffle
+    stays O(docs), candidates O(bucket collisions)."""
+    if max_hamming > 11:
+        raise ValueError("multi-probe 16-bit blocking guarantees recall only to hamming 11")
+    radius = 0 if max_hamming <= 3 else (1 if max_hamming <= 7 else 2)
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << j for j in range(16)]
+    if radius >= 2:
+        masks += [(1 << j) | (1 << k) for j in range(16) for k in range(j + 1, 16)]
     fps = simhash(df, text_col, id_col).withColumnRenamed(id_col, "__id")
-    chunks = fps.select(
+
+    def chunk_val(i: int) -> F.Column:
+        return F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+
+    probes = fps.select(
         "__id",
         "simhash",
         F.explode(
@@ -230,27 +349,38 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("val"),
+                        (chunk_val(i) if m == 0 else chunk_val(i).bitwiseXOR(F.lit(m))).alias("val"),
                     )
+                    for i in range(4)
+                    for m in masks
+                ]
+            )
+        ).alias("c"),
+    ).select("__id", "simhash", "c.chunk", "c.val")
+    build = fps.select(
+        "__id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("chunk"), chunk_val(i).alias("val"))
                     for i in range(4)
                 ]
             )
         ).alias("c"),
     ).select("__id", "simhash", "c.chunk", "c.val")
-    a, b = chunks.alias("a"), chunks.alias("b")
+    a, b = probes.alias("a"), build.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            & (F.col("a.__id") != F.col("b.__id")),
         )
         .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
+            F.least(F.col("a.__id"), F.col("b.__id")).alias("id_a"),
+            F.greatest(F.col("a.__id"), F.col("b.__id")).alias("id_b"),
             ham.alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
@@ -294,8 +424,35 @@ def ngram_jaccard_pairs(
         toks = toks.join(dfreq.filter(F.col("df") <= max_token_df), "th").select(
             "__id", "th"
         )
-    sizes = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
-    wt = toks.join(sizes, "__id")
+    return _jaccard_pairs_from_units(toks, threshold)
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT word-k-shingle Jaccard pairs via the same inverted-index
+    join — the all-pairs ground truth that approximate candidate
+    generators (minhash banding, simhash blocking) are measured
+    against. Shingle inverted lists are far shorter than token lists
+    (3-grams are nearly unique), so the O(sum df²) join stays small
+    even on a shared-vocabulary corpus."""
+    units = (
+        shingle_rows(df, text_col, id_col, shingle_k)
+        .where(F.col("__sh").isNotNull())
+        .distinct()
+        .select("__id", F.xxhash64("__sh").alias("th"))
+    )
+    return _jaccard_pairs_from_units(units, threshold)
+
+
+def _jaccard_pairs_from_units(units: DataFrame, threshold: float) -> DataFrame:
+    """Inverted-index exact-Jaccard core over (__id, th) unit rows."""
+    sizes = units.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+    wt = units.join(sizes, "__id")
     a, b = wt.alias("a"), wt.alias("b")
     shared = (
         a.join(

@@ -220,3 +220,82 @@ def stream_session_apply(
     return sdf.groupBy(*partition_by).applyInPandasWithState(
         fn, output_schema, state_schema, "append", "EventTimeTimeout"
     )
+
+
+def stream_session_wallclock(
+    sdf: DataFrame,
+    partition_by: Sequence[str],
+    time_col: str,
+    gap_ms: int,
+    transform: SessionTransform,
+    output_schema: T.StructType,
+    idle_flush_ms: int | None = None,
+) -> DataFrame:
+    """Gap-based raw-row sessions with the reference's NO-DATA WALL-CLOCK
+    advance (ref window/TimeWindow.java:110, SlideWindow.java:304-324:
+    `now − lastDataSystemTime + lastDataTime` extrapolation fires windows
+    during input silence; SURVEY §7.2 M4).
+
+    stream_session_apply's event-time timeout only fires when a NEW row
+    advances the watermark — a stream that goes quiet never flushes its
+    open sessions. Here the timeout clock is PROCESSING time
+    (ProcessingTimeTimeout + setTimeoutDuration): a key silent for
+    `idle_flush_ms` of wall clock (default: gap_ms) fires its buffered
+    session even though no data arrived. In-band gap splitting is
+    identical to stream_session_apply; session bounds are
+    [firstTime, lastTime + 1) like the reference.
+
+    Wall-clock firing is inherently run-dependent, so this operator is
+    for liveness (dashboards/alerting), excluded from the value-hash
+    correctness oracle by design (SURVEY §4.3) — pytest pins the
+    behavior instead (a session MUST fire with no new data).
+
+    `time_col` may be epoch-ms BIGINT or TimestampType; no watermark is
+    required (nothing here depends on event-time progress)."""
+    idle = gap_ms if idle_flush_ms is None else idle_flush_ms
+    state_schema = T.StructType([T.StructField("buf", T.StringType())])
+    tcol = time_col
+
+    def _ms(series: "pd.Series") -> "pd.Series":
+        if str(series.dtype).startswith("datetime64"):
+            return series.astype("int64") // 1_000_000
+        return series.astype("int64")
+
+    def fn(key, pdfs, state):
+        import pandas as pd  # noqa: F811 — worker-side import
+
+        buf = pd.read_json(state.get[0], orient="table") if state.exists else None
+
+        if state.hasTimedOut:
+            # wall clock went silent past the idle horizon → flush the
+            # open session with no new data (the M4 behavior)
+            if buf is not None and len(buf):
+                t_ms = _ms(buf[tcol]).tolist()
+                out = transform(key, buf, int(t_ms[0]), int(t_ms[-1]) + 1)
+                state.remove()
+                if out is not None and len(out):
+                    yield out
+            else:
+                state.remove()
+            return
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(tcol, kind="mergesort").reset_index(drop=True)
+        history = batch if buf is None else pd.concat([buf, batch], ignore_index=True)
+        t_ms = _ms(history[tcol]).to_numpy()
+
+        start = 0
+        for i in range(1, len(history)):
+            if t_ms[i] - t_ms[i - 1] >= gap_ms:
+                rows = history.iloc[start:i]
+                out = transform(key, rows, int(t_ms[start]), int(t_ms[i - 1]) + 1)
+                if out is not None and len(out):
+                    yield out
+                start = i
+        open_rows = history.iloc[start:].reset_index(drop=True)
+        state.update((open_rows.to_json(orient="table"),))
+        state.setTimeoutDuration(idle)
+
+    return sdf.groupBy(*partition_by).applyInPandasWithState(
+        fn, output_schema, state_schema, "append", "ProcessingTimeTimeout"
+    )

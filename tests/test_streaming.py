@@ -256,6 +256,69 @@ class TestStreamSessionApply:
         ]
         # user 1's trailing session (t=60s) is still open → not emitted
 
+    def test_wallclock_no_data_advance(self, spark, tmp_path_factory):
+        """M4 (SURVEY §7.2): the reference fires windows during input
+        SILENCE via wall-clock extrapolation (window/TimeWindow.java:110,
+        SlideWindow.java:304-324). stream_session_wallclock must flush a
+        key's open session via ProcessingTimeTimeout after idle_flush_ms
+        of wall clock with NO new data — event time (and any watermark)
+        never moves past the session end here, so only the
+        processing-time timer can fire it."""
+        d = tmp_path_factory.mktemp("wallclock_src")
+        with open(d / "batch_0.json", "w") as f:
+            for event_id, user_id, event_type, value, t_ms in [
+                (1, 1, "click", 5.0, 1_000),
+                (2, 1, "view", 7.0, 3_000),
+            ]:
+                f.write(json.dumps({
+                    "event_id": event_id, "user_id": user_id,
+                    "event_type": event_type, "value": value, "t_ms": t_ms,
+                }) + "\n")
+
+        def transform(key, rows, start_ms, end_ms):
+            import pandas as pd
+            return pd.DataFrame({
+                "user_id": [key[0]],
+                "session_start": [start_ms],
+                "session_end": [end_ms],
+                "n": [len(rows)],
+                "total": [float(rows["value"].sum())],
+            })
+
+        from table_computing_spark.streaming.stateful import stream_session_wallclock
+
+        out = stream_session_wallclock(
+            _read_stream(spark, str(d)), ["user_id"], "t_ms", gap_ms=10_000,
+            transform=transform,
+            output_schema=T.StructType([
+                T.StructField("user_id", T.LongType()),
+                T.StructField("session_start", T.LongType()),
+                T.StructField("session_end", T.LongType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("total", T.DoubleType()),
+            ]),
+            idle_flush_ms=2_000,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_wallclock")
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            rows = []
+            while time.time() < deadline and not rows:
+                time.sleep(1.0)
+                assert q.exception() is None
+                rows = spark.table("t_wallclock").collect()
+            # fired with no new data: [firstTime, lastTime+1) like the
+            # reference (SessionWindowTest.java bound convention)
+            assert [tuple(r) for r in rows] == [(1, 1_000, 3_001, 2, 12.0)]
+        finally:
+            q.stop()
+
 
 class TestDimensionTable:
     def test_refresh_and_join(self, spark):
