@@ -1,0 +1,79 @@
+"""JDBC source/sink integration against EMBEDDED Derby (bundled with
+Spark — no network database in this container).
+
+This closes the loop the golden-DDL unit tests can't: a real
+`df.write.jdbc` batched insert (ref sp/output/MysqlOutputTable.java:
+224-260) followed by a real partitioned `spark.read.jdbc` range scan
+(ref sp/input/MysqlStreamTable.java:21-113), value-compared end to end.
+Derby speaks the same JDBC contract the reference's MySQL connectors
+target; only the URL/driver differ in production.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from table_computing_spark.sources.jdbc import jdbc_scan, jdbc_write
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby_url():
+    # in-memory, per-JVM — executors share the driver JVM in local mode
+    return "jdbc:derby:memory:tc_jdbc_smoke;create=true"
+
+
+def test_write_then_partitioned_scan_roundtrip(spark, derby_url):
+    src = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") % 7).cast("string").alias("s"),
+    )
+    jdbc_write(
+        src, derby_url, "t_round", user="app", password="app",
+        mode="overwrite", batch_size=100, driver=DERBY_DRIVER,
+    )
+    got = jdbc_scan(
+        spark, derby_url, "t_round", user="app", password="app",
+        num_partitions=4, partition_column="id",
+        lower_bound=0, upper_bound=1000, driver=DERBY_DRIVER,
+    )
+    # the ranged scan runs one query per partition, like the reference's
+    # paged workers
+    assert got.df.rdd.getNumPartitions() == 4
+    assert got.df.count() == 1000
+    back = {r["id"]: (r["v"], r["s"]) for r in got.df.collect()}
+    assert back[13] == (26, "6")
+    assert back[999] == (1998, str(999 % 7))
+
+
+def test_append_accumulates_batches(spark, derby_url):
+    """Micro-batch-style repeated appends (the streaming-sink shape:
+    MysqlOutputTable receives one insert batch per window firing)."""
+    batch = spark.range(0, 50).select(F.col("id"), F.lit("b").alias("tag"))
+    jdbc_write(batch, derby_url, "t_appends", user="app", password="app",
+               mode="overwrite", driver=DERBY_DRIVER)
+    jdbc_write(batch.withColumn("id", F.col("id") + 50), derby_url, "t_appends",
+               user="app", password="app", mode="append", driver=DERBY_DRIVER)
+    got = jdbc_scan(spark, derby_url, "t_appends", user="app", password="app",
+                    driver=DERBY_DRIVER)
+    assert got.df.count() == 100
+    assert got.df.agg(F.min("id"), F.max("id")).collect()[0][0:2] == (0, 99)
+
+
+def test_subquery_pushdown_scan(spark, derby_url):
+    """`dbtable` as a subquery — the predicate runs IN the database
+    (the reference pages `sql limit ...` the same way)."""
+    src = spark.range(0, 200).select(F.col("id"), (F.col("id") % 10).alias("m"))
+    jdbc_write(src, derby_url, "t_sub", user="app", password="app",
+               mode="overwrite", driver=DERBY_DRIVER)
+    # Spark writes quoted (case-preserved) column names; Derby folds
+    # unquoted identifiers to uppercase — quote them in raw SQL
+    got = jdbc_scan(
+        spark, derby_url, '(SELECT "id", "m" FROM t_sub WHERE "m" = 3) q',
+        user="app", password="app", driver=DERBY_DRIVER,
+    )
+    ids = sorted(r["id"] for r in got.df.collect())
+    assert ids == list(range(3, 200, 10))
