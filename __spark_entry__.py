@@ -195,30 +195,40 @@ def q_approx_distinct(spark, sf_dir):
     plus a flag that Spark's rsd=0.02 estimate landed within ±5% of
     exact — deterministic for fixed data, so it hash-matches the
     oracle's literal 1s whenever the sketch meets its own bound."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").df
     tol = 0.05
+    # exact distincts via two-level aggregation (distinct-pairs shuffle →
+    # count), NOT countDistinct alongside the sketches: multiple distinct
+    # aggregates in one agg plan through an EXPAND that doubles the scan
+    # rows (measured 5x slower at sf0.1)
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+    exact_o = (
+        li.select("l_returnflag", "l_orderkey").distinct()
+        .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    exact_p = (
+        li.select("l_returnflag", "l_partkey").distinct()
+        .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
     return (
-        li.group_by(
-            ["l_returnflag"],
-            approx_orders=F.approx_count_distinct("l_orderkey", rsd=0.02),
-            approx_parts=F.approx_count_distinct("l_partkey", rsd=0.02),
-            exact_orders=F.countDistinct("l_orderkey"),
-            exact_parts=F.countDistinct("l_partkey"),
-        )
+        approx.join(exact_o, "l_returnflag")
+        .join(exact_p, "l_returnflag")
         .select(
             "l_returnflag",
             "exact_orders",
             "exact_parts",
-            orders_ok=(
+            (
                 F.abs(F.col("approx_orders") - F.col("exact_orders"))
                 <= F.lit(tol) * F.col("exact_orders")
-            ).cast("int"),
-            parts_ok=(
+            ).cast("int").alias("orders_ok"),
+            (
                 F.abs(F.col("approx_parts") - F.col("exact_parts"))
                 <= F.lit(tol) * F.col("exact_parts")
-            ).cast("int"),
+            ).cast("int").alias("parts_ok"),
         )
-        .df
     )
 
 
@@ -1811,16 +1821,15 @@ def q_simhash_pairs(spark, sf_dir):
     from table_computing_spark.operators import dedup
 
     docs = _t(spark, sf_dir, "documents").df
-    cand = dedup.simhash_pairs(docs, max_hamming=7).select("id_a", "id_b")
-    found = (
-        dedup.jaccard_for_pairs(docs, cand)
-        .filter(F.col("jaccard") >= 0.5)
-        .select("id_a", "id_b")
-        .withColumn("__hit", F.lit(1))
+    cand = dedup.simhash_pairs(docs, max_hamming=7).select(
+        "id_a", "id_b", F.lit(1).alias("__hit")
     )
+    # the truth set already carries each pair's exact jaccard, so
+    # "candidates verified >= 0.5" is just truth ∩ candidates — no
+    # second jaccard computation
     truth = dedup.shingle_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
     return (
-        truth.join(found, ["id_a", "id_b"], "left")
+        truth.join(cand, ["id_a", "id_b"], "left")
         .agg(
             F.count(F.lit(1)).alias("n_true_pairs"),
             F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__n_found"),

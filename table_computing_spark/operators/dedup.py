@@ -104,18 +104,33 @@ def jaccard_for_pairs(
     Scale shape: the unit table is semi-join-pruned to ids that appear
     in some pair, so cost is O(pairs × units-per-doc) equi-join rows —
     proportional to the candidate set, never to the corpus."""
-    p = pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    from pyspark import StorageLevel
+
+    # the pair list feeds three branches of this plan (id pruning, the
+    # shared-unit join, the final assembly) — persist so the candidate
+    # GENERATOR (an LSH banding join upstream) runs once, not three
+    # times. Candidates are bounded by the generator's blocking, so the
+    # footprint is O(near-dups), never O(corpus²).
+    p = (
+        pairs.select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # prune the CORPUS to docs that appear in some pair BEFORE
+    # shingling: the semi-join must sit below the explode + window
+    # (Catalyst won't push a semi-join through them), else verification
+    # re-shingles the whole corpus instead of just the candidates
+    ids = p.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    pruned = df.join(ids, id_col, "left_semi")
     if use_tokens:
-        units = df.select(
+        units = pruned.select(
             F.col(id_col).alias("__id"),
             F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("__sh"),
         )
     else:
-        units = shingle_rows(df, text_col, id_col, shingle_k).where(
+        units = shingle_rows(pruned, text_col, id_col, shingle_k).where(
             F.col("__sh").isNotNull()
         ).distinct()
-    ids = p.select(F.explode(F.array("id_a", "id_b")).alias("__id")).distinct()
-    units = units.join(ids, "__id", "left_semi")
     sizes = units.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     ua = units.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__u"))
     ub = units.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__u"))
