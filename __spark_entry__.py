@@ -415,7 +415,15 @@ def q_asof_join(spark, sf_dir):
 def q_range_join(spark, sf_dir):
     """Range (point-in-interval) join without a cross join
     (operators/temporal.range_join — bucketed candidates + residual
-    filter): lineitems shipped inside a big order's 7-day window."""
+    filter): lineitems shipped inside a big order's 7-day window.
+
+    Scale shape: ship dates are day-aligned, so the 6M-point side
+    compresses to ~2.5k DISTINCT values before the range join (count
+    per value, multiply after) — candidate rows drop from
+    O(points × overlapping intervals) to O(distinct values × ...),
+    ~2300× here. Low-cardinality point compression is the standard
+    pre-step for aggregate range joins; the generic per-row operator
+    remains for high-cardinality point columns."""
     from table_computing_spark.operators.temporal import range_join
 
     o = _t(spark, sf_dir, "orders").df
@@ -424,15 +432,18 @@ def q_range_join(spark, sf_dir):
         tcf.epoch_ms("o_orderdate").alias("w_start"),
         (tcf.epoch_ms("o_orderdate") + F.lit(7 * 86_400_000)).alias("w_end"),
     )
-    points = _t(spark, sf_dir, "lineitem").df.select(
-        tcf.epoch_ms("l_shipdate").alias("ship_ms")
+    points = (
+        _t(spark, sf_dir, "lineitem").df
+        .select(tcf.epoch_ms("l_shipdate").alias("ship_ms"))
+        .groupBy("ship_ms")
+        .agg(F.count(F.lit(1)).alias("__n"))
     )
     joined = range_join(
         points, intervals, "ship_ms", "w_start", "w_end",
         bucket_width=7 * 86_400_000.0,
     )
     return joined.groupBy("o_orderkey", "w_start").agg(
-        F.count(F.lit(1)).alias("n_shipped")
+        F.sum("__n").alias("n_shipped")
     )
 
 
@@ -1114,9 +1125,10 @@ def q_stream_minhash(spark, sf_dir):
     )
     docs = _t(spark, sf_dir, "documents").df
     verified = bdedup.jaccard_for_pairs(docs, pairs).filter(F.col("jaccard") >= 0.5)
+    # explode, not union-of-two-selects: a union would plan the whole
+    # verification subtree twice
     return (
-        verified.select(F.col("id_a").alias("doc_id"))
-        .union(verified.select(F.col("id_b").alias("doc_id")))
+        verified.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
         .distinct()
     )
 
