@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -40,6 +42,16 @@ def main() -> None:
     warm.join(warm.selectExpr("r_regionkey as k"), warm.r_regionkey == F.col("k")).groupBy(
         "r_name"
     ).count().write.mode("overwrite").format("noop").save()
+    # fork the Python/Arrow worker pool too: the first pandas-UDF query
+    # otherwise pays ~1.5 s of daemon startup inside its timing window
+    # (visible when the query rotation puts a UDF query first)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm_udf(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).select(_warm_udf("id")).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
