@@ -299,3 +299,106 @@ def stream_session_wallclock(
     return sdf.groupBy(*partition_by).applyInPandasWithState(
         fn, output_schema, state_schema, "append", "ProcessingTimeTimeout"
     )
+
+
+def stream_session_tws(
+    sdf: DataFrame,
+    partition_by: Sequence[str],
+    time_col: str,
+    gap_ms: int,
+    transform: SessionTransform,
+    output_schema: T.StructType,
+    idle_flush_ms: int | None = None,
+) -> DataFrame:
+    """stream_session_wallclock on Spark 4's transformWithState API —
+    the engine-native form of the reference's wall-clock no-data window
+    advance (SURVEY §7.2 M4 names exactly this tool): per-key ValueState
+    holds the open session buffer and an explicit REGISTERED TIMER fires
+    `handleExpiredTimer` after `idle_flush_ms` of processing-time
+    silence, flushing the session with no new input.
+
+    vs the applyInPandasWithState variant: timers are first-class (one
+    per key, re-registered on every batch; stale firings are filtered by
+    the deadline kept in state), state is typed instead of a
+    single-string convention, and the state store must be RocksDB
+    (transformWithState's backend requirement — set
+    spark.sql.streaming.stateStore.providerClass accordingly).
+
+    Session semantics are identical: in-band splits at gaps >= gap_ms,
+    bounds [firstTime, lastTime + 1), `time_col` epoch-ms BIGINT or
+    TimestampType.
+
+    CONTAINER LIMITATION: transformWithState's Python runner imports
+    protobuf, which this build environment lacks (and installs are
+    prohibited), so the accompanying pytest skips unless protobuf is
+    importable — stream_session_wallclock (applyInPandasWithState) is
+    the execution-verified variant here; this one is the
+    API-of-record for deployments with a full PySpark dependency set."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    idle = gap_ms if idle_flush_ms is None else idle_flush_ms
+    tcol = time_col
+    state_schema = T.StructType(
+        [T.StructField("buf", T.StringType()), T.StructField("deadline", T.LongType())]
+    )
+
+    def _ms(series: "pd.Series") -> "pd.Series":
+        if str(series.dtype).startswith("datetime64"):
+            return series.astype("int64") // 1_000_000
+        return series.astype("int64")
+
+    class _SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState("session", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd  # noqa: F811 — worker-side import
+
+            existing = self._state.get() if self._state.exists() else None
+            buf = pd.read_json(existing[0], orient="table") if existing else None
+            batch = pd.concat(list(rows), ignore_index=True)
+            batch = batch.sort_values(tcol, kind="mergesort").reset_index(drop=True)
+            history = batch if buf is None else pd.concat([buf, batch], ignore_index=True)
+            t_ms = _ms(history[tcol]).to_numpy()
+
+            start = 0
+            for i in range(1, len(history)):
+                if t_ms[i] - t_ms[i - 1] >= gap_ms:
+                    out = transform(key, history.iloc[start:i], int(t_ms[start]), int(t_ms[i - 1]) + 1)
+                    if out is not None and len(out):
+                        yield out
+                    start = i
+            open_rows = history.iloc[start:].reset_index(drop=True)
+            deadline = timer_values.getCurrentProcessingTimeInMs() + idle
+            self._state.update((open_rows.to_json(orient="table"), deadline))
+            # one live timer per key: re-arm on every batch; firings of
+            # superseded timers are ignored against the stored deadline
+            self._handle.registerTimer(deadline)
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            import pandas as pd  # noqa: F811 — worker-side import
+
+            self._handle.deleteTimer(expired_timer_info.getExpiryTimeInMs())
+            if not self._state.exists():
+                return
+            buf_json, deadline = self._state.get()
+            if expired_timer_info.getExpiryTimeInMs() < deadline:
+                return  # superseded by a newer batch's re-arm
+            buf = pd.read_json(buf_json, orient="table")
+            self._state.clear()
+            if len(buf):
+                t_ms = _ms(buf[tcol]).tolist()
+                out = transform(key, buf, int(t_ms[0]), int(t_ms[-1]) + 1)
+                if out is not None and len(out):
+                    yield out
+
+        def close(self) -> None:
+            pass
+
+    return sdf.groupBy(*partition_by).transformWithStateInPandas(
+        _SessionProcessor(),
+        outputStructType=output_schema,
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )

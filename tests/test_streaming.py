@@ -319,6 +319,85 @@ class TestStreamSessionApply:
         finally:
             q.stop()
 
+    @pytest.mark.skipif(
+        __import__("importlib").util.find_spec("google") is None,
+        reason="transformWithState's Python runner needs protobuf, absent in this container",
+    )
+    def test_wallclock_no_data_advance_tws(self, spark, tmp_path_factory):
+        """Same M4 behavior on Spark 4's transformWithState API: a
+        registered processing-time TIMER (not a timeout conf) fires
+        handleExpiredTimer during input silence and flushes the open
+        session. Also covers in-band splitting: the first batch carries
+        a gap, so one session emits immediately and the trailing one
+        emits only via the timer. transformWithState requires the
+        RocksDB state store."""
+        d = tmp_path_factory.mktemp("tws_src")
+        with open(d / "batch_0.json", "w") as f:
+            for event_id, user_id, event_type, value, t_ms in [
+                (1, 1, "click", 5.0, 1_000),
+                (2, 1, "view", 7.0, 3_000),
+                (3, 1, "click", 9.0, 60_000),  # >= gap after 3_000 → split
+            ]:
+                f.write(json.dumps({
+                    "event_id": event_id, "user_id": user_id,
+                    "event_type": event_type, "value": value, "t_ms": t_ms,
+                }) + "\n")
+
+        def transform(key, rows, start_ms, end_ms):
+            import pandas as pd
+            return pd.DataFrame({
+                "user_id": [key[0]],
+                "session_start": [start_ms],
+                "session_end": [end_ms],
+                "n": [len(rows)],
+                "total": [float(rows["value"].sum())],
+            })
+
+        from table_computing_spark.streaming.stateful import stream_session_tws
+
+        out = stream_session_tws(
+            _read_stream(spark, str(d)), ["user_id"], "t_ms", gap_ms=10_000,
+            transform=transform,
+            output_schema=T.StructType([
+                T.StructField("user_id", T.LongType()),
+                T.StructField("session_start", T.LongType()),
+                T.StructField("session_end", T.LongType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("total", T.DoubleType()),
+            ]),
+            idle_flush_ms=2_000,
+        )
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_tws_wallclock")
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            rows = []
+            while time.time() < deadline and len(rows) < 2:
+                time.sleep(1.0)
+                assert q.exception() is None
+                rows = spark.table("t_tws_wallclock").collect()
+            got = sorted([tuple(r) for r in rows])
+            assert got == [
+                (1, 1_000, 3_001, 2, 12.0),    # closed in-band by t=60s
+                (1, 60_000, 60_001, 1, 9.0),   # flushed by the timer
+            ]
+        finally:
+            q.stop()
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
 
 class TestDimensionTable:
     def test_refresh_and_join(self, spark):
