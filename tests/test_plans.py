@@ -100,6 +100,33 @@ def test_filter_scan_pushes_all_predicates(plans):
     assert m and "GreaterThan(l_quantity" in m.group(1), scan
 
 
+def test_approx_distinct_avoids_expand(plans):
+    """Exact distincts must plan via two-level aggregation, not the
+    EXPAND a multi-countDistinct agg produces (doubles the 100 TB scan
+    rows; measured 5× slower at sf0.1). Expand is fine where grouping
+    sets genuinely need it (q_rollup / q_grouping_sets)."""
+    assert "Expand" not in plans["q_approx_distinct"], plans["q_approx_distinct"]
+
+
+def test_range_join_compresses_points_before_join(plans):
+    """The point side must aggregate to distinct values BELOW the
+    bucket join — candidate volume scales with distinct values, not
+    rows (PLANS.md round-4 note). Seen as: at least one HashAggregate
+    on the lineitem branch before any join node."""
+    p = plans["q_range_join"]
+    join = re.search(r"\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p)
+    agg = re.search(r"\(\d+\) HashAggregate", p)
+    assert join and agg, p
+    # formatted plans list operators bottom-up by id: the compress agg
+    # must carry a smaller id than every join
+    first_join_id = min(
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p)
+    )
+    agg_ids = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", p)]
+    assert any(a < first_join_id for a in agg_ids), p
+
+
 def test_dimension_joins_broadcast(plans):
     # Q5 shape: supplier/nation/region must come in as broadcast joins,
     # never shuffled sort-merge, at any SF where they fit the threshold.
