@@ -354,3 +354,17 @@ def test_pack_sequences_invariants(spark):
         for r in pack_sequences(df.repartition(7), budget=512, shards=2).collect()
     }
     assert a == b
+
+
+def test_prefix_filtered_jaccard_equals_plain(spark):
+    """PPJoin-style prefix filtering is an exact optimization: same pair
+    set as the plain inverted-index join at any threshold (the prefix
+    bound only discards pairs that cannot reach t)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for t in (0.8, 0.5):
+        base = dedup.ngram_jaccard_pairs(docs, threshold=t).select("id_a", "id_b")
+        pf = dedup.ngram_jaccard_pairs(docs, threshold=t, prefix_filter=True).select(
+            "id_a", "id_b"
+        )
+        assert base.exceptAll(pf).count() == 0
+        assert pf.exceptAll(base).count() == 0
