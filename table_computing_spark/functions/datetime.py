@@ -20,8 +20,11 @@ def parse_date(c: ColumnLike, pattern: str = DEFAULT_PATTERN) -> Column:
     return F.unix_millis(F.to_timestamp(_col(c), pattern))
 
 
-def parse_date_with_zone(c: ColumnLike, pattern: str = DEFAULT_PATTERN + " XXX") -> Column:
-    """string with zone offset → epoch-ms (ref DateUtil.parseDateWithZone)."""
+def parse_date_with_zone(c: ColumnLike, pattern: str = DEFAULT_PATTERN + " z") -> Column:
+    """string with zone NAME → epoch-ms (ref DateUtil.parseDateWithZone —
+    SimpleDateFormat pattern 'yyyy-MM-dd HH:mm:ss z', e.g. '... EDT';
+    DateUtilTest.java pins 2021-08-19 23:10:20 EDT == 1629429020000).
+    Pass an 'XXX' pattern for numeric offsets instead."""
     return F.unix_millis(F.to_timestamp(_col(c), pattern))
 
 

@@ -189,3 +189,17 @@ def test_trailing_count_eviction(spark):
     # window [ts-2, ts]: ts=2 → {0,1,2}=3; ts=5 → {3,5}=2; ts=8 → {6,8,8,8}=4
     assert (2, 3) in got and (5, 2) in got
     assert got.count((8, 4)) == 3
+
+
+def test_parse_date_with_zone_golden(spark):
+    """DateUtilTest.java — parseDateWithZone('2021-08-19 23:10:20 EDT')
+    == 1629429020000 (SimpleDateFormat 'yyyy-MM-dd HH:mm:ss z').
+    Round 4 fix: our default pattern was 'XXX' (numeric offsets only)
+    and could not parse the reference's own golden input."""
+    from table_computing_spark.functions.datetime import parse_date, parse_date_with_zone
+
+    df = spark.createDataFrame([("2021-08-19 23:10:20 EDT",)], "s string")
+    assert df.select(parse_date_with_zone("s").alias("v")).collect()[0]["v"] == 1629429020000
+    # parseDate golden shape: naive timestamps parse in the session TZ (UTC)
+    df2 = spark.createDataFrame([("2021-08-19 23:10:20",)], "s string")
+    assert df2.select(parse_date("s").alias("v")).collect()[0]["v"] == 1629414620000
