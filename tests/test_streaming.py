@@ -546,6 +546,34 @@ class TestKafkaExpressions:
             ("b", 2, 20, 2.5, 1_700_000_002_000),
         ]
 
+    def test_value_roundtrip_extremes(self, spark):
+        """KafkaStreamTableTest.java's exact payloads: Long.MAX/MIN_VALUE,
+        Double.MAX/MIN_VALUE, and a null varchar must survive the JSON
+        round trip bit-for-bit (extreme doubles are where naive JSON
+        formatting loses precision)."""
+        from table_computing_spark.schema import Type
+
+        schema = {
+            "s": Type.VARCHAR, "i": Type.INT, "l": Type.BIGINT, "d": Type.DOUBLE,
+        }
+        long_max, long_min = 2**63 - 1, -(2**63)
+        dbl_max, dbl_min = 1.7976931348623157e308, 5e-324
+        df = spark.createDataFrame(
+            [
+                ("c1v1", 1, long_max, dbl_max, 1_700_000_001_000),
+                (None, 2, long_min, dbl_min, 1_700_000_002_000),
+            ],
+            "s string, i int, l bigint, d double, __time__ bigint",
+        )
+        back = k.to_kafka_records(df).select(
+            k.parse_kafka_value(F.col("value"), F.col("key"), schema).alias("r")
+        ).select("r.*")
+        rows = sorted([tuple(r) for r in back.collect()], key=lambda t: t[1])
+        assert rows == [
+            ("c1v1", 1, long_max, dbl_max, 1_700_000_001_000),
+            (None, 2, long_min, dbl_min, 1_700_000_002_000),
+        ]
+
 
 class TestJdbcDdl:
     def test_create_table_ddl_golden(self, spark):
