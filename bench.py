@@ -52,6 +52,13 @@ def main() -> None:
         return s
 
     spark.range(1000).select(_warm_udf("id")).write.mode("overwrite").format("noop").save()
+    # touch every table once so no single query carries the whole cold
+    # page-cache cost of its table (timings then measure compute, and
+    # query order/rotation stops skewing round-over-round comparisons)
+    from table_computing_spark.sources.parquet import TABLES, load_df
+
+    for t in TABLES:
+        load_df(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
