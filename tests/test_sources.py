@@ -1,0 +1,58 @@
+"""Loader robustness: the testdata generator has shipped events.ts as
+int64 epoch-NANOSECONDS (readable only under nanosAsLong) in some
+rounds and as native parquet timestamp[us] in others. load_df must
+normalize BOTH physical layouts to the same TimestampType instants —
+the round-3 incident was exactly this assumption going stale.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from table_computing_spark.sources.parquet import load_df
+
+ROWS = [
+    (1, 1_600_000_000_123_456, 10, "click", 1.5),
+    (2, 1_600_000_060_654_321, 11, "view", 2.5),
+]
+
+
+def _write(dir_path, ts_array, ts_field):
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in ROWS], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([r[2] for r in ROWS], pa.int64()),
+            "event_type": pa.array([r[3] for r in ROWS], pa.string()),
+            "value": pa.array([r[4] for r in ROWS], pa.float64()),
+        }
+    )
+    pq.write_table(t, f"{dir_path}/events.parquet")
+    return str(dir_path)
+
+
+def test_events_ts_both_physical_layouts(spark, tmp_path_factory):
+    # ROWS[*][1] is epoch-MICROSECONDS
+    # layout A: native timestamp[us] (current generator)
+    d_us = tmp_path_factory.mktemp("ev_us")
+    _write(d_us, pa.array([r[1] for r in ROWS], pa.timestamp("us")), None)
+
+    # layout B: int64 epoch-nanoseconds via TIMESTAMP(NANOS) — Spark can
+    # only read it as BIGINT under nanosAsLong (rounds 1-3 generator)
+    d_ns = tmp_path_factory.mktemp("ev_ns")
+    _write(d_ns, pa.array([r[1] * 1000 for r in ROWS], pa.timestamp("ns")), None)
+
+    out = {}
+    for name, d in (("us", d_us), ("ns", d_ns)):
+        df = load_df(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
+        out[name] = {
+            r["event_id"]: r["ms"]
+            for r in df.select("event_id", F.unix_millis("ts").alias("ms")).collect()
+        }
+    # same instants from either physical layout (exact to the ms; the
+    # micros beyond ms also survive — check one directly)
+    assert out["us"] == out["ns"]
+    assert out["us"][1] == 1_600_000_000_123
