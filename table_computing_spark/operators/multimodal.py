@@ -1,11 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode step itself is STUBBED (no imaging/audio libs in this
-container — see `decode_image`): the Spark-side contract that matters
-at 100 TB is real and tested — schema, batch shape, partition sizing,
-and the mapInPandas exchange. Swap `_decode_stub` for a PIL/ffmpeg call
-and nothing else changes.
+Decode is REAL for uncompressed container formats — pure-numpy codecs
+with zero extra dependencies (this container has no PIL/soundfile):
+  - PPM P6 (binary 8-bit RGB) — `decode_image` / `encode_ppm`
+  - BMP 24-bit uncompressed (BI_RGB, bottom-up or top-down,
+    4-byte row padding, BGR order) — `decode_image`
+  - WAV PCM (RIFF chunk walk, 16-bit signed or 8-bit unsigned) —
+    `decode_audio` / `encode_wav_pcm16`
+Compressed formats (JPEG/PNG/MP3/H.264) still surface honestly as
+decode_ok=false via the NotImplementedError path; a real pipeline swaps
+in PIL/ffmpeg there and nothing else changes. The Spark-side contract
+that matters at 100 TB — schema, batch shape, partition sizing, the
+Arrow mapInPandas exchange — is identical for both paths.
 
 Layout convention (one row per media object):
     media_id   bigint
@@ -13,12 +20,18 @@ Layout convention (one row per media object):
     content    binary            (the encoded bytes, or null if external)
     uri        string            (object-store pointer when content is null)
     meta       string JSON       (width/height/sample_rate/... as produced)
+
+Reference analog: the engine-boundary parsing discipline of
+sp/input/SlsParser.java:13-303 (bytes → typed columns at the source
+edge, malformed input surfaced per-row rather than failing the job).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,10 +58,144 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# pure-numpy codecs (no PIL/soundfile in this container)
+# ---------------------------------------------------------------------------
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """Decode PPM P6 or 24-bit uncompressed BMP → (h, w, 3) uint8 RGB.
+
+    Raises NotImplementedError for any other format (JPEG/PNG/...) —
+    the caller surfaces that per-row as decode_ok=false."""
+    if content[:2] == b"P6":
+        return _decode_ppm(content)
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
+    raise NotImplementedError("image codec: only PPM P6 and BMP24 are built in")
+
+
+def _decode_ppm(content: bytes) -> np.ndarray:
+    # header: "P6" <ws> width <ws> height <ws> maxval <single ws> raster
+    # '#' comments may appear inside the header whitespace
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("PPM maxval != 255 (16-bit) not supported")
+    raster = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(content: bytes) -> np.ndarray:
+    data_offset = struct.unpack_from("<I", content, 10)[0]
+    w = struct.unpack_from("<i", content, 18)[0]
+    h = struct.unpack_from("<i", content, 22)[0]
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("BMP: only 24bpp BI_RGB is built in")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=row_bytes * h, offset=data_offset
+    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        arr.astype(np.uint8)
+    ).tobytes()
+
+
+def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
+    """Decode WAV PCM → ((n_samples, channels) float32 in [-1, 1],
+    sample_rate). Walks RIFF chunks properly (fmt may not be first);
+    16-bit signed and 8-bit unsigned PCM supported."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError("audio codec: only RIFF/WAVE PCM is built in")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    audio_format, channels = struct.unpack_from("<HH", fmt, 0)
+    sample_rate = struct.unpack_from("<I", fmt, 4)[0]
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_format != 1:
+        raise NotImplementedError("WAV: only PCM (format 1) is built in")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV: {bits}-bit PCM not supported")
+    return samples.reshape(-1, channels), sample_rate
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 (n,) or (n, ch) samples → minimal RIFF/WAVE PCM16 bytes."""
+    s = np.asarray(samples, dtype="<i2")
+    ch = 1 if s.ndim == 1 else s.shape[1]
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize, floor mapping: src = (dst * in) // out —
+    deterministic integer arithmetic (oracle-reproducible)."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return arr[ys][:, xs]
+
+
+def encode_bmp24(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → standard bottom-up 24bpp BI_RGB BMP
+    (BGR byte order, rows padded to 4 bytes)."""
+    h, w = arr.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    raster = np.zeros((h, row_bytes), dtype=np.uint8)
+    raster[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, RGB→BGR
+    data = raster.tobytes()
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    info_header = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return file_header + info_header + data
+
+
 def _decode_stub(content: bytes | None, modality: str) -> list[float] | None:
-    """Deterministic fake decoder: 8 bytes → 8 floats. A real pipeline
-    replaces this with PIL.Image.open / soundfile.read / pyav frame
-    sampling; everything around it (batching, schema, nulls) is real.
+    """Deterministic fallback decoder for RAW (container-less) payloads:
+    8 bytes → 8 floats. Container formats take the real codec path in
+    `_feature_vector`; this keeps byte-blob media flowing with a stable
+    feature contract instead of dying on a format guess.
 
     Raises NotImplementedError for modalities we don't fake."""
     if content is None:
@@ -57,6 +204,36 @@ def _decode_stub(content: bytes | None, modality: str) -> list[float] | None:
         head = content[:8].ljust(8, b"\0")
         return [float(b) / 255.0 for b in head]
     raise NotImplementedError(f"decode for modality {modality!r} needs a real codec")
+
+
+def _feature_vector(content: bytes | None, modality: str) -> list[float] | None:
+    """Real-decode path first (PPM/BMP pixels, WAV samples → 8-dim
+    feature), falling back to the byte-stub for container-less blobs.
+    NotImplementedError still propagates for modalities with neither
+    path (video without a frame codec)."""
+    if content is None:
+        return None
+    if modality == "image" and content[:2] in (b"P6", b"BM"):
+        arr = decode_image(content)
+        h, w = arr.shape[:2]
+        p00 = arr[0, 0].astype(np.float64) / 255.0
+        pc = arr[h // 2, w // 2].astype(np.float64) / 255.0
+        return [w / 255.0, h / 255.0, *p00.tolist(), *pc.tolist()]
+    if modality == "audio" and content[:4] == b"RIFF":
+        samples, rate = decode_audio(content)
+        mono = samples.mean(axis=1)
+        n = len(mono)
+        return [
+            n / 1e6,
+            rate / 1e6,
+            float(mono.mean()) if n else 0.0,
+            float(np.sqrt(np.mean(mono**2))) if n else 0.0,
+            float(mono.min()) if n else 0.0,
+            float(mono.max()) if n else 0.0,
+            float(np.mean(np.abs(np.diff(np.sign(mono))) > 0)) if n > 1 else 0.0,
+            n / rate if rate else 0.0,
+        ]
+    return _decode_stub(content, modality)
 
 
 def extract_features(df: DataFrame, batch_size: int = 1024) -> DataFrame:
@@ -74,7 +251,7 @@ def extract_features(df: DataFrame, batch_size: int = 1024) -> DataFrame:
             feats, ok = [], []
             for content, modality in zip(pdf["content"], pdf["modality"]):
                 try:
-                    f = _decode_stub(content, modality)
+                    f = _feature_vector(content, modality)
                     feats.append(f)
                     ok.append(f is not None)
                 except NotImplementedError:
@@ -88,12 +265,14 @@ def extract_features(df: DataFrame, batch_size: int = 1024) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize plumbing: binary in → binary out + updated meta.
+    """Image resize: binary in → binary out + updated meta.
 
-    The pixel work is STUBBED (`NotImplementedError` surfaces as
-    resize_ok=false — no imaging libs in this container); schema,
-    Arrow batching, and meta rewrite are the real contract. Swap the
-    stub body for PIL `Image.open(BytesIO(b)).resize((w,h))`."""
+    REAL pixel work for PPM/BMP inputs (decode_image → nearest-neighbor
+    resize_nearest → encode_ppm, pure numpy); other formats surface as
+    resize_ok=false via NotImplementedError — swap `_resize_real` for
+    PIL `Image.open(BytesIO(b)).resize((w,h))` to widen coverage.
+    Output containers are PPM regardless of input (resize is a
+    normalization step in a training pipeline)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -104,8 +283,8 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
         ]
     )
 
-    def _resize_stub(content: bytes, w: int, h: int) -> bytes:
-        raise NotImplementedError("image resize needs PIL/opencv")
+    def _resize_real(content: bytes, w: int, h: int) -> bytes:
+        return encode_ppm(resize_nearest(decode_image(content), w, h))
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json as _json
@@ -118,7 +297,7 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                 try:
                     if modality != "image" or content is None:
                         raise NotImplementedError
-                    resized = _resize_stub(content, width, height)
+                    resized = _resize_real(content, width, height)
                     m = _json.loads(meta) if meta else {}
                     m.update({"w": width, "h": height})
                     out_content.append(resized)
@@ -174,6 +353,115 @@ def sample_frames(df: DataFrame, every_n: int = 30, max_frames: int = 8) -> Data
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(_map, schema=out_schema)
+
+
+DECODE_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("px_r", T.IntegerType(), True),
+        T.StructField("px_g", T.IntegerType(), True),
+        T.StructField("px_b", T.IntegerType(), True),
+        T.StructField("rs_r", T.IntegerType(), True),
+        T.StructField("rs_g", T.IntegerType(), True),
+        T.StructField("rs_b", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("s5", T.IntegerType(), True),
+        T.StructField("decode_ok", T.IntegerType(), False),
+    ]
+)
+
+
+def decode_probe(df: DataFrame, resize_to: tuple[int, int] = (4, 3)) -> DataFrame:
+    """Run the REAL codecs end-to-end and emit integer-exact probes the
+    value-hash oracle can reproduce analytically:
+
+    images (PPM/BMP): parsed (w, h); pixel (y=1, x=2) RGB; and the
+    (x=1, y=1) pixel of a `resize_to`-nearest-neighbor resize — this
+    exercises decode_image + resize_nearest including BMP bottom-up row
+    order and 4-byte padding.
+    audio (WAV): sample count, rate, and raw int16 of sample index 5
+    (decode_audio returns float in [-1,1]; s5 recovers round(f*32768)).
+
+    Unknown formats → all-null probes with decode_ok=0 (per-row honesty,
+    the SlsParser boundary discipline)."""
+    rw, rh = resize_to
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                row = {
+                    "media_id": media_id, "kind": "unknown",
+                    "w": None, "h": None, "px_r": None, "px_g": None,
+                    "px_b": None, "rs_r": None, "rs_g": None, "rs_b": None,
+                    "n_samples": None, "sample_rate": None, "s5": None,
+                    "decode_ok": 0,
+                }
+                try:
+                    if content is None:
+                        raise NotImplementedError
+                    if content[:2] in (b"P6", b"BM"):
+                        arr = decode_image(content)
+                        rs = resize_nearest(arr, rw, rh)
+                        row.update(
+                            kind="ppm" if content[:2] == b"P6" else "bmp",
+                            w=arr.shape[1], h=arr.shape[0],
+                            px_r=int(arr[1, 2, 0]), px_g=int(arr[1, 2, 1]),
+                            px_b=int(arr[1, 2, 2]),
+                            rs_r=int(rs[1, 1, 0]), rs_g=int(rs[1, 1, 1]),
+                            rs_b=int(rs[1, 1, 2]),
+                            decode_ok=1,
+                        )
+                    elif content[:4] == b"RIFF":
+                        samples, rate = decode_audio(content)
+                        mono = samples[:, 0]
+                        row.update(
+                            kind="wav", n_samples=len(mono), sample_rate=rate,
+                            s5=int(round(float(mono[5]) * 32768.0)),
+                            decode_ok=1,
+                        )
+                except NotImplementedError:
+                    pass
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_PROBE_SCHEMA.fields])
+
+    return df.mapInPandas(_map, schema=DECODE_PROBE_SCHEMA)
+
+
+def make_demo_codec_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic REAL-container media table: round-robin PPM (8×6),
+    BMP (5×4 — odd width exercises 4-byte row padding + bottom-up
+    order), WAV PCM16 (32 mono samples @ 8 kHz). Pixel (y,x) of image i
+    with p = y*w + x:  R=(i+3p)%256, G=(2i+5p)%256, B=(7i+11p)%256;
+    WAV sample j of row i: ((13i + 7j) % 2048) - 1024 — all
+    closed-form, so the DuckDB oracle reproduces every probe."""
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:
+            w, h = 8, 6
+            p = np.arange(h * w).reshape(h, w)
+            arr = np.stack(
+                [(i + 3 * p) % 256, (2 * i + 5 * p) % 256, (7 * i + 11 * p) % 256],
+                axis=-1,
+            ).astype(np.uint8)
+            rows.append((i, "image", encode_ppm(arr), None, '{"fmt": "ppm"}'))
+        elif i % 3 == 1:
+            w, h = 5, 4
+            p = np.arange(h * w).reshape(h, w)
+            arr = np.stack(
+                [(i + 3 * p) % 256, (2 * i + 5 * p) % 256, (7 * i + 11 * p) % 256],
+                axis=-1,
+            ).astype(np.uint8)
+            rows.append((i, "image", encode_bmp24(arr), None, '{"fmt": "bmp"}'))
+        else:
+            j = np.arange(32)
+            samples = ((13 * i + 7 * j) % 2048 - 1024).astype(np.int16)
+            rows.append((i, "audio", encode_wav_pcm16(samples, 8000), None, '{"fmt": "wav"}'))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 
 def make_demo_media(spark, n: int = 64) -> DataFrame:

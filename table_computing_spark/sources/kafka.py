@@ -32,6 +32,34 @@ from table_computing_spark.schema import Type
 
 TIME_COL = "__time__"  # reserved, epoch-ms (ref AbstractStreamTable.java:25-38)
 
+_KAFKA_PROVIDER = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+
+
+def kafka_connector_available(spark: SparkSession) -> bool:
+    """True if the spark-sql-kafka connector is on the JVM classpath.
+
+    Checked eagerly by every Kafka entry point so a missing jar fails at
+    CALL time with an actionable message, not at `.start()` with Spark's
+    generic 'Failed to find data source: kafka'."""
+    try:
+        spark._jvm.java.lang.Thread.currentThread().getContextClassLoader().loadClass(
+            _KAFKA_PROVIDER
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _require_connector(spark: SparkSession) -> None:
+    if not kafka_connector_available(spark):
+        scala = spark._jvm.scala.util.Properties.versionNumberString()
+        scala_bin = ".".join(scala.split(".")[:2])
+        raise RuntimeError(
+            "the Kafka connector is not on this Spark session's classpath; "
+            "launch with --packages org.apache.spark:spark-sql-kafka-0-10_"
+            f"{scala_bin}:{spark.version} (or add the jar to spark.jars)"
+        )
+
 
 def to_struct_type(schema: Mapping[str, Type] | T.StructType) -> T.StructType:
     if isinstance(schema, T.StructType):
@@ -72,6 +100,7 @@ def kafka_stream(
     Spark's startingTimestamp (and endingTimestamp for batch reads via
     `kafka_batch`). max_records_per_trigger mirrors MAX_POLL_RECORDS
     40,000 (:92)."""
+    _require_connector(spark)
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -97,6 +126,7 @@ def kafka_batch(
 ) -> DataFrame:
     """Bounded Kafka read — the consumeFrom/consumeTo replay ctor
     (ref KafkaStreamTable.java:71-90, isFinished :208-217)."""
+    _require_connector(spark)
     reader = (
         spark.read.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -132,6 +162,7 @@ def write_kafka(
     time_col: str | None = TIME_COL,
 ):
     """Streaming Kafka JSON sink (ref KafkaOutputTable.java:85-90)."""
+    _require_connector(df.sparkSession)
     return (
         to_kafka_records(df, time_col)
         .writeStream.format("kafka")

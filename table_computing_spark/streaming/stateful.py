@@ -201,6 +201,10 @@ def stream_session_apply(
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(tcol, kind="mergesort").reset_index(drop=True)
         history = batch if buf is None else pd.concat([buf, batch], ignore_index=True)
+        # a within-watermark late row can precede buffered rows; re-sort
+        # the full history (stable) so gaps, bounds, and the timeout
+        # timestamp (t_ms[-1]) are computed on monotonic times
+        history = history.sort_values(tcol, kind="mergesort").reset_index(drop=True)
         t_ms = (history[tcol].astype("int64") // 1_000_000).to_numpy()
 
         # split history into sessions at gaps >= gap_ms
@@ -282,6 +286,10 @@ def stream_session_wallclock(
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(tcol, kind="mergesort").reset_index(drop=True)
         history = batch if buf is None else pd.concat([buf, batch], ignore_index=True)
+        # a cross-batch late row can land before buffered rows — re-sort
+        # the full history (stable) so gap splits and [first, last+1)
+        # bounds stay correct, matching single-batch behavior
+        history = history.sort_values(tcol, kind="mergesort").reset_index(drop=True)
         t_ms = _ms(history[tcol]).to_numpy()
 
         start = 0
@@ -360,6 +368,9 @@ def stream_session_tws(
             batch = pd.concat(list(rows), ignore_index=True)
             batch = batch.sort_values(tcol, kind="mergesort").reset_index(drop=True)
             history = batch if buf is None else pd.concat([buf, batch], ignore_index=True)
+            # re-sort the concatenated history: a cross-batch late row
+            # must not leave t_ms non-monotonic (see wallclock variant)
+            history = history.sort_values(tcol, kind="mergesort").reset_index(drop=True)
             t_ms = _ms(history[tcol]).to_numpy()
 
             start = 0

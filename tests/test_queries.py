@@ -30,8 +30,7 @@ def test_query_vs_oracle(spark, name):
         assert qdf.count() >= 0  # rows-only check (driver does the same)
         return
     con = duck_con(SF_DIR)
-    oracle = con.sql(ORACLES[name]).df()
-    issues = compare(qdf, oracle)
+    issues = compare(qdf, con.sql(ORACLES[name]))
     assert not issues, f"{name}: " + "; ".join(issues)
 
 

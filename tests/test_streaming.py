@@ -256,6 +256,65 @@ class TestStreamSessionApply:
         ]
         # user 1's trailing session (t=60s) is still open → not emitted
 
+    def test_cross_batch_late_row_resorts_history(self, spark, tmp_path_factory):
+        """A late row arriving in batch 2 with a time EARLIER than rows
+        already buffered from batch 1 must be merged in time order:
+        session end is [firstTime, max(time)+1), not computed from the
+        (non-maximal) last-concatenated element. Regression for the
+        buf+batch concat skipping a full re-sort."""
+        d = tmp_path_factory.mktemp("late_src")
+        batches = [
+            [(1, 1, "click", 10.0, 1_000), (2, 1, "click", 20.0, 3_000)],
+            # t=2_000 is LATE (before buffered t=3_000); t=20_000 closes
+            # the session in-band (gap >= 10s)
+            [(3, 1, "click", 15.0, 2_000), (4, 1, "click", 40.0, 20_000)],
+        ]
+        for i, batch in enumerate(batches):
+            p = d / f"batch_{i}.json"
+            with open(p, "w") as f:
+                for event_id, user_id, event_type, value, t_ms in batch:
+                    f.write(json.dumps({
+                        "event_id": event_id, "user_id": user_id,
+                        "event_type": event_type, "value": value, "t_ms": t_ms,
+                    }) + "\n")
+            mt = time.time() + i
+            os.utime(p, (mt, mt))
+
+        sdf = _read_stream(spark, str(d)).withColumn(
+            "event_time", F.timestamp_millis(F.col("t_ms"))
+        )
+
+        def transform(key, rows, start_ms, end_ms):
+            import pandas as pd
+            return pd.DataFrame({
+                "user_id": [key[0]],
+                "session_start": [start_ms],
+                "session_end": [end_ms],
+                "n": [len(rows)],
+                "total": [float(rows["value"].sum())],
+            })
+
+        from table_computing_spark.streaming.stateful import stream_session_apply
+
+        out = stream_session_apply(
+            sdf, ["user_id"], "event_time", gap_ms=10_000,
+            transform=transform,
+            output_schema=T.StructType([
+                T.StructField("user_id", T.LongType()),
+                T.StructField("session_start", T.LongType()),
+                T.StructField("session_end", T.LongType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("total", T.DoubleType()),
+            ]),
+            watermark="30 seconds",
+        )
+        got = _run_to_table(spark, out, "t_session_late")
+        # [1_000, 3_001): end from the true max time (3_000), with the
+        # late 2_000 row folded into the session (n=3, total=45)
+        assert _rows(got, "user_id", "session_start") == [
+            (1, 1_000, 3_001, 3, 45.0),
+        ]
+
     def test_wallclock_no_data_advance(self, spark, tmp_path_factory):
         """M4 (SURVEY §7.2): the reference fires windows during input
         SILENCE via wall-clock extrapolation (window/TimeWindow.java:110,
@@ -572,6 +631,68 @@ class TestKafkaExpressions:
         assert rows == [
             ("c1v1", 1, long_max, dbl_max, 1_700_000_001_000),
             (None, 2, long_min, dbl_min, 1_700_000_002_000),
+        ]
+
+    def test_missing_connector_fails_at_call_time(self, spark):
+        """Without the spark-sql-kafka jar, kafka_stream/kafka_batch/
+        write_kafka must fail AT THE CALL with a message naming the
+        package to add — not at .start() with Spark's generic 'Failed to
+        find data source'. (If a jar ever appears in this environment,
+        this test self-inverts: detection must then return True.)"""
+        from table_computing_spark.schema import Type
+
+        schema = {"s": Type.VARCHAR}
+        if k.kafka_connector_available(spark):
+            # connector present: entry points must NOT raise at call time
+            k.kafka_stream(spark, "localhost:9092", "t", schema)
+            return
+        for call in (
+            lambda: k.kafka_stream(spark, "localhost:9092", "t", schema),
+            lambda: k.kafka_batch(spark, "localhost:9092", "t", schema),
+            lambda: k.write_kafka(
+                spark.createDataFrame([("a", 1_700_000_001_000)], "s string, __time__ bigint"),
+                "localhost:9092", "t", "/tmp/nope",
+            ),
+        ):
+            with pytest.raises(RuntimeError, match="spark-sql-kafka-0-10"):
+                call()
+
+    @pytest.mark.skipif(
+        os.environ.get("TC_KAFKA_BOOTSTRAP") is None,
+        reason="end-to-end Kafka test needs a broker: set TC_KAFKA_BOOTSTRAP=host:port "
+        "(and launch Spark with the spark-sql-kafka connector)",
+    )
+    def test_kafka_end_to_end_roundtrip(self, spark, tmp_path):
+        """GENUINE broker round-trip (ref KafkaStreamTable.java:113-194 +
+        KafkaOutputTable.java:102-178): write rows through write_kafka,
+        read them back with kafka_batch, assert payload + epoch-seconds
+        key convention. Runs whenever a broker/jar is provided; the
+        expression layer above stays the always-on coverage."""
+        bootstrap = os.environ["TC_KAFKA_BOOTSTRAP"]
+        if not k.kafka_connector_available(spark):
+            pytest.skip("broker configured but spark-sql-kafka jar absent")
+        from table_computing_spark.schema import Type
+
+        topic = f"tc_e2e_{os.getpid()}"
+        schema = {"s": Type.VARCHAR, "l": Type.BIGINT, "d": Type.DOUBLE}
+        src = spark.createDataFrame(
+            [("a", 10, 1.5, 1_700_000_001_000), ("b", 20, 2.5, 1_700_000_002_000)],
+            "s string, l bigint, d double, __time__ bigint",
+        )
+        # batch write via the same to_kafka_records contract the
+        # streaming sink uses
+        (
+            k.to_kafka_records(src)
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("topic", topic)
+            .save()
+        )
+        back = k.kafka_batch(spark, bootstrap, topic, schema)
+        rows = sorted([tuple(r) for r in back.collect()])
+        assert rows == [
+            ("a", 10, 1.5, 1_700_000_001_000),
+            ("b", 20, 2.5, 1_700_000_002_000),
         ]
 
 

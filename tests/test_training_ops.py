@@ -368,3 +368,128 @@ def test_prefix_filtered_jaccard_equals_plain(spark):
         )
         assert base.exceptAll(pf).count() == 0
         assert pf.exceptAll(base).count() == 0
+
+
+def test_corpus_invariants_behind_lsh_and_simhash_oracles(spark):
+    """The q_minhash_lsh and q_simhash_pairs DRIVER oracles are
+    data-dependent (ADVICE r04): 16-band/4-row banding misses a j=0.5
+    pair ~35% of the time, and the simhash gate passes on recall margin.
+    Pin the corpus properties those oracles rely on, so a testdata
+    regeneration fails HERE (loudly, with the reason) instead of as an
+    unexplained red in the driver gate.
+
+    Invariant 1: every true 3-shingle-Jaccard >= 0.5 pair sits at
+      j >= 0.8 — outside the banding miss zone (per-pair miss <= 2e-4).
+    Invariant 2: banded candidates actually cover the full truth set
+      (recall == 1 — what makes the exact value-hash oracle satisfiable).
+    Invariant 3: simhash Hamming<=7 multi-probe recall over the truth
+      set clears the oracle's 0.9 bar with margin (>= 0.95 here)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    truth = dedup.shingle_jaccard_pairs(docs, threshold=0.5)
+    truth_rows = truth.select("id_a", "id_b", "jaccard").collect()
+    assert truth_rows, "regeneration removed all planted near-dups"
+
+    min_j = min(r["jaccard"] for r in truth_rows)
+    assert min_j >= 0.8, (
+        f"corpus now has a true pair at j={min_j:.3f} inside the "
+        "16x4-banding miss zone [0.5, 0.8) — the q_minhash_lsh exact "
+        "value-hash oracle is no longer probabilistically safe"
+    )
+
+    truth_set = {(r["id_a"], r["id_b"]) for r in truth_rows}
+    cand = dedup.minhash_lsh_candidates(docs, num_hashes=64, bands=16)
+    cand_set = {(r["id_a"], r["id_b"]) for r in cand.select("id_a", "id_b").collect()}
+    missed = truth_set - cand_set
+    assert not missed, f"banding missed true pairs {sorted(missed)[:5]} — oracle red incoming"
+
+    sim_cand = dedup.simhash_pairs(docs, max_hamming=7)
+    sim_set = {(r["id_a"], r["id_b"]) for r in sim_cand.select("id_a", "id_b").collect()}
+    recall = len(truth_set & sim_set) / len(truth_set)
+    assert recall >= 0.95, (
+        f"simhash recall {recall:.3f} is inside the margin band — the "
+        "q_simhash_pairs gate (bar 0.9) is one regeneration from red"
+    )
+
+
+def test_codec_roundtrips():
+    """Pure-numpy codecs: encode→decode is the identity for PPM, BMP
+    (incl. odd width → 4-byte row padding, bottom-up storage), and WAV
+    PCM16 (RIFF chunk walk)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for w, h in [(8, 6), (5, 4), (1, 1), (7, 3)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (multimodal.decode_image(multimodal.encode_ppm(arr)) == arr).all()
+        assert (multimodal.decode_image(multimodal.encode_bmp24(arr)) == arr).all()
+
+    samples = (rng.integers(-32768, 32768, size=64)).astype(np.int16)
+    decoded, rate = multimodal.decode_audio(
+        multimodal.encode_wav_pcm16(samples, 8000)
+    )
+    assert rate == 8000 and decoded.shape == (64, 1)
+    assert np.allclose(decoded[:, 0], samples / 32768.0)
+
+    # PPM comments in header + unsupported formats raise (not crash)
+    ppm = multimodal.encode_ppm(np.zeros((2, 2, 3), dtype=np.uint8))
+    commented = b"P6\n# a comment\n2 2\n255\n" + ppm.split(b"255\n", 1)[1]
+    assert multimodal.decode_image(commented).shape == (2, 2, 3)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"ID3\x04rubbish")
+
+
+def test_resize_images_real_pixels(spark):
+    """resize_images now computes REAL pixels for PPM/BMP: the output
+    binary decodes to exactly resize_nearest(decode(src)) — and raw
+    byte-blob media still degrade honestly to resize_ok=false."""
+    import numpy as np
+
+    media = multimodal.make_demo_codec_media(spark, 6)
+    out = {r["media_id"]: r for r in multimodal.resize_images(media, 4, 3).collect()}
+    src = {r["media_id"]: r for r in media.collect()}
+    n_img = 0
+    for i, r in out.items():
+        if src[i]["modality"] != "image":
+            continue
+        assert r["resize_ok"] is True
+        got = multimodal.decode_image(bytes(r["content"]))
+        want = multimodal.resize_nearest(
+            multimodal.decode_image(bytes(src[i]["content"])), 4, 3
+        )
+        assert got.shape == (3, 4, 3) and (got == want).all()
+        n_img += 1
+    assert n_img == 4  # 2 ppm + 2 bmp in the first 6 demo rows
+
+    # raw blobs (no container magic) keep the honest false path
+    blob = multimodal.make_demo_media(spark, 6)
+    blob_out = multimodal.resize_images(blob, 4, 3).collect()
+    assert all(r["resize_ok"] is False for r in blob_out)
+
+
+def test_extract_features_real_decode(spark):
+    """extract_features uses the real codec path for container formats
+    (image: dims + probe pixels; audio: rate/duration/moments) and the
+    byte-stub fallback for raw blobs — decode_ok splits accordingly."""
+    import numpy as np
+
+    feats = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(
+            multimodal.make_demo_codec_media(spark, 6)
+        ).collect()
+    }
+    for i, r in feats.items():
+        assert r["decode_ok"] is True, i
+        f = r["feature"]
+        assert len(f) == 8
+        if i % 3 == 0:  # ppm 8x6: f[0]=w/255, f[1]=h/255
+            assert abs(f[0] - 8 / 255) < 1e-6 and abs(f[1] - 6 / 255) < 1e-6
+        elif i % 3 == 1:  # bmp 5x4
+            assert abs(f[0] - 5 / 255) < 1e-6 and abs(f[1] - 4 / 255) < 1e-6
+        else:  # wav: f[0]=n/1e6, f[1]=rate/1e6, f[7]=duration
+            assert abs(f[0] - 32 / 1e6) < 1e-7
+            assert abs(f[1] - 8000 / 1e6) < 1e-7
+            assert abs(f[7] - 32 / 8000) < 1e-6
