@@ -2018,6 +2018,32 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_doc_novelty(spark, sf_dir):
+    """Corpus-level bigram novelty/boilerplate per document
+    (operators/text.bigram_novelty): distinct-bigram document frequency
+    across the corpus → per-doc counts of corpus-unique (df<=1) and
+    boilerplate (df>=20) bigrams plus their fractions — the cross-doc
+    complement of q_repetition_metrics' within-doc signals."""
+    from table_computing_spark.operators import text as tx
+
+    return tx.bigram_novelty(_t(spark, sf_dir, "documents").df)
+
+
+def q_embedding_groups(spark, sf_dir):
+    """Embedding-space dedup groups: cosine>=0.4 near-dup pairs
+    (operators/similarity.cosine_pairs) fed through the same
+    large-star/small-star connected components as the text path
+    (operators/graph.dedup_groups) — every vector gets
+    (canonical_id, group_size), canonical = min vec_id of its
+    component. Oracle: all-pairs cosine + recursive-CTE closure."""
+    from table_computing_spark.operators import graph
+    from table_computing_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    pairs = sim.cosine_pairs(emb, threshold=0.4)
+    return graph.dedup_groups(emb, pairs, id_col="vec_id")
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL pure-numpy codecs end-to-end (operators/multimodal.py:
     decode_image PPM P6 + BMP24 incl. bottom-up rows and 4-byte padding,
@@ -2337,6 +2363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_minhash": q_stream_minhash,
         "q_approx_quantile": q_approx_quantile,
         "q_approx_distinct": q_approx_distinct,
+        # new in r05 (tail — rotate into the window next round)
+        "q_doc_novelty": q_doc_novelty,
+        "q_embedding_groups": q_embedding_groups,
         "q_gate_relational": q_gate_relational,
         "q_gate_rowwise_udf": q_gate_rowwise_udf,
         "q_gate_joins": q_gate_joins,
@@ -3465,6 +3494,58 @@ def oracle_sql() -> dict[str, str]:
         # deterministic demo media (make_demo_media): byte j of media i
         # is (i*7+j) % 256, content null when i%5=4, decode stub covers
         # image/audio only — the whole feature table is analytic
+        "q_doc_novelty": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok,
+                     generate_subscripts(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), 1) AS pos
+              FROM documents
+            ), bg AS (
+              SELECT DISTINCT doc_id,
+                     tok || chr(1) || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+              FROM tok
+            ), bgn AS (
+              SELECT doc_id, b FROM bg WHERE b IS NOT NULL
+            ), dfreq AS (
+              SELECT b, count(*) AS df FROM bgn GROUP BY b
+            ), per AS (
+              SELECT doc_id,
+                     count(*) AS n_bigrams_distinct,
+                     CAST(sum(CASE WHEN df <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_bigrams,
+                     CAST(sum(CASE WHEN df >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS boiler_bigrams
+              FROM bgn JOIN dfreq USING (b) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_bigrams_distinct, 0) AS n_bigrams_distinct,
+                   coalesce(novel_bigrams, 0) AS novel_bigrams,
+                   coalesce(boiler_bigrams, 0) AS boiler_bigrams,
+                   coalesce(round(novel_bigrams / CAST(n_bigrams_distinct AS DOUBLE), 6), 0.0) AS novel_frac,
+                   coalesce(round(boiler_bigrams / CAST(n_bigrams_distinct AS DOUBLE), 6), 0.0) AS boiler_frac
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "q_embedding_groups": """
+            WITH RECURSIVE s AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            ), pairs AS (
+              SELECT id_a, id_b FROM s WHERE cos_sim >= 0.4
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ), reach(n, lab) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.n
+            ), comp AS (
+              SELECT n AS vec_id, min(lab) AS canonical_id FROM reach GROUP BY n
+            )
+            SELECT vec_id, canonical_id,
+                   count(*) OVER (PARTITION BY canonical_id) AS group_size
+            FROM comp
+        """,
         "q_multimodal_decode": """
             WITH ids AS (SELECT unnest(range(48)) AS i)
             SELECT CAST(i AS BIGINT) AS media_id,

@@ -131,6 +131,11 @@ def jaccard_for_pairs(
         units = shingle_rows(pruned, text_col, id_col, shingle_k).where(
             F.col("__sh").isNotNull()
         ).distinct()
+    # units feed three branches too (sizes + both join sides) — without
+    # this persist the pruned-corpus shingle explode executes 3x, the
+    # dominant cost of the whole verification stage on clique-heavy
+    # corpora where most docs survive the pruning semi-join
+    units = units.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = units.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     ua = units.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__u"))
     ub = units.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__u"))
@@ -550,7 +555,15 @@ def shingle_jaccard_pairs(
 
 
 def _jaccard_pairs_from_units(units: DataFrame, threshold: float) -> DataFrame:
-    """Inverted-index exact-Jaccard core over (__id, th) unit rows."""
+    """Inverted-index exact-Jaccard core over (__id, th) unit rows.
+
+    Deliberately NOT persisted: the self-join's two branches are the
+    same subtree with the same output partitioning, so Spark's
+    ReusedExchange already computes the explode once — and forcing an
+    InMemoryRelation here measured 9x SLOWER at sf0.1 (cache scan
+    replaces the reused shuffle and the join loses AQE planning).
+    Contrast jaccard_for_pairs, where the three consumers need three
+    DIFFERENT partitionings and a persist is a real win."""
     sizes = units.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     wt = units.join(sizes, "__id")
     a, b = wt.alias("a"), wt.alias("b")

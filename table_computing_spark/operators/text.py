@@ -208,6 +208,78 @@ def repetition_metrics(
     )
 
 
+def bigram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_df: int = 1,
+    common_df: int = 20,
+) -> DataFrame:
+    """CORPUS-level novelty/boilerplate signals per document — the
+    cross-doc complement of repetition_metrics' within-doc stats (the
+    LM-data curation gate for both garbage, which is dominated by
+    corpus-unique bigrams, and boilerplate, dominated by bigrams that
+    recur across many documents):
+
+        n_bigrams_distinct — distinct word bigrams in the doc
+        novel_bigrams      — bigrams whose corpus document frequency
+                             <= rare_df (they appear in no other doc
+                             when rare_df=1)
+        boiler_bigrams     — bigrams with corpus df >= common_df
+        novel_frac / boiler_frac — the two ratios, rounded
+
+    Scale shape: one token explode + per-doc window for bigram build;
+    corpus df is a hash aggregate keyed on the bigram (map-side
+    combinable, shuffle width O(distinct bigrams) — the same width any
+    inverted index pays); the df table joins back on the bigram key.
+    No all-pairs anything, no driver state."""
+    from pyspark.sql.window import Window as W
+
+    tok_rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode_outer(tokens(F.col(text_col))).alias("__pos", "__tok"),
+    )
+    w = W.partitionBy("__id").orderBy("__pos")
+    nxt = F.lead("__tok", 1).over(w)
+    bg = (
+        tok_rows.select(
+            "__id",
+            F.when(nxt.isNotNull(), F.concat_ws("\x01", F.col("__tok"), nxt)).alias("__bg"),
+        )
+        .filter(F.col("__bg").isNotNull())
+        .dropDuplicates(["__id", "__bg"])
+    )
+    dfreq = bg.groupBy("__bg").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        bg.join(dfreq, "__bg")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams_distinct"),
+            F.sum((F.col("__df") <= rare_df).cast("bigint")).alias("novel_bigrams"),
+            F.sum((F.col("__df") >= common_df).cast("bigint")).alias("boiler_bigrams"),
+        )
+    )
+    nd = F.col("n_bigrams_distinct").cast("double")
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams_distinct", F.lit(0)).cast("bigint").alias(
+                "n_bigrams_distinct"
+            ),
+            F.coalesce("novel_bigrams", F.lit(0)).cast("bigint").alias("novel_bigrams"),
+            F.coalesce("boiler_bigrams", F.lit(0)).cast("bigint").alias("boiler_bigrams"),
+            F.coalesce(F.round(F.col("novel_bigrams") / nd, 6), F.lit(0.0)).alias(
+                "novel_frac"
+            ),
+            F.coalesce(F.round(F.col("boiler_bigrams") / nd, 6), F.lit(0.0)).alias(
+                "boiler_frac"
+            ),
+        )
+    )
+
+
 def tf_idf_top_terms(
     df: DataFrame,
     text_col: str = "text",

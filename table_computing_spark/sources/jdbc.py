@@ -27,21 +27,45 @@ from pyspark.sql import types as T
 
 from table_computing_spark.table import Table
 
-# Spark type → ANSI/MySQL column DDL (ref MysqlOutputTable.java:121-174
-# emits MySQL DDL from the 5-type lattice; table/Type.java:47-61).
-_DDL_TYPES: Mapping[type, str] = {
-    T.StringType: "TEXT",
-    T.IntegerType: "INT",
-    T.LongType: "BIGINT",
-    T.DoubleType: "DOUBLE",
-    T.FloatType: "FLOAT",
-    T.BooleanType: "BOOLEAN",
-    T.DateType: "DATE",
-    T.TimestampType: "TIMESTAMP",
-    T.ShortType: "SMALLINT",
-    T.ByteType: "TINYINT",
-    T.BinaryType: "BLOB",
+# Spark type → column DDL per dialect (ref MysqlOutputTable.java:121-174
+# emits MySQL DDL from the 5-type lattice; table/Type.java:10-15).
+_DDL_TYPES: Mapping[str, Mapping[type, str]] = {
+    "mysql": {
+        T.StringType: "TEXT",
+        T.IntegerType: "INT",
+        T.LongType: "BIGINT",
+        T.DoubleType: "DOUBLE",
+        T.FloatType: "FLOAT",
+        T.BooleanType: "BOOLEAN",
+        T.DateType: "DATE",
+        T.TimestampType: "TIMESTAMP",
+        T.ShortType: "SMALLINT",
+        T.ByteType: "TINYINT",
+        T.BinaryType: "BLOB",
+    },
+    # Derby: no TEXT (CLOB), no TINYINT (SMALLINT), no unsigned, no
+    # IF NOT EXISTS, no inline INDEX clause — see create_index_ddl
+    "derby": {
+        T.StringType: "CLOB",
+        T.IntegerType: "INT",
+        T.LongType: "BIGINT",
+        T.DoubleType: "DOUBLE",
+        T.FloatType: "FLOAT",
+        T.BooleanType: "BOOLEAN",
+        T.DateType: "DATE",
+        T.TimestampType: "TIMESTAMP",
+        T.ShortType: "SMALLINT",
+        T.ByteType: "SMALLINT",
+        T.BinaryType: "BLOB",
+    },
 }
+
+_QUOTE = {"mysql": "`", "derby": '"'}
+
+
+def _q(name: str, dialect: str) -> str:
+    q = _QUOTE[dialect]
+    return f"{q}{name}{q}"
 
 
 def create_table_ddl(
@@ -50,27 +74,74 @@ def create_table_ddl(
     primary_key: tuple[str, ...] = (),
     index_columns: tuple[str, ...] = (),
     if_not_exists: bool = True,
+    dialect: str = "mysql",
 ) -> str:
     """`CREATE TABLE` statement for a DataFrame schema — the
-    MysqlOutputTable auto-DDL (ref sp/output/MysqlOutputTable.java:121-174).
-    DecimalType maps with its precision/scale; BIGDECIMAL round-trips as
-    VARCHAR in the reference (table/Type.java:57) — we keep real DECIMAL."""
+    MysqlOutputTable auto-DDL (ref sp/output/MysqlOutputTable.java:121-174),
+    generalized over dialects ("mysql" | "derby"). DecimalType maps with
+    its precision/scale; BIGDECIMAL round-trips as VARCHAR in the
+    reference (table/Type.java:47-61) — we keep real DECIMAL.
+
+    MySQL supports inline INDEX clauses; Derby requires separate
+    CREATE INDEX statements (`create_index_ddl`) and has no
+    IF NOT EXISTS — both requests raise there rather than emit SQL the
+    engine would reject."""
+    if dialect not in _DDL_TYPES:
+        raise ValueError(f"unknown dialect {dialect!r}; use one of {sorted(_DDL_TYPES)}")
+    types = _DDL_TYPES[dialect]
     cols = []
     for f in schema.fields:
         if isinstance(f.dataType, T.DecimalType):
             ddl = f"DECIMAL({f.dataType.precision},{f.dataType.scale})"
         else:
-            ddl = _DDL_TYPES.get(type(f.dataType))
+            ddl = types.get(type(f.dataType))
             if ddl is None:
                 raise ValueError(f"no JDBC DDL mapping for {f.dataType}")
         nullable = "" if f.nullable else " NOT NULL"
-        cols.append(f"`{f.name}` {ddl}{nullable}")
+        cols.append(f"{_q(f.name, dialect)} {ddl}{nullable}")
     if primary_key:
-        cols.append("PRIMARY KEY (" + ", ".join(f"`{c}`" for c in primary_key) + ")")
-    for c in index_columns:
-        cols.append(f"INDEX `idx_{c}` (`{c}`)")
+        cols.append(
+            "PRIMARY KEY (" + ", ".join(_q(c, dialect) for c in primary_key) + ")"
+        )
+    if index_columns:
+        if dialect != "mysql":
+            raise ValueError(
+                f"{dialect} has no inline INDEX clause — use create_index_ddl()"
+            )
+        for c in index_columns:
+            cols.append(f"INDEX `idx_{c}` (`{c}`)")
+    if if_not_exists and dialect != "mysql":
+        raise ValueError(f"{dialect} does not support IF NOT EXISTS")
     ine = "IF NOT EXISTS " if if_not_exists else ""
-    return f"CREATE TABLE {ine}`{table}` (\n  " + ",\n  ".join(cols) + "\n)"
+    return f"CREATE TABLE {ine}{_q(table, dialect)} (\n  " + ",\n  ".join(cols) + "\n)"
+
+
+def create_index_ddl(
+    table: str, index_columns: tuple[str, ...], dialect: str = "mysql"
+) -> list[str]:
+    """Standalone `CREATE INDEX` statements — the reference issues its
+    index as a separate statement after CREATE TABLE
+    (MysqlOutputTable.java:153-156 executes `createIndex` on its own),
+    which is also the only form Derby accepts."""
+    return [
+        f"CREATE INDEX {_q(f'idx_{c}', dialect)} "
+        f"ON {_q(table, dialect)} ({_q(c, dialect)})"
+        for c in index_columns
+    ]
+
+
+def reference_create_table_sql(table: str, column_types: Mapping[str, str]) -> str:
+    """Byte-exact replica of the reference's generated CREATE TABLE
+    (MysqlOutputTable.java:121-142): VARCHAR columns emit `longtext`,
+    every other Type emits its enum name verbatim, columns are
+    comma-joined with no spaces, identifiers unquoted, and the statement
+    carries the reference's trailing space. Kept for DDL-parity tests;
+    `create_table_ddl` is the production generalization."""
+    fields = ",".join(
+        f"{name} longtext" if t == "VARCHAR" else f"{name} {t}"
+        for name, t in column_types.items()
+    )
+    return f"CREATE TABLE IF NOT EXISTS {table} ({fields}) "
 
 
 def jdbc_scan(

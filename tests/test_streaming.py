@@ -724,6 +724,47 @@ class TestJdbcDdl:
             ")"
         )
 
+    def test_reference_create_table_sql_golden(self):
+        """Byte-exact parity with the reference's generated statement
+        (MysqlOutputTable.java:121-142): VARCHAR → `longtext`, enum name
+        verbatim otherwise, unquoted identifiers, trailing space."""
+        from table_computing_spark.sources.jdbc import reference_create_table_sql
+
+        sql = reference_create_table_sql(
+            "out_t", {"name": "VARCHAR", "cnt": "INT", "total": "BIGINT", "avg": "DOUBLE"}
+        )
+        assert sql == (
+            "CREATE TABLE IF NOT EXISTS out_t "
+            "(name longtext,cnt INT,total BIGINT,avg DOUBLE) "
+        )
+
+    def test_derby_dialect_ddl_golden_and_guards(self):
+        from table_computing_spark.sources.jdbc import create_index_ddl
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("name", T.StringType()),
+            ]
+        )
+        ddl = create_table_ddl("out_t", schema, if_not_exists=False, dialect="derby")
+        assert ddl == (
+            'CREATE TABLE "out_t" (\n  "id" BIGINT NOT NULL,\n  "name" CLOB\n)'
+        )
+        assert create_index_ddl("out_t", ("id",), dialect="derby") == [
+            'CREATE INDEX "idx_id" ON "out_t" ("id")'
+        ]
+        # requests the engine would reject raise here instead
+        with pytest.raises(ValueError, match="IF NOT EXISTS"):
+            create_table_ddl("out_t", schema, dialect="derby")
+        with pytest.raises(ValueError, match="inline INDEX"):
+            create_table_ddl(
+                "out_t", schema, index_columns=("id",), if_not_exists=False,
+                dialect="derby",
+            )
+        with pytest.raises(ValueError, match="unknown dialect"):
+            create_table_ddl("out_t", schema, dialect="oracle")
+
 
 class TestMetrics:
     def test_throughput_listener_collects_batches(self, spark, stream_dir):
