@@ -2044,6 +2044,50 @@ def q_embedding_groups(spark, sf_dir):
     return graph.dedup_groups(emb, pairs, id_col="vec_id")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/text.decontaminate): flag
+    training docs sharing any word 5-gram with a held-out eval set
+    (here the deterministic doc_id % 23 == 0 slice). Benchmark n-grams
+    broadcast; corpus pays one explode + broadcast hash join."""
+    from table_computing_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents").df
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    return tx.decontaminate(corpus, bench, n=5)
+
+
+def q_dup_spans(spark, sf_dir):
+    """Cross-document duplicated-span ratio (operators/text.
+    dup_span_ratio): per-doc fraction of word-5-gram occurrences whose
+    n-gram appears in >=2 distinct docs — the distributable stand-in
+    for suffix-array exact-substring dedup (Lee et al. 2022)."""
+    from table_computing_spark.operators import text as tx
+
+    return tx.dup_span_ratio(_t(spark, sf_dir, "documents").df, n=5)
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-self-trained unigram-LM negative log-likelihood per doc
+    (operators/text.unigram_logprob) — the distributable skeleton of
+    CCNet's perplexity quality bucketing: vocabulary-width hash agg +
+    token-keyed join + per-doc average."""
+    from table_computing_spark.operators import text as tx
+
+    return tx.unigram_logprob(_t(spark, sf_dir, "documents").df)
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Domain-mixture sampling plan (operators/text.mixture_weights):
+    per-source token stats joined with broadcast target weights
+    (weight 1+(i%3) for src{i}) → sampling rate, epochs, and
+    within-epoch keep probability at constant total token budget."""
+    from table_computing_spark.operators import text as tx
+
+    targets = {f"src{i}": 1.0 + (i % 3) for i in range(20)}
+    return tx.mixture_weights(_t(spark, sf_dir, "documents").df, targets)
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL pure-numpy codecs end-to-end (operators/multimodal.py:
     decode_image PPM P6 + BMP24 incl. bottom-up rows and 4-byte padding,
@@ -2254,8 +2298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bug, now fixed (CAST ... AS BIGINT) — first so the fix is confirmed
     driver-side; (b) the 40 queries whose only green row is r01 (20
     TPC-H + 20 granular relational) — the staleness risk after two
-    testdata regenerations; (c) 7 r03-verified keepers. Everything
-    r04-green moves to the tail; no query goes >2 rounds unverified."""
+    testdata regenerations; (c)+(d) the seven queries NEW in round 5
+    (novelty, embedding groups, decontamination, dup spans, unigram
+    NLL, mixture plan, codec decode) — never driver-checked, so they
+    outrank the r03-verified keepers they displaced to the tail."""
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
     tpch = dict(TPCH_QUERIES)
@@ -2287,13 +2333,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_date_functions": q_date_functions,
         "q_union_distinct": q_union_distinct,
         "q_set_ops": q_set_ops,
-        # (c) r03-verified keepers filling the window
-        "q_tpch_q1": tpch["q_tpch_q1"],
-        "q_tpch_q12": tpch["q_tpch_q12"],
-        "q_transform_explode": q_transform_explode,
-        "q_over_apply": q_over_apply,
-        "q_join_full_outer": q_join_full_outer,
-        "q_join_nullsafe": q_join_nullsafe,
+        # (c) new this round — first driver check: corpus novelty,
+        # embedding CC groups, decontamination, duplicated spans,
+        # unigram-LM NLL, domain mixture plan
+        "q_doc_novelty": q_doc_novelty,
+        "q_embedding_groups": q_embedding_groups,
+        "q_decontaminate": q_decontaminate,
+        "q_dup_spans": q_dup_spans,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_mixture_weights": q_mixture_weights,
         # (d) new this round: real PPM/BMP/WAV codecs, first driver check
         "q_multimodal_decode": q_multimodal_decode,
     }
@@ -2363,9 +2411,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_minhash": q_stream_minhash,
         "q_approx_quantile": q_approx_quantile,
         "q_approx_distinct": q_approx_distinct,
-        # new in r05 (tail — rotate into the window next round)
-        "q_doc_novelty": q_doc_novelty,
-        "q_embedding_groups": q_embedding_groups,
+        # r03-verified keepers displaced from the window by the six new
+        # r05 queries — rotate back in next round
+        "q_tpch_q1": tpch["q_tpch_q1"],
+        "q_tpch_q12": tpch["q_tpch_q12"],
+        "q_transform_explode": q_transform_explode,
+        "q_over_apply": q_over_apply,
+        "q_join_full_outer": q_join_full_outer,
+        "q_join_nullsafe": q_join_nullsafe,
         "q_gate_relational": q_gate_relational,
         "q_gate_rowwise_udf": q_gate_rowwise_udf,
         "q_gate_joins": q_gate_joins,
@@ -3545,6 +3598,95 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, canonical_id,
                    count(*) OVER (PARTITION BY canonical_id) AS group_size
             FROM comp
+        """,
+        "q_decontaminate": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(toks[p:p+4], ' ') AS g
+              FROM tok, unnest(range(1, len(toks) - 5 + 2)) AS t(p)
+              WHERE len(toks) >= 5
+            ), bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 23 = 0
+            ), hits AS (
+              SELECT doc_id,
+                     count(DISTINCT g) AS hit_ngrams,
+                     count(*) AS hit_positions
+              FROM grams JOIN bench USING (g)
+              WHERE doc_id % 23 <> 0
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(hit_ngrams, 0) AS hit_ngrams,
+                   coalesce(hit_positions, 0) AS hit_positions,
+                   CASE WHEN coalesce(hit_ngrams, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+            FROM documents d LEFT JOIN hits USING (doc_id)
+            WHERE d.doc_id % 23 <> 0
+        """,
+        "q_dup_spans": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(toks[p:p+4], ' ') AS g
+              FROM tok, unnest(range(1, len(toks) - 5 + 2)) AS t(p)
+              WHERE len(toks) >= 5
+            ), gstats AS (
+              SELECT g, count(DISTINCT doc_id) AS dd FROM grams GROUP BY g
+            ), per AS (
+              SELECT doc_id,
+                     count(*) AS n_spans,
+                     CAST(sum(CASE WHEN dd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+              FROM grams JOIN gstats USING (g)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_spans, 0) AS n_spans,
+                   coalesce(dup_spans, 0) AS dup_spans,
+                   coalesce(round(dup_spans / CAST(n_spans AS DOUBLE), 6), 0.0) AS dup_ratio
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "q_unigram_logprob": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+              FROM documents
+            ), freq AS (
+              SELECT tok, count(*) AS c FROM tok GROUP BY tok
+            ), tot AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS T FROM freq
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   round(avg(log2(T) - log2(CAST(c AS DOUBLE))), 6) AS avg_nll
+            FROM tok JOIN freq USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
+        "q_mixture_weights": """
+            WITH weights AS (
+              SELECT 'src' || i AS source,
+                     (1.0 + (i % 3)) / (SELECT sum(1.0 + (j % 3)) FROM range(20) s(j)) AS target_share
+              FROM range(20) t(i)
+            ), stats AS (
+              SELECT source,
+                     count(*) AS n_docs,
+                     CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS DOUBLE) AS tok
+              FROM documents GROUP BY source
+            ), tot AS (
+              SELECT sum(tok) AS T FROM stats
+            )
+            SELECT s.source,
+                   n_docs,
+                   CAST(tok AS BIGINT) AS n_tokens,
+                   round(tok / T, 6) AS actual_share,
+                   round(target_share, 6) AS target_share,
+                   round(target_share * T / tok, 6) AS sample_rate,
+                   CAST(ceil(target_share * T / tok) AS BIGINT) AS epochs,
+                   round((target_share * T / tok) / ceil(target_share * T / tok), 6) AS rate_within_epoch
+            FROM stats s JOIN weights USING (source) CROSS JOIN tot
         """,
         "q_multimodal_decode": """
             WITH ids AS (SELECT unnest(range(48)) AS i)

@@ -497,3 +497,202 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(text_col),
         }
     )
+
+
+def word_ngrams(c: ColumnLike, n: int = 5) -> Column:
+    """Positional word n-grams (array<string>; element i covers token
+    positions i..i+n-1). Unlike `shingles` there is no short-doc
+    fallback and no dedup — position identity is the point (span-level
+    dedup, decontamination). Docs with fewer than n tokens yield []."""
+    toks = tokens(c)
+    cnt = F.size(toks)
+    return F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - n + 1),
+            lambda p: F.array_join(F.slice(toks, p, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    word n-gram with an evaluation/benchmark set (the standard guard
+    against test-set leakage into training data; n=13 in the published
+    recipes, smaller here to suit the synthetic corpus).
+
+    Output per corpus doc: `hit_ngrams` (distinct benchmark n-grams
+    present), `hit_positions` (total occurrences), `contaminated` (0/1).
+
+    Scale shape: the benchmark side is always tiny relative to the
+    corpus — its distinct n-grams are broadcast, so the corpus pays one
+    explode + a broadcast hash join + a map-side-combinable aggregate.
+    No shuffle of corpus n-grams, no all-pairs anything."""
+    bench_grams = (
+        bench_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("__g"))
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("__g"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "__g")
+        .groupBy("__id")
+        .agg(
+            F.count_distinct("__g").alias("hit_ngrams"),
+            F.count(F.lit(1)).alias("hit_positions"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(hits.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("hit_ngrams", F.lit(0)).cast("bigint").alias("hit_ngrams"),
+            F.coalesce("hit_positions", F.lit(0)).cast("bigint").alias(
+                "hit_positions"
+            ),
+            (F.coalesce("hit_ngrams", F.lit(0)) > 0).cast("int").alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def dup_span_ratio(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-span signal (the scalable stand-in for
+    suffix-array exact-substring dedup a la Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): a span = a word
+    n-gram occurrence; a span is duplicated when its n-gram occurs in
+    >= 2 distinct documents. Output per doc: `n_spans`, `dup_spans`,
+    `dup_ratio` — the curation gate drops or trims high-ratio docs.
+
+    Scale shape: one explode, one hash aggregate keyed on the n-gram
+    (shuffle width O(distinct n-grams), the same width any inverted
+    index pays), one join back on that key, one per-doc aggregate. The
+    suffix-array construction this approximates is NOT distributable;
+    this is."""
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("__g"),
+    )
+    gstats = grams.groupBy("__g").agg(F.count_distinct("__id").alias("__dd"))
+    per = (
+        grams.join(gstats, "__g")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("__dd") > 1).cast("bigint")).alias("dup_spans"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("dup_spans", F.lit(0)).cast("bigint").alias("dup_spans"),
+            F.coalesce(
+                F.round(F.col("dup_spans") / F.col("n_spans").cast("double"), 6),
+                F.lit(0.0),
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-self-trained unigram LM negative log-likelihood per doc
+    (the distributable skeleton of CCNet's KenLM-perplexity quality
+    bucket): p(tok) = corpus_freq(tok) / total_tokens, and each doc
+    scores avg over its tokens of -log2 p. Low = stereotypical text,
+    high = rare-token-heavy (garbage or genuinely novel) — curation
+    buckets on this score.
+
+    Scale shape: one explode; the unigram table is a hash aggregate
+    keyed on the token (vocabulary-width shuffle); the total is a
+    1-row broadcast; scoring is a token-keyed join + per-doc average.
+    Two passes over tokens, zero driver state."""
+    tok_rows = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    freq = tok_rows.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = freq.agg(F.sum("__c").cast("double").alias("__T"))
+    nll = F.log2(F.col("__T")) - F.log2(F.col("__c").cast("double"))
+    return (
+        tok_rows.join(freq, "__tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    targets: "dict[str, float]",
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixture sampling plan: given a target weight per domain,
+    compute the per-domain sampling rate that re-shapes the corpus to
+    the target mixture at constant total token budget (the DoReMi /
+    The-Pile-style mixture step). Per domain:
+
+        n_docs, n_tokens       — corpus stats
+        actual_share           — n_tokens / total
+        target_share           — weight / sum(weights)
+        sample_rate            — target_share * total / n_tokens
+                                 (>1 means the domain repeats: epochs)
+        epochs                 — ceil(sample_rate)
+        rate_within_epoch      — sample_rate / epochs (per-epoch keep
+                                 probability for deterministic_sample)
+
+    Scale shape: one per-domain aggregate (domains are few), the target
+    table and the 1-row total both broadcast. Output is O(domains) —
+    it feeds deterministic_sample / token_budget_select downstream."""
+    spark = df.sparkSession
+    wsum = float(sum(targets.values()))
+    tgt = spark.createDataFrame(
+        [(k, float(v) / wsum) for k, v in sorted(targets.items())],
+        f"{domain_col} string, target_share double",
+    )
+    stats = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("double").alias("__tok"),
+    )
+    total = stats.agg(F.sum("__tok").alias("__T"))
+    rate = F.col("target_share") * F.col("__T") / F.col("__tok")
+    epochs = F.ceil(rate).cast("bigint")
+    return (
+        stats.join(F.broadcast(tgt), domain_col)
+        .crossJoin(F.broadcast(total))
+        .select(
+            domain_col,
+            "n_docs",
+            F.col("__tok").cast("bigint").alias("n_tokens"),
+            F.round(F.col("__tok") / F.col("__T"), 6).alias("actual_share"),
+            F.round("target_share", 6).alias("target_share"),
+            F.round(rate, 6).alias("sample_rate"),
+            epochs.alias("epochs"),
+            F.round(rate / epochs.cast("double"), 6).alias("rate_within_epoch"),
+        )
+    )

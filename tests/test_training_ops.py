@@ -493,3 +493,87 @@ def test_extract_features_real_decode(spark):
             assert abs(f[0] - 32 / 1e6) < 1e-7
             assert abs(f[1] - 8000 / 1e6) < 1e-7
             assert abs(f[7] - 32 / 8000) < 1e-6
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from table_computing_spark.operators import text as tx
+
+    span = " ".join(f"eval{i}" for i in range(5))  # one exact 5-gram
+    corpus = spark.createDataFrame(
+        [
+            (1, "clean doc with plenty of its own unrelated words here"),
+            (2, f"prefix words then {span} then suffix words follow after"),
+            (3, "short doc"),  # < 5 tokens → zero n-grams, never flagged
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"benchmark question {span} benchmark answer")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.decontaminate(corpus, bench, n=5).collect()}
+    assert out[2]["contaminated"] == 1 and out[2]["hit_ngrams"] >= 1
+    assert out[1]["contaminated"] == 0 and out[1]["hit_positions"] == 0
+    assert out[3]["contaminated"] == 0 and out[3]["hit_ngrams"] == 0
+
+
+def test_dup_span_ratio_planted(spark):
+    from table_computing_spark.operators import text as tx
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, shared),                                   # fully duplicated vs 2
+            (2, shared + " tail1 tail2 tail3 tail4 tail5"),
+            (3, " ".join(f"u{i}" for i in range(12))),     # all unique
+            (4, "tiny"),                                   # < n tokens → 0 spans
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.dup_span_ratio(df, n=5).collect()}
+    assert out[1]["dup_ratio"] == 1.0 and out[1]["n_spans"] == 6
+    assert 0.0 < out[2]["dup_ratio"] < 1.0
+    assert out[3]["dup_ratio"] == 0.0 and out[3]["dup_spans"] == 0
+    assert out[4]["n_spans"] == 0 and out[4]["dup_ratio"] == 0.0
+
+
+def test_unigram_logprob_orders_rare_heavy_docs_higher(spark):
+    from table_computing_spark.operators import text as tx
+    import math
+
+    # "common" appears 12x corpus-wide, each rare* once → doc 2 (all
+    # rare tokens) must score a higher avg NLL than doc 1 (all common).
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common common common"),
+            (2, "rare1 rare2 rare3 rare4 rare5 rare6"),
+            (3, "common common common common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.unigram_logprob(df).collect()}
+    assert out[1]["n_tokens"] == 6
+    assert out[2]["avg_nll"] > out[1]["avg_nll"]
+    # closed form: T=18; common c=12 → nll=log2(18/12); rare c=1 → log2(18)
+    assert abs(out[1]["avg_nll"] - math.log2(18 / 12)) < 1e-6
+    assert abs(out[2]["avg_nll"] - math.log2(18.0)) < 1e-6
+
+
+def test_mixture_weights_plan_invariants(spark):
+    from table_computing_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(i, "w " * (10 * (1 + i % 2)), f"d{i % 2}") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in tx.mixture_weights(df, {"d0": 3.0, "d1": 1.0}).collect()}
+    # shares: actual d0 = 200/600, d1 = 400/600; targets 0.75 / 0.25
+    assert abs(out["d0"]["actual_share"] - 1 / 3) < 1e-6
+    assert abs(out["d0"]["target_share"] - 0.75) < 1e-6
+    # d0 must be upsampled (rate > 1 → epochs >= 2), d1 downsampled
+    assert out["d0"]["sample_rate"] > 1.0 and out["d0"]["epochs"] >= 2
+    assert out["d1"]["sample_rate"] < 1.0 and out["d1"]["epochs"] == 1
+    for r in out.values():
+        assert 0.0 < r["rate_within_epoch"] <= 1.0
+        # epochs is the ceiling of the rate
+        assert r["epochs"] - 1 < r["sample_rate"] <= r["epochs"]
