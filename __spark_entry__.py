@@ -2088,6 +2088,18 @@ def q_mixture_weights(spark, sf_dir):
     return tx.mixture_weights(_t(spark, sf_dir, "documents").df, targets)
 
 
+def q_nb_classify(spark, sf_dir):
+    """Distributed multinomial Naive Bayes self-train + score
+    (operators/classify.py) over documents with lang as the label —
+    the trainable counterpart of the lang_id heuristic (fastText-class
+    linear classifier with closed-form training: joins + aggregates
+    only, no gradient loop). Per doc: actual, pred (argmax class,
+    ties to larger name), score, correct."""
+    from table_computing_spark.operators import classify
+
+    return classify.nb_classify(_t(spark, sf_dir, "documents").df)
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL pure-numpy codecs end-to-end (operators/multimodal.py:
     decode_image PPM P6 + BMP24 incl. bottom-up rows and 4-byte padding,
@@ -2413,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct": q_approx_distinct,
         # r03-verified keepers displaced from the window by the six new
         # r05 queries — rotate back in next round
+        "q_nb_classify": q_nb_classify,
         "q_tpch_q1": tpch["q_tpch_q1"],
         "q_tpch_q12": tpch["q_tpch_q12"],
         "q_transform_explode": q_transform_explode,
@@ -3598,6 +3611,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, canonical_id,
                    count(*) OVER (PARTITION BY canonical_id) AS group_size
             FROM comp
+        """,
+        "q_nb_classify": r"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+              FROM documents
+            ), nd AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+            ), v AS (
+              SELECT count(DISTINCT tok) AS vs FROM tok
+            ), ct AS (
+              SELECT lang, tok, count(*) AS n FROM tok GROUP BY lang, tok
+            ), tot AS (
+              SELECT lang, sum(n) AS tot FROM ct GROUP BY lang
+            ), classes AS (
+              SELECT p.lang,
+                     ln(CAST(p.cnt AS DOUBLE) / (SELECT n FROM nd)) AS log_prior,
+                     t.tot
+              FROM (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang) p
+              JOIN tot t USING (lang)
+            ), vocab AS (
+              SELECT DISTINCT tok FROM tok
+            ), mat AS (
+              SELECT w.tok, c.lang,
+                     ln((coalesce(ct.n, 0) + 1.0) / (c.tot + 1.0 * (SELECT vs FROM v))) AS log_lik
+              FROM vocab w CROSS JOIN classes c
+              LEFT JOIN ct ON ct.tok = w.tok AND ct.lang = c.lang
+            ), sc AS (
+              SELECT t.doc_id, c.lang AS y,
+                     max(c.log_prior)
+                       + sum(coalesce(m.log_lik,
+                                      ln(1.0 / (c.tot + 1.0 * (SELECT vs FROM v))))) AS score
+              FROM tok t CROSS JOIN classes c
+              LEFT JOIN mat m ON m.tok = t.tok AND m.lang = c.lang
+              GROUP BY t.doc_id, c.lang
+            ), best AS (
+              SELECT doc_id, y, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, y DESC) AS rn
+              FROM sc
+            )
+            SELECT d.doc_id, d.lang AS actual, b.y AS pred,
+                   round(b.score, 6) AS score,
+                   CASE WHEN b.y = d.lang THEN 1 ELSE 0 END AS correct
+            FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
         """,
         "q_decontaminate": r"""
             WITH tok AS (

@@ -577,3 +577,40 @@ def test_mixture_weights_plan_invariants(spark):
         assert 0.0 < r["rate_within_epoch"] <= 1.0
         # epochs is the ceiling of the rate
         assert r["epochs"] - 1 < r["sample_rate"] <= r["epochs"]
+
+
+def test_nb_classify_separable_corpus(spark):
+    from table_computing_spark.operators import classify
+
+    # two fully separable vocabularies -> self-train must reach 100%
+    rows = []
+    for i in range(8):
+        rows.append((i, " ".join(f"cat{j % 5}" for j in range(i, i + 12)), "cats"))
+        rows.append((100 + i, " ".join(f"dog{j % 5}" for j in range(i, i + 12)), "dogs"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = classify.nb_classify(df)
+    res = {r["doc_id"]: r for r in out.collect()}
+    assert len(res) == 16
+    assert all(r["correct"] == 1 for r in res.values())
+    assert res[0]["pred"] == "cats" and res[100]["pred"] == "dogs"
+    # scores are log-probabilities: strictly negative
+    assert all(r["score"] < 0 for r in res.values())
+
+
+def test_nb_score_backoff_on_unseen_tokens(spark):
+    from table_computing_spark.operators import classify
+
+    train = spark.createDataFrame(
+        [(1, "aa aa bb", "x"), (2, "cc cc dd", "y")],
+        "doc_id long, text string, lang string",
+    )
+    priors, lik = classify.nb_train(train)
+    # scoring corpus contains a token never seen in training ("zz") —
+    # the backoff constant must apply and prediction still follows the
+    # seen tokens
+    test = spark.createDataFrame(
+        [(10, "aa zz"), (11, "dd zz")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in classify.nb_score(test, priors, lik, vocab_size=4).collect()}
+    assert out[10]["pred"] == "x"
+    assert out[11]["pred"] == "y"
