@@ -77,6 +77,16 @@ def main() -> None:
         # via executor-memory pressure. Cache release happens outside the
         # timed window — each timing is the query's own cost.
         spark.catalog.clearCache()
+        # clearCache misses RDD-level blocks: localCheckpoints from the
+        # connected-components loops stay persisted and accumulate heap
+        # pressure over a 100+ query run. Drop them explicitly. (A
+        # per-query System.gc() was tried here and bought nothing —
+        # measured 181.9s vs 181.6s on the same host window.)
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+        except Exception:  # noqa: BLE001 — hygiene must never fail the bench
+            pass
 
     streaming = _bench_streaming(spark, sf_dir)
 
