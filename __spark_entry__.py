@@ -2088,6 +2088,21 @@ def q_mixture_weights(spark, sf_dir):
     return tx.mixture_weights(_t(spark, sf_dir, "documents").df, targets)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Cross-corpus incremental dedup (operators/dedup.jaccard_join):
+    dedupe a NEW batch (doc_id % 10 == 0) against the already-curated
+    REFERENCE corpus (the rest) — bipartite exact token-set Jaccard >=
+    0.9 via the inverted-index join; the reference side contributes
+    inverted lists only, never ref x ref pairs. The production shape
+    for 'dedupe this crawl against the training set'."""
+    from table_computing_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents").df
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    ref = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.jaccard_join(new, ref, threshold=0.9)
+
+
 def q_nb_classify(spark, sf_dir):
     """Distributed multinomial Naive Bayes self-train + score
     (operators/classify.py) over documents with lang as the label —
@@ -2426,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r03-verified keepers displaced from the window by the six new
         # r05 queries — rotate back in next round
         "q_nb_classify": q_nb_classify,
+        "q_dedup_incremental": q_dedup_incremental,
         "q_tpch_q1": tpch["q_tpch_q1"],
         "q_tpch_q12": tpch["q_tpch_q12"],
         "q_transform_explode": q_transform_explode,
@@ -3611,6 +3627,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, canonical_id,
                    count(*) OVER (PARTITION BY canonical_id) AS group_size
             FROM comp
+        """,
+        "q_dedup_incremental": r"""
+            WITH tokset AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS ts
+              FROM documents
+            ), u AS (
+              SELECT doc_id, unnest(ts) AS tok, len(ts) AS sz FROM tokset
+            ), n AS (
+              SELECT doc_id AS id_new, tok, sz AS sz_n FROM u WHERE doc_id % 10 = 0
+            ), r AS (
+              SELECT doc_id AS id_ref, tok, sz AS sz_r FROM u WHERE doc_id % 10 <> 0
+            ), sh AS (
+              SELECT id_new, id_ref, sz_n, sz_r, count(*) AS shared
+              FROM n JOIN r USING (tok)
+              WHERE sz_r * 0.9 <= sz_n AND sz_n * 0.9 <= sz_r
+              GROUP BY id_new, id_ref, sz_n, sz_r
+            )
+            SELECT id_new, id_ref,
+                   round(shared / CAST(sz_n + sz_r - shared AS DOUBLE), 6) AS jaccard
+            FROM sh
+            WHERE round(shared / CAST(sz_n + sz_r - shared AS DOUBLE), 6) >= 0.9
         """,
         "q_nb_classify": r"""
             WITH tok AS (

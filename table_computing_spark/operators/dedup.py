@@ -408,6 +408,73 @@ def simhash_pairs(
     )
 
 
+def jaccard_join(
+    df_new: DataFrame,
+    df_ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    use_tokens: bool = True,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Bipartite exact set-Jaccard between a NEW batch and a REFERENCE
+    corpus — the incremental-dedup primitive: dedupe a fresh crawl
+    against the already-curated training set WITHOUT re-pairing the
+    reference against itself (the reference side contributes only its
+    inverted lists, never ref×ref pairs). Output: (id_new, id_ref,
+    jaccard) for every cross pair with jaccard >= threshold.
+
+    Unit set is distinct tokens (default) or distinct word k-shingles.
+    Same inverted-index shape as ngram_jaccard_pairs: join on 64-bit
+    unit hashes, size filter t*|A| <= |B| <= |A|/t pruning before the
+    shared-count aggregate — cost O(sum over units of df_new * df_ref),
+    proportional to actual cross-corpus token collisions, never
+    |new| x |ref|."""
+
+    def units_of(df: DataFrame, alias: str) -> DataFrame:
+        if use_tokens:
+            u = _spread(df).select(
+                F.col(id_col).alias(alias),
+                F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("__u"),
+            )
+        else:
+            u = (
+                shingle_rows(df, text_col, id_col, shingle_k)
+                .where(F.col("__sh").isNotNull())
+                .distinct()
+                .select(F.col("__id").alias(alias), F.col("__sh").alias("__u"))
+            )
+        return u.select(alias, F.xxhash64("__u").alias("th"))
+
+    un = units_of(df_new, "id_new")
+    ur = units_of(df_ref, "id_ref")
+    sn = un.groupBy("id_new").agg(F.count(F.lit(1)).alias("sz_n"))
+    sr = ur.groupBy("id_ref").agg(F.count(F.lit(1)).alias("sz_r"))
+    a = un.join(sn, "id_new")
+    b = ur.join(sr, "id_ref")
+    shared = (
+        a.join(
+            b,
+            (a["th"] == b["th"])
+            # size filter: |ref| in [t*|new|, |new|/t] is necessary
+            & (b["sz_r"] * F.lit(threshold) <= a["sz_n"])
+            & (a["sz_n"] * F.lit(threshold) <= b["sz_r"]),
+        )
+        .groupBy("id_new", "id_ref", "sz_n", "sz_r")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("sz_n") + F.col("sz_r") - F.col("shared")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "id_ref", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

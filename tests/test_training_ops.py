@@ -614,3 +614,26 @@ def test_nb_score_backoff_on_unseen_tokens(spark):
     out = {r["doc_id"]: r for r in classify.nb_score(test, priors, lik, vocab_size=4).collect()}
     assert out[10]["pred"] == "x"
     assert out[11]["pred"] == "y"
+
+
+def test_jaccard_join_bipartite_only(spark):
+    from table_computing_spark.operators import dedup
+
+    base = " ".join(f"w{i}" for i in range(20))
+    ref = spark.createDataFrame(
+        [(1, base), (2, base), (3, " ".join(f"r{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, base), (101, " ".join(f"x{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    out = dedup.jaccard_join(new, ref, threshold=0.9)
+    pairs = {(r["id_new"], r["id_ref"]): r["jaccard"] for r in out.collect()}
+    # the planted copy pairs with BOTH identical ref docs at 1.0
+    assert pairs[(100, 1)] == 1.0 and pairs[(100, 2)] == 1.0
+    # ref x ref (1,2) must NOT appear even though they are identical —
+    # the reference side is never paired against itself
+    assert all(k[0] in (100, 101) for k in pairs)
+    # unrelated new doc pairs with nothing
+    assert not any(k[0] == 101 for k in pairs)
