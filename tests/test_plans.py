@@ -178,3 +178,29 @@ def test_cosine_pairs_broadcast_bound_is_byte_based(spark):
     p = plan_of(sim.cosine_pairs(emb, broadcast_bytes=dim * 8 - 1))
     assert "MapInPandas" not in p, p  # broadcast path would MapInPandas-score
     assert "CartesianProduct" not in p, p
+
+
+def test_decontaminate_bench_side_broadcast(plans):
+    """The benchmark n-gram set must reach the corpus via a broadcast
+    hash join — never a shuffled SMJ of the corpus n-grams against it
+    (the eval set is always tiny relative to the corpus)."""
+    p = plans["q_decontaminate"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_nb_classify_argmax_is_aggregate_not_window(plans):
+    """The per-doc argmax class must plan as max(struct(score, class))
+    — an aggregate — not a rank window over the scored corpus (a
+    corpus-wide sort at 100 TB)."""
+    assert "Window" not in plans["q_nb_classify"]
+
+
+def test_span_ops_ngram_build_in_codegen(plans):
+    """_ngram_rows assembles n-grams with lead() windows so the build
+    stays JVM-side: no Python evaluation of any flavor in the span
+    ops (PLANS.md round-5: the interpreted transform/slice array path
+    measured ~10x slower)."""
+    for name in ("q_dup_spans", "q_decontaminate"):
+        p = plans[name]
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
