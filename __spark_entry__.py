@@ -2088,6 +2088,18 @@ def q_mixture_weights(spark, sf_dir):
     return tx.mixture_weights(_t(spark, sf_dir, "documents").df, targets)
 
 
+def q_rp_project(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection of the embedding table
+    to 16 dims (operators/similarity.rp_project_rows): deterministic
+    Achlioptas ±1 sign matrix seeded by pure arithmetic, one
+    Arrow-batched numpy matmul per batch, no shuffle — the
+    project-then-index front end for LSH/IVF on wide embeddings.
+    Oracle recomputes the same projection as an unnest + sum in SQL."""
+    from table_computing_spark.operators import similarity as sim
+
+    return sim.rp_project_rows(_t(spark, sf_dir, "embeddings").df, out_dim=16)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Cross-corpus incremental dedup (operators/dedup.jaccard_join):
     dedupe a NEW batch (doc_id % 10 == 0) against the already-curated
@@ -2442,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r05 queries — rotate back in next round
         "q_nb_classify": q_nb_classify,
         "q_dedup_incremental": q_dedup_incremental,
+        "q_rp_project": q_rp_project,
         "q_tpch_q1": tpch["q_tpch_q1"],
         "q_tpch_q12": tpch["q_tpch_q12"],
         "q_transform_explode": q_transform_explode,
@@ -3627,6 +3640,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, canonical_id,
                    count(*) OVER (PARTITION BY canonical_id) AS group_size
             FROM comp
+        """,
+        "q_rp_project": """
+            WITH e AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) - 1 AS j,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings
+            ), proj AS (
+              SELECT vec_id, k,
+                     sum(x * (CASE WHEN ((j * 31 + k * 17) % 7) % 2 = 0
+                              THEN 1.0 ELSE -1.0 END)) / sqrt(16) AS v
+              FROM e CROSS JOIN range(16) t2(k)
+              GROUP BY vec_id, k
+            )
+            SELECT vec_id, CAST(k AS INT) AS k, round(v, 6) AS v FROM proj
         """,
         "q_dedup_incremental": r"""
             WITH tokset AS (

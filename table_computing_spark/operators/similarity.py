@@ -332,6 +332,55 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def rp_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 16,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to `out_dim` dims — the
+    dimensionality-reduction step in front of LSH/IVF when raw
+    embeddings are wide (project once, index the sketch; distances are
+    preserved within 1±eps). The projection matrix is a DETERMINISTIC
+    ±1 sign matrix, S[j][k] = +1 iff ((j*31 + k*17) % 7) % 2 == 0,
+    scaled by 1/sqrt(out_dim) (Achlioptas-style database-friendly
+    projection) — pure arithmetic seeding, so any engine reproduces it
+    without sharing an RNG.
+
+    Scale shape: one Arrow-batched numpy matmul per batch — no shuffle,
+    no driver state, O(rows x in_dim x out_dim) flops. Output keeps the
+    projection as array<double> plus exploded (k, v) rows via
+    rp_project_rows for oracle-friendly comparison."""
+    import numpy as np
+
+    @pandas_udf(T.ArrayType(DoubleType()))
+    def proj(col: pd.Series) -> pd.Series:
+        mat = np.vstack(col.to_numpy()).astype(np.float64)
+        d = mat.shape[1]
+        j = np.arange(d)[:, None]
+        k = np.arange(out_dim)[None, :]
+        sign = np.where(((j * 31 + k * 17) % 7) % 2 == 0, 1.0, -1.0)
+        out = mat @ (sign / np.sqrt(out_dim))
+        return pd.Series([r.tolist() for r in out])
+
+    return df.select(F.col(id_col), proj(F.col(vec_col)).alias("proj"))
+
+
+def rp_project_rows(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 16,
+) -> DataFrame:
+    """rp_project exploded to (id, k, v) narrow rows, v rounded — the
+    value-hash-comparable shape."""
+    return (
+        rp_project(df, vec_col, id_col, out_dim)
+        .select(F.col(id_col), F.posexplode("proj").alias("k", "v"))
+        .select(id_col, "k", F.round("v", 6).alias("v"))
+    )
+
+
 def sign_bucket(vec: Column, bits: int = 4) -> Column:
     """Axis-aligned sign-LSH bucket id: bit i = sign(vec[i]) — a
     deterministic, engine-portable random-hyperplane surrogate (the

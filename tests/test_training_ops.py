@@ -637,3 +637,29 @@ def test_jaccard_join_bipartite_only(spark):
     assert all(k[0] in (100, 101) for k in pairs)
     # unrelated new doc pairs with nothing
     assert not any(k[0] == 101 for k in pairs)
+
+
+def test_rp_project_preserves_distances_and_is_deterministic(spark):
+    from table_computing_spark.operators import similarity as sim
+    import math
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    proj = {r["vec_id"]: r["proj"] for r in sim.rp_project(emb, out_dim=16).collect()}
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    assert all(len(v) == 16 for v in proj.values())
+    # determinism: a second run reproduces bit-identical projections
+    again = {r["vec_id"]: r["proj"] for r in sim.rp_project(emb, out_dim=16).collect()}
+    assert proj == again
+    # JL property (loose): median pairwise-distance ratio near 1
+    ids = sorted(proj)[:20]
+    ratios = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            d_orig = math.dist(orig[a], orig[b])
+            d_proj = math.dist(proj[a], proj[b])
+            if d_orig > 0:
+                ratios.append(d_proj / d_orig)
+    ratios.sort()
+    med = ratios[len(ratios) // 2]
+    assert 0.6 < med < 1.4, med
