@@ -2088,6 +2088,18 @@ def q_mixture_weights(spark, sf_dir):
     return tx.mixture_weights(_t(spark, sf_dir, "documents").df, targets)
 
 
+def q_gopher_rules(spark, sf_dir):
+    """The full published Gopher quality-rule set (Rae et al. 2021)
+    per document (operators/text.gopher_rules): word-count band, mean
+    word length, symbol ratio, bullet/ellipsis line fractions,
+    alpha-word fraction, stopword floor — each rule an auditable flag
+    plus the combined keep decision. Pure expressions; all ratios
+    divide exact integers so every flag is engine-exact."""
+    from table_computing_spark.operators import text as tx
+
+    return tx.gopher_rules(_t(spark, sf_dir, "documents").df)
+
+
 def q_rp_project(spark, sf_dir):
     """Johnson-Lindenstrauss random projection of the embedding table
     to 16 dims (operators/similarity.rp_project_rows): deterministic
@@ -2455,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nb_classify": q_nb_classify,
         "q_dedup_incremental": q_dedup_incremental,
         "q_rp_project": q_rp_project,
+        "q_gopher_rules": q_gopher_rules,
         "q_tpch_q1": tpch["q_tpch_q1"],
         "q_tpch_q12": tpch["q_tpch_q12"],
         "q_transform_explode": q_transform_explode,
@@ -3640,6 +3653,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, canonical_id,
                    count(*) OVER (PARTITION BY canonical_id) AS group_size
             FROM comp
+        """,
+        "q_gopher_rules": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ltoks,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     len(toks) AS n_words,
+                     length(regexp_replace(text, '\s+', '', 'g')) AS word_chars,
+                     length(text) - length(replace(text, '#', '')) AS n_hash,
+                     (length(text) - length(replace(text, '...', ''))) / 3.0 AS n_ell,
+                     len(lines) AS n_lines,
+                     len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+                                             OR starts_with(ltrim(l), '*')
+                                             OR starts_with(ltrim(l), '•'))) AS n_bullet,
+                     len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+                                             OR ends_with(rtrim(l), '…'))) AS n_ellline,
+                     len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                     len(list_intersect(list_distinct(ltoks),
+                         ['the','a','of','and','to','in','is','that','it','for'])) AS stop_hits
+              FROM base
+            ), m AS (
+              SELECT doc_id, n_words, stop_hits,
+                     CASE WHEN n_words > 0 THEN word_chars / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_wl,
+                     CASE WHEN n_words > 0 THEN (n_hash + n_ell) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS sym,
+                     n_bullet / CAST(n_lines AS DOUBLE) AS bul,
+                     n_ellline / CAST(n_lines AS DOUBLE) AS ell,
+                     CASE WHEN n_words > 0 THEN n_alpha / CAST(n_words AS DOUBLE) ELSE 0.0 END AS alpha
+              FROM s
+            ), fl AS (
+              SELECT *,
+                     CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS ok_words,
+                     CAST(mean_wl >= 3.0 AND mean_wl <= 10.0 AS INT) AS ok_mean_word_len,
+                     CAST(sym < 0.1 AS INT) AS ok_symbol_ratio,
+                     CAST(bul < 0.9 AS INT) AS ok_bullet_lines,
+                     CAST(ell < 0.3 AS INT) AS ok_ellipsis_lines,
+                     CAST(alpha > 0.8 AS INT) AS ok_alpha_words,
+                     CAST(stop_hits >= 2 AS INT) AS ok_stopwords
+              FROM m
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   round(mean_wl, 6) AS mean_word_len,
+                   round(sym, 6) AS symbol_ratio,
+                   round(bul, 6) AS bullet_line_frac,
+                   round(ell, 6) AS ellipsis_line_frac,
+                   round(alpha, 6) AS alpha_word_frac,
+                   CAST(stop_hits AS BIGINT) AS n_stopword_hits,
+                   ok_words, ok_mean_word_len, ok_symbol_ratio, ok_bullet_lines,
+                   ok_ellipsis_lines, ok_alpha_words, ok_stopwords,
+                   CAST(ok_words = 1 AND ok_mean_word_len = 1 AND ok_symbol_ratio = 1
+                        AND ok_bullet_lines = 1 AND ok_ellipsis_lines = 1
+                        AND ok_alpha_words = 1 AND ok_stopwords = 1 AS INT) AS keep
+            FROM fl
         """,
         "q_rp_project": """
             WITH e AS (

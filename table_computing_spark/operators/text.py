@@ -499,6 +499,99 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The published Gopher quality-rule set (Rae et al. 2021, table A1)
+    as per-document flags + a combined keep decision — the standard
+    pre-filter stage of an LLM data pipeline, each rule exposed
+    individually so curation can audit WHY a document was dropped.
+
+    Per doc: n_words, mean_word_len, symbol_ratio (# and ... per word),
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    n_stopword_hits, one ok_* flag per rule, and keep = AND of flags.
+
+    Everything is a pure string/array expression (zero shuffle, zero
+    Python): mean word length uses length(regexp_replace(text,'\\s',''))
+    — exactly the sum of token lengths — instead of an interpreted
+    aggregate lambda over the token array. All ratios divide exact
+    integers, so flags are engine-exact (no FP drift possible)."""
+    t = F.col(text_col)
+    toks = tokens(t, lowercase=False)
+    n_words = F.size(toks)
+    nw = n_words.cast("double")
+    word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    mean_wl = F.when(n_words > 0, word_chars / nw).otherwise(F.lit(0.0))
+    n_hash = F.length(t) - F.length(F.expr(f"replace({text_col}, '#', '')"))
+    n_ellipsis = (
+        F.length(t) - F.length(F.expr(f"replace({text_col}, '...', '')"))
+    ) / F.lit(3)
+    symbol_ratio = F.when(n_words > 0, (n_hash + n_ellipsis) / nw).otherwise(F.lit(0.0))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = F.size(
+        F.filter(
+            lines,
+            lambda l: F.startswith(F.ltrim(l), F.lit("-"))
+            | F.startswith(F.ltrim(l), F.lit("*"))
+            | F.startswith(F.ltrim(l), F.lit("•")),
+        )
+    ) / n_lines
+    ellipsis_frac = F.size(
+        F.filter(
+            lines,
+            lambda l: F.endswith(F.rtrim(l), F.lit("..."))
+            | F.endswith(F.rtrim(l), F.lit("…")),
+        )
+    ) / n_lines
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / nw,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(t)),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    )
+    flags = {
+        "ok_words": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "ok_symbol_ratio": symbol_ratio < max_symbol_ratio,
+        "ok_bullet_lines": bullet_frac < max_bullet_line_frac,
+        "ok_ellipsis_lines": ellipsis_frac < max_ellipsis_line_frac,
+        "ok_alpha_words": alpha_frac > min_alpha_word_frac,
+        "ok_stopwords": stop_hits >= min_stopwords,
+    }
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.cast("bigint").alias("n_stopword_hits"),
+        *[c.cast("int").alias(n) for n, c in flags.items()],
+        keep.cast("int").alias("keep"),
+    )
+
+
 def word_ngrams(c: ColumnLike, n: int = 5) -> Column:
     """Positional word n-grams (array<string>; element i covers token
     positions i..i+n-1). Unlike `shingles` there is no short-doc

@@ -663,3 +663,24 @@ def test_rp_project_preserves_distances_and_is_deterministic(spark):
     ratios.sort()
     med = ratios[len(ratios) // 2]
     assert 0.6 < med < 1.4, med
+
+
+def test_gopher_rules_planted_violations(spark):
+    from table_computing_spark.operators import text as tx
+
+    good = "the quick brown fox jumps over a lazy dog and it runs far " * 6
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    ellipses = "\n".join(f"line {i} trails off..." for i in range(10))
+    symbols = " ".join("#tag" for _ in range(60))
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, ellipses), (4, symbols),
+         (5, "short doc only")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.gopher_rules(df, min_words=20).collect()}
+    assert out[1]["keep"] == 1
+    assert out[2]["ok_bullet_lines"] == 0 and out[2]["keep"] == 0
+    assert out[2]["bullet_line_frac"] == 1.0
+    assert out[3]["ok_ellipsis_lines"] == 0 and out[3]["keep"] == 0
+    assert out[4]["ok_symbol_ratio"] == 0 and out[4]["symbol_ratio"] >= 1.0
+    assert out[5]["ok_words"] == 0 and out[5]["keep"] == 0
