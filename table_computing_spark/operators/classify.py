@@ -77,6 +77,9 @@ def nb_train(
             ).alias("log_lik"),
         )
     )
+    # stash |V| on the frame so nb_score need not re-execute the whole
+    # likelihood plan just to count its distinct tokens
+    likelihood._tc_vocab_size = vocab_size  # type: ignore[attr-defined]
     return priors, likelihood
 
 
@@ -96,8 +99,11 @@ def nb_score(
     larger class name (deterministic, engine-portable).
 
     `vocab_size` must be passed when scoring a corpus other than the
-    training one (it fixes the backoff constant); defaults to the
-    likelihood matrix's own vocab count."""
+    training one (it fixes the backoff constant); defaults to the size
+    nb_train stashed on the likelihood frame, else its distinct-token
+    count."""
+    if vocab_size is None:
+        vocab_size = getattr(likelihood, "_tc_vocab_size", None)
     if vocab_size is None:
         vocab_size = likelihood.select("__tok").distinct().count()
     tok = df.select(

@@ -782,9 +782,15 @@ def mixture_weights(
     it feeds deterministic_sample / token_budget_select downstream."""
     spark = df.sparkSession
     wsum = float(sum(targets.values()))
-    tgt = spark.createDataFrame(
-        [(k, float(v) / wsum) for k, v in sorted(targets.items())],
-        f"{domain_col} string, target_share double",
+    # literal map exploded from range(1): a pure-JVM LocalRelation —
+    # createDataFrame(list) routes through a Python RDD scan, which
+    # measured ~2s of cold Python-worker cost inside the query's timing
+    pairs: list[Column] = []
+    for k, v in sorted(targets.items()):
+        pairs.extend((F.lit(k), F.lit(float(v) / wsum)))
+    tgt = (
+        spark.range(1)
+        .select(F.explode(F.create_map(*pairs)).alias(domain_col, "target_share"))
     )
     stats = df.groupBy(domain_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
