@@ -2088,6 +2088,17 @@ def q_mixture_weights(spark, sf_dir):
     return tx.mixture_weights(_t(spark, sf_dir, "documents").df, targets)
 
 
+def q_dup_span_intervals(spark, sf_dir):
+    """Merged duplicated-span token intervals per document
+    (operators/text.dup_span_intervals): the spans an exact-substring
+    dedup pipeline removes (Lee et al. 2022) — word-5-gram occurrences
+    with corpus df >= 2 distinct docs, merged by gaps-and-islands into
+    [span_start, span_end] inclusive 0-based token intervals."""
+    from table_computing_spark.operators import text as tx
+
+    return tx.dup_span_intervals(_t(spark, sf_dir, "documents").df, n=5)
+
+
 def q_gopher_rules(spark, sf_dir):
     """The full published Gopher quality-rule set (Rae et al. 2021)
     per document (operators/text.gopher_rules): word-count band, mean
@@ -2468,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_incremental": q_dedup_incremental,
         "q_rp_project": q_rp_project,
         "q_gopher_rules": q_gopher_rules,
+        "q_dup_span_intervals": q_dup_span_intervals,
         "q_tpch_q1": tpch["q_tpch_q1"],
         "q_tpch_q12": tpch["q_tpch_q12"],
         "q_transform_explode": q_transform_explode,
@@ -3653,6 +3665,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, canonical_id,
                    count(*) OVER (PARTITION BY canonical_id) AS group_size
             FROM comp
+        """,
+        "q_dup_span_intervals": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, p - 1 AS pos, array_to_string(toks[p:p+4], ' ') AS g
+              FROM tok, unnest(range(1, len(toks) - 5 + 2)) AS t(p)
+              WHERE len(toks) >= 5
+            ), dupg AS (
+              SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) > 1
+            ), dups AS (
+              SELECT doc_id, pos FROM grams JOIN dupg USING (g)
+            ), marked AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                            OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS st
+              FROM dups WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), isl AS (
+              SELECT doc_id, pos,
+                     sum(st) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS isl
+              FROM marked
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 4 AS BIGINT) AS span_end,
+                   CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_tokens,
+                   count(*) AS span_grams
+            FROM isl GROUP BY doc_id, isl
         """,
         "q_gopher_rules": r"""
             WITH base AS (

@@ -723,6 +723,73 @@ def dup_span_ratio(
     )
 
 
+def dup_span_intervals(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The actionable form of dup_span_ratio: MERGED token intervals
+    [span_start, span_end] (0-based, inclusive) covering every word
+    n-gram occurrence whose n-gram appears in >= 2 distinct docs — the
+    spans an exact-substring dedup pipeline cuts out of the text
+    (Lee et al. 2022 remove such spans rather than whole docs). Two
+    overlapping/adjacent duplicated windows merge into one interval
+    (classic gaps-and-islands: a new island starts when the next
+    duplicated position is > n tokens after the previous one).
+
+    Output: (id, span_start, span_end, span_tokens, span_grams).
+    Scale shape: the same n-gram df aggregate as dup_span_ratio plus
+    one per-doc window over duplicated POSITIONS only (a small subset),
+    never over the corpus."""
+    from pyspark.sql.window import Window as W
+
+    tok_rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "__tok"),
+    )
+    w = W.partitionBy("__id").orderBy("__pos")
+    parts = [F.col("__tok")] + [F.lead("__tok", i).over(w) for i in range(1, n)]
+    grams = tok_rows.select(
+        "__id",
+        "__pos",
+        F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("__g"),
+    ).filter(F.col("__g").isNotNull())
+    dup_grams = (
+        grams.groupBy("__g")
+        .agg(F.count_distinct("__id").alias("__dd"))
+        .filter(F.col("__dd") > 1)
+        .select("__g")
+    )
+    dups = grams.join(dup_grams, "__g").select("__id", "__pos")
+    w2 = W.partitionBy("__id").orderBy("__pos")
+    new_island = F.when(
+        F.col("__pos") - F.lag("__pos").over(w2) > n, F.lit(1)
+    ).otherwise(F.lit(0))
+    first = F.when(F.lag("__pos").over(w2).isNull(), F.lit(1)).otherwise(new_island)
+    islands = dups.withColumn(
+        "__isl",
+        F.sum(first).over(w2.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        islands.groupBy("__id", "__isl")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + F.lit(n - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("span_grams"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_end").cast("bigint").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint")
+            .alias("span_tokens"),
+            F.col("span_grams").cast("bigint").alias("span_grams"),
+        )
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",

@@ -684,3 +684,34 @@ def test_gopher_rules_planted_violations(spark):
     assert out[3]["ok_ellipsis_lines"] == 0 and out[3]["keep"] == 0
     assert out[4]["ok_symbol_ratio"] == 0 and out[4]["symbol_ratio"] >= 1.0
     assert out[5]["ok_words"] == 0 and out[5]["keep"] == 0
+
+
+def test_dup_span_intervals_merging(spark):
+    from table_computing_spark.operators import text as tx
+
+    shared = " ".join(f"s{i}" for i in range(8))      # tokens 0..7 shared
+    mid = "uA uB uC uD uE uF uG"                       # unique separator
+    shared2 = " ".join(f"z{i}" for i in range(6))     # second shared run
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} {mid} {shared2}"),
+            (2, f"other1 other2 {shared} trailer1 trailer2"),
+            (3, f"front1 front2 front3 {shared2} back1"),
+            (4, " ".join(f"q{i}" for i in range(15))),  # fully unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in tx.dup_span_intervals(df, n=5).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_grams"])
+        )
+    # doc 1: tokens 0-7 duplicated (grams at pos 0..3 merge into one
+    # island) and tokens 15-20 (shared2 at offset 15, grams pos 15..16)
+    assert sorted(out[1]) == [(0, 7, 4), (15, 20, 2)]
+    # doc 2: shared sits at offset 2 → one island covering tokens 2-9
+    assert out[2] == [(2, 9, 4)]
+    # doc 3: shared2 at offset 3 → tokens 3-8
+    assert out[3] == [(3, 8, 2)]
+    # doc 4: no duplicated spans at all
+    assert 4 not in out
