@@ -2088,6 +2088,35 @@ def q_mixture_weights(spark, sf_dir):
     return tx.mixture_weights(_t(spark, sf_dir, "documents").df, targets)
 
 
+def q_stream_curation(spark, sf_dir):
+    """End-to-end STREAMING ingest curation: documents arrive as a
+    stream, pass the stateless Gopher quality gate
+    (text.gopher_rules with keep_cols threading text/event-time
+    through), and surviving docs deduplicate exactly via
+    dropDuplicatesWithinWatermark on the text fingerprint
+    (streaming/windows.stream_dedup_exact). Oracle: distinct
+    fingerprints of exactly the keep==1 docs — the whole pipeline is
+    value-hashed, not just its stages."""
+    from table_computing_spark.operators import text as tx
+    from table_computing_spark.streaming.windows import stream_dedup_exact
+
+    doc_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sdf = (
+        spark.readStream.schema(doc_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_millis((F.col("doc_id") + 1) * 1000))
+    )
+    kept = (
+        tx.gopher_rules(sdf, keep_cols=("text", "ts"))
+        .filter(F.col("keep") == 1)
+        .select("doc_id", "text", "ts")
+    )
+    out = stream_dedup_exact(kept, "ts", watermark="10 seconds").select("fingerprint")
+    with _state_partitions(spark):
+        return _run_stream_to_df(spark, out, "append")
+
+
 def q_dup_span_intervals(spark, sf_dir):
     """Merged duplicated-span token intervals per document
     (operators/text.dup_span_intervals): the spans an exact-substring
@@ -2480,6 +2509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rp_project": q_rp_project,
         "q_gopher_rules": q_gopher_rules,
         "q_dup_span_intervals": q_dup_span_intervals,
+        "q_stream_curation": q_stream_curation,
         "q_tpch_q1": tpch["q_tpch_q1"],
         "q_tpch_q12": tpch["q_tpch_q12"],
         "q_transform_explode": q_transform_explode,
@@ -2510,6 +2540,65 @@ WITH e AS (
   SELECT *, (t // 1800000) * 1800000 - 1800000 AS window_start FROM e
 )
 """
+
+_GOPHER_ORACLE = r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ltoks,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     len(toks) AS n_words,
+                     length(regexp_replace(text, '\s+', '', 'g')) AS word_chars,
+                     length(text) - length(replace(text, '#', '')) AS n_hash,
+                     (length(text) - length(replace(text, '...', ''))) / 3.0 AS n_ell,
+                     len(lines) AS n_lines,
+                     len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+                                             OR starts_with(ltrim(l), '*')
+                                             OR starts_with(ltrim(l), '•'))) AS n_bullet,
+                     len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+                                             OR ends_with(rtrim(l), '…'))) AS n_ellline,
+                     len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                     len(list_intersect(list_distinct(ltoks),
+                         ['the','a','of','and','to','in','is','that','it','for'])) AS stop_hits
+              FROM base
+            ), m AS (
+              SELECT doc_id, n_words, stop_hits,
+                     CASE WHEN n_words > 0 THEN word_chars / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_wl,
+                     CASE WHEN n_words > 0 THEN (n_hash + n_ell) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS sym,
+                     n_bullet / CAST(n_lines AS DOUBLE) AS bul,
+                     n_ellline / CAST(n_lines AS DOUBLE) AS ell,
+                     CASE WHEN n_words > 0 THEN n_alpha / CAST(n_words AS DOUBLE) ELSE 0.0 END AS alpha
+              FROM s
+            ), fl AS (
+              SELECT *,
+                     CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS ok_words,
+                     CAST(mean_wl >= 3.0 AND mean_wl <= 10.0 AS INT) AS ok_mean_word_len,
+                     CAST(sym < 0.1 AS INT) AS ok_symbol_ratio,
+                     CAST(bul < 0.9 AS INT) AS ok_bullet_lines,
+                     CAST(ell < 0.3 AS INT) AS ok_ellipsis_lines,
+                     CAST(alpha > 0.8 AS INT) AS ok_alpha_words,
+                     CAST(stop_hits >= 2 AS INT) AS ok_stopwords
+              FROM m
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   round(mean_wl, 6) AS mean_word_len,
+                   round(sym, 6) AS symbol_ratio,
+                   round(bul, 6) AS bullet_line_frac,
+                   round(ell, 6) AS ellipsis_line_frac,
+                   round(alpha, 6) AS alpha_word_frac,
+                   CAST(stop_hits AS BIGINT) AS n_stopword_hits,
+                   ok_words, ok_mean_word_len, ok_symbol_ratio, ok_bullet_lines,
+                   ok_ellipsis_lines, ok_alpha_words, ok_stopwords,
+                   CAST(ok_words = 1 AND ok_mean_word_len = 1 AND ok_symbol_ratio = 1
+                        AND ok_bullet_lines = 1 AND ok_ellipsis_lines = 1
+                        AND ok_alpha_words = 1 AND ok_stopwords = 1 AS INT) AS keep
+            FROM fl
+        """
+
 
 _SESSIONS_30M = """
 WITH e AS (
@@ -3697,62 +3786,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS span_grams
             FROM isl GROUP BY doc_id, isl
         """,
-        "q_gopher_rules": r"""
-            WITH base AS (
-              SELECT doc_id, text,
-                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
-                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ltoks,
-                     string_split(text, chr(10)) AS lines
-              FROM documents
-            ), s AS (
-              SELECT doc_id,
-                     len(toks) AS n_words,
-                     length(regexp_replace(text, '\s+', '', 'g')) AS word_chars,
-                     length(text) - length(replace(text, '#', '')) AS n_hash,
-                     (length(text) - length(replace(text, '...', ''))) / 3.0 AS n_ell,
-                     len(lines) AS n_lines,
-                     len(list_filter(lines, l -> starts_with(ltrim(l), '-')
-                                             OR starts_with(ltrim(l), '*')
-                                             OR starts_with(ltrim(l), '•'))) AS n_bullet,
-                     len(list_filter(lines, l -> ends_with(rtrim(l), '...')
-                                             OR ends_with(rtrim(l), '…'))) AS n_ellline,
-                     len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
-                     len(list_intersect(list_distinct(ltoks),
-                         ['the','a','of','and','to','in','is','that','it','for'])) AS stop_hits
-              FROM base
-            ), m AS (
-              SELECT doc_id, n_words, stop_hits,
-                     CASE WHEN n_words > 0 THEN word_chars / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_wl,
-                     CASE WHEN n_words > 0 THEN (n_hash + n_ell) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS sym,
-                     n_bullet / CAST(n_lines AS DOUBLE) AS bul,
-                     n_ellline / CAST(n_lines AS DOUBLE) AS ell,
-                     CASE WHEN n_words > 0 THEN n_alpha / CAST(n_words AS DOUBLE) ELSE 0.0 END AS alpha
-              FROM s
-            ), fl AS (
-              SELECT *,
-                     CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS ok_words,
-                     CAST(mean_wl >= 3.0 AND mean_wl <= 10.0 AS INT) AS ok_mean_word_len,
-                     CAST(sym < 0.1 AS INT) AS ok_symbol_ratio,
-                     CAST(bul < 0.9 AS INT) AS ok_bullet_lines,
-                     CAST(ell < 0.3 AS INT) AS ok_ellipsis_lines,
-                     CAST(alpha > 0.8 AS INT) AS ok_alpha_words,
-                     CAST(stop_hits >= 2 AS INT) AS ok_stopwords
-              FROM m
-            )
-            SELECT doc_id,
-                   CAST(n_words AS BIGINT) AS n_words,
-                   round(mean_wl, 6) AS mean_word_len,
-                   round(sym, 6) AS symbol_ratio,
-                   round(bul, 6) AS bullet_line_frac,
-                   round(ell, 6) AS ellipsis_line_frac,
-                   round(alpha, 6) AS alpha_word_frac,
-                   CAST(stop_hits AS BIGINT) AS n_stopword_hits,
-                   ok_words, ok_mean_word_len, ok_symbol_ratio, ok_bullet_lines,
-                   ok_ellipsis_lines, ok_alpha_words, ok_stopwords,
-                   CAST(ok_words = 1 AND ok_mean_word_len = 1 AND ok_symbol_ratio = 1
-                        AND ok_bullet_lines = 1 AND ok_ellipsis_lines = 1
-                        AND ok_alpha_words = 1 AND ok_stopwords = 1 AS INT) AS keep
-            FROM fl
+        "q_gopher_rules": _GOPHER_ORACLE,
+        "q_stream_curation": r"""
+            SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM ("""
+        + _GOPHER_ORACLE
+        + """) g WHERE keep = 1)
         """,
         "q_rp_project": """
             WITH e AS (

@@ -512,6 +512,7 @@ def gopher_rules(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stopwords: int = 2,
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """The published Gopher quality-rule set (Rae et al. 2021, table A1)
     as per-document flags + a combined keep decision — the standard
@@ -526,7 +527,11 @@ def gopher_rules(
     Python): mean word length uses length(regexp_replace(text,'\\s',''))
     — exactly the sum of token lengths — instead of an interpreted
     aggregate lambda over the token array. All ratios divide exact
-    integers, so flags are engine-exact (no FP drift possible)."""
+    integers, so flags are engine-exact (no FP drift possible).
+
+    Stateless, so it works unchanged on a STREAMING DataFrame —
+    `keep_cols` carries extra input columns (text, event time) through
+    for downstream stages of a streaming ingest pipeline."""
     t = F.col(text_col)
     toks = tokens(t, lowercase=False)
     n_words = F.size(toks)
@@ -580,6 +585,7 @@ def gopher_rules(
         keep = f if keep is None else (keep & f)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_words.cast("bigint").alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
         F.round(symbol_ratio, 6).alias("symbol_ratio"),
