@@ -2088,6 +2088,19 @@ def q_mixture_weights(spark, sf_dir):
     return tx.mixture_weights(_t(spark, sf_dir, "documents").df, targets)
 
 
+def q_mixture_apply(spark, sf_dir):
+    """EXECUTE the domain-mixture plan (operators/text.apply_mixture):
+    deterministic fractional replication — floor(rate) guaranteed
+    epoch copies per doc plus one hash-gated extra, expected copies
+    exactly = rate, same decision in every run/engine/layout. Closes
+    the loop from q_mixture_weights' plan to the materialized
+    (doc, epoch) training mix."""
+    from table_computing_spark.operators import text as tx
+
+    targets = {f"src{i}": 1.0 + (i % 3) for i in range(20)}
+    return tx.apply_mixture(_t(spark, sf_dir, "documents").df, targets)
+
+
 def q_stream_curation(spark, sf_dir):
     """End-to-end STREAMING ingest curation: documents arrive as a
     stream, pass the stateless Gopher quality gate
@@ -2510,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_rules": q_gopher_rules,
         "q_dup_span_intervals": q_dup_span_intervals,
         "q_stream_curation": q_stream_curation,
+        "q_mixture_apply": q_mixture_apply,
         "q_tpch_q1": tpch["q_tpch_q1"],
         "q_tpch_q12": tpch["q_tpch_q12"],
         "q_transform_explode": q_transform_explode,
@@ -3941,6 +3955,30 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(log2(T) - log2(CAST(c AS DOUBLE))), 6) AS avg_nll
             FROM tok JOIN freq USING (tok) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "q_mixture_apply": r"""
+            WITH weights AS (
+              SELECT 'src' || i AS source,
+                     (1.0 + (i % 3)) / (SELECT sum(1.0 + (j % 3)) FROM range(20) s(j)) AS target_share
+              FROM range(20) t(i)
+            ), stats AS (
+              SELECT source,
+                     CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS DOUBLE) AS tok
+              FROM documents GROUP BY source
+            ), tot AS (
+              SELECT sum(tok) AS T FROM stats
+            ), rates AS (
+              SELECT s.source, round(target_share * T / tok, 6) AS rate
+              FROM stats s JOIN weights USING (source) CROSS JOIN tot
+            ), j AS (
+              SELECT d.doc_id, d.source, r.rate, floor(r.rate) AS base,
+                     (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':epoch'), 1, 8))::BIGINT)
+                       / 4294967296.0 AS hf
+              FROM documents d JOIN rates r USING (source)
+            )
+            SELECT doc_id, source,
+                   CAST(unnest(range(1, CAST(base + (CASE WHEN hf < rate - base THEN 1 ELSE 0 END) AS BIGINT) + 1)) AS INT) AS epoch
+            FROM j
         """,
         "q_mixture_weights": """
             WITH weights AS (

@@ -729,6 +729,61 @@ def dup_span_ratio(
     )
 
 
+def apply_mixture(
+    df: DataFrame,
+    targets: "dict[str, float]",
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXECUTE the mixture_weights plan: deterministic fractional
+    replication. A doc in a domain with sampling rate r contributes
+    floor(r) guaranteed epoch copies plus one extra copy iff its key
+    hash (md5, engine-portable — same scheme as sampling.py) falls
+    under frac(r). Expected copies per doc = r exactly, so each
+    domain's expected token mass lands on target_share * total; the
+    same doc gets the same copies in every run, engine, and partition
+    layout. Output: (id, domain, epoch) — join back on id to
+    materialize the actual training mix.
+
+    Scale shape: the O(domains) plan broadcasts onto the corpus scan;
+    the only per-row work is one md5 + an explode of at most ceil(r)
+    epoch indices. No shuffle beyond the plan aggregate itself."""
+    plan = mixture_weights(df, targets, domain_col, text_col).select(
+        domain_col, "sample_rate"
+    )
+    hash_frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit("epoch"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+    base = F.floor("sample_rate")
+    copies = (
+        base + (hash_frac < (F.col("sample_rate") - base)).cast("bigint")
+    ).cast("int")
+    return (
+        df.join(F.broadcast(plan), domain_col)
+        .withColumn("__copies", copies)
+        .select(
+            F.col(id_col),
+            F.col(domain_col),
+            F.explode(
+                F.when(
+                    F.col("__copies") >= 1,
+                    F.sequence(F.lit(1), F.col("__copies")),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("epoch"),
+        )
+    )
+
+
 def dup_span_intervals(
     df: DataFrame,
     n: int = 5,

@@ -715,3 +715,34 @@ def test_dup_span_intervals_merging(spark):
     assert out[3] == [(3, 8, 2)]
     # doc 4: no duplicated spans at all
     assert 4 not in out
+
+
+def test_apply_mixture_replication_semantics(spark):
+    from table_computing_spark.operators import text as tx
+    from pyspark.sql import functions as F
+
+    # d0 rate = 0.75*600/200 = 2.25 -> every doc gets 2 or 3 epochs;
+    # d1 rate = 0.25*600/400 = 0.375 -> 0 or 1
+    df = spark.createDataFrame(
+        [(i, "w " * (10 * (1 + i % 2)), f"d{i % 2}") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    out = tx.apply_mixture(df, {"d0": 3.0, "d1": 1.0})
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    for doc, eps in per_doc.items():
+        # epochs are 1..n with no gaps
+        assert sorted(eps) == list(range(1, len(eps) + 1))
+        if doc % 2 == 0:
+            assert len(eps) in (2, 3)
+        else:
+            assert len(eps) == 1
+    # d1 docs absent from per_doc are the hash-dropped ones; some must
+    # survive and some must drop at rate 0.375
+    d1_present = [d for d in per_doc if d % 2 == 1]
+    assert 0 < len(d1_present) < 20
+    # determinism
+    again = tx.apply_mixture(df, {"d0": 3.0, "d1": 1.0}).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
