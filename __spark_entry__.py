@@ -2088,6 +2088,18 @@ def q_mixture_weights(spark, sf_dir):
     return tx.mixture_weights(_t(spark, sf_dir, "documents").df, targets)
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding table
+    (operators/similarity.quantize_embeddings): per-vector scale =
+    max|x|/127, q[j] = round(x[j]/scale) — the 4x memory-reduction
+    step a production ANN index applies alongside IVF/LSH. Pure
+    expressions, zero shuffle; oracle recomputes the identical
+    quantization from an unnest + per-vector max."""
+    from table_computing_spark.operators import similarity as sim
+
+    return sim.quantize_embeddings(_t(spark, sf_dir, "embeddings").df)
+
+
 def q_mixture_apply(spark, sf_dir):
     """EXECUTE the domain-mixture plan (operators/text.apply_mixture):
     deterministic fractional replication — floor(rate) guaranteed
@@ -2524,6 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_span_intervals": q_dup_span_intervals,
         "q_stream_curation": q_stream_curation,
         "q_mixture_apply": q_mixture_apply,
+        "q_embedding_quantize": q_embedding_quantize,
         "q_tpch_q1": tpch["q_tpch_q1"],
         "q_tpch_q12": tpch["q_tpch_q12"],
         "q_transform_explode": q_transform_explode,
@@ -3955,6 +3968,22 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(log2(T) - log2(CAST(c AS DOUBLE))), 6) AS avg_nll
             FROM tok JOIN freq USING (tok) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "q_embedding_quantize": """
+            WITH e AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) - 1 AS j,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings
+            ), s AS (
+              SELECT vec_id,
+                     CASE WHEN max(abs(x)) > 0 THEN max(abs(x)) / 127.0 ELSE 1.0 END AS scale
+              FROM e GROUP BY vec_id
+            )
+            SELECT e.vec_id, CAST(j AS INT) AS j,
+                   CAST(round(x / scale) AS INT) AS q,
+                   round(scale, 9) AS scale
+            FROM e JOIN s USING (vec_id)
         """,
         "q_mixture_apply": r"""
             WITH weights AS (

@@ -746,3 +746,26 @@ def test_apply_mixture_replication_semantics(spark):
     # determinism
     again = tx.apply_mixture(df, {"d0": 3.0, "d1": 1.0}).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    from table_computing_spark.operators import similarity as sim
+    import collections
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    rows = sim.quantize_embeddings(emb).collect()
+    by_vec = collections.defaultdict(dict)
+    scales = {}
+    for r in rows:
+        by_vec[r["vec_id"]][r["j"]] = r["q"]
+        scales[r["vec_id"]] = r["scale"]
+    for vid, vec in orig.items():
+        s = scales[vid]
+        qs = by_vec[vid]
+        assert len(qs) == len(vec)
+        for j, x in enumerate(vec):
+            q = qs[j]
+            assert -127 <= q <= 127
+            # dequantization error bounded by half a quantization step
+            assert abs(q * s - x) <= s / 2 + 1e-9
