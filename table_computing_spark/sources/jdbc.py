@@ -209,3 +209,46 @@ def jdbc_write(
     if driver:
         writer = writer.option("driver", driver)
     writer.save()
+
+
+def stream_to_jdbc(
+    processing,
+    sdf: DataFrame,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    batch_size: int = 1_000,
+    driver: str | None = None,
+    output_mode: str = "update",
+):
+    """Streaming JDBC sink — the reference's canonical pipeline tail:
+    a stream's window firings land in MysqlOutputTable as insert
+    batches (ref sp/output/MysqlOutputTable.java:224-260 fed by
+    StreamProcessing, README.md:101-131). Spark shape: foreachBatch →
+    `jdbc_write` per micro-batch, registered on a StreamProcessing
+    lifecycle (streaming/processing.py) so await/stop manage it like
+    every other sink.
+
+    Delivery is at-least-once (foreachBatch replays an uncommitted
+    batch after failure — same contract as the reference's insert
+    batches, which have no transactional dedup either); downstream
+    consumers dedupe on a key or the table uses an upsert-capable
+    store. Each micro-batch appends; `output_mode` controls which rows
+    Spark hands the batch function (update = changed aggregates)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        jdbc_write(
+            batch_df,
+            url,
+            table,
+            user=user,
+            password=password,
+            mode="append",
+            batch_size=batch_size,
+            driver=driver,
+        )
+
+    return processing.compute(sdf, write_batch, output_mode=output_mode)
