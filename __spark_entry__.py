@@ -2088,6 +2088,28 @@ def q_mixture_weights(spark, sf_dir):
     return tx.mixture_weights(_t(spark, sf_dir, "documents").df, targets)
 
 
+def q_png_decode(spark, sf_dir):
+    """REAL PNG decode end-to-end (operators/multimodal._decode_png:
+    chunk walk → zlib inflate → scanline de-filter) over a
+    deterministic generated PNG table (make_demo_png_media: pixel
+    (y,x,c) of image i = (5i + 11(y*7+x) + 3c) % 256 at 7x5). The
+    extract_features contract exposes w, h, pixel(0,0), and the center
+    pixel (2,3) as recovered bytes — every probe closed-form, so the
+    oracle reproduces the full compressed-image decode analytically."""
+    from table_computing_spark.operators import multimodal as mm
+
+    feats = mm.extract_features(mm.make_demo_png_media(spark, 32))
+    byte_cols = {
+        f"b{j}": F.round(F.element_at("feature", j + 1) * 255).cast("int")
+        for j in range(8)
+    }
+    return feats.select(
+        "media_id",
+        F.col("decode_ok").cast("int").alias("decode_ok"),
+        *[c.alias(nm) for nm, c in byte_cols.items()],
+    )
+
+
 def q_embedding_quantize(spark, sf_dir):
     """Symmetric int8 scalar quantization of the embedding table
     (operators/similarity.quantize_embeddings): per-vector scale =
@@ -2537,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_curation": q_stream_curation,
         "q_mixture_apply": q_mixture_apply,
         "q_embedding_quantize": q_embedding_quantize,
+        "q_png_decode": q_png_decode,
         "q_tpch_q1": tpch["q_tpch_q1"],
         "q_tpch_q12": tpch["q_tpch_q12"],
         "q_transform_explode": q_transform_explode,
@@ -3968,6 +3991,21 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(log2(T) - log2(CAST(c AS DOUBLE))), 6) AS avg_nll
             FROM tok JOIN freq USING (tok) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "q_png_decode": """
+            WITH ids AS (SELECT unnest(range(32)) AS i)
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   1 AS decode_ok,
+                   7 AS b0,
+                   5 AS b1,
+                   CAST((5*i) % 256 AS INT) AS b2,
+                   CAST((5*i + 3) % 256 AS INT) AS b3,
+                   CAST((5*i + 6) % 256 AS INT) AS b4,
+                   -- center pixel (y=2, x=3): 11*(2*7+3) = 187
+                   CAST((5*i + 187) % 256 AS INT) AS b5,
+                   CAST((5*i + 190) % 256 AS INT) AS b6,
+                   CAST((5*i + 193) % 256 AS INT) AS b7
+            FROM ids
         """,
         "q_embedding_quantize": """
             WITH e AS (

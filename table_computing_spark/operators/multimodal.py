@@ -63,16 +63,116 @@ FEATURE_SCHEMA = T.StructType(
 # ---------------------------------------------------------------------------
 
 
-def decode_image(content: bytes) -> np.ndarray:
-    """Decode PPM P6 or 24-bit uncompressed BMP → (h, w, 3) uint8 RGB.
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-    Raises NotImplementedError for any other format (JPEG/PNG/...) —
+
+def decode_image(content: bytes) -> np.ndarray:
+    """Decode PPM P6, 24-bit uncompressed BMP, or 8-bit RGB/RGBA PNG
+    (non-interlaced) → (h, w, 3) uint8 RGB.
+
+    Raises NotImplementedError for any other format (JPEG/...) —
     the caller surfaces that per-row as decode_ok=false."""
     if content[:2] == b"P6":
         return _decode_ppm(content)
     if content[:2] == b"BM":
         return _decode_bmp(content)
-    raise NotImplementedError("image codec: only PPM P6 and BMP24 are built in")
+    if content[:8] == PNG_SIGNATURE:
+        return _decode_png(content)
+    raise NotImplementedError(
+        "image codec: only PPM P6, BMP24, and PNG (8-bit RGB/RGBA) are built in"
+    )
+
+
+def _decode_png(content: bytes) -> np.ndarray:
+    """Real PNG decode, stdlib-only: chunk walk → zlib inflate →
+    per-scanline de-filter (all five filter types, RFC 2083 §6).
+    Supports bit depth 8, color types 2 (RGB) and 6 (RGBA; alpha is
+    dropped after de-filtering), no interlace."""
+    import zlib
+
+    pos, w, h, color_type, idat = 8, None, None, None, []
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color_type not in (2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    "PNG: only 8-bit RGB/RGBA non-interlaced is built in"
+                )
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise NotImplementedError("PNG: missing IHDR/IDAT")
+    bpp = 3 if color_type == 2 else 4  # bytes per pixel
+    stride = w * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) < h * (stride + 1):
+        raise NotImplementedError("PNG: truncated pixel data")
+    lines = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype, line = lines[y, 0], lines[y, 1:].astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the running left pixel
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0  # left
+                b = prev[x]  # up
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (a + b) >> 1
+                elif ftype == 4:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise NotImplementedError(f"PNG: unknown filter {ftype}")
+                cur[x] = (line[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    pixels = out.reshape(h, w, bpp)
+    return pixels[:, :, :3].copy()
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal PNG encoder (8-bit RGB, filter 0, one IDAT) — stdlib
+    zlib, deterministic output for test fixtures."""
+    import zlib
+
+    arr = np.ascontiguousarray(arr.astype(np.uint8))
+    h, w = arr.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def _decode_ppm(content: bytes) -> np.ndarray:
@@ -207,13 +307,15 @@ def _decode_stub(content: bytes | None, modality: str) -> list[float] | None:
 
 
 def _feature_vector(content: bytes | None, modality: str) -> list[float] | None:
-    """Real-decode path first (PPM/BMP pixels, WAV samples → 8-dim
+    """Real-decode path first (PPM/BMP/PNG pixels, WAV samples → 8-dim
     feature), falling back to the byte-stub for container-less blobs.
     NotImplementedError still propagates for modalities with neither
     path (video without a frame codec)."""
     if content is None:
         return None
-    if modality == "image" and content[:2] in (b"P6", b"BM"):
+    if modality == "image" and (
+        content[:2] in (b"P6", b"BM") or content[:8] == PNG_SIGNATURE
+    ):
         arr = decode_image(content)
         h, w = arr.shape[:2]
         p00 = arr[0, 0].astype(np.float64) / 255.0
@@ -461,6 +563,19 @@ def make_demo_codec_media(spark, n: int = 48) -> DataFrame:
             j = np.arange(32)
             samples = ((13 * i + 7 * j) % 2048 - 1024).astype(np.int16)
             rows.append((i, "audio", encode_wav_pcm16(samples, 8000), None, '{"fmt": "wav"}'))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+
+
+def make_demo_png_media(spark, n: int = 32) -> DataFrame:
+    """Deterministic PNG media table: pixel (y, x, c) of image i is
+    (5i + 11(y*w + x) + 3c) % 256 at w=7, h=5 — closed-form, so an
+    oracle reproduces every probe through the REAL zlib decode path."""
+    w, h = 7, 5
+    yy, xx, cc = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+    rows = []
+    for i in range(n):
+        arr = ((5 * i + 11 * (yy * w + xx) + 3 * cc) % 256).astype(np.uint8)
+        rows.append((i, "image", encode_png(arr), None, '{"fmt": "png"}'))
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 

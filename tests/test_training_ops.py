@@ -769,3 +769,83 @@ def test_quantize_embeddings_roundtrip_error_bound(spark):
             assert -127 <= q <= 127
             # dequantization error bounded by half a quantization step
             assert abs(q * s - x) <= s / 2 + 1e-9
+
+
+def test_png_codec_roundtrip_and_all_filters():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from table_computing_spark.operators import multimodal as mm
+
+    h, w = 13, 11
+    y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+    arr = ((3 * y + 5 * x + 7 * c) % 256).astype(np.uint8)
+
+    # encoder round-trip (filter 0)
+    assert np.array_equal(mm.decode_image(mm.encode_png(arr)), arr)
+
+    def build_png(raw_filtered: bytes, color_type: int, width: int) -> bytes:
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+        ihdr = struct.pack(">IIBBBBB", width, h, 8, color_type, 0, 0, 0)
+        return (mm.PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw_filtered)) + chunk(b"IEND", b""))
+
+    # every filter type must de-filter back to the same pixels
+    bpp = 3
+    flat = arr.reshape(h, w * bpp).astype(np.int32)
+    for ftype in (0, 1, 2, 3, 4):
+        lines = []
+        prev = np.zeros(w * bpp, dtype=np.int32)
+        for row in flat:
+            a = np.concatenate([np.zeros(bpp, dtype=np.int32), row[:-bpp]])
+            b = prev
+            cdiag = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+            if ftype == 0:
+                pred = np.zeros_like(row)
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cdiag
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - cdiag)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, cdiag))
+            lines.append(bytes([ftype]) + ((row - pred) % 256).astype(np.uint8).tobytes())
+            prev = row
+        png = build_png(b"".join(lines), color_type=2, width=w)
+        assert np.array_equal(mm.decode_image(png), arr), f"filter {ftype}"
+
+    # RGBA (color type 6): alpha plane dropped after de-filtering
+    rgba = np.dstack([arr, ((y[:, :, 0] + x[:, :, 0]) % 256).astype(np.uint8)])
+    raw = b"".join(b"\x00" + rgba[r].tobytes() for r in range(h))
+    png = build_png(raw, color_type=6, width=w)
+    assert np.array_equal(mm.decode_image(png), arr)
+
+    # unsupported flavors surface as NotImplementedError, not garbage
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        ihdr16 = build_png(b"", color_type=2, width=w)  # empty IDAT
+        mm.decode_image(ihdr16)
+
+
+def test_png_flows_through_feature_extraction(spark):
+    import numpy as np
+
+    from table_computing_spark.operators import multimodal as mm
+
+    arr = (np.arange(6 * 5 * 3).reshape(6, 5, 3) % 256).astype(np.uint8)
+    rows = [(0, "image", mm.encode_png(arr), None, '{"fmt": "png"}')]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.extract_features(df).collect()
+    assert len(out) == 1 and out[0]["decode_ok"] is True
+    # f[0]=w/255, f[1]=h/255 per the image feature contract
+    f = out[0]["feature"]
+    assert abs(f[0] - 5 / 255) < 1e-6 and abs(f[1] - 6 / 255) < 1e-6
