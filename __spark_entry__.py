@@ -2088,6 +2088,25 @@ def q_mixture_weights(spark, sf_dir):
     return tx.mixture_weights(_t(spark, sf_dir, "documents").df, targets)
 
 
+def q_audio_spectrum(spark, sf_dir):
+    """Real FFT spectral analysis (operators/multimodal.audio_spectrum:
+    WAV decode → mono → numpy rFFT → dominant non-DC bin) over
+    deterministic bin-aligned pure tones (make_demo_tone_media: clip i
+    carries frequency (8 + i%12) * 8000/256, zero leakage). Every
+    output — dominant bin and Hz — is closed-form arithmetic, so the
+    oracle reproduces the whole decode+FFT path analytically."""
+    from table_computing_spark.operators import multimodal as mm
+
+    return mm.audio_spectrum(mm.make_demo_tone_media(spark, 24)).select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        "dominant_bin",
+        F.round("dominant_hz", 6).alias("dominant_hz"),
+        F.col("decode_ok").cast("int").alias("decode_ok"),
+    )
+
+
 def q_png_decode(spark, sf_dir):
     """REAL PNG decode end-to-end (operators/multimodal._decode_png:
     chunk walk → zlib inflate → scanline de-filter) over a
@@ -2560,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_apply": q_mixture_apply,
         "q_embedding_quantize": q_embedding_quantize,
         "q_png_decode": q_png_decode,
+        "q_audio_spectrum": q_audio_spectrum,
         "q_tpch_q1": tpch["q_tpch_q1"],
         "q_tpch_q12": tpch["q_tpch_q12"],
         "q_transform_explode": q_transform_explode,
@@ -3991,6 +4011,16 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(log2(T) - log2(CAST(c AS DOUBLE))), 6) AS avg_nll
             FROM tok JOIN freq USING (tok) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "q_audio_spectrum": """
+            WITH ids AS (SELECT unnest(range(24)) AS i)
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   256 AS n_samples,
+                   8000 AS sample_rate,
+                   CAST(8 + i % 12 AS INT) AS dominant_bin,
+                   round((8 + i % 12) * 8000.0 / 256, 6) AS dominant_hz,
+                   1 AS decode_ok
+            FROM ids
         """,
         "q_png_decode": """
             WITH ids AS (SELECT unnest(range(32)) AS i)

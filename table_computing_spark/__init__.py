@@ -14,9 +14,15 @@ Public surface:
   Type, schema_of      — 5-type lattice               (ref: table/Type.java)
   functions.*          — scalar/date/agg library      (ref: util/*.java)
   operators.windows    — batch OVER + time windows    (ref: window/*.java)
-  operators.dedup      — exact/minhash/simhash/jaccard/embedding dedup
-  operators.similarity — brute-force + LSH ANN search
-  operators.text       — lang-id, quality, tokens, fingerprints
+  operators.dedup      — exact/minhash/simhash/jaccard/embedding dedup,
+                         cross-corpus incremental dedup
+  operators.similarity — brute-force + LSH/IVF ANN, JL projection,
+                         int8 quantization
+  operators.text       — lang-id, quality (incl. Gopher rules), tokens,
+                         fingerprints, decontamination, span dedup,
+                         unigram-LM NLL, domain mixture plan/apply
+  operators.classify   — multinomial Naive Bayes train + score
+  operators.multimodal — PPM/BMP/PNG/WAV codecs, resize, frame sampling
   sources.*            — parquet/JDBC/Kafka/memory    (ref: sp/input, sp/output)
   streaming.*          — watermark/windows/dimension  (ref: window/, sp/dimension)
 """

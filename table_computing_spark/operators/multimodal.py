@@ -566,6 +566,70 @@ def make_demo_codec_media(spark, n: int = 48) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 
+def audio_spectrum(df: DataFrame) -> DataFrame:
+    """Real spectral analysis per audio row: WAV PCM decode → mono →
+    numpy rFFT → dominant non-DC frequency bin. Output (media_id,
+    n_samples, sample_rate, dominant_bin, dominant_hz, decode_ok) —
+    the feature a pipeline uses for tone/music/speech routing and
+    silence detection.
+
+    Scale shape: Arrow-batched mapInPandas, O(n log n) per clip, zero
+    shuffle. Non-WAV/undecodable rows surface as decode_ok=false."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_samples", T.IntegerType(), True),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("dominant_bin", T.IntegerType(), True),
+            T.StructField("dominant_hz", T.DoubleType(), True),
+            T.StructField("decode_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                row = {
+                    "media_id": mid, "n_samples": None, "sample_rate": None,
+                    "dominant_bin": None, "dominant_hz": None, "decode_ok": False,
+                }
+                try:
+                    if content is None:
+                        raise NotImplementedError
+                    samples, rate = decode_audio(bytes(content))
+                    mono = samples.mean(axis=1).astype(np.float64)
+                    n = len(mono)
+                    if n >= 2:
+                        spec = np.abs(np.fft.rfft(mono))
+                        k = int(np.argmax(spec[1:])) + 1  # skip DC
+                        row.update(
+                            n_samples=n, sample_rate=rate, dominant_bin=k,
+                            dominant_hz=k * rate / n, decode_ok=True,
+                        )
+                except NotImplementedError:
+                    pass
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(_map, schema=out_schema)
+
+
+def make_demo_tone_media(spark, n: int = 24) -> DataFrame:
+    """Deterministic pure-tone WAV table: clip i is a bin-ALIGNED sine,
+    frequency = (8 + i % 12) * rate/N with rate=8000, N=256 — no
+    spectral leakage, so the dominant FFT bin is exactly 8 + i % 12
+    and the oracle is closed-form arithmetic."""
+    rate, N = 8000, 256
+    j = np.arange(N)
+    rows = []
+    for i in range(n):
+        k = 8 + i % 12
+        tone = (0.4 * 32767 * np.sin(2 * np.pi * k * j / N)).astype(np.int16)
+        rows.append((i, "audio", encode_wav_pcm16(tone, rate), None, '{"fmt": "wav"}'))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+
+
 def make_demo_png_media(spark, n: int = 32) -> DataFrame:
     """Deterministic PNG media table: pixel (y, x, c) of image i is
     (5i + 11(y*w + x) + 3c) % 256 at w=7, h=5 — closed-form, so an

@@ -849,3 +849,26 @@ def test_png_flows_through_feature_extraction(spark):
     # f[0]=w/255, f[1]=h/255 per the image feature contract
     f = out[0]["feature"]
     assert abs(f[0] - 5 / 255) < 1e-6 and abs(f[1] - 6 / 255) < 1e-6
+
+
+def test_audio_spectrum_detects_planted_tone_and_rejects_nonwav(spark):
+    import numpy as np
+
+    from table_computing_spark.operators import multimodal as mm
+
+    rate, N = 8000, 512
+    j = np.arange(N)
+    # mix: strong 1000 Hz (bin 64) + weak 250 Hz (bin 16) → dominant 64
+    tone = (0.4 * 32767 * np.sin(2 * np.pi * 64 * j / N)
+            + 0.1 * 32767 * np.sin(2 * np.pi * 16 * j / N)).astype(np.int16)
+    rows = [
+        (0, "audio", mm.encode_wav_pcm16(tone, rate), None, "{}"),
+        (1, "audio", b"not a wav at all", None, "{}"),
+        (2, "audio", None, "s3://x", "{}"),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.audio_spectrum(df).collect()}
+    assert out[0]["decode_ok"] and out[0]["dominant_bin"] == 64
+    assert abs(out[0]["dominant_hz"] - 1000.0) < 1e-9
+    assert not out[1]["decode_ok"] and out[1]["dominant_bin"] is None
+    assert not out[2]["decode_ok"]
