@@ -2088,6 +2088,24 @@ def q_mixture_weights(spark, sf_dir):
     return tx.mixture_weights(_t(spark, sf_dir, "documents").df, targets)
 
 
+def q_image_dedup(spark, sf_dir):
+    """Perceptual image dedup via dHash (operators/multimodal.
+    image_dhash): real decode → resize → grayscale → difference hash,
+    then a hash-equality groupBy assigns (canonical_id, group_size).
+    Demo corpus (make_demo_gradient_media) plants 16 slope-sign
+    patterns at 3 brightness offsets each — dHash is brightness-
+    invariant, so groups are exactly i % 16 with size 3, closed-form
+    through the whole decode+resize+hash path."""
+    from table_computing_spark.operators import multimodal as mm
+
+    dh = mm.image_dhash(mm.make_demo_gradient_media(spark, 48))
+    groups = dh.groupBy("dhash").agg(
+        F.min("media_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return dh.join(groups, "dhash").select("media_id", "canonical_id", "group_size")
+
+
 def q_audio_spectrum(spark, sf_dir):
     """Real FFT spectral analysis (operators/multimodal.audio_spectrum:
     WAV decode → mono → numpy rFFT → dominant non-DC bin) over
@@ -2580,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_quantize": q_embedding_quantize,
         "q_png_decode": q_png_decode,
         "q_audio_spectrum": q_audio_spectrum,
+        "q_image_dedup": q_image_dedup,
         "q_tpch_q1": tpch["q_tpch_q1"],
         "q_tpch_q12": tpch["q_tpch_q12"],
         "q_transform_explode": q_transform_explode,
@@ -4011,6 +4030,13 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(log2(T) - log2(CAST(c AS DOUBLE))), 6) AS avg_nll
             FROM tok JOIN freq USING (tok) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "q_image_dedup": """
+            WITH ids AS (SELECT unnest(range(48)) AS i)
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CAST(i % 16 AS BIGINT) AS canonical_id,
+                   CAST(3 AS BIGINT) AS group_size
+            FROM ids
         """,
         "q_audio_spectrum": """
             WITH ids AS (SELECT unnest(range(24)) AS i)

@@ -615,6 +615,69 @@ def audio_spectrum(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(_map, schema=out_schema)
 
 
+def image_dhash(df: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image — the standard
+    image near-dup fingerprint: decode → nearest-resize to
+    (hash_w+1) x hash_h → grayscale → bit (y,x) = 1 iff the pixel
+    right of (y,x) is brighter. Brightness-shift invariant, robust to
+    rescaling; identical scenes at different exposures collide, so a
+    hash-equality groupBy IS the image dedup (Hamming-near pairs via
+    the same chunk-blocking simhash_pairs uses).
+
+    Output (media_id, dhash, decode_ok) — dhash a 64-bit signed long
+    for hash_w = hash_h = 8. Arrow-batched mapInPandas, zero shuffle."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("dhash", T.LongType(), True),
+            T.StructField("decode_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                row = {"media_id": mid, "dhash": None, "decode_ok": False}
+                try:
+                    if content is None:
+                        raise NotImplementedError
+                    arr = decode_image(bytes(content))
+                    small = resize_nearest(arr, hash_w + 1, hash_h)
+                    gray = small.astype(np.int32).mean(axis=2)
+                    bits = (gray[:, 1:] > gray[:, :-1]).astype(np.uint64).ravel()
+                    h = np.uint64(0)
+                    for b, bit in enumerate(bits):
+                        h |= bit << np.uint64(b)
+                    row.update(dhash=int(h.astype(np.int64)), decode_ok=True)
+                except NotImplementedError:
+                    pass
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(_map, schema=out_schema)
+
+
+def make_demo_gradient_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic 9x8 gradient images for the dHash oracle: image i
+    has per-row slope sign taken from bit (y % 4) of (i % 16), and a
+    brightness offset that varies with i // 16. dHash depends only on
+    the slope-sign pattern, so images group exactly by i % 16 —
+    closed-form group structure through the REAL decode+resize+hash
+    path."""
+    w, h = 9, 8
+    rows = []
+    for i in range(n):
+        pattern, base = i % 16, 100 + (i // 16) * 7
+        g = np.zeros((h, w), dtype=np.int32)
+        for y in range(h):
+            d = 6 if (pattern >> (y % 4)) & 1 else -6
+            g[y] = base + np.arange(w) * d
+        arr = np.clip(g, 0, 255).astype(np.uint8)[:, :, None].repeat(3, axis=2)
+        rows.append((i, "image", encode_ppm(arr), None, '{"fmt": "ppm"}'))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+
+
 def make_demo_tone_media(spark, n: int = 24) -> DataFrame:
     """Deterministic pure-tone WAV table: clip i is a bin-ALIGNED sine,
     frequency = (8 + i % 12) * rate/N with rate=8000, N=256 — no

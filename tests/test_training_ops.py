@@ -872,3 +872,31 @@ def test_audio_spectrum_detects_planted_tone_and_rejects_nonwav(spark):
     assert abs(out[0]["dominant_hz"] - 1000.0) < 1e-9
     assert not out[1]["decode_ok"] and out[1]["dominant_bin"] is None
     assert not out[2]["decode_ok"]
+
+
+def test_image_dhash_brightness_invariance_and_png_input(spark):
+    import numpy as np
+
+    from table_computing_spark.operators import multimodal as mm
+
+    # same gradient scene at two exposures -> identical dhash; the
+    # reversed-slope scene -> different hash. PNG and PPM containers of
+    # the same pixels must hash identically (container-independent).
+    w, h = 9, 8
+    base = np.tile(100 + 6 * np.arange(w, dtype=np.int32), (h, 1))
+    bright = base + 40
+    reverse = base[:, ::-1].copy()
+    def rgb(g):
+        return np.clip(g, 0, 255).astype(np.uint8)[:, :, None].repeat(3, axis=2)
+    rows = [
+        (0, "image", mm.encode_ppm(rgb(base)), None, "{}"),
+        (1, "image", mm.encode_ppm(rgb(bright)), None, "{}"),
+        (2, "image", mm.encode_ppm(rgb(reverse)), None, "{}"),
+        (3, "image", mm.encode_png(rgb(base)), None, "{}"),
+        (4, "image", b"\xff\xd8garbage-jpeg", None, "{}"),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.image_dhash(df).collect()}
+    assert out[0]["dhash"] == out[1]["dhash"] == out[3]["dhash"]
+    assert out[0]["dhash"] != out[2]["dhash"]
+    assert not out[4]["decode_ok"] and out[4]["dhash"] is None
