@@ -2088,6 +2088,38 @@ def q_mixture_weights(spark, sf_dir):
     return tx.mixture_weights(_t(spark, sf_dir, "documents").df, targets)
 
 
+def q_video_frames(spark, sf_dir):
+    """REAL video→frames→pixels pipeline (operators/multimodal.
+    sample_frames PPM-stream path): deterministic multi-frame videos
+    (make_demo_video_media) are frame-sampled every 3rd frame, each
+    sampled frame re-enters the image path as a standalone decodable
+    blob, and extract_features recovers its size and probe pixels —
+    all closed-form, so the oracle reproduces the container parse +
+    sampling + decode analytically."""
+    from table_computing_spark.operators import multimodal as mm
+
+    frames = mm.sample_frames(
+        mm.make_demo_video_media(spark, 12), every_n=3, max_frames=4
+    )
+    as_media = frames.select(
+        (F.col("media_id") * 100 + F.col("frame_idx")).alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.col("frame").alias("content"),
+        F.lit(None).cast("string").alias("uri"),
+        F.lit("{}").alias("meta"),
+    )
+    feats = mm.extract_features(as_media)
+    byte_cols = {
+        f"b{j}": F.round(F.element_at("feature", j + 1) * 255).cast("int")
+        for j in range(8)
+    }
+    return feats.select(
+        "media_id",
+        F.col("decode_ok").cast("int").alias("decode_ok"),
+        *[c.alias(nm) for nm, c in byte_cols.items()],
+    )
+
+
 def q_image_dedup(spark, sf_dir):
     """Perceptual image dedup via dHash (operators/multimodal.
     image_dhash): real decode → resize → grayscale → difference hash,
@@ -2599,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_png_decode": q_png_decode,
         "q_audio_spectrum": q_audio_spectrum,
         "q_image_dedup": q_image_dedup,
+        "q_video_frames": q_video_frames,
         "q_tpch_q1": tpch["q_tpch_q1"],
         "q_tpch_q12": tpch["q_tpch_q12"],
         "q_transform_explode": q_transform_explode,
@@ -4030,6 +4063,22 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(log2(T) - log2(CAST(c AS DOUBLE))), 6) AS avg_nll
             FROM tok JOIN freq USING (tok) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "q_video_frames": """
+            WITH ids AS (SELECT unnest(range(12)) AS i),
+                 fs AS (SELECT unnest([0, 3, 6, 9]) AS f)
+            SELECT CAST(i * 100 + f AS BIGINT) AS media_id,
+                   1 AS decode_ok,
+                   4 AS b0,
+                   3 AS b1,
+                   CAST((9*i + 5*f) % 256 AS INT) AS b2,
+                   CAST((9*i + 5*f + 11) % 256 AS INT) AS b3,
+                   CAST((9*i + 5*f + 22) % 256 AS INT) AS b4,
+                   -- center pixel (y=1, x=2): 7*(1*4+2) = 42
+                   CAST((9*i + 5*f + 42) % 256 AS INT) AS b5,
+                   CAST((9*i + 5*f + 53) % 256 AS INT) AS b6,
+                   CAST((9*i + 5*f + 64) % 256 AS INT) AS b7
+            FROM ids CROSS JOIN fs
         """,
         "q_image_dedup": """
             WITH ids AS (SELECT unnest(range(48)) AS i)

@@ -422,13 +422,52 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(_map, schema=out_schema)
 
 
+def _ppm_header(content: bytes, base: int = 0) -> "tuple[int, int, int]":
+    """Parse one PPM P6 header starting at `base` → (w, h, raster_off).
+    Handles '#' comments inside header whitespace, like _decode_ppm."""
+    pos, fields = base + 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    return fields[0], fields[1], pos + 1  # w, h, raster offset
+
+
+def split_ppm_stream(content: bytes) -> "list[bytes]":
+    """REAL multi-frame container parse: a 'PPM stream' video is a
+    concatenation of standalone P6 frames (the uncompressed analog of
+    an MJPEG stream). Returns each frame as its own decodable PPM
+    blob."""
+    frames, pos = [], 0
+    while pos < len(content) and content[pos : pos + 2] == b"P6":
+        w, h, off = _ppm_header(content, pos)
+        end = off + w * h * 3
+        if end > len(content):
+            raise NotImplementedError("PPM stream: truncated frame")
+        frames.append(content[pos:end])
+        pos = end
+    return frames
+
+
 def sample_frames(df: DataFrame, every_n: int = 30, max_frames: int = 8) -> DataFrame:
-    """Video frame sampling plumbing: one video row → up to `max_frames`
-    frame rows (media_id, frame_idx, frame binary). The codec is
-    STUBBED deterministically: the demo 'video' payload is treated as a
-    concatenation of 4-byte 'frames', sampled every `every_n`-th —
-    replace the slicing with pyav/ffmpeg keyframe extraction; the
-    one-to-many Arrow fan-out is the real contract."""
+    """Video frame sampling: one video row → up to `max_frames` frame
+    rows (media_id, frame_idx, frame binary).
+
+    REAL path: content starting with 'P6' parses as a PPM stream
+    (concatenated standalone frames — the uncompressed analog of
+    MJPEG) and every `every_n`-th frame is emitted as its own
+    decodable PPM blob, so video → frames → decode_image/image_dhash
+    composes end to end. Compressed containers (mp4/mkv) would slot in
+    via pyav/ffmpeg keyframe extraction behind the same contract; for
+    unknown payloads the deterministic 4-byte-slice stub remains (the
+    one-to-many Arrow fan-out is the real contract either way)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -445,13 +484,20 @@ def sample_frames(df: DataFrame, every_n: int = 30, max_frames: int = 8) -> Data
             ):
                 if modality != "video" or content is None:
                     continue
-                n_frames = max(len(content) // 4, 0)
-                for j, fi in enumerate(range(0, n_frames, every_n)):
+                content = bytes(content)
+                if content[:2] == b"P6":
+                    all_frames = split_ppm_stream(content)
+                else:
+                    all_frames = [
+                        content[fi * 4 : fi * 4 + 4]
+                        for fi in range(max(len(content) // 4, 0))
+                    ]
+                for j, fi in enumerate(range(0, len(all_frames), every_n)):
                     if j >= max_frames:
                         break
                     ids.append(media_id)
                     idxs.append(fi)
-                    frames.append(bytes(content[fi * 4 : fi * 4 + 4]))
+                    frames.append(all_frames[fi])
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(_map, schema=out_schema)
@@ -675,6 +721,24 @@ def make_demo_gradient_media(spark, n: int = 48) -> DataFrame:
             g[y] = base + np.arange(w) * d
         arr = np.clip(g, 0, 255).astype(np.uint8)[:, :, None].repeat(3, axis=2)
         rows.append((i, "image", encode_ppm(arr), None, '{"fmt": "ppm"}'))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+
+
+def make_demo_video_media(spark, n: int = 12, n_frames: int = 10) -> DataFrame:
+    """Deterministic PPM-stream videos: frame f of video i is 4x3 with
+    pixel (y, x, c) = (9i + 5f + 7(y*4+x) + 11c) % 256 — closed-form,
+    so sampled frames decode to analytically known pixels."""
+    w, h = 4, 3
+    yy, xx, cc = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+    rows = []
+    for i in range(n):
+        stream = b"".join(
+            encode_ppm(
+                ((9 * i + 5 * f + 7 * (yy * w + xx) + 11 * cc) % 256).astype(np.uint8)
+            )
+            for f in range(n_frames)
+        )
+        rows.append((i, "video", stream, None, '{"fmt": "ppm-stream"}'))
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 

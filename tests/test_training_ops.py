@@ -900,3 +900,31 @@ def test_image_dhash_brightness_invariance_and_png_input(spark):
     assert out[0]["dhash"] == out[1]["dhash"] == out[3]["dhash"]
     assert out[0]["dhash"] != out[2]["dhash"]
     assert not out[4]["decode_ok"] and out[4]["dhash"] is None
+
+
+def test_ppm_stream_video_frames_decode(spark):
+    import numpy as np
+
+    from table_computing_spark.operators import multimodal as mm
+
+    vids = mm.make_demo_video_media(spark, 3, n_frames=7)
+    frames = mm.sample_frames(vids, every_n=2, max_frames=3).collect()
+    # 3 videos x frames 0,2,4
+    assert sorted((r["media_id"], r["frame_idx"]) for r in frames) == [
+        (i, f) for i in range(3) for f in (0, 2, 4)
+    ]
+    # every sampled frame is a standalone decodable PPM with the
+    # closed-form pixels of its (video, frame) coordinates
+    for r in frames:
+        arr = mm.decode_image(bytes(r["frame"]))
+        assert arr.shape == (3, 4, 3)
+        i, f = r["media_id"], r["frame_idx"]
+        assert arr[0, 0, 0] == (9 * i + 5 * f) % 256
+        assert arr[2, 3, 1] == (9 * i + 5 * f + 7 * 11 + 11) % 256
+    # split_ppm_stream round-trips the container exactly
+    yy, xx, cc = np.meshgrid(np.arange(3), np.arange(4), np.arange(3), indexing="ij")
+    stream = b"".join(
+        mm.encode_ppm(((f + yy + xx + cc) % 256).astype(np.uint8)) for f in range(5)
+    )
+    parts = mm.split_ppm_stream(stream)
+    assert len(parts) == 5 and b"".join(parts) == stream
