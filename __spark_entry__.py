@@ -2088,6 +2088,19 @@ def q_mixture_weights(spark, sf_dir):
     return tx.mixture_weights(_t(spark, sf_dir, "documents").df, targets)
 
 
+def q_doc_chunks_overlap(spark, sf_dir):
+    """Overlapping context windows (text.chunk_documents with
+    stride < max_tokens — the standard LM chunking so no span loses
+    its left context at a boundary): 40-token windows every 30 tokens.
+    Window k starts at token k*30; the last window is the first whose
+    end reaches the document's end."""
+    from table_computing_spark.operators import text as tx
+
+    return tx.chunk_documents(
+        _t(spark, sf_dir, "documents").df, max_tokens=40, stride=30
+    )
+
+
 def q_video_frames(spark, sf_dir):
     """REAL video→frames→pixels pipeline (operators/multimodal.
     sample_frames PPM-stream path): deterministic multi-frame videos
@@ -2632,6 +2645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_spectrum": q_audio_spectrum,
         "q_image_dedup": q_image_dedup,
         "q_video_frames": q_video_frames,
+        "q_doc_chunks_overlap": q_doc_chunks_overlap,
         "q_tpch_q1": tpch["q_tpch_q1"],
         "q_tpch_q12": tpch["q_tpch_q12"],
         "q_transform_explode": q_transform_explode,
@@ -4063,6 +4077,23 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(log2(T) - log2(CAST(c AS DOUBLE))), 6) AS avg_nll
             FROM tok JOIN freq USING (tok) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "q_doc_chunks_overlap": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ), base AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     CAST(floor((greatest(len(toks) - 40, 0) + 29) / 30) + 1 AS INT) AS n_chunks
+              FROM tok
+            )
+            SELECT doc_id,
+                   CAST(k AS INT) AS chunk_idx,
+                   n_chunks,
+                   array_to_string(toks[k*30 + 1 : least(k*30 + 40, n)], ' ') AS chunk_text,
+                   CAST(least(n - k*30, 40) AS INT) AS chunk_tokens
+            FROM base, unnest(range(n_chunks)) t(k)
         """,
         "q_video_frames": """
             WITH ids AS (SELECT unnest(range(12)) AS i),

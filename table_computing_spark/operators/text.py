@@ -325,27 +325,43 @@ def chunk_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_tokens: int = 512,
+    stride: "int | None" = None,
 ) -> DataFrame:
     """Split each document into fixed-budget context windows →
     (id, chunk_idx, n_chunks, chunk_text, chunk_tokens). The training
     prep step that turns variable-length documents into <= max_tokens
     sequences.
 
+    `stride` (default = max_tokens, i.e. disjoint) sets the window
+    step: stride < max_tokens yields OVERLAPPING windows — the
+    standard LM trick so no span loses its left context at a chunk
+    boundary. Window k starts at token k*stride; the last window is
+    the first whose end reaches the document's end.
+
     Pure codegen: sequence + transform build the per-chunk token
     slices, explode fans them out — row-local work, embarrassingly
     parallel, zero shuffle. Empty documents yield one empty chunk (the
     row is kept, not dropped)."""
+    if stride is None:
+        stride = max_tokens
+    if not 1 <= stride <= max_tokens:
+        raise ValueError("stride must be in [1, max_tokens]")
     toks = tokens(F.col(text_col), lowercase=False)
     n = F.size(toks)
-    n_chunks = F.greatest(F.ceil(n / F.lit(max_tokens)), F.lit(1)).cast("int")
+    n_chunks = (
+        F.floor(
+            (F.greatest(n - max_tokens, F.lit(0)) + F.lit(stride - 1)) / F.lit(stride)
+        )
+        + F.lit(1)
+    ).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.struct(
             i.alias("chunk_idx"),
-            F.array_join(F.slice(toks, i * max_tokens + 1, max_tokens), " ").alias(
+            F.array_join(F.slice(toks, i * stride + 1, max_tokens), " ").alias(
                 "chunk_text"
             ),
-            F.least(n - i * max_tokens, F.lit(max_tokens)).alias("chunk_tokens"),
+            F.least(n - i * stride, F.lit(max_tokens)).alias("chunk_tokens"),
         ),
     )
     return df.select(

@@ -928,3 +928,30 @@ def test_ppm_stream_video_frames_decode(spark):
     )
     parts = mm.split_ppm_stream(stream)
     assert len(parts) == 5 and b"".join(parts) == stream
+
+
+def test_chunk_documents_overlap_invariants(spark):
+    from table_computing_spark.operators import text as tx
+
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        tx.chunk_documents(df, max_tokens=40, stride=30).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # 100 tokens, windows at 0/30/60: 60+40=100 covers the end -> 3
+    assert len(rows) == 3 and rows[0]["n_chunks"] == 3
+    assert [r["chunk_tokens"] for r in rows] == [40, 40, 40]
+    # window k starts at token 30k; consecutive windows overlap by 10
+    for k, r in enumerate(rows):
+        toks = r["chunk_text"].split(" ")
+        assert toks[0] == f"t{30 * k}" and len(toks) == 40
+        if k:
+            prev = rows[k - 1]["chunk_text"].split(" ")
+            assert prev[-10:] == toks[:10]
+    # every token position appears in at least one window
+    covered = {30 * k + j for k in range(3) for j in range(40)}
+    assert covered == set(range(100))
+    # stride = max_tokens stays the old disjoint behavior
+    disjoint = tx.chunk_documents(df, max_tokens=40).collect()
+    assert sorted(r["chunk_tokens"] for r in disjoint) == [20, 40, 40]
