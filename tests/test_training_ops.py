@@ -955,3 +955,55 @@ def test_chunk_documents_overlap_invariants(spark):
     # stride = max_tokens stays the old disjoint behavior
     disjoint = tx.chunk_documents(df, max_tokens=40).collect()
     assert sorted(r["chunk_tokens"] for r in disjoint) == [20, 40, 40]
+
+
+def test_dup_span_interval_and_ratio_consistency(spark):
+    """Cross-operator invariant on a seeded random small-vocab corpus:
+    the interval view and the ratio view of duplicated spans must
+    agree — per doc, sum(span_grams) == dup_spans, intervals are
+    disjoint (merged), in-bounds, and every interval is at least n
+    tokens wide."""
+    import random
+
+    from table_computing_spark.operators import text as tx
+
+    rng = random.Random(42)
+    vocab = [f"v{i}" for i in range(8)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 15))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    n = 3
+    ratio = {r["doc_id"]: r for r in tx.dup_span_ratio(df, n=n).collect()}
+    intervals = {}
+    for r in tx.dup_span_intervals(df, n=n).collect():
+        intervals.setdefault(r["doc_id"], []).append(r)
+    n_tokens = {i: len(t.split()) for i, t in docs}
+    for doc, rows in intervals.items():
+        rows.sort(key=lambda r: r["span_start"])
+        assert sum(r["span_grams"] for r in rows) == ratio[doc]["dup_spans"]
+        prev_end = -2
+        for r in rows:
+            assert r["span_start"] > prev_end + 1  # disjoint AND non-adjacent
+            assert r["span_end"] - r["span_start"] + 1 == r["span_tokens"] >= n
+            assert 0 <= r["span_start"] and r["span_end"] < n_tokens[doc]
+            prev_end = r["span_end"]
+    # docs with dup_spans == 0 must have no intervals at all
+    for doc, r in ratio.items():
+        if r["dup_spans"] == 0:
+            assert doc not in intervals
+
+
+def test_decontaminate_self_benchmark_flags_everything(spark):
+    """decontaminate(corpus, corpus) must flag every doc that has at
+    least one full n-gram (each shares its own n-grams)."""
+    from table_computing_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "one two three four five six"), (3, "too short")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.decontaminate(docs, docs, n=5).collect()}
+    assert out[1]["contaminated"] == 1 and out[2]["contaminated"] == 1
+    assert out[3]["contaminated"] == 0  # < n tokens -> no n-grams at all
