@@ -2088,6 +2088,19 @@ def q_mixture_weights(spark, sf_dir):
     return tx.mixture_weights(_t(spark, sf_dir, "documents").df, targets)
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (operators/text.bm25_topk): top-20 docs
+    for the query {table, spark, hash} under the Robertson/Sparck-
+    Jones formula (k1=1.2, b=0.75). Per-doc scores are built as one
+    conditional aggregate PER TERM added in fixed order, so the double
+    is engine-exact; top-k plans as TakeOrderedAndProject."""
+    from table_computing_spark.operators import text as tx
+
+    return tx.bm25_topk(
+        _t(spark, sf_dir, "documents").df, ("table", "spark", "hash"), k=20
+    )
+
+
 def q_doc_chunks_overlap(spark, sf_dir):
     """Overlapping context windows (text.chunk_documents with
     stride < max_tokens — the standard LM chunking so no span loses
@@ -2646,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_dedup": q_image_dedup,
         "q_video_frames": q_video_frames,
         "q_doc_chunks_overlap": q_doc_chunks_overlap,
+        "q_bm25_topk": q_bm25_topk,
         "q_tpch_q1": tpch["q_tpch_q1"],
         "q_tpch_q12": tpch["q_tpch_q12"],
         "q_transform_explode": q_transform_explode,
@@ -4077,6 +4091,46 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(log2(T) - log2(CAST(c AS DOUBLE))), 6) AS avg_nll
             FROM tok JOIN freq USING (tok) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "q_bm25_topk": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+            ), st AS (
+              SELECT avg(dl) AS avgdl FROM dl
+            ), nd AS (
+              SELECT CAST(count(*) AS DOUBLE) AS N FROM documents
+            ), tf AS (
+              SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+              FROM tok WHERE t IN ('table', 'spark', 'hash')
+              GROUP BY doc_id, t
+            ), dfq AS (
+              SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dft
+              FROM tok WHERE t IN ('table', 'spark', 'hash')
+              GROUP BY t
+            ), idf AS (
+              SELECT t, ln((N - dft + 0.5) / (dft + 0.5) + 1.0) AS idf
+              FROM dfq CROSS JOIN nd
+            ), sc AS (
+              SELECT d.doc_id,
+                     coalesce((SELECT idf FROM idf WHERE t = 'table') * t1.tf * 2.2
+                              / (t1.tf + 1.2 * (0.25 + 0.75 * (d.dl / s.avgdl))), 0.0)
+                   + coalesce((SELECT idf FROM idf WHERE t = 'spark') * t2.tf * 2.2
+                              / (t2.tf + 1.2 * (0.25 + 0.75 * (d.dl / s.avgdl))), 0.0)
+                   + coalesce((SELECT idf FROM idf WHERE t = 'hash') * t3.tf * 2.2
+                              / (t3.tf + 1.2 * (0.25 + 0.75 * (d.dl / s.avgdl))), 0.0) AS score
+              FROM dl d CROSS JOIN st s
+              LEFT JOIN tf t1 ON t1.doc_id = d.doc_id AND t1.t = 'table'
+              LEFT JOIN tf t2 ON t2.doc_id = d.doc_id AND t2.t = 'spark'
+              LEFT JOIN tf t3 ON t3.doc_id = d.doc_id AND t3.t = 'hash'
+              WHERE t1.doc_id IS NOT NULL OR t2.doc_id IS NOT NULL
+                 OR t3.doc_id IS NOT NULL
+            )
+            SELECT doc_id, round(score, 6) AS score
+            FROM sc ORDER BY score DESC, doc_id LIMIT 20
         """,
         "q_doc_chunks_overlap": r"""
             WITH tok AS (

@@ -280,6 +280,81 @@ def bigram_novelty(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: "Sequence[str]",
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval — the lexical search primitive of a RAG /
+    corpus-inspection stack: score every document against a bag of
+    query terms with the Robertson/Sparck-Jones formula
+
+        idf(t)  = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)
+        s(t, d) = idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    and return the top-k docs (ties broken by id — deterministic).
+
+    FP determinism (the driver's hash compares exact doubles): the
+    per-doc score is built as one conditional aggregate PER TERM (each
+    sums at most one value, hence exact) added in FIXED term order —
+    never a data-ordered SUM over term rows, whose addition order
+    would differ between engines.
+
+    Scale shape: one token explode; tf is a (doc, term) hash aggregate
+    pre-filtered to the query terms (tiny); df and dl are corpus
+    aggregates any search index pays once; top-k plans as
+    TakeOrderedAndProject, never a global sort."""
+    terms = list(dict.fromkeys(query_terms))  # dedupe, keep order
+    tok = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t")
+    )
+    dl = tok.groupBy("__id").agg(F.count(F.lit(1)).alias("__dl"))
+    n_docs = df.count()
+    stats = dl.agg(F.avg("__dl").alias("__avgdl"))
+    qtok = tok.filter(F.col("__t").isin(*terms))
+    tf = qtok.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = {
+        r["__t"]: r["__df"]
+        for r in qtok.groupBy("__t")
+        .agg(F.count_distinct("__id").alias("__df"))
+        .collect()
+    }  # |query| scalars to the driver — same bounded pull as IVF centroids
+    import math
+
+    score = None
+    for t in terms:
+        df_t = dfreq.get(t, 0)
+        idf = math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        tf_t = F.sum(F.when(F.col("__t") == t, F.col("__tf")))
+        norm = F.col("__dl") / F.col("__avgdl")
+        s_t = F.coalesce(
+            F.lit(idf)
+            * tf_t
+            * F.lit(k1 + 1)
+            / (tf_t + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * norm)),
+            F.lit(0.0),
+        )
+        score = s_t if score is None else (score + s_t)
+    scored = (
+        tf.join(dl, "__id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("__id", "__dl", "__avgdl")
+        .agg(score.alias("__score"))
+    )
+    return (
+        scored.orderBy(F.col("__score").desc(), F.col("__id"))
+        .limit(k)
+        .select(
+            F.col("__id").alias(id_col),
+            F.round("__score", 6).alias("score"),
+        )
+    )
+
+
 def tf_idf_top_terms(
     df: DataFrame,
     text_col: str = "text",

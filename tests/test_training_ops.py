@@ -1007,3 +1007,30 @@ def test_decontaminate_self_benchmark_flags_everything(spark):
     out = {r["doc_id"]: r for r in tx.decontaminate(docs, docs, n=5).collect()}
     assert out[1]["contaminated"] == 1 and out[2]["contaminated"] == 1
     assert out[3]["contaminated"] == 0  # < n tokens -> no n-grams at all
+
+
+def test_bm25_ranking_properties(spark):
+    from table_computing_spark.operators import text as tx
+
+    # doc 1: target term twice in a short doc -> highest score;
+    # doc 2: once in a longer doc; doc 3: no match -> absent
+    df = spark.createDataFrame(
+        [
+            (1, "apple pie apple tart"),
+            (2, "apple with many other words diluting the match here now"),
+            (3, "banana only no match"),
+            (4, "pie crust and pie again with filler words to lengthen"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tx.bm25_topk(df, ("apple", "pie"), k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert 3 not in ids
+    # doc 1 matches both terms with high tf in a short doc -> rank 1
+    assert ids[0] == 1
+    assert scores[1] > scores[2] and scores[1] > scores[4]
+    # scores sorted descending
+    assert [r["score"] for r in out] == sorted((r["score"] for r in out), reverse=True)
+    # k truncation
+    assert len(tx.bm25_topk(df, ("apple", "pie"), k=2).collect()) == 2
