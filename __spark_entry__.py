@@ -2526,15 +2526,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     until every declared query has a green row in some round's
     CORRECTNESS file.
 
-    Round-5 window (oldest-verified-first rotation, VERDICT r04 item 3):
-    (a) the 3 queries red in r04 on the oracle HUGEINT-vs-BIGINT dtype
-    bug, now fixed (CAST ... AS BIGINT) — first so the fix is confirmed
-    driver-side; (b) the 40 queries whose only green row is r01 (20
-    TPC-H + 20 granular relational) — the staleness risk after two
-    testdata regenerations; (c)+(d) the seven queries NEW in round 5
-    (novelty, embedding groups, decontamination, dup spans, unigram
-    NLL, mixture plan, codec decode) — never driver-checked, so they
-    outrank the r03-verified keepers they displaced to the tail."""
+    Round-5 window: (a) the 3 queries red in r04 on the oracle
+    HUGEINT-vs-BIGINT dtype bug, now fixed (CAST ... AS BIGINT) — first
+    so the fix is confirmed driver-side; (b) ALL 21 queries NEW in
+    round 5 (novelty, embedding groups, decontamination, dup spans,
+    unigram NLL, mixture plans, codecs, NB classifier, incremental
+    dedup, JL projection, Gopher flags, span intervals, stream
+    curation, int8 quantization, PNG/FFT/dHash/frame-sample media,
+    overlap chunking, BM25) — never driver-checked, so a green row
+    here maximizes ever-green coverage; (c) the 26 oldest-verified
+    queries (r01: 20 TPC-H + 6 granular relational). The dtype-strict
+    local sim (tests/oracle.py) is green on all 138 at sf0.01, so the
+    remaining r01-verified tail carries low staleness risk and rotates
+    in next round."""
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
     tpch = dict(TPCH_QUERIES)
@@ -2543,15 +2547,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot": q_pivot,
         "q_token_budget": q_token_budget,
         "q_pipeline_curation": q_pipeline_curation,
-        # (b) last verified r01: TPC-H (q1/q12 went green again in r03)
+        # (b) new in round 5 — first driver check
+        "q_doc_novelty": q_doc_novelty,
+        "q_embedding_groups": q_embedding_groups,
+        "q_decontaminate": q_decontaminate,
+        "q_dup_spans": q_dup_spans,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_mixture_weights": q_mixture_weights,
+        "q_multimodal_decode": q_multimodal_decode,
+        "q_nb_classify": q_nb_classify,
+        "q_dedup_incremental": q_dedup_incremental,
+        "q_rp_project": q_rp_project,
+        "q_gopher_rules": q_gopher_rules,
+        "q_dup_span_intervals": q_dup_span_intervals,
+        "q_stream_curation": q_stream_curation,
+        "q_mixture_apply": q_mixture_apply,
+        "q_embedding_quantize": q_embedding_quantize,
+        "q_png_decode": q_png_decode,
+        "q_audio_spectrum": q_audio_spectrum,
+        "q_image_dedup": q_image_dedup,
+        "q_video_frames": q_video_frames,
+        "q_doc_chunks_overlap": q_doc_chunks_overlap,
+        "q_bm25_topk": q_bm25_topk,
+        # (c) oldest-verified (r01): TPC-H (q1/q12 re-greened in r03)
         **{k: tpch[k] for k in sorted(tpch) if k not in ("q_tpch_q1", "q_tpch_q12")},
-        # (b) last verified r01: granular relational/scalar set
+        # (c) oldest-verified (r01): granular relational/scalar set
         "q_filter_select": q_filter_select,
         "q_project_negative": q_project_negative,
         "q_groupby_agg": q_groupby_agg,
         "q_avg_ref_nulls": q_avg_ref_nulls,
         "q_rollup": q_rollup,
         "q_grouping_sets": q_grouping_sets,
+    }
+    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
+    tail = {
+        # r01-verified relational set displaced from the window by the
+        # 21 new round-5 queries — next round's rotation candidates
         "q_count_distinct": q_count_distinct,
         "q_percentile": q_percentile,
         "q_join_inner": q_join_inner,
@@ -2566,22 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_date_functions": q_date_functions,
         "q_union_distinct": q_union_distinct,
         "q_set_ops": q_set_ops,
-        # (c) new this round — first driver check: corpus novelty,
-        # embedding CC groups, decontamination, duplicated spans,
-        # unigram-LM NLL, domain mixture plan
-        "q_doc_novelty": q_doc_novelty,
-        "q_embedding_groups": q_embedding_groups,
-        "q_decontaminate": q_decontaminate,
-        "q_dup_spans": q_dup_spans,
-        "q_unigram_logprob": q_unigram_logprob,
-        "q_mixture_weights": q_mixture_weights,
-        # (d) new this round: real PPM/BMP/WAV codecs, first driver check
-        "q_multimodal_decode": q_multimodal_decode,
-    }
-    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
-    tail = {
-        # r03-verified remainder (oldest after the window — next round's
-        # rotation candidates), then the r04-green set
+        # r03-verified remainder, then the r04-green set
         "q_semi_anti_join": q_semi_anti_join,
         "q_top_n": q_top_n,
         "q_order_by_limit": q_order_by_limit,
@@ -2644,22 +2660,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_minhash": q_stream_minhash,
         "q_approx_quantile": q_approx_quantile,
         "q_approx_distinct": q_approx_distinct,
-        # r03-verified keepers displaced from the window by the six new
-        # r05 queries — rotate back in next round
-        "q_nb_classify": q_nb_classify,
-        "q_dedup_incremental": q_dedup_incremental,
-        "q_rp_project": q_rp_project,
-        "q_gopher_rules": q_gopher_rules,
-        "q_dup_span_intervals": q_dup_span_intervals,
-        "q_stream_curation": q_stream_curation,
-        "q_mixture_apply": q_mixture_apply,
-        "q_embedding_quantize": q_embedding_quantize,
-        "q_png_decode": q_png_decode,
-        "q_audio_spectrum": q_audio_spectrum,
-        "q_image_dedup": q_image_dedup,
-        "q_video_frames": q_video_frames,
-        "q_doc_chunks_overlap": q_doc_chunks_overlap,
-        "q_bm25_topk": q_bm25_topk,
         "q_tpch_q1": tpch["q_tpch_q1"],
         "q_tpch_q12": tpch["q_tpch_q12"],
         "q_transform_explode": q_transform_explode,
