@@ -2337,6 +2337,161 @@ def q_multimodal_decode(spark, sf_dir):
     return mm.decode_probe(mm.make_demo_codec_media(spark, 48))
 
 
+def _order_snapshots(spark, sf_dir):
+    """Two deterministic keyed snapshots derived from `orders` for the
+    CDC queries: keys %13==0 are absent from OLD (inserts), %11==0
+    absent from NEW (deletes), %7==0 get +100 cents in NEW (updates).
+    Prices travel as integer cents so the md5 fingerprint is
+    engine-portable (double→string rendering is not)."""
+    o = _t(spark, sf_dir, "orders").df.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    old = o.filter(F.col("o_orderkey") % 13 != 0)
+    new = o.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "price_cents",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("price_cents") + 100
+        ).otherwise(F.col("price_cents")),
+    )
+    return old, new
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """CDC snapshot diff (operators/cdc.snapshot_diff_full): classify
+    every changed key as insert/delete/update comparing only
+    (key, md5-fingerprint) in the join, then re-attach payloads for
+    changed keys only — the narrow-shuffle pattern that holds when the
+    snapshots are 100 TB and the daily churn is 0.1%."""
+    from table_computing_spark.operators import cdc
+
+    old, new = _order_snapshots(spark, sf_dir)
+    return cdc.snapshot_diff_full(
+        old, new, ["o_orderkey"], ["o_orderstatus", "price_cents"]
+    )
+
+
+def q_scd2(spark, sf_dir):
+    """SCD type-2 history build (operators/cdc.scd2_intervals): collapse
+    the per-user event stream into [valid_from, valid_to) validity
+    intervals of consecutive equal event_type — one window shuffle on
+    the key, no self-join."""
+    from table_computing_spark.operators import cdc
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", tcf.epoch_ms("ts").alias("t_ms"), "event_id", "event_type"
+    )
+    return cdc.scd2_intervals(ev, "user_id", "t_ms", "event_id", "event_type")
+
+
+def q_bloom_join(spark, sf_dir):
+    """Bloom-pruned fact-dim join (operators/bloomjoin.bloom_join):
+    lineitem rows are dropped at the scan by a 2^20-bit filter of the
+    GERMANY supplier keys before the exact join — the pre-shuffle prune
+    for dims too big to broadcast. Result equals the plain inner join
+    (no false negatives; false positives die in the final join), so the
+    oracle is the plain join."""
+    from table_computing_spark.operators import bloomjoin
+
+    li = _t(spark, sf_dir, "lineitem").df
+    s = _t(spark, sf_dir, "supplier").df
+    n = _t(spark, sf_dir, "nation").df
+    dim = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .filter(F.col("n_name") == "GERMANY")
+        .select("s_suppkey", "s_name")
+    )
+    j = bloomjoin.bloom_join(li, dim, "l_suppkey", "s_suppkey")
+    return j.groupBy("s_suppkey", "s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,4)"
+                )
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+    )
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition mining (operators/temporal.
+    transition_counts): consecutive event-type pairs per user with a
+    30-minute session split, row-normalized into transition
+    probabilities — one window shuffle + one |states|^2 aggregate."""
+    from table_computing_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", tcf.epoch_ms("ts").alias("t_ms"), "event_id", "event_type"
+    )
+    return temporal.transition_counts(
+        ev, "user_id", "t_ms", "event_id", "event_type", session_gap=1_800_000
+    )
+
+
+def q_group_split(spark, sf_dir):
+    """Leakage-safe grouped train/val/test split (operators/sampling.
+    multi_split): the split is a pure function of md5(source), so every
+    document of a source lands in the same split. Output audits the
+    assignment: per-split doc counts, distinct sources, and total
+    chars — scan-level expressions, zero extra shuffle beyond the
+    audit aggregation."""
+    from table_computing_spark.operators.sampling import multi_split
+
+    d = _t(spark, sf_dir, "documents").df
+    tagged = multi_split(
+        d, "source", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (operators/
+    sampling.weighted_sample, Efraimidis–Spirakis A-ES): per-language
+    top-20 documents by priority ln(u)/n_chars with u from md5(doc_id)
+    — inclusion odds proportional to length, yet the selected set is a
+    pure function of the data (engine- and run-stable)."""
+    from table_computing_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").df.select("doc_id", "lang", "n_chars")
+    return weighted_sample(d, "doc_id", "n_chars", k=20, strata_col="lang")
+
+
+def q_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy quality signal (operators/text.
+    char_entropy): row-local codegen (no shuffle); the fold runs over
+    SORTED distinct chars so the float summation order — and therefore
+    the rounded double — is identical in any engine."""
+    from table_computing_spark.operators import text as tx
+
+    d = _t(spark, sf_dir, "documents").df
+    ent = tx.char_entropy("text")
+    return d.select(
+        "doc_id",
+        ent.alias("entropy"),
+        F.floor(ent).cast("int").alias("entropy_band"),
+    )
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (operators/similarity.
+    hard_negatives): for each anchor (vec_id %% 67 == 0) the 5 nearest
+    corpus vectors with a DIFFERENT label and cos < 0.95 — broadcast
+    anchors, per-anchor WindowGroupLimit, label + near-dup filters
+    applied before the heap."""
+    from table_computing_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    anchors = emb.filter(F.col("vec_id") % 67 == 0)
+    return sim.hard_negatives(emb, anchors, k=5)
+
+
 # ---------------------------------------------------------------------------
 # §2 gate compositions — the driver hashes only the FIRST 50 queries()
 # entries, so each q_gate_* packs one whole SURVEY §2 operator family into
@@ -2673,6 +2828,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gate_over": q_gate_over,
         "q_gate_setops": q_gate_setops,
         "q_stream_over": q_stream_over,
+        # new in round 5 (late batch) — never driver-checked; first in
+        # line for the r06 rotation window
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_scd2": q_scd2,
+        "q_bloom_join": q_bloom_join,
+        "q_event_transitions": q_event_transitions,
+        "q_group_split": q_group_split,
+        "q_weighted_sample": q_weighted_sample,
+        "q_char_entropy": q_char_entropy,
+        "q_hard_negatives": q_hard_negatives,
     }
     return {**window_50, **tail}
 
@@ -4457,5 +4622,153 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM s
             )
             SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 10
+        """,
+        "q_snapshot_diff": """
+            WITH base AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+              FROM orders
+            ),
+            old AS (SELECT * FROM base WHERE o_orderkey % 13 <> 0),
+            new AS (SELECT o_orderkey, o_orderstatus,
+                           CASE WHEN o_orderkey % 7 = 0 THEN price_cents + 100
+                                ELSE price_cents END AS price_cents
+                    FROM base WHERE o_orderkey % 11 <> 0),
+            d AS (
+              SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                     CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                          WHEN n.o_orderkey IS NULL THEN 'delete'
+                          ELSE 'update' END AS change_type
+              FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+              WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+                 OR o.o_orderstatus <> n.o_orderstatus
+                 OR o.price_cents <> n.price_cents
+            )
+            SELECT d.o_orderkey, d.change_type, s.o_orderstatus, s.price_cents
+            FROM d JOIN new s USING (o_orderkey) WHERE d.change_type <> 'delete'
+            UNION ALL
+            SELECT d.o_orderkey, d.change_type, s.o_orderstatus, s.price_cents
+            FROM d JOIN old s USING (o_orderkey) WHERE d.change_type = 'delete'
+        """,
+        "q_scd2": """
+            WITH e AS (
+              SELECT user_id, epoch_ms(ts) AS t_ms, event_id, event_type
+              FROM events
+            ), m AS (
+              SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                              OR lag(event_type) OVER w <> event_type
+                         THEN 1 ELSE 0 END AS is_start
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+            ), r AS (
+              SELECT *, CAST(sum(is_start) OVER (
+                          PARTITION BY user_id ORDER BY t_ms, event_id
+                          ROWS UNBOUNDED PRECEDING) AS INT) AS version
+              FROM m
+            ), g AS (
+              SELECT user_id, version, min(event_type) AS event_type,
+                     min(t_ms) AS valid_from,
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM r GROUP BY user_id, version
+            )
+            SELECT user_id, version, event_type, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY version) AS valid_to,
+                   n_rows
+            FROM g
+        """,
+        "q_bloom_join": """
+            SELECT s_suppkey, s_name,
+                   count(*) AS n_items,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(30,4))) AS DOUBLE), 2) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'GERMANY'
+            GROUP BY s_suppkey, s_name
+        """,
+        "q_event_transitions": """
+            WITH e AS (
+              SELECT user_id, epoch_ms(ts) AS t_ms, event_id, event_type
+              FROM events
+            ), p AS (
+              SELECT lag(event_type) OVER w AS from_state,
+                     event_type AS to_state,
+                     t_ms - lag(t_ms) OVER w AS gap
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+            ), c AS (
+              SELECT from_state, to_state, count(*) AS n_transitions
+              FROM p WHERE from_state IS NOT NULL AND gap <= 1800000
+              GROUP BY from_state, to_state
+            )
+            SELECT from_state, to_state, n_transitions,
+                   round(CAST(n_transitions AS DOUBLE)
+                         / sum(n_transitions) OVER (PARTITION BY from_state),
+                         6) AS p_transition
+            FROM c
+        """,
+        "q_group_split": """
+            WITH tagged AS (
+              SELECT *, CASE
+                WHEN substring(md5(source), 1, 8) < 'cccccccc' THEN 'train'
+                WHEN substring(md5(source), 1, 8) < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+              FROM documents
+            )
+            SELECT split, count(*) AS n_docs,
+                   count(DISTINCT source) AS n_sources,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM tagged GROUP BY split
+        """,
+        "q_weighted_sample": """
+            WITH scored AS (
+              SELECT doc_id, lang, n_chars,
+                     ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) + 0.5) / 4294967296.0)
+                     / CAST(n_chars AS DOUBLE) AS pri
+              FROM documents WHERE n_chars > 0
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY lang
+                          ORDER BY pri DESC, doc_id ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, lang, n_chars, CAST(rank AS BIGINT) AS rank,
+                   round(pri, 6) AS priority
+            FROM r WHERE rank <= 20
+        """,
+        "q_char_entropy": """
+            WITH c AS (
+              SELECT doc_id,
+                     string_split(text, '') AS cs,
+                     list_sort(list_distinct(string_split(text, ''))) AS ds,
+                     CAST(length(text) AS DOUBLE) AS n
+              FROM documents
+            ), e AS (
+              SELECT doc_id,
+                     CASE WHEN n > 0 THEN round(-list_aggregate(
+                       list_transform(ds, d ->
+                         (CAST(len(list_filter(cs, x -> x = d)) AS DOUBLE) / n)
+                         * ln(CAST(len(list_filter(cs, x -> x = d)) AS DOUBLE) / n)),
+                       'sum'), 6) ELSE 0.0 END AS entropy
+              FROM c
+            )
+            SELECT doc_id, entropy, CAST(floor(entropy) AS INT) AS entropy_band
+            FROM e
+        """,
+        "q_hard_negatives": """
+            WITH q AS (SELECT vec_id AS anchor_id,
+                              CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+                       FROM embeddings WHERE vec_id % 67 = 0),
+                 c AS (SELECT vec_id AS negative_id,
+                              CAST(embedding AS DOUBLE[]) AS cv, label AS cl
+                       FROM embeddings),
+                 s AS (SELECT anchor_id, negative_id,
+                              round(list_cosine_similarity(qv, cv), 4) AS cos_sim
+                       FROM q, c WHERE ql <> cl),
+                 f AS (SELECT * FROM s WHERE cos_sim < 0.95),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY cos_sim DESC, negative_id ASC) AS rank
+                       FROM f)
+            SELECT anchor_id, negative_id, cos_sim, rank FROM r WHERE rank <= 5
         """,
     }

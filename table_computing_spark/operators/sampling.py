@@ -74,3 +74,87 @@ def stratified_sample(
         )
         expr = cond if expr is None else (expr | cond)
     return df.filter(expr if expr is not None else F.lit(False))
+
+
+def multi_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: "dict[str, float]",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe multi-way split: the assignment is decided ONLY by
+    the hash of `group_col`, so every row of a group (all documents of
+    one source, all events of one user) lands in the SAME split — the
+    grouped analogue of train_test_split, preventing the classic
+    train/test contamination where one entity straddles the boundary.
+
+    `fractions` maps split name -> fraction; fractions must sum to
+    <= 1.0 (any remainder is assigned to the LAST split listed, so
+    {'train': .8, 'val': .1, 'test': .1} is exact). Assignment is a
+    scan-level expression — no shuffle, stable under repartitioning
+    and incremental appends."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError("fractions must sum to <= 1.0")
+    h = _hash_prefix(F.col(group_col))
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = h < F.lit(sample_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_col: "str | None" = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (top-k by
+    priority), the distributed form of Efraimidis–Spirakis A-ES: each
+    row gets priority ln(u)/w with u a uniform derived from the md5 of
+    its key — so inclusion probability is proportional to weight, yet
+    the chosen set is a pure function of the data (same rows selected
+    in every run, engine, and partition layout). Rows with
+    non-positive weight are excluded.
+
+    With `strata_col`, the top-k is per stratum (WindowGroupLimit —
+    no global sort); otherwise the top-k is taken by orderBy+limit
+    (plans as TakeOrderedAndProject — per-partition heaps, never a
+    global sort) and only the k survivors are ranked. Adds `priority`
+    (rounded to 6) and `rank`."""
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**_HEX_DIGITS))
+    w = F.col(weight_col).cast("double")
+    pri = F.log(u) / w
+    scored = df.filter(w > 0).withColumn("__priority", pri)
+    if strata_col is not None:
+        win = Window.partitionBy(strata_col).orderBy(
+            F.desc("__priority"), F.col(key_col)
+        )
+        picked = scored.withColumn("rank", F.row_number().over(win)).filter(
+            F.col("rank") <= k
+        )
+    else:
+        topk = scored.orderBy(F.desc("__priority"), F.col(key_col)).limit(k)
+        # ranking k rows: the window runs over an already-tiny input
+        picked = topk.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("__priority"), F.col(key_col))
+            ),
+        )
+    return picked.withColumn("priority", F.round("__priority", 6)).drop(
+        "__priority"
+    )

@@ -509,3 +509,53 @@ def ivf_assign(
     return df.select(id_col, assign(F.col(vec_col)).alias("__a")).select(
         id_col, "__a.cell", "__a.cos_sim"
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_sim: float = 0.95,
+    round_to: int = 4,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor (query) vector,
+    the k nearest corpus vectors that (a) carry a DIFFERENT label and
+    (b) are not near-duplicates (cos < max_sim) — the highest-value
+    negatives for contrastive/embedding training: close enough to be
+    hard, provably not positives.
+
+    Same plan shape as cosine_topk (anchors broadcast against the
+    corpus, per-anchor WindowGroupLimit); the label filter and the
+    near-dup cutoff are applied before ranking so the heap only sees
+    admissible candidates. For large anchor sets swap the scoring
+    stage for lsh_topk and keep the same filters."""
+    q = queries.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__ql"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("__cl"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("__ql") != F.col("__cl"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_to).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") < max_sim)
+    )
+    w = W.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

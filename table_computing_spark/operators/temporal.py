@@ -133,3 +133,53 @@ def range_join(
         )
         .drop("__bucket")
     )
+
+
+def transition_counts(
+    events: DataFrame,
+    key_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    state_col: str,
+    session_gap: "int | None" = None,
+) -> DataFrame:
+    """First-order Markov transition mining over per-key event streams:
+    count (from_state -> to_state) pairs of consecutive events, with an
+    optional session split (a gap of more than `session_gap` units of
+    `order_col` breaks the chain — no transition is counted across it).
+
+    Output: (from_state, to_state, n_transitions, p_transition) where
+    p_transition is the row-normalized probability rounded to 6 places
+    (exact ratio of two counts — portable across engines).
+
+    Plan: one window shuffle on `key_col` (lag for the predecessor),
+    then one hash aggregation keyed (from_state, to_state) plus a
+    window over from_state for the normalizing row sums. At 100 TB the
+    shuffle moves only (key, order, state) triples; the aggregate
+    output is |states|^2 rows at most.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(order_col, tiebreak_col)
+    prev_state = F.lag(state_col).over(w)
+    pairs = events.select(
+        F.col(state_col).alias("to_state"),
+        prev_state.alias("from_state"),
+        (
+            (F.col(order_col) - F.lag(order_col).over(w)) <= F.lit(session_gap)
+            if session_gap is not None
+            else F.lit(True)
+        ).alias("__in_session"),
+    ).filter(F.col("from_state").isNotNull() & F.col("__in_session"))
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wf = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wf), 6
+        ).alias("p_transition"),
+    )

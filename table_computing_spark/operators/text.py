@@ -1032,3 +1032,25 @@ def mixture_weights(
             F.round(rate / epochs.cast("double"), 6).alias("rate_within_epoch"),
         )
     )
+
+
+def char_entropy(c: ColumnLike, round_to: int = 6) -> Column:
+    """Character-level Shannon entropy (nats) of a string — a cheap,
+    language-agnostic quality signal: machine-generated or boilerplate
+    text (repeated padding, base64 blobs, single-char floods) sits at
+    the extremes while natural prose clusters mid-range.
+
+    Row-local codegen only (no shuffle): distinct chars are sorted
+    before the fold so the floating-point summation order is fixed —
+    the same expression in any engine gives the identical double.
+    Cost is O(len * distinct_chars) per row. Empty/NULL → 0.0."""
+    col = _col(c)
+    chars = F.split(col, "")
+    ds = F.array_sort(F.array_distinct(chars))
+    n = F.length(col).cast("double")
+    term = lambda d: (  # noqa: E731 — p*ln(p) for one distinct char
+        (F.size(F.filter(chars, lambda x: x == d)).cast("double") / n)
+        * F.log(F.size(F.filter(chars, lambda x: x == d)).cast("double") / n)
+    )
+    ent = -F.aggregate(F.transform(ds, term), F.lit(0.0), lambda acc, x: acc + x)
+    return F.round(F.coalesce(F.when(n > 0, ent), F.lit(0.0)), round_to)

@@ -1,0 +1,272 @@
+"""CDC, bloom-join, transition, sampling, entropy, hard-negative ops.
+
+Tiny constructed inputs with hand-computed goldens, plus the
+properties that make each operator trustworthy at scale:
+  * snapshot_diff classifies insert/delete/update and DROPS unchanged;
+  * scd2_intervals tiles each key's timeline exactly (no gaps/overlap);
+  * bloom_join returns exactly the plain inner join (no false
+    negatives by construction), and bloom_prune keeps every matching
+    row while dropping most non-matching ones;
+  * multi_split never splits a group across splits;
+  * weighted_sample is deterministic and respects k and weight>0;
+  * char_entropy matches an independent Python computation;
+  * hard_negatives never returns the anchor's own label or near-dups.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from table_computing_spark.operators import bloomjoin, cdc, temporal
+from table_computing_spark.operators.sampling import multi_split, weighted_sample
+
+
+# ---------------------------------------------------------------- CDC
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    old = spark.createDataFrame(
+        [(1, "A", 10), (2, "B", 20), (3, "C", 30), (4, "D", 40)],
+        "k long, status string, cents long",
+    )
+    new = spark.createDataFrame(
+        [(1, "A", 10), (2, "B", 99), (4, "X", 40), (5, "E", 50)],
+        "k long, status string, cents long",
+    )
+    rows = {
+        r["k"]: r["change_type"]
+        for r in cdc.snapshot_diff(old, new, ["k"], ["status", "cents"]).collect()
+    }
+    assert rows == {2: "update", 3: "delete", 4: "update", 5: "insert"}
+
+
+def test_snapshot_diff_full_payload_sides(spark):
+    old = spark.createDataFrame([(1, "A", 1), (2, "B", 2)], "k long, s string, c long")
+    new = spark.createDataFrame([(2, "B", 9), (3, "C", 3)], "k long, s string, c long")
+    got = {
+        r["k"]: (r["change_type"], r["s"], r["c"])
+        for r in cdc.snapshot_diff_full(old, new, ["k"], ["s", "c"]).collect()
+    }
+    # deletes carry OLD values, inserts/updates carry NEW values
+    assert got == {
+        1: ("delete", "A", 1),
+        2: ("update", "B", 9),
+        3: ("insert", "C", 3),
+    }
+
+
+def test_snapshot_diff_null_vs_empty_fingerprint(spark):
+    old = spark.createDataFrame([(1, None)], "k long, s string")
+    new = spark.createDataFrame([(1, "")], "k long, s string")
+    out = cdc.snapshot_diff(old, new, ["k"], ["s"]).collect()
+    assert [r["change_type"] for r in out] == ["update"]
+
+
+def test_scd2_intervals_tile_timeline(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 100, 1, "a"),
+            (1, 200, 2, "a"),
+            (1, 300, 3, "b"),
+            (1, 400, 4, "a"),
+            (2, 100, 5, "x"),
+        ],
+        "k long, t long, id long, attr string",
+    )
+    out = sorted(
+        cdc.scd2_intervals(ev, "k", "t", "id", "attr").collect(),
+        key=lambda r: (r["k"], r["version"]),
+    )
+    as_tuples = [
+        (r["k"], r["version"], r["attr"], r["valid_from"], r["valid_to"], r["n_rows"])
+        for r in out
+    ]
+    assert as_tuples == [
+        (1, 1, "a", 100, 300, 2),
+        (1, 2, "b", 300, 400, 1),
+        (1, 3, "a", 400, None, 1),
+        (2, 1, "x", 100, None, 1),
+    ]
+    # intervals tile: valid_to of version v == valid_from of v+1 (checked
+    # above structurally); exactly one open interval per key
+    open_per_key = Counter(r["k"] for r in out if r["valid_to"] is None)
+    assert all(v == 1 for v in open_per_key.values())
+
+
+# ---------------------------------------------------------- bloom join
+
+
+def test_bloom_join_equals_plain_join(spark):
+    fact = spark.range(0, 5000).select(
+        F.col("id").alias("fk"), (F.col("id") % 997).alias("payload")
+    )
+    dim = spark.range(0, 5000, 13).select(F.col("id").alias("dk"))
+    expected = sorted(
+        r["fk"] for r in fact.join(dim, fact.fk == dim.dk).select("fk").collect()
+    )
+    got = sorted(
+        r["fk"]
+        for r in bloomjoin.bloom_join(fact, dim, "fk", "dk").select("fk").collect()
+    )
+    assert got == expected
+
+
+def test_bloom_prune_no_false_negatives_and_prunes(spark):
+    fact = spark.range(0, 20000).select(F.col("id").alias("fk"))
+    dim = spark.range(0, 20000, 401).select(F.col("id").alias("dk"))
+    bitmap = bloomjoin.bloom_build(dim, "dk")
+    kept = {r["fk"] for r in bloomjoin.bloom_prune(fact, "fk", bitmap).collect()}
+    true_keys = {r["dk"] for r in dim.collect()}
+    assert true_keys <= kept, "bloom filter must never drop a real match"
+    # 50 real keys out of 20k rows: the filter must remove the bulk
+    assert len(kept) < 2000, f"bloom pruned too little: kept {len(kept)}"
+
+
+def test_bloom_probe_joins_are_broadcast(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    fact = spark.range(0, 1000).select(F.col("id").alias("fk"))
+    dim = spark.range(0, 100).select(F.col("id").alias("dk"))
+    out = bloomjoin.bloom_join(fact, dim, "fk", "dk")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    # every bitmap probe must be a broadcast join — a shuffle of the
+    # fact side per probe would defeat the point
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+# ----------------------------------------------------- transitions
+
+
+def test_transition_counts_golden_with_session_gap(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 0, 1, "a"),
+            (1, 10, 2, "b"),
+            (1, 20, 3, "b"),
+            # gap of 5000 > 100 — chain breaks, no b->c transition
+            (1, 5020, 4, "c"),
+            (2, 0, 5, "a"),
+            (2, 50, 6, "b"),
+        ],
+        "k long, t long, id long, s string",
+    )
+    out = {
+        (r["from_state"], r["to_state"]): (r["n_transitions"], r["p_transition"])
+        for r in temporal.transition_counts(
+            ev, "k", "t", "id", "s", session_gap=100
+        ).collect()
+    }
+    assert out == {
+        ("a", "b"): (2, 1.0),
+        ("b", "b"): (1, 1.0),
+    }
+
+
+# ------------------------------------------------------- sampling
+
+
+def test_multi_split_is_group_atomic(spark):
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 37).cast("string").alias("grp"), F.col("id").alias("v")
+    )
+    tagged = multi_split(df, "grp", {"train": 0.8, "val": 0.1, "test": 0.1})
+    splits_per_group = (
+        tagged.groupBy("grp").agg(F.countDistinct("split").alias("n")).collect()
+    )
+    assert all(r["n"] == 1 for r in splits_per_group)
+    names = {r["split"] for r in tagged.select("split").distinct().collect()}
+    assert names <= {"train", "val", "test"}
+
+
+def test_multi_split_rejects_oversum(spark):
+    df = spark.range(1).select(F.col("id").cast("string").alias("g"))
+    with pytest.raises(ValueError):
+        multi_split(df, "g", {"a": 0.9, "b": 0.3})
+
+
+def test_weighted_sample_deterministic_and_bounded(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).cast("string").alias("stratum"),
+        (F.col("id") % 7 + 1).cast("double").alias("w"),
+    )
+    a = weighted_sample(df, "k", "w", k=10, strata_col="stratum")
+    b = weighted_sample(df, "k", "w", k=10, strata_col="stratum")
+    rows_a = sorted((r["stratum"], r["rank"], r["k"]) for r in a.collect())
+    rows_b = sorted((r["stratum"], r["rank"], r["k"]) for r in b.collect())
+    assert rows_a == rows_b, "selection must be a pure function of the data"
+    per_stratum = Counter(s for s, _, _ in rows_a)
+    assert all(v == 10 for v in per_stratum.values())
+
+
+def test_weighted_sample_excludes_nonpositive_and_favors_weight(spark):
+    # two candidate pools with identical keys-hash behavior but weights
+    # 1 vs 100: the heavy pool must win far more of the 50 global slots
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 500, 100.0).otherwise(1.0).alias("w"),
+    )
+    picked = weighted_sample(df, "k", "w", k=50).collect()
+    heavy = sum(1 for r in picked if r["k"] < 500)
+    assert heavy >= 40, f"weight-100 pool won only {heavy}/50 slots"
+    none_picked = weighted_sample(
+        df.withColumn("w", F.lit(0.0)), "k", "w", k=5
+    ).count()
+    assert none_picked == 0
+
+
+# --------------------------------------------------------- entropy
+
+
+def test_char_entropy_matches_python(spark):
+    from table_computing_spark.operators.text import char_entropy
+
+    samples = ["aabbbc", "aaaa", "abcdefgh", "", "the quick brown fox"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [
+        r["e"]
+        for r in df.select(char_entropy("s").alias("e")).collect()
+    ]
+
+    def py_entropy(s):
+        if not s:
+            return 0.0
+        n = len(s)
+        return round(
+            -sum((c / n) * math.log(c / n) for _, c in sorted(Counter(s).items())),
+            6,
+        )
+
+    assert got == [py_entropy(s) for s in samples]
+
+
+# --------------------------------------------------- hard negatives
+
+
+def test_hard_negatives_constraints(spark):
+    from table_computing_spark.operators.similarity import hard_negatives
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.99, 0.14], 1),  # nearly identical to anchor — excluded by max_sim
+            (3, [0.8, 0.6], 1),
+            (4, [0.0, 1.0], 1),
+            (5, [0.9, 0.43], 0),  # same label — excluded
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    anchors = corpus.filter(F.col("vec_id") == 1)
+    out = hard_negatives(corpus, anchors, k=2, max_sim=0.95).collect()
+    ids = [r["negative_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ids == [3, 4]
+    assert all(r["cos_sim"] < 0.95 for r in out)
