@@ -2479,6 +2479,23 @@ def q_char_entropy(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary learning (operators/bpe.learn_bpe,
+    Sennrich et al. 2016): the corpus collapses to distinct-word counts
+    once, then each merge iteration runs at vocabulary scale — pair
+    counts via one hash agg, argmax via a one-row driver pull (the
+    bounded-scalar discipline of the CC rounds), merge application as a
+    row-local fold. Genuinely iterative (argmax of round k feeds round
+    k+1), so there is no single-statement SQL oracle — the driver does
+    the rows-only check; exact-equality-vs-reference is pinned in
+    tests/test_cdc_ops.py against an independent pure-Python trainer."""
+    from table_computing_spark.operators import bpe
+
+    d = _t(spark, sf_dir, "documents").df
+    merges, _ = bpe.learn_bpe(d, "text", num_merges=8)
+    return bpe.merges_df(spark, merges)
+
+
 def q_hard_negatives(spark, sf_dir):
     """Contrastive hard-negative mining (operators/similarity.
     hard_negatives): for each anchor (vec_id %% 67 == 0) the 5 nearest
@@ -2838,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": q_weighted_sample,
         "q_char_entropy": q_char_entropy,
         "q_hard_negatives": q_hard_negatives,
+        "q_bpe_merges": q_bpe_merges,  # rows-only: iterative (see docstring)
     }
     return {**window_50, **tail}
 

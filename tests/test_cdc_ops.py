@@ -270,3 +270,103 @@ def test_hard_negatives_constraints(spark):
     ids = [r["negative_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert ids == [3, 4]
     assert all(r["cos_sim"] < 0.95 for r in out)
+
+
+# ------------------------------------------------------------- BPE
+
+
+def test_learn_bpe_matches_pure_python_reference(spark):
+    from table_computing_spark.operators import bpe
+
+    corpus = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "widest widest widest",
+    ]
+    df = spark.createDataFrame([(s,) for s in corpus], "text string")
+    merges, _ = bpe.learn_bpe(df, "text", num_merges=8)
+
+    # independent trainer: Sennrich alg, tie-break (count desc, pair asc)
+    wc = Counter(w for s in corpus for w in s.lower().split())
+    vocab = {w: list(w[:-1]) + [w[-1] + bpe.END_OF_WORD] for w in wc}
+    ref = []
+    for it in range(1, 9):
+        pc = Counter()
+        for w, toks in vocab.items():
+            for a, b in zip(toks, toks[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (l, r), c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        if c < 2:
+            break
+        ref.append((it, l, r, c))
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    assert merges == ref
+
+
+def test_bpe_segment_roundtrips_words(spark):
+    from table_computing_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [("low lower newest",), ("the newest low",)], "text string"
+    )
+    merges, _ = bpe.learn_bpe(df, num_merges=6)
+    rows = bpe.bpe_segment(df, merges).collect()
+    for r in rows:
+        # concatenating the subword tokens reproduces the words
+        rebuilt = "".join(r["bpe_tokens"]).replace(bpe.END_OF_WORD, " ").strip()
+        assert rebuilt == " ".join(r["text"].lower().split())
+
+
+def test_bpe_greedy_merge_overlap(spark):
+    from table_computing_spark.operators import bpe
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(["a", "a", "a"],)], "tokens array<string>")
+    out = df.select(
+        bpe._apply_merge(F.col("tokens"), "a", "a").alias("m")
+    ).collect()[0]["m"]
+    assert out == ["aa", "a"], "greedy left-to-right: aaa + (a,a) -> [aa, a]"
+
+
+# ------------------------------------------------------- compaction
+
+
+def test_write_compacted_hits_target_file_count(spark, tmp_path):
+    from table_computing_spark.sources import compaction
+
+    df = spark.range(0, 50_000).selectExpr(
+        "id", "repeat('x', 100) AS pad", "id % 7 AS k"
+    )
+    path = str(tmp_path / "out")
+    # ~50k rows * ~120B/row / (1 MiB target) -> a handful of files
+    n = compaction.write_compacted(df, path, target_mb=1, sort_cols=["k"])
+    import glob
+
+    files = glob.glob(path + "/part-*.parquet")
+    assert len(files) == n and 1 <= n <= 32
+    back = spark.read.parquet(path)
+    assert back.count() == 50_000
+    # range-partitioned on k: each file covers a narrow k range (file
+    # skipping works); verify no file contains every k
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    per_file_k = defaultdict(set)
+    for f in files:
+        t = pq.read_table(f, columns=["k"])
+        per_file_k[f] = set(t.column("k").to_pylist())
+    if n > 1:
+        assert all(len(ks) < 7 for ks in per_file_k.values())
