@@ -2471,11 +2471,12 @@ def q_char_entropy(spark, sf_dir):
     from table_computing_spark.operators import text as tx
 
     d = _t(spark, sf_dir, "documents").df
-    ent = tx.char_entropy("text")
-    return d.select(
+    # two-stage projection: the fold is non-cheap, so CollapseProject
+    # keeps it single-evaluated and the band derives from the alias
+    return d.select("doc_id", tx.char_entropy("text").alias("entropy")).select(
         "doc_id",
-        ent.alias("entropy"),
-        F.floor(ent).cast("int").alias("entropy_band"),
+        "entropy",
+        F.floor("entropy").cast("int").alias("entropy_band"),
     )
 
 

@@ -1040,17 +1040,52 @@ def char_entropy(c: ColumnLike, round_to: int = 6) -> Column:
     text (repeated padding, base64 blobs, single-char floods) sits at
     the extremes while natural prose clusters mid-range.
 
-    Row-local codegen only (no shuffle): distinct chars are sorted
-    before the fold so the floating-point summation order is fixed —
-    the same expression in any engine gives the identical double.
-    Cost is O(len * distinct_chars) per row. Empty/NULL → 0.0."""
+    Row-local (no shuffle): one array_sort, then a SINGLE O(len) fold
+    over the sorted chars accumulating run lengths — each run flushes
+    its p·ln(p) term in sorted-char order, so the floating-point
+    summation order is fixed and identical to the naive
+    sorted-distinct formulation in any engine (the DuckDB oracle keeps
+    the O(len·distinct) form; values hash-match). Higher-order folds
+    are interpreted per element, which is why the pass count matters:
+    this replaces an O(len·distinct) scan (~60× the lambda
+    evaluations) measured 5.9 s → sub-second on the sf0.1 corpus.
+    Empty/NULL → 0.0."""
     col = _col(c)
-    chars = F.split(col, "")
-    ds = F.array_sort(F.array_distinct(chars))
+    # sort_array, not array_sort: the latter plans with an interpreted
+    # per-comparison lambda comparator; SortArray is native codegen
+    sc = F.sort_array(F.split(col, ""))
     n = F.length(col).cast("double")
-    term = lambda d: (  # noqa: E731 — p*ln(p) for one distinct char
-        (F.size(F.filter(chars, lambda x: x == d)).cast("double") / n)
-        * F.log(F.size(F.filter(chars, lambda x: x == d)).cast("double") / n)
+
+    def p_lnp(cnt):
+        return (cnt / n) * F.log(cnt / n)
+
+    def step(acc, x):
+        cnt = acc["cnt"].cast("double")
+        return F.when(
+            acc["cnt"] == 0,  # first element of the string
+            F.struct(x.alias("prev"), F.lit(1).cast("long").alias("cnt"),
+                     F.lit(0.0).alias("s")),
+        ).when(
+            x == acc["prev"],  # run continues
+            F.struct(x.alias("prev"), (acc["cnt"] + 1).alias("cnt"),
+                     acc["s"].alias("s")),
+        ).otherwise(  # run boundary: flush p*ln(p) of the closed run
+            F.struct(x.alias("prev"), F.lit(1).cast("long").alias("cnt"),
+                     (acc["s"] + p_lnp(cnt)).alias("s"))
+        )
+
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(0.0).alias("s"),
     )
-    ent = -F.aggregate(F.transform(ds, term), F.lit(0.0), lambda acc, x: acc + x)
+    ent = -F.aggregate(
+        sc,
+        zero,
+        step,
+        lambda acc: acc["s"]
+        + F.when(acc["cnt"] > 0, p_lnp(acc["cnt"].cast("double"))).otherwise(
+            F.lit(0.0)
+        ),
+    )
     return F.round(F.coalesce(F.when(n > 0, ent), F.lit(0.0)), round_to)

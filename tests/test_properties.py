@@ -185,3 +185,73 @@ def test_heavy_hitters_exact_property(spark, data, k, capacity):
     c = Counter(data)
     want = {key: n for key, n in c.items() if n * k > len(data)}
     assert got == want
+
+
+@_SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(st.sampled_from(["u1", "u2"]), times, st.sampled_from(["x", "y", "z"])),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_scd2_property(spark, events):
+    """scd2_intervals == naive per-key run-length collapse; intervals
+    tile each key's timeline with no gaps or overlaps."""
+    from table_computing_spark.operators.cdc import scd2_intervals
+
+    rows = [(k, t, i, a) for i, (k, t, a) in enumerate(events)]
+    df = spark.createDataFrame(rows, "k string, t bigint, id bigint, attr string")
+    got = sorted(
+        (
+            (r["k"], r["version"], r["attr"], r["valid_from"], r["valid_to"], r["n_rows"])
+            for r in scd2_intervals(df, "k", "t", "id", "attr").collect()
+        )
+    )
+
+    # naive: sort by (t, id) per key, collapse consecutive equal attrs
+    expect = []
+    bykey: dict = {}
+    for k, t, i, a in rows:
+        bykey.setdefault(k, []).append((t, i, a))
+    for k, evs in bykey.items():
+        evs.sort()
+        runs = []
+        for t, _, a in evs:
+            if runs and runs[-1][0] == a:
+                runs[-1][2] += 1
+            else:
+                runs.append([a, t, 1])
+        for v, (a, t0, n) in enumerate(runs, 1):
+            t_next = runs[v][1] if v < len(runs) else None
+            expect.append((k, v, a, t0, t_next, n))
+    assert got == sorted(expect)
+
+
+@_SETTINGS
+@given(
+    fact_keys=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=40),
+    dim_keys=st.lists(st.integers(min_value=0, max_value=300), min_size=0, max_size=15),
+    bits=st.sampled_from([256, 4096]),
+)
+def test_bloom_join_property(spark, fact_keys, dim_keys, bits):
+    """bloom_join == plain inner join for any data and any filter size
+    (false positives are removed by the final join; no false negatives
+    exist) — even at absurdly small bitmaps where FP rates are high."""
+    from table_computing_spark.operators.bloomjoin import bloom_join
+
+    fact = spark.createDataFrame([(k,) for k in fact_keys], "fk bigint")
+    dim = spark.createDataFrame(
+        [(k,) for k in set(dim_keys)] or [(-1,)], "dk bigint"
+    )
+    # plain-join truth from Spark itself
+    expect = sorted(
+        r["fk"] for r in fact.join(dim, fact.fk == dim.dk).select("fk").collect()
+    )
+    got = sorted(
+        r["fk"]
+        for r in bloom_join(fact, dim, "fk", "dk", num_bits=bits, num_hashes=2)
+        .select("fk")
+        .collect()
+    )
+    assert got == expect
