@@ -2480,6 +2480,53 @@ def q_char_entropy(spark, sf_dir):
     )
 
 
+def q_psi_drift(spark, sf_dir):
+    """PSI distribution-drift report (operators/drift.psi_drift):
+    old = even-key order totals, new = odd-key totals shifted +15% — a
+    controlled drift. Per-bucket terms round to integer nanos before
+    the total so the sum is float-order-independent (engine-exact)."""
+    from table_computing_spark.operators import drift
+
+    o = _t(spark, sf_dir, "orders").df
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_totalprice").alias("x")
+    )
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        (F.col("o_totalprice") * 1.15).alias("x")
+    )
+    return drift.psi_drift(old, new, "x", 0.0, 600_000.0, bins=10)
+
+
+def q_cdc_apply(spark, sf_dir):
+    """CDC replication closure (operators/cdc.apply_diff): OLD +
+    snapshot_diff_full(OLD, NEW) must reproduce NEW exactly — the
+    property that makes the diff a safe replication format. The oracle
+    is simply the NEW snapshot."""
+    from table_computing_spark.operators import cdc
+
+    old, new = _order_snapshots(spark, sf_dir)
+    diff = cdc.snapshot_diff_full(
+        old, new, ["o_orderkey"], ["o_orderstatus", "price_cents"]
+    )
+    return cdc.apply_diff(old, diff, ["o_orderkey"])
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank centrality over the exact near-dup graph
+    (operators/graph.pagerank_nano, 3 iterations, d=0.85): edges are
+    the token-Jaccard >= 0.5 pairs in both directions. Integer-nano
+    contributions make every iteration float-order-independent, so the
+    fixed iteration count unrolls into an exact SQL oracle."""
+    from table_computing_spark.operators import dedup, graph
+
+    d = _t(spark, sf_dir, "documents").df
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b"), F.col("id_a"))
+    ).toDF("src", "dst")
+    return graph.pagerank_nano(edges, iterations=3)
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE vocabulary learning (operators/bpe.learn_bpe,
     Sennrich et al. 2016): the corpus collapses to distinct-word counts
@@ -2856,6 +2903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": q_weighted_sample,
         "q_char_entropy": q_char_entropy,
         "q_hard_negatives": q_hard_negatives,
+        "q_psi_drift": q_psi_drift,
+        "q_cdc_apply": q_cdc_apply,
+        "q_pagerank": q_pagerank,
         "q_bpe_merges": q_bpe_merges,  # rows-only: iterative (see docstring)
     }
     return {**window_50, **tail}
@@ -4773,6 +4823,108 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, entropy, CAST(floor(entropy) AS INT) AS entropy_band
             FROM e
+        """,
+        "q_psi_drift": """
+            WITH old AS (SELECT o_totalprice AS x FROM orders WHERE o_orderkey % 2 = 0),
+            new AS (SELECT o_totalprice * 1.15 AS x FROM orders WHERE o_orderkey % 2 = 1),
+            ob AS (SELECT least(9, greatest(0, CAST(floor((x - 0.0) / 600000.0 * 10) AS INT))) AS bucket,
+                          count(*) AS n_old FROM old WHERE x IS NOT NULL GROUP BY 1),
+            nb AS (SELECT least(9, greatest(0, CAST(floor((x - 0.0) / 600000.0 * 10) AS INT))) AS bucket,
+                          count(*) AS n_new FROM new WHERE x IS NOT NULL GROUP BY 1),
+            b AS (SELECT CAST(range AS INT) AS bucket FROM range(10)),
+            j AS (SELECT b.bucket, coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+                  FROM b LEFT JOIN ob USING (bucket) LEFT JOIN nb USING (bucket)),
+            t AS (SELECT *,
+                         CAST(n_old AS DOUBLE) / sum(n_old) OVER () + 1e-6 AS p,
+                         CAST(n_new AS DOUBLE) / sum(n_new) OVER () + 1e-6 AS q
+                  FROM j),
+            z AS (SELECT *, CAST(round((p - q) * ln(p / q) * 1e9) AS BIGINT) AS tn FROM t)
+            SELECT bucket, n_old, n_new,
+                   round(p - 1e-6, 9) AS p_old,
+                   round(q - 1e-6, 9) AS p_new,
+                   round(tn / 1e9, 9) AS psi_term,
+                   round(CAST(sum(tn) OVER () AS DOUBLE) / 1e9, 6) AS psi_total
+            FROM z
+        """,
+        "q_cdc_apply": """
+            WITH base AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+              FROM orders
+            )
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 7 = 0 THEN price_cents + 100
+                        ELSE price_cents END AS price_cents
+            FROM base WHERE o_orderkey % 11 <> 0
+        """,
+        "q_pagerank": r"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS tok
+              FROM documents
+            ), sizes AS (
+              SELECT id, count(*) AS sz FROM toks GROUP BY id
+            ), shared AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b
+              FROM shared
+              JOIN sizes sa ON sa.id = id_a
+              JOIN sizes sb ON sb.id = id_b
+              WHERE round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6) >= 0.5
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+              )
+            ), cnt AS (SELECT count(*) AS n FROM nodes),
+            deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            r0 AS (
+              SELECT node, CAST(floor(1e9 / cnt.n + 0.5) AS BIGINT) AS rank_nano
+              FROM nodes, cnt
+            ),
+            s1 AS (
+              SELECT e.dst AS node,
+                     CAST(sum(CAST(round(0.85 * r.rank_nano / d.deg) AS BIGINT)) AS BIGINT) AS s
+              FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+              GROUP BY e.dst
+            ),
+            r1 AS (
+              SELECT n.node,
+                     CAST(CAST(floor((1.0 - 0.85) / cnt.n * 1e9 + 0.5) AS BIGINT)
+                          + coalesce(s1.s, 0) AS BIGINT) AS rank_nano
+              FROM nodes n CROSS JOIN cnt LEFT JOIN s1 ON s1.node = n.node
+            ),
+            s2 AS (
+              SELECT e.dst AS node,
+                     CAST(sum(CAST(round(0.85 * r.rank_nano / d.deg) AS BIGINT)) AS BIGINT) AS s
+              FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+              GROUP BY e.dst
+            ),
+            r2 AS (
+              SELECT n.node,
+                     CAST(CAST(floor((1.0 - 0.85) / cnt.n * 1e9 + 0.5) AS BIGINT)
+                          + coalesce(s2.s, 0) AS BIGINT) AS rank_nano
+              FROM nodes n CROSS JOIN cnt LEFT JOIN s2 ON s2.node = n.node
+            ),
+            s3 AS (
+              SELECT e.dst AS node,
+                     CAST(sum(CAST(round(0.85 * r.rank_nano / d.deg) AS BIGINT)) AS BIGINT) AS s
+              FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+              GROUP BY e.dst
+            ),
+            r3 AS (
+              SELECT n.node,
+                     CAST(CAST(floor((1.0 - 0.85) / cnt.n * 1e9 + 0.5) AS BIGINT)
+                          + coalesce(s3.s, 0) AS BIGINT) AS rank_nano
+              FROM nodes n CROSS JOIN cnt LEFT JOIN s3 ON s3.node = n.node
+            )
+            SELECT node, round(rank_nano / 1e9, 9) AS rank FROM r3
         """,
         "q_hard_negatives": """
             WITH q AS (SELECT vec_id AS anchor_id,

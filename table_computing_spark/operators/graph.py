@@ -113,3 +113,59 @@ def dedup_groups(
     )
     sizes = out.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("group_size"))
     return out.join(sizes, "canonical_id").select(id_col, "canonical_id", "group_size")
+
+
+def pagerank_nano(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank with ENGINE-EXACT integer-nano arithmetic: every
+    contribution damping·rank/deg is rounded to integer nanos before
+    the per-node sum, so the result is independent of float summation
+    order — identical across partitionings, runs, and engines (the
+    repo-wide portability discipline; a fixed iteration count unrolls
+    into plain SQL for the oracle).
+
+    Per iteration: one join of edges→ranks (shuffle on src), one hash
+    aggregation on dst, one left join back to the node set; ranks are
+    localCheckpoint()ed so plan depth stays O(1) like the
+    connected-components rounds above. The only driver scalar is the
+    node count. Dangling-node mass is dropped (simplified PageRank) —
+    documented, matched by the oracle."""
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .union(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    # floor(x+0.5), not Python round(): round() is half-EVEN, SQL
+    # round() is half-up — the oracle must be able to reproduce these
+    base_nano = int((1.0 - damping) / n * 1e9 + 0.5)
+    deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("__deg"))
+    rank = nodes.withColumn("rank_nano", F.lit(int(1e9 / n + 0.5)).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(rank, edges[src_col] == rank["node"])
+            .join(deg, src_col)
+            .select(
+                F.col(dst_col).alias("node"),
+                F.round(F.lit(damping) * F.col("rank_nano") / F.col("__deg"))
+                .cast("long")
+                .alias("__c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
+        rank = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (F.lit(base_nano) + F.coalesce(F.col("__s"), F.lit(0)))
+                .cast("long")
+                .alias("rank_nano"),
+            )
+            .localCheckpoint()
+        )
+    return rank.select("node", F.round(F.col("rank_nano") / 1e9, 9).alias("rank"))

@@ -260,7 +260,7 @@ def ivf_fit(
             assigned.groupBy("__c", "__d")
             .agg(F.avg("__x").alias("m"))
             .groupBy("__c")
-            .agg(F.array_sort(F.collect_list(F.struct("__d", "m"))).alias("dm"))
+            .agg(F.sort_array(F.collect_list(F.struct("__d", "m"))).alias("dm"))
             .select("__c", F.col("dm.m").alias("mean"))
             .collect()
         )

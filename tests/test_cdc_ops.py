@@ -370,3 +370,125 @@ def test_write_compacted_hits_target_file_count(spark, tmp_path):
         per_file_k[f] = set(t.column("k").to_pylist())
     if n > 1:
         assert all(len(ks) < 7 for ks in per_file_k.values())
+
+
+# ----------------------------------------------------------- drift
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    from table_computing_spark.operators.drift import psi_drift
+
+    df = spark.range(0, 1000).selectExpr("CAST(id % 100 AS DOUBLE) AS x")
+    out = psi_drift(df, df, "x", 0.0, 100.0, bins=10).collect()
+    assert len(out) == 10
+    assert all(abs(r["psi_total"]) < 1e-9 for r in out)
+    assert all(r["psi_term"] >= 0.0 for r in out), "PSI terms are non-negative"
+
+
+def test_psi_detects_shift(spark):
+    from table_computing_spark.operators.drift import psi_drift
+
+    old = spark.range(0, 1000).selectExpr("CAST(id % 100 AS DOUBLE) AS x")
+    new = spark.range(0, 1000).selectExpr("CAST(id % 100 AS DOUBLE) * 1.5 AS x")
+    psi = psi_drift(old, new, "x", 0.0, 100.0, bins=10).collect()[0]["psi_total"]
+    assert psi > 0.25, f"a 1.5x scale shift must flag as major drift, got {psi}"
+
+
+# ------------------------------------------------------- CDC closure
+
+
+def test_apply_diff_roundtrip(spark):
+    from table_computing_spark.operators import cdc
+
+    old = spark.createDataFrame(
+        [(i, f"s{i % 3}", i * 10) for i in range(50)], "k long, s string, c long"
+    )
+    new = spark.createDataFrame(
+        [
+            (i, f"s{(i + (1 if i % 7 == 0 else 0)) % 3}", i * 10 + (5 if i % 5 == 0 else 0))
+            for i in range(50)
+            if i % 11 != 0
+        ]
+        + [(100, "s0", 1), (101, "s1", 2)],
+        "k long, s string, c long",
+    )
+    diff = cdc.snapshot_diff_full(old, new, ["k"], ["s", "c"])
+    applied = cdc.apply_diff(old, diff, ["k"])
+    got = sorted((r["k"], r["s"], r["c"]) for r in applied.collect())
+    want = sorted((r["k"], r["s"], r["c"]) for r in new.collect())
+    assert got == want, "old + diff must reproduce new exactly"
+
+
+# --------------------------------------------------------- pagerank
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    from table_computing_spark.operators.graph import pagerank_nano
+
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    out = pagerank_nano(edges, iterations=3).collect()
+    ranks = {r["node"]: r["rank"] for r in out}
+    assert len(ranks) == n
+    # a directed cycle is regular: uniform stationary distribution
+    assert max(ranks.values()) - min(ranks.values()) < 1e-8
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_matches_naive(spark):
+    from table_computing_spark.operators.graph import pagerank_nano
+
+    E = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank_nano(edges, iterations=3).collect()}
+
+    nodes = sorted({x for e in E for x in e})
+    n = len(nodes)
+    deg = {}
+    for s, _ in E:
+        deg[s] = deg.get(s, 0) + 1
+    base = int(0.15 / n * 1e9 + 0.5)
+    rank = {v: int(1e9 / n + 0.5) for v in nodes}
+    for _ in range(3):
+        s = {v: 0 for v in nodes}
+        for a, b in E:
+            c = 0.85 * rank[a] / deg[a]
+            s[b] += int(c + 0.5) if c - int(c) >= 0.5 else int(c)  # round half-up
+        rank = {v: base + s[v] for v in nodes}
+    want = {v: round(rank[v] / 1e9, 9) for v in nodes}
+    assert got == want
+
+
+# ---------------------------------------------------- partitioned IO
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    from table_computing_spark.sources import partitioned
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], f"doc {i}") for i in range(300)],
+        "doc_id long, lang string, text string",
+    )
+    path = str(tmp_path / "bylang")
+    partitioned.write_partitioned(df, path, ["lang"])
+    back = partitioned.read_pruned(spark, path)
+    sel = back.filter(F.col("lang") == "de")
+    assert sel.count() == 100
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sel.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200], (
+        "the lang filter must prune at the directory level"
+    )
+    # partition dirs exist; exactly one data file per partition
+    import glob
+
+    for lang in ("en", "de", "fr"):
+        files = glob.glob(f"{path}/lang={lang}/part-*.parquet")
+        assert len(files) == 1, files
