@@ -2512,18 +2512,28 @@ def q_cdc_apply(spark, sf_dir):
 
 
 def q_pagerank(spark, sf_dir):
-    """PageRank centrality over the exact near-dup graph
-    (operators/graph.pagerank_nano, 3 iterations, d=0.85): edges are
-    the token-Jaccard >= 0.5 pairs in both directions. Integer-nano
-    contributions make every iteration float-order-independent, so the
-    fixed iteration count unrolls into an exact SQL oracle."""
-    from table_computing_spark.operators import dedup, graph
+    """PageRank centrality (operators/graph.pagerank_nano, 3
+    iterations, d=0.85) over the user ↔ event-type bipartite graph:
+    distinct (user, type) interactions as edges in both directions —
+    the engagement-centrality shape (active users boost the types they
+    touch; popular types boost their users). Event-type node ids are
+    negative ranks ordered by name, so both engines derive identical
+    numeric nodes. Integer-nano contributions make every iteration
+    float-order-independent, so the fixed iteration count unrolls into
+    an exact SQL oracle. (pagerank_nano composes with any edge set —
+    e.g. dedup.ngram_jaccard_pairs for near-dup-graph centrality.)"""
+    from pyspark.sql import Window
+    from table_computing_spark.operators import graph
 
-    d = _t(spark, sf_dir, "documents").df
-    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
-    edges = pairs.union(
-        pairs.select(F.col("id_b"), F.col("id_a"))
-    ).toDF("src", "dst")
+    ev = _t(spark, sf_dir, "events").df.select("user_id", "event_type").distinct()
+    types = ev.select("event_type").distinct().select(
+        "event_type",
+        (-F.row_number().over(Window.orderBy("event_type"))).cast("long").alias("tid"),
+    )
+    ue = ev.join(types, "event_type").select(
+        F.col("user_id").alias("src"), F.col("tid").alias("dst")
+    )
+    edges = ue.union(ue.select(F.col("dst"), F.col("src")).toDF("src", "dst"))
     return graph.pagerank_nano(edges, iterations=3)
 
 
@@ -4857,27 +4867,20 @@ def oracle_sql() -> dict[str, str]:
                         ELSE price_cents END AS price_cents
             FROM base WHERE o_orderkey % 11 <> 0
         """,
-        "q_pagerank": r"""
-            WITH toks AS (
-              SELECT doc_id AS id,
-                     unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS tok
-              FROM documents
-            ), sizes AS (
-              SELECT id, count(*) AS sz FROM toks GROUP BY id
-            ), shared AS (
-              SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
-              FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
-              GROUP BY 1, 2
-            ), pairs AS (
-              SELECT id_a, id_b
-              FROM shared
-              JOIN sizes sa ON sa.id = id_a
-              JOIN sizes sb ON sb.id = id_b
-              WHERE round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6) >= 0.5
+        "q_pagerank": """
+            WITH ue0 AS (
+              SELECT DISTINCT user_id, event_type FROM events
+            ), types AS (
+              SELECT event_type,
+                     -CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS tid
+              FROM (SELECT DISTINCT event_type FROM ue0)
+            ), ue AS (
+              SELECT u.user_id AS src, t.tid AS dst
+              FROM ue0 u JOIN types t USING (event_type)
             ), edges AS (
-              SELECT id_a AS src, id_b AS dst FROM pairs
+              SELECT src, dst FROM ue
               UNION ALL
-              SELECT id_b AS src, id_a AS dst FROM pairs
+              SELECT dst AS src, src AS dst FROM ue
             ), nodes AS (
               SELECT DISTINCT node FROM (
                 SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges

@@ -121,6 +121,7 @@ def pagerank_nano(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """PageRank with ENGINE-EXACT integer-nano arithmetic: every
     contribution damping·rank/deg is rounded to integer nanos before
@@ -131,14 +132,19 @@ def pagerank_nano(
 
     Per iteration: one join of edges→ranks (shuffle on src), one hash
     aggregation on dst, one left join back to the node set; ranks are
-    localCheckpoint()ed so plan depth stays O(1) like the
-    connected-components rounds above. The only driver scalar is the
-    node count. Dangling-node mass is dropped (simplified PageRank) —
-    documented, matched by the oracle."""
+    localCheckpoint()ed every `checkpoint_every` rounds so plan depth
+    stays bounded without paying an eager job per round. The only
+    driver scalar is the node count. Dangling-node mass is dropped
+    (simplified PageRank) — documented, matched by the oracle."""
+    # pin the edge list once: its lineage may be an expensive pipeline
+    # (e.g. a Jaccard inverted-index join) that would otherwise
+    # re-execute for nodes, degrees, AND every iteration's join
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .union(edges.select(F.col(dst_col).alias("node")))
         .distinct()
+        .localCheckpoint()  # reused every iteration + counted once
     )
     n = nodes.count()
     # floor(x+0.5), not Python round(): round() is half-EVEN, SQL
@@ -146,7 +152,7 @@ def pagerank_nano(
     base_nano = int((1.0 - damping) / n * 1e9 + 0.5)
     deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("__deg"))
     rank = nodes.withColumn("rank_nano", F.lit(int(1e9 / n + 0.5)).cast("long"))
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         contrib = (
             edges.join(rank, edges[src_col] == rank["node"])
             .join(deg, src_col)
@@ -166,6 +172,10 @@ def pagerank_nano(
                 .cast("long")
                 .alias("rank_nano"),
             )
-            .localCheckpoint()
         )
+        # truncate lineage only periodically: each eager checkpoint is
+        # a full job, and for small iteration counts the nested-join
+        # plan is shallow enough to execute in ONE job at the end
+        if checkpoint_every and it % checkpoint_every == 0:
+            rank = rank.localCheckpoint()
     return rank.select("node", F.round(F.col("rank_nano") / 1e9, 9).alias("rank"))
