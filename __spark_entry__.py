@@ -2537,6 +2537,72 @@ def q_pagerank(spark, sf_dir):
     return graph.pagerank_nano(edges, iterations=3)
 
 
+def q_woe_iv(spark, sf_dir):
+    """Weight-of-evidence / information-value feature screening
+    (operators/drift.woe_iv): is o_totalprice predictive of final
+    order status? Exact integer bucket counts; IV terms round to
+    integer nanos before the exact total (engine-exact)."""
+    from table_computing_spark.operators import drift
+
+    o = _t(spark, sf_dir, "orders").df
+    return drift.woe_iv(
+        o, "o_totalprice", F.col("o_orderstatus") == "F", 0.0, 600_000.0, bins=10
+    )
+
+
+def q_key_skew(spark, sf_dir):
+    """Shuffle-skew diagnostics (operators/skew.key_skew_report): the
+    top-10 heaviest user_id keys with shares and the max/avg skew
+    ratio — the pre-flight check before shuffling 100 TB on a key, and
+    the decision input for salted_join / AQE skew splitting."""
+    from table_computing_spark.operators.skew import key_skew_report
+
+    ev = _t(spark, sf_dir, "events").df
+    return key_skew_report(ev, "user_id", top_k=10)
+
+
+def q_stream_drift(spark, sf_dir):
+    """Streaming drift monitor (operators/drift): baseline bucket
+    distribution fit on the batch side (even-key order totals), the
+    incoming stream (odd keys, +15% shift) maintains its bucket counts
+    as a complete-mode aggregate — ≤ bins rows of state, no watermark
+    needed — and the monitor readout joins the two histograms into the
+    same engine-exact PSI report as the batch operator."""
+    from table_computing_spark.operators import drift
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    o = _t(spark, sf_dir, "orders").df
+    baseline = drift.bucket_counts(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_totalprice").alias("x")
+        ),
+        "x", 0.0, 600_000.0, 10, "n_old",
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("o_orderkey") % 2 == 1)
+        .select((F.col("o_totalprice") * 1.15).alias("x"))
+    )
+    stream_counts = sdf.groupBy(
+        drift.bucketize(F.col("x"), 0.0, 600_000.0, 10).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    streamed = _run_stream_to_df(spark, stream_counts, "complete")
+
+    all_buckets = spark.range(10).select(F.col("id").cast("int").alias("bucket"))
+    j = (
+        all_buckets.join(baseline, "bucket", "left")
+        .join(streamed, "bucket", "left")
+        .fillna(0, subset=["n_old", "n_new"])
+    )
+    return drift.psi_from_counts(j)
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE vocabulary learning (operators/bpe.learn_bpe,
     Sennrich et al. 2016): the corpus collapses to distinct-word counts
@@ -2916,6 +2982,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_psi_drift": q_psi_drift,
         "q_cdc_apply": q_cdc_apply,
         "q_pagerank": q_pagerank,
+        "q_woe_iv": q_woe_iv,
+        "q_key_skew": q_key_skew,
+        "q_stream_drift": q_stream_drift,
         "q_bpe_merges": q_bpe_merges,  # rows-only: iterative (see docstring)
     }
     return {**window_50, **tail}
@@ -4835,6 +4904,68 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
         "q_psi_drift": """
+            WITH old AS (SELECT o_totalprice AS x FROM orders WHERE o_orderkey % 2 = 0),
+            new AS (SELECT o_totalprice * 1.15 AS x FROM orders WHERE o_orderkey % 2 = 1),
+            ob AS (SELECT least(9, greatest(0, CAST(floor((x - 0.0) / 600000.0 * 10) AS INT))) AS bucket,
+                          count(*) AS n_old FROM old WHERE x IS NOT NULL GROUP BY 1),
+            nb AS (SELECT least(9, greatest(0, CAST(floor((x - 0.0) / 600000.0 * 10) AS INT))) AS bucket,
+                          count(*) AS n_new FROM new WHERE x IS NOT NULL GROUP BY 1),
+            b AS (SELECT CAST(range AS INT) AS bucket FROM range(10)),
+            j AS (SELECT b.bucket, coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+                  FROM b LEFT JOIN ob USING (bucket) LEFT JOIN nb USING (bucket)),
+            t AS (SELECT *,
+                         CAST(n_old AS DOUBLE) / sum(n_old) OVER () + 1e-6 AS p,
+                         CAST(n_new AS DOUBLE) / sum(n_new) OVER () + 1e-6 AS q
+                  FROM j),
+            z AS (SELECT *, CAST(round((p - q) * ln(p / q) * 1e9) AS BIGINT) AS tn FROM t)
+            SELECT bucket, n_old, n_new,
+                   round(p - 1e-6, 9) AS p_old,
+                   round(q - 1e-6, 9) AS p_new,
+                   round(tn / 1e9, 9) AS psi_term,
+                   round(CAST(sum(tn) OVER () AS DOUBLE) / 1e9, 6) AS psi_total
+            FROM z
+        """,
+        "q_woe_iv": """
+            WITH agg AS (
+              SELECT least(9, greatest(0, CAST(floor((o_totalprice - 0.0) / 600000.0 * 10) AS INT))) AS bucket,
+                     CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_event,
+                     count(*) AS n_rows
+              FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+            ), b AS (SELECT CAST(range AS INT) AS bucket FROM range(10)),
+            j AS (
+              SELECT b.bucket, coalesce(n_event, 0) AS n_event,
+                     coalesce(n_rows, 0) - coalesce(n_event, 0) AS n_nonevent
+              FROM b LEFT JOIN agg USING (bucket)
+            ), t AS (
+              SELECT *, CAST(n_event AS DOUBLE) / sum(n_event) OVER () AS pe,
+                        CAST(n_nonevent AS DOUBLE) / sum(n_nonevent) OVER () AS pn
+              FROM j
+            ), z AS (
+              SELECT *, ln((pe + 1e-6) / (pn + 1e-6)) AS woe,
+                     CAST(round((pe - pn) * ln((pe + 1e-6) / (pn + 1e-6)) * 1e9) AS BIGINT) AS tn
+              FROM t
+            )
+            SELECT bucket, n_event, n_nonevent, round(woe, 9) AS woe,
+                   round(tn / 1e9, 9) AS iv_term,
+                   round(CAST(sum(tn) OVER () AS DOUBLE) / 1e9, 6) AS iv_total
+            FROM z
+        """,
+        "q_key_skew": """
+            WITH counts AS (
+              SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+              FROM events GROUP BY 1
+            ), s AS (
+              SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+                     count(*) AS n_keys, max(n_rows) AS mx
+              FROM counts
+            ), t AS (
+              SELECT key, n_rows FROM counts ORDER BY n_rows DESC, key ASC LIMIT 10
+            )
+            SELECT key, n_rows, round(CAST(n_rows AS DOUBLE) / total, 9) AS share,
+                   n_keys, round(mx / (total / n_keys), 6) AS skew_ratio
+            FROM t, s
+        """,
+        "q_stream_drift": """
             WITH old AS (SELECT o_totalprice AS x FROM orders WHERE o_orderkey % 2 = 0),
             new AS (SELECT o_totalprice * 1.15 AS x FROM orders WHERE o_orderkey % 2 = 1),
             ob AS (SELECT least(9, greatest(0, CAST(floor((x - 0.0) / 600000.0 * 10) AS INT))) AS bucket,

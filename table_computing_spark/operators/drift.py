@@ -40,32 +40,21 @@ def bucketize(col: Column, lo: float, hi: float, bins: int) -> Column:
     return F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
 
 
-def psi_drift(
-    old: DataFrame,
-    new: DataFrame,
-    col: str,
-    lo: float,
-    hi: float,
-    bins: int = 10,
+def bucket_counts(
+    df: DataFrame, col: str, lo: float, hi: float, bins: int, name: str
 ) -> DataFrame:
-    """Per-bucket drift report + total PSI (repeated on each row so the
-    result is a single self-contained table):
-    (bucket, n_old, n_new, p_old, p_new, psi_term, psi_total)."""
-    spark = old.sparkSession
-
-    def dist(df: DataFrame, name: str) -> DataFrame:
-        return (
-            df.filter(F.col(col).isNotNull())
-            .groupBy(bucketize(F.col(col), lo, hi, bins).alias("bucket"))
-            .agg(F.count(F.lit(1)).alias(name))
-        )
-
-    all_buckets = spark.range(bins).select(F.col("id").cast("int").alias("bucket"))
-    j = (
-        all_buckets.join(dist(old, "n_old"), "bucket", "left")
-        .join(dist(new, "n_new"), "bucket", "left")
-        .fillna(0, subset=["n_old", "n_new"])
+    """One hash aggregation: (bucket, `name`=count) over non-null rows."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bucketize(F.col(col), lo, hi, bins).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias(name))
     )
+
+
+def psi_from_counts(j: DataFrame) -> DataFrame:
+    """PSI report from joined per-bucket counts (bucket, n_old, n_new)
+    — the post-aggregation core, shared by the batch operator and the
+    streaming monitor readout. Input is ≤ bins rows."""
     from pyspark.sql import Window
 
     w = Window.partitionBy()  # <= bins rows — single tiny partition is fine
@@ -79,4 +68,75 @@ def psi_drift(
         .withColumn("psi_term", F.round(F.col("__t") / 1e9, 9))
         .withColumn("psi_total", F.round(F.sum("__t").over(w) / 1e9, 6))
         .drop("__t")
+    )
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+) -> DataFrame:
+    """Per-bucket drift report + total PSI (repeated on each row so the
+    result is a single self-contained table):
+    (bucket, n_old, n_new, p_old, p_new, psi_term, psi_total)."""
+    spark = old.sparkSession
+    all_buckets = spark.range(bins).select(F.col("id").cast("int").alias("bucket"))
+    j = (
+        all_buckets.join(bucket_counts(old, col, lo, hi, bins, "n_old"), "bucket", "left")
+        .join(bucket_counts(new, col, lo, hi, bins, "n_new"), "bucket", "left")
+        .fillna(0, subset=["n_old", "n_new"])
+    )
+    return psi_from_counts(j)
+
+
+def woe_iv(
+    df: DataFrame,
+    feature: str,
+    label: Column,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+) -> DataFrame:
+    """Weight-of-evidence / information-value feature screening — the
+    classic credit-scoring (and feature-selection) diagnostic:
+
+        WOE_i = ln( (e_i/E + ε) / (ne_i/NE + ε) )
+        IV    = Σ_i ((e_i/E) - (ne_i/NE)) · WOE_i
+
+    with the standard reading: IV < 0.02 useless, 0.1–0.3 medium,
+    > 0.3 strong predictor. `label` is any boolean Column. Same
+    engine-exact discipline as psi_drift: exact integer counts, IV
+    terms rounded to integer nanos before the exact total. One scan +
+    one ≤ bins-row aggregation."""
+    spark = df.sparkSession
+    agg = (
+        df.filter(F.col(feature).isNotNull())
+        .groupBy(bucketize(F.col(feature), lo, hi, bins).alias("bucket"))
+        .agg(
+            F.sum(label.cast("long")).alias("n_event"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn("n_nonevent", F.col("n_rows") - F.col("n_event"))
+    )
+    all_buckets = spark.range(bins).select(F.col("id").cast("int").alias("bucket"))
+    j = all_buckets.join(agg, "bucket", "left").fillna(
+        0, subset=["n_event", "n_rows", "n_nonevent"]
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    pe = F.col("n_event") / F.sum("n_event").over(w)
+    pn = F.col("n_nonevent") / F.sum("n_nonevent").over(w)
+    woe = F.log((pe + F.lit(_EPS)) / (pn + F.lit(_EPS)))
+    term_nano = F.round((pe - pn) * woe * 1e9).cast("long")
+    return j.select(
+        "bucket",
+        "n_event",
+        "n_nonevent",
+        F.round(woe, 9).alias("woe"),
+        F.round(term_nano / 1e9, 9).alias("iv_term"),
+        F.round(F.sum(term_nano).over(w) / 1e9, 6).alias("iv_total"),
     )

@@ -58,3 +58,41 @@ def salted_join(
         if lc == rc:
             joined = joined.drop(o[rc])
     return joined
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Shuffle-skew diagnostics for a prospective join/groupBy key: the
+    top-k heaviest keys with their share of all rows, plus the
+    distribution summary every row repeats — n_keys, max/avg counts,
+    and skew_ratio = max/avg (the factor by which the hottest key's
+    reducer outweighs the average one; >> 1 means salt this key or
+    rely on AQE skew splitting).
+
+    Plan: one hash aggregation on the key, one single-row summary
+    aggregate broadcast onto the TakeOrderedAndProject top-k — never
+    an unpartitioned window over the (possibly huge) distinct-key set.
+    Run it BEFORE committing a 100 TB job to a bad key, for the cost
+    of one count per key. All shares are exact integer ratios rounded
+    per row (engine-exact)."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    summary = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n_rows").alias("__max"),
+    )
+    topk = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_k)
+    return topk.crossJoin(F.broadcast(summary)).select(
+        "key",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("__total"), 9).alias("share"),
+        "n_keys",
+        F.round(
+            F.col("__max") / (F.col("__total") / F.col("n_keys")), 6
+        ).alias("skew_ratio"),
+    )

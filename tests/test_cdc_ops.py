@@ -492,3 +492,35 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     for lang in ("en", "de", "fr"):
         files = glob.glob(f"{path}/lang={lang}/part-*.parquet")
         assert len(files) == 1, files
+
+
+def test_woe_iv_ranks_predictive_features(spark):
+    from table_computing_spark.operators.drift import woe_iv
+
+    # feature == label bucket -> near-perfectly predictive
+    df = spark.range(0, 2000).selectExpr(
+        "CAST(id % 100 AS DOUBLE) AS x", "id % 100 < 50 AS y"
+    )
+    strong = woe_iv(df, "x", F.col("y"), 0.0, 100.0, bins=10).collect()[0]["iv_total"]
+    # label independent of feature -> useless
+    df2 = spark.range(0, 2000).selectExpr(
+        "CAST(id % 100 AS DOUBLE) AS x", "id % 2 = 0 AS y"
+    )
+    weak = woe_iv(df2, "x", F.col("y"), 0.0, 100.0, bins=10).collect()[0]["iv_total"]
+    assert strong > 1.0, f"perfectly separable feature must have huge IV, got {strong}"
+    assert abs(weak) < 0.01, f"independent feature must have ~0 IV, got {weak}"
+
+
+def test_key_skew_report_golden(spark):
+    from table_computing_spark.operators.skew import key_skew_report
+
+    # key 'hot' has 60 rows, 20 cold keys have 2 rows each -> 100 rows
+    rows = [("hot",)] * 60 + [(f"k{i}",) for i in range(20) for _ in range(2)]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_report(df, "k", top_k=3).collect()
+    assert [r["key"] for r in out] == ["hot", "k0", "k1"]
+    top = out[0]
+    assert top["n_rows"] == 60 and top["n_keys"] == 21
+    assert abs(top["share"] - 0.6) < 1e-9
+    # max/avg = 60 / (100/21) = 12.6
+    assert abs(top["skew_ratio"] - 12.6) < 1e-6
