@@ -2603,6 +2603,105 @@ def q_stream_drift(spark, sf_dir):
     return drift.psi_from_counts(j)
 
 
+def q_ohlc(spark, sf_dir):
+    """OHLC time-series downsampling (operators/temporal.ohlc_bars):
+    hourly open/high/low/close/volume bars per event type in ONE hash
+    aggregation — open/close are min_by/max_by picks on (time, id), so
+    every output value is selected (never summed): deterministic under
+    any partitioning, exact in any engine."""
+    from table_computing_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type", tcf.epoch_ms("ts").alias("t_ms"), "event_id", "value"
+    )
+    return temporal.ohlc_bars(
+        ev, ["event_type"], "t_ms", "event_id", "value", 3_600_000
+    )
+
+
+def q_record_linkage(spark, sf_dir):
+    """Probabilistic record linkage (operators/linkage.py, Fellegi–
+    Sunter 1969): customers vs a deterministically perturbed second
+    source (25%% of names altered, 20%% of balances shifted), blocked
+    on (nation, segment) so the cross product never happens. Three
+    field rules contribute ln(m/u) / ln((1-m)/(1-u)) weights in fixed
+    order; thresholds split match / possible / non-match and the
+    non-matches are dropped."""
+    from table_computing_spark.operators import linkage
+
+    c = _t(spark, sf_dir, "customer").df
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        "c_nationkey",
+        F.col("c_acctbal").alias("bal_a"),
+        "c_mktsegment",
+    )
+    b = c.select(
+        (F.col("c_custkey") + 1_000_000).alias("id_b"),
+        F.when(F.col("c_custkey") % 4 == 0, F.concat(F.col("c_name"), F.lit("X")))
+        .otherwise(F.col("c_name"))
+        .alias("name_b"),
+        "c_nationkey",
+        (
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 5 == 0, F.lit(100.0)).otherwise(F.lit(0.0))
+        ).alias("bal_b"),
+        "c_mktsegment",
+    )
+    rules = [
+        linkage.FieldRule(
+            "name", lambda j: F.col("name_a") == F.col("name_b"), 0.75, 0.001
+        ),
+        linkage.FieldRule(
+            "balance",
+            lambda j: F.abs(F.col("bal_a") - F.col("bal_b")) < 1.0,
+            0.8,
+            0.01,
+        ),
+        linkage.FieldRule(
+            "keymod",
+            lambda j: F.col("id_a") % 10 == (F.col("id_b") - 1_000_000) % 10,
+            0.999,
+            0.1,
+        ),
+    ]
+    scored = linkage.score_pairs(
+        a, b, ["c_nationkey", "c_mktsegment"], rules
+    )
+    return linkage.classify(scored, upper=3.0, lower=0.0).filter(
+        F.col("decision") != "non_match"
+    )
+
+
+def q_zorder_locality(spark, sf_dir):
+    """Z-order clustering locality proof (sources/zorder.zorder_value):
+    orders rank-normalized on (o_totalprice, o_custkey) into 16-bucket
+    Morton codes; per top-4-bit Morton slice, BOTH dimensions' bucket
+    spans stay narrow — the property that makes one clustered layout
+    prune files for predicates on EITHER column. Integer-only
+    arithmetic after the ntile ranks, so the whole claim sits under
+    the value-hash oracle."""
+    from table_computing_spark.sources import zorder
+
+    o = _t(spark, sf_dir, "orders").df.select(
+        "o_orderkey", "o_totalprice", "o_custkey"
+    )
+    z = zorder.zorder_value(
+        o, ["o_totalprice", "o_custkey"], bits=4, tiebreak="o_orderkey"
+    )
+    return (
+        z.groupBy(F.shiftright("zvalue", 4).cast("int").alias("z_slice"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+        )
+    )
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE vocabulary learning (operators/bpe.learn_bpe,
     Sennrich et al. 2016): the corpus collapses to distinct-word counts
@@ -2985,6 +3084,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_woe_iv": q_woe_iv,
         "q_key_skew": q_key_skew,
         "q_stream_drift": q_stream_drift,
+        "q_ohlc": q_ohlc,
+        "q_record_linkage": q_record_linkage,
+        "q_zorder_locality": q_zorder_locality,
         "q_bpe_merges": q_bpe_merges,  # rows-only: iterative (see docstring)
     }
     return {**window_50, **tail}
@@ -4986,6 +5088,76 @@ def oracle_sql() -> dict[str, str]:
                    round(tn / 1e9, 9) AS psi_term,
                    round(CAST(sum(tn) OVER () AS DOUBLE) / 1e9, 6) AS psi_total
             FROM z
+        """,
+        "q_ohlc": """
+            SELECT event_type,
+                   (epoch_ms(ts) // 3600000) * 3600000 AS bar_start,
+                   arg_min(value, epoch_ms(ts) * 1000000 + event_id) AS open,
+                   max(value) AS high,
+                   min(value) AS low,
+                   arg_max(value, epoch_ms(ts) * 1000000 + event_id) AS close,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "q_record_linkage": """
+            WITH a AS (
+              SELECT c_custkey AS id_a, c_name AS name_a, c_nationkey,
+                     c_acctbal AS bal_a, c_mktsegment
+              FROM customer
+            ), b AS (
+              SELECT c_custkey + 1000000 AS id_b,
+                     CASE WHEN c_custkey % 4 = 0 THEN c_name || 'X' ELSE c_name END AS name_b,
+                     c_nationkey,
+                     c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 100.0 ELSE 0.0 END AS bal_b,
+                     c_mktsegment
+              FROM customer
+            ), p AS (
+              SELECT id_a, id_b, name_a, name_b, bal_a, bal_b
+              FROM a JOIN b USING (c_nationkey, c_mktsegment)
+            ), s AS (
+              SELECT id_a, id_b,
+                     CAST(name_a = name_b AS INT) AS agree_name,
+                     CAST(abs(bal_a - bal_b) < 1.0 AS INT) AS agree_balance,
+                     CAST(id_a % 10 = (id_b - 1000000) % 10 AS INT) AS agree_keymod,
+                     round(CASE WHEN name_a = name_b
+                                THEN ln(0.75 / 0.001) ELSE ln((1.0 - 0.75) / (1.0 - 0.001)) END
+                         + CASE WHEN abs(bal_a - bal_b) < 1.0
+                                THEN ln(0.8 / 0.01) ELSE ln((1.0 - 0.8) / (1.0 - 0.01)) END
+                         + CASE WHEN id_a % 10 = (id_b - 1000000) % 10
+                                THEN ln(0.999 / 0.1) ELSE ln((1.0 - 0.999) / (1.0 - 0.1)) END,
+                         6) AS score
+              FROM p
+            ), d AS (
+              SELECT *, CASE WHEN score >= 3.0 THEN 'match'
+                             WHEN score <= 0.0 THEN 'non_match'
+                             ELSE 'possible' END AS decision
+              FROM s
+            )
+            SELECT * FROM d WHERE decision <> 'non_match'
+        """,
+        "q_zorder_locality": """
+            WITH ranked AS (
+              SELECT o_orderkey, o_totalprice, o_custkey,
+                     CAST(ntile(16) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS BIGINT) AS bp,
+                     CAST(ntile(16) OVER (ORDER BY o_custkey, o_orderkey) - 1 AS BIGINT) AS bc
+              FROM orders
+            ), z AS (
+              SELECT *,
+                     ((bp >> 0) & 1) * 1 + ((bc >> 0) & 1) * 2
+                   + ((bp >> 1) & 1) * 4 + ((bc >> 1) & 1) * 8
+                   + ((bp >> 2) & 1) * 16 + ((bc >> 2) & 1) * 32
+                   + ((bp >> 3) & 1) * 64 + ((bc >> 3) & 1) * 128 AS zvalue
+              FROM ranked
+            )
+            SELECT CAST(zvalue >> 4 AS INT) AS z_slice,
+                   count(*) AS n_rows,
+                   min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price,
+                   min(o_custkey) AS min_cust,
+                   max(o_custkey) AS max_cust
+            FROM z
+            GROUP BY 1
         """,
         "q_cdc_apply": """
             WITH base AS (

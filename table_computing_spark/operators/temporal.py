@@ -183,3 +183,33 @@ def transition_counts(
             F.col("n_transitions") / F.sum("n_transitions").over(wf), 6
         ).alias("p_transition"),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: "list[str]",
+    time_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    bar_ms: int,
+) -> DataFrame:
+    """Time-series downsampling to OHLC bars (open/high/low/close +
+    volume), the standard lossy compaction for metric/price streams:
+    one hash aggregation keyed (key..., bar_start) — min_by/max_by pick
+    open/close by (time, tiebreak), so the result is deterministic
+    under any partitioning and reproducible in any engine (values are
+    PICKED, never summed — no float-order concerns).
+
+    Shuffle is O(bars), not O(events); at 100 TB this is the first
+    stage that makes long-retention metric storage affordable."""
+    bar = (F.floor(F.col(time_col) / F.lit(bar_ms)) * F.lit(bar_ms)).alias(
+        "bar_start"
+    )
+    ordkey = F.struct(time_col, tiebreak_col)
+    return df.groupBy(*key_cols, bar).agg(
+        F.min_by(value_col, ordkey).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(value_col, ordkey).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

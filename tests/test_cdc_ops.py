@@ -524,3 +524,112 @@ def test_key_skew_report_golden(spark):
     assert abs(top["share"] - 0.6) < 1e-9
     # max/avg = 60 / (100/21) = 12.6
     assert abs(top["skew_ratio"] - 12.6) < 1e-6
+
+
+# ------------------------------------------------------------ OHLC
+
+
+def test_ohlc_bars_golden(spark):
+    from table_computing_spark.operators.temporal import ohlc_bars
+
+    ev = spark.createDataFrame(
+        [
+            ("a", 0, 1, 10.0),
+            ("a", 500, 2, 30.0),
+            ("a", 900, 3, 5.0),
+            ("a", 999, 4, 20.0),
+            ("a", 1000, 5, 7.0),  # next bar
+            ("b", 10, 6, 1.0),
+        ],
+        "k string, t long, id long, v double",
+    )
+    out = {
+        (r["k"], r["bar_start"]): (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+        for r in ohlc_bars(ev, ["k"], "t", "id", "v", 1000).collect()
+    }
+    assert out == {
+        ("a", 0): (10.0, 30.0, 5.0, 20.0, 4),
+        ("a", 1000): (7.0, 7.0, 7.0, 7.0, 1),
+        ("b", 0): (1.0, 1.0, 1.0, 1.0, 1),
+    }
+
+
+# ---------------------------------------------------------- linkage
+
+
+def test_linkage_scores_and_classifies(spark):
+    import math
+
+    from table_computing_spark.operators import linkage
+
+    a = spark.createDataFrame(
+        [(1, "alice", "X"), (2, "bob", "X")], "id_a long, name_a string, blk string"
+    )
+    b = spark.createDataFrame(
+        [(11, "alice", "X"), (12, "carol", "X")], "id_b long, name_b string, blk string"
+    )
+    rule = linkage.FieldRule(
+        "name", lambda j: F.col("name_a") == F.col("name_b"), 0.9, 0.1
+    )
+    scored = linkage.score_pairs(a, b, ["blk"], [rule])
+    got = {(r["id_a"], r["id_b"]): (r["agree_name"], r["score"]) for r in scored.collect()}
+    wa = round(math.log(0.9 / 0.1), 6)
+    wd = round(math.log(0.1 / 0.9), 6)
+    assert got == {
+        (1, 11): (1, wa),
+        (1, 12): (0, wd),
+        (2, 11): (0, wd),
+        (2, 12): (0, wd),
+    }
+    decided = {
+        (r["id_a"], r["id_b"]): r["decision"]
+        for r in linkage.classify(scored, upper=1.0, lower=-1.0).collect()
+    }
+    assert decided[(1, 11)] == "match" and decided[(1, 12)] == "non_match"
+
+
+# ----------------------------------------------------------- zorder
+
+
+def test_interleave_bits_golden(spark):
+    from table_computing_spark.sources.zorder import interleave_bits
+
+    df = spark.createDataFrame([(3, 5)], "a long, b long")
+    # a=011, b=101 -> z bits (LSB first): a0=1,b0=1,a1=1,b1=0,a2=0,b2=1
+    # z = 1 + 2 + 4 + 0 + 0 + 32 = 39
+    out = df.select(
+        interleave_bits([F.col("a"), F.col("b")], 3).alias("z")
+    ).collect()[0]["z"]
+    assert out == 39
+
+
+def test_write_zordered_files_narrow_in_both_dims(spark, tmp_path):
+    from table_computing_spark.sources import zorder
+
+    # two independent uniform dims; z-ordered files must cover narrow
+    # ranges of BOTH (a plain sort on one would leave the other full-range)
+    df = spark.range(0, 4096).selectExpr(
+        "id AS rid", "CAST(id % 64 AS DOUBLE) AS x", "CAST(CAST(id / 64 AS INT) % 64 AS DOUBLE) AS y"
+    )
+    path = str(tmp_path / "z")
+    z = zorder.zorder_value(df, ["x", "y"], bits=4, tiebreak="rid")
+    n_files = 16
+    (
+        z.repartitionByRange(n_files, "zvalue")
+        .sortWithinPartitions("zvalue")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans_x, spans_y = [], []
+    for f in glob.glob(path + "/part-*.parquet"):
+        t = pq.read_table(f, columns=["x", "y"])
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        spans_x.append(max(xs) - min(xs))
+        spans_y.append(max(ys) - min(ys))
+    # full range is 63; average z-ordered span must be far narrower in BOTH
+    assert sum(spans_x) / len(spans_x) < 40
+    assert sum(spans_y) / len(spans_y) < 40
