@@ -2603,6 +2603,40 @@ def q_stream_drift(spark, sf_dir):
     return drift.psi_from_counts(j)
 
 
+def q_twap(spark, sf_dir):
+    """Time-weighted average (operators/temporal.twap): hourly TWAP of
+    `value` per event type — each observation weighted by its holding
+    time (exact integer ms × micro-units, decimal accumulation), the
+    correct mean for irregularly sampled metrics."""
+    from table_computing_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type", tcf.epoch_ms("ts").alias("t_ms"), "event_id", "value"
+    )
+    return temporal.twap(ev, ["event_type"], "t_ms", "event_id", "value", 3_600_000)
+
+
+def q_linreg(spark, sf_dir):
+    """Per-group OLS fit (functions/aggregate.linreg): extendedprice vs
+    quantity per return flag — slope/intercept/R² from exact decimal
+    moment sums, engine-identical to the last bit before rounding."""
+    li = _t(spark, sf_dir, "lineitem").df
+    return tcf.linreg(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag"], x_scale=0, y_scale=2
+    )
+
+
+def q_mutual_info(spark, sf_dir):
+    """Mutual information between order priority and order status
+    (operators/drift.mutual_information): per-cell joint/marginal
+    terms in integer nanos, exact total — the categorical dependence
+    screen next to PSI/WOE in the drift family."""
+    from table_computing_spark.operators import drift
+
+    o = _t(spark, sf_dir, "orders").df
+    return drift.mutual_information(o, "o_orderpriority", "o_orderstatus")
+
+
 def q_ohlc(spark, sf_dir):
     """OHLC time-series downsampling (operators/temporal.ohlc_bars):
     hourly open/high/low/close/volume bars per event type in ONE hash
@@ -3087,6 +3121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ohlc": q_ohlc,
         "q_record_linkage": q_record_linkage,
         "q_zorder_locality": q_zorder_locality,
+        "q_twap": q_twap,
+        "q_linreg": q_linreg,
+        "q_mutual_info": q_mutual_info,
         "q_bpe_merges": q_bpe_merges,  # rows-only: iterative (see docstring)
     }
     return {**window_50, **tail}
@@ -5087,6 +5124,80 @@ def oracle_sql() -> dict[str, str]:
                    round(q - 1e-6, 9) AS p_new,
                    round(tn / 1e9, 9) AS psi_term,
                    round(CAST(sum(tn) OVER () AS DOUBLE) / 1e9, 6) AS psi_total
+            FROM z
+        """,
+        "q_twap": """
+            WITH e AS (
+              SELECT event_type, epoch_ms(ts) AS t, event_id, value FROM events
+            ), m AS (
+              SELECT event_type, (t // 3600000) * 3600000 AS window_start, t, event_id, value,
+                     lead(t) OVER (PARTITION BY event_type ORDER BY t, event_id) AS nxt
+              FROM e
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY event_type, window_start
+                                           ORDER BY t, event_id) AS rn
+              FROM m
+            ), w AS (
+              SELECT event_type, window_start,
+                     (least(coalesce(nxt, window_start + 3600000), window_start + 3600000)
+                      - CASE WHEN rn = 1 THEN window_start ELSE t END) AS w_ms,
+                     CAST(round(value * 1e6) AS BIGINT) AS v_micro
+              FROM r
+            )
+            SELECT event_type, window_start,
+                   round(CAST(sum(CAST(w_ms * v_micro AS HUGEINT)) AS DOUBLE)
+                         / (CAST(sum(w_ms) AS DOUBLE) * 1e6), 6) AS twap,
+                   count(*) AS n_obs
+            FROM w WHERE w_ms > 0
+            GROUP BY 1, 2
+        """,
+        "q_linreg": """
+            WITH m AS (
+              SELECT l_returnflag,
+                     CAST(count(*) AS DECIMAL(38,0)) AS n,
+                     sum(CAST(round(l_quantity * 1) AS DECIMAL(38,0))) AS sx,
+                     sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS sy,
+                     sum(CAST(round(l_quantity * 1) AS DECIMAL(38,0))
+                         * CAST(round(l_quantity * 1) AS DECIMAL(38,0))) AS sxx,
+                     sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))
+                         * CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS syy,
+                     sum(CAST(round(l_quantity * 1) AS DECIMAL(38,0))
+                         * CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS sxy
+              FROM lineitem GROUP BY l_returnflag
+            ), c AS (
+              SELECT l_returnflag, n,
+                     CAST(n * sxx - sx * sx AS DOUBLE) AS sxx_c,
+                     CAST(n * syy - sy * sy AS DOUBLE) AS syy_c,
+                     CAST(n * sxy - sx * sy AS DOUBLE) AS sxy_c,
+                     CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0) AS mean_x,
+                     CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS mean_y
+              FROM m
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   round(sxy_c / sxx_c * (1.0 / 100.0), 9) AS slope,
+                   round(mean_y - (sxy_c / sxx_c * (1.0 / 100.0)) * mean_x, 6) AS intercept,
+                   round((sxy_c * sxy_c) / (sxx_c * syy_c), 6) AS r2
+            FROM c
+        """,
+        "q_mutual_info": """
+            WITH joint AS (
+              SELECT CAST(o_orderpriority AS VARCHAR) AS a,
+                     CAST(o_orderstatus AS VARCHAR) AS b,
+                     count(*) AS n_ab
+              FROM orders GROUP BY 1, 2
+            ), t AS (
+              SELECT *,
+                     CAST(n_ab AS DOUBLE) / sum(n_ab) OVER () AS p_ab,
+                     CAST(sum(n_ab) OVER (PARTITION BY a) AS DOUBLE) / sum(n_ab) OVER () AS p_a,
+                     CAST(sum(n_ab) OVER (PARTITION BY b) AS DOUBLE) / sum(n_ab) OVER () AS p_b
+              FROM joint
+            ), z AS (
+              SELECT *, CAST(round(p_ab * ln(p_ab / (p_a * p_b)) * 1e9) AS BIGINT) AS tn
+              FROM t
+            )
+            SELECT a, b, n_ab, round(p_ab, 9) AS p_ab,
+                   round(tn / 1e9, 9) AS mi_term,
+                   round(CAST(sum(tn) OVER () AS DOUBLE) / 1e9, 6) AS mi_total
             FROM z
         """,
         "q_ohlc": """

@@ -11,6 +11,7 @@ from table_computing_spark.functions.aggregate import (
     count_all,
     group_concat,
     max_ref,
+    linreg,
     moment_stats,
     min_ref,
     sum_double,
@@ -38,7 +39,7 @@ from table_computing_spark.functions.scalar import (
 )
 
 __all__ = [
-    "avg_ref", "count_all", "group_concat", "max_ref", "min_ref", "moment_stats",
+    "avg_ref", "count_all", "group_concat", "linreg", "max_ref", "min_ref", "moment_stats",
     "sum_double", "sum_exact", "sum_int", "sum_long",
     "epoch_ms", "from_epoch_ms", "parse_date", "parse_date_with_zone", "to_date",
     "ltrim_char", "rtrim_char", "substr", "to_bigdecimal",

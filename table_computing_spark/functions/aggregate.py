@@ -117,3 +117,48 @@ def moment_stats(
         F.round(var_num_y / (n_d * n_d * fy * fy), 6).alias("var_y"),
         F.round(corr_num / (F.sqrt(var_num_x) * F.sqrt(var_num_y)), 6).alias("corr_xy"),
     )
+
+
+def linreg(
+    df,
+    x: str,
+    y: str,
+    by: "list[str]",
+    x_scale: int = 0,
+    y_scale: int = 2,
+):
+    """Per-group ordinary-least-squares fit y = slope·x + intercept
+    from the same EXACT integer-unit moment sums as moment_stats —
+    order-independent decimal accumulation, closed-form solve in
+    floating point on identical inputs in identical op order, so slope
+    and intercept match bit-for-bit in any engine (before the round).
+    R² comes from the same five moments. One hash aggregation with
+    map-side partials; the trend-per-key primitive for metric series.
+    """
+    xi = F.round(F.col(x) * (10 ** x_scale)).cast("decimal(38,0)")
+    yi = F.round(F.col(y) * (10 ** y_scale)).cast("decimal(38,0)")
+    g = df.select(*by, xi.alias("__x"), yi.alias("__y")).groupBy(*by)
+    m = g.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    fx, fy = float(10 ** x_scale), float(10 ** y_scale)
+    n_d = F.col("n").cast("double")
+    sxx_c = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    syy_c = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    sxy_c = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    # slope in original units: (cov/var_x) * (fx/fy)
+    slope = sxy_c / sxx_c * (fx / fy)
+    mean_x = F.col("sx").cast("double") / (n_d * fx)
+    mean_y = F.col("sy").cast("double") / (n_d * fy)
+    return m.select(
+        *by,
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 9).alias("slope"),
+        F.round(mean_y - slope * mean_x, 6).alias("intercept"),
+        F.round((sxy_c * sxy_c) / (sxx_c * syy_c), 6).alias("r2"),
+    )

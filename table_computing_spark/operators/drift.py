@@ -140,3 +140,45 @@ def woe_iv(
         F.round(term_nano / 1e9, 9).alias("iv_term"),
         F.round(F.sum(term_nano).over(w) / 1e9, 6).alias("iv_total"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information I(A;B) between two categorical columns — the
+    dependence screen for feature pairs (0 = independent; higher =
+    redundant features or a leakage suspect):
+
+        I = Σ_{a,b} p(a,b) · ln( p(a,b) / (p(a)·p(b)) )
+
+    One hash aggregation on (a,b) — marginals derive from the joint by
+    two tiny re-aggregations, never a second scan. Each cell's term is
+    rounded to integer nanos and the total is an exact integer sum
+    (float-order-independent). Output: one row per (a,b) cell with its
+    term, plus the `mi_total` every row repeats. Cell count must be
+    modest (categorical columns) — the aggregation output IS the
+    result."""
+    joint = df.groupBy(
+        F.col(col_a).cast("string").alias("a"),
+        F.col(col_b).cast("string").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("n_ab"))
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    n = F.sum("n_ab").over(wall)
+    p_ab = F.col("n_ab") / n
+    p_a = F.sum("n_ab").over(wa) / n
+    p_b = F.sum("n_ab").over(wb) / n
+    term_nano = F.round(p_ab * F.log(p_ab / (p_a * p_b)) * 1e9).cast("long")
+    return joint.select(
+        "a",
+        "b",
+        "n_ab",
+        F.round(p_ab, 9).alias("p_ab"),
+        F.round(term_nano / 1e9, 9).alias("mi_term"),
+        F.round(F.sum(term_nano).over(wall) / 1e9, 6).alias("mi_total"),
+    )

@@ -213,3 +213,77 @@ def ohlc_bars(
         F.max_by(value_col, ordkey).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def twap(
+    df: DataFrame,
+    key_cols: "list[str]",
+    time_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    window_ms: int,
+) -> DataFrame:
+    """Time-weighted average per (key, window) — the correct mean for
+    irregularly sampled metrics (a value holds until the next
+    observation, so sparse spikes must not dominate an arithmetic
+    mean). Each observation is weighted by its holding time within the
+    window: from its timestamp to the next observation's (clamped to
+    the window end; the first observation also covers from the window
+    start — i.e. the window-start value carries backward from the
+    first in-window point).
+
+    One window shuffle on the key (lead for the next timestamp), one
+    hash aggregation — weights are exact integer milliseconds and the
+    weighted sum is an exact integer-unit sum (value in micro-units),
+    so the result is partitioning- and engine-independent."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(time_col, tiebreak_col)
+    win_start = (F.floor(F.col(time_col) / F.lit(window_ms)) * F.lit(window_ms)).cast(
+        "long"
+    )
+    nxt = F.lead(time_col).over(w)
+    marked = df.select(
+        *key_cols,
+        win_start.alias("window_start"),
+        F.col(time_col).alias("__t"),
+        F.col(tiebreak_col).alias("__tb"),
+        F.col(value_col).alias("__v"),
+        nxt.alias("__next"),
+    )
+    win_end = F.col("window_start") + F.lit(window_ms)
+    first_in_win = F.row_number().over(
+        Window.partitionBy(*key_cols, "window_start").orderBy("__t", "__tb")
+    )
+    hold_from = F.when(first_in_win == 1, F.col("window_start")).otherwise(
+        F.col("__t")
+    )
+    hold_to = F.least(F.coalesce(F.col("__next"), win_end), win_end)
+    weighted = marked.select(
+        *key_cols,
+        "window_start",
+        (hold_to - hold_from).cast("long").alias("__w_ms"),
+        F.round(F.col("__v") * 1e6).cast("long").alias("__v_micro"),
+    ).filter(F.col("__w_ms") > 0)
+    return (
+        weighted.groupBy(*key_cols, "window_start")
+        .agg(
+            # ms×micro products reach ~3.6e16 and their sum overflows
+            # int64 — exact decimal accumulation, like moment_stats
+            F.sum(
+                (F.col("__w_ms") * F.col("__v_micro")).cast("decimal(38,0)")
+            ).alias("__num"),
+            F.sum("__w_ms").alias("__den"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(
+            *key_cols,
+            "window_start",
+            F.round(
+                F.col("__num").cast("double")
+                / (F.col("__den").cast("double") * F.lit(1e6)),
+                6,
+            ).alias("twap"),
+            "n_obs",
+        )
+    )

@@ -633,3 +633,89 @@ def test_write_zordered_files_narrow_in_both_dims(spark, tmp_path):
     # full range is 63; average z-ordered span must be far narrower in BOTH
     assert sum(spans_x) / len(spans_x) < 40
     assert sum(spans_y) / len(spans_y) < 40
+
+
+# ------------------------------------------------------------- TWAP
+
+
+def test_twap_weights_by_holding_time(spark):
+    from table_computing_spark.operators.temporal import twap
+
+    # window [0,1000): v=10 holds [0,600) (first obs carries back),
+    # v=20 holds [600,1000) -> twap = (10*600 + 20*400)/1000 = 14.0
+    ev = spark.createDataFrame(
+        [("a", 100, 1, 10.0), ("a", 600, 2, 20.0), ("a", 1500, 3, 99.0)],
+        "k string, t long, id long, v double",
+    )
+    out = {
+        r["window_start"]: (r["twap"], r["n_obs"])
+        for r in twap(ev, ["k"], "t", "id", "v", 1000).collect()
+    }
+    assert out[0] == (14.0, 2)
+    assert out[1000] == (99.0, 1)
+
+
+def test_twap_partitioning_invariant(spark):
+    from table_computing_spark.operators.temporal import twap
+
+    ev = spark.range(0, 2000).selectExpr(
+        "CAST(id % 3 AS STRING) AS k",
+        "CAST(id * 37 % 10000 AS LONG) AS t",
+        "id",
+        "CAST(id % 97 AS DOUBLE) / 7 AS v",
+    )
+    a = sorted(map(tuple, twap(ev, ["k"], "t", "id", "v", 2000).collect()))
+    b = sorted(map(tuple, twap(ev.repartition(13), ["k"], "t", "id", "v", 2000).collect()))
+    assert a == b
+
+
+# ----------------------------------------------------------- linreg
+
+
+def test_linreg_recovers_exact_line(spark):
+    from table_computing_spark.functions import linreg
+
+    # y = 3x + 5, exact -> slope 3, intercept 5, r2 = 1
+    df = spark.range(1, 200).selectExpr(
+        "'g' AS grp", "CAST(id AS DOUBLE) AS x", "CAST(3 * id + 5 AS DOUBLE) AS y"
+    )
+    r = linreg(df, "x", "y", ["grp"], x_scale=0, y_scale=0).collect()[0]
+    assert r["slope"] == 3.0 and r["intercept"] == 5.0 and r["r2"] == 1.0
+
+
+def test_linreg_matches_numpy(spark):
+    import numpy as np
+
+    from table_computing_spark.functions import linreg
+
+    xs = [float(i) for i in range(50)]
+    ys = [2.5 * x - 7.0 + ((i * 37) % 11 - 5) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "grp string, x double, y double"
+    )
+    r = linreg(df, "x", "y", ["grp"], x_scale=2, y_scale=2).collect()[0]
+    slope_np, intercept_np = np.polyfit(np.array(xs), np.array(ys), 1)
+    assert abs(r["slope"] - slope_np) < 1e-6
+    assert abs(r["intercept"] - intercept_np) < 1e-4
+
+
+# ------------------------------------------------------ mutual info
+
+
+def test_mutual_information_extremes(spark):
+    from table_computing_spark.operators.drift import mutual_information
+
+    # b == a -> MI = H(a) = ln(4) for uniform 4 categories
+    import math
+
+    df = spark.range(0, 400).selectExpr(
+        "CAST(id % 4 AS STRING) AS a", "CAST(id % 4 AS STRING) AS b"
+    )
+    mi = mutual_information(df, "a", "b").collect()[0]["mi_total"]
+    assert abs(mi - math.log(4)) < 1e-6
+    # independent -> MI ~ 0
+    df2 = spark.range(0, 400).selectExpr(
+        "CAST(id % 4 AS STRING) AS a", "CAST(CAST(id / 4 AS INT) % 4 AS STRING) AS b"
+    )
+    mi2 = mutual_information(df2, "a", "b").collect()[0]["mi_total"]
+    assert abs(mi2) < 1e-6
