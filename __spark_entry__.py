@@ -2736,6 +2736,61 @@ def q_zorder_locality(spark, sf_dir):
     )
 
 
+def q_stream_ohlc(spark, sf_dir):
+    """Streaming OHLC bars (operators/temporal.ohlc_bars semantics on
+    a stream): the events file replayed through a watermarked tumbling
+    aggregation whose open/close are min_by/max_by picks on
+    (time, id) — downsampling as data arrives, final state equal to
+    the batch bars."""
+    from table_computing_spark.streaming.windows import stream_tumble
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sdf = sdf.withColumn("t_ms", _ts_ms(ev_schema))
+    ordkey = F.struct("t_ms", "event_id")
+    out = stream_tumble(
+        sdf, "t_ms", "1 hour", ["event_type"],
+        watermark="10 seconds",
+        open=F.min_by(F.col("value"), ordkey),
+        high=F.max("value"),
+        low=F.min("value"),
+        close=F.max_by(F.col("value"), ordkey),
+        n_events=tcf.count_all(),
+    )
+    with _state_partitions(spark):
+        return _run_stream_to_df(spark, out, "complete")
+
+
+def q_contract_quarantine(spark, sf_dir):
+    """Data-contract enforcement with quarantine split (operators/
+    contracts.validate): every order evaluated against named rules,
+    violations collected into a fixed-order array, and the audit
+    output aggregates row counts per violation signature — the
+    accept/quarantine decision a 100 TB ingest makes at the scan, with
+    zero extra shuffles beyond the audit count."""
+    from table_computing_spark.operators import contracts
+
+    o = _t(spark, sf_dir, "orders").df
+    rules = [
+        ("positive_price", F.col("o_totalprice") > 0),
+        ("known_status", F.col("o_orderstatus").isin("F", "O", "P")),
+        ("priority_format", F.col("o_orderpriority").rlike("^[1-5]-")),
+        ("date_present", F.col("o_orderdate").isNotNull()),
+        ("big_order_is_open", (F.col("o_totalprice") < 400_000) | (F.col("o_orderstatus") == "O")),
+    ]
+    tagged = contracts.validate(o, rules)
+    return tagged.groupBy("is_valid", "violations").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("example_key"),
+    )
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE vocabulary learning (operators/bpe.learn_bpe,
     Sennrich et al. 2016): the corpus collapses to distinct-word counts
@@ -3124,6 +3179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_twap": q_twap,
         "q_linreg": q_linreg,
         "q_mutual_info": q_mutual_info,
+        "q_stream_ohlc": q_stream_ohlc,
+        "q_contract_quarantine": q_contract_quarantine,
         "q_bpe_merges": q_bpe_merges,  # rows-only: iterative (see docstring)
     }
     return {**window_50, **tail}
@@ -5125,6 +5182,38 @@ def oracle_sql() -> dict[str, str]:
                    round(tn / 1e9, 9) AS psi_term,
                    round(CAST(sum(tn) OVER () AS DOUBLE) / 1e9, 6) AS psi_total
             FROM z
+        """,
+        "q_stream_ohlc": """
+            SELECT event_type,
+                   arg_min(value, epoch_ms(ts) * 1000000 + event_id) AS open,
+                   max(value) AS high,
+                   min(value) AS low,
+                   arg_max(value, epoch_ms(ts) * 1000000 + event_id) AS close,
+                   count(*) AS n_events,
+                   (epoch_ms(ts) // 3600000) * 3600000 AS window_start,
+                   (epoch_ms(ts) // 3600000) * 3600000 + 3600000 AS window_end
+            FROM events
+            GROUP BY event_type, window_start, window_end
+        """,
+        "q_contract_quarantine": """
+            WITH t AS (
+              SELECT *, list_filter([
+                  CASE WHEN coalesce(o_totalprice > 0, false)
+                       THEN NULL ELSE 'positive_price' END,
+                  CASE WHEN coalesce(o_orderstatus IN ('F','O','P'), false)
+                       THEN NULL ELSE 'known_status' END,
+                  CASE WHEN coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), false)
+                       THEN NULL ELSE 'priority_format' END,
+                  CASE WHEN o_orderdate IS NOT NULL
+                       THEN NULL ELSE 'date_present' END,
+                  CASE WHEN coalesce(o_totalprice < 400000 OR o_orderstatus = 'O', false)
+                       THEN NULL ELSE 'big_order_is_open' END
+                ], x -> x IS NOT NULL) AS violations
+              FROM orders
+            )
+            SELECT len(violations) = 0 AS is_valid, violations,
+                   count(*) AS n_rows, min(o_orderkey) AS example_key
+            FROM t GROUP BY 1, 2
         """,
         "q_twap": """
             WITH e AS (

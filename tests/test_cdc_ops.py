@@ -719,3 +719,29 @@ def test_mutual_information_extremes(spark):
     )
     mi2 = mutual_information(df2, "a", "b").collect()[0]["mi_total"]
     assert abs(mi2) < 1e-6
+
+
+# -------------------------------------------------------- contracts
+
+
+def test_contracts_validate_and_split(spark):
+    from table_computing_spark.operators.contracts import quarantine_split, validate
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "ok"), (2, -5.0, "ok"), (3, 10.0, None), (4, -1.0, "bad")],
+        "k long, v double, s string",
+    )
+    rules = [
+        ("v_positive", F.col("v") > 0),
+        ("s_known", F.col("s").isin("ok")),
+    ]
+    tagged = {r["k"]: (r["violations"], r["is_valid"]) for r in validate(df, rules).collect()}
+    assert tagged[1] == ([], True)
+    assert tagged[2] == (["v_positive"], False)
+    # NULL rule result counts as violation (three-valued logic rejected)
+    assert tagged[3] == (["s_known"], False)
+    assert tagged[4] == (["v_positive", "s_known"], False)
+    clean, bad = quarantine_split(df, rules)
+    assert {r["k"] for r in clean.collect()} == {1}
+    assert {r["k"] for r in bad.collect()} == {2, 3, 4}
+    assert "violations" in bad.columns and "is_valid" not in bad.columns
