@@ -3012,17 +3012,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-5 window: (a) the 3 queries red in r04 on the oracle
     HUGEINT-vs-BIGINT dtype bug, now fixed (CAST ... AS BIGINT) — first
-    so the fix is confirmed driver-side; (b) ALL 21 queries NEW in
-    round 5 (novelty, embedding groups, decontamination, dup spans,
-    unigram NLL, mixture plans, codecs, NB classifier, incremental
-    dedup, JL projection, Gopher flags, span intervals, stream
-    curation, int8 quantization, PNG/FFT/dHash/frame-sample media,
-    overlap chunking, BM25) — never driver-checked, so a green row
-    here maximizes ever-green coverage; (c) the 26 oldest-verified
-    queries (r01: 20 TPC-H + 6 granular relational). The dtype-strict
-    local sim (tests/oracle.py) is green on all 138 at sf0.01, so the
-    remaining r01-verified tail carries low staleness risk and rotates
-    in next round."""
+    so the fix is confirmed driver-side; (b) ALL 44 queries NEW in
+    round 5 — never driver-checked, so a green round makes the board
+    161/161 ever-green; (c) 3 oldest-verified (r01) TPC-H fillers.
+    The dtype-strict local sim (tests/oracle.py) is green on all 161
+    at sf0.01, so the r01-verified tail carries low staleness risk and
+    rotates through following rounds."""
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
     tpch = dict(TPCH_QUERIES)
@@ -3053,20 +3048,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_video_frames": q_video_frames,
         "q_doc_chunks_overlap": q_doc_chunks_overlap,
         "q_bm25_topk": q_bm25_topk,
-        # (c) oldest-verified (r01): TPC-H (q1/q12 re-greened in r03)
-        **{k: tpch[k] for k in sorted(tpch) if k not in ("q_tpch_q1", "q_tpch_q12")},
-        # (c) oldest-verified (r01): granular relational/scalar set
+        # (b cont.) new in the round-5 extension session — CDC, bloom
+        # join, sampling, diagnostics, linkage, clustering, BPE — the
+        # window holds EVERY never-driver-verified query (44) plus the
+        # 3 fixed reds, so a green round makes the board 161/161
+        # ever-green
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_scd2": q_scd2,
+        "q_bloom_join": q_bloom_join,
+        "q_event_transitions": q_event_transitions,
+        "q_group_split": q_group_split,
+        "q_weighted_sample": q_weighted_sample,
+        "q_char_entropy": q_char_entropy,
+        "q_hard_negatives": q_hard_negatives,
+        "q_psi_drift": q_psi_drift,
+        "q_cdc_apply": q_cdc_apply,
+        "q_pagerank": q_pagerank,
+        "q_woe_iv": q_woe_iv,
+        "q_key_skew": q_key_skew,
+        "q_stream_drift": q_stream_drift,
+        "q_ohlc": q_ohlc,
+        "q_record_linkage": q_record_linkage,
+        "q_zorder_locality": q_zorder_locality,
+        "q_twap": q_twap,
+        "q_linreg": q_linreg,
+        "q_mutual_info": q_mutual_info,
+        "q_stream_ohlc": q_stream_ohlc,
+        "q_contract_quarantine": q_contract_quarantine,
+        "q_bpe_merges": q_bpe_merges,  # rows-only: iterative (see docstring)
+        # (c) oldest-verified (r01) fillers
+        "q_tpch_q10": tpch["q_tpch_q10"],
+        "q_tpch_q11": tpch["q_tpch_q11"],
+        "q_tpch_q13": tpch["q_tpch_q13"],
+    }
+    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
+    tail = {
+        # oldest-verified (r01) remainder — next rounds' rotation pool
+        **{
+            k: tpch[k]
+            for k in sorted(tpch)
+            if k not in ("q_tpch_q1", "q_tpch_q12", "q_tpch_q10", "q_tpch_q11", "q_tpch_q13")
+        },
         "q_filter_select": q_filter_select,
         "q_project_negative": q_project_negative,
         "q_groupby_agg": q_groupby_agg,
         "q_avg_ref_nulls": q_avg_ref_nulls,
         "q_rollup": q_rollup,
         "q_grouping_sets": q_grouping_sets,
-    }
-    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
-    tail = {
-        # r01-verified relational set displaced from the window by the
-        # 21 new round-5 queries — next round's rotation candidates
         "q_count_distinct": q_count_distinct,
         "q_percentile": q_percentile,
         "q_join_inner": q_join_inner,
@@ -3157,31 +3185,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gate_over": q_gate_over,
         "q_gate_setops": q_gate_setops,
         "q_stream_over": q_stream_over,
-        # new in round 5 (late batch) — never driver-checked; first in
-        # line for the r06 rotation window
-        "q_snapshot_diff": q_snapshot_diff,
-        "q_scd2": q_scd2,
-        "q_bloom_join": q_bloom_join,
-        "q_event_transitions": q_event_transitions,
-        "q_group_split": q_group_split,
-        "q_weighted_sample": q_weighted_sample,
-        "q_char_entropy": q_char_entropy,
-        "q_hard_negatives": q_hard_negatives,
-        "q_psi_drift": q_psi_drift,
-        "q_cdc_apply": q_cdc_apply,
-        "q_pagerank": q_pagerank,
-        "q_woe_iv": q_woe_iv,
-        "q_key_skew": q_key_skew,
-        "q_stream_drift": q_stream_drift,
-        "q_ohlc": q_ohlc,
-        "q_record_linkage": q_record_linkage,
-        "q_zorder_locality": q_zorder_locality,
-        "q_twap": q_twap,
-        "q_linreg": q_linreg,
-        "q_mutual_info": q_mutual_info,
-        "q_stream_ohlc": q_stream_ohlc,
-        "q_contract_quarantine": q_contract_quarantine,
-        "q_bpe_merges": q_bpe_merges,  # rows-only: iterative (see docstring)
     }
     return {**window_50, **tail}
 
