@@ -98,3 +98,68 @@ def classify(scored: DataFrame, upper: float, lower: float) -> DataFrame:
         .when(F.col("score") <= lower, "non_match")
         .otherwise("possible"),
     )
+
+
+def estimate_em(
+    pairs: DataFrame,
+    agree_cols: Sequence[str],
+    iterations: int = 25,
+    prior: float = 0.05,
+) -> "tuple[list[tuple[float, float]], float]":
+    """Estimate (m_k, u_k) per field and the match prior via EM over
+    AGREEMENT PATTERNS (Winkler's standard unsupervised fit for
+    Fellegi–Sunter weights). The E/M steps run on the driver — but over
+    the ≤ 2^K distinct agreement patterns, not the pairs: Spark
+    aggregates pattern counts once (one shuffle of K booleans), and the
+    pattern space is independent of corpus size, so this is
+    scale-correct at any pair count.
+
+    Returns ([(m_k, u_k)...] in agree_cols order, match_prior).
+    Conditional-independence assumption as usual; degenerate fits are
+    clamped away from 0/1 for stability. Needs >= 3 comparison fields:
+    with K=2 the model is underdetermined (4 patterns vs 5 free
+    parameters) and the fit drifts — the classic identifiability
+    condition for unsupervised Fellegi–Sunter."""
+    if len(agree_cols) < 3:
+        raise ValueError(
+            "estimate_em needs >= 3 comparison fields (2^K patterns must "
+            "exceed the 2K+1 free parameters)"
+        )
+    rows = pairs.groupBy(*agree_cols).agg(F.count(F.lit(1)).alias("__n")).collect()
+    patterns = [
+        ([int(bool(r[c])) for c in agree_cols], float(r["__n"])) for r in rows
+    ]
+    k = len(agree_cols)
+    m = [0.9] * k
+    u = [0.1] * k
+    p = prior
+
+    def clamp(x: float) -> float:
+        return min(0.9999, max(0.0001, x))
+
+    for _ in range(iterations):
+        # E-step: posterior match probability per pattern
+        g_sum = 0.0
+        n_sum = 0.0
+        m_num = [0.0] * k
+        u_num = [0.0] * k
+        for bits, n in patterns:
+            pm = p
+            pu = 1.0 - p
+            for i, b in enumerate(bits):
+                pm *= m[i] if b else (1.0 - m[i])
+                pu *= u[i] if b else (1.0 - u[i])
+            g = pm / (pm + pu) if (pm + pu) > 0 else 0.0
+            g_sum += g * n
+            n_sum += n
+            for i, b in enumerate(bits):
+                if b:
+                    m_num[i] += g * n
+                    u_num[i] += (1.0 - g) * n
+        # M-step
+        if g_sum <= 0 or g_sum >= n_sum:
+            break
+        m = [clamp(m_num[i] / g_sum) for i in range(k)]
+        u = [clamp(u_num[i] / (n_sum - g_sum)) for i in range(k)]
+        p = clamp(g_sum / n_sum)
+    return list(zip(m, u)), p

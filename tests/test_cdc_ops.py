@@ -745,3 +745,34 @@ def test_contracts_validate_and_split(spark):
     assert {r["k"] for r in clean.collect()} == {1}
     assert {r["k"] for r in bad.collect()} == {2, 3, 4}
     assert "violations" in bad.columns and "is_valid" not in bad.columns
+
+
+def test_linkage_em_recovers_parameters(spark):
+    from table_computing_spark.operators import linkage
+
+    # synthesize agreement vectors from known m/u: 200 matched pairs
+    # (agree with prob .9/.85) and 1800 non-matches (.05/.2),
+    # deterministically via hash-threshold pseudo-draws
+    import hashlib
+
+    def draw(i, salt):
+        h = hashlib.md5(f"{salt}:{i}".encode()).hexdigest()
+        return int(h[:8], 16) / 16**8
+
+    rows = []
+    for i in range(2000):
+        match = i < 200
+        a1 = draw(i, "f1") < (0.9 if match else 0.05)
+        a2 = draw(i, "f2") < (0.85 if match else 0.2)
+        a3 = draw(i, "f3") < (0.95 if match else 0.1)
+        rows.append((a1, a2, a3))
+    df = spark.createDataFrame(rows, "f1 boolean, f2 boolean, f3 boolean")
+    # >= 3 fields: 2^3 patterns identify the 7 parameters (K=2 is
+    # underdetermined — 4 patterns, 5 parameters)
+    (mu1, mu2, mu3), p = linkage.estimate_em(
+        df, ["f1", "f2", "f3"], iterations=80, prior=0.3
+    )
+    assert abs(p - 0.1) < 0.04, f"prior ~0.1, got {p}"
+    assert abs(mu1[0] - 0.9) < 0.1 and abs(mu1[1] - 0.05) < 0.05, mu1
+    assert abs(mu2[0] - 0.85) < 0.1 and abs(mu2[1] - 0.2) < 0.08, mu2
+    assert abs(mu3[0] - 0.95) < 0.1 and abs(mu3[1] - 0.1) < 0.05, mu3
