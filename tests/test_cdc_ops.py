@@ -776,3 +776,33 @@ def test_linkage_em_recovers_parameters(spark):
     assert abs(mu1[0] - 0.9) < 0.1 and abs(mu1[1] - 0.05) < 0.05, mu1
     assert abs(mu2[0] - 0.85) < 0.1 and abs(mu2[1] - 0.2) < 0.08, mu2
     assert abs(mu3[0] - 0.95) < 0.1 and abs(mu3[1] - 0.1) < 0.05, mu3
+
+
+# -------------------------------------------------------- artifacts
+
+
+def test_artifact_roundtrips(spark, tmp_path):
+    from table_computing_spark.operators import bpe
+    from table_computing_spark.sources import artifacts
+
+    df = spark.createDataFrame([("low low lower newest newest",)], "text string")
+    merges, _ = bpe.learn_bpe(df, num_merges=4)
+    p1 = str(tmp_path / "bpe")
+    artifacts.save_bpe(spark, merges, p1)
+    assert artifacts.load_bpe(spark, p1) == merges
+    # segmentation with reloaded merges is identical
+    a = bpe.bpe_segment(df, merges).collect()[0]["bpe_tokens"]
+    b = bpe.bpe_segment(df, artifacts.load_bpe(spark, p1)).collect()[0]["bpe_tokens"]
+    assert a == b
+
+    cents = [[0.1, 0.2], [0.3, -0.4], [1.5, 2.5]]
+    p2 = str(tmp_path / "ivf")
+    artifacts.save_centroids(spark, cents, p2)
+    assert artifacts.load_centroids(spark, p2) == cents
+
+    p3 = str(tmp_path / "fs")
+    artifacts.save_linkage_weights(
+        spark, ["name", "bal"], [(0.9, 0.01), (0.8, 0.1)], 0.05, p3
+    )
+    mu, prior = artifacts.load_linkage_weights(spark, p3)
+    assert mu == {"name": (0.9, 0.01), "bal": (0.8, 0.1)} and prior == 0.05
