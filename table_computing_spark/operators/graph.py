@@ -147,6 +147,8 @@ def pagerank_nano(
         .localCheckpoint()  # reused every iteration + counted once
     )
     n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank")).limit(0)
     # floor(x+0.5), not Python round(): round() is half-EVEN, SQL
     # round() is half-up — the oracle must be able to reproduce these
     base_nano = int((1.0 - damping) / n * 1e9 + 0.5)

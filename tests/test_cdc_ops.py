@@ -806,3 +806,11 @@ def test_artifact_roundtrips(spark, tmp_path):
     )
     mu, prior = artifacts.load_linkage_weights(spark, p3)
     assert mu == {"name": (0.9, 0.01), "bal": (0.8, 0.1)} and prior == 0.05
+
+
+def test_pagerank_empty_edges(spark):
+    from table_computing_spark.operators.graph import pagerank_nano
+
+    ee = spark.createDataFrame([], "src long, dst long")
+    out = pagerank_nano(ee, 2)
+    assert out.count() == 0 and out.columns == ["node", "rank"]
