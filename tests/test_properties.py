@@ -255,3 +255,65 @@ def test_bloom_join_property(spark, fact_keys, dim_keys, bits):
         .collect()
     )
     assert got == expect
+
+
+@_SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), times, st.integers(-50, 50)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_ohlc_property(spark, events):
+    """ohlc_bars == naive per-(key, bar) open/high/low/close scan."""
+    from table_computing_spark.operators.temporal import ohlc_bars
+
+    rows = [(k, t, i, float(v)) for i, (k, t, v) in enumerate(events)]
+    df = spark.createDataFrame(rows, "k string, t bigint, id bigint, v double")
+    got = {
+        (r["k"], r["bar_start"]): (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+        for r in ohlc_bars(df, ["k"], "t", "id", "v", 10).collect()
+    }
+    bars: dict = {}
+    for k, t, i, v in rows:
+        bars.setdefault((k, (t // 10) * 10), []).append((t, i, v))
+    expect = {}
+    for key, obs in bars.items():
+        obs.sort()
+        vals = [v for _, _, v in obs]
+        expect[key] = (obs[0][2], max(vals), min(vals), obs[-1][2], len(obs))
+    assert got == expect
+
+
+@_SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(st.sampled_from(["u1", "u2"]), times, st.sampled_from(["x", "y"])),
+        min_size=1,
+        max_size=25,
+    ),
+    gap=st.sampled_from([5, 20, 1000]),
+)
+def test_transition_counts_property(spark, events, gap):
+    """transition_counts == naive lag scan with session-gap breaks."""
+    from collections import Counter
+
+    from table_computing_spark.operators.temporal import transition_counts
+
+    rows = [(k, t, i, s) for i, (k, t, s) in enumerate(events)]
+    df = spark.createDataFrame(rows, "k string, t bigint, id bigint, s string")
+    got = {
+        (r["from_state"], r["to_state"]): r["n_transitions"]
+        for r in transition_counts(df, "k", "t", "id", "s", session_gap=gap).collect()
+    }
+    c: Counter = Counter()
+    bykey: dict = {}
+    for k, t, i, s in rows:
+        bykey.setdefault(k, []).append((t, i, s))
+    for evs in bykey.values():
+        evs.sort()
+        for (t0, _, s0), (t1, _, s1) in zip(evs, evs[1:]):
+            if t1 - t0 <= gap:
+                c[(s0, s1)] += 1
+    assert got == dict(c)
