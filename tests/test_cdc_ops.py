@@ -814,3 +814,39 @@ def test_pagerank_empty_edges(spark):
     ee = spark.createDataFrame([], "src long, dst long")
     out = pagerank_nano(ee, 2)
     assert out.count() == 0 and out.columns == ["node", "rank"]
+
+
+def test_snapshot_diff_on_bucketed_tables_has_no_exchange(spark):
+    """The PLANS.md claim: with both snapshots written through
+    sources/bucketed on the key, the CDC diff join plans with no
+    Exchange at all (the narrow fingerprint projection preserves the
+    bucketing)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from table_computing_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    base = spark.range(0, 10_000).selectExpr(
+        "id AS k", "CAST(id % 97 AS STRING) AS s", "id * 3 AS c"
+    )
+    write_bucketed(base.filter("k % 13 != 0"), "cdc_old_b", ["k"], num_buckets=8,
+                   sort_by=["k"])
+    write_bucketed(
+        base.filter("k % 11 != 0").selectExpr("k", "s", "c + CAST(k % 7 = 0 AS LONG) AS c"),
+        "cdc_new_b", ["k"], num_buckets=8, sort_by=["k"],
+    )
+    try:
+        old = read_bucketed(spark, "cdc_old_b").df
+        new = read_bucketed(spark, "cdc_new_b").df
+        diff = cdc.snapshot_diff(old, new, ["k"], ["s", "c"])
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            diff.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, "bucketed diff must not shuffle"
+        # and the result is still correct
+        kinds = {r["change_type"] for r in diff.collect()}
+        assert kinds == {"insert", "delete", "update"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cdc_old_b")
+        spark.sql("DROP TABLE IF EXISTS cdc_new_b")
