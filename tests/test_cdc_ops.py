@@ -850,3 +850,55 @@ def test_snapshot_diff_on_bucketed_tables_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS cdc_old_b")
         spark.sql("DROP TABLE IF EXISTS cdc_new_b")
+
+
+# --------------------------------------------------- target encoding
+
+
+def test_target_encode_is_out_of_fold(spark):
+    from table_computing_spark.operators.encoding import fold_of, target_encode
+
+    # category 'solo' appears ONLY in one fold: its encoding must be
+    # exactly the out-of-fold prior (zero self-contribution)
+    df = spark.range(0, 1000).selectExpr(
+        "id AS rid",
+        "CASE WHEN id = 0 THEN 'solo' ELSE concat('c', CAST(id % 7 AS STRING)) END AS cat",
+        "CAST(id % 2 AS DOUBLE) AS y",
+    )
+    out = target_encode(df, "cat", F.col("y"), "rid", k_folds=5, smoothing=20.0)
+    rows = out.collect()
+    solo = [r for r in rows if r["cat"] == "solo"][0]
+    # recompute the expected oof prior for solo's fold in python
+    folds = {r["rid"]: r["__fold"] for r in rows}
+    ys = {r["rid"]: r["y"] for r in rows}
+    f = solo["__fold"]
+    oof = [ys[i] for i in ys if folds[i] != f]
+    prior = sum(oof) / len(oof)
+    # solo's cell oof_s=0, oof_c=0 -> te = prior exactly
+    assert abs(solo["te"] - prior) < 1e-12
+
+    # general sanity: every te lies within [0, 1] (label range)
+    assert all(0.0 <= r["te"] <= 1.0 for r in rows)
+
+
+def test_target_encode_matches_naive(spark):
+    from table_computing_spark.operators.encoding import target_encode
+
+    df = spark.range(0, 400).selectExpr(
+        "id AS rid", "concat('c', CAST(id % 3 AS STRING)) AS cat",
+        "CAST(CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y",
+    )
+    a = 10.0
+    out = {r["rid"]: (r["cat"], r["__fold"], r["te"])
+           for r in target_encode(df, "cat", F.col("y"), "rid", k_folds=4, smoothing=a).collect()}
+    # naive recomputation from the spark-assigned folds — tests the
+    # ENCODING math only
+    rows = [(rid, c, f) for rid, (c, f, _) in out.items()]
+    ys = {rid: 1.0 if rid % 3 == 0 else 0.0 for rid, _, _ in rows}
+    for rid, c, f in rows:
+        oof = [(rr, cc) for rr, cc, ff in rows if ff != f]
+        oof_cat = [ys[rr] for rr, cc in oof if cc == c]
+        oof_all = [ys[rr] for rr, _ in oof]
+        prior = sum(oof_all) / len(oof_all)
+        want = (sum(oof_cat) + prior * a) / (len(oof_cat) + a)
+        assert abs(out[rid][2] - want) < 1e-9, (rid, c, f)
