@@ -2785,7 +2785,12 @@ def q_contract_quarantine(spark, sf_dir):
         ("big_order_is_open", (F.col("o_totalprice") < 400_000) | (F.col("o_orderstatus") == "O")),
     ]
     tagged = contracts.validate(o, rules)
-    return tagged.groupBy("is_valid", "violations").agg(
+    # Group key is the comma-joined signature (rule order is fixed by
+    # contracts.validate), not the raw array: the driver's canonicalizer
+    # cannot sort/hash list-typed cells (r05 red row — VERDICT.md §wrong.1).
+    return tagged.groupBy(
+        "is_valid", F.array_join("violations", ",").alias("violations")
+    ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("o_orderkey").alias("example_key"),
     )
@@ -2797,10 +2802,10 @@ def q_bpe_merges(spark, sf_dir):
     once, then each merge iteration runs at vocabulary scale — pair
     counts via one hash agg, argmax via a one-row driver pull (the
     bounded-scalar discipline of the CC rounds), merge application as a
-    row-local fold. Genuinely iterative (argmax of round k feeds round
-    k+1), so there is no single-statement SQL oracle — the driver does
-    the rows-only check; exact-equality-vs-reference is pinned in
-    tests/test_cdc_ops.py against an independent pure-Python trainer."""
+    row-local fold. Oracled with a fixed-k (8-merge) unrolled DuckDB
+    CTE (_bpe_oracle_sql — the q_pagerank trick); exact-equality-vs-
+    reference is additionally pinned in tests against an independent
+    pure-Python trainer."""
     from table_computing_spark.operators import bpe
 
     d = _t(spark, sf_dir, "documents").df
@@ -3075,7 +3080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mutual_info": q_mutual_info,
         "q_stream_ohlc": q_stream_ohlc,
         "q_contract_quarantine": q_contract_quarantine,
-        "q_bpe_merges": q_bpe_merges,  # rows-only: iterative (see docstring)
+        "q_bpe_merges": q_bpe_merges,  # oracled: fixed-k unrolled CTE
         # (c) oldest-verified (r01) fillers
         "q_tpch_q10": tpch["q_tpch_q10"],
         "q_tpch_q11": tpch["q_tpch_q11"],
@@ -3280,11 +3285,64 @@ WITH e AS (
 """
 
 
+def _bpe_oracle_sql(num_merges: int) -> str:
+    """Fixed-k unrolled BPE oracle (the q_pagerank trick applied to BPE).
+
+    Each word's token sequence is encoded as a chr(31)-separated string
+    with DOUBLE separators between tokens and single separators at both
+    ends (".t1..t2..tk."), so the training-time greedy left-to-right
+    merge of pair (l, r) is exactly one non-overlapping string
+    replace(".l..r.", ".lr."): the flanking separators force whole-token
+    matches, and the single boundary separator retained by each
+    replacement seeds the next match in an overlapping run
+    ("a a a a" -> [aa, aa], matching the Spark-side fold in
+    operators/bpe._apply_merge). Verified equal to learn_bpe on sf0.01
+    for all 8 merges before wiring in (round 6)."""
+    parts = ["""
+        WITH wv AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+            FROM documents
+          ) WHERE word <> '' GROUP BY word
+        ),
+        v0 AS (
+          SELECT n,
+                 chr(31) || array_to_string(
+                   list_append(
+                     list_transform(range(1, length(word)), i -> substr(word, i, 1)),
+                     substr(word, length(word), 1) || '▁'
+                   ), chr(31) || chr(31)) || chr(31) AS s
+          FROM wv
+        )"""]
+    for k in range(1, num_merges + 1):
+        parts.append(f""",
+        p{k} AS (
+          SELECT toks[i] AS l, toks[i+1] AS r, CAST(sum(n) AS BIGINT) AS cnt
+          FROM (SELECT n, string_split(substr(s, 2, length(s) - 2),
+                                       chr(31) || chr(31)) AS toks FROM v{k-1}),
+               unnest(range(1, len(toks))) AS u(i)
+          GROUP BY 1, 2
+        ),
+        b{k} AS (SELECT l, r, cnt FROM p{k} WHERE cnt >= 2
+                 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        v{k} AS (
+          SELECT n, replace(s, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                               chr(31) || b.l || b.r || chr(31)) AS s
+          FROM v{k-1}, b{k} b
+        )""")
+    parts.append("\n        " + "\n        UNION ALL\n        ".join(
+        f"SELECT CAST({k} AS INTEGER) AS iteration, l AS left, r AS right,"
+        f" cnt AS pair_count FROM b{k}"
+        for k in range(1, num_merges + 1)))
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     from table_computing_spark.queries_tpch import TPCH_ORACLES
 
     return {
         **TPCH_ORACLES,
+        "q_bpe_merges": _bpe_oracle_sql(8),
         "q_gate_relational": """
             SELECT o_orderkey,
                    substr(o_orderpriority, 1, 5) AS prio5,
@@ -5214,7 +5272,10 @@ def oracle_sql() -> dict[str, str]:
                 ], x -> x IS NOT NULL) AS violations
               FROM orders
             )
-            SELECT len(violations) = 0 AS is_valid, violations,
+            SELECT len(violations) = 0 AS is_valid,
+                   -- DuckDB joins an empty list to NULL; Spark's
+                   -- array_join gives '' — align on ''
+                   coalesce(array_to_string(violations, ','), '') AS violations,
                    count(*) AS n_rows, min(o_orderkey) AS example_key
             FROM t GROUP BY 1, 2
         """,

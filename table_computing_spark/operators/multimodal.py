@@ -8,9 +8,13 @@ with zero extra dependencies (this container has no PIL/soundfile):
     4-byte row padding, BGR order) — `decode_image`
   - WAV PCM (RIFF chunk walk, 16-bit signed or 8-bit unsigned) —
     `decode_audio` / `encode_wav_pcm16`
-Compressed formats (JPEG/PNG/MP3/H.264) still surface honestly as
-decode_ok=false via the NotImplementedError path; a real pipeline swaps
-in PIL/ffmpeg there and nothing else changes. The Spark-side contract
+  - PNG 8-bit RGB/RGBA non-interlaced (stdlib zlib inflate + all five
+    RFC 2083 scanline filters) — `decode_image`
+  - JPEG baseline sequential DCT (stdlib-only Huffman + IDCT +
+    YCbCr→RGB) — `decode_image`
+Remaining compressed formats (progressive JPEG/MP3/H.264) surface
+honestly as decode_ok=false via the NotImplementedError path; a real
+pipeline swaps in PIL/ffmpeg there and nothing else changes. The Spark-side contract
 that matters at 100 TB — schema, batch shape, partition sizing, the
 Arrow mapInPandas exchange — is identical for both paths.
 

@@ -41,15 +41,13 @@ def test_every_query_has_oracle_or_reason():
         name
         for name in missing
         # hash-based candidate generation (engine-specific xxhash64),
-        # stubbed codecs, sketch aggregates, and genuinely iterative
-        # algorithms (BPE merge learning: round k's argmax feeds round
-        # k+1) have no portable single-statement SQL oracle; each
-        # carries a pytest accuracy/semantics check instead
-        # (q_bpe_merges: tests/test_cdc_ops.py pure-Python trainer)
+        # stubbed codecs and sketch aggregates have no portable
+        # single-statement SQL oracle; each carries a pytest
+        # accuracy/semantics check instead (BPE is oracled as of r06
+        # via the fixed-k unrolled CTE in _bpe_oracle_sql)
         if name.startswith(
             ("q_minhash", "q_simhash", "q_stream", "q_multimodal", "q_approx")
         )
-        or name == "q_bpe_merges"
     }
     assert missing == allowed_weak, f"queries lacking oracle: {missing - allowed_weak}"
 
