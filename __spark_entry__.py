@@ -2205,6 +2205,29 @@ def q_png_decode(spark, sf_dir):
     )
 
 
+def q_jpeg_decode(spark, sf_dir):
+    """REAL baseline JPEG decode end-to-end (operators/jpeg.decode_jpeg:
+    marker walk → generic canonical Huffman → dequant → IDCT → chroma
+    upsample → fixed-point YCbCr→RGB) over a deterministic generated
+    JPEG table (make_demo_jpeg_media: 16x16 flat-block images, even i
+    4:4:4 with four distinct blocks, odd i 4:2:0 single-color). With
+    the uniform-16 quant table every probe is exact integer
+    arithmetic, so the oracle reproduces the full compressed-image
+    decode analytically (_jpeg_oracle_sql)."""
+    from table_computing_spark.operators import multimodal as mm
+
+    feats = mm.extract_features(mm.make_demo_jpeg_media(spark, 24))
+    byte_cols = {
+        f"b{j}": F.round(F.element_at("feature", j + 1) * 255).cast("int")
+        for j in range(8)
+    }
+    return feats.select(
+        "media_id",
+        F.col("decode_ok").cast("int").alias("decode_ok"),
+        *[c.alias(nm) for nm, c in byte_cols.items()],
+    )
+
+
 def q_embedding_quantize(spark, sf_dir):
     """Symmetric int8 scalar quantization of the embedding table
     (operators/similarity.quantize_embeddings): per-vector scale =
@@ -3190,6 +3213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gate_over": q_gate_over,
         "q_gate_setops": q_gate_setops,
         "q_stream_over": q_stream_over,
+        "q_jpeg_decode": q_jpeg_decode,
     }
     return {**window_50, **tail}
 
@@ -3337,12 +3361,66 @@ def _bpe_oracle_sql(num_merges: int) -> str:
     return "".join(parts)
 
 
+def _jpeg_oracle_sql(n: int = 24) -> str:
+    """Closed-form oracle for q_jpeg_decode: reproduces the exact
+    integer arithmetic of the full encode→decode chain for flat
+    8x8 blocks (operators/jpeg.py docstring). ">> 16" floor shifts
+    become floor(x/65536.0) — exact in doubles because the divisor is
+    a power of two (DuckDB's // truncates toward zero, so it is NOT
+    used). Quantize: sign(F)*floor((2|F|+16)/32); reconstruct:
+    clamp(2q+128) since the demo quant table is uniform 16."""
+
+    def ycc(s: str) -> str:
+        return f"""
+          least(255, greatest(0, CAST(floor((19595*r{s} + 38470*g{s} + 7471*b{s} + 32768) / 65536.0) AS BIGINT))) AS y{s},
+          least(255, greatest(0, 128 + CAST(floor((-11059*r{s} - 21709*g{s} + 32768*b{s} + 32768) / 65536.0) AS BIGINT))) AS cb{s},
+          least(255, greatest(0, 128 + CAST(floor((32768*r{s} - 27439*g{s} - 5329*b{s} + 32768) / 65536.0) AS BIGINT))) AS cr{s}"""
+
+    def rec(v: str) -> str:
+        f = f"(8*({v} - 128))"
+        q = (f"(CASE WHEN {f} >= 0 THEN 1 ELSE -1 END"
+             f" * CAST(floor((2*abs({f}) + 16) / 32.0) AS BIGINT))")
+        return f"least(255, greatest(0, 2*{q} + 128))"
+
+    def rgb(s: str) -> str:
+        return f"""
+          least(255, greatest(0, yr{s} + CAST(floor((91881*(crr{s} - 128) + 32768) / 65536.0) AS BIGINT))) AS R{s},
+          least(255, greatest(0, yr{s} - CAST(floor((22554*(cbr{s} - 128) + 46802*(crr{s} - 128) + 32768) / 65536.0) AS BIGINT))) AS G{s},
+          least(255, greatest(0, yr{s} + CAST(floor((116130*(cbr{s} - 128) + 32768) / 65536.0) AS BIGINT))) AS B{s}"""
+
+    return f"""
+        WITH ids AS (SELECT unnest(range({n})) AS i),
+        c AS (
+          SELECT i,
+                 (7*i + 30) % 256 AS r0, (13*i + 11) % 256 AS g0, (29*i + 200) % 256 AS b0,
+                 (7*i + 30 + CASE WHEN i % 2 = 0 THEN 120 ELSE 0 END) % 256 AS rc,
+                 (13*i + 11 + CASE WHEN i % 2 = 0 THEN 180 ELSE 0 END) % 256 AS gc,
+                 (29*i + 200 + CASE WHEN i % 2 = 0 THEN 150 ELSE 0 END) % 256 AS bc
+          FROM ids
+        ),
+        y AS (SELECT i, {ycc("0")}, {ycc("c")} FROM c),
+        r AS (
+          SELECT i,
+                 {rec("y0")} AS yr0, {rec("cb0")} AS cbr0, {rec("cr0")} AS crr0,
+                 {rec("yc")} AS yrc, {rec("cbc")} AS cbrc, {rec("crc")} AS crrc
+          FROM y
+        ),
+        px AS (SELECT i, {rgb("0")}, {rgb("c")} FROM r)
+        SELECT CAST(i AS BIGINT) AS media_id, 1 AS decode_ok,
+               16 AS b0, 16 AS b1,
+               CAST(R0 AS INT) AS b2, CAST(G0 AS INT) AS b3, CAST(B0 AS INT) AS b4,
+               CAST(Rc AS INT) AS b5, CAST(Gc AS INT) AS b6, CAST(Bc AS INT) AS b7
+        FROM px
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from table_computing_spark.queries_tpch import TPCH_ORACLES
 
     return {
         **TPCH_ORACLES,
         "q_bpe_merges": _bpe_oracle_sql(8),
+        "q_jpeg_decode": _jpeg_oracle_sql(24),
         "q_gate_relational": """
             SELECT o_orderkey,
                    substr(o_orderpriority, 1, 5) AS prio5,

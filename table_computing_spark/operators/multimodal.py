@@ -71,19 +71,23 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_image(content: bytes) -> np.ndarray:
-    """Decode PPM P6, 24-bit uncompressed BMP, or 8-bit RGB/RGBA PNG
-    (non-interlaced) → (h, w, 3) uint8 RGB.
+    """Decode PPM P6, 24-bit uncompressed BMP, 8-bit RGB/RGBA PNG
+    (non-interlaced), or baseline sequential JPEG → (h, w, 3) uint8 RGB.
 
-    Raises NotImplementedError for any other format (JPEG/...) —
-    the caller surfaces that per-row as decode_ok=false."""
+    Raises NotImplementedError for any other format (progressive
+    JPEG/...) — the caller surfaces that per-row as decode_ok=false."""
     if content[:2] == b"P6":
         return _decode_ppm(content)
     if content[:2] == b"BM":
         return _decode_bmp(content)
     if content[:8] == PNG_SIGNATURE:
         return _decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        from table_computing_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     raise NotImplementedError(
-        "image codec: only PPM P6, BMP24, and PNG (8-bit RGB/RGBA) are built in"
+        "image codec: PPM P6, BMP24, PNG (8-bit RGB/RGBA), baseline JPEG built in"
     )
 
 
@@ -318,7 +322,7 @@ def _feature_vector(content: bytes | None, modality: str) -> list[float] | None:
     if content is None:
         return None
     if modality == "image" and (
-        content[:2] in (b"P6", b"BM") or content[:8] == PNG_SIGNATURE
+        content[:2] in (b"P6", b"BM", b"\xff\xd8") or content[:8] == PNG_SIGNATURE
     ):
         arr = decode_image(content)
         h, w = arr.shape[:2]
@@ -771,6 +775,36 @@ def make_demo_png_media(spark, n: int = 32) -> DataFrame:
     for i in range(n):
         arr = ((5 * i + 11 * (yy * w + xx) + 3 * cc) % 256).astype(np.uint8)
         rows.append((i, "image", encode_png(arr), None, '{"fmt": "png"}'))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+
+
+def make_demo_jpeg_media(spark, n: int = 24) -> DataFrame:
+    """Deterministic baseline-JPEG media table for the closed-form
+    decode oracle. Image i is 16x16; block (by, bx) (idx = 2*by + bx)
+    has flat color R=(7i+30+40*idx)%256, G=(13i+11+60*idx)%256,
+    B=(29i+200+50*idx)%256. Even i → 4:4:4 with four distinct flat
+    blocks; odd i → 4:2:0 single color (idx 0 everywhere — flat chroma
+    keeps the subsampled planes DC-only, so the decode stays
+    closed-form). Quant table is uniform 16, making every block's
+    reconstruction exact integer arithmetic (operators/jpeg.py
+    docstring spells out the chain the oracle reproduces)."""
+    from table_computing_spark.operators.jpeg import encode_jpeg_baseline
+
+    rows = []
+    for i in range(n):
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        for by in range(2):
+            for bx in range(2):
+                idx = (2 * by + bx) if i % 2 == 0 else 0
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = [
+                    (7 * i + 30 + 40 * idx) % 256,
+                    (13 * i + 11 + 60 * idx) % 256,
+                    (29 * i + 200 + 50 * idx) % 256,
+                ]
+        content = encode_jpeg_baseline(
+            img, subsampling="444" if i % 2 == 0 else "420"
+        )
+        rows.append((i, "image", content, None, '{"fmt": "jpeg"}'))
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 

@@ -1034,3 +1034,137 @@ def test_bm25_ranking_properties(spark):
     assert [r["score"] for r in out] == sorted((r["score"] for r in out), reverse=True)
     # k truncation
     assert len(tx.bm25_topk(df, ("apple", "pie"), k=2).collect()) == 2
+
+
+def test_jpeg_codec_roundtrip_exact_vs_reference_pipeline():
+    """decode(encode(x)) must equal an independently assembled
+    numpy pipeline (color convert → FDCT → quantize → dequant → IDCT →
+    color convert) EXACTLY — this pins the Huffman tables, byte
+    stuffing, marker layout, and MCU interleave, since any bit slip
+    would desync the entropy stream, not just perturb pixels."""
+    import numpy as np
+
+    from table_computing_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(7)
+
+    def codec_plane(p, qt):
+        ph, pw = p.shape
+        o = np.zeros((ph, pw), dtype=np.int64)
+        for y0 in range(0, ph, 8):
+            for x0 in range(0, pw, 8):
+                q = J.quantize(J._fdct(p[y0 : y0 + 8, x0 : x0 + 8] - 128.0), qt)
+                o[y0 : y0 + 8, x0 : x0 + 8] = np.clip(
+                    np.round(J._idct(q * qt)) + 128, 0, 255
+                )
+        return o
+
+    # 4:4:4
+    arr = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    ycc = J.rgb_to_ycbcr(arr).astype(np.float64)
+    planes = [codec_plane(ycc[:, :, ci], J.DEMO_QTABLE) for ci in range(3)]
+    expected = J.ycbcr_to_rgb(np.stack(planes, axis=-1))
+    got = J.decode_jpeg(J.encode_jpeg_baseline(arr))
+    assert np.array_equal(got, expected)
+
+    # 4:2:0 — chroma 2x2 mean + half-up round, nearest upsample
+    arr = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    h, w = arr.shape[:2]
+    ycc = J.rgb_to_ycbcr(arr).astype(np.float64)
+    cb = np.floor(ycc[:, :, 1].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)) + 0.5)
+    cr = np.floor(ycc[:, :, 2].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)) + 0.5)
+    yr = codec_plane(ycc[:, :, 0], J.DEMO_QTABLE)
+    cbr = codec_plane(cb, J.DEMO_QTABLE).repeat(2, axis=0).repeat(2, axis=1)
+    crr = codec_plane(cr, J.DEMO_QTABLE).repeat(2, axis=0).repeat(2, axis=1)
+    expected = J.ycbcr_to_rgb(np.stack([yr, cbr, crr], axis=-1))
+    got = J.decode_jpeg(J.encode_jpeg_baseline(arr, subsampling="420"))
+    assert np.array_equal(got, expected)
+
+    # a non-uniform quant table also round-trips exactly
+    qt = (1 + (np.arange(64).reshape(8, 8) % 7) * 4).astype(np.int32)
+    arr = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    ycc = J.rgb_to_ycbcr(arr).astype(np.float64)
+    planes = [codec_plane(ycc[:, :, ci], qt) for ci in range(3)]
+    expected = J.ycbcr_to_rgb(np.stack(planes, axis=-1))
+    assert np.array_equal(J.decode_jpeg(J.encode_jpeg_baseline(arr, qtable=qt)), expected)
+
+
+def test_jpeg_flat_block_closed_form():
+    """Flat 8x8 blocks with the uniform-16 quant table decode to the
+    exact integer chain the q_jpeg_decode oracle reproduces in SQL."""
+    import numpy as np
+
+    from table_computing_spark.operators import jpeg as J
+
+    def closed_form(r, g, b):
+        Y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+        Cb = 128 + ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16)
+        Cr = 128 + ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16)
+
+        def rec(v):
+            F = 8 * (v - 128)
+            q = (2 * abs(F) + 16) // 32 * (1 if F >= 0 else -1)
+            return max(0, min(255, 2 * q + 128))
+
+        Yp, cb, cr = rec(Y), rec(Cb) - 128, rec(Cr) - 128
+        return (
+            max(0, min(255, Yp + ((91881 * cr + 32768) >> 16))),
+            max(0, min(255, Yp - ((22554 * cb + 46802 * cr + 32768) >> 16))),
+            max(0, min(255, Yp + ((116130 * cb + 32768) >> 16))),
+        )
+
+    rng = np.random.default_rng(11)
+    for _ in range(30):
+        colors = rng.integers(0, 256, size=(2, 2, 3))
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        for by in range(2):
+            for bx in range(2):
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = colors[by, bx]
+        dec = J.decode_jpeg(J.encode_jpeg_baseline(img))
+        for by in range(2):
+            for bx in range(2):
+                exp = closed_form(*[int(v) for v in colors[by, bx]])
+                assert tuple(int(v) for v in dec[by * 8 + 4, bx * 8 + 4]) == exp
+    for _ in range(15):
+        c = rng.integers(0, 256, size=3)
+        img = np.full((16, 16, 3), c, dtype=np.uint8)
+        dec = J.decode_jpeg(J.encode_jpeg_baseline(img, subsampling="420"))
+        assert (dec == np.array(closed_form(*[int(v) for v in c]), dtype=np.uint8)).all()
+
+
+def test_jpeg_unsupported_flavors_raise():
+    """Progressive (SOF2) and truncated streams surface as
+    NotImplementedError — the decode_ok=false boundary, never garbage."""
+    import numpy as np
+    import pytest as _pytest
+
+    from table_computing_spark.operators import jpeg as J
+    from table_computing_spark.operators import multimodal as mm
+
+    arr = np.zeros((16, 16, 3), dtype=np.uint8)
+    enc = bytearray(J.encode_jpeg_baseline(arr))
+    sof = enc.find(b"\xff\xc0")
+    assert sof > 0
+    prog = bytes(enc[:sof]) + b"\xff\xc2" + bytes(enc[sof + 2 :])
+    with _pytest.raises(NotImplementedError):
+        J.decode_jpeg(prog)
+    with _pytest.raises(NotImplementedError):
+        J.decode_jpeg(b"\xff\xd8\xff\xe0")  # SOI then truncation
+    # dispatch: decode_image routes JPEG signatures to decode_jpeg
+    assert np.array_equal(mm.decode_image(bytes(enc)), J.decode_jpeg(bytes(enc)))
+
+
+def test_jpeg_flows_through_feature_extraction(spark):
+    """The mapInPandas feature contract over real JPEG bytes: every
+    demo image decodes (decode_ok) and w=h=16 comes back through the
+    feature probes."""
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators import multimodal as mm
+
+    feats = mm.extract_features(mm.make_demo_jpeg_media(spark, 12)).collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert r["decode_ok"], r
+        assert round(r["feature"][0] * 255) == 16
+        assert round(r["feature"][1] * 255) == 16
