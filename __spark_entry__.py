@@ -2676,14 +2676,11 @@ def q_ohlc(spark, sf_dir):
     )
 
 
-def q_record_linkage(spark, sf_dir):
-    """Probabilistic record linkage (operators/linkage.py, Fellegi–
-    Sunter 1969): customers vs a deterministically perturbed second
-    source (25%% of names altered, 20%% of balances shifted), blocked
-    on (nation, segment) so the cross product never happens. Three
-    field rules contribute ln(m/u) / ln((1-m)/(1-u)) weights in fixed
-    order; thresholds split match / possible / non-match and the
-    non-matches are dropped."""
+def _linkage_inputs(spark, sf_dir):
+    """Shared by q_record_linkage / q_linkage_em: customers vs a
+    deterministically perturbed second source (25%% of names altered,
+    20%% of balances shifted) plus the three Fellegi–Sunter field
+    rules."""
     from table_computing_spark.operators import linkage
 
     c = _t(spark, sf_dir, "customer").df
@@ -2723,11 +2720,78 @@ def q_record_linkage(spark, sf_dir):
             0.1,
         ),
     ]
+    return a, b, rules
+
+
+def q_record_linkage(spark, sf_dir):
+    """Probabilistic record linkage (operators/linkage.py, Fellegi–
+    Sunter 1969): customers vs a deterministically perturbed second
+    source, blocked on (nation, segment) so the cross product never
+    happens. Three field rules contribute ln(m/u) / ln((1-m)/(1-u))
+    weights in fixed order; thresholds split match / possible /
+    non-match and the non-matches are dropped."""
+    from table_computing_spark.operators import linkage
+
+    a, b, rules = _linkage_inputs(spark, sf_dir)
     scored = linkage.score_pairs(
         a, b, ["c_nationkey", "c_mktsegment"], rules
     )
     return linkage.classify(scored, upper=3.0, lower=0.0).filter(
         F.col("decision") != "non_match"
+    )
+
+
+def q_linkage_em(spark, sf_dir):
+    """Unsupervised Fellegi–Sunter parameter fit (operators/linkage.
+    estimate_em — Winkler's EM over agreement patterns): the blocked
+    pairs of q_record_linkage collapse to 2^3 pattern counts in one
+    hash aggregation; 5 E/M rounds then run at pattern scale on the
+    driver (bounded-scalar discipline — the pull is ≤ 2^K rows no
+    matter the pair count). The oracle unrolls the same 5 iterations
+    as SQL over identical pattern counts (the q_pagerank fixed-k
+    trick), so initialization, clamping, and update order are all
+    value-checked, not just the final decision boundary."""
+    from table_computing_spark.operators import linkage
+
+    a, b, rules = _linkage_inputs(spark, sf_dir)
+    scored = linkage.score_pairs(a, b, ["c_nationkey", "c_mktsegment"], rules)
+    fit, prior = linkage.estimate_em(
+        scored, ["agree_name", "agree_balance", "agree_keymod"], iterations=5
+    )
+    rows = [
+        (name, round(m, 6), round(u, 6), round(prior, 6))
+        for name, (m, u) in zip(["name", "balance", "keymod"], fit)
+    ]
+    return spark.createDataFrame(
+        rows, "field string, m double, u double, match_prior double"
+    )
+
+
+def q_target_encode(spark, sf_dir):
+    """Leakage-safe K-fold out-of-fold target encoding (operators/
+    encoding.target_encode): o_custkey encoded against the binary
+    label o_orderstatus='F' with md5-deterministic folds, per-cell
+    (category, fold) aggregation, totals-minus-own-cell out-of-fold
+    statistics, and smoothing toward the out-of-fold global prior.
+    Binary labels keep every sum an exact small integer, so the
+    double arithmetic is bit-identical across engines and the oracle
+    recomputes the full encoding from scratch."""
+    from table_computing_spark.operators import encoding as enc
+
+    o = _t(spark, sf_dir, "orders").df
+    out = enc.target_encode(
+        o,
+        "o_custkey",
+        (F.col("o_orderstatus") == "F").cast("int"),
+        "o_orderkey",
+        k_folds=5,
+        smoothing=20.0,
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("__fold").alias("fold"),
+        F.round("te", 6).alias("te"),
     )
 
 
@@ -3214,6 +3278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gate_setops": q_gate_setops,
         "q_stream_over": q_stream_over,
         "q_jpeg_decode": q_jpeg_decode,
+        "q_linkage_em": q_linkage_em,
+        "q_target_encode": q_target_encode,
     }
     return {**window_50, **tail}
 
@@ -3414,6 +3480,88 @@ def _jpeg_oracle_sql(n: int = 24) -> str:
     """
 
 
+def _em_oracle_sql(iters: int = 5) -> str:
+    """Fixed-k unrolled EM oracle for q_linkage_em: the 2^3 agreement
+    patterns come from the same blocked-pair SQL as q_record_linkage;
+    each E/M round is one CTE pair (joint probabilities per pattern,
+    then the clamped parameter updates). Multiplication order matches
+    estimate_em's field loop so the doubles agree to well inside the
+    round(6) comparison."""
+
+    def joint(prefix: str) -> str:
+        mu = "m" if prefix == "pm" else "u"
+        base = "pr.p" if prefix == "pm" else "(1.0 - pr.p)"
+        terms = " * ".join(
+            f"(CASE WHEN b{i} = 1 THEN pr.{mu}{i} ELSE 1.0 - pr.{mu}{i} END)"
+            for i in (1, 2, 3)
+        )
+        return f"{base} * {terms} AS {prefix}"
+
+    clamp = lambda x: f"least(0.9999, greatest(0.0001, {x}))"  # noqa: E731
+    parts = ["""
+        WITH a AS (
+          SELECT c_custkey AS id_a, c_name AS name_a, c_nationkey,
+                 c_acctbal AS bal_a, c_mktsegment
+          FROM customer
+        ), b AS (
+          SELECT c_custkey + 1000000 AS id_b,
+                 CASE WHEN c_custkey % 4 = 0 THEN c_name || 'X' ELSE c_name END AS name_b,
+                 c_nationkey,
+                 c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 100.0 ELSE 0.0 END AS bal_b,
+                 c_mktsegment
+          FROM customer
+        ), p AS (
+          SELECT id_a, id_b, name_a, name_b, bal_a, bal_b
+          FROM a JOIN b USING (c_nationkey, c_mktsegment)
+        ), pat AS (
+          SELECT CAST(name_a = name_b AS INT) AS b1,
+                 CAST(abs(bal_a - bal_b) < 1.0 AS INT) AS b2,
+                 CAST(id_a % 10 = (id_b - 1000000) % 10 AS INT) AS b3,
+                 CAST(count(*) AS DOUBLE) AS n
+          FROM p GROUP BY 1, 2, 3
+        ),
+        params0 AS (
+          SELECT 0.9 AS m1, 0.9 AS m2, 0.9 AS m3,
+                 0.1 AS u1, 0.1 AS u2, 0.1 AS u3, 0.05 AS p
+        )"""]
+    for t in range(1, iters + 1):
+        m_updates = ",\n                 ".join(
+            clamp(f"sum(CASE WHEN b{i} = 1 THEN g*n ELSE 0.0 END) / sum(g*n)")
+            + f" AS m{i}"
+            for i in (1, 2, 3)
+        )
+        u_updates = ",\n                 ".join(
+            clamp(
+                f"sum(CASE WHEN b{i} = 1 THEN (1.0-g)*n ELSE 0.0 END)"
+                f" / (sum(n) - sum(g*n))"
+            )
+            + f" AS u{i}"
+            for i in (1, 2, 3)
+        )
+        parts.append(f""",
+        e{t} AS (
+          SELECT pat.*, {joint("pm")},
+                 {joint("pu")}
+          FROM pat CROSS JOIN params{t - 1} pr
+        ),
+        g{t} AS (SELECT *, pm / (pm + pu) AS g FROM e{t}),
+        params{t} AS (
+          SELECT {m_updates},
+                 {u_updates},
+                 {clamp("sum(g*n) / sum(n)")} AS p
+          FROM g{t}
+        )""")
+    parts.append(f"""
+        SELECT 'name' AS field, round(m1, 6) AS m, round(u1, 6) AS u,
+               round(p, 6) AS match_prior FROM params{iters}
+        UNION ALL
+        SELECT 'balance', round(m2, 6), round(u2, 6), round(p, 6) FROM params{iters}
+        UNION ALL
+        SELECT 'keymod', round(m3, 6), round(u3, 6), round(p, 6) FROM params{iters}
+    """)
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     from table_computing_spark.queries_tpch import TPCH_ORACLES
 
@@ -3421,6 +3569,35 @@ def oracle_sql() -> dict[str, str]:
         **TPCH_ORACLES,
         "q_bpe_merges": _bpe_oracle_sql(8),
         "q_jpeg_decode": _jpeg_oracle_sql(24),
+        "q_linkage_em": _em_oracle_sql(5),
+        "q_target_encode": """
+            WITH t AS (
+              SELECT o_orderkey, o_custkey,
+                     CAST(CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                               AS BIGINT) % 5 AS INT) AS fold,
+                     CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+              FROM orders
+            ), cells AS (
+              SELECT o_custkey, fold, sum(y) AS s, count(*) AS c
+              FROM t GROUP BY 1, 2
+            ), cat AS (
+              SELECT o_custkey, sum(s) AS cs, sum(c) AS cc FROM cells GROUP BY 1
+            ), ft AS (
+              SELECT fold, sum(s) AS fs, sum(c) AS fc FROM cells GROUP BY 1
+            ), g AS (
+              SELECT sum(s) AS gs, sum(c) AS gc FROM cells
+            ), e AS (
+              SELECT cells.o_custkey, cells.fold,
+                     (cat.cs - cells.s) AS oof_s,
+                     (cat.cc - cells.c) AS oof_c,
+                     (g.gs - ft.fs) / (g.gc - ft.fc) AS prior
+              FROM cells JOIN cat USING (o_custkey)
+                         JOIN ft USING (fold) CROSS JOIN g
+            )
+            SELECT t.o_orderkey, t.o_custkey, t.fold,
+                   round((e.oof_s + e.prior * 20.0) / (e.oof_c + 20.0), 6) AS te
+            FROM t JOIN e ON t.o_custkey = e.o_custkey AND t.fold = e.fold
+        """,
         "q_gate_relational": """
             SELECT o_orderkey,
                    substr(o_orderpriority, 1, 5) AS prio5,
@@ -5124,8 +5301,8 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'update' END AS change_type
               FROM old o FULL OUTER JOIN new n USING (o_orderkey)
               WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
-                 OR o.o_orderstatus <> n.o_orderstatus
-                 OR o.price_cents <> n.price_cents
+                 OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                 OR o.price_cents IS DISTINCT FROM n.price_cents
             )
             SELECT d.o_orderkey, d.change_type, s.o_orderstatus, s.price_cents
             FROM d JOIN new s USING (o_orderkey) WHERE d.change_type <> 'delete'
@@ -5324,10 +5501,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_stream_ohlc": """
             SELECT event_type,
-                   arg_min(value, epoch_ms(ts) * 1000000 + event_id) AS open,
+                   -- HUGEINT key: ms*1e12 + id matches Spark's struct(t_ms,
+                   -- event_id) tiebreak for any event_id < 1e12 (int128
+                   -- math, no overflow; r05 ADVICE flagged the old 1e6)
+                   arg_min(value, CAST(epoch_ms(ts) AS HUGEINT) * 1000000000000 + event_id) AS open,
                    max(value) AS high,
                    min(value) AS low,
-                   arg_max(value, epoch_ms(ts) * 1000000 + event_id) AS close,
+                   arg_max(value, CAST(epoch_ms(ts) AS HUGEINT) * 1000000000000 + event_id) AS close,
                    count(*) AS n_events,
                    (epoch_ms(ts) // 3600000) * 3600000 AS window_start,
                    (epoch_ms(ts) // 3600000) * 3600000 + 3600000 AS window_end
@@ -5434,10 +5614,13 @@ def oracle_sql() -> dict[str, str]:
         "q_ohlc": """
             SELECT event_type,
                    (epoch_ms(ts) // 3600000) * 3600000 AS bar_start,
-                   arg_min(value, epoch_ms(ts) * 1000000 + event_id) AS open,
+                   -- HUGEINT key: ms*1e12 + id matches Spark's struct(t_ms,
+                   -- event_id) tiebreak for any event_id < 1e12 (int128
+                   -- math, no overflow; r05 ADVICE flagged the old 1e6)
+                   arg_min(value, CAST(epoch_ms(ts) AS HUGEINT) * 1000000000000 + event_id) AS open,
                    max(value) AS high,
                    min(value) AS low,
-                   arg_max(value, epoch_ms(ts) * 1000000 + event_id) AS close,
+                   arg_max(value, CAST(epoch_ms(ts) AS HUGEINT) * 1000000000000 + event_id) AS close,
                    count(*) AS n_events
             FROM events
             GROUP BY 1, 2

@@ -102,8 +102,19 @@ def bloom_join(
     how: str = "inner",
 ) -> DataFrame:
     """Exact `how`-join of fact to dim with the fact side Bloom-pruned
-    first. Result rows are identical to the plain join (no false
-    negatives; false positives die in the final join)."""
+    first. Only dim-matching-only modes are legal: pruning drops fact
+    rows BEFORE the join, which is invisible to inner/left_semi (no
+    false negatives; false positives die in the final join) but would
+    corrupt outer modes (a left join must keep non-matching fact rows
+    with NULLs) and invert anti modes (survivors would be exactly the
+    Bloom false positives)."""
+    allowed = ("inner", "semi", "leftsemi", "left_semi")
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"bloom_join supports only {allowed}; {how!r} would change "
+            "results because the fact side is pruned before the join — "
+            "use a plain join for outer/anti modes"
+        )
     bitmap = bloom_build(dim, dim_key, num_bits, num_hashes)
     pruned = bloom_prune(fact, fact_key, bitmap, num_bits, num_hashes)
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)

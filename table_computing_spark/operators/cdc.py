@@ -31,17 +31,22 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_NULL_SENTINEL = "\x00"  # distinguishes NULL from empty string in fingerprints
-_SEP = "\x01"
+_SEP = "|"
 
 
 def row_fingerprint(cols: Sequence[str]) -> Column:
-    """md5 over a canonical, engine-portable encoding of `cols`:
-    values cast to string, NULL mapped to a sentinel no real value
-    contains, joined with a non-printing separator. The same
-    expression in the DuckDB oracle yields the identical digest."""
+    """md5 over an INJECTIVE, engine-portable encoding of `cols`: each
+    value is hashed per-column first (md5 of its string cast, NULL →
+    the 4-char literal 'null'), then the fixed-width tokens are joined
+    and hashed again. Because every token is either 32 hex chars or
+    'null', no value content can shift bytes across column boundaries
+    — the naive join of raw strings is NOT injective (('a|b','c') and
+    ('a','b|c') collide for any separator that can appear in data).
+    Two rows fingerprint equal iff every column is equal under
+    NULL-distinct semantics (up to md5 collision); the DuckDB oracle
+    mirrors this with IS DISTINCT FROM per column."""
     parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)) for c in cols
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("null")) for c in cols
     ]
     return F.md5(F.concat_ws(_SEP, *parts))
 

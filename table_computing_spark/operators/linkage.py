@@ -129,6 +129,10 @@ def estimate_em(
     patterns = [
         ([int(bool(r[c])) for c in agree_cols], float(r["__n"])) for r in rows
     ]
+    # collect() order is partition-dependent; the E/M accumulations sum
+    # doubles in pattern order, so pin it for run-to-run (and oracle)
+    # reproducibility
+    patterns.sort(key=lambda t: t[0])
     k = len(agree_cols)
     m = [0.9] * k
     u = [0.1] * k

@@ -228,9 +228,20 @@ def twap(
     observation, so sparse spikes must not dominate an arithmetic
     mean). Each observation is weighted by its holding time within the
     window: from its timestamp to the next observation's (clamped to
-    the window end; the first observation also covers from the window
-    start — i.e. the window-start value carries backward from the
-    first in-window point).
+    the window end).
+
+    DELIBERATE deviation from carry-forward TWAP (r05 ADVICE): the
+    [window_start, first_obs) gap is attributed to the FIRST in-window
+    observation (carry-BACKWARD), and windows with zero observations
+    emit no row. Carry-forward across window boundaries needs the
+    previous window's closing value — a per-key ordered scan whose
+    state spans windows, which at 100 TB means a second window pass or
+    a range self-join per gap. This operator instead stays a single
+    lead() + one aggregation; if strict carry-forward semantics are
+    required, explode each observation's hold interval across the
+    windows it overlaps first and feed the result here (every window
+    then has an in-window point at its start). The oracle encodes the
+    same carry-backward convention.
 
     One window shuffle on the key (lead for the next timestamp), one
     hash aggregation — weights are exact integer milliseconds and the

@@ -66,6 +66,45 @@ def test_snapshot_diff_null_vs_empty_fingerprint(spark):
     assert [r["change_type"] for r in out] == ["update"]
 
 
+def test_row_fingerprint_is_injective_across_column_boundaries(spark):
+    """r05 ADVICE: the old raw-string join collided ('a<sep>b','c')
+    with ('a','b<sep>c') for any separator appearing in data, and a
+    literal sentinel string with NULL. Per-column hashing makes every
+    such pair distinct — updates can no longer be silently classified
+    unchanged."""
+    cases = [
+        # (old_pair, new_pair) that MUST be seen as an update
+        (("a|b", "c"), ("a", "b|c")),
+        (("a\x01b", "c"), ("a", "b\x01c")),
+        (("\x00", "x"), (None, "x")),
+        (("null", "x"), (None, "x")),  # literal 'null' string vs NULL
+    ]
+    for (o1, o2), (n1, n2) in cases:
+        old = spark.createDataFrame([(1, o1, o2)], "k long, a string, b string")
+        new = spark.createDataFrame([(1, n1, n2)], "k long, a string, b string")
+        out = cdc.snapshot_diff(old, new, ["k"], ["a", "b"]).collect()
+        assert [r["change_type"] for r in out] == ["update"], (o1, o2, n1, n2)
+
+
+def test_bloom_join_rejects_result_changing_modes(spark):
+    """Bloom pruning drops fact rows before the join, so outer/anti
+    modes would return wrong results — they must raise, not run."""
+    import pytest as _pytest
+
+    from table_computing_spark.operators import bloomjoin
+
+    fact = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    dim = spark.createDataFrame([(1, "x")], "k long, d string")
+    for bad in ("left", "left_outer", "full", "left_anti", "right"):
+        with _pytest.raises(ValueError):
+            bloomjoin.bloom_join(fact, dim, "k", "k", how=bad)
+    # the legal modes still run
+    assert bloomjoin.bloom_join(fact, dim, "k", "k", how="inner").count() == 1
+    assert (
+        bloomjoin.bloom_join(fact, dim, "k", "k", how="left_semi").count() == 1
+    )
+
+
 def test_scd2_intervals_tile_timeline(spark):
     ev = spark.createDataFrame(
         [
