@@ -3102,23 +3102,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     until every declared query has a green row in some round's
     CORRECTNESS file.
 
-    Round-5 window: (a) the 3 queries red in r04 on the oracle
-    HUGEINT-vs-BIGINT dtype bug, now fixed (CAST ... AS BIGINT) — first
-    so the fix is confirmed driver-side; (b) ALL 44 queries NEW in
-    round 5 — never driver-checked, so a green round makes the board
-    161/161 ever-green; (c) 3 oldest-verified (r01) TPC-H fillers.
-    The dtype-strict local sim (tests/oracle.py) is green on all 161
-    at sf0.01, so the r01-verified tail carries low staleness risk and
-    rotates through following rounds."""
+    Round-6 window: (a) the 5 never-driver-green queries — the two r05
+    reds now fixed (q_contract_quarantine scalar group key,
+    q_bpe_merges fixed-k unrolled-CTE oracle) and the three NEW this
+    round (q_jpeg_decode, q_linkage_em, q_target_encode); (b) all 37
+    queries whose last green is r01 (stalest on the board — the
+    rotation policy re-proves every query at least every ~3 rounds);
+    (c) 8 r03-verified fillers spread across operator families. Zero
+    overlap with the r04/r05-verified sets. The dtype-strict local sim
+    (tests/oracle.py) is green on all 164 at sf0.01."""
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
     tpch = dict(TPCH_QUERIES)
     window_50 = {
-        # (a) r04 reds, oracle dtype fixed — confirm green
+        # (a) round-6 never-driver-verified: the two r05 reds now fixed
+        # (q_contract_quarantine scalar group key, q_bpe_merges unrolled
+        # CTE oracle) plus the three queries NEW this round (JPEG
+        # decode, EM fit, target encoding)
+        "q_contract_quarantine": q_contract_quarantine,
+        "q_bpe_merges": q_bpe_merges,
+        "q_jpeg_decode": q_jpeg_decode,
+        "q_linkage_em": q_linkage_em,
+        "q_target_encode": q_target_encode,
+        # (b) stalest on the board: every query whose last green is r01
+        "q_tpch_q14": tpch["q_tpch_q14"],
+        "q_tpch_q15": tpch["q_tpch_q15"],
+        "q_tpch_q16": tpch["q_tpch_q16"],
+        "q_tpch_q17": tpch["q_tpch_q17"],
+        "q_tpch_q18": tpch["q_tpch_q18"],
+        "q_tpch_q19": tpch["q_tpch_q19"],
+        "q_tpch_q2": tpch["q_tpch_q2"],
+        "q_tpch_q20": tpch["q_tpch_q20"],
+        "q_tpch_q21": tpch["q_tpch_q21"],
+        "q_tpch_q22": tpch["q_tpch_q22"],
+        "q_tpch_q3": tpch["q_tpch_q3"],
+        "q_tpch_q4": tpch["q_tpch_q4"],
+        "q_tpch_q5": tpch["q_tpch_q5"],
+        "q_tpch_q6": tpch["q_tpch_q6"],
+        "q_tpch_q7": tpch["q_tpch_q7"],
+        "q_tpch_q8": tpch["q_tpch_q8"],
+        "q_tpch_q9": tpch["q_tpch_q9"],
+        "q_filter_select": q_filter_select,
+        "q_project_negative": q_project_negative,
+        "q_groupby_agg": q_groupby_agg,
+        "q_avg_ref_nulls": q_avg_ref_nulls,
+        "q_rollup": q_rollup,
+        "q_grouping_sets": q_grouping_sets,
+        "q_count_distinct": q_count_distinct,
+        "q_percentile": q_percentile,
+        "q_join_inner": q_join_inner,
+        "q_join_left": q_join_left,
+        "q_join_multi": q_join_multi,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_over_rank": q_over_rank,
+        "q_window_ranks": q_window_ranks,
+        "q_group_concat": q_group_concat,
+        "q_scalar_functions": q_scalar_functions,
+        "q_date_functions": q_date_functions,
+        "q_union_distinct": q_union_distinct,
+        "q_set_ops": q_set_ops,
+        # (c) r03-verified fillers across operator families
+        "q_semi_anti_join": q_semi_anti_join,
+        "q_top_n": q_top_n,
+        "q_order_by_limit": q_order_by_limit,
+        "q_stream_dedup": q_stream_dedup,
+        "q_dedup_exact": q_dedup_exact,
+        "q_cosine_topk": q_cosine_topk,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_text_analysis": q_text_analysis,
+    }
+    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
+    tail = {
+        # rotation pool: r03 remainder, then the r04/r05-green sets
         "q_pivot": q_pivot,
         "q_token_budget": q_token_budget,
         "q_pipeline_curation": q_pipeline_curation,
-        # (b) new in round 5 — first driver check
         "q_doc_novelty": q_doc_novelty,
         "q_embedding_groups": q_embedding_groups,
         "q_decontaminate": q_decontaminate,
@@ -3140,11 +3199,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_video_frames": q_video_frames,
         "q_doc_chunks_overlap": q_doc_chunks_overlap,
         "q_bm25_topk": q_bm25_topk,
-        # (b cont.) new in the round-5 extension session — CDC, bloom
-        # join, sampling, diagnostics, linkage, clustering, BPE — the
-        # window holds EVERY never-driver-verified query (44) plus the
-        # 3 fixed reds, so a green round makes the board 161/161
-        # ever-green
         "q_snapshot_diff": q_snapshot_diff,
         "q_scd2": q_scd2,
         "q_bloom_join": q_bloom_join,
@@ -3166,51 +3220,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_linreg": q_linreg,
         "q_mutual_info": q_mutual_info,
         "q_stream_ohlc": q_stream_ohlc,
-        "q_contract_quarantine": q_contract_quarantine,
-        "q_bpe_merges": q_bpe_merges,  # oracled: fixed-k unrolled CTE
-        # (c) oldest-verified (r01) fillers
         "q_tpch_q10": tpch["q_tpch_q10"],
         "q_tpch_q11": tpch["q_tpch_q11"],
         "q_tpch_q13": tpch["q_tpch_q13"],
-    }
-    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
-    tail = {
-        # oldest-verified (r01) remainder — next rounds' rotation pool
-        **{
-            k: tpch[k]
-            for k in sorted(tpch)
-            if k not in ("q_tpch_q1", "q_tpch_q12", "q_tpch_q10", "q_tpch_q11", "q_tpch_q13")
-        },
-        "q_filter_select": q_filter_select,
-        "q_project_negative": q_project_negative,
-        "q_groupby_agg": q_groupby_agg,
-        "q_avg_ref_nulls": q_avg_ref_nulls,
-        "q_rollup": q_rollup,
-        "q_grouping_sets": q_grouping_sets,
-        "q_count_distinct": q_count_distinct,
-        "q_percentile": q_percentile,
-        "q_join_inner": q_join_inner,
-        "q_join_left": q_join_left,
-        "q_join_multi": q_join_multi,
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_over_rank": q_over_rank,
-        "q_window_ranks": q_window_ranks,
-        "q_group_concat": q_group_concat,
-        "q_scalar_functions": q_scalar_functions,
-        "q_date_functions": q_date_functions,
-        "q_union_distinct": q_union_distinct,
-        "q_set_ops": q_set_ops,
-        # r03-verified remainder, then the r04-green set
-        "q_semi_anti_join": q_semi_anti_join,
-        "q_top_n": q_top_n,
-        "q_order_by_limit": q_order_by_limit,
-        "q_stream_dedup": q_stream_dedup,
         "q_stream_ivf_assign": q_stream_ivf_assign,
-        "q_dedup_exact": q_dedup_exact,
         "q_dedup_groups": q_dedup_groups,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_cosine_topk": q_cosine_topk,
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_curation_canonical": q_curation_canonical,
         "q_embedding_neardup": q_embedding_neardup,
@@ -3218,12 +3232,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_multiprobe": q_lsh_multiprobe,
         "q_ivf_topk": q_ivf_topk,
         "q_salted_join": q_salted_join,
-        "q_text_analysis": q_text_analysis,
         "q_repetition_metrics": q_repetition_metrics,
         "q_text_scrub": q_text_scrub,
         "q_tfidf_terms": q_tfidf_terms,
         "q_doc_chunks": q_doc_chunks,
-        # r04-green
         "q_flagship_top100": q_flagship_top100,
         "q_filter_rows": q_filter_rows,
         "q_transform_rows": q_transform_rows,
@@ -3277,9 +3289,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gate_over": q_gate_over,
         "q_gate_setops": q_gate_setops,
         "q_stream_over": q_stream_over,
-        "q_jpeg_decode": q_jpeg_decode,
-        "q_linkage_em": q_linkage_em,
-        "q_target_encode": q_target_encode,
     }
     return {**window_50, **tail}
 

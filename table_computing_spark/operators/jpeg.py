@@ -400,6 +400,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
         return bytes(self.out)
 
+    def flush_segment(self) -> bytes:
+        """Byte-align and emit the pending entropy bytes (before an RST
+        marker), then reset for the next restart interval."""
+        data = self.flush()
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+        return data
+
 
 def _category(v: int) -> int:
     return int(abs(v)).bit_length()
@@ -448,10 +457,14 @@ def encode_jpeg_baseline(
     arr: np.ndarray,
     qtable: "np.ndarray | None" = None,
     subsampling: str = "444",
+    restart_every: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 RGB → baseline JFIF bytes. 4:4:4 needs h, w
     multiples of 8; 4:2:0 multiples of 16 (fixture encoder — no edge
-    padding). Same quant table for luma and chroma."""
+    padding). Same quant table for luma and chroma. `restart_every` > 0
+    emits a DRI segment and RSTn markers every that-many MCUs (resets
+    DC predictors + byte-aligns), exercising the decoder's restart
+    path."""
     qt = DEMO_QTABLE if qtable is None else np.asarray(qtable, dtype=np.int32)
     h, w = arr.shape[:2]
     if subsampling not in ("444", "420"):
@@ -481,20 +494,37 @@ def encode_jpeg_baseline(
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 3, 8, h, w, 3)
     out += bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1])
     out += _dht_segment()
+    if restart_every:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_every)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * 3, 3)
     out += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
 
     writer = _BitWriter()
     preds = [0, 0, 0]
+    mcu_count = 0
+    rst_idx = 0
+
+    def maybe_restart() -> None:
+        nonlocal preds, rst_idx
+        if restart_every and mcu_count and mcu_count % restart_every == 0:
+            nonlocal out
+            out += writer.flush_segment()
+            out += bytes([0xFF, 0xD0 + rst_idx])
+            rst_idx = (rst_idx + 1) % 8
+            preds = [0, 0, 0]
+
     if subsampling == "444":
         for my in range(h // 8):
             for mx in range(w // 8):
+                maybe_restart()
                 for ci, plane in enumerate((yp, cb, cr)):
                     blk = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
                     preds[ci] = _encode_block(writer, blk, qt, preds[ci])
+                mcu_count += 1
     else:
         for my in range(h // 16):
             for mx in range(w // 16):
+                maybe_restart()
                 for by in range(2):
                     for bx in range(2):
                         y0, x0 = my * 16 + by * 8, mx * 16 + bx * 8
@@ -503,6 +533,7 @@ def encode_jpeg_baseline(
                 for ci, plane in ((1, cb), (2, cr)):
                     blk = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
                     preds[ci] = _encode_block(writer, blk, qt, preds[ci])
+                mcu_count += 1
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -1168,3 +1168,26 @@ def test_jpeg_flows_through_feature_extraction(spark):
         assert r["decode_ok"], r
         assert round(r["feature"][0] * 255) == 16
         assert round(r["feature"][1] * 255) == 16
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    """DRI/RSTn streams must decode identically to the unrestarted
+    stream — pins the decoder's predictor reset + byte realignment."""
+    import numpy as np
+
+    from table_computing_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(32, 40, 3), dtype=np.uint8)
+    plain = J.decode_jpeg(J.encode_jpeg_baseline(arr))
+    for re_ in (1, 2, 7):
+        assert np.array_equal(
+            plain, J.decode_jpeg(J.encode_jpeg_baseline(arr, restart_every=re_))
+        ), re_
+    arr2 = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg_baseline(arr2, subsampling="420")),
+        J.decode_jpeg(
+            J.encode_jpeg_baseline(arr2, subsampling="420", restart_every=2)
+        ),
+    )
