@@ -2900,6 +2900,27 @@ def q_bpe_merges(spark, sf_dir):
     return bpe.merges_df(spark, merges)
 
 
+def q_bpe_segment(spark, sf_dir):
+    """Close the BPE loop: learn 8 merges on the corpus, then APPLY
+    them to every document with the standard rank-greedy algorithm
+    (operators/bpe.bpe_segment — Arrow pandas UDF, embarrassingly
+    parallel, zero shuffle). Output is per-doc token count plus the
+    first 5 tokens, so the value hash pins the actual segmentation.
+    Oracle: the training oracle's merge-replay chain applied at
+    vocabulary scale, re-attached per document in word order
+    (_bpe_segment_oracle_sql)."""
+    from table_computing_spark.operators import bpe
+
+    d = _t(spark, sf_dir, "documents").df
+    merges, _ = bpe.learn_bpe(d, "text", num_merges=8)
+    seg = bpe.bpe_segment(d, merges, "text")
+    return seg.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe_tokens"),
+        F.array_join(F.slice("bpe_tokens", 1, 5), " ").alias("head_tokens"),
+    )
+
+
 def q_hard_negatives(spark, sf_dir):
     """Contrastive hard-negative mining (operators/similarity.
     hard_negatives): for each anchor (vec_id %% 67 == 0) the 5 nearest
@@ -3102,15 +3123,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     until every declared query has a green row in some round's
     CORRECTNESS file.
 
-    Round-6 window: (a) the 5 never-driver-green queries — the two r05
+    Round-6 window: (a) the 6 never-driver-green queries — the two r05
     reds now fixed (q_contract_quarantine scalar group key,
-    q_bpe_merges fixed-k unrolled-CTE oracle) and the three NEW this
-    round (q_jpeg_decode, q_linkage_em, q_target_encode); (b) all 37
-    queries whose last green is r01 (stalest on the board — the
-    rotation policy re-proves every query at least every ~3 rounds);
-    (c) 8 r03-verified fillers spread across operator families. Zero
-    overlap with the r04/r05-verified sets. The dtype-strict local sim
-    (tests/oracle.py) is green on all 164 at sf0.01."""
+    q_bpe_merges fixed-k unrolled-CTE oracle) and the four NEW this
+    round (q_jpeg_decode, q_linkage_em, q_target_encode,
+    q_bpe_segment); (b) all 37 queries whose last green is r01
+    (stalest on the board — the rotation policy re-proves every query
+    at least every ~3 rounds); (c) 7 r03-verified fillers spread
+    across operator families. Zero overlap with the r04/r05-verified
+    sets. The dtype-strict local sim (tests/oracle.py) is green on all
+    165 at sf0.01."""
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
     tpch = dict(TPCH_QUERIES)
@@ -3162,6 +3184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_date_functions": q_date_functions,
         "q_union_distinct": q_union_distinct,
         "q_set_ops": q_set_ops,
+        "q_bpe_segment": q_bpe_segment,  # new r06 (displaces one r03 filler)
         # (c) r03-verified fillers across operator families
         "q_semi_anti_join": q_semi_anti_join,
         "q_top_n": q_top_n,
@@ -3170,11 +3193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_cosine_topk": q_cosine_topk,
         "q_heavy_hitters": q_heavy_hitters,
-        "q_text_analysis": q_text_analysis,
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
         # rotation pool: r03 remainder, then the r04/r05-green sets
+        "q_text_analysis": q_text_analysis,
         "q_pivot": q_pivot,
         "q_token_budget": q_token_budget,
         "q_pipeline_curation": q_pipeline_curation,
@@ -3397,6 +3420,18 @@ def _bpe_oracle_sql(num_merges: int) -> str:
     ("a a a a" -> [aa, aa], matching the Spark-side fold in
     operators/bpe._apply_merge). Verified equal to learn_bpe on sf0.01
     for all 8 merges before wiring in (round 6)."""
+    parts = [_bpe_rounds_cte(num_merges)]
+    parts.append("\n        " + "\n        UNION ALL\n        ".join(
+        f"SELECT CAST({k} AS INTEGER) AS iteration, l AS left, r AS right,"
+        f" cnt AS pair_count FROM b{k}"
+        for k in range(1, num_merges + 1)))
+    return "".join(parts)
+
+
+def _bpe_rounds_cte(num_merges: int) -> str:
+    """The shared WITH body: wv (word counts) → v0 (initial token
+    strings, word carried through) → k rounds of (p{k} pair counts,
+    b{k} argmax, v{k} merge application)."""
     parts = ["""
         WITH wv AS (
           SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
@@ -3405,7 +3440,7 @@ def _bpe_oracle_sql(num_merges: int) -> str:
           ) WHERE word <> '' GROUP BY word
         ),
         v0 AS (
-          SELECT n,
+          SELECT word, n,
                  chr(31) || array_to_string(
                    list_append(
                      list_transform(range(1, length(word)), i -> substr(word, i, 1)),
@@ -3425,15 +3460,47 @@ def _bpe_oracle_sql(num_merges: int) -> str:
         b{k} AS (SELECT l, r, cnt FROM p{k} WHERE cnt >= 2
                  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
         v{k} AS (
-          SELECT n, replace(s, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
-                               chr(31) || b.l || b.r || chr(31)) AS s
+          SELECT word, n,
+                 replace(s, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                            chr(31) || b.l || b.r || chr(31)) AS s
           FROM v{k-1}, b{k} b
         )""")
-    parts.append("\n        " + "\n        UNION ALL\n        ".join(
-        f"SELECT CAST({k} AS INTEGER) AS iteration, l AS left, r AS right,"
-        f" cnt AS pair_count FROM b{k}"
-        for k in range(1, num_merges + 1)))
     return "".join(parts)
+
+
+def _bpe_segment_oracle_sql(num_merges: int = 8) -> str:
+    """Oracle for q_bpe_segment: replay the learned merges over the
+    distinct-word vocabulary (the same v{k} chain as the training
+    oracle, word carried through), then re-attach per-document in word
+    order. Sequential replay in rank order equals bpe_segment's
+    rank-greedy application for tables learn_bpe produces (each merge's
+    components exist before it — pinned corpus-wide by
+    tests/test_cdc_ops.py::test_bpe_rank_greedy_equals_sequential_replay)."""
+    return _bpe_rounds_cte(num_merges) + f""",
+        wordtok AS (
+          SELECT word,
+                 string_split(substr(s, 2, length(s) - 2), chr(31) || chr(31)) AS toks
+          FROM v{num_merges}
+        ),
+        docwords AS (
+          SELECT doc_id, generate_subscripts(arr, 1) AS wi, unnest(arr) AS word
+          FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS arr
+            FROM documents
+          )
+        ),
+        flat AS (
+          SELECT d.doc_id, flatten(list(w.toks ORDER BY d.wi)) AS all_toks
+          FROM docwords d JOIN wordtok w USING (word)
+          GROUP BY d.doc_id
+        )
+        SELECT doc.doc_id,
+               CAST(coalesce(len(f.all_toks), 0) AS INT) AS n_bpe_tokens,
+               coalesce(array_to_string(f.all_toks[1:5], ' '), '') AS head_tokens
+        FROM documents doc LEFT JOIN flat f USING (doc_id)
+    """
 
 
 def _jpeg_oracle_sql(n: int = 24) -> str:
@@ -3577,6 +3644,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **TPCH_ORACLES,
         "q_bpe_merges": _bpe_oracle_sql(8),
+        "q_bpe_segment": _bpe_segment_oracle_sql(8),
         "q_jpeg_decode": _jpeg_oracle_sql(24),
         "q_linkage_em": _em_oracle_sql(5),
         "q_target_encode": """

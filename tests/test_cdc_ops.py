@@ -379,6 +379,56 @@ def test_bpe_greedy_merge_overlap(spark):
     assert out == ["aa", "a"], "greedy left-to-right: aaa + (a,a) -> [aa, a]"
 
 
+def test_bpe_rank_greedy_equals_sequential_replay(spark):
+    """The q_bpe_segment oracle replays merges sequentially (one
+    greedy left-to-right pass per merge, in rank order); bpe_segment
+    applies rank-greedy (lowest-rank eligible pair first). For a table
+    learn_bpe produced the two agree — every merge's components exist
+    before it, so no later merge can create a pair for an earlier one.
+    Pinned corpus-wide over the sf0.01 vocabulary."""
+    from table_computing_spark.operators import bpe
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    merges, vocab = bpe.learn_bpe(d, "text", num_merges=8)
+    ranks = {(l, r): i for i, (_, l, r, _) in enumerate(merges)}
+
+    def initial(word):
+        return list(word[:-1]) + [word[-1] + bpe.END_OF_WORD] if word else []
+
+    def rank_greedy(word):
+        toks = initial(word)
+        while len(toks) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(toks) - 1):
+                rk = ranks.get((toks[i], toks[i + 1]))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best_rank, best_i = rk, i
+            if best_i is None:
+                break
+            toks[best_i : best_i + 2] = [toks[best_i] + toks[best_i + 1]]
+        return toks
+
+    def sequential(word):
+        toks = initial(word)
+        for _, left, right, _ in merges:
+            out = []
+            for t in toks:
+                if out and out[-1] == left and t == right:
+                    out[-1] = left + right
+                else:
+                    out.append(t)
+            toks = out
+        return toks
+
+    words = [r["word"] for r in vocab.select("word").collect()]
+    assert words, "empty vocabulary"
+    for w in words:
+        assert rank_greedy(w) == sequential(w), w
+    # and the distributed vocab tokens equal the sequential replay too
+    for r in vocab.collect():
+        assert list(r["tokens"]) == sequential(r["word"]), r["word"]
+
+
 # ------------------------------------------------------- compaction
 
 
