@@ -2921,6 +2921,51 @@ def q_bpe_segment(spark, sf_dir):
     )
 
 
+def q_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts (operators/graph.triangle_counts,
+    degree-ordered orientation) over the part co-purchase graph:
+    parts are connected when a large line (l_quantity >= 40) of the
+    same order carries both. Wedges are enumerated only at each
+    edge's low-degree endpoint, so wedge volume is O(m^1.5) instead
+    of O(sum deg²) — the property that keeps the operator alive on
+    power-law co-occurrence graphs at 100 TB. Oracle: exact 3-way
+    self-join of the canonical (lo < hi) edge set with an ordered
+    triple (x < y < z), corners re-counted per node."""
+    from table_computing_spark.operators import graph
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .df.where(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.toDF("ok", "u")
+    b = li.toDF("ok", "v")
+    edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
+    return graph.triangle_counts(edges).select(
+        F.col("node").alias("part_id"), "n_triangles"
+    )
+
+
+def q_dense_ids(spark, sf_dir):
+    """Dense global document ids (operators/ids.dense_ids): contiguous
+    0..n-1 in (n_chars DESC, doc_id) order — the sharding/curriculum
+    id-assignment primitive. One range shuffle + a partition-local
+    rank decoded from monotonically_increasing_id's (pid, position)
+    packing; the only single-partition step is the cumulative offset
+    over ONE row per partition, so there is no global-sort reducer
+    anywhere in the plan (contrast `row_number() OVER (ORDER BY ...)`,
+    which Spark plans as Exchange SinglePartition over the data).
+    Oracle: the definition itself — row_number over the same total
+    order."""
+    from table_computing_spark.operators import ids
+
+    d = _t(spark, sf_dir, "documents").df
+    out = ids.dense_ids(
+        d, [F.col("n_chars").desc(), F.col("doc_id")], num_partitions=8
+    )
+    return out.select("doc_id", "n_chars", "dense_id")
+
+
 def q_hard_negatives(spark, sf_dir):
     """Contrastive hard-negative mining (operators/similarity.
     hard_negatives): for each anchor (vec_id %% 67 == 0) the 5 nearest
@@ -3123,16 +3168,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     until every declared query has a green row in some round's
     CORRECTNESS file.
 
-    Round-6 window: (a) the 6 never-driver-green queries — the two r05
+    Round-6 window: (a) the 8 never-driver-green queries — the two r05
     reds now fixed (q_contract_quarantine scalar group key,
-    q_bpe_merges fixed-k unrolled-CTE oracle) and the four NEW this
+    q_bpe_merges fixed-k unrolled-CTE oracle) and the six NEW this
     round (q_jpeg_decode, q_linkage_em, q_target_encode,
-    q_bpe_segment); (b) all 37 queries whose last green is r01
-    (stalest on the board — the rotation policy re-proves every query
-    at least every ~3 rounds); (c) 7 r03-verified fillers spread
-    across operator families. Zero overlap with the r04/r05-verified
-    sets. The dtype-strict local sim (tests/oracle.py) is green on all
-    165 at sf0.01."""
+    q_bpe_segment, q_triangle_counts, q_dense_ids); (b) all 37 queries
+    whose last green is r01 (stalest on the board — the rotation
+    policy re-proves every query at least every ~3 rounds); (c) 5
+    r03-verified fillers spread across operator families. Zero overlap
+    with the r04/r05-verified sets. The dtype-strict local sim
+    (tests/oracle.py) is green on all 167 at sf0.01."""
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
     tpch = dict(TPCH_QUERIES)
@@ -3185,18 +3230,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_union_distinct": q_union_distinct,
         "q_set_ops": q_set_ops,
         "q_bpe_segment": q_bpe_segment,  # new r06 (displaces one r03 filler)
+        "q_triangle_counts": q_triangle_counts,  # new r06 (ditto)
+        "q_dense_ids": q_dense_ids,  # new r06 (ditto)
         # (c) r03-verified fillers across operator families
         "q_semi_anti_join": q_semi_anti_join,
         "q_top_n": q_top_n,
         "q_order_by_limit": q_order_by_limit,
         "q_stream_dedup": q_stream_dedup,
         "q_dedup_exact": q_dedup_exact,
-        "q_cosine_topk": q_cosine_topk,
-        "q_heavy_hitters": q_heavy_hitters,
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
         # rotation pool: r03 remainder, then the r04/r05-green sets
+        "q_cosine_topk": q_cosine_topk,
+        "q_heavy_hitters": q_heavy_hitters,
         "q_text_analysis": q_text_analysis,
         "q_pivot": q_pivot,
         "q_token_budget": q_token_budget,
@@ -3645,6 +3692,40 @@ def oracle_sql() -> dict[str, str]:
         **TPCH_ORACLES,
         "q_bpe_merges": _bpe_oracle_sql(8),
         "q_bpe_segment": _bpe_segment_oracle_sql(8),
+        "q_dense_ids": """
+        SELECT doc_id, n_chars,
+               CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1
+                    AS BIGINT) AS dense_id
+        FROM documents
+        """,
+        "q_triangle_counts": """
+        WITH li AS (
+          SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40
+        ),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        tri AS (
+          SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+          FROM e e1
+          JOIN e e2 ON e2.lo = e1.hi
+          JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+        ),
+        corners AS (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri
+        ),
+        cnt AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS c FROM corners GROUP BY node
+        ),
+        nodes AS (SELECT lo AS node FROM e UNION SELECT hi FROM e)
+        SELECT n.node AS part_id,
+               CAST(coalesce(c.c, 0) AS BIGINT) AS n_triangles
+        FROM nodes n LEFT JOIN cnt c USING (node)
+        """,
         "q_jpeg_decode": _jpeg_oracle_sql(24),
         "q_linkage_em": _em_oracle_sql(5),
         "q_target_encode": """

@@ -1191,3 +1191,82 @@ def test_jpeg_restart_markers_do_not_change_pixels():
             J.encode_jpeg_baseline(arr2, subsampling="420", restart_every=2)
         ),
     )
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 (every node in 3 triangles), a path (zero triangles), and a
+    triangle with a pendant vertex — degree-ordered orientation must
+    count each triangle exactly once per corner, zero-fill non-corner
+    nodes, and ignore self-loops/duplicate/reversed edges."""
+    from table_computing_spark.operators.graph import triangle_counts
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    path = [(10, 11), (11, 12), (12, 13)]
+    pendant = [(20, 21), (21, 22), (22, 20), (22, 23)]
+    noise = [(1, 1), (2, 1), (3, 1)]  # self-loop + reversed dupes
+    df = spark.createDataFrame(k4 + path + pendant + noise, "u long, v long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert {n: got[n] for n in (1, 2, 3, 4)} == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert {n: got[n] for n in (10, 11, 12, 13)} == {10: 0, 11: 0, 12: 0, 13: 0}
+    assert {n: got[n] for n in (20, 21, 22, 23)} == {20: 1, 21: 1, 22: 1, 23: 0}
+
+
+def test_triangle_counts_matches_naive_random(spark):
+    """Random multigraph with self-loops vs a brute-force O(n³) count."""
+    import itertools
+    import random
+    from collections import defaultdict
+
+    from table_computing_spark.operators.graph import triangle_counts
+
+    random.seed(7)
+    edges = [(random.randint(0, 40), random.randint(0, 40)) for _ in range(300)]
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    want = {n: 0 for n in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == want
+
+
+def test_dense_ids_contiguous_and_partitioning_invariant(spark):
+    """Ids are exactly 0..n-1 in the requested total order, identical
+    under any input partitioning / range-partition count, and the plan
+    never funnels DATA rows through a single partition — the offset
+    cumsum (the only SinglePartition step) sees one row per partition."""
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators.ids import dense_ids
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+    out = dense_ids(d, order, num_partitions=7)
+    pdf = out.select("doc_id", "n_chars", "dense_id").toPandas()
+    want = pdf.sort_values(
+        ["n_chars", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    assert list(want["dense_id"]) == list(range(len(want)))
+
+    again = dense_ids(d.repartition(13), order, num_partitions=3, start=1000)
+    m1 = dict(zip(pdf["doc_id"], pdf["dense_id"] + 1000))
+    m2 = {r["doc_id"]: r["dense_id"] for r in again.collect()}
+    assert m1 == m2
+
+    # plan gate: the broadcast (offset) side may exchange to a single
+    # partition; the data side must not
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        context = plan[m.start() - 400 : m.start()]
+        assert "HashAggregate" in context or "__n" in plan[m.start():m.start() + 600], (
+            "SinglePartition exchange outside the per-partition count path:\n" + plan
+        )
