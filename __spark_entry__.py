@@ -2966,6 +2966,63 @@ def q_dense_ids(spark, sf_dir):
     return out.select("doc_id", "n_chars", "dense_id")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic deduplication (similarity.semantic_dedup):
+    sign-LSH cells stand in for k-means clusters (deterministic, so
+    both engines derive identical cells; at 100 TB swap in
+    ivf_assign cells), exact integer-micro centroids, keep the
+    farthest-from-centroid representative per epsilon-group. Every
+    cosine is rounded before any comparison, so the keep/drop
+    decision is engine-exact."""
+    from table_computing_spark.operators import similarity as sim
+
+    return sim.semantic_dedup(
+        _t(spark, sf_dir, "embeddings").df, bits=6, threshold=0.35
+    )
+
+
+def q_cms_counts(spark, sf_dir):
+    """Count-min sketch point estimates (frequency.cms_build /
+    cms_estimate, depth 4 x width 512): sketch l_partkey frequencies
+    over lineitem, then answer point queries for every 20th part key.
+    Width < distinct keys, so real collisions are in play — the
+    md5-driven counters are engine-exact, so the oracle reproduces
+    every collision and the exact same estimates. The one-sided
+    guarantee (estimate >= truth) is pytest-pinned."""
+    from table_computing_spark.operators import frequency
+
+    li = _t(spark, sf_dir, "lineitem").df
+    sk = frequency.cms_build(li, "l_partkey", depth=4, width=512)
+    keys = li.select("l_partkey").where(F.col("l_partkey") % 20 == 0).distinct()
+    return frequency.cms_estimate(sk, keys, "l_partkey", depth=4, width=512)
+
+
+def q_incremental_agg(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance
+    (operators/incremental.maintain_agg): per-customer order
+    count + DECIMAL-exact revenue, maintained from signed deltas —
+    base facts (o_orderkey % 7 != 0, % 5 != 0 kept) are NEVER
+    rescanned; the inserts (% 7 == 0) and deletes (% 5 == 0 of the
+    base) aggregate map-side to group-sized deltas and merge with the
+    state in one groupBy. Oracle: the definition of correctness — a
+    full recompute over the post-delta fact set."""
+    from table_computing_spark.operators import incremental
+
+    o = _t(spark, sf_dir, "orders").df
+    price = F.col("o_totalprice").cast("decimal(30,4)")
+    measures = {"revenue": price}
+    base = o.where(F.col("o_orderkey") % 7 != 0)
+    inserts = o.where(F.col("o_orderkey") % 7 == 0)
+    deletes = base.where(F.col("o_orderkey") % 5 == 0)
+    state = incremental.agg_state(base, ["o_custkey"], measures)
+    new = incremental.maintain_agg(state, inserts, deletes, ["o_custkey"], measures)
+    return new.select(
+        "o_custkey",
+        F.col("cnt").alias("n_orders"),
+        F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+    )
+
+
 def q_hard_negatives(spark, sf_dir):
     """Contrastive hard-negative mining (operators/similarity.
     hard_negatives): for each anchor (vec_id %% 67 == 0) the 5 nearest
@@ -3168,16 +3225,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     until every declared query has a green row in some round's
     CORRECTNESS file.
 
-    Round-6 window: (a) the 8 never-driver-green queries — the two r05
-    reds now fixed (q_contract_quarantine scalar group key,
-    q_bpe_merges fixed-k unrolled-CTE oracle) and the six NEW this
+    Round-6 window: (a) the 11 never-driver-green queries — the two
+    r05 reds now fixed (q_contract_quarantine scalar group key,
+    q_bpe_merges fixed-k unrolled-CTE oracle) and the nine NEW this
     round (q_jpeg_decode, q_linkage_em, q_target_encode,
-    q_bpe_segment, q_triangle_counts, q_dense_ids); (b) all 37 queries
-    whose last green is r01 (stalest on the board — the rotation
-    policy re-proves every query at least every ~3 rounds); (c) 5
-    r03-verified fillers spread across operator families. Zero overlap
-    with the r04/r05-verified sets. The dtype-strict local sim
-    (tests/oracle.py) is green on all 167 at sf0.01."""
+    q_bpe_segment, q_triangle_counts, q_dense_ids, q_semantic_dedup,
+    q_cms_counts, q_incremental_agg); (b) all 37 queries whose last
+    green is r01 (stalest on the board — the rotation policy re-proves
+    every query at least every ~3 rounds); (c) 2 r03-verified fillers
+    spread across operator families. Zero overlap with the
+    r04/r05-verified sets. The dtype-strict local sim (tests/oracle.py)
+    is green on all 170 at sf0.01."""
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
     tpch = dict(TPCH_QUERIES)
@@ -3232,16 +3290,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_segment": q_bpe_segment,  # new r06 (displaces one r03 filler)
         "q_triangle_counts": q_triangle_counts,  # new r06 (ditto)
         "q_dense_ids": q_dense_ids,  # new r06 (ditto)
+        "q_semantic_dedup": q_semantic_dedup,  # new r06 (ditto)
+        "q_cms_counts": q_cms_counts,  # new r06 (ditto)
+        "q_incremental_agg": q_incremental_agg,  # new r06 (ditto)
         # (c) r03-verified fillers across operator families
         "q_semi_anti_join": q_semi_anti_join,
-        "q_top_n": q_top_n,
-        "q_order_by_limit": q_order_by_limit,
         "q_stream_dedup": q_stream_dedup,
-        "q_dedup_exact": q_dedup_exact,
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
         # rotation pool: r03 remainder, then the r04/r05-green sets
+        "q_top_n": q_top_n,
+        "q_order_by_limit": q_order_by_limit,
+        "q_dedup_exact": q_dedup_exact,
         "q_cosine_topk": q_cosine_topk,
         "q_heavy_hitters": q_heavy_hitters,
         "q_text_analysis": q_text_analysis,
@@ -3697,6 +3758,85 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1
                     AS BIGINT) AS dense_id
         FROM documents
+        """,
+        "q_incremental_agg": """
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4)))
+                          AS DOUBLE), 2) AS revenue
+        FROM orders
+        WHERE o_orderkey % 7 = 0
+           OR (o_orderkey % 5 <> 0)
+        GROUP BY o_custkey
+        """,
+        "q_cms_counts": """
+        WITH rows4 AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        sk AS (
+          SELECT r.i,
+                 CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':'
+                      || CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 512 AS slot,
+                 count(*) AS cnt
+          FROM lineitem CROSS JOIN rows4 r
+          GROUP BY 1, 2
+        ),
+        keys AS (
+          SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey % 20 = 0
+        ),
+        probes AS (
+          SELECT k.l_partkey, r.i,
+                 CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':'
+                      || CAST(k.l_partkey AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 512 AS slot
+          FROM keys k CROSS JOIN rows4 r
+        )
+        SELECT p.l_partkey,
+               CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est_count
+        FROM probes p LEFT JOIN sk s ON s.i = p.i AND s.slot = p.slot
+        GROUP BY p.l_partkey
+        """,
+        "q_semantic_dedup": """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        b AS (
+          SELECT vec_id, e,
+                 (CASE WHEN e[1] > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN e[2] > 0 THEN 2 ELSE 0 END
+                  + CASE WHEN e[3] > 0 THEN 4 ELSE 0 END
+                  + CASE WHEN e[4] > 0 THEN 8 ELSE 0 END
+                  + CASE WHEN e[5] > 0 THEN 16 ELSE 0 END
+                  + CASE WHEN e[6] > 0 THEN 32 ELSE 0 END) AS bucket
+          FROM v
+        ),
+        comp AS (
+          SELECT bucket, generate_subscripts(e, 1) AS j, unnest(e) AS x FROM b
+        ),
+        centsum AS (
+          SELECT bucket, j,
+                 CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS BIGINT) AS s,
+                 count(*) AS n
+          FROM comp GROUP BY bucket, j
+        ),
+        cent AS (
+          SELECT bucket, list((s / 1e6) / n ORDER BY j) AS c
+          FROM centsum GROUP BY bucket
+        ),
+        sc AS (
+          SELECT b.vec_id, b.bucket, b.e,
+                 round(list_cosine_similarity(b.e, cent.c), 6) AS cc
+          FROM b JOIN cent USING (bucket)
+        ),
+        dom AS (
+          SELECT DISTINCT y.vec_id
+          FROM sc x JOIN sc y
+            ON x.bucket = y.bucket
+           AND (x.cc < y.cc OR (x.cc = y.cc AND x.vec_id < y.vec_id))
+          WHERE round(list_cosine_similarity(x.e, y.e), 6) >= 0.35
+        )
+        SELECT s.vec_id, s.bucket, s.cc AS cos_centroid,
+               (d.vec_id IS NULL) AS keep
+        FROM sc s LEFT JOIN dom d USING (vec_id)
         """,
         "q_triangle_counts": """
         WITH li AS (

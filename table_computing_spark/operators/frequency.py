@@ -111,3 +111,96 @@ def heavy_hitters(
         .filter(F.col("cnt") * F.lit(k) > F.col("__n"))
         .select(key_col, "cnt")
     )
+
+
+# ------------------------------------------------------------------ CMS
+
+def _cms_slots(key_col: str, depth: int, width: int):
+    """One struct(row, slot) per sketch row: slot = first 15 md5 hex
+    chars of "i:key" mod width — pure codegen, engine-portable."""
+    return [
+        F.struct(
+            F.lit(i).alias("row"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.lit(str(i)), F.col(key_col).cast("string")
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias("slot"),
+        )
+        for i in range(depth)
+    ]
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a DataFrame:
+    `depth` x `width` counters, returned as narrow rows (row, slot,
+    cnt). Row i's hash is the first 15 hex chars of md5(i || ':' ||
+    key) mod width — pure codegen expressions, and md5 (not xxhash64)
+    so the DuckDB oracle reproduces every counter exactly.
+
+    Complements heavy_hitters above: Misra-Gries answers "which items
+    are frequent" exactly; a CMS answers point-frequency queries for
+    ANY key with a one-sided error (estimate >= truth, overshoot
+    <= 2n/width with prob 1 - 2^-depth) in depth*width integers —
+    small enough to broadcast, mergeable across shards/streams by
+    elementwise sum (cms_merge).
+
+    Scale shape: one groupBy over (row, slot) — map-side partial
+    aggregation compresses each partition to <= depth*width rows
+    before the shuffle, so wire cost is O(partitions * depth * width),
+    independent of row count or key cardinality."""
+    return (
+        df.select(F.explode(F.array(*_cms_slots(key_col, depth, width))).alias("rs"))
+        .select("rs.row", "rs.slot")
+        .groupBy("row", "slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (depth, width): elementwise
+    counter sum — the property that lets shards/streams sketch
+    independently and combine at the end."""
+    import functools
+
+    u = functools.reduce(lambda a, b: a.unionByName(b), sketches)
+    return u.groupBy("row", "slot").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for `keys`: min over the sketch's
+    `depth` counters each key hashes to. Missing counters are zero
+    (the key was never seen). The sketch (<= depth*width rows) is
+    broadcast — the probe side never shuffles."""
+    probes = (
+        keys.select(F.col(key_col))
+        .withColumn("rs", F.explode(F.array(*_cms_slots(key_col, depth, width))))
+        .select(key_col, F.col("rs.row").alias("row"), F.col("rs.slot").alias("slot"))
+    )
+    joined = probes.join(F.broadcast(sketch), ["row", "slot"], "left")
+    return (
+        joined.groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

@@ -559,3 +559,112 @@ def hard_negatives(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 6,
+    threshold: float = 0.35,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then inside each
+    cluster drop members that sit within a cosine epsilon-ball of a
+    kept representative — removing *semantic* duplicates exact/minhash
+    dedup cannot see.
+
+    Clusters here are deterministic sign-LSH cells (`sign_bucket`) so
+    the whole decision is engine-reproducible; at 100 TB the same
+    keep-rule composes with `ivf_fit`/`ivf_assign` cells instead — the
+    downstream logic is identical (a bucket column is a bucket column).
+
+    Keep policy (the paper's, made one-pass): rank each cluster by
+    LOWEST similarity-to-centroid first (SemDeDup keeps the points
+    farthest from the centroid as the diverse representatives, id
+    tiebreak), then drop any point whose cosine to a higher-ranked
+    point reaches `threshold`. The rule is deliberately
+    non-chained — a point is dropped even when its dominator was
+    itself dropped — which upper-bounds the paper's
+    one-per-epsilon-group policy and needs exactly one bucket-local
+    self-join, no iteration.
+
+    Engine-exactness: centroids are integer-micro sums (order
+    independent) divided once; every cosine is the fixed
+    left-to-right fold of `cosine_expr`, rounded to `round_to` BEFORE
+    the threshold/rank comparisons, so keep decisions hash-match
+    across engines.
+
+    Scale shape: one aggregation per bucket cell for centroids (narrow
+    (bucket, dim) rows), one broadcast of |buckets| centroid rows, one
+    bucket equi-join for the epsilon test. Nothing is ever all-pairs
+    across buckets; driver holds nothing.
+
+    Returns (id, bucket, cos_centroid, keep).
+    """
+    bucket = sign_bucket(F.col(vec_col), bits).alias("bucket")
+    docs = df.select(F.col(id_col), F.col(vec_col), bucket)
+
+    # exact per-bucket centroid: integer-micro component sums
+    comp = docs.select(
+        "bucket", F.posexplode(F.col(vec_col)).alias("j", "v")
+    ).select(
+        "bucket", "j", F.round(F.col("v").cast("double") * 1e6).cast("long").alias("vi")
+    )
+    cent = (
+        comp.groupBy("bucket", "j")
+        .agg(F.sum("vi").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket", "j", ((F.col("s") / 1e6) / F.col("n")).alias("c")
+        )
+    )
+    cvec = cent.groupBy("bucket").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    scored = docs.join(F.broadcast(cvec), "bucket").select(
+        "bucket",
+        F.col(id_col),
+        F.col(vec_col),
+        F.round(cosine_expr(F.col(vec_col), F.col("centroid")), round_to).alias(
+            "cos_centroid"
+        ),
+    )
+    a = scored.select(
+        "bucket",
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+        F.col("cos_centroid").alias("__ca"),
+    )
+    b = scored.select(
+        "bucket",
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+        F.col("cos_centroid").alias("__cb"),
+    )
+    # a ranks above b in keep order: (cos_centroid ASC, id ASC)
+    dominated = (
+        a.join(b, "bucket")
+        .where(
+            (F.col("__ca") < F.col("__cb"))
+            | ((F.col("__ca") == F.col("__cb")) & (F.col("__ida") < F.col("__idb")))
+        )
+        .where(
+            F.round(cosine_expr(F.col("__va"), F.col("__vb")), round_to)
+            >= F.lit(threshold)
+        )
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        scored.join(dominated, id_col, "left")
+        .select(
+            id_col,
+            "bucket",
+            "cos_centroid",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -991,3 +991,45 @@ def test_target_encode_matches_naive(spark):
         prior = sum(oof_all) / len(oof_all)
         want = (sum(oof_cat) + prior * a) / (len(oof_cat) + a)
         assert abs(out[rid][2] - want) < 1e-9, (rid, c, f)
+
+
+# -------------------------------------------------- incremental agg
+
+
+def test_maintain_agg_equals_full_recompute(spark):
+    """The self-maintainability closure: maintain_agg(state, ins, del)
+    must equal agg_state over the post-delta fact set, value for
+    value — including dropping groups whose count reaches zero."""
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators import incremental
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    measures = {"revenue": F.col("o_totalprice").cast("decimal(30,4)")}
+    base = o.where(F.col("o_orderkey") % 7 != 0)
+    inserts = o.where(F.col("o_orderkey") % 7 == 0)
+    deletes = base.where(F.col("o_orderkey") % 5 == 0)
+
+    state = incremental.agg_state(base, ["o_custkey"], measures)
+    new = incremental.maintain_agg(
+        state, inserts, deletes, ["o_custkey"], measures
+    )
+    final_facts = base.exceptAll(deletes).unionByName(inserts)
+    want = incremental.agg_state(final_facts, ["o_custkey"], measures)
+
+    got = {
+        r["o_custkey"]: (r["cnt"], r["revenue"]) for r in new.collect()
+    }
+    exp = {
+        r["o_custkey"]: (r["cnt"], r["revenue"]) for r in want.collect()
+    }
+    assert got == exp
+    # zero-count drop: delete EVERY row of some customer's base orders
+    k = base.select("o_custkey").first()["o_custkey"]
+    del_all = base.where(F.col("o_custkey") == k)
+    ins_none = inserts.limit(0)
+    after = incremental.maintain_agg(
+        state, ins_none, del_all, ["o_custkey"], measures
+    )
+    assert after.where(F.col("o_custkey") == k).count() == 0
+    assert after.count() == state.count() - 1

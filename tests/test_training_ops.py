@@ -1270,3 +1270,101 @@ def test_dense_ids_contiguous_and_partitioning_invariant(spark):
         assert "HashAggregate" in context or "__n" in plan[m.start():m.start() + 600], (
             "SinglePartition exchange outside the per-partition count path:\n" + plan
         )
+
+
+def test_semantic_dedup_matches_naive_numpy(spark):
+    """Re-derive every keep/drop decision with a naive numpy
+    reimplementation (buckets, integer-micro centroids, rounded
+    cosines, dominated rule) and require exact agreement, plus the
+    invariant that each nonempty bucket keeps its top-ranked point."""
+    import numpy as np
+
+    from table_computing_spark.operators.similarity import semantic_dedup
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        r["vec_id"]: (r["bucket"], r["cos_centroid"], r["keep"])
+        for r in semantic_dedup(df, bits=6, threshold=0.35).collect()
+    }
+
+    rows = df.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    M = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    bucket = np.zeros(len(ids), dtype=int)
+    for i in range(6):
+        bucket += (M[:, i] > 0) * (1 << i)
+    keep_want = {}
+    for bk in np.unique(bucket):
+        idx = np.where(bucket == bk)[0]
+        cent = np.round(M[idx] * 1e6).sum(axis=0) / 1e6 / len(idx)
+        cc = {
+            ids[i]: round(
+                float(
+                    M[i] @ cent / (np.linalg.norm(M[i]) * np.linalg.norm(cent))
+                ),
+                6,
+            )
+            for i in idx
+        }
+        order = sorted(idx, key=lambda i: (cc[ids[i]], ids[i]))
+        for pos, i in enumerate(order):
+            dominated = any(
+                round(
+                    float(
+                        M[i] @ M[j]
+                        / (np.linalg.norm(M[i]) * np.linalg.norm(M[j]))
+                    ),
+                    6,
+                )
+                >= 0.35
+                for j in order[:pos]
+            )
+            keep_want[ids[i]] = (int(bk), cc[ids[i]], not dominated)
+        assert keep_want[ids[order[0]]][2] is True  # top rank always kept
+    assert got == keep_want
+    assert any(not k for _, _, k in got.values()), "threshold dropped nothing"
+
+
+def test_cms_one_sided_merge_and_exact_when_wide(spark):
+    """The three CMS contracts: estimate >= truth always; estimates
+    from a merged pair of shard sketches equal the whole-data sketch;
+    width >> distinct keys makes every estimate exact."""
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators import frequency
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    keys = li.select("l_partkey").distinct()
+    exact = {
+        r["l_partkey"]: r["n"]
+        for r in li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    sk = frequency.cms_build(li, "l_partkey", depth=4, width=64)
+    est = {
+        r["l_partkey"]: r["est_count"]
+        for r in frequency.cms_estimate(sk, keys, "l_partkey", depth=4, width=64).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact), "CMS undershot a count"
+    assert any(est[k] > exact[k] for k in exact), "width=64 should collide"
+
+    # merge: two half sketches == one full sketch, counter for counter
+    h1 = li.where(F.col("l_orderkey") % 2 == 0)
+    h2 = li.where(F.col("l_orderkey") % 2 == 1)
+    merged = frequency.cms_merge(
+        frequency.cms_build(h1, "l_partkey", depth=4, width=64),
+        frequency.cms_build(h2, "l_partkey", depth=4, width=64),
+    )
+    m = {(r["row"], r["slot"]): r["cnt"] for r in merged.collect()}
+    w = {(r["row"], r["slot"]): r["cnt"] for r in sk.collect()}
+    assert m == w
+
+    wide = frequency.cms_build(li, "l_partkey", depth=4, width=1 << 16)
+    est_wide = {
+        r["l_partkey"]: r["est_count"]
+        for r in frequency.cms_estimate(
+            wide, keys, "l_partkey", depth=4, width=1 << 16
+        ).collect()
+    }
+    assert est_wide == exact
