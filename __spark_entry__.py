@@ -2997,6 +2997,18 @@ def q_cms_counts(spark, sf_dir):
     return frequency.cms_estimate(sk, keys, "l_partkey", depth=4, width=512)
 
 
+def q_kn_bigram_nll(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram NLL per document
+    (text.kn_bigram_nll, d=0.75) — continuation-count smoothing, the
+    step above q_unigram_logprob on the quality-scoring ladder.
+    Per-position NLLs round to integer nanos before the per-doc sum,
+    and the probability expression mirrors the oracle operation for
+    operation, so the score is engine-exact."""
+    from table_computing_spark.operators import text as tx
+
+    return tx.kn_bigram_nll(_t(spark, sf_dir, "documents").df)
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental materialized-aggregate maintenance
     (operators/incremental.maintain_agg): per-customer order
@@ -3225,17 +3237,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     until every declared query has a green row in some round's
     CORRECTNESS file.
 
-    Round-6 window: (a) the 11 never-driver-green queries — the two
+    Round-6 window: (a) the 12 never-driver-green queries — the two
     r05 reds now fixed (q_contract_quarantine scalar group key,
-    q_bpe_merges fixed-k unrolled-CTE oracle) and the nine NEW this
+    q_bpe_merges fixed-k unrolled-CTE oracle) and the ten NEW this
     round (q_jpeg_decode, q_linkage_em, q_target_encode,
     q_bpe_segment, q_triangle_counts, q_dense_ids, q_semantic_dedup,
-    q_cms_counts, q_incremental_agg); (b) all 37 queries whose last
-    green is r01 (stalest on the board — the rotation policy re-proves
-    every query at least every ~3 rounds); (c) 2 r03-verified fillers
-    spread across operator families. Zero overlap with the
-    r04/r05-verified sets. The dtype-strict local sim (tests/oracle.py)
-    is green on all 170 at sf0.01."""
+    q_cms_counts, q_incremental_agg, q_kn_bigram_nll); (b) all 37
+    queries whose last green is r01 (stalest on the board — the
+    rotation policy re-proves every query at least every ~3 rounds);
+    (c) 1 r03-verified filler. Zero overlap with the r04/r05-verified
+    sets. The dtype-strict local sim (tests/oracle.py) is green on all
+    171 at sf0.01."""
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
     tpch = dict(TPCH_QUERIES)
@@ -3293,13 +3305,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": q_semantic_dedup,  # new r06 (ditto)
         "q_cms_counts": q_cms_counts,  # new r06 (ditto)
         "q_incremental_agg": q_incremental_agg,  # new r06 (ditto)
-        # (c) r03-verified fillers across operator families
-        "q_semi_anti_join": q_semi_anti_join,
+        "q_kn_bigram_nll": q_kn_bigram_nll,  # new r06 (ditto)
+        # (c) r03-verified filler
         "q_stream_dedup": q_stream_dedup,
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
         # rotation pool: r03 remainder, then the r04/r05-green sets
+        "q_semi_anti_join": q_semi_anti_join,
         "q_top_n": q_top_n,
         "q_order_by_limit": q_order_by_limit,
         "q_dedup_exact": q_dedup_exact,
@@ -3758,6 +3771,57 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1
                     AS BIGINT) AS dense_id
         FROM documents
+        """,
+        "q_kn_bigram_nll": r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> x <> '')) AS tok,
+                 generate_subscripts(list_filter(
+                        string_split_regex(lower(text), '\s+'),
+                        x -> x <> ''), 1) AS pos
+          FROM documents
+        ),
+        bgr AS (
+          SELECT doc_id, tok AS w1,
+                 lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM tok
+          QUALIFY w2 IS NOT NULL
+        ),
+        c12 AS (
+          SELECT w1, w2, count(*) AS c12 FROM bgr GROUP BY w1, w2
+        ),
+        c1 AS (
+          SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                 count(*) AS nfollow
+          FROM c12 GROUP BY w1
+        ),
+        ncont AS (
+          SELECT w2, count(*) AS ncont FROM c12 GROUP BY w2
+        ),
+        tt AS (SELECT count(*) AS t FROM c12),
+        scored AS (
+          SELECT b.doc_id,
+                 CAST(round(-ln(
+                   (greatest(c12.c12 - 0.75, 0.0) / c1.c1)
+                   + ((0.75 * c1.nfollow / c1.c1) * (ncont.ncont / tt.t))
+                 ) * 1e9) AS BIGINT) AS nano
+          FROM bgr b
+          JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+          JOIN c1 ON b.w1 = c1.w1
+          JOIN ncont ON b.w2 = ncont.w2
+          CROSS JOIN tt
+        ),
+        per AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(nano) AS BIGINT) AS s
+          FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n, 0) AS BIGINT) AS n_bigram_tokens,
+               coalesce(round((CAST(p.s AS DOUBLE) / p.n) / 1e9, 6), 0.0)
+                 AS kn_nll
+        FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "q_incremental_agg": """
         SELECT o_custkey,

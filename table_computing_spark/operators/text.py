@@ -1089,3 +1089,88 @@ def char_entropy(c: ColumnLike, round_to: int = 6) -> Column:
         ),
     )
     return F.round(F.coalesce(F.when(n > 0, ent), F.lit(0.0)), round_to)
+
+
+def kn_bigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram negative log-likelihood per
+    document — the next rung above `unigram_logprob` on the CCNet-style
+    quality ladder (Kneser & Ney 1995; Chen & Goodman 1998 eq. 4.25
+    with a single fixed discount):
+
+        P(w2|w1) = max(c(w1w2) - d, 0) / c(w1·)
+                   + (d · N1+(w1·) / c(w1·)) · (N1+(·w2) / T)
+
+    where c(w1·) = Σ_w2 c(w1w2) (bigram-based left-context mass),
+    N1+(w1·) = distinct continuations of w1, N1+(·w2) = distinct left
+    contexts of w2 (the continuation count that makes KN famous), and
+    T = distinct bigram types. Trained on the scored corpus itself, so
+    every bigram token has c(w1w2) >= 1 and the probability is always
+    positive — no OOV branch is needed.
+
+    kn_nll = mean per bigram position of -ln P. Per-position NLL is
+    rounded to integer NANOS before the per-doc sum (order-independent,
+    engine-exact — the repo-wide integer-unit discipline), and the
+    expression tree mirrors the DuckDB oracle operation for operation
+    so the doubles agree bit-for-bit pre-round.
+
+    Scale shape: one explode + per-doc window builds bigram positions;
+    all four count tables are map-side-combinable hash aggregates keyed
+    on words/bigrams; everything re-attaches by word-key equi-joins.
+    T is a 1-row aggregate broadcast via crossJoin. No driver state,
+    nothing all-pairs.
+    """
+    from pyspark.sql.window import Window as W
+
+    tok_rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode_outer(tokens(F.col(text_col))).alias("__pos", "__tok"),
+    )
+    w = W.partitionBy("__id").orderBy("__pos")
+    nxt = F.lead("__tok", 1).over(w)
+    bgr = tok_rows.select(
+        "__id", F.col("__tok").alias("__w1"), nxt.alias("__w2")
+    ).filter(F.col("__w2").isNotNull())
+
+    c12 = bgr.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c12"))
+    c1 = c12.groupBy("__w1").agg(
+        F.sum("__c12").alias("__c1"),
+        F.count(F.lit(1)).alias("__nfollow"),
+    )
+    ncont = c12.groupBy("__w2").agg(F.count(F.lit(1)).alias("__ncont"))
+    t_types = c12.select(F.count(F.lit(1)).alias("__t"))
+
+    d = F.lit(float(discount))
+    scored = (
+        bgr.join(c12, ["__w1", "__w2"])
+        .join(c1, "__w1")
+        .join(ncont, "__w2")
+        .crossJoin(F.broadcast(t_types))
+    )
+    p = (
+        F.greatest(F.col("__c12") - d, F.lit(0.0)) / F.col("__c1")
+    ) + ((d * F.col("__nfollow") / F.col("__c1")) * (F.col("__ncont") / F.col("__t")))
+    nano = F.round(-F.log(p) * F.lit(1e9)).cast("long")
+    per_doc = scored.select("__id", nano.alias("__nano")).groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__nano").alias("__s")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__n", F.lit(0)).cast("bigint").alias("n_bigram_tokens"),
+            F.coalesce(
+                F.round(
+                    (F.col("__s").cast("double") / F.col("__n")) / F.lit(1e9),
+                    round_to,
+                ),
+                F.lit(0.0),
+            ).alias("kn_nll"),
+        )
+    )

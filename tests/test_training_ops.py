@@ -1368,3 +1368,63 @@ def test_cms_one_sided_merge_and_exact_when_wide(spark):
         ).collect()
     }
     assert est_wide == exact
+
+
+def test_kn_bigram_nll_matches_pure_python_and_sums_to_one(spark):
+    """Recompute interpolated KN per-doc NLL with a pure-Python
+    reimplementation (same nano rounding) and require exact equality;
+    also pin the KN normalization identity: for every context w1,
+    sum over the seen vocabulary of P(w2|w1) == 1 exactly (the
+    discount mass redistributed through continuation counts)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from table_computing_spark.operators.text import kn_bigram_nll
+
+    d = 0.75
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_bigram_tokens"], r["kn_nll"])
+        for r in kn_bigram_nll(df).collect()
+    }
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].lower().split() if t]
+        for r in df.select("doc_id", "text").collect()
+    }
+    c12: Counter = Counter()
+    for toks in docs.values():
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] += 1
+    c1: Counter = Counter()
+    nfollow: Counter = Counter()
+    ncont: Counter = Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        nfollow[a] += 1
+        ncont[b] += 1
+    t = len(c12)
+
+    def p(a, b):
+        return (max(c12[(a, b)] - d, 0.0) / c1[a]) + (
+            (d * nfollow[a] / c1[a]) * (ncont[b] / t)
+        )
+
+    for doc_id, toks in docs.items():
+        # floor(x+0.5): Spark/DuckDB round() is half-UP, Python round()
+        # is half-even (same trap pagerank_nano documents)
+        nanos = [
+            int(math.floor(-math.log(p(a, b)) * 1e9 + 0.5))
+            for a, b in zip(toks, toks[1:])
+        ]
+        n = len(nanos)
+        want = (n, round(sum(nanos) / n / 1e9, 6)) if n else (0, 0.0)
+        assert got[doc_id] == want, doc_id
+
+    vocab_by_ctx = defaultdict(set)
+    for a, b in c12:
+        vocab_by_ctx[a].add(b)
+    seen_w2 = set(ncont)
+    for a in list(vocab_by_ctx)[:25]:
+        total = sum(p(a, b) for b in seen_w2)
+        assert abs(total - 1.0) < 1e-9, (a, total)
