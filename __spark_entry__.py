@@ -2997,6 +2997,38 @@ def q_cms_counts(spark, sf_dir):
     return frequency.cms_estimate(sk, keys, "l_partkey", depth=4, width=512)
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Near-containment detection (dedup.containment_pairs):
+    C(small→big) = |small ∩ big| / |small| over distinct 3-shingles —
+    the asymmetric dedup gate for quoted/embedded fragments that
+    symmetric Jaccard structurally misses on length-skewed pairs.
+    (Declared after the r06 window fills — enters the driver window in
+    the r07 rotation; locally sim-verified at sf0.01 meanwhile.)"""
+    from table_computing_spark.operators import dedup
+
+    return dedup.containment_pairs(
+        _t(spark, sf_dir, "documents").df, threshold=0.8
+    )
+
+
+def q_resample_ffill(spark, sf_dir):
+    """Time-series regularization (temporal.resample_ffill): each
+    user's irregular event values resampled onto a 6-hour grid with
+    forward-fill — grid = sequence()+explode per key, fill = the
+    as-of join's single window pass (no per-tick self-join). Oracle:
+    generate_series + DuckDB ASOF LEFT JOIN."""
+    from table_computing_spark.operators.temporal import resample_ffill
+
+    ev = _t(spark, sf_dir, "events").df
+    obs = (
+        ev.groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+        .select("user_id", tcf.epoch_ms("ts").alias("ev_ms"), "v")
+    )
+    out = resample_ffill(obs, "user_id", "ev_ms", step=21_600_000, value_cols=["v"])
+    return out.select("user_id", "tick", F.round("v", 6).alias("v"))
+
+
 def q_kn_bigram_nll(spark, sf_dir):
     """Interpolated Kneser-Ney bigram NLL per document
     (text.kn_bigram_nll, d=0.75) — continuation-count smoothing, the
@@ -3237,17 +3269,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     until every declared query has a green row in some round's
     CORRECTNESS file.
 
-    Round-6 window: (a) the 12 never-driver-green queries — the two
+    Round-6 window: (a) the 13 never-driver-green queries — the two
     r05 reds now fixed (q_contract_quarantine scalar group key,
-    q_bpe_merges fixed-k unrolled-CTE oracle) and the ten NEW this
+    q_bpe_merges fixed-k unrolled-CTE oracle) and the eleven NEW this
     round (q_jpeg_decode, q_linkage_em, q_target_encode,
     q_bpe_segment, q_triangle_counts, q_dense_ids, q_semantic_dedup,
-    q_cms_counts, q_incremental_agg, q_kn_bigram_nll); (b) all 37
-    queries whose last green is r01 (stalest on the board — the
-    rotation policy re-proves every query at least every ~3 rounds);
-    (c) 1 r03-verified filler. Zero overlap with the r04/r05-verified
+    q_cms_counts, q_incremental_agg, q_kn_bigram_nll,
+    q_resample_ffill); (b) all 37 queries whose last green is r01
+    (stalest on the board — the rotation policy re-proves every query
+    at least every ~3 rounds). Zero overlap with the r04/r05-verified
     sets. The dtype-strict local sim (tests/oracle.py) is green on all
-    171 at sf0.01."""
+    172 at sf0.01."""
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
     tpch = dict(TPCH_QUERIES)
@@ -3306,12 +3338,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_counts": q_cms_counts,  # new r06 (ditto)
         "q_incremental_agg": q_incremental_agg,  # new r06 (ditto)
         "q_kn_bigram_nll": q_kn_bigram_nll,  # new r06 (ditto)
-        # (c) r03-verified filler
-        "q_stream_dedup": q_stream_dedup,
+        "q_resample_ffill": q_resample_ffill,  # new r06 (ditto)
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
+        # r06 overflow (window full — first in line for the r07 window)
+        "q_containment_pairs": q_containment_pairs,
         # rotation pool: r03 remainder, then the r04/r05-green sets
+        "q_stream_dedup": q_stream_dedup,
         "q_semi_anti_join": q_semi_anti_join,
         "q_top_n": q_top_n,
         "q_order_by_limit": q_order_by_limit,
@@ -3771,6 +3805,56 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1
                     AS BIGINT) AS dense_id
         FROM documents
+        """,
+        "q_containment_pairs": r"""
+        WITH tok AS (
+          SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS arr
+                FROM documents)
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w || ' '
+                     || lead(tok, 2) OVER w AS s
+          FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+          QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        ), sizes AS (
+          SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        ), wt AS (
+          SELECT sh.doc_id, s, sz FROM sh JOIN sizes USING (doc_id)
+        ), shared AS (
+          SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+                 any_value(a.sz) AS sz_small, count(*) AS shared
+          FROM wt a JOIN wt b
+            ON a.s = b.s
+           AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))
+          GROUP BY 1, 2
+        ), scored AS (
+          SELECT id_small, id_big,
+                 round(CAST(shared AS DOUBLE) / sz_small, 6) AS containment
+          FROM shared
+        )
+        SELECT * FROM scored WHERE containment >= 0.8
+        """,
+        "q_resample_ffill": """
+        WITH obs AS (
+          SELECT user_id, epoch_ms(ts) AS ev_ms, max(value) AS v
+          FROM events GROUP BY user_id, ts
+        ),
+        bounds AS (
+          SELECT user_id, min(ev_ms) AS lo, max(ev_ms) AS hi
+          FROM obs GROUP BY user_id
+        ),
+        grid AS (
+          SELECT user_id, unnest(generate_series(
+                   CAST(floor(lo / 21600000) * 21600000 AS BIGINT),
+                   hi, 21600000)) AS tick
+          FROM bounds
+        )
+        SELECT g.user_id, g.tick, round(o.v, 6) AS v
+        FROM grid g ASOF LEFT JOIN obs o
+          ON g.user_id = o.user_id AND g.tick >= o.ev_ms
         """,
         "q_kn_bigram_nll": r"""
         WITH tok AS (

@@ -661,3 +661,60 @@ def _jaccard_pairs_from_units(units: DataFrame, threshold: float) -> DataFrame:
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-CONTAINMENT pairs: C(A→B) = |A ∩ B| / |A| over distinct
+    word k-shingles — the asymmetric cousin of Jaccard that catches
+    what symmetric dedup structurally cannot: a short document quoted
+    or embedded inside a much longer one (J = |∩|/|∪| vanishes as the
+    big doc grows, containment stays ~1). This is the
+    quote/boilerplate/subset detector of the Broder resemblance paper
+    (SEQUENCES '97), and the practical gate for "this doc is just a
+    fragment of that one" in training-data curation.
+
+    Returns (id_small, id_big, containment) with containment =
+    |small ∩ big| / |small| >= threshold and sz_small <= sz_big
+    (id tiebreak on equal sizes) — one directed row per pair.
+
+    Scale shape: identical to the exact-Jaccard core — an
+    inverted-index equi-join on shingle hashes, O(sum df²) candidate
+    rows, never corpus². The only asymmetry is the final divide; the
+    one-sided size filter (no lower bound on the big side!) is what a
+    Jaccard size-filter would wrongly prune."""
+    units = (
+        shingle_rows(df, text_col, id_col, shingle_k)
+        .where(F.col("__sh").isNotNull())
+        .distinct()
+        .select("__id", F.xxhash64("__sh").alias("th"))
+    )
+    sizes = units.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+    wt = units.join(sizes, "__id")
+    a, b = wt.alias("a"), wt.alias("b")
+    # orient small → big at the JOIN level (size, id tiebreak): each
+    # unordered pair appears once, as (small, big)
+    small_first = (F.col("a.sz") < F.col("b.sz")) | (
+        (F.col("a.sz") == F.col("b.sz")) & (F.col("a.__id") < F.col("b.__id"))
+    )
+    shared = (
+        a.join(b, (F.col("a.th") == F.col("b.th")) & small_first)
+        .groupBy(
+            F.col("a.__id").alias("id_small"),
+            F.col("b.__id").alias("id_big"),
+            F.col("a.sz").alias("sz_small"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.withColumn(
+            "containment", F.round(F.col("shared") / F.col("sz_small"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_small", "id_big", "containment")
+    )

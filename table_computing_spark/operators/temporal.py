@@ -298,3 +298,49 @@ def twap(
             "n_obs",
         )
     )
+
+
+def resample_ffill(
+    observations: DataFrame,
+    key_col: str,
+    time_col: str,
+    step: int,
+    value_cols: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """Regularize an irregular time series: per key, emit one row per
+    `step` tick from floor(first_obs/step)*step through last_obs, each
+    carrying the latest observation at-or-before the tick
+    (forward-fill). The standard feature-engineering move before
+    sliding-window models — and the batch analog of what a streaming
+    job gets from OverWindowByDuration.
+
+    `observations` must be unique per (key, time) — pre-aggregate
+    otherwise. The first tick can precede the first observation (when
+    first_obs is not step-aligned); it forward-fills nothing and
+    carries nulls, which is honest — there is no value to hold yet.
+
+    Scale shape: per-key min/max is one hash aggregate; the grid is
+    sequence()+explode — rows (span/step per key) materialize only in
+    executors; the fill itself is asof_join's single window pass (no
+    per-tick candidate pairs, no self-join). Dense keys with huge
+    spans are naturally partitioned by key."""
+    vcols = list(value_cols) if value_cols is not None else [
+        c for c in observations.columns if c not in (key_col, time_col)
+    ]
+    bounds = observations.groupBy(key_col).agg(
+        F.min(time_col).alias("__lo"), F.max(time_col).alias("__hi")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(
+                (F.floor(F.col("__lo") / step) * step).cast("long"),
+                F.col("__hi").cast("long"),
+                F.lit(step).cast("long"),
+            )
+        ).alias("tick"),
+    )
+    obs = observations.select(key_col, F.col(time_col), *vcols)
+    return asof_join(
+        grid, obs, on=[key_col], left_time="tick", right_time=time_col, how="left"
+    ).select(key_col, "tick", *vcols)

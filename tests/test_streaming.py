@@ -1005,3 +1005,20 @@ class TestCheckpointRecovery:
         assert _rows(got.select(*expected.columns), "window_start", "event_type") == _rows(
             expected, "window_start", "event_type"
         )
+
+
+def test_streaming_cms_equals_batch_sketch(spark, stream_dir):
+    """cms_build is a pure groupBy-count, so running it over a
+    micro-batched stream in complete mode must converge to exactly the
+    batch sketch — the mergeability contract, exercised through
+    Spark's own incremental aggregation state."""
+    from table_computing_spark.operators import frequency
+
+    sdf = _read_stream(spark, stream_dir)
+    sk_stream = frequency.cms_build(sdf, "user_id", depth=4, width=32)
+    got = _run_to_table(spark, sk_stream, "cms_stream", mode="complete")
+
+    sk_batch = frequency.cms_build(_batch_df(spark), "user_id", depth=4, width=32)
+    g = {(r["row"], r["slot"]): r["cnt"] for r in got.collect()}
+    w = {(r["row"], r["slot"]): r["cnt"] for r in sk_batch.collect()}
+    assert g == w and g, "streaming sketch != batch sketch"

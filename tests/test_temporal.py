@@ -53,3 +53,26 @@ def test_range_join_equals_naive(spark):
     key = lambda df: sorted((r["pid"], r["iid"]) for r in df.collect())
     assert key(got) == key(naive)
     assert got.count() > 0
+
+
+def test_resample_ffill_grid_and_fill(spark):
+    """Tick grid covers floor(first/step)*step..last inclusive per key;
+    every tick carries the latest observation at-or-before it; ticks
+    before the first observation carry null."""
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators.temporal import resample_ffill
+
+    rows = [
+        (1, 130, 10.0), (1, 250, 11.0), (1, 380, 12.0),  # span 100..380
+        (2, 100, 5.0),                                    # single obs
+    ]
+    obs = spark.createDataFrame(rows, "k long, t long, v double")
+    out = resample_ffill(obs, "k", "t", step=100, value_cols=["v"])
+    got = {(r["k"], r["tick"]): r["v"] for r in out.collect()}
+    assert got == {
+        (1, 100): None,          # before first obs: nothing to hold
+        (1, 200): 10.0,
+        (1, 300): 11.0,
+        (2, 100): 5.0,
+    }

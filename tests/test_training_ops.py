@@ -1428,3 +1428,29 @@ def test_kn_bigram_nll_matches_pure_python_and_sums_to_one(spark):
     for a in list(vocab_by_ctx)[:25]:
         total = sum(p(a, b) for b in seen_w2)
         assert abs(total - 1.0) < 1e-9, (a, total)
+
+
+def test_containment_pairs_catches_embedded_fragment(spark):
+    """The case symmetric Jaccard structurally misses: a short doc
+    quoted verbatim inside a much longer one. Containment must be 1.0
+    small→big while the Jaccard of the same pair sits far below any
+    dedup threshold; unrelated docs must produce no pair."""
+    from table_computing_spark.operators import dedup
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(60))
+    rows = [
+        (1, quote),
+        (2, filler[: len(filler) // 2] + " " + quote + " " + filler),
+        (3, "completely different text with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_small"], r["id_big"]): r["containment"]
+        for r in dedup.containment_pairs(df, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 1.0}
+
+    jac = dedup.shingle_jaccard_pairs(df, threshold=0.01).collect()
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jac}
+    assert j[(1, 2)] < 0.1, "fragment pair should have tiny Jaccard"
