@@ -2560,6 +2560,35 @@ def q_pagerank(spark, sf_dir):
     return graph.pagerank_nano(edges, iterations=3)
 
 
+def q_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (graph.pagerank_nano with a seed set):
+    teleport mass restarts only onto users with user_id % 7 == 0, so
+    ranks become seed-relative proximity — the recommendation /
+    related-items shape — over the same user ↔ event-type bipartite
+    graph as q_pagerank. Integer-nano arithmetic keeps the fixed
+    3-iteration run exactly unrollable into SQL with a seed CASE.
+    (Declared after the r06 window fills — r07 rotation slot; locally
+    sim-verified at sf0.01.)"""
+    from pyspark.sql import Window
+    from table_computing_spark.operators import graph
+
+    ev = _t(spark, sf_dir, "events").df.select("user_id", "event_type").distinct()
+    types = ev.select("event_type").distinct().select(
+        "event_type",
+        (-F.row_number().over(Window.orderBy("event_type"))).cast("long").alias("tid"),
+    )
+    ue = ev.join(types, "event_type").select(
+        F.col("user_id").alias("src"), F.col("tid").alias("dst")
+    )
+    edges = ue.union(ue.select(F.col("dst"), F.col("src")).toDF("src", "dst"))
+    seeds = (
+        ev.select(F.col("user_id").alias("node"))
+        .where(F.col("node") % 7 == 0)
+        .distinct()
+    )
+    return graph.pagerank_nano(edges, iterations=3, seeds=seeds)
+
+
 def q_woe_iv(spark, sf_dir):
     """Weight-of-evidence / information-value feature screening
     (operators/drift.woe_iv): is o_totalprice predictive of final
@@ -3344,6 +3373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail = {
         # r06 overflow (window full — first in line for the r07 window)
         "q_containment_pairs": q_containment_pairs,
+        "q_personalized_pagerank": q_personalized_pagerank,
         # rotation pool: r03 remainder, then the r04/r05-green sets
         "q_stream_dedup": q_stream_dedup,
         "q_semi_anti_join": q_semi_anti_join,
@@ -6200,6 +6230,75 @@ def oracle_sql() -> dict[str, str]:
                      CAST(CAST(floor((1.0 - 0.85) / cnt.n * 1e9 + 0.5) AS BIGINT)
                           + coalesce(s3.s, 0) AS BIGINT) AS rank_nano
               FROM nodes n CROSS JOIN cnt LEFT JOIN s3 ON s3.node = n.node
+            )
+            SELECT node, round(rank_nano / 1e9, 9) AS rank FROM r3
+        """,
+        "q_personalized_pagerank": """
+            WITH ue0 AS (
+              SELECT DISTINCT user_id, event_type FROM events
+            ), types AS (
+              SELECT event_type,
+                     -CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS tid
+              FROM (SELECT DISTINCT event_type FROM ue0)
+            ), ue AS (
+              SELECT u.user_id AS src, t.tid AS dst
+              FROM ue0 u JOIN types t USING (event_type)
+            ), edges AS (
+              SELECT src, dst FROM ue
+              UNION ALL
+              SELECT dst AS src, src AS dst FROM ue
+            ), nodes0 AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+              )
+            ), seeds AS (
+              SELECT DISTINCT user_id AS node FROM ue0 WHERE user_id % 7 = 0
+            ), nodes AS (
+              SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS seed
+              FROM nodes0 n LEFT JOIN seeds s ON n.node = s.node
+            ), scnt AS (SELECT CAST(sum(seed) AS BIGINT) AS k FROM nodes),
+            deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            r0 AS (
+              SELECT node,
+                     CAST(CAST(floor(1e9 / scnt.k + 0.5) AS BIGINT) * seed
+                          AS BIGINT) AS rank_nano
+              FROM nodes, scnt
+            ),
+            s1 AS (
+              SELECT e.dst AS node,
+                     CAST(sum(CAST(round(0.85 * r.rank_nano / d.deg) AS BIGINT)) AS BIGINT) AS s
+              FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+              GROUP BY e.dst
+            ),
+            r1 AS (
+              SELECT n.node,
+                     CAST(CAST(floor((1.0 - 0.85) / scnt.k * 1e9 + 0.5) AS BIGINT) * n.seed
+                          + coalesce(s1.s, 0) AS BIGINT) AS rank_nano
+              FROM nodes n CROSS JOIN scnt LEFT JOIN s1 ON s1.node = n.node
+            ),
+            s2 AS (
+              SELECT e.dst AS node,
+                     CAST(sum(CAST(round(0.85 * r.rank_nano / d.deg) AS BIGINT)) AS BIGINT) AS s
+              FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+              GROUP BY e.dst
+            ),
+            r2 AS (
+              SELECT n.node,
+                     CAST(CAST(floor((1.0 - 0.85) / scnt.k * 1e9 + 0.5) AS BIGINT) * n.seed
+                          + coalesce(s2.s, 0) AS BIGINT) AS rank_nano
+              FROM nodes n CROSS JOIN scnt LEFT JOIN s2 ON s2.node = n.node
+            ),
+            s3 AS (
+              SELECT e.dst AS node,
+                     CAST(sum(CAST(round(0.85 * r.rank_nano / d.deg) AS BIGINT)) AS BIGINT) AS s
+              FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+              GROUP BY e.dst
+            ),
+            r3 AS (
+              SELECT n.node,
+                     CAST(CAST(floor((1.0 - 0.85) / scnt.k * 1e9 + 0.5) AS BIGINT) * n.seed
+                          + coalesce(s3.s, 0) AS BIGINT) AS rank_nano
+              FROM nodes n CROSS JOIN scnt LEFT JOIN s3 ON s3.node = n.node
             )
             SELECT node, round(rank_nano / 1e9, 9) AS rank FROM r3
         """,

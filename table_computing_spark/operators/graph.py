@@ -122,6 +122,7 @@ def pagerank_nano(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int = 4,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank with ENGINE-EXACT integer-nano arithmetic: every
     contribution damping·rank/deg is rounded to integer nanos before
@@ -135,7 +136,16 @@ def pagerank_nano(
     localCheckpoint()ed every `checkpoint_every` rounds so plan depth
     stays bounded without paying an eager job per round. The only
     driver scalar is the node count. Dangling-node mass is dropped
-    (simplified PageRank) — documented, matched by the oracle."""
+    (simplified PageRank) — documented, matched by the oracle.
+
+    `seeds` (a DataFrame with a `node` column) switches to
+    PERSONALIZED PageRank: the teleport mass (1-d) restarts only onto
+    the seed set instead of uniformly — ranks become proximity scores
+    relative to the seeds (recommendation / related-items shape).
+    Initial mass and the restart term are 1/|seeds| on seeds, 0
+    elsewhere; the iteration shape and the integer-nano exactness are
+    identical, so the same fixed-k unrolled SQL oracle applies with a
+    seed CASE."""
     # pin the edge list once: its lineage may be an expensive pipeline
     # (e.g. a Jaccard inverted-index join) that would otherwise
     # re-execute for nodes, degrees, AND every iteration's join
@@ -149,11 +159,28 @@ def pagerank_nano(
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank")).limit(0)
-    # floor(x+0.5), not Python round(): round() is half-EVEN, SQL
-    # round() is half-up — the oracle must be able to reproduce these
-    base_nano = int((1.0 - damping) / n * 1e9 + 0.5)
+    if seeds is not None:
+        # personalized: restart vector is uniform over the seed set ∩
+        # graph nodes; everything else starts (and restarts) at zero
+        seed_nodes = (
+            seeds.select("node").distinct().join(nodes, "node", "left_semi")
+        ).localCheckpoint()
+        k = seed_nodes.count()
+        if k == 0:
+            raise ValueError("personalized pagerank: no seed is a graph node")
+        flagged = nodes.join(
+            seed_nodes.withColumn("__seed", F.lit(1)), "node", "left"
+        ).select("node", F.coalesce("__seed", F.lit(0)).alias("__seed"))
+        nodes = flagged.localCheckpoint()
+        base = F.lit(int((1.0 - damping) / k * 1e9 + 0.5)) * F.col("__seed")
+        init = (F.lit(int(1e9 / k + 0.5)) * F.col("__seed")).cast("long")
+    else:
+        # floor(x+0.5), not Python round(): round() is half-EVEN, SQL
+        # round() is half-up — the oracle must be able to reproduce these
+        base = F.lit(int((1.0 - damping) / n * 1e9 + 0.5))
+        init = F.lit(int(1e9 / n + 0.5)).cast("long")
     deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("__deg"))
-    rank = nodes.withColumn("rank_nano", F.lit(int(1e9 / n + 0.5)).cast("long"))
+    rank = nodes.withColumn("rank_nano", init)
     for it in range(1, iterations + 1):
         contrib = (
             edges.join(rank, edges[src_col] == rank["node"])
@@ -170,7 +197,7 @@ def pagerank_nano(
             nodes.join(sums, "node", "left")
             .select(
                 "node",
-                (F.lit(base_nano) + F.coalesce(F.col("__s"), F.lit(0)))
+                (base + F.coalesce(F.col("__s"), F.lit(0)))
                 .cast("long")
                 .alias("rank_nano"),
             )

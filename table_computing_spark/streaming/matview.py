@@ -1,0 +1,92 @@
+"""Streaming materialized-view maintenance: keep a batch GROUP BY
+summary continuously up to date from an append stream, using the
+delta-merge of operators/incremental.maintain_agg inside foreachBatch.
+
+This is the streaming face of the same idea (the lakehouse
+"incremental MV refresh" pattern): each micro-batch aggregates
+map-side to group-sized delta rows and merges with the persisted
+state — the historical stream is never replayed, and the state table
+is always a complete, queryable GROUP BY result (unlike an
+update-mode in-memory sink, it survives the process).
+
+Exactly-once: foreachBatch is at-least-once, so the version pointer
+records the last applied batch id — a replayed batch is skipped, which
+makes the merge idempotent (the standard foreachBatch dedup contract).
+State versions ping-pong under `state_dir/v{n}` because Spark cannot
+overwrite a parquet path it is reading; the pointer file flips only
+after the new version is fully written.
+
+At 100 TB: the state merge is |state| + |batch groups| rows keyed by
+the group key — write the state bucketed on the key and the merge
+groupBy is Exchange-free; the micro-batch side cost is the batch's own
+map-side aggregation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+
+from table_computing_spark.operators import incremental
+
+_POINTER = "_VERSION.json"
+
+
+def _read_pointer(state_dir: str) -> dict:
+    try:
+        with open(os.path.join(state_dir, _POINTER)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {"version": -1, "last_batch": -1}
+
+
+def read_state(spark, state_dir: str) -> "DataFrame | None":
+    """Current materialized state, or None before the first batch."""
+    ptr = _read_pointer(state_dir)
+    if ptr["version"] < 0:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, f"v{ptr['version']}"))
+
+
+def stream_maintain_agg(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    measures: Mapping[str, Column],
+    state_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start a streaming query that maintains agg_state(stream-so-far)
+    under `state_dir`. Returns the StreamingQuery; await it, then
+    `read_state` is the full GROUP BY of everything ingested."""
+    os.makedirs(state_dir, exist_ok=True)
+    keys = list(keys)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ptr = _read_pointer(state_dir)
+        if batch_id <= ptr["last_batch"]:
+            return  # replayed batch — already merged (idempotence)
+        spark = batch_df.sparkSession
+        delta = incremental.agg_state(batch_df, keys, measures)
+        if ptr["version"] >= 0:
+            old = spark.read.parquet(os.path.join(state_dir, f"v{ptr['version']}"))
+            new = incremental.maintain_agg(
+                old, batch_df, batch_df.limit(0), keys, measures
+            )
+        else:
+            new = delta
+        nxt = ptr["version"] + 1
+        new.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{nxt}"))
+        with open(os.path.join(state_dir, _POINTER), "w") as f:
+            json.dump({"version": nxt, "last_batch": batch_id}, f)
+
+    writer = (
+        sdf.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

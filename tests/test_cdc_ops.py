@@ -1033,3 +1033,46 @@ def test_maintain_agg_equals_full_recompute(spark):
     )
     assert after.where(F.col("o_custkey") == k).count() == 0
     assert after.count() == state.count() - 1
+
+
+def test_personalized_pagerank_vs_naive_and_seed_locality(spark):
+    """PPR with integer-nano arithmetic must equal a naive Python
+    replay exactly; and on a graph of two disconnected components,
+    seeding only one component must leave the other at rank 0 — the
+    defining difference from uniform-restart PageRank."""
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators.graph import pagerank_nano
+
+    # two disconnected stars: 1-(2,3,4) and 10-(11,12)
+    und = [(1, 2), (1, 3), (1, 4), (10, 11), (10, 12)]
+    edges = und + [(b, a) for a, b in und]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_nano(edf, iterations=3, seeds=seeds).collect()
+    }
+    assert all(got[n] == 0.0 for n in (10, 11, 12)), got
+    assert got[1] > 0 and got[2] > 0
+
+    # exact naive replay (nano ints, floor(x+0.5) rounding)
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for a, _ in edges:
+        deg[a] += 1
+    nodes = sorted({n for e in edges for n in e})
+    seedset = {1}
+    k = len(seedset)
+    base = {n: (int((0.15 / k) * 1e9 + 0.5) if n in seedset else 0) for n in nodes}
+    rank = {n: (int(1e9 / k + 0.5) if n in seedset else 0) for n in nodes}
+    for _ in range(3):
+        s = defaultdict(int)
+        for a, b in edges:
+            import math
+
+            s[b] += int(math.floor(0.85 * rank[a] / deg[a] + 0.5))
+        rank = {n: base[n] + s[n] for n in nodes}
+    want = {n: round(rank[n] / 1e9, 9) for n in nodes}
+    assert got == want

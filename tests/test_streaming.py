@@ -1022,3 +1022,52 @@ def test_streaming_cms_equals_batch_sketch(spark, stream_dir):
     g = {(r["row"], r["slot"]): r["cnt"] for r in got.collect()}
     w = {(r["row"], r["slot"]): r["cnt"] for r in sk_batch.collect()}
     assert g == w and g, "streaming sketch != batch sketch"
+
+
+def test_stream_maintain_agg_equals_batch_groupby(spark, stream_dir, tmp_path):
+    """The streaming materialized view (foreachBatch + maintain_agg,
+    ping-pong versions) must converge to exactly agg_state of the full
+    replay, and re-applying the last batch id must be a no-op (the
+    idempotence contract for foreachBatch's at-least-once delivery)."""
+    from table_computing_spark.operators import incremental
+    from table_computing_spark.streaming import matview
+
+    measures = {"total": F.col("value").cast("decimal(20,4)")}
+    sdf = _read_stream(spark, stream_dir)
+    q = matview.stream_maintain_agg(
+        sdf,
+        ["user_id"],
+        measures,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    got_df = matview.read_state(spark, str(tmp_path / "state"))
+    want_df = incremental.agg_state(_batch_df(spark), ["user_id"], measures)
+    got = {r["user_id"]: (r["cnt"], r["total"]) for r in got_df.collect()}
+    want = {r["user_id"]: (r["cnt"], r["total"]) for r in want_df.collect()}
+    assert got == want and got
+
+    # replayed batch ids → skipped, state unchanged: re-run the whole
+    # stream against the same state dir with a FRESH checkpoint; every
+    # batch id is <= last_batch, so nothing merges
+    ptr_before = matview._read_pointer(str(tmp_path / "state"))
+    sdf2 = _read_stream(spark, stream_dir)
+    q2 = matview.stream_maintain_agg(
+        sdf2,
+        ["user_id"],
+        measures,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    ptr_after = matview._read_pointer(str(tmp_path / "state"))
+    assert ptr_after == ptr_before
+    got2 = {
+        r["user_id"]: (r["cnt"], r["total"])
+        for r in matview.read_state(spark, str(tmp_path / "state")).collect()
+    }
+    assert got2 == want
