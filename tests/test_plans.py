@@ -204,3 +204,18 @@ def test_span_ops_ngram_build_in_codegen(plans):
     for name in ("q_dup_spans", "q_decontaminate"):
         p = plans[name]
         assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_cms_estimate_probes_broadcast_sketch(plans):
+    """The sketch (≤ depth×width rows) must broadcast onto the probe
+    side — a shuffled join would move the probe stream for a table
+    that always fits in one executor."""
+    p = plans["q_cms_counts"]
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_semantic_dedup_centroids_broadcast(plans):
+    """Per-cell centroids (≤ 2^bits rows) broadcast back onto the
+    corpus; the epsilon test is a bucket equi-join, never cartesian."""
+    p = plans["q_semantic_dedup"]
+    assert "BroadcastHashJoin" in p, p
