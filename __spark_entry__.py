@@ -248,6 +248,22 @@ def q_percentile(spark, sf_dir):
     )
 
 
+def q_exact_global_quantiles(spark, sf_dir):
+    """Exact GLOBAL quantiles without a single-reducer sort
+    (operators/quantiles.exact_quantiles): distributed selection by
+    iterative histogram refinement — B-bucket counts narrow each
+    rank's candidate set ~B× per round, the final sorted slice is
+    <= slice_limit rows, and no executor ever holds the column.
+    Completes the quantile ladder: exact per-group percentile() /
+    mergeable GK sketch / exact global selection. (r07 rotation slot;
+    locally sim-verified.)"""
+    from table_computing_spark.operators.quantiles import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").df
+    out = exact_quantiles(li, "l_extendedprice", [0.5, 0.95, 0.99])
+    return out.select("q", F.round("value", 4).alias("value"))
+
+
 def q_approx_quantile(spark, sf_dir):
     """Approximate quantiles via Spark's percentile_approx (Greenwald-
     Khanna sketch) — the mergeable-sketch path for 100 TB where exact
@@ -3058,6 +3074,41 @@ def q_resample_ffill(spark, sf_dir):
     return out.select("user_id", "tick", F.round("v", 6).alias("v"))
 
 
+def q_maintain_distinct(spark, sf_dir):
+    """Sketch-backed incremental DISTINCT counts
+    (incremental.distinct_state/maintain_distinct): COUNT DISTINCT is
+    not self-maintainable, so the maintained state is an HLL sketch
+    per group, updated from the insert delta alone — historical facts
+    never rescanned. Portable claim (engines sketch differently): the
+    exact post-insert distinct counts plus a flag that the maintained
+    estimate landed within ±5%% of exact. (r07 rotation slot.)"""
+    from table_computing_spark.operators import incremental
+
+    li = _t(spark, sf_dir, "lineitem").df
+    base = li.where(F.col("l_orderkey") % 7 != 0)
+    ins = li.where(F.col("l_orderkey") % 7 == 0)
+    st = incremental.distinct_state(base, ["l_returnflag"], "l_orderkey")
+    mt = incremental.maintain_distinct(st, ins, ["l_returnflag"], "l_orderkey")
+    est = incremental.distinct_estimate(mt, ["l_returnflag"])
+    exact = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("distinct_est") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= 0.05
+        )
+        .cast("int")
+        .alias("maintained_ok"),
+    )
+
+
 def q_kn_bigram_nll(spark, sf_dir):
     """Interpolated Kneser-Ney bigram NLL per document
     (text.kn_bigram_nll, d=0.75) — continuation-count smoothing, the
@@ -3374,6 +3425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r06 overflow (window full — first in line for the r07 window)
         "q_containment_pairs": q_containment_pairs,
         "q_personalized_pagerank": q_personalized_pagerank,
+        "q_exact_global_quantiles": q_exact_global_quantiles,
+        "q_maintain_distinct": q_maintain_distinct,
         # rotation pool: r03 remainder, then the r04/r05-green sets
         "q_stream_dedup": q_stream_dedup,
         "q_semi_anti_join": q_semi_anti_join,
@@ -6232,6 +6285,23 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes n CROSS JOIN cnt LEFT JOIN s3 ON s3.node = n.node
             )
             SELECT node, round(rank_nano / 1e9, 9) AS rank FROM r3
+        """,
+        "q_maintain_distinct": """
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               CAST(1 AS INT) AS maintained_ok
+        FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_exact_global_quantiles": """
+        SELECT 0.5 AS q,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS value
+        FROM lineitem
+        UNION ALL
+        SELECT 0.95, round(quantile_cont(l_extendedprice, 0.95), 4)
+        FROM lineitem
+        UNION ALL
+        SELECT 0.99, round(quantile_cont(l_extendedprice, 0.99), 4)
+        FROM lineitem
         """,
         "q_personalized_pagerank": """
             WITH ue0 AS (

@@ -1076,3 +1076,42 @@ def test_personalized_pagerank_vs_naive_and_seed_locality(spark):
         rank = {n: base[n] + s[n] for n in nodes}
     want = {n: round(rank[n] / 1e9, 9) for n in nodes}
     assert got == want
+
+
+def test_maintain_distinct_sketch_accuracy_and_incrementality(spark):
+    """Sketch-maintained distinct counts: the merged-from-deltas
+    estimate must stay within the sketch's error bound of the exact
+    post-insert distincts AND within 2%% of a single-pass whole-data
+    sketch (union changes register type, so bit-equality is NOT the
+    contract — closeness is)."""
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators import incremental
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    base = li.where(F.col("l_orderkey") % 7 != 0)
+    ins = li.where(F.col("l_orderkey") % 7 == 0)
+    st = incremental.distinct_state(base, ["l_returnflag"], "l_orderkey")
+    mt = incremental.maintain_distinct(st, ins, ["l_returnflag"], "l_orderkey")
+    whole = incremental.distinct_state(li, ["l_returnflag"], "l_orderkey")
+
+    m = {
+        r["l_returnflag"]: r["distinct_est"]
+        for r in incremental.distinct_estimate(mt, ["l_returnflag"]).collect()
+    }
+    w = {
+        r["l_returnflag"]: r["distinct_est"]
+        for r in incremental.distinct_estimate(whole, ["l_returnflag"]).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(m) == set(exact) and m
+    for k in exact:
+        assert abs(m[k] - exact[k]) / exact[k] <= 0.05, (k, m[k], exact[k])
+        assert abs(m[k] - w[k]) / w[k] <= 0.02, (k, m[k], w[k])

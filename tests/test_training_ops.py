@@ -1454,3 +1454,40 @@ def test_containment_pairs_catches_embedded_fragment(spark):
     jac = dedup.shingle_jaccard_pairs(df, threshold=0.01).collect()
     j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jac}
     assert j[(1, 2)] < 0.1, "fragment pair should have tiny Jaccard"
+
+
+def test_exact_quantiles_matches_numpy_multi_round(spark):
+    """Distributed selection must equal numpy's linear-interpolation
+    percentiles exactly, with a tiny slice limit forcing several
+    histogram-refinement rounds; all-equal and null-bearing columns
+    exercise the degenerate paths."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators.quantiles import exact_quantiles
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    qs = [0.0, 0.25, 0.5, 0.95, 1.0]
+    got = {
+        r["q"]: r["value"]
+        for r in exact_quantiles(
+            li, "l_extendedprice", qs, buckets=32, slice_limit=100, max_rounds=12
+        ).collect()
+    }
+    arr = np.array(
+        [r["l_extendedprice"] for r in li.select("l_extendedprice").collect()]
+    )
+    for q in qs:
+        want = float(np.percentile(arr, q * 100, method="linear"))
+        assert abs(got[q] - want) < 1e-9, (q, got[q], want)
+
+    const = spark.range(100).select(F.lit(7.5).alias("x"))
+    assert {
+        r["q"]: r["value"]
+        for r in exact_quantiles(const, "x", [0.5], buckets=8, slice_limit=5).collect()
+    } == {0.5: 7.5}
+
+    ndf = spark.createDataFrame([(1.0,), (None,), (3.0,), (2.0,)], "x double")
+    assert {
+        r["q"]: r["value"] for r in exact_quantiles(ndf, "x", [0.5]).collect()
+    } == {0.5: 2.0}
