@@ -3074,6 +3074,34 @@ def q_resample_ffill(spark, sf_dir):
     return out.select("user_id", "tick", F.round("v", 6).alias("v"))
 
 
+def q_join_explosion(spark, sf_dir):
+    """Pre-flight exact join-cardinality forecast
+    (skew.join_explosion_report): |lineitem ⋈ orders on custkey-ish
+    keys| predicted from the two per-key COUNT tables — the blow-up
+    check that costs two scans and a distinct-key-sized join instead
+    of the join itself. Top-10 exploding keys + the total on every
+    row. (r07 rotation slot.)"""
+    from table_computing_spark.operators.skew import join_explosion_report
+
+    li = _t(spark, sf_dir, "lineitem").df
+    o = _t(spark, sf_dir, "orders").df
+    return join_explosion_report(li, o, "l_suppkey", "o_custkey", top_k=10)
+
+
+def q_changed_partitions(spark, sf_dir):
+    """Partition-level change detection (cdc.changed_partitions):
+    which o_orderpriority partitions differ between the base snapshot
+    (o_orderkey % 11 != 0) and the full table — decided from
+    order-independent DECIMAL digest sums, never row comparisons. The
+    incremental-recompute planner's first question. (r07 slot.)"""
+    from table_computing_spark.operators import cdc
+
+    o = _t(spark, sf_dir, "orders").df
+    content = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    base = o.where(F.col("o_orderkey") % 11 != 0)
+    return cdc.changed_partitions(base, o, ["o_orderpriority"], content)
+
+
 def q_maintain_distinct(spark, sf_dir):
     """Sketch-backed incremental DISTINCT counts
     (incremental.distinct_state/maintain_distinct): COUNT DISTINCT is
@@ -3427,6 +3455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_personalized_pagerank": q_personalized_pagerank,
         "q_exact_global_quantiles": q_exact_global_quantiles,
         "q_maintain_distinct": q_maintain_distinct,
+        "q_join_explosion": q_join_explosion,
+        "q_changed_partitions": q_changed_partitions,
         # rotation pool: r03 remainder, then the r04/r05-green sets
         "q_stream_dedup": q_stream_dedup,
         "q_semi_anti_join": q_semi_anti_join,
@@ -6285,6 +6315,54 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes n CROSS JOIN cnt LEFT JOIN s3 ON s3.node = n.node
             )
             SELECT node, round(rank_nano / 1e9, 9) AS rank FROM r3
+        """,
+        "q_join_explosion": """
+        WITH ca AS (
+          SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n_left
+          FROM lineitem GROUP BY 1
+        ), cb AS (
+          SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n_right
+          FROM orders GROUP BY 1
+        ), prod AS (
+          SELECT ca.key, n_left, n_right,
+                 CAST(n_left * n_right AS BIGINT) AS out_rows
+          FROM ca JOIN cb ON ca.key = cb.key
+        ), tot AS (
+          SELECT CAST(sum(out_rows) AS BIGINT) AS total_out_rows FROM prod
+        ), top AS (
+          SELECT * FROM prod ORDER BY out_rows DESC, key ASC LIMIT 10
+        )
+        SELECT key, n_left, n_right, out_rows,
+               round(CAST(out_rows AS DOUBLE) / total_out_rows, 6) AS out_share,
+               total_out_rows
+        FROM top, tot
+        """,
+        "q_changed_partitions": """
+        WITH fp AS (
+          SELECT o_orderpriority, o_orderkey,
+                 CAST('0x' || substr(md5(
+                   coalesce(md5(CAST(o_orderkey AS VARCHAR)), 'null') || '|' ||
+                   coalesce(md5(CAST(o_custkey AS VARCHAR)), 'null') || '|' ||
+                   coalesce(md5(CAST(o_orderstatus AS VARCHAR)), 'null')
+                 ), 1, 15) AS BIGINT) AS fpi
+          FROM orders
+        ), od AS (
+          SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS old_rows,
+                 sum(fpi) AS old_digest
+          FROM fp WHERE o_orderkey % 11 <> 0 GROUP BY 1
+        ), nd AS (
+          SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS new_rows,
+                 sum(fpi) AS new_digest
+          FROM fp GROUP BY 1
+        )
+        SELECT coalesce(od.o_orderpriority, nd.o_orderpriority) AS o_orderpriority,
+               CASE WHEN od.old_digest IS NULL THEN 'added'
+                    WHEN nd.new_digest IS NULL THEN 'removed'
+                    WHEN od.old_digest = nd.new_digest
+                         AND od.old_rows = nd.new_rows THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               od.old_rows, nd.new_rows
+        FROM od FULL OUTER JOIN nd ON od.o_orderpriority = nd.o_orderpriority
         """,
         "q_maintain_distinct": """
         SELECT l_returnflag,

@@ -180,3 +180,64 @@ def apply_diff(
     kept = old.join(changed_keys, keys, "left_anti")
     upserts = diff.filter(F.col(change_col) != "delete").drop(change_col)
     return kept.unionByName(upserts)
+
+
+def partition_digest(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    content_cols: Sequence[str],
+) -> DataFrame:
+    """Order-independent per-partition content digest: (row count,
+    decimal sum of each row's 60-bit fingerprint int). Two partitions
+    digest equal iff their row MULTISETS are equal (up to md5
+    collision) — the primitive that lets an incremental job decide
+    WHICH date/source partitions to recompute by comparing two
+    digest tables instead of two datasets.
+
+    The sum is exact DECIMAL(38,0) (no float, no overflow below ~10^20
+    rows) and commutative, so the digest is independent of row order
+    and partitioning — and reproducible by the DuckDB oracle. Content
+    casts follow row_fingerprint's portability contract: feed it
+    integer/string columns (cast floats to integer units first).
+
+    One map-side-combinable aggregation; shuffle width = number of
+    partitions."""
+    fp_int = F.conv(
+        F.substring(row_fingerprint(list(content_cols)), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+    return df.groupBy(*list(partition_cols)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(fp_int).cast("decimal(38,0)").alias("digest"),
+    )
+
+
+def changed_partitions(
+    old: DataFrame,
+    new: DataFrame,
+    partition_cols: Sequence[str],
+    content_cols: Sequence[str],
+) -> DataFrame:
+    """Compare two snapshots partition-by-partition WITHOUT comparing
+    rows: full-outer-join their digests and classify each partition
+    added / removed / changed / unchanged. Feed the changed list to
+    the incremental recompute (or to snapshot_diff for row-level
+    detail on just those partitions)."""
+    pc = list(partition_cols)
+    od = partition_digest(old, pc, content_cols).withColumnRenamed(
+        "n_rows", "old_rows"
+    ).withColumnRenamed("digest", "old_digest")
+    nd = partition_digest(new, pc, content_cols).withColumnRenamed(
+        "n_rows", "new_rows"
+    ).withColumnRenamed("digest", "new_digest")
+    j = od.join(nd, pc, "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(
+            (F.col("old_digest") == F.col("new_digest"))
+            & (F.col("old_rows") == F.col("new_rows")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*pc, status.alias("status"), "old_rows", "new_rows")

@@ -96,3 +96,52 @@ def key_skew_report(
             F.col("__max") / (F.col("__total") / F.col("n_keys")), 6
         ).alias("skew_ratio"),
     )
+
+
+def join_explosion_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str | None = None,
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-flight EXACT output-cardinality forecast for an equi-join:
+    |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k), computed from the two per-key
+    count tables — the second pre-flight check (after key_skew_report)
+    before committing a 100 TB join, because the classic blow-up (two
+    many-to-many keys nobody noticed) only shows in the PRODUCT, not
+    in either side's skew alone.
+
+    Returns the top-k exploding keys (key, n_left, n_right, out_rows,
+    out_share) with the total forecast repeated on every row — read
+    row 1's `total_out_rows` against your budget before running the
+    real join.
+
+    Plan: one hash aggregation per side (map-side combined), an
+    equi-join of the two COUNT tables (distinct-key sized, not
+    row sized), a 1-row total broadcast onto TakeOrderedAndProject —
+    the forecast costs two scans + a key-count join, never the join
+    itself."""
+    rk = right_key or left_key
+    ca = left.groupBy(F.col(left_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    cb = right.groupBy(F.col(rk).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    prod = ca.join(cb, "key").select(
+        "key",
+        "n_left",
+        "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("out_rows"),
+    )
+    total = prod.agg(F.sum("out_rows").alias("total_out_rows"))
+    top = prod.orderBy(F.desc("out_rows"), F.asc("key")).limit(top_k)
+    return top.crossJoin(F.broadcast(total)).select(
+        "key",
+        "n_left",
+        "n_right",
+        "out_rows",
+        F.round(F.col("out_rows") / F.col("total_out_rows"), 6).alias("out_share"),
+        "total_out_rows",
+    )

@@ -1115,3 +1115,51 @@ def test_maintain_distinct_sketch_accuracy_and_incrementality(spark):
     for k in exact:
         assert abs(m[k] - exact[k]) / exact[k] <= 0.05, (k, m[k], exact[k])
         assert abs(m[k] - w[k]) / w[k] <= 0.02, (k, m[k], w[k])
+
+
+def test_changed_partitions_classification(spark):
+    """All four statuses from constructed snapshots: an untouched
+    partition, a value-changed row, a removed-only partition, an
+    added-only partition — and order/partitioning invariance of the
+    digest (the whole point of the commutative sum)."""
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators import cdc
+
+    old = spark.createDataFrame(
+        [("p1", 1, "a"), ("p1", 2, "b"), ("p2", 3, "c"), ("p3", 4, "d")],
+        "part string, id long, v string",
+    )
+    new = spark.createDataFrame(
+        [("p1", 1, "a"), ("p1", 2, "b"), ("p2", 3, "CHANGED"), ("p4", 5, "e")],
+        "part string, id long, v string",
+    )
+    got = {
+        r["part"]: r["status"]
+        for r in cdc.changed_partitions(old, new, ["part"], ["id", "v"]).collect()
+    }
+    assert got == {"p1": "unchanged", "p2": "changed", "p3": "removed", "p4": "added"}
+
+    d1 = cdc.partition_digest(old, ["part"], ["id", "v"]).collect()
+    d2 = cdc.partition_digest(
+        old.repartition(7).sortWithinPartitions(F.desc("v")), ["part"], ["id", "v"]
+    ).collect()
+    assert {tuple(r) for r in d1} == {tuple(r) for r in d2}
+
+
+def test_join_explosion_total_equals_real_join(spark):
+    """The forecast must equal the actual join cardinality exactly —
+    checked against a real (small) join at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators.skew import join_explosion_report
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    rep = join_explosion_report(li, o, "l_suppkey", "o_custkey", top_k=5)
+    rows = rep.collect()
+    total = rows[0]["total_out_rows"]
+    real = li.join(o, li.l_suppkey == o.o_custkey).count()
+    assert total == real
+    assert all(r["total_out_rows"] == total for r in rows)
+    assert rows == sorted(rows, key=lambda r: (-r["out_rows"], r["key"]))
