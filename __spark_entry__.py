@@ -3074,6 +3074,21 @@ def q_resample_ffill(spark, sf_dir):
     return out.select("user_id", "tick", F.round("v", 6).alias("v"))
 
 
+def q_ann_recall(spark, sf_dir):
+    """In-engine ANN evaluation (similarity.ranking_metrics): score
+    the sign-LSH index against the exact cosine baseline — per-query
+    recall@10, MRR, NDCG@10, computed as joins/aggregations so result
+    lists never reach the driver. DCG terms round to integer nanos
+    pre-sum (order-independent, engine-exact). (r07 rotation slot.)"""
+    from table_computing_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    truth = sim.cosine_topk(emb, qs, k=10)
+    pred = sim.lsh_topk(emb, qs, k=10, bits=4)
+    return sim.ranking_metrics(pred, truth, k=10)
+
+
 def q_join_explosion(spark, sf_dir):
     """Pre-flight exact join-cardinality forecast
     (skew.join_explosion_report): |lineitem ⋈ orders on custkey-ish
@@ -3457,6 +3472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_maintain_distinct": q_maintain_distinct,
         "q_join_explosion": q_join_explosion,
         "q_changed_partitions": q_changed_partitions,
+        "q_ann_recall": q_ann_recall,
         # rotation pool: r03 remainder, then the r04/r05-green sets
         "q_stream_dedup": q_stream_dedup,
         "q_semi_anti_join": q_semi_anti_join,
@@ -6315,6 +6331,61 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes n CROSS JOIN cnt LEFT JOIN s3 ON s3.node = n.node
             )
             SELECT node, round(rank_nano / 1e9, 9) AS rank FROM r3
+        """,
+        "q_ann_recall": """
+        WITH qv AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 50 = 0
+        ), cv AS (
+          SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+        ), ts AS (
+          SELECT query_id, neighbor_id,
+                 round(list_cosine_similarity(qv.v, cv.v), 4) AS cos_sim
+          FROM qv, cv WHERE query_id <> neighbor_id
+        ), truth AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM ts QUALIFY rank <= 10
+        ), bucketed AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+               + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+               + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+          FROM embeddings
+        ), ps AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.v, c.v), 4) AS cos_sim
+          FROM bucketed q JOIN bucketed c
+            ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id % 50 = 0
+        ), pred AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM ps QUALIFY rank <= 10
+        ), tsz AS (
+          SELECT query_id, count(*) AS nt FROM truth GROUP BY query_id
+        ), hits AS (
+          SELECT p.query_id, p.rank AS pr
+          FROM pred p JOIN truth t
+            ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+        ), per AS (
+          SELECT query_id, count(*) AS nhit, min(pr) AS first,
+                 CAST(sum(CAST(round(1e9 / (ln(pr + 1) / ln(2.0)))
+                      AS BIGINT)) AS BIGINT) AS dcg_nano
+          FROM hits GROUP BY query_id
+        )
+        SELECT t.query_id,
+               round(coalesce(p.nhit, 0) / t.nt, 6) AS recall_at_k,
+               round(coalesce(1.0 / p.first, 0.0), 6) AS mrr,
+               round(coalesce(p.dcg_nano, 0) / CAST(list_sum(
+                 list_transform(range(1, t.nt + 1),
+                   r -> CAST(round(1e9 / (ln(r + 1) / ln(2.0))) AS BIGINT))
+               ) AS BIGINT), 6) AS ndcg_at_k
+        FROM tsz t LEFT JOIN per p USING (query_id)
         """,
         "q_join_explosion": """
         WITH ca AS (

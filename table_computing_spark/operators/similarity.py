@@ -668,3 +668,80 @@ def semantic_dedup(
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def ranking_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """In-engine retrieval evaluation — the closing piece of the ANN
+    stack: measure an approximate index (LSH/IVF) against the exact
+    baseline WITHOUT pulling result lists to the driver.
+
+    Per query (both inputs are ranked lists: query, item, 1-based
+    rank, truncated to top-k here):
+        recall_at_k — |pred ∩ truth| / |truth|
+        mrr         — 1 / rank of the first predicted item that is in
+                      truth (0 when none is)
+        ndcg_at_k   — DCG(pred)/DCG(ideal) with binary gains,
+                      discount 1/log2(rank+1); ideal = |truth| hits
+                      in the first |truth| positions.
+    All ratios are exact rational arithmetic until one final rounded
+    division, so the numbers are engine-portable (log2 via ln ratio,
+    identical libm on both engines — the repo-wide discipline).
+
+    Scale shape: two rank-truncated inputs equi-join on (query, item);
+    three hash aggregations keyed by query. Queries × k rows end to
+    end — never the corpus."""
+    p = pred.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"),
+        F.col(item_col).alias("__i"),
+        F.col(rank_col).alias("__pr"),
+    )
+    t = truth.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"), F.col(item_col).alias("__i")
+    )
+    tsz = t.groupBy("__q").agg(F.count(F.lit(1)).alias("__nt"))
+    # discount terms round to integer NANOS before any sum, so DCG and
+    # ideal DCG are order-independent and engine-exact (the repo-wide
+    # integer-unit discipline for float aggregation)
+    term_nano = F.round(
+        F.lit(1e9) / (F.log(F.col("__pr") + 1) / F.log(F.lit(2.0)))
+    ).cast("long")
+    hits = p.join(t, ["__q", "__i"])
+    per_hit = hits.groupBy("__q").agg(
+        F.count(F.lit(1)).alias("__nhit"),
+        F.min("__pr").alias("__first"),
+        F.sum(term_nano).alias("__dcg_nano"),
+    )
+    # ideal DCG for n relevant items = sum_{r=1..n} 1/log2(r+1); n <= k
+    # is tiny, so the per-row sequence+aggregate expression stays cheap
+    idcg_nano = F.aggregate(
+        F.sequence(F.lit(1), F.col("__nt")),
+        F.lit(0).cast("long"),
+        lambda acc, r: acc
+        + F.round(
+            F.lit(1e9) / (F.log(r.cast("double") + 1) / F.log(F.lit(2.0)))
+        ).cast("long"),
+    )
+    out = (
+        tsz.join(per_hit, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            F.round(
+                F.coalesce(F.col("__nhit"), F.lit(0)) / F.col("__nt"), round_to
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("__first"), F.lit(0.0)), round_to
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("__dcg_nano"), F.lit(0)) / idcg_nano, round_to
+            ).alias("ndcg_at_k"),
+        )
+    )
+    return out

@@ -1491,3 +1491,39 @@ def test_exact_quantiles_matches_numpy_multi_round(spark):
     assert {
         r["q"]: r["value"] for r in exact_quantiles(ndf, "x", [0.5]).collect()
     } == {0.5: 2.0}
+
+
+def test_ranking_metrics_golden_and_perfect_prediction(spark):
+    """Hand-computed golden: truth {a,b,c}, pred hits b@1 and c@3 →
+    recall 2/3, MRR 1, NDCG = (1/log2(2) + 1/log2(4)) / ideal(3); a
+    perfect prediction scores 1.0 everywhere; a miss scores 0."""
+    import math
+
+    from table_computing_spark.operators.similarity import ranking_metrics
+
+    truth = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3), (2, "x", 1)],
+        "query_id long, neighbor_id string, rank int",
+    )
+    pred = spark.createDataFrame(
+        [(1, "b", 1), (1, "z", 2), (1, "c", 3), (2, "y", 1)],
+        "query_id long, neighbor_id string, rank int",
+    )
+    got = {
+        r["query_id"]: (r["recall_at_k"], r["mrr"], r["ndcg_at_k"])
+        for r in ranking_metrics(pred, truth, k=10).collect()
+    }
+
+    def nano(x):
+        return int(math.floor(1e9 / math.log2(x + 1) + 0.5))
+
+    dcg = nano(1) + nano(3)
+    idcg = nano(1) + nano(2) + nano(3)
+    assert got[1] == (round(2 / 3, 6), 1.0, round(dcg / idcg, 6))
+    assert got[2] == (0.0, 0.0, 0.0)
+
+    perfect = ranking_metrics(truth, truth, k=10)
+    assert all(
+        (r["recall_at_k"], r["mrr"], r["ndcg_at_k"]) == (1.0, 1.0, 1.0)
+        for r in perfect.collect()
+    )
