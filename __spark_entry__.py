@@ -3074,6 +3074,42 @@ def q_resample_ffill(spark, sf_dir):
     return out.select("user_id", "tick", F.round("v", 6).alias("v"))
 
 
+def q_session_capped(spark, sf_dir):
+    """Gap + hard-cap sessionization (windows.session_capped): user
+    sessions split at 24h of silence OR every 48h from the session's
+    first event — the production variant session_window lacks. Two
+    per-key window passes, no self-join. (r07 rotation slot.)"""
+    from table_computing_spark.operators.windows import session_capped
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", tcf.epoch_ms("ts").alias("t_ms")
+    )
+    out = session_capped(
+        ev, "t_ms", ["user_id"], gap_ms=86_400_000, cap_ms=172_800_000
+    )
+    return out.select("user_id", "t_ms", "session_id", "session_start")
+
+
+def q_ema_trailing(spark, sf_dir):
+    """Trailing-k renormalized EMA (temporal.ema_trailing, alpha=0.5,
+    k=5) per user over distinct event times — a fixed 5-term lag
+    expression in whole-stage codegen, never a per-row recursion
+    (which would serialize the partition and make the float depend on
+    history length). alpha=0.5 keeps every weight an exact binary
+    fraction, so both engines compute identical doubles. (r07 slot.)"""
+    from table_computing_spark.operators.temporal import ema_trailing
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .df.select("user_id", tcf.epoch_ms("ts").alias("t_ms"), "value")
+        .groupBy("user_id", "t_ms")
+        .agg(F.max("value").alias("v"))
+    )
+    return ema_trailing(ev, ["user_id"], "t_ms", "v", alpha=0.5, k=5).select(
+        "user_id", "t_ms", F.round("v", 6).alias("v"), "ema"
+    )
+
+
 def q_ann_recall(spark, sf_dir):
     """In-engine ANN evaluation (similarity.ranking_metrics): score
     the sign-LSH index against the exact cosine baseline — per-query
@@ -3473,6 +3509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_explosion": q_join_explosion,
         "q_changed_partitions": q_changed_partitions,
         "q_ann_recall": q_ann_recall,
+        "q_session_capped": q_session_capped,
+        "q_ema_trailing": q_ema_trailing,
         # rotation pool: r03 remainder, then the r04/r05-green sets
         "q_stream_dedup": q_stream_dedup,
         "q_semi_anti_join": q_semi_anti_join,
@@ -6331,6 +6369,58 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes n CROSS JOIN cnt LEFT JOIN s3 ON s3.node = n.node
             )
             SELECT node, round(rank_nano / 1e9, 9) AS rank FROM r3
+        """,
+        "q_session_capped": """
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS t_ms FROM events
+        ), f AS (
+          SELECT user_id, t_ms,
+                 CASE WHEN lag(t_ms) OVER w IS NULL
+                        OR t_ms - lag(t_ms) OVER w >= 86400000
+                      THEN 1 ELSE 0 END AS nf
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_ms)
+        ), g AS (
+          SELECT user_id, t_ms,
+                 sum(nf) OVER (PARTITION BY user_id ORDER BY t_ms
+                               ROWS UNBOUNDED PRECEDING) AS gid
+          FROM f
+        ), h AS (
+          SELECT user_id, t_ms, gid,
+                 CAST(floor((t_ms - min(t_ms) OVER (PARTITION BY user_id, gid))
+                            / 172800000) AS BIGINT) AS sub
+          FROM g
+        )
+        SELECT user_id, t_ms,
+               CAST(gid AS VARCHAR) || '_' || CAST(sub AS VARCHAR) AS session_id,
+               CAST(min(t_ms) OVER (PARTITION BY user_id, gid, sub) AS BIGINT)
+                 AS session_start
+        FROM h
+        """,
+        "q_ema_trailing": """
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS t_ms, max(value) AS v
+          FROM events GROUP BY user_id, ts
+        ), l AS (
+          SELECT user_id, t_ms, v,
+                 lag(v, 1) OVER w AS x1, lag(v, 2) OVER w AS x2,
+                 lag(v, 3) OVER w AS x3, lag(v, 4) OVER w AS x4
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_ms)
+        )
+        SELECT user_id, t_ms, round(v, 6) AS v,
+               round(
+                 (((((0.0 + coalesce(v, 0.0) * 1.0)
+                    + coalesce(x1, 0.0) * 0.5)
+                    + coalesce(x2, 0.0) * 0.25)
+                    + coalesce(x3, 0.0) * 0.125)
+                    + coalesce(x4, 0.0) * 0.0625)
+                 /
+                 (((((0.0 + CASE WHEN v IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                    + CASE WHEN x1 IS NOT NULL THEN 0.5 ELSE 0.0 END)
+                    + CASE WHEN x2 IS NOT NULL THEN 0.25 ELSE 0.0 END)
+                    + CASE WHEN x3 IS NOT NULL THEN 0.125 ELSE 0.0 END)
+                    + CASE WHEN x4 IS NOT NULL THEN 0.0625 ELSE 0.0 END),
+                 6) AS ema
+        FROM l
         """,
         "q_ann_recall": """
         WITH qv AS (

@@ -344,3 +344,39 @@ def resample_ffill(
     return asof_join(
         grid, obs, on=[key_col], left_time="tick", right_time=time_col, how="left"
     ).select(key_col, "tick", *vcols)
+
+
+def ema_trailing(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    k: int = 5,
+    out_col: str = "ema",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exponentially-weighted moving average over the trailing k
+    observations per key — the truncated, renormalized EMA
+    (pandas ewm(alpha, min_periods=1) over a k-row window):
+
+        ema_t = Σ_{j=0..k-1} (1-α)^j · x_{t-j}  /  Σ (1-α)^j
+
+    with both sums running over the lags that EXIST (early rows
+    renormalize instead of decaying toward zero). The infinite-history
+    recursive EMA is deliberately not offered: a per-row recursion
+    serializes the partition and its float result depends on history
+    length; the truncated form is a fixed k-term expression — exact,
+    order-independent, engine-portable, and fully inside whole-stage
+    codegen (k lag() calls over one window, zero Python).
+
+    One shuffle on the key; everything else is per-row arithmetic."""
+    w = W.partitionBy(*[F.col(c) for c in key_cols]).orderBy(F.col(time_col))
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(k):
+        x = F.col(value_col) if j == 0 else F.lag(value_col, j).over(w)
+        wt = F.lit((1.0 - alpha) ** j)
+        num = num + F.coalesce(x.cast("double"), F.lit(0.0)) * wt
+        den = den + F.when(x.isNotNull(), wt).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, F.round(num / den, round_to))

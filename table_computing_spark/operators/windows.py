@@ -162,3 +162,57 @@ def over_by_duration(
     )
     cols = {k: v.over(spec) for k, v in aggs.items()}
     return Table(t.df.withColumns(cols), t.name + "_overd")
+
+
+def session_capped(
+    df: DataFrame,
+    time_col: str,
+    key_cols: Sequence[str],
+    gap_ms: int,
+    cap_ms: int,
+) -> DataFrame:
+    """Sessionization with BOTH an inactivity gap and a hard duration
+    cap — the production variant `session_window` lacks: real
+    analytics sessions split at 30 min of silence OR at a hard ceiling
+    (bots, long-lived tabs) measured from the session's first event.
+
+    Two window passes per key, no self-join:
+      1. gap sessions: cumulative sum of (this event starts >= gap_ms
+         after the previous) flags;
+      2. cap sub-split: within each gap session, sub_id =
+         floor((t - session_first_t) / cap_ms) — exact for a cap
+         anchored at the session's first event.
+    Returns the input plus (session_id string, session_start bigint) —
+    session_id is '<gapid>_<subid>' per key.
+
+    Scale: both windows shuffle once on the key; state per row is a
+    running counter — the same cost as any per-key ordered window."""
+    keys = [F.col(k) for k in key_cols]
+    w = W.partitionBy(*keys).orderBy(F.col(time_col))
+    prev = F.lag(time_col, 1).over(w)
+    new_flag = (
+        F.when(prev.isNull() | (F.col(time_col) - prev >= gap_ms), 1).otherwise(0)
+    )
+    gap_id = F.sum(new_flag).over(
+        W.partitionBy(*keys).orderBy(F.col(time_col)).rowsBetween(
+            W.unboundedPreceding, 0
+        )
+    )
+    out = df.withColumn("__gid", gap_id)
+    wg = W.partitionBy(*keys, F.col("__gid"))
+    first_t = F.min(time_col).over(wg)
+    sub_id = F.floor((F.col(time_col) - first_t) / cap_ms).cast("long")
+    return (
+        out.withColumn("__sub", sub_id)
+        .withColumn(
+            "session_id",
+            F.concat_ws("_", F.col("__gid").cast("string"), F.col("__sub")),
+        )
+        .withColumn(
+            "session_start",
+            F.min(time_col).over(
+                W.partitionBy(*keys, F.col("__gid"), F.col("__sub"))
+            ).cast("long"),
+        )
+        .drop("__gid", "__sub")
+    )

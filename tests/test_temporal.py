@@ -76,3 +76,46 @@ def test_resample_ffill_grid_and_fill(spark):
         (1, 300): 11.0,
         (2, 100): 5.0,
     }
+
+
+def test_session_capped_gap_and_cap_splits(spark):
+    """Golden: events at t=0,10,20 (gap session A), t=100 (new gap
+    session), then a long run 200,230,260,290 with cap 50 must
+    sub-split at 50-unit boundaries from the session's first event."""
+    from table_computing_spark.operators.windows import session_capped
+
+    rows = [(1, t) for t in [0, 10, 20, 100, 200, 230, 260, 290]]
+    df = spark.createDataFrame(rows, "k long, t long")
+    out = session_capped(df, "t", ["k"], gap_ms=50, cap_ms=50)
+    got = {r["t"]: (r["session_id"], r["session_start"]) for r in out.collect()}
+    assert got[0] == ("1_0", 0) and got[10] == ("1_0", 0) and got[20] == ("1_0", 0)
+    assert got[100] == ("2_0", 100)
+    # gap session 3 starts at 200; cap 50 → [200,250) sub 0, [250,300) sub 1
+    assert got[200] == ("3_0", 200) and got[230] == ("3_0", 200)
+    assert got[260] == ("3_1", 260) and got[290] == ("3_1", 260)
+
+
+def test_ema_trailing_matches_pandas_ewm(spark):
+    """Per-key trailing-5 renormalized EMA equals pandas
+    ewm(alpha=0.5, min_periods=1).mean() restricted to a 5-row
+    history (computed per row from the last 5 values)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators.temporal import ema_trailing
+
+    rows = [(1, t, float(v)) for t, v in zip(range(8), [5, 1, 9, 2, 7, 7, 3, 8])]
+    rows += [(2, 0, 4.0), (2, 1, 6.0)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    got = {
+        (r["k"], r["t"]): r["ema"]
+        for r in ema_trailing(df, ["k"], "t", "v", alpha=0.5, k=5).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "t", "v"]).sort_values(["k", "t"])
+    for key, grp in pdf.groupby("k"):
+        vals = list(grp["v"])
+        for i, t in enumerate(grp["t"]):
+            hist = vals[max(0, i - 4) : i + 1][::-1]  # newest first
+            ws = [0.5**j for j in range(len(hist))]
+            want = round(sum(h * w for h, w in zip(hist, ws)) / sum(ws), 6)
+            assert abs(got[(key, t)] - want) < 1e-9, (key, t)
