@@ -3074,6 +3074,22 @@ def q_resample_ffill(spark, sf_dir):
     return out.select("user_id", "tick", F.round("v", 6).alias("v"))
 
 
+def q_robust_outliers(spark, sf_dir):
+    """Median/MAD outlier detection (drift.robust_outliers, modified
+    z-score k=3.5): the robust complement of q_anomaly_zscore —
+    mean/stddev move with the outliers they hunt; the MAD's 50%%
+    breakdown point does not. Summary output: per event type, the
+    exact median/MAD and the flagged count. (r07 rotation slot.)"""
+    from table_computing_spark.operators.drift import robust_outliers
+
+    ev = _t(spark, sf_dir, "events").df.select("event_type", "value")
+    out = robust_outliers(ev, "value", ["event_type"], k=3.5)
+    return out.groupBy("event_type", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+    )
+
+
 def q_session_capped(spark, sf_dir):
     """Gap + hard-cap sessionization (windows.session_capped): user
     sessions split at 24h of silence OR every 48h from the session's
@@ -3511,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_recall": q_ann_recall,
         "q_session_capped": q_session_capped,
         "q_ema_trailing": q_ema_trailing,
+        "q_robust_outliers": q_robust_outliers,
         # rotation pool: r03 remainder, then the r04/r05-green sets
         "q_stream_dedup": q_stream_dedup,
         "q_semi_anti_join": q_semi_anti_join,
@@ -6369,6 +6386,28 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes n CROSS JOIN cnt LEFT JOIN s3 ON s3.node = n.node
             )
             SELECT node, round(rank_nano / 1e9, 9) AS rank FROM r3
+        """,
+        "q_robust_outliers": """
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS m
+          FROM events GROUP BY event_type
+        ), wm AS (
+          SELECT e.event_type, e.value, med.m
+          FROM events e JOIN med USING (event_type)
+        ), mad AS (
+          SELECT event_type, quantile_cont(abs(value - m), 0.5) AS d
+          FROM wm GROUP BY event_type
+        )
+        SELECT w.event_type,
+               round(w.m, 6) AS med,
+               round(mad.d, 6) AS mad,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN mad.d > 0
+                              AND round(abs(w.value - w.m), 6)
+                                  > round(3.5 * 1.4826 * mad.d, 6)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM wm w JOIN mad USING (event_type)
+        GROUP BY w.event_type, round(w.m, 6), round(mad.d, 6)
         """,
         "q_session_capped": """
         WITH e AS (

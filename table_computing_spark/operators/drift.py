@@ -27,6 +27,8 @@ rows; everything after the two aggregations operates on ≤ `bins` rows
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -181,4 +183,49 @@ def mutual_information(
         F.round(p_ab, 9).alias("p_ab"),
         F.round(term_nano / 1e9, 9).alias("mi_term"),
         F.round(F.sum(term_nano).over(wall) / 1e9, 6).alias("mi_total"),
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str],
+    k: float = 3.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Median/MAD outlier flags — the robust complement of the
+    z-score detector (q_anomaly_zscore): mean/stddev move with the
+    outliers they are supposed to find; the median absolute deviation
+    has a 50% breakdown point, so a contaminated group still flags
+    correctly (Iglewicz & Hoaglin's modified z-score, 1.4826 scale
+    for normal consistency).
+
+    Per group: med = exact interpolated median, mad = median of
+    |x - med|, flag = |x - med| > k * 1.4826 * mad (never flags when
+    mad == 0 — a constant group has no outliers, not all outliers).
+
+    Scale shape: two grouped exact-percentile aggregations (state
+    bounded by group size — the documented per-group contract; use
+    the selection-based quantiles module for a single giant group)
+    broadcast back onto the row scan. Verdicts are deterministic:
+    both medians are exact order statistics, the comparison uses
+    rounded doubles on both engines."""
+    gb = list(by)
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*gb).agg(
+        F.percentile(v, F.lit(0.5)).alias("__med")
+    )
+    withmed = df.join(F.broadcast(med), gb)
+    mad = withmed.groupBy(*gb).agg(
+        F.percentile(F.abs(v - F.col("__med")), F.lit(0.5)).alias("__mad")
+    )
+    out = withmed.join(F.broadcast(mad), gb)
+    dev = F.round(F.abs(v - F.col("__med")), round_to)
+    thresh = F.round(F.lit(k) * F.lit(1.4826) * F.col("__mad"), round_to)
+    return out.select(
+        *gb,
+        F.col(value_col),
+        F.round(F.col("__med"), round_to).alias("med"),
+        F.round(F.col("__mad"), round_to).alias("mad"),
+        ((F.col("__mad") > 0) & (dev > thresh)).alias("is_outlier"),
     )

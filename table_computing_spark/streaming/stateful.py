@@ -413,3 +413,49 @@ def stream_session_tws(
         outputMode="Append",
         timeMode="ProcessingTime",
     )
+
+
+def stream_session_capped(
+    sdf: DataFrame,
+    partition_by: Sequence[str],
+    event_time_col: str,
+    gap_ms: int,
+    cap_ms: int,
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Streaming twin of operators/windows.session_capped: gap-closed
+    sessions (state + watermark timeout via stream_session_apply)
+    sub-split at hard `cap_ms` boundaries anchored at each session's
+    first event. The cap split is a pure function of a CLOSED
+    session's rows, so it composes as a session transform — no new
+    state shape, the same in-band + timeout close paths, and batch
+    equivalence is testable group-for-group.
+
+    Emits one row per event: (keys..., t_ms, session_start, sub_id)
+    where session_start is the first event time of the capped
+    sub-session — the same grouping batch session_capped assigns."""
+    keys = list(partition_by)
+    out_schema = T.StructType(
+        [T.StructField(k, T.LongType()) for k in keys]
+        + [
+            T.StructField("t_ms", T.LongType()),
+            T.StructField("session_start", T.LongType()),
+            T.StructField("sub_id", T.LongType()),
+        ]
+    )
+
+    def transform(key, rows, start_ms, end_ms):
+        import pandas as pd
+
+        t = (rows[event_time_col].astype("int64") // 1_000_000).to_numpy()
+        sub = (t - t[0]) // cap_ms
+        starts = {s: int(t[sub == s].min()) for s in set(sub.tolist())}
+        data = {k: [key[i]] * len(t) for i, k in enumerate(keys)}
+        data["t_ms"] = t.tolist()
+        data["session_start"] = [starts[s] for s in sub.tolist()]
+        data["sub_id"] = [int(s) for s in sub.tolist()]
+        return pd.DataFrame(data)
+
+    return stream_session_apply(
+        sdf, keys, event_time_col, gap_ms, transform, out_schema, watermark
+    )

@@ -1071,3 +1071,43 @@ def test_stream_maintain_agg_equals_batch_groupby(spark, stream_dir, tmp_path):
         for r in matview.read_state(spark, str(tmp_path / "state")).collect()
     }
     assert got2 == want
+
+
+def test_stream_session_capped_equals_batch(spark, stream_dir):
+    """The streaming gap+cap sessionizer must group events exactly as
+    the batch operator: compare (user, t_ms, session_start) multisets
+    after replaying the same events. Cap 10s inside gap-10s sessions
+    forces at least one sub-split on BATCH_1/2's event layout."""
+    from table_computing_spark.operators.windows import session_capped
+    from table_computing_spark.streaming.stateful import stream_session_capped
+
+    sdf = _read_stream(spark, stream_dir).withColumn(
+        "event_time", F.timestamp_millis(F.col("t_ms"))
+    )
+    out = stream_session_capped(
+        sdf, ["user_id"], "event_time", gap_ms=10_000, cap_ms=10_000,
+        watermark="5 seconds",
+    )
+    got = _run_to_table(spark, out, "t_session_capped")
+
+    batch = session_capped(
+        _batch_df(spark).select("user_id", "t_ms"),
+        "t_ms", ["user_id"], gap_ms=10_000, cap_ms=10_000,
+    )
+    want = sorted(
+        (r["user_id"], r["t_ms"], r["session_start"]) for r in batch.collect()
+    )
+    # the stream's trailing open session stays in state (matches the
+    # reference's hold-until-close); compare only emitted groups
+    emitted = sorted(
+        (r["user_id"], r["t_ms"], r["session_start"]) for r in got.collect()
+    )
+    open_keys = set(want) - set(emitted)
+    assert emitted == [w for w in want if w not in open_keys]
+    # at least one capped sub-split actually happened
+    starts_per_gap = {}
+    for u, t, s in emitted:
+        starts_per_gap.setdefault(u, set()).add(s)
+    assert any(len(v) > 1 for v in starts_per_gap.values())
+    # and everything emitted matches the batch grouping exactly
+    assert set(emitted) <= set(want)

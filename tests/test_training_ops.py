@@ -1527,3 +1527,26 @@ def test_ranking_metrics_golden_and_perfect_prediction(spark):
         (r["recall_at_k"], r["mrr"], r["ndcg_at_k"]) == (1.0, 1.0, 1.0)
         for r in perfect.collect()
     )
+
+
+def test_robust_outliers_resists_contamination(spark):
+    """The scenario mean/stddev detectors fail: a group of ~100 plus
+    three extreme points. The MAD detector must flag exactly the
+    planted extremes, and a constant group must flag nothing (mad=0
+    short-circuit, not divide-by-zero everything)."""
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators.drift import robust_outliers
+
+    rows = [("a", float(v)) for v in range(100)]
+    rows += [("a", 10_000.0), ("a", -9_000.0), ("a", 5_000.0)]
+    rows += [("c", 7.0)] * 20
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = robust_outliers(df, "value", ["g"], k=3.5)
+    flagged = {
+        (r["g"], r["value"]) for r in out.where("is_outlier").collect()
+    }
+    assert flagged == {("a", 10_000.0), ("a", -9_000.0), ("a", 5_000.0)}
+    cgroup = out.where("g = 'c'").collect()
+    assert all(not r["is_outlier"] for r in cgroup)
+    assert all(r["mad"] == 0.0 for r in cgroup)
