@@ -3074,6 +3074,38 @@ def q_resample_ffill(spark, sf_dir):
     return out.select("user_id", "tick", F.round("v", 6).alias("v"))
 
 
+def q_rolling_corr(spark, sf_dir):
+    """Trailing-20 rolling Pearson correlation (temporal.rolling_corr)
+    of quantity vs extended price per supplier, in (shipdate,
+    orderkey, linenumber) total order. The five windowed moments are
+    exact integer-cent decimal sums — partitioning-independent and
+    engine-identical; only the closed-form correlation runs in floats,
+    identically on both engines. (r07 rotation slot.)"""
+    from table_computing_spark.operators.temporal import rolling_corr
+
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_suppkey",
+        tcf.epoch_ms("l_shipdate").alias("ship_ms"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+    )
+    out = rolling_corr(
+        li,
+        ["l_suppkey"],
+        ["ship_ms", "l_orderkey", "l_linenumber"],
+        "l_quantity",
+        "l_extendedprice",
+        n=20,
+        x_scale=0,
+        y_scale=2,
+    )
+    return out.select(
+        "l_suppkey", "ship_ms", "l_orderkey", "l_linenumber", "roll_corr"
+    )
+
+
 def q_robust_outliers(spark, sf_dir):
     """Median/MAD outlier detection (drift.robust_outliers, modified
     z-score k=3.5): the robust complement of q_anomaly_zscore —
@@ -3528,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_capped": q_session_capped,
         "q_ema_trailing": q_ema_trailing,
         "q_robust_outliers": q_robust_outliers,
+        "q_rolling_corr": q_rolling_corr,
         # rotation pool: r03 remainder, then the r04/r05-green sets
         "q_stream_dedup": q_stream_dedup,
         "q_semi_anti_join": q_semi_anti_join,
@@ -6386,6 +6419,33 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes n CROSS JOIN cnt LEFT JOIN s3 ON s3.node = n.node
             )
             SELECT node, round(rank_nano / 1e9, 9) AS rank FROM r3
+        """,
+        "q_rolling_corr": """
+        WITH b AS (
+          SELECT l_suppkey, epoch_ms(l_shipdate) AS ship_ms,
+                 l_orderkey, l_linenumber,
+                 CAST(round(l_quantity) AS HUGEINT) AS x,
+                 CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+          FROM lineitem
+        ), wsum AS (
+          SELECT l_suppkey, ship_ms, l_orderkey, l_linenumber,
+                 CAST(count(*) OVER w AS HUGEINT) AS m,
+                 sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                 sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+                 sum(x * y) OVER w AS sxy
+          FROM b WINDOW w AS (
+            PARTITION BY l_suppkey
+            ORDER BY ship_ms, l_orderkey, l_linenumber
+            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT l_suppkey, ship_ms, l_orderkey, l_linenumber,
+               CASE WHEN m >= 2 AND (m * sxx - sx * sx) > 0
+                         AND (m * syy - sy * sy) > 0
+                    THEN round(CAST(m * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+               END AS roll_corr
+        FROM wsum
         """,
         "q_robust_outliers": """
         WITH med AS (

@@ -380,3 +380,59 @@ def ema_trailing(
         num = num + F.coalesce(x.cast("double"), F.lit(0.0)) * wt
         den = den + F.when(x.isNotNull(), wt).otherwise(F.lit(0.0))
     return df.withColumn(out_col, F.round(num / den, round_to))
+
+
+def rolling_corr(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_by: Sequence[str],
+    x_col: str,
+    y_col: str,
+    n: int = 20,
+    x_scale: int = 2,
+    y_scale: int = 2,
+    out_col: str = "roll_corr",
+    round_to: int = 6,
+) -> DataFrame:
+    """Trailing-n rolling Pearson correlation per key — the pairs-
+    trading / factor-monitoring primitive, built on the repo's exact-
+    moment discipline: the five windowed sums (Σx, Σy, Σx², Σy², Σxy)
+    accumulate INTEGER units (10^-scale resolution) as exact decimals
+    over a ROWS (n-1) PRECEDING frame, so every window's moments are
+    partitioning-independent and engine-identical; only the final
+    closed-form correlation runs in floating point, on identical
+    integers in an identical operation order.
+
+    Built-in `corr(x, y) OVER w` would re-accumulate doubles per
+    frame — order-dependent in the last ulps, exactly what flips
+    boundary comparisons between engines.
+
+    `order_by` must be a TOTAL order (include tiebreak columns):
+    window frames over an ambiguous order are nondeterministic in any
+    engine. Rows with fewer than `n` trailing observations get the
+    correlation of the rows available (m >= 2) or NULL (m < 2 or zero
+    variance). One shuffle on the key; the frame scan is the same cost
+    as any over-window."""
+    keys = [F.col(k) for k in key_cols]
+    xi = F.round(F.col(x_col) * (10**x_scale)).cast("decimal(38,0)")
+    yi = F.round(F.col(y_col) * (10**y_scale)).cast("decimal(38,0)")
+    base = df.withColumn("__x", xi).withColumn("__y", yi)
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order_by])
+        .rowsBetween(-(n - 1), 0)
+    )
+    m = F.count(F.lit(1)).over(w).cast("decimal(38,0)")
+    sx = F.sum("__x").over(w)
+    sy = F.sum("__y").over(w)
+    sxx = F.sum(F.col("__x") * F.col("__x")).over(w)
+    syy = F.sum(F.col("__y") * F.col("__y")).over(w)
+    sxy = F.sum(F.col("__x") * F.col("__y")).over(w)
+    var_x = (m * sxx - sx * sx).cast("double")
+    var_y = (m * syy - sy * sy).cast("double")
+    num = (m * sxy - sx * sy).cast("double")
+    corr = F.when(
+        (m.cast("long") >= 2) & (var_x > 0) & (var_y > 0),
+        F.round(num / (F.sqrt(var_x) * F.sqrt(var_y)), round_to),
+    )
+    return base.withColumn(out_col, corr).drop("__x", "__y")

@@ -119,3 +119,47 @@ def test_ema_trailing_matches_pandas_ewm(spark):
             ws = [0.5**j for j in range(len(hist))]
             want = round(sum(h * w for h, w in zip(hist, ws)) / sum(ws), 6)
             assert abs(got[(key, t)] - want) < 1e-9, (key, t)
+
+
+def test_rolling_corr_matches_pandas_and_is_partition_invariant(spark):
+    """Trailing-20 exact-moment rolling correlation equals pandas
+    rolling(20, min_periods=2).corr() within rounding, and is
+    IDENTICAL (not just close) under different input partitionings —
+    the property built-in windowed corr() cannot give."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators.temporal import rolling_corr
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice",
+    ).withColumn("ship_ms", F.unix_millis(F.col("l_shipdate").cast("timestamp")))
+    order = ["ship_ms", "l_orderkey", "l_linenumber"]
+    out = rolling_corr(
+        li, ["l_suppkey"], order, "l_quantity", "l_extendedprice",
+        n=20, x_scale=0, y_scale=2,
+    )
+    key = ["l_suppkey"] + order
+    got = {tuple(r[k] for k in key): r["roll_corr"] for r in out.collect()}
+    again = rolling_corr(
+        li.repartition(13), ["l_suppkey"], order, "l_quantity",
+        "l_extendedprice", n=20, x_scale=0, y_scale=2,
+    )
+    got2 = {tuple(r[k] for k in key): r["roll_corr"] for r in again.collect()}
+    assert got == got2  # bit-identical under repartitioning
+
+    pdf = li.toPandas().sort_values(["l_suppkey"] + order).reset_index(drop=True)
+    for supp, grp in pdf.groupby("l_suppkey"):
+        x = grp["l_quantity"].round(0)
+        y = (grp["l_extendedprice"] * 100).round(0) / 100
+        want = x.rolling(20, min_periods=2).corr(y)
+        for i, (idx, row) in enumerate(grp.iterrows()):
+            k = (supp, row["ship_ms"], row["l_orderkey"], row["l_linenumber"])
+            w = want.iloc[i]
+            g = got[k]
+            if pd.isna(w):
+                # pandas emits NaN where we emit NULL (m<2 or zero var)
+                assert g is None
+            else:
+                assert g is not None and abs(g - round(w, 6)) <= 2e-6, (k, g, w)
