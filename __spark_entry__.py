@@ -3074,6 +3074,48 @@ def q_resample_ffill(spark, sf_dir):
     return out.select("user_id", "tick", F.round("v", 6).alias("v"))
 
 
+def q_funnel_within(spark, sf_dir):
+    """Deadline-constrained funnel (temporal.funnel_within): view →
+    click within 48h of the view → purchase within 48h of that click,
+    first-completion anchoring. k-1 conditional min-aggregate forward
+    joins — the decorrelated form of ordered EXISTS with range
+    predicates; no event-stream self-join. (r07 rotation slot.)"""
+    from table_computing_spark.operators.temporal import funnel_within
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", "event_type", tcf.epoch_ms("ts").alias("ms")
+    )
+    return funnel_within(
+        ev, ["user_id"], "ms", "event_type",
+        ["view", "click", "purchase"], within_ms=172_800_000,
+    )
+
+
+def q_scd2_lookup(spark, sf_dir):
+    """Temporal dimension lookup (cdc.scd2_lookup) — the query side of
+    q_scd2: each order picks the customer's activity segment
+    (event_type run) VALID AT order time, i.e. the as-of dimension
+    version a plain dim join silently gets wrong. One key equi-join +
+    interval filter; at most one version matches by scd2_intervals'
+    non-overlap invariant. (r07 rotation slot.)"""
+    from table_computing_spark.operators import cdc
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", tcf.epoch_ms("ts").alias("t_ms"), "event_id", "event_type"
+    )
+    ivs = cdc.scd2_intervals(ev, "user_id", "t_ms", "event_id", "event_type")
+    facts = _t(spark, sf_dir, "orders").df.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        tcf.epoch_ms("o_orderdate").alias("o_ms"),
+    )
+    out = cdc.scd2_lookup(facts, ivs, "user_id", "o_ms", how="left")
+    return out.select(
+        "o_orderkey", "user_id", "o_ms",
+        F.col("event_type").alias("segment"), "valid_from",
+    )
+
+
 def q_rolling_corr(spark, sf_dir):
     """Trailing-20 rolling Pearson correlation (temporal.rolling_corr)
     of quantity vs extended price per supplier, in (shipdate,
@@ -3561,6 +3603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ema_trailing": q_ema_trailing,
         "q_robust_outliers": q_robust_outliers,
         "q_rolling_corr": q_rolling_corr,
+        "q_scd2_lookup": q_scd2_lookup,
+        "q_funnel_within": q_funnel_within,
         # rotation pool: r03 remainder, then the r04/r05-green sets
         "q_stream_dedup": q_stream_dedup,
         "q_semi_anti_join": q_semi_anti_join,
@@ -6419,6 +6463,68 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes n CROSS JOIN cnt LEFT JOIN s3 ON s3.node = n.node
             )
             SELECT node, round(rank_nano / 1e9, 9) AS rank FROM r3
+        """,
+        "q_funnel_within": """
+        WITH e AS (
+          SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+        ), s1 AS (
+          SELECT user_id, CAST(min(ms) AS BIGINT) AS t_1
+          FROM e WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, CAST(min(ms) AS BIGINT) AS t_2
+          FROM e JOIN s1 ON e.user_id = s1.user_id
+          WHERE event_type = 'click'
+            AND ms > t_1 AND ms <= t_1 + 172800000
+          GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, CAST(min(ms) AS BIGINT) AS t_3
+          FROM e JOIN s2 ON e.user_id = s2.user_id
+          WHERE event_type = 'purchase'
+            AND ms > t_2 AND ms <= t_2 + 172800000
+          GROUP BY e.user_id
+        )
+        SELECT s1.user_id, t_1, t_2, t_3,
+               CAST(CASE WHEN t_3 IS NOT NULL THEN 3
+                         WHEN t_2 IS NOT NULL THEN 2
+                         ELSE 1 END AS INT) AS completed_depth
+        FROM s1
+        LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        """,
+        "q_scd2_lookup": """
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS t_ms, event_id, event_type
+          FROM events
+        ), m AS (
+          SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                          OR lag(event_type) OVER w <> event_type
+                     THEN 1 ELSE 0 END AS is_start
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+        ), r AS (
+          SELECT *, CAST(sum(is_start) OVER (
+                      PARTITION BY user_id ORDER BY t_ms, event_id
+                      ROWS UNBOUNDED PRECEDING) AS INT) AS version
+          FROM m
+        ), g AS (
+          SELECT user_id, version, min(event_type) AS event_type,
+                 min(t_ms) AS valid_from
+          FROM r GROUP BY user_id, version
+        ), iv AS (
+          SELECT user_id, event_type, valid_from,
+                 lead(valid_from) OVER (PARTITION BY user_id
+                                        ORDER BY version) AS valid_to
+          FROM g
+        ), facts AS (
+          SELECT o_orderkey, o_custkey AS user_id,
+                 epoch_ms(o_orderdate) AS o_ms
+          FROM orders
+        )
+        SELECT f.o_orderkey, f.user_id, f.o_ms,
+               iv.event_type AS segment, iv.valid_from
+        FROM facts f LEFT JOIN iv
+          ON f.user_id = iv.user_id
+         AND f.o_ms >= iv.valid_from
+         AND (iv.valid_to IS NULL OR f.o_ms < iv.valid_to)
         """,
         "q_rolling_corr": """
         WITH b AS (

@@ -241,3 +241,41 @@ def changed_partitions(
         .otherwise(F.lit("changed"))
     )
     return j.select(*pc, status.alias("status"), "old_rows", "new_rows")
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    intervals: DataFrame,
+    key_col: str,
+    fact_time_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Temporal dimension lookup — the query side of scd2_intervals:
+    attach to each fact row the dimension version whose
+    [valid_from, valid_to) interval contains the fact's time (open
+    current versions have valid_to NULL and match everything at or
+    after valid_from). This closes the SCD2 loop: build history with
+    scd2_intervals, ASK it with scd2_lookup — the "what did this
+    customer's segment look like WHEN the order was placed" join that
+    plain dimension joins get silently wrong.
+
+    Plan: one equi-join on the key followed by the interval filter —
+    versions per key are few (the interval table is maximal runs, not
+    events), so the per-key fan-out is bounded by version count; no
+    range-join machinery needed. At most ONE interval can match per
+    fact by the non-overlap invariant scd2_intervals guarantees.
+
+    how='left' keeps facts that predate the first version (dimension
+    columns null); 'inner' drops them."""
+    if how not in ("inner", "left"):
+        raise ValueError("scd2_lookup supports inner/left")
+    ivs = intervals.withColumnRenamed(key_col, "__k")
+    cond = (
+        (F.col(key_col) == F.col("__k"))
+        & (F.col(fact_time_col) >= F.col("valid_from"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col(fact_time_col) < F.col("valid_to"))
+        )
+    )
+    return facts.join(ivs, cond, how).drop("__k")

@@ -436,3 +436,57 @@ def rolling_corr(
         F.round(num / (F.sqrt(var_x) * F.sqrt(var_y)), round_to),
     )
     return base.withColumn(out_col, corr).drop("__x", "__y")
+
+
+def funnel_within(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    step_col: str,
+    steps: Sequence[str],
+    within_ms: int,
+) -> DataFrame:
+    """Ordered funnel with a PER-STEP completion deadline: step i+1
+    counts only if it occurs strictly after step i and within
+    `within_ms` of it (first-completion semantics — each step time is
+    the EARLIEST qualifying event). The unconstrained funnel
+    (q_funnel) answers "did they ever"; product analytics usually
+    needs "did they within the hour", and the deadline changes which
+    event anchors later steps.
+
+    Returns one row per key that reached step 1: (keys..., t_1..t_k,
+    completed_depth) — stalled keys keep their partial prefix, later
+    times are null.
+
+    Plan: k-1 forward joins keyed on the key columns, each a
+    conditional min-aggregation of one step's events against the
+    anchor time — the decorrelated form of k ordered EXISTS
+    subqueries with range predicates; no window over the full event
+    stream, no self-join of events against events."""
+    keys = list(key_cols)
+    ev = df.select(*keys, F.col(time_col).alias("__t"), F.col(step_col).alias("__s"))
+    cur = (
+        ev.where(F.col("__s") == steps[0])
+        .groupBy(*keys)
+        .agg(F.min("__t").alias("t_1"))
+    )
+    for i in range(1, len(steps)):
+        prev = f"t_{i}"
+        nxt = (
+            ev.where(F.col("__s") == steps[i])
+            .join(cur.select(*keys, prev), keys)
+            .where(
+                (F.col("__t") > F.col(prev))
+                & (F.col("__t") <= F.col(prev) + within_ms)
+            )
+            .groupBy(*keys)
+            .agg(F.min("__t").alias(f"t_{i + 1}"))
+        )
+        cur = cur.join(nxt, keys, "left")
+    depth = F.greatest(
+        *[
+            F.when(F.col(f"t_{i}").isNotNull(), F.lit(i)).otherwise(F.lit(0))
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    return cur.withColumn("completed_depth", depth.cast("int"))

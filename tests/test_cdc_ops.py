@@ -1163,3 +1163,33 @@ def test_join_explosion_total_equals_real_join(spark):
     assert total == real
     assert all(r["total_out_rows"] == total for r in rows)
     assert rows == sorted(rows, key=lambda r: (-r["out_rows"], r["key"]))
+
+
+def test_scd2_lookup_picks_version_valid_at_fact_time(spark):
+    """Golden: a key with three versions; facts before the first
+    version (null on left join), inside each interval, exactly on a
+    boundary (new version wins — [from, to) semantics), and after the
+    open interval's start. Every fact matches at most one version."""
+    from table_computing_spark.operators import cdc
+
+    ev = spark.createDataFrame(
+        [(1, 10, 1, "a"), (1, 20, 2, "a"), (1, 30, 3, "b"), (1, 50, 4, "c")],
+        "k long, t long, eid long, attr string",
+    )
+    ivs = cdc.scd2_intervals(ev, "k", "t", "eid", "attr")
+    facts = spark.createDataFrame(
+        [(100, 1, 5), (101, 1, 10), (102, 1, 29), (103, 1, 30),
+         (104, 1, 49), (105, 1, 999), (106, 2, 30)],
+        "fid long, k long, ft long",
+    )
+    out = cdc.scd2_lookup(facts, ivs, "k", "ft", how="left")
+    got = {r["fid"]: r["attr"] for r in out.collect()}
+    assert got == {
+        100: None,   # predates history
+        101: "a", 102: "a",
+        103: "b",    # boundary: [30, 50) starts at 30
+        104: "b",
+        105: "c",    # open interval
+        106: None,   # unknown key
+    }
+    assert out.count() == facts.count()  # non-overlap → no fan-out

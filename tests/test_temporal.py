@@ -163,3 +163,39 @@ def test_rolling_corr_matches_pandas_and_is_partition_invariant(spark):
                 assert g is None
             else:
                 assert g is not None and abs(g - round(w, 6)) <= 2e-6, (k, g, w)
+
+
+def test_funnel_within_deadline_changes_outcome(spark):
+    """Golden: user 1 completes all steps within deadline; user 2's
+    click lands after the deadline (depth 1 even though a click
+    EXISTS); user 3 has a too-late click then no purchase (depth 1);
+    user 4 clicks in time but purchases late (depth 2); first-
+    completion anchors later steps at the EARLIEST qualifying event."""
+    from table_computing_spark.operators.temporal import funnel_within
+
+    rows = [
+        (1, "view", 0), (1, "click", 50), (1, "purchase", 120),
+        (2, "view", 0), (2, "click", 500),
+        (3, "view", 0), (3, "click", 900),
+        (4, "view", 0), (4, "click", 10), (4, "purchase", 5000),
+        # user 5: two clicks — the EARLY one anchors the purchase
+        # deadline, so the purchase at 140 (within 100 of click@60,
+        # not of click@90) must still count
+        (5, "view", 0), (5, "click", 60), (5, "click", 90),
+        (5, "purchase", 140),
+        (6, "click", 5),  # click with no view: not in funnel at all
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ms long")
+    out = funnel_within(
+        df, ["user_id"], "ms", "event_type",
+        ["view", "click", "purchase"], within_ms=100,
+    )
+    got = {r["user_id"]: (r["t_1"], r["t_2"], r["t_3"], r["completed_depth"])
+           for r in out.collect()}
+    assert got == {
+        1: (0, 50, 120, 3),
+        2: (0, None, None, 1),
+        3: (0, None, None, 1),
+        4: (0, 10, None, 2),
+        5: (0, 60, 140, 3),
+    }
