@@ -3527,8 +3527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_resample_ffill); (b) all 37 queries whose last green is r01
     (stalest on the board — the rotation policy re-proves every query
     at least every ~3 rounds). Zero overlap with the r04/r05-verified
-    sets. The dtype-strict local sim (tests/oracle.py) is green on all
-    172 at sf0.01."""
+    sets. Thirteen more r06 queries declared after the window filled
+    head the tail (first in line for r07). The dtype-strict local sim
+    (tests/oracle.py) is green on all 185 at sf0.01."""
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
     tpch = dict(TPCH_QUERIES)
