@@ -3074,6 +3074,22 @@ def q_resample_ffill(spark, sf_dir):
     return out.select("user_id", "tick", F.round("v", 6).alias("v"))
 
 
+def q_path_counts(spark, sf_dir):
+    """Top-20 three-step event paths (temporal.path_counts): what do
+    users do next — transition mining generalized past depth 2. One
+    window pass builds forward paths from lead()s; top-k is
+    TakeOrderedAndProject with a path tiebreak, never a global sort.
+    (r07 rotation slot.)"""
+    from table_computing_spark.operators.temporal import path_counts
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", tcf.epoch_ms("ts").alias("t_ms"), "event_id", "event_type"
+    )
+    return path_counts(
+        ev, ["user_id"], ["t_ms", "event_id"], "event_type", depth=3, top_k=20
+    )
+
+
 def q_funnel_within(spark, sf_dir):
     """Deadline-constrained funnel (temporal.funnel_within): view →
     click within 48h of the view → purchase within 48h of that click,
@@ -3527,9 +3543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_resample_ffill); (b) all 37 queries whose last green is r01
     (stalest on the board — the rotation policy re-proves every query
     at least every ~3 rounds). Zero overlap with the r04/r05-verified
-    sets. Thirteen more r06 queries declared after the window filled
+    sets. Fourteen more r06 queries declared after the window filled
     head the tail (first in line for r07). The dtype-strict local sim
-    (tests/oracle.py) is green on all 185 at sf0.01."""
+    (tests/oracle.py) is green on all 186 at sf0.01."""
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
     tpch = dict(TPCH_QUERIES)
@@ -3606,6 +3622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_corr": q_rolling_corr,
         "q_scd2_lookup": q_scd2_lookup,
         "q_funnel_within": q_funnel_within,
+        "q_path_counts": q_path_counts,
         # rotation pool: r03 remainder, then the r04/r05-green sets
         "q_stream_dedup": q_stream_dedup,
         "q_semi_anti_join": q_semi_anti_join,
@@ -6464,6 +6481,20 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes n CROSS JOIN cnt LEFT JOIN s3 ON s3.node = n.node
             )
             SELECT node, round(rank_nano / 1e9, 9) AS rank FROM r3
+        """,
+        "q_path_counts": """
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS t_ms, event_id, event_type
+          FROM events
+        ), p AS (
+          SELECT event_type || '>' || lead(event_type, 1) OVER w
+                            || '>' || lead(event_type, 2) OVER w AS path,
+                 lead(event_type, 2) OVER w AS l2
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n
+        FROM p WHERE l2 IS NOT NULL
+        GROUP BY path ORDER BY n DESC, path ASC LIMIT 20
         """,
         "q_funnel_within": """
         WITH e AS (

@@ -490,3 +490,37 @@ def funnel_within(
         ]
     )
     return cur.withColumn("completed_depth", depth.cast("int"))
+
+
+def path_counts(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_by: Sequence[str],
+    step_col: str,
+    depth: int = 3,
+    top_k: int = 20,
+    sep: str = ">",
+) -> DataFrame:
+    """Top-k most frequent `depth`-step event paths across all keys —
+    the product-analytics "what do users do next" view that
+    generalizes transition_counts (depth=2) to longer sequences.
+
+    One window pass builds each row's forward path from depth-1
+    lead()s (rows without depth successors in their key emit
+    nothing), one hash aggregation counts paths, and the top-k is a
+    TakeOrderedAndProject with a path tiebreak — never a global sort.
+    `order_by` must totally order events within a key."""
+    keys = [F.col(k) for k in key_cols]
+    w = W.partitionBy(*keys).orderBy(*[F.col(c) for c in order_by])
+    parts = [F.col(step_col)] + [
+        F.lead(step_col, i).over(w) for i in range(1, depth)
+    ]
+    path = F.when(parts[-1].isNotNull(), F.concat_ws(sep, *parts))
+    return (
+        df.select(path.alias("path"))
+        .where(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(top_k)
+    )

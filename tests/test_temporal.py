@@ -199,3 +199,21 @@ def test_funnel_within_deadline_changes_outcome(spark):
         4: (0, 10, None, 2),
         5: (0, 60, 140, 3),
     }
+
+
+def test_path_counts_golden_and_cross_key_isolation(spark):
+    """Paths never cross key boundaries; rows without depth-1
+    successors emit nothing; ties in count order break by path."""
+    from table_computing_spark.operators.temporal import path_counts
+
+    rows = [
+        (1, 0, "a"), (1, 1, "b"), (1, 2, "c"), (1, 3, "a"),   # a>b>c, b>c>a
+        (2, 0, "a"), (2, 1, "b"), (2, 2, "c"),                # a>b>c
+        (3, 0, "x"), (3, 1, "y"),                             # too short
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, s string")
+    got = [
+        (r["path"], r["n"])
+        for r in path_counts(df, ["k"], ["t"], "s", depth=3, top_k=10).collect()
+    ]
+    assert got == [("a>b>c", 2), ("b>c>a", 1)]
