@@ -15,6 +15,7 @@ Design notes for oracle parity:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -3332,6 +3333,53 @@ def q_incremental_agg(spark, sf_dir):
     )
 
 
+def q_stream_matview(spark, sf_dir):
+    """Streaming materialized-view maintenance under the oracle gate
+    (streaming/matview.stream_maintain_agg): orders replayed as a
+    3-file parquet stream with maxFilesPerTrigger=1 — three real
+    foreachBatch merge rounds against the persisted state, ping-pong
+    versioned — then the maintained state is read back as a batch
+    DataFrame. Oracle: the definition of MV correctness — the full
+    GROUP BY over everything ingested. DECIMAL measures make the merge
+    order irrelevant bit-for-bit."""
+    import tempfile
+
+    from table_computing_spark.streaming import matview
+
+    o = _t(spark, sf_dir, "orders").df.select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="tc_matview_")
+    src = os.path.join(base, "deltas")
+    for i in range(3):
+        o.where(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    sdf = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    measures = {"revenue": F.col("o_totalprice").cast("decimal(30,4)")}
+    with _state_partitions(spark):
+        q = matview.stream_maintain_agg(
+            sdf,
+            ["o_custkey"],
+            measures,
+            os.path.join(base, "state"),
+            os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+    st = matview.read_state(spark, os.path.join(base, "state"))
+    return st.select(
+        "o_custkey",
+        F.col("cnt").alias("n_orders"),
+        F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+    )
+
+
 def q_hard_negatives(spark, sf_dir):
     """Contrastive hard-negative mining (operators/similarity.
     hard_negatives): for each anchor (vec_id %% 67 == 0) the 5 nearest
@@ -3534,81 +3582,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     until every declared query has a green row in some round's
     CORRECTNESS file.
 
-    Round-6 window: (a) the 13 never-driver-green queries — the two
-    r05 reds now fixed (q_contract_quarantine scalar group key,
-    q_bpe_merges fixed-k unrolled-CTE oracle) and the eleven NEW this
-    round (q_jpeg_decode, q_linkage_em, q_target_encode,
-    q_bpe_segment, q_triangle_counts, q_dense_ids, q_semantic_dedup,
-    q_cms_counts, q_incremental_agg, q_kn_bigram_nll,
-    q_resample_ffill); (b) all 37 queries whose last green is r01
-    (stalest on the board — the rotation policy re-proves every query
-    at least every ~3 rounds). Zero overlap with the r04/r05-verified
-    sets. Fourteen more r06 queries declared after the window filled
-    head the tail (first in line for r07). The dtype-strict local sim
-    (tests/oracle.py) is green on all 186 at sf0.01."""
+    Round-7 window: (a) the 14 round-6 overflow queries (declared after
+    the r06 window filled; all locally sim-green, 4/4 of the judge's
+    independent spot-checks pass) and (b) the 36 stalest queries on the
+    board — all 27 whose last green is r03, then the 9 oldest r04 rows
+    (these 9 are displaced by NEW r07 queries as they land). Zero
+    overlap with the r05/r06-verified sets. The dtype-strict local sim
+    (tests/oracle.py) is green on all entries at sf0.01.
+    """
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
     tpch = dict(TPCH_QUERIES)
     window_50 = {
-        # (a) round-6 never-driver-verified: the two r05 reds now fixed
-        # (q_contract_quarantine scalar group key, q_bpe_merges unrolled
-        # CTE oracle) plus the three queries NEW this round (JPEG
-        # decode, EM fit, target encoding)
-        "q_contract_quarantine": q_contract_quarantine,
-        "q_bpe_merges": q_bpe_merges,
-        "q_jpeg_decode": q_jpeg_decode,
-        "q_linkage_em": q_linkage_em,
-        "q_target_encode": q_target_encode,
-        # (b) stalest on the board: every query whose last green is r01
-        "q_tpch_q14": tpch["q_tpch_q14"],
-        "q_tpch_q15": tpch["q_tpch_q15"],
-        "q_tpch_q16": tpch["q_tpch_q16"],
-        "q_tpch_q17": tpch["q_tpch_q17"],
-        "q_tpch_q18": tpch["q_tpch_q18"],
-        "q_tpch_q19": tpch["q_tpch_q19"],
-        "q_tpch_q2": tpch["q_tpch_q2"],
-        "q_tpch_q20": tpch["q_tpch_q20"],
-        "q_tpch_q21": tpch["q_tpch_q21"],
-        "q_tpch_q22": tpch["q_tpch_q22"],
-        "q_tpch_q3": tpch["q_tpch_q3"],
-        "q_tpch_q4": tpch["q_tpch_q4"],
-        "q_tpch_q5": tpch["q_tpch_q5"],
-        "q_tpch_q6": tpch["q_tpch_q6"],
-        "q_tpch_q7": tpch["q_tpch_q7"],
-        "q_tpch_q8": tpch["q_tpch_q8"],
-        "q_tpch_q9": tpch["q_tpch_q9"],
-        "q_filter_select": q_filter_select,
-        "q_project_negative": q_project_negative,
-        "q_groupby_agg": q_groupby_agg,
-        "q_avg_ref_nulls": q_avg_ref_nulls,
-        "q_rollup": q_rollup,
-        "q_grouping_sets": q_grouping_sets,
-        "q_count_distinct": q_count_distinct,
-        "q_percentile": q_percentile,
-        "q_join_inner": q_join_inner,
-        "q_join_left": q_join_left,
-        "q_join_multi": q_join_multi,
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_over_rank": q_over_rank,
-        "q_window_ranks": q_window_ranks,
-        "q_group_concat": q_group_concat,
-        "q_scalar_functions": q_scalar_functions,
-        "q_date_functions": q_date_functions,
-        "q_union_distinct": q_union_distinct,
-        "q_set_ops": q_set_ops,
-        "q_bpe_segment": q_bpe_segment,  # new r06 (displaces one r03 filler)
-        "q_triangle_counts": q_triangle_counts,  # new r06 (ditto)
-        "q_dense_ids": q_dense_ids,  # new r06 (ditto)
-        "q_semantic_dedup": q_semantic_dedup,  # new r06 (ditto)
-        "q_cms_counts": q_cms_counts,  # new r06 (ditto)
-        "q_incremental_agg": q_incremental_agg,  # new r06 (ditto)
-        "q_kn_bigram_nll": q_kn_bigram_nll,  # new r06 (ditto)
-        "q_resample_ffill": q_resample_ffill,  # new r06 (ditto)
-    }
-    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
-    tail = {
-        # r06 overflow (window full — first in line for the r07 window)
+        # (a) the 14 r06-overflow queries, never driver-verified
         "q_containment_pairs": q_containment_pairs,
         "q_personalized_pagerank": q_personalized_pagerank,
         "q_exact_global_quantiles": q_exact_global_quantiles,
@@ -3623,7 +3609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2_lookup": q_scd2_lookup,
         "q_funnel_within": q_funnel_within,
         "q_path_counts": q_path_counts,
-        # rotation pool: r03 remainder, then the r04/r05-green sets
+        # (b) stalest on the board: last green r03
         "q_stream_dedup": q_stream_dedup,
         "q_semi_anti_join": q_semi_anti_join,
         "q_top_n": q_top_n,
@@ -3632,6 +3618,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_heavy_hitters": q_heavy_hitters,
         "q_text_analysis": q_text_analysis,
+        "q_stream_ivf_assign": q_stream_ivf_assign,
+        "q_dedup_groups": q_dedup_groups,
+        "q_dedup_jaccard": q_dedup_jaccard,
+        "q_curation_canonical": q_curation_canonical,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_lsh_bucketed_topk": q_lsh_bucketed_topk,
+        "q_lsh_multiprobe": q_lsh_multiprobe,
+        "q_ivf_topk": q_ivf_topk,
+        "q_salted_join": q_salted_join,
+        "q_repetition_metrics": q_repetition_metrics,
+        "q_text_scrub": q_text_scrub,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_doc_chunks": q_doc_chunks,
+        "q_tpch_q1": tpch["q_tpch_q1"],
+        "q_tpch_q12": tpch["q_tpch_q12"],
+        "q_transform_explode": q_transform_explode,
+        "q_over_apply": q_over_apply,
+        "q_join_full_outer": q_join_full_outer,
+        "q_join_nullsafe": q_join_nullsafe,
+        # (c) next-stalest (r04) — swapped out for new r07 queries as they land
+        "q_flagship_top100": q_flagship_top100,
+        "q_filter_rows": q_filter_rows,
+        "q_transform_rows": q_transform_rows,
+        "q_select_rows": q_select_rows,
+        "q_pack_sequences": q_pack_sequences,
+        "q_anomaly_zscore": q_anomaly_zscore,
+        "q_mode_per_key": q_mode_per_key,
+        "q_latest_per_key": q_latest_per_key,
+        "q_stream_matview": q_stream_matview,  # new r07
+    }
+    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
+    tail = {
+        # rotation pool, staleness order: r04 remainder, then r05, then r06
+        # --- last green r04 ---
+        "q_retention_cohort": q_retention_cohort,
+        "q_funnel": q_funnel,
+        "q_fuzzy_pairs": q_fuzzy_pairs,
+        "q_moment_stats": q_moment_stats,
+        "q_embedding_centroids": q_embedding_centroids,
+        "q_sample_split": q_sample_split,
+        "q_stratified_sample": q_stratified_sample,
+        "q_multimodal_features": q_multimodal_features,
+        "q_data_profile": q_data_profile,
+        "q_histogram": q_histogram,
+        "q_integrity_checks": q_integrity_checks,
+        "q_lag_lead": q_lag_lead,
+        "q_json_extract": q_json_extract,
+        "q_unpivot": q_unpivot,
+        "q_udaf_apply": q_udaf_apply,
+        "q_window_tumble": q_window_tumble,
+        "q_window_slide": q_window_slide,
+        "q_window_session": q_window_session,
+        "q_over_by_size": q_over_by_size,
+        "q_over_by_duration": q_over_by_duration,
+        "q_streaming_tumble": q_streaming_tumble,
+        "q_streaming_slide": q_streaming_slide,
+        "q_streaming_session": q_streaming_session,
+        "q_stream_over_duration": q_stream_over_duration,
+        "q_stream_enrich": q_stream_enrich,
+        "q_stream_interval_join": q_stream_interval_join,
+        "q_stream_anomaly": q_stream_anomaly,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_stream_minhash": q_stream_minhash,
+        "q_approx_quantile": q_approx_quantile,
+        "q_approx_distinct": q_approx_distinct,
+        "q_gate_relational": q_gate_relational,
+        "q_gate_rowwise_udf": q_gate_rowwise_udf,
+        "q_gate_joins": q_gate_joins,
+        "q_gate_aggregate": q_gate_aggregate,
+        "q_gate_over": q_gate_over,
+        "q_gate_setops": q_gate_setops,
+        "q_stream_over": q_stream_over,
+        # --- last green r05 ---
         "q_pivot": q_pivot,
         "q_token_budget": q_token_budget,
         "q_pipeline_curation": q_pipeline_curation,
@@ -3680,72 +3740,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q10": tpch["q_tpch_q10"],
         "q_tpch_q11": tpch["q_tpch_q11"],
         "q_tpch_q13": tpch["q_tpch_q13"],
-        "q_stream_ivf_assign": q_stream_ivf_assign,
-        "q_dedup_groups": q_dedup_groups,
-        "q_dedup_jaccard": q_dedup_jaccard,
-        "q_curation_canonical": q_curation_canonical,
-        "q_embedding_neardup": q_embedding_neardup,
-        "q_lsh_bucketed_topk": q_lsh_bucketed_topk,
-        "q_lsh_multiprobe": q_lsh_multiprobe,
-        "q_ivf_topk": q_ivf_topk,
-        "q_salted_join": q_salted_join,
-        "q_repetition_metrics": q_repetition_metrics,
-        "q_text_scrub": q_text_scrub,
-        "q_tfidf_terms": q_tfidf_terms,
-        "q_doc_chunks": q_doc_chunks,
-        "q_flagship_top100": q_flagship_top100,
-        "q_filter_rows": q_filter_rows,
-        "q_transform_rows": q_transform_rows,
-        "q_select_rows": q_select_rows,
-        "q_pack_sequences": q_pack_sequences,
-        "q_anomaly_zscore": q_anomaly_zscore,
-        "q_mode_per_key": q_mode_per_key,
-        "q_latest_per_key": q_latest_per_key,
-        "q_retention_cohort": q_retention_cohort,
-        "q_funnel": q_funnel,
-        "q_fuzzy_pairs": q_fuzzy_pairs,
-        "q_moment_stats": q_moment_stats,
-        "q_embedding_centroids": q_embedding_centroids,
-        "q_sample_split": q_sample_split,
-        "q_stratified_sample": q_stratified_sample,
-        "q_multimodal_features": q_multimodal_features,
-        "q_data_profile": q_data_profile,
-        "q_histogram": q_histogram,
-        "q_integrity_checks": q_integrity_checks,
-        "q_lag_lead": q_lag_lead,
-        "q_json_extract": q_json_extract,
-        "q_unpivot": q_unpivot,
-        "q_udaf_apply": q_udaf_apply,
-        "q_window_tumble": q_window_tumble,
-        "q_window_slide": q_window_slide,
-        "q_window_session": q_window_session,
-        "q_over_by_size": q_over_by_size,
-        "q_over_by_duration": q_over_by_duration,
-        "q_streaming_tumble": q_streaming_tumble,
-        "q_streaming_slide": q_streaming_slide,
-        "q_streaming_session": q_streaming_session,
-        "q_stream_over_duration": q_stream_over_duration,
-        "q_stream_enrich": q_stream_enrich,
-        "q_stream_interval_join": q_stream_interval_join,
-        "q_stream_anomaly": q_stream_anomaly,
-        "q_minhash_lsh": q_minhash_lsh,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_stream_minhash": q_stream_minhash,
-        "q_approx_quantile": q_approx_quantile,
-        "q_approx_distinct": q_approx_distinct,
-        "q_tpch_q1": tpch["q_tpch_q1"],
-        "q_tpch_q12": tpch["q_tpch_q12"],
-        "q_transform_explode": q_transform_explode,
-        "q_over_apply": q_over_apply,
-        "q_join_full_outer": q_join_full_outer,
-        "q_join_nullsafe": q_join_nullsafe,
-        "q_gate_relational": q_gate_relational,
-        "q_gate_rowwise_udf": q_gate_rowwise_udf,
-        "q_gate_joins": q_gate_joins,
-        "q_gate_aggregate": q_gate_aggregate,
-        "q_gate_over": q_gate_over,
-        "q_gate_setops": q_gate_setops,
-        "q_stream_over": q_stream_over,
+        # --- last green r06 ---
+        "q_contract_quarantine": q_contract_quarantine,
+        "q_bpe_merges": q_bpe_merges,
+        "q_jpeg_decode": q_jpeg_decode,
+        "q_linkage_em": q_linkage_em,
+        "q_target_encode": q_target_encode,
+        "q_tpch_q14": tpch["q_tpch_q14"],
+        "q_tpch_q15": tpch["q_tpch_q15"],
+        "q_tpch_q16": tpch["q_tpch_q16"],
+        "q_tpch_q17": tpch["q_tpch_q17"],
+        "q_tpch_q18": tpch["q_tpch_q18"],
+        "q_tpch_q19": tpch["q_tpch_q19"],
+        "q_tpch_q2": tpch["q_tpch_q2"],
+        "q_tpch_q20": tpch["q_tpch_q20"],
+        "q_tpch_q21": tpch["q_tpch_q21"],
+        "q_tpch_q22": tpch["q_tpch_q22"],
+        "q_tpch_q3": tpch["q_tpch_q3"],
+        "q_tpch_q4": tpch["q_tpch_q4"],
+        "q_tpch_q5": tpch["q_tpch_q5"],
+        "q_tpch_q6": tpch["q_tpch_q6"],
+        "q_tpch_q7": tpch["q_tpch_q7"],
+        "q_tpch_q8": tpch["q_tpch_q8"],
+        "q_tpch_q9": tpch["q_tpch_q9"],
+        "q_filter_select": q_filter_select,
+        "q_project_negative": q_project_negative,
+        "q_groupby_agg": q_groupby_agg,
+        "q_avg_ref_nulls": q_avg_ref_nulls,
+        "q_rollup": q_rollup,
+        "q_grouping_sets": q_grouping_sets,
+        "q_count_distinct": q_count_distinct,
+        "q_percentile": q_percentile,
+        "q_join_inner": q_join_inner,
+        "q_join_left": q_join_left,
+        "q_join_multi": q_join_multi,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_over_rank": q_over_rank,
+        "q_window_ranks": q_window_ranks,
+        "q_group_concat": q_group_concat,
+        "q_scalar_functions": q_scalar_functions,
+        "q_date_functions": q_date_functions,
+        "q_union_distinct": q_union_distinct,
+        "q_set_ops": q_set_ops,
+        "q_bpe_segment": q_bpe_segment,
+        "q_triangle_counts": q_triangle_counts,
+        "q_dense_ids": q_dense_ids,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_cms_counts": q_cms_counts,
+        "q_incremental_agg": q_incremental_agg,
+        "q_kn_bigram_nll": q_kn_bigram_nll,
+        "q_resample_ffill": q_resample_ffill,
     }
     return {**window_50, **tail}
 
@@ -4194,6 +4239,14 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE o_orderkey % 7 = 0
            OR (o_orderkey % 5 <> 0)
+        GROUP BY o_custkey
+        """,
+        "q_stream_matview": """
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4)))
+                          AS DOUBLE), 2) AS revenue
+        FROM orders
         GROUP BY o_custkey
         """,
         "q_cms_counts": """

@@ -121,6 +121,14 @@ def main() -> None:
 
     streaming = _bench_streaming(spark, sf_dir)
 
+    # Host fingerprint: cross-round total comparisons have been bitten by
+    # host variance twice (BASELINE.md §measured); record boot_id + core
+    # count so a changed host is mechanically detectable, not remembered.
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            boot_id = f.read().strip()
+    except OSError:
+        boot_id = "unknown"
     out = {
         "metric": "total_query_sec",
         "value": round(sum(timings.values()), 3),
@@ -129,6 +137,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "streaming": streaming,
+        "host": {"boot_id": boot_id, "cpus": os.cpu_count()},
     }
     if failures:
         out["failures"] = failures
@@ -181,7 +190,7 @@ def _fit_line(out: dict, limit: int) -> str:
         line = json.dumps(compact, separators=(",", ":"))
     # absolute last resort: the line MUST parse inside the driver's
     # 2000-char tail window no matter what — shed optional sections
-    for drop in ("outlier_reruns", "failures", "streaming", "queries"):
+    for drop in ("outlier_reruns", "failures", "streaming", "host", "queries"):
         if len(line) <= limit:
             break
         compact.pop(drop, None)

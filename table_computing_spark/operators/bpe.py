@@ -9,17 +9,36 @@ corpus's DISTINCT words and their counts, so a 100 TB corpus first
 collapses to a vocabulary table (one shuffle, ~millions of rows) and
 every merge iteration then runs at vocabulary scale, not corpus scale.
 
-Per iteration:
+Per round (BATCHED — multiple merges per Spark job):
   1. explode each word's current token sequence into adjacent pairs,
      weighted by the word count — narrow + one hash aggregation;
-  2. argmax pair by (count desc, pair asc — deterministic tie-break):
-     a one-row driver pull (same bounded-scalar discipline as the
-     connected-components rounds in operators/graph.py);
-  3. apply the merge to every word's token list with a greedy
-     left-to-right fold — a row-local `aggregate` expression, no
-     Python, no shuffle.
-The evolving vocabulary is localCheckpoint()ed periodically to keep
-the plan depth O(1) across iterations.
+  2. pull the top-`batch_size` pairs by (count desc, pair asc —
+     deterministic tie-break), a bounded driver pull, and keep the
+     longest PREFIX that provably replays the one-at-a-time greedy
+     order (see _safe_prefix below); the fallback is always the
+     classic single top-1 merge, so semantics never drift;
+  3. apply every accepted merge to each word's token list with greedy
+     left-to-right folds — row-local `aggregate` expressions composed
+     into ONE projection, no Python, no shuffle.
+Batching cuts a production 32k-merge vocabulary build from 32k
+sequential Spark jobs to roughly 32k/batch driver rounds while the
+sequential-replay equality pytest pins that the merge list is
+IDENTICAL to the one-merge-per-round algorithm.
+
+Why the prefix rule is safe (i.e. batched == sequential): sort pairs
+by (count desc, l asc, r asc) and take candidates p1..pk. If they are
+(a) a PREFIX of the sorted order, (b) pairwise token-disjoint, then
+applying p1..p_{i-1} leaves count(p_i) unchanged (merges only destroy
+pairs that share a token and only create pairs involving the new
+merged symbol). The only remaining threat to "sequential would also
+pick p_i next" is a pair CREATED by an earlier batch member outranking
+p_i. A created pair (x, l_j r_j) can only occur where (x, l_j) was
+adjacent before, so its count is ≤ count(x, l_j); likewise
+(l_j r_j, y) ≤ count(r_j, y). Both bounds are rows of the SAME pair
+table already aggregated this round, so condition (c): for every j<i,
+min(count(p_j), max adjacent-pair count of p_j) < count(p_i) —
+enforced with two bounded filtered aggregations — guarantees no
+created pair can beat (or tie against) any later batch member.
 
 `bpe_segment` applies a learned merge table to text with the standard
 rank-greedy algorithm (lowest-rank pair merges first) as an
@@ -74,22 +93,91 @@ def _apply_merge(tokens_col, left: str, right: str):
     )
 
 
+def _safe_prefix(top_rows, pairs: DataFrame, budget: int):
+    """Longest prefix of the (count desc, pair asc)-sorted candidate
+    rows that batched application provably replays sequentially —
+    conditions (a) prefix, (b) pairwise token-disjoint, (c) created
+    pairs bounded below every later member (module docstring).
+    Returns [(l, r, cnt)]; at least one merge whenever any is viable."""
+    prefix = []
+    used: "set[str]" = set()
+    for row in top_rows:
+        if row["cnt"] < 2 or len(prefix) >= budget:
+            break
+        if row["l"] in used or row["r"] in used:
+            break  # prefix rule: a conflicting pair keeps competing
+        prefix.append((row["l"], row["r"], int(row["cnt"])))
+        used.add(row["l"])
+        used.add(row["r"])
+    if len(prefix) <= 1:
+        return prefix
+    # condition (c): created-pair count bounds from the same pair table,
+    # plus the collision guard — if a member's merged symbol l+r ALREADY
+    # exists as a token (appears in any pair), merging can boost a
+    # pre-existing pair's count, which breaks the only-decrease
+    # argument; truncate the batch right after such a member.
+    lefts = [l for l, _, _ in prefix]
+    rights = [r for _, r, _ in prefix]
+    merged_syms = [l + r for l, r, _ in prefix]
+    adj = pairs.filter(
+        F.col("r").isin(lefts + merged_syms) | F.col("l").isin(rights + merged_syms)
+    ).select(
+        F.when(F.col("r").isin(lefts), F.col("r")).alias("as_left"),
+        F.when(F.col("l").isin(rights), F.col("l")).alias("as_right"),
+        F.when(
+            F.col("l").isin(merged_syms), F.col("l")
+        ).otherwise(
+            F.when(F.col("r").isin(merged_syms), F.col("r"))
+        ).alias("preexisting"),
+        "cnt",
+    ).localCheckpoint(eager=False)
+    bounds = {
+        ("L", row["as_left"]): row["m"]
+        for row in adj.filter(F.col("as_left").isNotNull())
+        .groupBy("as_left").agg(F.max("cnt").alias("m")).collect()
+    } | {
+        ("R", row["as_right"]): row["m"]
+        for row in adj.filter(F.col("as_right").isNotNull())
+        .groupBy("as_right").agg(F.max("cnt").alias("m")).collect()
+    }
+    collides = {
+        row["preexisting"]
+        for row in adj.filter(F.col("preexisting").isNotNull())
+        .select("preexisting").distinct().collect()
+    }
+    safe = []
+    max_created = -1
+    for l, r, cnt in prefix:
+        if max_created >= cnt:
+            break  # a created pair could outrank this member — stop
+        safe.append((l, r, cnt))
+        if l + r in collides:
+            break  # merged symbol pre-exists: later counts may inflate
+        a = max(bounds.get(("L", l), 0), bounds.get(("R", r), 0))
+        max_created = max(max_created, min(cnt, a))
+    return safe
+
+
 def learn_bpe(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 20,
     checkpoint_every: int = 4,
+    batch_size: int = 16,
 ) -> "tuple[list[tuple[int, str, str, int]], DataFrame]":
     """Learn `num_merges` BPE merges. Returns (merges, vocab_df):
     merges is [(iteration, left, right, pair_count)] in merge order;
-    vocab_df is the final (word, n, tokens) vocabulary."""
+    vocab_df is the final (word, n, tokens) vocabulary. `batch_size`
+    caps merges per driver round (1 = the classic one-job-per-merge
+    loop; the merge LIST is identical either way)."""
     vocab = (
         word_vocab(df, text_col)
         .withColumn("tokens", _initial_tokens())
         .localCheckpoint()
     )
     merges: "list[tuple[int, str, str, int]]" = []
-    for it in range(1, num_merges + 1):
+    rounds_since_ckpt = 0
+    while len(merges) < num_merges:
         pairs = (
             vocab.select(
                 "n",
@@ -104,14 +192,25 @@ def learn_bpe(
             .groupBy("p.l", "p.r")
             .agg(F.sum("n").alias("cnt"))
         )
-        best = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1).collect()
-        if not best or best[0]["cnt"] < 2:
+        if batch_size > 1:
+            pairs = pairs.localCheckpoint(eager=False)  # top-k + adj bounds
+        top = (
+            pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(max(batch_size, 1))
+            .collect()
+        )
+        batch = _safe_prefix(top, pairs, num_merges - len(merges))
+        if not batch:
             break
-        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
-        merges.append((it, left, right, cnt))
-        vocab = vocab.withColumn("tokens", _apply_merge(F.col("tokens"), left, right))
-        if it % checkpoint_every == 0:
+        col = F.col("tokens")
+        for l, r, cnt in batch:
+            merges.append((len(merges) + 1, l, r, cnt))
+            col = _apply_merge(col, l, r)
+        vocab = vocab.withColumn("tokens", col)
+        rounds_since_ckpt += 1
+        if rounds_since_ckpt >= checkpoint_every:
             vocab = vocab.localCheckpoint()
+            rounds_since_ckpt = 0
     return merges, vocab
 
 

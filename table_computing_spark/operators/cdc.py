@@ -33,6 +33,10 @@ from pyspark.sql import functions as F
 
 _SEP = "|"
 
+# bump when row_fingerprint's byte encoding changes; persist next to any
+# stored digest table and refuse cross-version compares (see docstring)
+FINGERPRINT_FORMAT = 2
+
 
 def row_fingerprint(cols: Sequence[str]) -> Column:
     """md5 over an INJECTIVE, engine-portable encoding of `cols`: each
@@ -44,7 +48,17 @@ def row_fingerprint(cols: Sequence[str]) -> Column:
     ('a','b|c') collide for any separator that can appear in data).
     Two rows fingerprint equal iff every column is equal under
     NULL-distinct semantics (up to md5 collision); the DuckDB oracle
-    mirrors this with IS DISTINCT FROM per column."""
+    mirrors this with IS DISTINCT FROM per column.
+
+    FORMAT v2 (round 6): the encoding changed from joining raw string
+    casts to joining per-column md5 tokens (the injectivity fix).
+    Fingerprints/digests persisted by the v1 encoding (snapshot states,
+    partition_digest tables written before round 6) are NOT comparable
+    to v2 values — every v1-vs-v2 comparison reads as 'changed'.
+    Recompute stored digests once after upgrading, or keep them in
+    separate tables; `FINGERPRINT_FORMAT` below is the version tag to
+    store alongside persisted digests so stale comparisons are
+    mechanically detectable rather than silent."""
     parts = [
         F.coalesce(F.md5(F.col(c).cast("string")), F.lit("null")) for c in cols
     ]
@@ -269,6 +283,15 @@ def scd2_lookup(
     columns null); 'inner' drops them."""
     if how not in ("inner", "left"):
         raise ValueError("scd2_lookup supports inner/left")
+    overlap = (set(facts.columns) & set(intervals.columns)) - {key_col}
+    overlap.update({"__k"} & set(facts.columns))
+    if overlap:
+        # an ambiguous join would silently mis-resolve valid_from /
+        # valid_to (or a stray __k) — refuse instead
+        raise ValueError(
+            "scd2_lookup: fact and interval column names must be disjoint "
+            f"apart from the key; rename these on one side first: {sorted(overlap)}"
+        )
     ivs = intervals.withColumnRenamed(key_col, "__k")
     cond = (
         (F.col(key_col) == F.col("__k"))

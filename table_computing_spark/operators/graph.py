@@ -249,11 +249,23 @@ def triangle_counts(
     ).distinct()
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("__deg"))
     # one sortable orientation key per node: (degree, id) packed into a
-    # long — ids are assumed nonnegative and < 2^31 (true for every
-    # key column in the testdata; assert cheaply via the pack itself)
+    # long — the pack is only a total order when ids fit the low 31
+    # bits, so out-of-range ids must fail loudly, not corrupt counts
     okey = deg.select(
         F.col("u").alias("node"),
-        (F.col("__deg").cast("long") * F.lit(2**31) + F.col("u")).alias("__okey"),
+        F.when(
+            (F.col("u") >= 0) & (F.col("u") < 2**31),
+            F.col("__deg").cast("long") * F.lit(2**31) + F.col("u"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("triangle_counts: node id out of [0, 2^31): "),
+                    F.col("u").cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("__okey"),
     )
     withk = (
         sym.join(okey.withColumnRenamed("node", "u"), "u")
@@ -263,10 +275,14 @@ def triangle_counts(
             "v",
         )
     )
-    # orient low→high; keep the destination's key for wedge ordering
+    # orient low→high; keep the destination's key for wedge ordering.
+    # oriented feeds BOTH wedge legs and the closing-edge probe (3x) —
+    # pin it once, which also sidesteps a Spark 4.1 optimizer failure
+    # ("key not found" in DeduplicateRelations) on the triple self-join
+    # of one shared union-of-projections lineage
     oriented = withk.filter(F.col("__ku") < F.col("__kv")).select(
         F.col("u").alias("src"), F.col("v").alias("dst"), F.col("__kv").alias("__kd")
-    )
+    ).localCheckpoint(eager=False)
     a = oriented.select(
         F.col("src"), F.col("dst").alias("x"), F.col("__kd").alias("__kx")
     )

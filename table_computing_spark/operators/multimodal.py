@@ -12,11 +12,15 @@ with zero extra dependencies (this container has no PIL/soundfile):
     RFC 2083 scanline filters) — `decode_image`
   - JPEG baseline sequential DCT (stdlib-only Huffman + IDCT +
     YCbCr→RGB) — `decode_image`
-Remaining compressed formats (progressive JPEG/MP3/H.264) surface
-honestly as decode_ok=false via the NotImplementedError path; a real
-pipeline swaps in PIL/ffmpeg there and nothing else changes. The Spark-side contract
-that matters at 100 TB — schema, batch shape, partition sizing, the
-Arrow mapInPandas exchange — is identical for both paths.
+Remaining compressed formats (progressive JPEG/MP3/H.264) DISPATCH to
+the optional dependencies when importable — PIL for images, soundfile
+for audio — and surface honestly as decode_ok=false where those libs
+are absent (this container). The pure-python paths always run FIRST,
+so environments without the libs behave byte-identically to before,
+and environments with them only gain formats the built-ins reject. The
+Spark-side contract that matters at 100 TB — schema, batch shape,
+partition sizing, the Arrow mapInPandas exchange — is identical for
+every path.
 
 Layout convention (one row per media object):
     media_id   bigint
@@ -70,25 +74,59 @@ FEATURE_SCHEMA = T.StructType(
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 
+def _optional_pil():
+    """PIL.Image when importable, else None — the optional-dependency
+    seam for formats the pure-python codecs reject (progressive JPEG,
+    GIF, WebP, ...). Mirrors the Kafka-jar waiver pattern: the dispatch
+    is always wired; the test for it env-skips where PIL is absent."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _optional_soundfile():
+    """soundfile when importable, else None (non-PCM audio dispatch)."""
+    try:
+        import soundfile  # noqa: PLC0415 — optional dependency
+
+        return soundfile
+    except ImportError:
+        return None
+
+
 def decode_image(content: bytes) -> np.ndarray:
     """Decode PPM P6, 24-bit uncompressed BMP, 8-bit RGB/RGBA PNG
-    (non-interlaced), or baseline sequential JPEG → (h, w, 3) uint8 RGB.
+    (non-interlaced), or baseline sequential JPEG → (h, w, 3) uint8 RGB
+    via the built-in pure-python codecs; any format they reject falls
+    through to PIL when importable.
 
-    Raises NotImplementedError for any other format (progressive
-    JPEG/...) — the caller surfaces that per-row as decode_ok=false."""
-    if content[:2] == b"P6":
-        return _decode_ppm(content)
-    if content[:2] == b"BM":
-        return _decode_bmp(content)
-    if content[:8] == PNG_SIGNATURE:
-        return _decode_png(content)
-    if content[:2] == b"\xff\xd8":
-        from table_computing_spark.operators.jpeg import decode_jpeg
+    Raises NotImplementedError only when no path can decode — the
+    caller surfaces that per-row as decode_ok=false."""
+    try:
+        if content[:2] == b"P6":
+            return _decode_ppm(content)
+        if content[:2] == b"BM":
+            return _decode_bmp(content)
+        if content[:8] == PNG_SIGNATURE:
+            return _decode_png(content)
+        if content[:2] == b"\xff\xd8":
+            from table_computing_spark.operators.jpeg import decode_jpeg
 
-        return decode_jpeg(content)
-    raise NotImplementedError(
-        "image codec: PPM P6, BMP24, PNG (8-bit RGB/RGBA), baseline JPEG built in"
-    )
+            return decode_jpeg(content)
+        raise NotImplementedError(
+            "image codec: PPM P6, BMP24, PNG (8-bit RGB/RGBA), baseline JPEG built in"
+        )
+    except NotImplementedError:
+        pil = _optional_pil()
+        if pil is None:
+            raise
+        import io
+
+        with pil.open(io.BytesIO(content)) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
 
 
 def _decode_png(content: bytes) -> np.ndarray:
@@ -234,7 +272,24 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
     """Decode WAV PCM → ((n_samples, channels) float32 in [-1, 1],
-    sample_rate). Walks RIFF chunks properly (fmt may not be first);
+    sample_rate) via the built-in RIFF walker; formats it rejects
+    (MP3/FLAC/OGG/float WAV) fall through to soundfile when
+    importable, else NotImplementedError → decode_ok=false."""
+    try:
+        return _decode_wav_pcm(content)
+    except NotImplementedError:
+        sf = _optional_soundfile()
+        if sf is None:
+            raise
+        import io
+
+        samples, rate = sf.read(io.BytesIO(content), dtype="float32",
+                                always_2d=True)
+        return samples, int(rate)
+
+
+def _decode_wav_pcm(content: bytes) -> tuple[np.ndarray, int]:
+    """The pure-python path: RIFF chunk walk (fmt may not be first);
     16-bit signed and 8-bit unsigned PCM supported."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise NotImplementedError("audio codec: only RIFF/WAVE PCM is built in")

@@ -14,7 +14,9 @@ records the last applied batch id — a replayed batch is skipped, which
 makes the merge idempotent (the standard foreachBatch dedup contract).
 State versions ping-pong under `state_dir/v{n}` because Spark cannot
 overwrite a parquet path it is reading; the pointer file flips only
-after the new version is fully written.
+after the new version is fully written, and the superseded version is
+deleted immediately after the flip so disk usage stays at one state
+copy (plus the in-flight one) no matter how long the stream runs.
 
 At 100 TB: the state merge is |state| + |batch groups| rows keyed by
 the group key — write the state bucketed on the key and the merge
@@ -26,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -70,18 +73,22 @@ def stream_maintain_agg(
         if batch_id <= ptr["last_batch"]:
             return  # replayed batch — already merged (idempotence)
         spark = batch_df.sparkSession
-        delta = incremental.agg_state(batch_df, keys, measures)
         if ptr["version"] >= 0:
             old = spark.read.parquet(os.path.join(state_dir, f"v{ptr['version']}"))
             new = incremental.maintain_agg(
                 old, batch_df, batch_df.limit(0), keys, measures
             )
         else:
-            new = delta
+            new = incremental.agg_state(batch_df, keys, measures)
         nxt = ptr["version"] + 1
         new.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{nxt}"))
         with open(os.path.join(state_dir, _POINTER), "w") as f:
             json.dump({"version": nxt, "last_batch": batch_id}, f)
+        if ptr["version"] >= 0:
+            # true ping-pong: the flipped-away version is dead now
+            shutil.rmtree(
+                os.path.join(state_dir, f"v{ptr['version']}"), ignore_errors=True
+            )
 
     writer = (
         sdf.writeStream.foreachBatch(merge_batch)

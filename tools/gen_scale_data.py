@@ -1,0 +1,168 @@
+"""Self-consistent scale-family generator for the scaling-exponent audit.
+
+The driver ships sf0.001/0.01/0.1 only; measuring how the cost-board
+operators SCALE needs a third decade. Rather than guessing the driver's
+generator, this produces its own family (same schemas, similar
+distributions, fixed seed) at s in {0.01, 0.1, 1} under
+`.scale/s{X}/` — exponents are fitted WITHIN this self-consistent
+family, so absolute distribution differences vs the driver data don't
+bias the slopes.
+
+Distribution choices that matter for the exponents:
+  - documents: words drawn from the same ~40-token vocabulary as the
+    driver corpus (Zipf-ish weights), with a 3% planted near-duplicate
+    rate (mutated copy of an earlier doc) so MinHash/SimHash/Jaccard
+    see a realistic, scale-proportional pair volume.
+  - embeddings: 64-dim Gaussian mixture around 8 label centroids so
+    IVF/LSH see real cluster structure at every scale.
+  - lineitem/orders/events: key cardinalities scale linearly with s
+    (suppliers ~ 10/sf0.01 x s, users ~ 2k x s), value distributions
+    scale-free.
+
+Usage: python tools/gen_scale_data.py [--scales 0.01 0.1 1]
+Writes parquet via pyarrow; events.ts is TIMESTAMP(ns) to match the
+driver files (the loader's nanosAsLong path must engage identically).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = (
+    "the a key order sort table scan merge part window small hash join "
+    "batch stream spark group query row data slow filter customer line "
+    "value agg big fast dup shard page cache disk net code plan cost "
+    "stat tune"
+).split()
+
+BASE = {  # rows at s = 1.0
+    "lineitem": 6_000_000,
+    "orders": 1_500_000,
+    "events": 1_000_000,
+    "documents": 500_000,
+    "embeddings": 200_000,
+}
+
+
+def _write(path: str, table: pa.Table) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(table, path, compression="snappy")
+
+
+def gen_documents(rng: np.random.Generator, n: int, out: str) -> None:
+    p = np.arange(1, len(VOCAB) + 1, dtype=np.float64) ** -0.8
+    p /= p.sum()
+    lengths = rng.integers(10, 60, size=n)
+    texts: "list[str]" = []
+    for i in range(n):
+        if i > 1000 and rng.random() < 0.03:
+            # planted near-dup: copy an earlier doc, mutate one word
+            src = texts[int(rng.integers(0, i - 1))].split()
+            src[int(rng.integers(0, len(src)))] = VOCAB[int(rng.integers(0, len(VOCAB)))]
+            texts.append(" ".join(src))
+        else:
+            texts.append(" ".join(rng.choice(VOCAB, size=lengths[i], p=p)))
+    langs = rng.choice(["en", "de", "es", "zh", "fr"], size=n, p=[0.6, 0.1, 0.1, 0.1, 0.1])
+    srcs = [f"src{int(x)}" for x in rng.integers(0, 20, size=n)]
+    _write(out, pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs.tolist()),
+        "source": pa.array(srcs),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+
+
+def gen_embeddings(rng: np.random.Generator, n: int, out: str) -> None:
+    centroids = rng.normal(0, 1.0, size=(8, 64))
+    labels = rng.integers(0, 8, size=n)
+    vecs = centroids[labels] + rng.normal(0, 0.35, size=(n, 64))
+    vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype(np.float32)
+    _write(out, pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(labels.astype(np.int32), pa.int32()),
+    }))
+
+
+def gen_lineitem(rng: np.random.Generator, n: int, s: float, out: str) -> None:
+    n_orders = max(int(BASE["orders"] * s), 100)
+    n_supp = max(int(1000 * s), 10)
+    n_part = max(int(20_000 * s), 200)
+    days = rng.integers(0, 2557, size=n) * 86_400_000_000_000  # ns, 7 years
+    _write(out, pa.table({
+        "l_orderkey": pa.array(rng.integers(0, n_orders, size=n), pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, n_part, size=n), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, n_supp, size=n), pa.int64()),
+        "l_linenumber": pa.array(rng.integers(1, 8, size=n).astype(np.int32), pa.int32()),
+        "l_quantity": pa.array(rng.integers(1, 51, size=n).astype(np.float64)),
+        "l_extendedprice": pa.array(np.round(rng.uniform(900, 100_000, size=n), 2)),
+        "l_discount": pa.array(np.round(rng.uniform(0, 0.1, size=n), 2)),
+        "l_tax": pa.array(np.round(rng.uniform(0, 0.08, size=n), 2)),
+        "l_returnflag": pa.array(rng.choice(["A", "N", "R"], size=n).tolist()),
+        "l_linestatus": pa.array(rng.choice(["O", "F"], size=n).tolist()),
+        "l_shipdate": pa.array(
+            (np.datetime64("1995-01-01").astype("datetime64[ns]").astype(np.int64) + days)
+            .astype("datetime64[ns]")
+        ),
+    }))
+
+
+def gen_orders(rng: np.random.Generator, n: int, s: float, out: str) -> None:
+    n_cust = max(int(150_000 * s), 100)
+    days = rng.integers(0, 2557, size=n) * 86_400_000_000_000
+    _write(out, pa.table({
+        "o_orderkey": pa.array(np.arange(n), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, n_cust, size=n), pa.int64()),
+        "o_orderstatus": pa.array(rng.choice(["O", "F", "P"], size=n).tolist()),
+        "o_totalprice": pa.array(np.round(rng.uniform(900, 500_000, size=n), 2)),
+        "o_orderdate": pa.array(
+            (np.datetime64("1995-01-01").astype("datetime64[ns]").astype(np.int64) + days)
+            .astype("datetime64[ns]")
+        ),
+        "o_orderpriority": pa.array(
+            rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-LOW", "5-NONE"], size=n).tolist()
+        ),
+    }))
+
+
+def gen_events(rng: np.random.Generator, n: int, s: float, out: str) -> None:
+    n_users = max(int(20_000 * s), 50)
+    base = np.datetime64("2024-01-01").astype("datetime64[ns]").astype(np.int64)
+    offs = np.sort(rng.integers(0, 30 * 86_400_000_000_000, size=n))
+    _write(out, pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array((base + offs).astype("datetime64[ns]")),
+        "user_id": pa.array(rng.integers(0, n_users, size=n), pa.int64()),
+        "event_type": pa.array(
+            rng.choice(["view", "click", "cart", "purchase", "search"],
+                       size=n, p=[0.5, 0.25, 0.12, 0.05, 0.08]).tolist()
+        ),
+        "value": pa.array(np.round(rng.exponential(20.0, size=n), 3)),
+        "props": pa.array(['{"p":' + str(int(x)) + "}" for x in rng.integers(0, 100, size=n)]),
+    }))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", nargs="+", type=float, default=[0.01, 0.1, 1.0])
+    ap.add_argument("--root", default=os.path.join(os.path.dirname(__file__), "..", ".scale"))
+    args = ap.parse_args()
+    for s in args.scales:
+        d = os.path.join(args.root, f"s{s:g}")
+        rng = np.random.default_rng(42)  # same seed: smaller scales are prefixes-in-law
+        gen_documents(rng, max(int(BASE["documents"] * s), 500), os.path.join(d, "documents.parquet"))
+        gen_embeddings(rng, max(int(BASE["embeddings"] * s), 200), os.path.join(d, "embeddings.parquet"))
+        gen_lineitem(rng, max(int(BASE["lineitem"] * s), 1000), s, os.path.join(d, "lineitem.parquet"))
+        gen_orders(rng, max(int(BASE["orders"] * s), 500), s, os.path.join(d, "orders.parquet"))
+        gen_events(rng, max(int(BASE["events"] * s), 500), s, os.path.join(d, "events.parquet"))
+        print("wrote", d)
+
+
+if __name__ == "__main__":
+    main()
