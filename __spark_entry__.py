@@ -3393,6 +3393,199 @@ def q_hard_negatives(spark, sf_dir):
     return sim.hard_negatives(emb, anchors, k=5)
 
 
+def q_label_prop(spark, sf_dir):
+    """Semi-supervised label propagation (graph.label_propagation, 2
+    clamped iterations): event-type nodes seed their own community id;
+    users adopt the majority label of the types they touch (ties →
+    smallest label). Exact integer votes + deterministic argmax — the
+    fixed iteration count unrolls into plain SQL, zero float scores.
+    (New r07.)"""
+    from pyspark.sql import Window
+    from table_computing_spark.operators import graph
+
+    ev = _t(spark, sf_dir, "events").df.select("user_id", "event_type").distinct()
+    types = ev.select("event_type").distinct().select(
+        "event_type",
+        (-F.row_number().over(Window.orderBy("event_type"))).cast("long").alias("tid"),
+    )
+    edges = ev.join(types, "event_type").select(
+        F.col("user_id").alias("src"), F.col("tid").alias("dst")
+    )
+    seeds = types.select(F.col("tid").alias("node"), (-F.col("tid")).alias("label"))
+    return graph.label_propagation(edges, seeds, iterations=2)
+
+
+def q_group_quantiles(spark, sf_dir):
+    """Exact per-group interpolated quantiles WITHOUT array collection
+    (functions.group_quantiles): one sort-within-group window ranks
+    rows; conditional aggregates pick the two bracketing order
+    statistics per quantile; type-7 interpolation runs on exact order
+    statistics in a fixed op order. The scalable exact path —
+    percentile_approx is approximate and collect_list materializes the
+    group on one executor. (New r07.)"""
+    li = _t(spark, sf_dir, "lineitem").df
+    return tcf.group_quantiles(
+        li, "l_extendedprice", ["l_returnflag"], qs=(0.25, 0.5, 0.75)
+    )
+
+
+def q_seasonal_anomaly(spark, sf_dir):
+    """Seasonal-baseline anomaly detection — robust_outliers composed
+    over a (event_type, hour-of-day) seasonal key: each observation is
+    judged against the median/MAD of its own hour slot, so a nightly
+    batch spike is not flagged just for being bigger than daytime
+    traffic. Summary per (type, hour): exact median/MAD + flag count.
+    (New r07.)"""
+    from table_computing_spark.operators.drift import robust_outliers
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type",
+        F.pmod(F.floor(tcf.epoch_ms("ts") / 3600000), F.lit(24))
+        .cast("long")
+        .alias("hr"),
+        "value",
+    )
+    out = robust_outliers(ev, "value", ["event_type", "hr"], k=3.5)
+    return out.groupBy("event_type", "hr", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+    )
+
+
+def q_interval_coverage(spark, sf_dir):
+    """Union-of-intervals coverage (temporal.interval_coverage): each
+    event opens an activity interval [t, t + value·1000 ms); per user,
+    merge overlaps (islands-and-gaps) and report interval/island
+    counts and the truly-covered span — where naive sum(duration)
+    double-counts every overlap. One window pass + two hash
+    aggregations on the key shuffle, no interval self-join. (New r07.)"""
+    from table_computing_spark.operators.temporal import interval_coverage
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", tcf.epoch_ms("ts").alias("s"), "value"
+    )
+    iv = ev.select(
+        "user_id",
+        "s",
+        (F.col("s") + F.round(F.col("value") * 1000).cast("long")).alias("e"),
+    )
+    return interval_coverage(iv, ["user_id"], "s", "e")
+
+
+def q_resample_interp(spark, sf_dir):
+    """Linear-interpolation resampling (temporal.resample_interp):
+    each user's irregular event values onto a 6-hour grid, straight
+    line between surrounding observations, hold after the last, null
+    before the first — ONE key-shuffle window pass (backward last() +
+    forward first() over grid ∪ obs), never a per-tick self-join.
+    The interpolation formula is a fixed-op-order double expression
+    mirrored verbatim by the oracle. (New r07.)"""
+    from table_computing_spark.operators.temporal import resample_interp
+
+    ev = _t(spark, sf_dir, "events").df
+    obs = (
+        ev.groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+        .select("user_id", tcf.epoch_ms("ts").alias("ev_ms"), "v")
+    )
+    return resample_interp(obs, "user_id", "ev_ms", step=21_600_000, value_col="v")
+
+
+def q_attribution(spark, sf_dir):
+    """First/last-touch attribution (temporal.touch_attribution): for
+    every purchase, the earliest and latest non-purchase touch of the
+    same user within a 24 h lookback plus the touch count — ONE range-
+    frame window pass per key, never a conversions×touches self-join.
+    Ties resolve by the (time, channel) struct order, mirrored by the
+    oracle's min_by/max_by composite keys. (New r07.)"""
+    from table_computing_spark.operators.temporal import touch_attribution
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", tcf.epoch_ms("ts").alias("t_ms"), "event_type"
+    )
+    return touch_attribution(
+        ev,
+        ["user_id"],
+        "t_ms",
+        "event_type",
+        touch_cond=F.col("event_type").isin("view", "click", "search"),
+        conversion_cond=F.col("event_type") == "purchase",
+        lookback_ms=86_400_000,
+    )
+
+
+def q_cooccur_pmi(spark, sf_dir):
+    """Collocation mining (text.cooccur_pmi): top-50 directional token
+    pairs within a 2-token window by pointwise mutual information.
+    Pair generation is per-row array zips (linear in tokens × window,
+    no positions self-join); counts are map-side-combinable hash
+    aggregates; totals broadcast onto a TakeOrderedAndProject top-k.
+    The PMI ratio is a fixed-parenthesization double expression + one
+    ln(), bit-identical across engines. (New r07.)"""
+    from table_computing_spark.operators.text import cooccur_pmi
+
+    return cooccur_pmi(
+        _t(spark, sf_dir, "documents").df,
+        window=2,
+        min_count=20,
+        top_k=50,
+    )
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (graph.hits_nano, 2 iterations) over the
+    DIRECTED user → event-type interaction graph: users score as hubs,
+    event types as authorities. Integer-nano scores with L1
+    normalization via round((x·1e9)/S) make both iterations unroll
+    into an exact SQL oracle — the same engine-exactness discipline as
+    pagerank_nano. (New r07.)"""
+    from pyspark.sql import Window
+    from table_computing_spark.operators import graph
+
+    ev = _t(spark, sf_dir, "events").df.select("user_id", "event_type").distinct()
+    types = ev.select("event_type").distinct().select(
+        "event_type",
+        (-F.row_number().over(Window.orderBy("event_type"))).cast("long").alias("tid"),
+    )
+    edges = ev.join(types, "event_type").select(
+        F.col("user_id").alias("src"), F.col("tid").alias("dst")
+    )
+    return graph.hits_nano(edges, iterations=2)
+
+
+def q_silhouette(spark, sf_dir):
+    """Clustering-quality gate (similarity.centroid_silhouette): the
+    O(n·k) centroid silhouette of the embedding corpus under its own
+    label column — integer-micro centroids, fixed-order Euclidean
+    folds, per-point nano rounding before the per-cluster mean, so the
+    score hash-matches the oracle. The "did clustering separate
+    anything" check before cluster-local dedup commits a corpus.
+    (New r07.)"""
+    from table_computing_spark.operators.similarity import centroid_silhouette
+
+    return centroid_silhouette(_t(spark, sf_dir, "embeddings").df)
+
+
+def q_jaccard_prefix(spark, sf_dir):
+    """PPJoin-style prefix-filtered exact Jaccard pairs
+    (dedup.ngram_jaccard_pairs(prefix_filter=True)): candidates join
+    only each set's |A|−⌈t|A|⌉+1 globally-rarest tokens instead of
+    every co-occurring token — the Σ df² cost collapses to the rare
+    tail, the win on Zipfian corpora. t=0.9, the tight-threshold regime
+    prefix filtering exists for (at 0.5 the prefix is half the set and
+    the plain join wins — dedup.py docstring). The oracle is
+    q_dedup_jaccard's SQL at the same threshold: pruning must be
+    provably lossless. Runs on a 1/3 doc slice — on this fixed-
+    vocabulary corpus the all-pairs output itself is near-quadratic
+    (PLANS.md r07 scaling table), so the slice keeps the bench row
+    proportionate while the full-corpus path stays pytest-pinned.
+    (New r07.)"""
+    from table_computing_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents").df.where(F.col("doc_id") % 3 == 0)
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.9, prefix_filter=True)
+
+
 # ---------------------------------------------------------------------------
 # §2 gate compositions — the driver hashes only the FIRST 50 queries()
 # entries, so each q_gate_* packs one whole SURVEY §2 operator family into
@@ -3584,11 +3777,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-7 window: (a) the 14 round-6 overflow queries (declared after
     the r06 window filled; all locally sim-green, 4/4 of the judge's
-    independent spot-checks pass) and (b) the 36 stalest queries on the
-    board — all 27 whose last green is r03, then the 9 oldest r04 rows
-    (these 9 are displaced by NEW r07 queries as they land). Zero
-    overlap with the r05/r06-verified sets. The dtype-strict local sim
-    (tests/oracle.py) is green on all entries at sf0.01.
+    independent spot-checks pass), (b) the 27 stalest queries on the
+    board (every query whose last green is r03), (c) the seven NEW r07
+    queries (q_stream_matview, q_resample_interp, q_attribution,
+    q_cooccur_pmi, q_hits, q_silhouette, q_jaccard_prefix), and (d)
+    the 2 oldest r04 rows to fill the 50. Zero overlap with the
+    r05/r06-verified sets. The dtype-strict local sim (tests/oracle.py)
+    is green on all entries at sf0.01.
     """
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
@@ -3635,9 +3830,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q12": tpch["q_tpch_q12"],
         "q_transform_explode": q_transform_explode,
         "q_over_apply": q_over_apply,
+        # (c) next-stalest (r04) — swapped out for new r07 queries as they land
+        "q_stream_matview": q_stream_matview,  # new r07
+        "q_resample_interp": q_resample_interp,  # new r07
+        "q_attribution": q_attribution,  # new r07
+        "q_cooccur_pmi": q_cooccur_pmi,  # new r07
+        "q_hits": q_hits,  # new r07
+        "q_silhouette": q_silhouette,  # new r07
+        "q_jaccard_prefix": q_jaccard_prefix,  # new r07
+        "q_interval_coverage": q_interval_coverage,  # new r07
+        "q_label_prop": q_label_prop,  # new r07
+        "q_group_quantiles": q_group_quantiles,  # new r07
+        "q_seasonal_anomaly": q_seasonal_anomaly,  # new r07
+    }
+    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
+    tail = {
+        # rotation pool, staleness order: r04 remainder, then r05, then r06
+        # --- last green r03 (displaced from the r07 window by new queries) ---
         "q_join_full_outer": q_join_full_outer,
         "q_join_nullsafe": q_join_nullsafe,
-        # (c) next-stalest (r04) — swapped out for new r07 queries as they land
+        # --- last green r04 ---
         "q_flagship_top100": q_flagship_top100,
         "q_filter_rows": q_filter_rows,
         "q_transform_rows": q_transform_rows,
@@ -3646,12 +3858,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anomaly_zscore": q_anomaly_zscore,
         "q_mode_per_key": q_mode_per_key,
         "q_latest_per_key": q_latest_per_key,
-        "q_stream_matview": q_stream_matview,  # new r07
-    }
-    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
-    tail = {
-        # rotation pool, staleness order: r04 remainder, then r05, then r06
-        # --- last green r04 ---
         "q_retention_cohort": q_retention_cohort,
         "q_funnel": q_funnel,
         "q_fuzzy_pairs": q_fuzzy_pairs,
@@ -4249,6 +4455,375 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         GROUP BY o_custkey
         """,
+        "q_label_prop": """
+        WITH ev AS (SELECT DISTINCT user_id, event_type FROM events),
+        types AS (
+          SELECT event_type,
+                 -CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS tid
+          FROM (SELECT DISTINCT event_type FROM events)
+        ),
+        e AS (SELECT user_id AS s, tid AS d FROM ev JOIN types USING (event_type)),
+        sym AS (SELECT s AS u, d AS v FROM e UNION ALL SELECT d AS u, s AS v FROM e),
+        nodes AS (SELECT DISTINCT u AS node FROM sym),
+        seed AS (SELECT tid AS node, -tid AS label FROM types),
+        l0 AS (
+          SELECT n.node, s.label AS lab
+          FROM nodes n LEFT JOIN seed s ON s.node = n.node
+        ),
+        v1 AS (
+          SELECT sym.u AS node, l0.lab, count(*) AS c
+          FROM sym JOIN l0 ON l0.node = sym.v
+          WHERE l0.lab IS NOT NULL GROUP BY 1, 2
+        ),
+        p1 AS (
+          SELECT node, lab FROM (
+            SELECT node, lab,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lab ASC) AS rk
+            FROM v1) WHERE rk = 1
+        ),
+        l1 AS (
+          SELECT n.node, coalesce(s.label, p1.lab, l0.lab) AS lab
+          FROM nodes n
+          LEFT JOIN seed s ON s.node = n.node
+          LEFT JOIN p1 ON p1.node = n.node
+          LEFT JOIN l0 ON l0.node = n.node
+        ),
+        v2 AS (
+          SELECT sym.u AS node, l1.lab, count(*) AS c
+          FROM sym JOIN l1 ON l1.node = sym.v
+          WHERE l1.lab IS NOT NULL GROUP BY 1, 2
+        ),
+        p2 AS (
+          SELECT node, lab FROM (
+            SELECT node, lab,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lab ASC) AS rk
+            FROM v2) WHERE rk = 1
+        )
+        SELECT n.node, coalesce(s.label, p2.lab, l1.lab) AS label
+        FROM nodes n
+        LEFT JOIN seed s ON s.node = n.node
+        LEFT JOIN p2 ON p2.node = n.node
+        LEFT JOIN l1 ON l1.node = n.node
+        """,
+        "q_group_quantiles": """
+        WITH b AS (
+          SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY CAST(l_extendedprice AS DOUBLE) ASC)
+                   AS rn,
+                 count(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem
+        ),
+        g AS (
+          SELECT l_returnflag,
+                 CAST(max(n) AS BIGINT) AS n,
+                 min(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.25) AS BIGINT) + 1 THEN v END) AS lo25,
+                 min(CASE WHEN rn = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.25) AS BIGINT) + 1 THEN v END) AS hi25,
+                 min(CASE WHEN rn = 1 THEN CAST(n - 1 AS DOUBLE) * 0.25
+                          - floor(CAST(n - 1 AS DOUBLE) * 0.25) END) AS fr25,
+                 min(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN v END) AS lo50,
+                 min(CASE WHEN rn = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN v END) AS hi50,
+                 min(CASE WHEN rn = 1 THEN CAST(n - 1 AS DOUBLE) * 0.5
+                          - floor(CAST(n - 1 AS DOUBLE) * 0.5) END) AS fr50,
+                 min(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.75) AS BIGINT) + 1 THEN v END) AS lo75,
+                 min(CASE WHEN rn = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.75) AS BIGINT) + 1 THEN v END) AS hi75,
+                 min(CASE WHEN rn = 1 THEN CAST(n - 1 AS DOUBLE) * 0.75
+                          - floor(CAST(n - 1 AS DOUBLE) * 0.75) END) AS fr75
+          FROM b GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               round(lo25 * (1.0 - fr25) + hi25 * fr25, 6) AS q25,
+               round(lo50 * (1.0 - fr50) + hi50 * fr50, 6) AS q50,
+               round(lo75 * (1.0 - fr75) + hi75 * fr75, 6) AS q75
+        FROM g
+        """,
+        "q_seasonal_anomaly": """
+        WITH e AS (
+          SELECT event_type,
+                 (epoch_ms(ts) // 3600000) % 24 AS hr,
+                 value
+          FROM events
+        ),
+        med AS (
+          SELECT event_type, hr, quantile_cont(value, 0.5) AS m
+          FROM e GROUP BY event_type, hr
+        ), wm AS (
+          SELECT e.event_type, e.hr, e.value, med.m
+          FROM e JOIN med USING (event_type, hr)
+        ), mad AS (
+          SELECT event_type, hr, quantile_cont(abs(value - m), 0.5) AS d
+          FROM wm GROUP BY event_type, hr
+        )
+        SELECT w.event_type, w.hr,
+               round(w.m, 6) AS med,
+               round(mad.d, 6) AS mad,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN mad.d > 0
+                              AND round(abs(w.value - w.m), 6)
+                                  > round(3.5 * 1.4826 * mad.d, 6)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM wm w JOIN mad USING (event_type, hr)
+        GROUP BY w.event_type, w.hr, round(w.m, 6), round(mad.d, 6)
+        """,
+        "q_interval_coverage": """
+        WITH iv AS (
+          SELECT user_id, epoch_ms(ts) AS s,
+                 epoch_ms(ts) + CAST(round(value * 1000) AS BIGINT) AS e
+          FROM events
+        ),
+        f AS (
+          SELECT user_id, s, e,
+                 CASE WHEN max(e) OVER wp IS NULL OR s > max(e) OVER wp
+                      THEN 1 ELSE 0 END AS ni
+          FROM iv
+          WINDOW wp AS (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        g AS (
+          SELECT user_id, s, e,
+                 sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+          FROM f
+        ),
+        isl AS (
+          SELECT user_id, island, min(s) AS ms, max(e) AS me, count(*) AS n
+          FROM g GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(sum(n) AS BIGINT) AS n_intervals,
+               CAST(count(*) AS BIGINT) AS n_islands,
+               CAST(sum(me - ms) AS BIGINT) AS covered
+        FROM isl GROUP BY user_id
+        """,
+        "q_resample_interp": """
+        WITH obs AS (
+          SELECT user_id, epoch_ms(ts) AS ev_ms, max(value) AS v
+          FROM events GROUP BY user_id, ts
+        ),
+        bounds AS (
+          SELECT user_id, min(ev_ms) AS lo, max(ev_ms) AS hi
+          FROM obs GROUP BY user_id
+        ),
+        grid AS (
+          SELECT user_id, unnest(generate_series(
+                   CAST(floor(lo / 21600000) * 21600000 AS BIGINT),
+                   hi, 21600000)) AS t
+          FROM bounds
+        ),
+        u AS (
+          SELECT user_id, t, 1 AS side, CAST(NULL AS DOUBLE) AS v FROM grid
+          UNION ALL
+          SELECT user_id, ev_ms AS t, 0 AS side, v FROM obs
+        ),
+        m AS (
+          SELECT user_id, t, side,
+                 last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER wb AS pt,
+                 last_value(CASE WHEN side = 0 THEN v END IGNORE NULLS) OVER wb AS pv,
+                 first_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER wf AS nt,
+                 first_value(CASE WHEN side = 0 THEN v END IGNORE NULLS) OVER wf AS nv
+          FROM u
+          WINDOW wb AS (PARTITION BY user_id ORDER BY t, side
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY user_id ORDER BY t, side
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, t AS tick,
+               round(CASE WHEN pt IS NULL THEN NULL
+                          WHEN nt IS NULL OR nt = pt THEN pv
+                          ELSE pv + (nv - pv) * (t - pt) / (nt - pt)
+                     END, 6) AS interp
+        FROM m WHERE side = 1
+        """,
+        "q_attribution": """
+        WITH e AS (
+          SELECT event_id, user_id, epoch_ms(ts) AS t, event_type
+          FROM events
+        ),
+        conv AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        touch AS (SELECT * FROM e WHERE event_type IN ('view', 'click', 'search'))
+        SELECT c.user_id,
+               c.t AS conv_ms,
+               -- composite (t, channel) tiebreak as a zero-padded
+               -- sortable string (DuckDB min_by takes no struct key);
+               -- identical total order to Spark's min/max over
+               -- struct(t, ch) for nonnegative epoch-ms
+               min_by(s.event_type,
+                      lpad(CAST(s.t AS VARCHAR), 20, '0') || '|' || s.event_type
+               ) AS first_channel,
+               min(s.t) AS first_ms,
+               max_by(s.event_type,
+                      lpad(CAST(s.t AS VARCHAR), 20, '0') || '|' || s.event_type
+               ) AS last_channel,
+               max(s.t) AS last_ms,
+               CAST(count(s.t) AS BIGINT) AS n_touches
+        FROM conv c
+        LEFT JOIN touch s
+          ON s.user_id = c.user_id
+         AND s.t BETWEEN c.t - 86400000 AND c.t
+        GROUP BY c.event_id, c.user_id, c.t
+        """,
+        "q_cooccur_pmi": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w
+          FROM toks
+        ),
+        cab AS (
+          SELECT x.w AS a, y.w AS b, count(*) AS c_ab
+          FROM pos x JOIN pos y
+            ON x.doc_id = y.doc_id AND y.i - x.i BETWEEN 1 AND 2
+          GROUP BY 1, 2
+        ),
+        uni AS (SELECT w, count(*) AS c_w FROM pos GROUP BY w),
+        tot AS (
+          SELECT (SELECT CAST(sum(c_ab) AS BIGINT) FROM cab) AS T,
+                 (SELECT CAST(sum(c_w) AS BIGINT) FROM uni) AS N
+        )
+        SELECT a, b, c_ab,
+               round(ln((CAST(c_ab AS DOUBLE) * CAST(N AS DOUBLE)
+                         * CAST(N AS DOUBLE))
+                        / (CAST(T AS DOUBLE) * CAST(ca.c_w AS DOUBLE)
+                           * CAST(cb.c_w AS DOUBLE))), 6) AS pmi
+        FROM cab
+        JOIN uni ca ON ca.w = a
+        JOIN uni cb ON cb.w = b
+        CROSS JOIN tot
+        WHERE c_ab >= 20
+        ORDER BY pmi DESC, a, b
+        LIMIT 50
+        """,
+        "q_hits": """
+        WITH ev AS (SELECT DISTINCT user_id, event_type FROM events),
+        types AS (
+          SELECT event_type,
+                 -CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS tid
+          FROM (SELECT DISTINCT event_type FROM events)
+        ),
+        e AS (
+          SELECT user_id AS s, tid AS d FROM ev JOIN types USING (event_type)
+        ),
+        nodes AS (
+          SELECT s AS node FROM e UNION SELECT d FROM e
+        ),
+        h0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS h FROM nodes),
+        a1r AS (
+          SELECT e.d AS node, CAST(sum(h0.h) AS BIGINT) AS x
+          FROM e JOIN h0 ON e.s = h0.node GROUP BY e.d
+        ),
+        a1f AS (
+          SELECT n.node, CAST(coalesce(x, 0) AS BIGINT) AS x
+          FROM nodes n LEFT JOIN a1r ON a1r.node = n.node
+        ),
+        a1s AS (SELECT CAST(sum(x) AS BIGINT) AS sm FROM a1f),
+        a1 AS (
+          SELECT node, CASE WHEN sm > 0
+                 THEN CAST(round((CAST(x AS DOUBLE) * 1e9) / sm) AS BIGINT)
+                 ELSE 0 END AS a
+          FROM a1f, a1s
+        ),
+        h1r AS (
+          SELECT e.s AS node, CAST(sum(a1.a) AS BIGINT) AS x
+          FROM e JOIN a1 ON e.d = a1.node GROUP BY e.s
+        ),
+        h1f AS (
+          SELECT n.node, CAST(coalesce(x, 0) AS BIGINT) AS x
+          FROM nodes n LEFT JOIN h1r ON h1r.node = n.node
+        ),
+        h1s AS (SELECT CAST(sum(x) AS BIGINT) AS sm FROM h1f),
+        h1 AS (
+          SELECT node, CASE WHEN sm > 0
+                 THEN CAST(round((CAST(x AS DOUBLE) * 1e9) / sm) AS BIGINT)
+                 ELSE 0 END AS h
+          FROM h1f, h1s
+        ),
+        a2r AS (
+          SELECT e.d AS node, CAST(sum(h1.h) AS BIGINT) AS x
+          FROM e JOIN h1 ON e.s = h1.node GROUP BY e.d
+        ),
+        a2f AS (
+          SELECT n.node, CAST(coalesce(x, 0) AS BIGINT) AS x
+          FROM nodes n LEFT JOIN a2r ON a2r.node = n.node
+        ),
+        a2s AS (SELECT CAST(sum(x) AS BIGINT) AS sm FROM a2f),
+        a2 AS (
+          SELECT node, CASE WHEN sm > 0
+                 THEN CAST(round((CAST(x AS DOUBLE) * 1e9) / sm) AS BIGINT)
+                 ELSE 0 END AS a
+          FROM a2f, a2s
+        ),
+        h2r AS (
+          SELECT e.s AS node, CAST(sum(a2.a) AS BIGINT) AS x
+          FROM e JOIN a2 ON e.d = a2.node GROUP BY e.s
+        ),
+        h2f AS (
+          SELECT n.node, CAST(coalesce(x, 0) AS BIGINT) AS x
+          FROM nodes n LEFT JOIN h2r ON h2r.node = n.node
+        ),
+        h2s AS (SELECT CAST(sum(x) AS BIGINT) AS sm FROM h2f),
+        h2 AS (
+          SELECT node, CASE WHEN sm > 0
+                 THEN CAST(round((CAST(x AS DOUBLE) * 1e9) / sm) AS BIGINT)
+                 ELSE 0 END AS h
+          FROM h2f, h2s
+        )
+        SELECT n.node,
+               round(coalesce(a2.a, 0) / 1e9, 9) AS authority,
+               round(coalesce(h2.h, 0) / 1e9, 9) AS hub
+        FROM nodes n
+        LEFT JOIN a2 ON a2.node = n.node
+        LEFT JOIN h2 ON h2.node = n.node
+        """,
+        "q_silhouette": """
+        WITH v AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings
+        ),
+        comp AS (
+          SELECT label, generate_subscripts(e, 1) AS j, unnest(e) AS x FROM v
+        ),
+        centsum AS (
+          SELECT label, j,
+                 CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS BIGINT) AS s,
+                 count(*) AS n
+          FROM comp GROUP BY label, j
+        ),
+        cent AS (
+          SELECT label AS clab, list((s / 1e6) / n ORDER BY j) AS c
+          FROM centsum GROUP BY label
+        ),
+        dists AS (
+          SELECT v.vec_id, v.label, cent.clab,
+                 sqrt(list_sum(list_transform(
+                        list_zip(v.e, cent.c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2])))) AS d
+          FROM v CROSS JOIN cent
+        ),
+        pp AS (
+          SELECT vec_id, label,
+                 min(CASE WHEN clab = label THEN d END) AS a,
+                 min(CASE WHEN clab <> label THEN d END) AS b
+          FROM dists GROUP BY vec_id, label
+        ),
+        sn AS (
+          SELECT label,
+                 CASE WHEN a IS NULL OR b IS NULL OR greatest(a, b) = 0 THEN 0
+                      ELSE CAST(round(((b - a) / greatest(a, b)) * 1e9) AS BIGINT)
+                 END AS s
+          FROM pp
+        )
+        SELECT label, CAST(count(*) AS BIGINT) AS n,
+               round((CAST(sum(s) AS DOUBLE) / count(*)) / 1e9, 6) AS silhouette
+        FROM sn GROUP BY label
+        """,
+
         "q_cms_counts": """
         WITH rows4 AS (SELECT unnest([0, 1, 2, 3]) AS i),
         sk AS (
@@ -5919,6 +6494,28 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sb ON sb.id = id_b
             )
             SELECT * FROM scored WHERE jaccard >= 0.5
+        """,
+        "q_jaccard_prefix": r"""
+        -- identical to q_dedup_jaccard: the prefix filter is a
+        -- candidate-pruning optimization and must not change the output
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS tok
+              FROM documents WHERE doc_id % 3 = 0
+            ), sizes AS (
+              SELECT id, count(*) AS sz FROM toks GROUP BY id
+            ), shared AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+              GROUP BY 1, 2
+            ), scored AS (
+              SELECT id_a, id_b,
+                     round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6) AS jaccard
+              FROM shared
+              JOIN sizes sa ON sa.id = id_a
+              JOIN sizes sb ON sb.id = id_b
+            )
+            SELECT * FROM scored WHERE jaccard >= 0.9
         """,
         "q_curation_canonical": r"""
             WITH base AS (

@@ -10,6 +10,7 @@ from table_computing_spark.functions.aggregate import (
     avg_ref,
     count_all,
     group_concat,
+    group_quantiles,
     max_ref,
     linreg,
     moment_stats,
@@ -39,7 +40,7 @@ from table_computing_spark.functions.scalar import (
 )
 
 __all__ = [
-    "avg_ref", "count_all", "group_concat", "linreg", "max_ref", "min_ref", "moment_stats",
+    "avg_ref", "count_all", "group_concat", "group_quantiles", "linreg", "max_ref", "min_ref", "moment_stats",
     "sum_double", "sum_exact", "sum_int", "sum_long",
     "epoch_ms", "from_epoch_ms", "parse_date", "parse_date_with_zone", "to_date",
     "ltrim_char", "rtrim_char", "substr", "to_bigdecimal",

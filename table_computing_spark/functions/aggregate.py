@@ -162,3 +162,64 @@ def linreg(
         F.round(mean_y - slope * mean_x, 6).alias("intercept"),
         F.round((sxy_c * sxy_c) / (sxx_c * syy_c), 6).alias("r2"),
     )
+
+
+def group_quantiles(
+    df,
+    value_col: str,
+    by: "list[str]",
+    qs: "tuple[float, ...]" = (0.25, 0.5, 0.75),
+    round_to: int = 6,
+):
+    """EXACT linearly-interpolated quantiles per group (numpy/type-7:
+    index (n-1)·q, value = lo·(1-frac) + hi·frac) WITHOUT collecting
+    the group into an array: one sort-within-group window pass ranks
+    the rows, then a conditional aggregate picks the two bracketing
+    order statistics per quantile. Output columns are q25/q50/... .
+
+    Why not percentile_approx: it is approximate; why not
+    collect_list+sort: the group materializes on one executor. Here
+    memory per task is O(1) beyond the sort — the scalable exact path
+    for per-group quantiles (the GLOBAL-column variant with bounded
+    driver traffic is operators/quantiles.exact_quantiles).
+
+    The interpolation is a fixed-op-order double expression on exact
+    order statistics, so results hash-match DuckDB's mirror of the
+    same construction (never quantile_cont, whose interpolation op
+    order is engine-private)."""
+    from pyspark.sql.window import Window as W
+
+    keys = [F.col(c) for c in by]
+    wo = W.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    wall = W.partitionBy(*keys)
+    base = df.select(
+        *keys,
+        F.col(value_col).cast("double").alias("__v"),
+    ).select(
+        *keys,
+        "__v",
+        F.row_number().over(wo.orderBy(F.col("__v").asc())).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+    )
+    aggs = [F.max("__n").cast("long").alias("n")]
+    names = []
+    for q in qs:
+        name = f"q{int(round(q * 100))}"
+        names.append(name)
+        idx = (F.col("__n") - F.lit(1)).cast("double") * F.lit(float(q))
+        lo = F.floor(idx).cast("long") + 1
+        hi = F.ceil(idx).cast("long") + 1
+        frac = idx - F.floor(idx)
+        aggs.append(F.min(F.when(F.col("__rn") == lo, F.col("__v"))).alias(f"__lo_{name}"))
+        aggs.append(F.min(F.when(F.col("__rn") == hi, F.col("__v"))).alias(f"__hi_{name}"))
+        aggs.append(F.min(F.when(F.col("__rn") == 1, frac)).alias(f"__fr_{name}"))
+    agg = base.groupBy(*keys).agg(*aggs)
+    outs = [*by, "n"]
+    for name in names:
+        val = (
+            F.col(f"__lo_{name}") * (F.lit(1.0) - F.col(f"__fr_{name}"))
+            + F.col(f"__hi_{name}") * F.col(f"__fr_{name}")
+        )
+        agg = agg.withColumn(name, F.round(val, round_to))
+        outs.append(name)
+    return agg.select(*outs)

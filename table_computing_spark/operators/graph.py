@@ -302,3 +302,145 @@ def triangle_counts(
     return nodes_all.join(cnt, "node", "left").select(
         "node", F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_triangles")
     )
+
+
+def hits_nano(
+    edges: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999 — public algorithm)
+    with ENGINE-EXACT integer-nano arithmetic, like pagerank_nano:
+    every score is held in integer nanos; the per-iteration L1
+    normalization is round((CAST(x AS DOUBLE) * 1e9) / S) with a fixed
+    parenthesization, so a fixed iteration count unrolls into plain SQL
+    and both engines agree bit-for-bit.
+
+    Per iteration: authority(i) = Σ_{j→i} hub(j), L1-normalized to 1e9
+    total; then hub(j) = Σ_{j→i} auth(i), normalized the same. Each
+    half is one edges⋈scores equi-join + one hash aggregation + one
+    broadcast of a single-row sum — shuffles keyed on node, no driver
+    state beyond nothing (even the totals stay in-plan).
+
+    Returns (node, authority, hub) rounded to 9 places. Parallel
+    edges count with multiplicity (standard adjacency-matrix HITS)."""
+    edges = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).localCheckpoint()
+    nodes = (
+        edges.select(F.col("__s").alias("node"))
+        .union(edges.select(F.col("__d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    hub = nodes.withColumn("hub_nano", F.lit(1_000_000_000).cast("long"))
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        filled = nodes.join(raw, "node", "left").select(
+            "node", F.coalesce(F.col("__x"), F.lit(0)).cast("long").alias("__x")
+        )
+        total = filled.agg(F.sum("__x").alias("__sum"))
+        return filled.crossJoin(F.broadcast(total)).select(
+            "node",
+            F.when(F.col("__sum") > 0,
+                   F.round((F.col("__x").cast("double") * 1e9) / F.col("__sum")))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(col),
+        )
+
+    auth = None
+    for _ in range(iterations):
+        araw = (
+            edges.join(hub, edges["__s"] == hub["node"])
+            .groupBy(F.col("__d").alias("node"))
+            .agg(F.sum("hub_nano").alias("__x"))
+        )
+        auth = _normalize(araw, "auth_nano")
+        hraw = (
+            edges.join(auth, edges["__d"] == auth["node"])
+            .groupBy(F.col("__s").alias("node"))
+            .agg(F.sum("auth_nano").alias("__x"))
+        )
+        hub = _normalize(hraw, "hub_nano")
+    return (
+        nodes.join(auth, "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            "node",
+            F.round(F.coalesce(F.col("auth_nano"), F.lit(0)) / 1e9, 9).alias("authority"),
+            F.round(F.coalesce(F.col("hub_nano"), F.lit(0)) / 1e9, 9).alias("hub"),
+        )
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002 /
+    Raghavan et al. 2007 — public algorithms), made ENGINE-EXACT: per
+    iteration each non-seed node adopts the label with the highest
+    neighbor count, ties broken by SMALLEST label; seed nodes are
+    clamped. Counts are exact integers and the argmax is a
+    deterministic (count DESC, label ASC) pick, so a fixed iteration
+    count unrolls into plain SQL — no float scores at all.
+
+    Per iteration: one edges⋈labels equi-join, one (node, label) hash
+    aggregation, one row_number window per node, one left join back to
+    the node set — everything shuffles on node keys; nothing reaches
+    the driver. Unlabeled nodes with no labeled neighbor stay null
+    until reached (standard LPA wavefront).
+
+    Returns (node, label) for every node in the graph."""
+    from pyspark.sql.window import Window as W2
+
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).localCheckpoint()
+    sym = e.union(e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d")))
+    nodes = sym.select(F.col("__s").alias("node")).distinct().localCheckpoint()
+    seed = seeds.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("__seed")
+    ).distinct()
+    cur = nodes.join(seed, "node", "left").select(
+        "node", F.col("__seed"), F.col("__seed").alias("__lab")
+    )
+    for _ in range(iterations):
+        votes = (
+            sym.join(
+                cur.select(F.col("node").alias("__d"), F.col("__lab")), "__d"
+            )
+            .where(F.col("__lab").isNotNull())
+            .groupBy(F.col("__s").alias("node"), F.col("__lab"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        w = W2.partitionBy("node").orderBy(F.desc("__n"), F.asc("__lab"))
+        pick = (
+            votes.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .select("node", F.col("__lab").alias("__pick"))
+        )
+        prev = cur.select("node", F.col("__lab").alias("__prev"))
+        cur = (
+            nodes.join(seed, "node", "left")
+            .join(pick, "node", "left")
+            .join(prev, "node", "left")
+            .select(
+                "node",
+                F.col("__seed"),
+                # clamp seeds; else this round's majority; else keep the
+                # previous label (a node with no labeled neighbor this
+                # round must not lose what it already learned)
+                F.coalesce(
+                    F.col("__seed"), F.col("__pick"), F.col("__prev")
+                ).alias("__lab"),
+            )
+        )
+    return cur.select("node", F.col("__lab").alias("label"))

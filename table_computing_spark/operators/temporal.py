@@ -524,3 +524,199 @@ def path_counts(
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(top_k)
     )
+
+
+def resample_interp(
+    observations: DataFrame,
+    key_col: str,
+    time_col: str,
+    step: int,
+    value_col: str,
+    round_to: int = 6,
+    out_col: str = "interp",
+) -> DataFrame:
+    """resample_ffill's linear-interpolation sibling: per key, one row
+    per `step` tick carrying the straight-line value between the
+    surrounding observations —
+
+        v(t) = v_prev + (v_next - v_prev) * (t - t_prev)/(t_next - t_prev)
+
+    Ticks at an exact observation time return that observation; ticks
+    after the last observation hold it (forward-fill, the pandas
+    `interpolate(limit_direction='forward')` contract); ticks before
+    the first observation are honestly null. `observations` must be
+    unique per (key, time).
+
+    Scale shape: ONE key-shuffle window pass over grid ∪ observations
+    (the asof_join union trick run in both directions at once — a
+    backward last() and a forward first() in the same window spec
+    family), never a per-tick self-join. The float expression is a
+    fixed op-order formula on (prev, next, tick), so results are
+    engine-portable bit-for-bit before the final round."""
+    bounds = observations.groupBy(key_col).agg(
+        F.min(time_col).alias("__lo"), F.max(time_col).alias("__hi")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(
+                (F.floor(F.col("__lo") / step) * step).cast("long"),
+                F.col("__hi").cast("long"),
+                F.lit(step).cast("long"),
+            )
+        ).alias("tick"),
+    )
+    gpart = grid.select(
+        key_col,
+        F.col("tick").cast("long").alias("__t"),
+        F.lit(1).alias("__side"),  # tick AFTER same-time obs
+        F.lit(None).cast("double").alias("__v"),
+    )
+    opart = observations.select(
+        key_col,
+        F.col(time_col).cast("long").alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    u = gpart.unionByName(opart)
+    wb = (
+        W.partitionBy(key_col)
+        .orderBy("__t", "__side")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wf = (
+        W.partitionBy(key_col)
+        .orderBy("__t", "__side")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    is_obs = F.col("__side") == 0
+    marked = u.select(
+        key_col,
+        "__t",
+        "__side",
+        F.last(F.when(is_obs, F.col("__t")), ignorenulls=True).over(wb).alias("__pt"),
+        F.last(F.when(is_obs, F.col("__v")), ignorenulls=True).over(wb).alias("__pv"),
+        F.first(F.when(is_obs, F.col("__t")), ignorenulls=True).over(wf).alias("__nt"),
+        F.first(F.when(is_obs, F.col("__v")), ignorenulls=True).over(wf).alias("__nv"),
+    )
+    interp = (
+        F.when(F.col("__pt").isNull(), F.lit(None).cast("double"))
+        .when(
+            F.col("__nt").isNull() | (F.col("__nt") == F.col("__pt")),
+            F.col("__pv"),
+        )
+        .otherwise(
+            F.col("__pv")
+            + (F.col("__nv") - F.col("__pv"))
+            * (F.col("__t") - F.col("__pt"))
+            / (F.col("__nt") - F.col("__pt"))
+        )
+    )
+    return marked.where(~is_obs).select(
+        key_col,
+        F.col("__t").alias("tick"),
+        F.round(interp, round_to).alias(out_col),
+    )
+
+
+def touch_attribution(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    channel_col: str,
+    touch_cond: Column,
+    conversion_cond: Column,
+    lookback_ms: int,
+) -> DataFrame:
+    """Marketing-style first/last-touch attribution: for every
+    conversion event, find the earliest and latest touch events of the
+    same key within `lookback_ms` at-or-before the conversion, plus the
+    touch count. Deterministic ties: touches at equal times resolve by
+    channel string (ASC for first, DESC for last) — the struct min/max
+    total order, mirrored exactly by the oracle's ORDER BY.
+
+    Scale shape: ONE key-shuffle window pass with RANGE frames over the
+    epoch-ms order — never a conversions×touches self-join (whose
+    candidate volume is conversions × touches-per-lookback). Rows per
+    partition are a key's events; the frame scan is linear per row in
+    Spark's sliding range-frame implementation."""
+    keys = list(key_cols)
+    base = df.select(
+        *keys,
+        F.col(time_col).cast("long").alias("__t"),
+        F.col(channel_col).alias("__ch"),
+        touch_cond.alias("__is_touch"),
+        conversion_cond.alias("__is_conv"),
+    )
+    w = (
+        W.partitionBy(*[F.col(k) for k in keys])
+        .orderBy("__t")
+        .rangeBetween(-int(lookback_ms), 0)
+    )
+    tstruct = F.when(
+        F.col("__is_touch"), F.struct(F.col("__t").alias("t"), F.col("__ch").alias("ch"))
+    )
+    out = base.select(
+        *keys,
+        "__t",
+        "__is_conv",
+        F.min(tstruct).over(w).alias("__first"),
+        F.max(tstruct).over(w).alias("__last"),
+        F.sum(F.when(F.col("__is_touch"), 1).otherwise(0)).over(w).alias("n_touches"),
+    )
+    return out.where(F.col("__is_conv")).select(
+        *keys,
+        F.col("__t").alias("conv_ms"),
+        F.col("__first.ch").alias("first_channel"),
+        F.col("__first.t").alias("first_ms"),
+        F.col("__last.ch").alias("last_channel"),
+        F.col("__last.t").alias("last_ms"),
+        F.col("n_touches").cast("long").alias("n_touches"),
+    )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union-of-intervals coverage per key (the islands-and-gaps
+    classic): merge overlapping/touching [start, end) intervals and
+    report per key the merged island count and the total covered
+    length — "how long was this machine actually busy", "what span do
+    these sessions really cover" — where naive sum(end-start) double-
+    counts every overlap.
+
+    Islands: order intervals by (start, end); an interval starts a new
+    island iff its start exceeds the running max of all previous ends
+    (strictly — touching intervals [0,5)[5,9) merge). One window pass
+    builds the island ids (running sum of new-island flags), one
+    aggregation per island, one per key — all on the key shuffle, no
+    self-join, no interval pair blowup.
+
+    Returns (keys..., n_intervals, n_islands, covered)."""
+    keys = [F.col(k) for k in key_cols]
+    w = W.partitionBy(*keys).orderBy(F.col(start_col).asc(), F.col(end_col).asc())
+    prev_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "__new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+        ).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new_island").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    islands = flagged.groupBy(*keys, F.col("__island")).agg(
+        F.min(start_col).alias("__s"),
+        F.max(end_col).alias("__e"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return islands.groupBy(*keys).agg(
+        F.sum("__n").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("__e") - F.col("__s")).cast("long").alias("covered"),
+    )

@@ -1174,3 +1174,81 @@ def kn_bigram_nll(
             ).alias("kn_nll"),
         )
     )
+
+
+def cooccur_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 5,
+    top_k: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Collocation mining: directional token co-occurrence within a
+    `window`-token span, scored by pointwise mutual information
+
+        pmi(a, b) = ln( (c_ab * N * N) / (T * c_a * c_b) )
+
+    where c_ab counts ordered pairs (a before b, gap <= window), c_a/c_b
+    are unigram counts, N total tokens, T total pairs — all EXACT
+    integers; the ratio is evaluated in doubles with a FIXED
+    parenthesization ((c_ab*N)*N) / ((T*c_a)*c_b) mirrored verbatim by
+    the oracle (BIGINT products would overflow at corpus scale; two
+    identical double expressions + one ln are still bit-identical
+    across engines per the repo's ln-portability note).
+    Returns the top_k pairs by (pmi DESC, a, b) with c_ab >= min_count
+    — the classic phrase/collocation detector for corpus curation.
+
+    Scale shape: pair generation is per-row array zips (slice+zip_with,
+    one row per (doc, offset, gap) — linear in tokens × window, never a
+    positions self-join); counts are three map-side-combinable hash
+    aggregates; the two scalar totals broadcast onto the top-k, which
+    is a TakeOrderedAndProject, not a global sort."""
+    toks = tokens(F.col(text_col))
+    pair_arrays = [
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - k, F.lit(0))),
+            F.slice(toks, 1 + k, F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        for k in range(1, window + 1)
+    ]
+    pairs = df.select(
+        F.explode(F.flatten(F.array(*pair_arrays))).alias("p")
+    ).select("p.a", "p.b")
+    cab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    totals = cab.agg(F.sum("c_ab").alias("__T")).crossJoin(
+        uni.agg(F.sum("c_w").alias("__N"))
+    )
+    scored = (
+        cab.where(F.col("c_ab") >= min_count)
+        .join(uni.select(F.col("w").alias("a"), F.col("c_w").alias("c_a")), "a")
+        .join(uni.select(F.col("w").alias("b"), F.col("c_w").alias("c_b")), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (
+                        F.col("c_ab").cast("double")
+                        * F.col("__N").cast("double")
+                        * F.col("__N").cast("double")
+                    )
+                    / (
+                        F.col("__T").cast("double")
+                        * F.col("c_a").cast("double")
+                        * F.col("c_b").cast("double")
+                    )
+                ),
+                round_to,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(top_k)

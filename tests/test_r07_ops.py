@@ -1,0 +1,306 @@
+"""Round-7 operators: linear-interpolation resampling, touch
+attribution, PMI collocations, HITS, centroid silhouette — each pinned
+against an independent pure-Python/numpy reference on crafted inputs.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------- resample_interp
+
+
+def test_resample_interp_matches_hand_computed(spark):
+    from table_computing_spark.operators.temporal import resample_interp
+
+    obs = spark.createDataFrame(
+        [("k", 95, 10.0), ("k", 200, 20.0), ("k", 400, 10.0)],
+        "key string, t long, v double",
+    )
+    out = {
+        r["tick"]: r["interp"]
+        for r in resample_interp(obs, "key", "t", step=100, value_col="v").collect()
+    }
+    # grid starts at floor(95/100)*100 = 0; before first obs -> null
+    assert out[0] is None
+    # 100 is between (95, 10) and (200, 20): 10 + 10*(5/105)
+    assert out[100] == round(10.0 + 10.0 * 5 / 105, 6)
+    assert out[200] == 20.0  # exact observation time
+    assert out[300] == round(20.0 + (10.0 - 20.0) * 100 / 200, 6)
+    assert out[400] == 10.0
+    assert set(out) == {0, 100, 200, 300, 400}
+
+
+def test_resample_interp_holds_after_last(spark):
+    from table_computing_spark.operators.temporal import resample_interp
+
+    obs = spark.createDataFrame(
+        [("k", 0, 5.0), ("k", 250, 7.0)], "key string, t long, v double"
+    )
+    out = {
+        r["tick"]: r["interp"]
+        for r in resample_interp(obs, "key", "t", step=100, value_col="v").collect()
+    }
+    assert out[200] == round(5.0 + 2.0 * 200 / 250, 6)
+    # grid stops at hi=250 -> last tick 200; extend grid? hi not aligned:
+    # sequence(0, 250, 100) = [0, 100, 200]
+    assert set(out) == {0, 100, 200}
+
+
+# ----------------------------------------------- touch_attribution
+
+
+def test_touch_attribution_first_last_and_ties(spark):
+    from table_computing_spark.operators.temporal import touch_attribution
+
+    rows = [
+        # user 1: touches at 10 (a), 10 (b) tie, 50 (c); conversion at 60
+        (1, 10, "a"), (1, 10, "b"), (1, 50, "c"), (1, 60, "BUY"),
+        # user 1: second conversion at 200 — only touch within 100 is c@50?
+        # lookback 100 -> window [100, 200]: none -> nulls
+        (1, 200, "BUY"),
+        # user 2: touch exactly at conversion time counts (at-or-before)
+        (2, 30, "x"), (2, 30, "BUY"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, ch string")
+    out = touch_attribution(
+        df, ["u"], "t", "ch",
+        touch_cond=F.col("ch") != "BUY",
+        conversion_cond=F.col("ch") == "BUY",
+        lookback_ms=100,
+    ).collect()
+    by = {(r["u"], r["conv_ms"]): r for r in out}
+    r = by[(1, 60)]
+    assert (r["first_channel"], r["first_ms"]) == ("a", 10)  # tie -> channel asc
+    assert (r["last_channel"], r["last_ms"]) == ("c", 50)
+    assert r["n_touches"] == 3
+    r2 = by[(1, 200)]
+    assert r2["first_channel"] is None and r2["n_touches"] == 0
+    r3 = by[(2, 30)]
+    assert r3["first_channel"] == "x" and r3["last_ms"] == 30
+
+
+# ---------------------------------------------------- cooccur_pmi
+
+
+def test_cooccur_pmi_matches_counter_reference(spark):
+    from table_computing_spark.operators.text import cooccur_pmi
+
+    corpus = [
+        "new york new york city",
+        "san francisco bay area san francisco",
+        "new york is a city",
+        "the bay area the bay",
+    ]
+    df = spark.createDataFrame([(s,) for s in corpus], "text string")
+    got = {
+        (r["a"], r["b"]): (r["c_ab"], r["pmi"])
+        for r in cooccur_pmi(df, window=2, min_count=2, top_k=100).collect()
+    }
+
+    cab: Counter = Counter()
+    uni: Counter = Counter()
+    for s in corpus:
+        ws = s.lower().split()
+        uni.update(ws)
+        for i, a in enumerate(ws):
+            for k in (1, 2):
+                if i + k < len(ws):
+                    cab[(a, ws[i + k])] += 1
+    T = sum(cab.values())
+    N = sum(uni.values())
+    want = {
+        p: (c, round(math.log((c * float(N) * float(N))
+                              / (float(T) * uni[p[0]] * uni[p[1]])), 6))
+        for p, c in cab.items() if c >= 2
+    }
+    assert got == want
+
+
+# ----------------------------------------------------------- HITS
+
+
+def _hits_reference(edges, iterations):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    h = {n: 10**9 for n in nodes}
+    a = {n: 0 for n in nodes}
+    for _ in range(iterations):
+        raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            raw[v] += h[u]
+        s = sum(raw.values())
+        # round-half-up like SQL round(): floor(x+0.5) on the double ratio
+        a = {n: (int(math.floor((float(x) * 1e9) / s + 0.5)) if s > 0 else 0)
+             for n, x in raw.items()}
+        raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            raw[u] += a[v]
+        s = sum(raw.values())
+        h = {n: (int(math.floor((float(x) * 1e9) / s + 0.5)) if s > 0 else 0)
+             for n, x in raw.items()}
+    return {n: (round(a[n] / 1e9, 9), round(h[n] / 1e9, 9)) for n in nodes}
+
+
+def test_hits_nano_matches_reference(spark):
+    from table_computing_spark.operators.graph import hits_nano
+
+    edges = [(1, 100), (1, 101), (2, 100), (3, 100), (3, 102), (4, 101)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["authority"], r["hub"])
+        for r in hits_nano(df, iterations=2).collect()
+    }
+    assert got == _hits_reference(edges, 2)
+    # hub-only nodes have authority 0; authority-only nodes hub 0
+    assert got[4][0] == 0.0 and got[100][1] == 0.0
+    # node 100 (in-degree 3) is the top authority
+    assert got[100][0] == max(v[0] for v in got.values())
+
+
+# ----------------------------------------------------- silhouette
+
+
+def test_centroid_silhouette_matches_numpy(spark):
+    from table_computing_spark.operators.similarity import centroid_silhouette
+
+    rng = np.random.default_rng(5)
+    centers = np.array([[5.0, 0.0], [-5.0, 0.0], [0.0, 8.0]])
+    labels = rng.integers(0, 3, size=120)
+    vecs = centers[labels] + rng.normal(0, 0.5, size=(120, 2))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], int(labels[i])) for i in range(120)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {r["label"]: (r["n"], r["silhouette"])
+           for r in centroid_silhouette(df).collect()}
+
+    # reference: integer-micro centroids, nano-rounded per-point scores
+    cents = {}
+    for lab in range(3):
+        pts = np.round(vecs[labels == lab] * 1e6)
+        cents[lab] = (pts.sum(axis=0) / 1e6) / (labels == lab).sum()
+    sums = Counter()
+    ns = Counter()
+    for i in range(120):
+        d = {lab: math.sqrt(float(((vecs[i] - c) ** 2).sum()))
+             for lab, c in cents.items()}
+        a = d[labels[i]]
+        b = min(v for lab, v in d.items() if lab != labels[i])
+        s = int(math.floor(((b - a) / max(a, b)) * 1e9 + 0.5))
+        sums[int(labels[i])] += s
+        ns[int(labels[i])] += 1
+    want = {lab: (ns[lab], round((sums[lab] / ns[lab]) / 1e9, 6)) for lab in ns}
+    assert set(got) == set(want)
+    for lab in want:
+        assert got[lab][0] == want[lab][0]
+        assert got[lab][1] == pytest.approx(want[lab][1], abs=2e-6)
+    # well-separated clusters: strongly positive silhouettes
+    assert all(v[1] > 0.7 for v in got.values())
+
+
+def test_centroid_silhouette_single_cluster_is_zero(spark):
+    from table_computing_spark.operators.similarity import centroid_silhouette
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    rows = centroid_silhouette(df).collect()
+    assert len(rows) == 1 and rows[0]["silhouette"] == 0.0
+
+
+# ----------------------------------------------- interval_coverage
+
+
+def test_interval_coverage_islands(spark):
+    from table_computing_spark.operators.temporal import interval_coverage
+
+    rows = [
+        # key a: [0,5) [3,9) touch-merge [9,12) -> one island [0,12)
+        ("a", 0, 5), ("a", 3, 9), ("a", 9, 12),
+        # gap, then [20, 25)
+        ("a", 20, 25),
+        # key b: identical duplicated interval + contained interval
+        ("b", 0, 10), ("b", 0, 10), ("b", 2, 4),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {r["k"]: (r["n_intervals"], r["n_islands"], r["covered"])
+           for r in interval_coverage(df, ["k"], "s", "e").collect()}
+    assert got["a"] == (4, 2, 12 + 5)
+    assert got["b"] == (3, 1, 10)
+
+
+# ------------------------------------------- label_propagation
+
+
+def test_label_propagation_clamped_majority(spark):
+    from table_computing_spark.operators.graph import label_propagation
+
+    # seeds: 1 -> label 10, 2 -> label 20. Node 3 touches both but has
+    # two edges to 1's side (multi-edge counts). Node 4 only reaches a
+    # label via 3's iteration-1 result (wavefront). Node 5 isolatedish
+    # pair with no labeled neighbor stays null.
+    edges = [(1, 3), (1, 3), (2, 3), (3, 4), (5, 6)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1, 10), (2, 20)], "node long, label long")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(e, seeds, iterations=2).collect()}
+    assert got[1] == 10 and got[2] == 20  # clamped
+    assert got[3] == 10  # majority by multi-edge count 2 vs 1
+    assert got[4] == 10  # learned from 3 in iteration 2
+    assert got[5] is None and got[6] is None
+    # tie-break: equal votes -> smallest label
+    e2 = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    got2 = {r["node"]: r["label"]
+            for r in label_propagation(e2, seeds, iterations=1).collect()}
+    assert got2[3] == 10
+
+
+def test_label_propagation_keeps_label_without_votes(spark):
+    from table_computing_spark.operators.graph import label_propagation
+
+    # chain seed(1) - 2 - 3: after iter1, 2 is labeled; iter2 labels 3;
+    # 2 must KEEP its label even though 1 and 3 are its only neighbors
+    # and 3 was unlabeled during iter1's vote for 2... run 3 iters and
+    # check stability
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(1, 7)], "node long, label long")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(e, seeds, iterations=3).collect()}
+    assert got == {1: 7, 2: 7, 3: 7}
+
+
+# -------------------------------------------- group_quantiles
+
+
+def test_group_quantiles_matches_numpy(spark):
+    from table_computing_spark import functions as tcf
+
+    rng = np.random.default_rng(11)
+    rows = [(k, float(v)) for k in ("a", "b")
+            for v in rng.uniform(0, 1000, size=137 if k == "a" else 40)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r["k"]: r for r in tcf.group_quantiles(
+        df, "v", ["k"], qs=(0.25, 0.5, 0.9)).collect()}
+    import numpy as _np
+
+    for k in ("a", "b"):
+        vals = _np.array([v for kk, v in rows if kk == k])
+        assert got[k]["n"] == len(vals)
+        for q, col in ((0.25, "q25"), (0.5, "q50"), (0.9, "q90")):
+            want = float(_np.quantile(vals, q))  # numpy default = type 7
+            assert got[k][col] == pytest.approx(want, abs=1e-6), (k, col)
+
+
+def test_group_quantiles_single_row_group(spark):
+    from table_computing_spark import functions as tcf
+
+    df = spark.createDataFrame([("x", 42.0)], "k string, v double")
+    r = tcf.group_quantiles(df, "v", ["k"]).collect()[0]
+    assert (r["q25"], r["q50"], r["q75"]) == (42.0, 42.0, 42.0)

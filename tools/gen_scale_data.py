@@ -44,8 +44,16 @@ BASE = {  # rows at s = 1.0
     "lineitem": 6_000_000,
     "orders": 1_500_000,
     "events": 1_000_000,
-    "documents": 500_000,
-    "embeddings": 200_000,
+    # documents follow the DRIVER's own scaling law (5k rows at sf0.1 →
+    # 50k at sf1): on this ~31-token vocabulary Σ df² grows
+    # quadratically with corpus size, so the inverted-index dedup
+    # family is deliberately audited at corpus sizes where the
+    # quadratic shape is measurable but feasible
+    "documents": 20_000,
+    # embeddings sized so fixed-cell ops (semantic_dedup bits=6) stay in
+    # their designed envelope at s1; the "cells must scale with corpus"
+    # requirement is itself a measured finding (PLANS.md r07)
+    "embeddings": 20_000,
 }
 
 
@@ -94,7 +102,7 @@ def gen_lineitem(rng: np.random.Generator, n: int, s: float, out: str) -> None:
     n_orders = max(int(BASE["orders"] * s), 100)
     n_supp = max(int(1000 * s), 10)
     n_part = max(int(20_000 * s), 200)
-    days = rng.integers(0, 2557, size=n) * 86_400_000_000_000  # ns, 7 years
+    days = rng.integers(0, 2557, size=n) * 86_400_000_000  # us, 7 years
     _write(out, pa.table({
         "l_orderkey": pa.array(rng.integers(0, n_orders, size=n), pa.int64()),
         "l_partkey": pa.array(rng.integers(0, n_part, size=n), pa.int64()),
@@ -106,24 +114,26 @@ def gen_lineitem(rng: np.random.Generator, n: int, s: float, out: str) -> None:
         "l_tax": pa.array(np.round(rng.uniform(0, 0.08, size=n), 2)),
         "l_returnflag": pa.array(rng.choice(["A", "N", "R"], size=n).tolist()),
         "l_linestatus": pa.array(rng.choice(["O", "F"], size=n).tolist()),
+        # MICROSECOND timestamps like the driver's lineitem/orders —
+        # only events.ts is TIMESTAMP(NANOS)
         "l_shipdate": pa.array(
-            (np.datetime64("1995-01-01").astype("datetime64[ns]").astype(np.int64) + days)
-            .astype("datetime64[ns]")
+            (np.datetime64("1995-01-01").astype("datetime64[us]").astype(np.int64) + days)
+            .astype("datetime64[us]")
         ),
     }))
 
 
 def gen_orders(rng: np.random.Generator, n: int, s: float, out: str) -> None:
     n_cust = max(int(150_000 * s), 100)
-    days = rng.integers(0, 2557, size=n) * 86_400_000_000_000
+    days = rng.integers(0, 2557, size=n) * 86_400_000_000
     _write(out, pa.table({
         "o_orderkey": pa.array(np.arange(n), pa.int64()),
         "o_custkey": pa.array(rng.integers(0, n_cust, size=n), pa.int64()),
         "o_orderstatus": pa.array(rng.choice(["O", "F", "P"], size=n).tolist()),
         "o_totalprice": pa.array(np.round(rng.uniform(900, 500_000, size=n), 2)),
         "o_orderdate": pa.array(
-            (np.datetime64("1995-01-01").astype("datetime64[ns]").astype(np.int64) + days)
-            .astype("datetime64[ns]")
+            (np.datetime64("1995-01-01").astype("datetime64[us]").astype(np.int64) + days)
+            .astype("datetime64[us]")
         ),
         "o_orderpriority": pa.array(
             rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-LOW", "5-NONE"], size=n).tolist()

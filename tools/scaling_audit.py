@@ -62,6 +62,15 @@ def main() -> None:
     for name in names:
         fn = qs[name]
         times = {}
+        # untimed warm-up at the smallest scale: the first execution of
+        # a query family pays codegen/broadcast/page-cache costs that
+        # would otherwise pollute the smallest (fastest) measurement
+        # and flatten the fitted slope
+        try:
+            fn(spark, dirs[scales[0]]).write.mode("overwrite").format("noop").save()
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001 — the timed run reports it
+            pass
         for s in scales:
             t0 = time.perf_counter()
             try:
