@@ -3393,6 +3393,62 @@ def q_hard_negatives(spark, sf_dir):
     return sim.hard_negatives(emb, anchors, k=5)
 
 
+def q_logreg_gd(spark, sf_dir):
+    """Quality-classifier training: full-batch gradient-descent
+    logistic regression (classify.logreg_gd, 3 iterations, lr=0.5)
+    predicting l_returnflag='R' from scaled quantity/discount. Every
+    per-row gradient term rounds to integer NANOS before the sum
+    (order-independent), weights are k+1 driver scalars, and the fixed
+    iteration count unrolls into scalar-subquery SQL — the EM-fit
+    discipline applied to a discriminative model. (New r07.)"""
+    from table_computing_spark.operators.classify import logreg_gd
+
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        (F.col("l_quantity") / 50).alias("x1"),
+        (F.col("l_discount") * 10).alias("x2"),
+        (F.col("l_returnflag") == "R").cast("double").alias("y"),
+    )
+    return logreg_gd(li, ["x1", "x2"], "y", iterations=3, lr=0.5)
+
+
+def q_kcore(spark, sf_dir):
+    """k-core peeling (graph.kcore_peel, k=4, 4 fixed rounds) over the
+    part co-purchase graph — survivors and their in-core degrees.
+    Fixed round count makes the peel unrollable into SQL; peeling is
+    monotone, so agreement across consecutive rounds == converged (the
+    pytest pins convergence on this graph). (New r07.)"""
+    from table_computing_spark.operators import graph
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .df.where(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.toDF("ok", "u")
+    b = li.toDF("ok", "v")
+    edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
+    return graph.kcore_peel(edges, k=4, rounds=4, src_col="u", dst_col="v")
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (graph.degree_assortativity) of the part
+    co-purchase graph — the one-number "hubs attach to hubs?"
+    structure check, computed as exact integer-unit moment sums over
+    symmetric (deg_u, deg_v) edge rows; bit-identical across engines
+    and partitionings. (New r07.)"""
+    from table_computing_spark.operators import graph
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .df.where(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.toDF("ok", "u")
+    b = li.toDF("ok", "v")
+    edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
+    return graph.degree_assortativity(edges, src_col="u", dst_col="v")
+
+
 def q_label_prop(spark, sf_dir):
     """Semi-supervised label propagation (graph.label_propagation, 2
     clamped iterations): event-type nodes seed their own community id;
@@ -3827,9 +3883,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_terms": q_tfidf_terms,
         "q_doc_chunks": q_doc_chunks,
         "q_tpch_q1": tpch["q_tpch_q1"],
-        "q_tpch_q12": tpch["q_tpch_q12"],
-        "q_transform_explode": q_transform_explode,
-        "q_over_apply": q_over_apply,
         # (c) next-stalest (r04) — swapped out for new r07 queries as they land
         "q_stream_matview": q_stream_matview,  # new r07
         "q_resample_interp": q_resample_interp,  # new r07
@@ -3842,11 +3895,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_prop": q_label_prop,  # new r07
         "q_group_quantiles": q_group_quantiles,  # new r07
         "q_seasonal_anomaly": q_seasonal_anomaly,  # new r07
+        "q_logreg_gd": q_logreg_gd,  # new r07
+        "q_kcore": q_kcore,  # new r07
+        "q_assortativity": q_assortativity,  # new r07
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
         # rotation pool, staleness order: r04 remainder, then r05, then r06
         # --- last green r03 (displaced from the r07 window by new queries) ---
+        "q_tpch_q12": tpch["q_tpch_q12"],
+        "q_transform_explode": q_transform_explode,
+        "q_over_apply": q_over_apply,
         "q_join_full_outer": q_join_full_outer,
         "q_join_nullsafe": q_join_nullsafe,
         # --- last green r04 ---
@@ -4454,6 +4513,125 @@ def oracle_sql() -> dict[str, str]:
                           AS DOUBLE), 2) AS revenue
         FROM orders
         GROUP BY o_custkey
+        """,
+        "q_logreg_gd": """
+        WITH d AS (
+          SELECT l_quantity / 50 AS x1,
+                 l_discount * 10 AS x2,
+                 CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+          FROM lineitem
+        ),
+        c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        g1 AS (
+          SELECT
+            sum(CAST(round(((1.0/(1.0+exp(-((0.0 + 0.0*x1) + 0.0*x2))) - y) * x1) * 1e9) AS BIGINT)) AS ga,
+            sum(CAST(round(((1.0/(1.0+exp(-((0.0 + 0.0*x1) + 0.0*x2))) - y) * x2) * 1e9) AS BIGINT)) AS gb,
+            sum(CAST(round((1.0/(1.0+exp(-((0.0 + 0.0*x1) + 0.0*x2))) - y) * 1e9) AS BIGINT)) AS gc
+          FROM d
+        ),
+        w1 AS (
+          SELECT 0.0 - ((0.5 * (ga/1e9)) / n) AS wa,
+                 0.0 - ((0.5 * (gb/1e9)) / n) AS wb,
+                 0.0 - ((0.5 * (gc/1e9)) / n) AS wc
+          FROM g1, c
+        ),
+        g2 AS (
+          SELECT
+            sum(CAST(round(((1.0/(1.0+exp(-((wc + wa*x1) + wb*x2))) - y) * x1) * 1e9) AS BIGINT)) AS ga,
+            sum(CAST(round(((1.0/(1.0+exp(-((wc + wa*x1) + wb*x2))) - y) * x2) * 1e9) AS BIGINT)) AS gb,
+            sum(CAST(round((1.0/(1.0+exp(-((wc + wa*x1) + wb*x2))) - y) * 1e9) AS BIGINT)) AS gc
+          FROM d, w1
+        ),
+        w2 AS (
+          SELECT w1.wa - ((0.5 * (g2.ga/1e9)) / n) AS wa,
+                 w1.wb - ((0.5 * (g2.gb/1e9)) / n) AS wb,
+                 w1.wc - ((0.5 * (g2.gc/1e9)) / n) AS wc
+          FROM g2, w1, c
+        ),
+        g3 AS (
+          SELECT
+            sum(CAST(round(((1.0/(1.0+exp(-((wc + wa*x1) + wb*x2))) - y) * x1) * 1e9) AS BIGINT)) AS ga,
+            sum(CAST(round(((1.0/(1.0+exp(-((wc + wa*x1) + wb*x2))) - y) * x2) * 1e9) AS BIGINT)) AS gb,
+            sum(CAST(round((1.0/(1.0+exp(-((wc + wa*x1) + wb*x2))) - y) * 1e9) AS BIGINT)) AS gc
+          FROM d, w2
+        ),
+        w3 AS (
+          SELECT w2.wa - ((0.5 * (g3.ga/1e9)) / n) AS wa,
+                 w2.wb - ((0.5 * (g3.gb/1e9)) / n) AS wb,
+                 w2.wc - ((0.5 * (g3.gc/1e9)) / n) AS wc
+          FROM g3, w2, c
+        )
+        SELECT 3 AS iterations, c.n AS n,
+               round(w3.wa, 6) AS w_x1,
+               round(w3.wb, 6) AS w_x2,
+               round(w3.wc, 6) AS bias
+        FROM w3, c
+        """,
+        "q_kcore": """
+        WITH li AS (
+          SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
+          WHERE l_quantity >= 40
+        ),
+        e0 AS (
+          SELECT DISTINCT greatest(a.p, b.p) AS u, least(a.p, b.p) AS v
+          FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+        ),
+        s0 AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        k0 AS (SELECT u AS node FROM s0 GROUP BY u HAVING count(*) >= 4),
+        e1 AS (
+          SELECT e.u, e.v FROM e0 e
+          JOIN k0 a ON e.u = a.node JOIN k0 b ON e.v = b.node
+        ),
+        s1 AS (SELECT u, v FROM e1 UNION ALL SELECT v AS u, u AS v FROM e1),
+        k1 AS (SELECT u AS node FROM s1 GROUP BY u HAVING count(*) >= 4),
+        e2 AS (
+          SELECT e.u, e.v FROM e1 e
+          JOIN k1 a ON e.u = a.node JOIN k1 b ON e.v = b.node
+        ),
+        s2 AS (SELECT u, v FROM e2 UNION ALL SELECT v AS u, u AS v FROM e2),
+        k2 AS (SELECT u AS node FROM s2 GROUP BY u HAVING count(*) >= 4),
+        e3 AS (
+          SELECT e.u, e.v FROM e2 e
+          JOIN k2 a ON e.u = a.node JOIN k2 b ON e.v = b.node
+        ),
+        s3 AS (SELECT u, v FROM e3 UNION ALL SELECT v AS u, u AS v FROM e3),
+        k3 AS (SELECT u AS node FROM s3 GROUP BY u HAVING count(*) >= 4),
+        e4 AS (
+          SELECT e.u, e.v FROM e3 e
+          JOIN k3 a ON e.u = a.node JOIN k3 b ON e.v = b.node
+        ),
+        s4 AS (SELECT u, v FROM e4 UNION ALL SELECT v AS u, u AS v FROM e4)
+        SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM s4 GROUP BY u
+        """,
+        "q_assortativity": """
+        WITH li AS (
+          SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
+          WHERE l_quantity >= 40
+        ),
+        e0 AS (
+          SELECT DISTINCT greatest(a.p, b.p) AS u, least(a.p, b.p) AS v
+          FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+        ),
+        s AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        dg AS (SELECT u AS node, count(*) AS d FROM s GROUP BY u),
+        b AS (
+          SELECT CAST(du.d AS HUGEINT) AS xi, CAST(dv.d AS HUGEINT) AS yi
+          FROM s JOIN dg du ON du.node = s.u JOIN dg dv ON dv.node = s.v
+        ),
+        m AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(xi) AS sx, sum(yi) AS sy,
+                 sum(xi * xi) AS sxx, sum(yi * yi) AS syy,
+                 sum(xi * yi) AS sxy
+          FROM b
+        )
+        SELECT CAST(n AS BIGINT) AS n_directed_edges,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                 AS assortativity
+        FROM m
         """,
         "q_label_prop": """
         WITH ev AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -154,3 +154,70 @@ def nb_classify(
             (F.col("pred") == F.col("actual")).cast("int").alias("correct"),
         )
     )
+
+
+def logreg_gd(
+    df: DataFrame,
+    feature_cols: "list[str]",
+    label_col: str,
+    iterations: int = 3,
+    lr: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Distributed logistic-regression fit by full-batch gradient
+    descent — the quality-classifier training primitive (fastText-style
+    doc filters, CCNet quality gates) expressed as pure aggregations:
+
+        z_i = w·x_i + b;  p_i = 1/(1+exp(-z));  g_j = Σ_i (p_i - y_i)·x_ij
+
+    ENGINE-EXACT like linkage.estimate_em: every per-row gradient term
+    is rounded to integer NANOS before the sum, so the reduction is
+    order-independent and a FIXED iteration count unrolls into plain
+    SQL scalar subqueries (exp/ln are bit-identical across engines on
+    one host's libm — the repo-wide portability note). Weights are
+    plain Python floats updated on the driver: k+1 scalars per
+    iteration, independent of row count — the same bounded-driver
+    discipline as the IVF centroid pulls.
+
+    Features should be pre-scaled to O(1) magnitudes (standard GD
+    hygiene; nano rounding assumes |gradient terms| < ~9e9). Returns a
+    one-row DataFrame (iterations, n, w_<feature>..., bias) rounded to
+    `round_to`.
+
+    Scale shape per iteration: ONE map-side-combinable aggregation over
+    the corpus (k+1 integer sums); no shuffle wider than the scalar
+    aggregate, nothing but k+1 longs ever reaches the driver."""
+    k = len(feature_cols)
+    n = df.count()
+    w = [0.0] * k
+    b = 0.0
+    for _ in range(iterations):
+        z = F.lit(b)
+        for j, c in enumerate(feature_cols):
+            z = z + F.lit(w[j]) * F.col(c).cast("double")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        resid = p - F.col(label_col).cast("double")
+        aggs = [
+            F.sum(
+                F.round(resid * F.col(c).cast("double") * F.lit(1e9)).cast("long")
+            ).alias(f"g{j}")
+            for j, c in enumerate(feature_cols)
+        ] + [F.sum(F.round(resid * F.lit(1e9)).cast("long")).alias("gb")]
+        row = df.agg(*aggs).collect()[0]
+        for j in range(k):
+            w[j] -= lr * (row[f"g{j}"] / 1e9) / n
+        b -= lr * (row["gb"] / 1e9) / n
+    spark = df.sparkSession
+    out = [(iterations, n, *w, b)]
+    schema = ("iterations int, n long, "
+              + ", ".join(f"w_{c} double" for c in feature_cols)
+              + ", bias double")
+    raw = spark.createDataFrame(out, schema)
+    # round Spark-side (HALF_UP, like the SQL oracle) — Python round()
+    # is half-even and would diverge on exact boundaries
+    return raw.select(
+        "iterations",
+        "n",
+        *[F.round(f"w_{c}", round_to).alias(f"w_{c}") for c in feature_cols],
+        F.round("bias", round_to).alias("bias"),
+    )

@@ -444,3 +444,80 @@ def label_propagation(
             )
         )
     return cur.select("node", F.col("__lab").alias("label"))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core peeling (Seidman 1983 — public algorithm): repeatedly
+    drop nodes with degree < k from the undirected graph; the survivors
+    after convergence are the k-core. Semantics here are "the state
+    after `rounds` peel rounds" — a FIXED round count, so the operator
+    unrolls into plain SQL for the oracle; peeling is monotone, so once
+    two consecutive rounds agree the state is the true k-core (pytest
+    asserts convergence on the gated graph; at 100 TB pick rounds ~
+    O(log n) or loop on a count like connected_components).
+
+    Per round: one symmetric-degree aggregation + one semi-join of the
+    edge set against surviving nodes — everything shuffles on node
+    keys. Returns (node, degree) for surviving nodes with their final
+    in-core degree."""
+    e = _canon(edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")))
+    e = e.localCheckpoint()
+    for _ in range(rounds):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("__deg"))
+        keep = deg.where(F.col("__deg") >= k).select(F.col("u").alias("node"))
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_to: int = 6,
+) -> DataFrame:
+    """Degree assortativity (Newman 2002 — public measure): the Pearson
+    correlation of endpoint degrees over the undirected edge list —
+    "do hubs attach to hubs" (positive, social-graph-like) or "to
+    leaves" (negative, hub-and-spoke), the one-number structure check
+    before committing a graph algorithm choice. Computed as
+    functions.moment_stats over the symmetric (deg_u, deg_v) edge
+    rows — EXACT integer-unit moment sums, so the correlation is
+    partitioning- and engine-independent bit-for-bit.
+
+    One degree aggregation + two joins back to the edge list + one
+    moment aggregation, all keyed on nodes/edges."""
+    from table_computing_spark import functions as tcf
+
+    e = _canon(edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint(eager=False)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("__deg"))
+    both = (
+        sym.join(deg, "u")
+        .withColumnRenamed("__deg", "du")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("__deg").alias("dv")), "v"
+        )
+        .select(F.lit(1).alias("__g"), "du", "dv")
+    )
+    out = tcf.moment_stats(both, "du", "dv", ["__g"], x_scale=0, y_scale=0)
+    return out.select(
+        F.col("n").alias("n_directed_edges"),
+        F.col("corr_xy").alias("assortativity"),
+    )

@@ -304,3 +304,86 @@ def test_group_quantiles_single_row_group(spark):
     df = spark.createDataFrame([("x", 42.0)], "k string, v double")
     r = tcf.group_quantiles(df, "v", ["k"]).collect()[0]
     assert (r["q25"], r["q50"], r["q75"]) == (42.0, 42.0, 42.0)
+
+
+# -------------------------------------------------- logreg_gd
+
+
+def test_logreg_gd_matches_numpy_and_separates(spark):
+    from table_computing_spark.operators.classify import logreg_gd
+
+    rng = np.random.default_rng(3)
+    x1 = rng.normal(0, 1, 400)
+    x2 = rng.normal(0, 1, 400)
+    y = (x1 + 0.5 * x2 + rng.normal(0, 0.3, 400) > 0).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 double, x2 double, y double",
+    )
+    got = logreg_gd(df, ["x1", "x2"], "y", iterations=5, lr=0.5).collect()[0]
+
+    # reference: identical nano-rounded full-batch GD in numpy
+    w = np.zeros(2)
+    b = 0.0
+    X = np.stack([x1, x2], axis=1)
+    n = len(y)
+    for _ in range(5):
+        p = 1.0 / (1.0 + np.exp(-(b + X @ w)))
+        resid = p - y
+        g = [
+            np.sum(np.floor(resid * X[:, j] * 1e9 + 0.5).astype(np.int64))
+            for j in range(2)
+        ]
+        gb = np.sum(np.floor(resid * 1e9 + 0.5).astype(np.int64))
+        for j in range(2):
+            w[j] -= 0.5 * (g[j] / 1e9) / n
+        b -= 0.5 * (gb / 1e9) / n
+    assert got["n"] == n
+    assert got["w_x1"] == pytest.approx(w[0], abs=2e-6)
+    assert got["w_x2"] == pytest.approx(w[1], abs=2e-6)
+    assert got["bias"] == pytest.approx(b, abs=2e-6)
+    # and the fit actually learned the generating direction
+    assert got["w_x1"] > 0.3 and got["w_x2"] > 0.1
+
+
+# ------------------------------------------------------- k-core
+
+
+def test_kcore_peel_golden(spark):
+    from table_computing_spark.operators.graph import kcore_peel
+
+    # K4 on {1,2,3,4} (3-core) + a pendant path 4-5-6 that must peel off
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["degree"] for r in kcore_peel(df, k=3, rounds=4).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=2: the path still peels (5 and 6 drop; 4-5 edge dies with them)
+    got2 = {r["node"]: r["degree"] for r in kcore_peel(df, k=2, rounds=4).collect()}
+    assert set(got2) == {1, 2, 3, 4}
+    # convergence on the q_kcore gated graph shape: rounds vs rounds+2
+    a = sorted(map(tuple, kcore_peel(df, k=3, rounds=4).collect()))
+    b = sorted(map(tuple, kcore_peel(df, k=3, rounds=6).collect()))
+    assert a == b
+
+
+# ----------------------------------------------- assortativity
+
+
+def test_degree_assortativity_signs(spark):
+    from table_computing_spark.operators.graph import degree_assortativity
+
+    # star graph: hub degree n, leaves degree 1 -> strongly negative
+    star = [(0, i) for i in range(1, 12)]
+    d1 = spark.createDataFrame(star, "src long, dst long")
+    r1 = degree_assortativity(d1).collect()[0]
+    assert r1["assortativity"] < -0.9
+    assert r1["n_directed_edges"] == 2 * len(star)
+    # two disjoint cliques of different sizes: within-clique degrees are
+    # equal on every edge -> correlation +1 across the mixture? (all
+    # edges connect equal degrees -> du == dv on every row -> corr = 1)
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    k3 = [(a, b) for a in range(10, 13) for b in range(a + 1, 13)]
+    d2 = spark.createDataFrame(k4 + k3, "src long, dst long")
+    r2 = degree_assortativity(d2).collect()[0]
+    assert r2["assortativity"] == pytest.approx(1.0, abs=1e-6)
