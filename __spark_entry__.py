@@ -3393,6 +3393,57 @@ def q_hard_negatives(spark, sf_dir):
     return sim.hard_negatives(emb, anchors, k=5)
 
 
+def q_bfs_hops(spark, sf_dir):
+    """Bounded BFS reachability (graph.bfs_hops, 3 hops) over the part
+    co-purchase graph from the parts with id %% 50 == 0 — "everything
+    within 3 degrees of a contaminated item". Exact integer hop
+    labels; the fixed bound unrolls into SQL (expand-then-min — the
+    frontier-only Spark iteration and the superset SQL expansion agree
+    because min() collapses relabels). Tail slot for the r08 window.
+    (New r07.)"""
+    from table_computing_spark.operators import graph
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .df.where(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.toDF("ok", "u")
+    b = li.toDF("ok", "v")
+    edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
+    seeds = li.select(F.col("l_partkey").alias("node")).where(
+        F.col("node") % 50 == 0
+    )
+    return graph.bfs_hops(edges, seeds, max_hops=3, src_col="u", dst_col="v")
+
+
+def q_time_to_convert(spark, sf_dir):
+    """Conversion-latency distribution: per weekly first-view cohort,
+    the median minutes from a user's FIRST view to their first
+    purchase at-or-after it — funnel timing composed with the exact
+    no-array group-quantile operator. Two conditional min-aggregations
+    on the user key + one rank-window quantile pass; no event
+    self-join. Tail slot for the r08 window. (New r07.)"""
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", tcf.epoch_ms("ts").alias("t"), "event_type"
+    )
+    fv = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("t").alias("fv")
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .where(F.col("t") >= F.col("fv"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("fp"), F.min("fv").alias("fv"))
+    )
+    deltas = fp.select(
+        F.floor(F.col("fv") / F.lit(604_800_000)).cast("long").alias("cohort"),
+        ((F.col("fp") - F.col("fv")) / F.lit(60000.0)).alias("delta_min"),
+    )
+    return tcf.group_quantiles(deltas, "delta_min", ["cohort"], qs=(0.5,))
+
+
 def q_logreg_gd(spark, sf_dir):
     """Quality-classifier training: full-batch gradient-descent
     logistic regression (classify.logreg_gd, 3 iterations, lr=0.5)
@@ -3833,13 +3884,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-7 window: (a) the 14 round-6 overflow queries (declared after
     the r06 window filled; all locally sim-green, 4/4 of the judge's
-    independent spot-checks pass), (b) the 27 stalest queries on the
-    board (every query whose last green is r03), (c) the seven NEW r07
-    queries (q_stream_matview, q_resample_interp, q_attribution,
-    q_cooccur_pmi, q_hits, q_silhouette, q_jaccard_prefix), and (d)
-    the 2 oldest r04 rows to fill the 50. Zero overlap with the
-    r05/r06-verified sets. The dtype-strict local sim (tests/oracle.py)
-    is green on all entries at sf0.01.
+    independent spot-checks pass), (b) the 22 stalest queries on the
+    board (last green r03), and (c) the fourteen NEW r07 queries
+    (q_stream_matview, q_resample_interp, q_attribution,
+    q_cooccur_pmi, q_hits, q_silhouette, q_jaccard_prefix,
+    q_interval_coverage, q_label_prop, q_group_quantiles,
+    q_seasonal_anomaly, q_logreg_gd, q_kcore, q_assortativity). Two
+    further r07 queries declared after the window filled (q_bfs_hops,
+    q_time_to_convert) head the tail — first in line for the r08
+    window, with the five displaced r03 rows right behind them. Zero
+    overlap with the r05/r06-verified sets. The dtype-strict local sim
+    (tests/oracle.py) is green on all entries at sf0.01.
     """
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
@@ -3901,6 +3956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
+        # r07 overflow (window full — first in line for the r08 window)
+        "q_bfs_hops": q_bfs_hops,
+        "q_time_to_convert": q_time_to_convert,
         # rotation pool, staleness order: r04 remainder, then r05, then r06
         # --- last green r03 (displaced from the r07 window by new queries) ---
         "q_tpch_q12": tpch["q_tpch_q12"],
@@ -4513,6 +4571,74 @@ def oracle_sql() -> dict[str, str]:
                           AS DOUBLE), 2) AS revenue
         FROM orders
         GROUP BY o_custkey
+        """,
+        "q_bfs_hops": """
+        WITH li AS (
+          SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
+          WHERE l_quantity >= 40
+        ),
+        e0 AS (
+          SELECT DISTINCT a.p AS u, b.p AS v
+          FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+        ),
+        sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        s0 AS (SELECT DISTINCT p AS node FROM li WHERE p % 50 = 0),
+        n1 AS (
+          SELECT DISTINCT sym.v AS node FROM sym JOIN s0 ON sym.u = s0.node
+        ),
+        n2 AS (
+          SELECT DISTINCT sym.v AS node FROM sym JOIN n1 ON sym.u = n1.node
+        ),
+        n3 AS (
+          SELECT DISTINCT sym.v AS node FROM sym JOIN n2 ON sym.u = n2.node
+        ),
+        lab AS (
+          SELECT node, 0 AS hops FROM s0
+          UNION ALL SELECT node, 1 FROM n1
+          UNION ALL SELECT node, 2 FROM n2
+          UNION ALL SELECT node, 3 FROM n3
+        )
+        SELECT node, CAST(min(hops) AS INTEGER) AS hops
+        FROM lab GROUP BY node
+        """,
+        "q_time_to_convert": """
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS t, event_type FROM events
+        ),
+        fv AS (
+          SELECT user_id, min(t) AS fv FROM e
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        fp AS (
+          SELECT e.user_id, min(e.t) AS fp, min(fv.fv) AS fv
+          FROM e JOIN fv ON fv.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.t >= fv.fv
+          GROUP BY e.user_id
+        ),
+        d AS (
+          SELECT CAST(floor(fv / 604800000) AS BIGINT) AS cohort,
+                 (fp - fv) / 60000.0 AS v
+          FROM fp
+        ),
+        b AS (
+          SELECT cohort, CAST(v AS DOUBLE) AS v,
+                 row_number() OVER (PARTITION BY cohort
+                                    ORDER BY CAST(v AS DOUBLE) ASC) AS rn,
+                 count(*) OVER (PARTITION BY cohort) AS n
+          FROM d
+        ),
+        g AS (
+          SELECT cohort,
+                 CAST(max(n) AS BIGINT) AS n,
+                 min(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN v END) AS lo50,
+                 min(CASE WHEN rn = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN v END) AS hi50,
+                 min(CASE WHEN rn = 1 THEN CAST(n - 1 AS DOUBLE) * 0.5
+                          - floor(CAST(n - 1 AS DOUBLE) * 0.5) END) AS fr50
+          FROM b GROUP BY cohort
+        )
+        SELECT cohort, n,
+               round(lo50 * (1.0 - fr50) + hi50 * fr50, 6) AS q50
+        FROM g
         """,
         "q_logreg_gd": """
         WITH d AS (

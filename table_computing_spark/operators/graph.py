@@ -521,3 +521,49 @@ def degree_assortativity(
         F.col("n").alias("n_directed_edges"),
         F.col("corr_xy").alias("assortativity"),
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Breadth-first hop distance from a seed set over the undirected
+    graph, bounded at `max_hops` (the "within k degrees of a known-bad
+    account / contaminated document" reachability query). Returns
+    (node, hops) for every node reached within the bound — exact
+    integers, so a fixed bound unrolls into plain SQL.
+
+    Per hop: one frontier⋈edges equi-join + one min-aggregation,
+    union'd into the visited set and min-reduced — everything shuffles
+    on node keys; the frontier is the only state and it lives in the
+    cluster. At 100 TB this is the k-bounded alternative to a full
+    connected_components run when only proximity matters."""
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).localCheckpoint(eager=False)
+    sym = e.union(e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d")))
+    visited = seeds.select(F.col(node_col).alias("node")).distinct().select(
+        "node", F.lit(0).alias("hops")
+    ).localCheckpoint(eager=False)
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        reached = (
+            sym.join(
+                frontier.select(F.col("node").alias("__s")), "__s"
+            )
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .withColumn("hops", F.lit(h))
+        )
+        visited = (
+            visited.union(reached)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=False)
+        )
+        frontier = visited.where(F.col("hops") == h)
+    return visited

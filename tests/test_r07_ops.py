@@ -387,3 +387,21 @@ def test_degree_assortativity_signs(spark):
     d2 = spark.createDataFrame(k4 + k3, "src long, dst long")
     r2 = degree_assortativity(d2).collect()[0]
     assert r2["assortativity"] == pytest.approx(1.0, abs=1e-6)
+
+
+# ------------------------------------------------------ bfs_hops
+
+
+def test_bfs_hops_golden(spark):
+    from table_computing_spark.operators.graph import bfs_hops
+
+    # path 1-2-3-4-5 plus branch 2-6; seeds {1}
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(e, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 6: 2, 4: 3}  # 5 is 4 hops: excluded
+    # two seeds: min over seeds wins
+    seeds2 = spark.createDataFrame([(1,), (5,)], "node long")
+    got2 = {r["node"]: r["hops"] for r in bfs_hops(e, seeds2, max_hops=2).collect()}
+    assert got2 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2, 6: 2}

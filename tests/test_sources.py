@@ -56,3 +56,52 @@ def test_events_ts_both_physical_layouts(spark, tmp_path_factory):
     # micros beyond ms also survive — check one directly)
     assert out["us"] == out["ns"]
     assert out["us"][1] == 1_600_000_000_123
+
+
+# ------------------------------------------------ CSV / JSON files
+
+
+def test_csv_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    from table_computing_spark.sources import textfiles
+
+    p = str(tmp_path / "c")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0)], "id long, s string, v double"
+    )
+    textfiles.write_csv(df, p)
+    back = textfiles.load_csv(spark, p, "id long, s string, v double")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    # malformed line: non-numeric id — quarantined, not fatal
+    bad = tmp_path / "bad.csv"
+    bad.write_text("id,s,v\n1,a,1.5\nnope,b,xx\n")
+    got = textfiles.load_csv(
+        spark, str(bad), "id long, s string, v double", keep_corrupt=True
+    )
+    rows = got.collect()
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(rows) == 2 and len(corrupt) == 1
+    assert corrupt[0]["_corrupt_record"].startswith("nope")
+
+
+def test_json_roundtrip_matches_kafka_value_contract(spark, tmp_path):
+    from table_computing_spark.sources import textfiles
+
+    p = str(tmp_path / "j")
+    df = spark.createDataFrame(
+        [(1, "x", 2.5), (2, None, 0.0)], "id long, s string, v double"
+    )
+    textfiles.write_json(df, p)
+    back = textfiles.load_json(spark, p, "id long, s string, v double")
+    assert sorted(map(tuple, back.collect()), key=str) == sorted(
+        map(tuple, df.collect()), key=str
+    )
+    # malformed JSON line surfaces per-row
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"id": 1, "s": "a", "v": 1.0}\n{oops\n')
+    got = textfiles.load_json(
+        spark, str(bad), "id long, s string, v double", keep_corrupt=True
+    )
+    rows = got.collect()
+    assert len(rows) == 2
+    assert sum(1 for r in rows if r["_corrupt_record"] is not None) == 1
