@@ -189,6 +189,8 @@ def logreg_gd(
     aggregate, nothing but k+1 longs ever reaches the driver."""
     k = len(feature_cols)
     n = df.count()
+    if n == 0:
+        raise ValueError("logreg_gd: empty training set")
     w = [0.0] * k
     b = 0.0
     for _ in range(iterations):

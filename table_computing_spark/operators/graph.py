@@ -325,6 +325,8 @@ def hits_nano(
 
     Returns (node, authority, hub) rounded to 9 places. Parallel
     edges count with multiplicity (standard adjacency-matrix HITS)."""
+    if iterations < 1:
+        raise ValueError("hits_nano needs iterations >= 1")
     edges = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
     ).localCheckpoint()

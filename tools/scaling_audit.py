@@ -89,8 +89,7 @@ def main() -> None:
         ok = [(s, t) for s, t in times.items() if t]
         alpha = None
         if len(ok) >= 2:
-            # least-squares slope of log t over log s — with exactly the
-            # top two decades if the smallest point is noise-dominated
+            # least-squares slope of log t over log s across all scales
             xs = [math.log10(s) for s, _ in ok]
             ys = [math.log10(t) for _, t in ok]
             n = len(xs)
