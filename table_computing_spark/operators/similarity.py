@@ -568,6 +568,7 @@ def semantic_dedup(
     bits: int = 6,
     threshold: float = 0.35,
     round_to: int = 6,
+    bucket_col: "str | None" = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then inside each
@@ -575,10 +576,12 @@ def semantic_dedup(
     kept representative — removing *semantic* duplicates exact/minhash
     dedup cannot see.
 
-    Clusters here are deterministic sign-LSH cells (`sign_bucket`) so
-    the whole decision is engine-reproducible; at 100 TB the same
-    keep-rule composes with `ivf_fit`/`ivf_assign` cells instead — the
-    downstream logic is identical (a bucket column is a bucket column).
+    Clusters default to deterministic sign-LSH cells (`sign_bucket`) so
+    the whole decision is engine-reproducible; at 100 TB pass
+    `bucket_col` with `ivf_fit`/`ivf_assign` cluster ids instead — the
+    keep-rule is identical and cell occupancy stays bounded when the
+    cell count scales with the corpus (the r07 scaling audit measured
+    alpha≈2 for FIXED 2^bits cells — PLANS.md).
 
     Keep policy (the paper's, made one-pass): rank each cluster by
     LOWEST similarity-to-centroid first (SemDeDup keeps the points
@@ -603,8 +606,18 @@ def semantic_dedup(
 
     Returns (id, bucket, cos_centroid, keep).
     """
-    bucket = sign_bucket(F.col(vec_col), bits).alias("bucket")
-    docs = df.select(F.col(id_col), F.col(vec_col), bucket)
+    if bucket_col is not None:
+        # THE SCALE PATH (measured r07: fixed sign-LSH cells are
+        # quadratic in occupancy once the corpus outgrows 2^bits —
+        # PLANS.md scaling table): pass ivf_assign cluster ids (or any
+        # partitioning whose cell count scales with the corpus) and the
+        # keep rule below runs unchanged per cell.
+        docs = df.select(
+            F.col(id_col), F.col(vec_col), F.col(bucket_col).alias("bucket")
+        )
+    else:
+        bucket = sign_bucket(F.col(vec_col), bits).alias("bucket")
+        docs = df.select(F.col(id_col), F.col(vec_col), bucket)
 
     # exact per-bucket centroid: integer-micro component sums
     comp = docs.select(

@@ -1359,6 +1359,53 @@ def test_semantic_dedup_matches_naive_numpy(spark):
     assert any(not k for _, _, k in got.values()), "threshold dropped nothing"
 
 
+def test_semantic_dedup_with_ivf_buckets(spark):
+    """The scale path: semantic_dedup over PRECOMPUTED cluster cells
+    (here the embedding table's own label column standing in for
+    ivf_assign output) must run the identical keep-rule per cell —
+    verified against the same naive numpy replica re-bucketed by
+    label. This is the documented fix for the r07 scaling finding that
+    FIXED sign-LSH cells go quadratic in occupancy."""
+    import numpy as np
+
+    from table_computing_spark.operators.similarity import semantic_dedup
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        r["vec_id"]: (r["bucket"], r["cos_centroid"], r["keep"])
+        for r in semantic_dedup(
+            df, threshold=0.35, bucket_col="label"
+        ).collect()
+    }
+    rows = df.select("vec_id", "embedding", "label").collect()
+    ids = [r["vec_id"] for r in rows]
+    M = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    bucket = np.array([r["label"] for r in rows])
+    keep_want = {}
+    for bk in np.unique(bucket):
+        idx = np.where(bucket == bk)[0]
+        cent = np.round(M[idx] * 1e6).sum(axis=0) / 1e6 / len(idx)
+        cc = {
+            ids[i]: round(
+                float(M[i] @ cent / (np.linalg.norm(M[i]) * np.linalg.norm(cent))),
+                6,
+            )
+            for i in idx
+        }
+        order = sorted(idx, key=lambda i: (cc[ids[i]], ids[i]))
+        for pos, i in enumerate(order):
+            dominated = any(
+                round(
+                    float(M[i] @ M[j] / (np.linalg.norm(M[i]) * np.linalg.norm(M[j]))),
+                    6,
+                )
+                >= 0.35
+                for j in order[:pos]
+            )
+            keep_want[ids[i]] = (int(bk), cc[ids[i]], not dominated)
+    assert got == keep_want
+
+
 def test_cms_one_sided_merge_and_exact_when_wide(spark):
     """The three CMS contracts: estimate >= truth always; estimates
     from a merged pair of shard sketches equal the whole-data sketch;
