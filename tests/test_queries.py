@@ -159,3 +159,22 @@ def test_group_by_partial_equals_direct(spark):
     assert set(got) == set(exp)
     for k in exp:
         assert abs(got[k] - exp[k]) < 1e-6, k
+
+
+def test_every_query_function_is_registered():
+    """Every q_* callable defined in __spark_entry__ must appear in
+    queries() (a window/tail reshuffle once silently dropped
+    q_flagship_top100), and every queries() entry must carry an
+    oracle_sql() entry — the all-oracled invariant the round-6 verdict
+    certified."""
+    import __spark_entry__ as m
+
+    defined = {
+        n for n, v in vars(m).items()
+        if n.startswith("q_") and callable(v)
+    }
+    registered = set(m.queries())
+    missing = defined - registered
+    assert not missing, f"defined but not registered: {sorted(missing)}"
+    no_oracle = registered - set(m.oracle_sql())
+    assert not no_oracle, f"registered without oracle: {sorted(no_oracle)}"
