@@ -190,7 +190,6 @@ def group_quantiles(
     from pyspark.sql.window import Window as W
 
     keys = [F.col(c) for c in by]
-    wo = W.partitionBy(*keys).orderBy(F.col(value_col).asc())
     wall = W.partitionBy(*keys)
     base = df.select(
         *keys,
@@ -198,7 +197,7 @@ def group_quantiles(
     ).select(
         *keys,
         "__v",
-        F.row_number().over(wo.orderBy(F.col("__v").asc())).alias("__rn"),
+        F.row_number().over(wall.orderBy(F.col("__v").asc())).alias("__rn"),
         F.count(F.lit(1)).over(wall).alias("__n"),
     )
     aggs = [F.max("__n").cast("long").alias("n")]

@@ -408,9 +408,13 @@ def label_propagation(
     ).localCheckpoint()
     sym = e.union(e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d")))
     nodes = sym.select(F.col("__s").alias("node")).distinct().localCheckpoint()
-    seed = seeds.select(
-        F.col(node_col).alias("node"), F.col(label_col).alias("__seed")
-    ).distinct()
+    # one label per seed node — conflicting seed rows would duplicate
+    # every downstream join row; min() makes the resolution deterministic
+    seed = (
+        seeds.select(F.col(node_col).alias("node"), F.col(label_col).alias("__seed"))
+        .groupBy("node")
+        .agg(F.min("__seed").alias("__seed"))
+    )
     cur = nodes.join(seed, "node", "left").select(
         "node", F.col("__seed"), F.col("__seed").alias("__lab")
     )
