@@ -794,6 +794,25 @@ def q_window_slide(spark, sf_dir):
     ).df
 
 
+def q_window_distinct(spark, sf_dir):
+    """Sliding-window DISTINCT users per event type — the unique-actors
+    metric count/sum windows can't give: 1h windows hopping every 30m,
+    exact count_distinct per (window, type). Hop explode + one hash
+    aggregation; at stream scale the same shape swaps count_distinct
+    for approx_count_distinct or the HLL sketch state
+    (incremental.distinct_state) — exact here because the oracle gate
+    demands it. Tail slot for the r08 window. (New r07.)"""
+    ev = _t(spark, sf_dir, "events")
+    return tw.slide(
+        ev,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        ["event_type"],
+        n_users=F.countDistinct("user_id"),
+    ).df
+
+
 def q_window_session(spark, sf_dir):
     """Session window gap=30m per user (ref window/SessionWindow.java:93-123)."""
     ev = _t(spark, sf_dir, "events")
@@ -3891,7 +3910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_interval_coverage, q_label_prop, q_group_quantiles,
     q_seasonal_anomaly, q_logreg_gd, q_kcore, q_assortativity). Two
     further r07 queries declared after the window filled (q_bfs_hops,
-    q_time_to_convert) head the tail — first in line for the r08
+    q_time_to_convert, q_window_distinct) head the tail — first in line for the r08
     window, with the five displaced r03 rows right behind them. Zero
     overlap with the r05/r06-verified sets. The dtype-strict local sim
     (tests/oracle.py) is green on all entries at sf0.01.
@@ -3959,6 +3978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r07 overflow (window full — first in line for the r08 window)
         "q_bfs_hops": q_bfs_hops,
         "q_time_to_convert": q_time_to_convert,
+        "q_window_distinct": q_window_distinct,
         # rotation pool, staleness order: r04 remainder, then r05, then r06
         # --- last green r03 (displaced from the r07 window by new queries) ---
         "q_tpch_q12": tpch["q_tpch_q12"],
@@ -5638,6 +5658,14 @@ def oracle_sql() -> dict[str, str]:
                    min(t) AS session_start,
                    max(t) + 1800000 AS session_end
             FROM sess GROUP BY user_id, sid
+        """,
+        "q_window_distinct": _HOP_EVENTS + """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               window_start, window_start + 3600000 AS window_end
+        FROM hops
+        WHERE t >= window_start AND t < window_start + 3600000
+        GROUP BY event_type, window_start
         """,
         "q_window_slide": _HOP_EVENTS + """
             SELECT event_type, count(*) AS n,
