@@ -794,6 +794,48 @@ def q_window_slide(spark, sf_dir):
     ).df
 
 
+def q_rfm(spark, sf_dir):
+    """RFM customer segmentation — the classic marketing triple:
+    Recency (latest order), Frequency (order count), Monetary
+    (DECIMAL-exact spend), each quintiled with a deterministic
+    (metric, custkey) total order, concatenated into the 555-style
+    segment code. Three window ntiles over one per-customer aggregate;
+    no self-joins. Tail slot for the r08 window. (New r07.)"""
+    from pyspark.sql.window import Window as W
+
+    o = _t(spark, sf_dir, "orders").df
+    per = o.groupBy("o_custkey").agg(
+        F.max(tcf.epoch_ms("o_orderdate")).alias("rec_ms"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(30,4)")).cast("double"), 2
+        ).alias("monetary"),
+    )
+    r = F.ntile(5).over(W.orderBy(F.col("rec_ms").asc(), F.col("o_custkey").asc()))
+    f = F.ntile(5).over(W.orderBy(F.col("freq").asc(), F.col("o_custkey").asc()))
+    m = F.ntile(5).over(W.orderBy(F.col("monetary").asc(), F.col("o_custkey").asc()))
+    return per.select(
+        "o_custkey", "rec_ms", "freq", "monetary",
+        r.alias("r"), f.alias("f"), m.alias("m"),
+    ).withColumn(
+        "segment", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int")
+    )
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-digit screen (drift.benford_report) of order
+    totals per priority class — observed vs log10(1+1/d) expected
+    shares and a per-group chi-square with nano-rounded terms
+    (order-independent sums). The books-cooking / synthetic-data smell
+    test as two hash aggregations. Tail slot for the r08 window.
+    (New r07.)"""
+    from table_computing_spark.operators.drift import benford_report
+
+    return benford_report(
+        _t(spark, sf_dir, "orders").df, "o_totalprice", ["o_orderpriority"]
+    )
+
+
 def q_window_distinct(spark, sf_dir):
     """Sliding-window DISTINCT users per event type — the unique-actors
     metric count/sum windows can't give: 1h windows hopping every 30m,
@@ -3910,7 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_interval_coverage, q_label_prop, q_group_quantiles,
     q_seasonal_anomaly, q_logreg_gd, q_kcore, q_assortativity). Two
     further r07 queries declared after the window filled (q_bfs_hops,
-    q_time_to_convert, q_window_distinct) head the tail — first in line for the r08
+    q_time_to_convert, q_window_distinct, q_rfm, q_benford) head the tail — first in line for the r08
     window, with the five displaced r03 rows right behind them. Zero
     overlap with the r05/r06-verified sets. The dtype-strict local sim
     (tests/oracle.py) is green on all entries at sf0.01.
@@ -3979,6 +4021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bfs_hops": q_bfs_hops,
         "q_time_to_convert": q_time_to_convert,
         "q_window_distinct": q_window_distinct,
+        "q_rfm": q_rfm,
+        "q_benford": q_benford,
         # rotation pool, staleness order: r04 remainder, then r05, then r06
         # --- last green r03 (displaced from the r07 window by new queries) ---
         "q_tpch_q12": tpch["q_tpch_q12"],
@@ -4659,6 +4703,64 @@ def oracle_sql() -> dict[str, str]:
         SELECT cohort, n,
                round(lo50 * (1.0 - fr50) + hi50 * fr50, 6) AS q50
         FROM g
+        """,
+        "q_rfm": """
+        WITH per AS (
+          SELECT o_custkey,
+                 max(epoch_ms(o_orderdate)) AS rec_ms,
+                 count(*) AS freq,
+                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4)))
+                            AS DOUBLE), 2) AS monetary
+          FROM orders GROUP BY o_custkey
+        ),
+        t AS (
+          SELECT o_custkey, rec_ms, freq, monetary,
+                 ntile(5) OVER (ORDER BY rec_ms ASC, o_custkey ASC) AS r,
+                 ntile(5) OVER (ORDER BY freq ASC, o_custkey ASC) AS f,
+                 ntile(5) OVER (ORDER BY monetary ASC, o_custkey ASC) AS m
+          FROM per
+        )
+        SELECT o_custkey, rec_ms, CAST(freq AS BIGINT) AS freq, monetary,
+               r, f, m, CAST(r * 100 + f * 10 + m AS INTEGER) AS segment
+        FROM t
+        """,
+        "q_benford": """
+        WITH d AS (
+          SELECT o_orderpriority,
+                 TRY_CAST(substring(regexp_replace(
+                        CAST(CAST(abs(o_totalprice) AS DECIMAL(38,9)) AS VARCHAR),
+                        '^[0.]+', ''), 1, 1) AS INTEGER) AS dg
+          FROM orders
+        ),
+        base AS (SELECT * FROM d WHERE dg IS NOT NULL AND dg > 0),
+        counts AS (
+          SELECT o_orderpriority, dg, count(*) AS c
+          FROM base GROUP BY o_orderpriority, dg
+        ),
+        totals AS (
+          SELECT o_orderpriority, CAST(sum(c) AS BIGINT) AS n
+          FROM counts GROUP BY o_orderpriority
+        ),
+        scored AS (
+          SELECT counts.o_orderpriority, dg AS digit,
+                 CAST(c AS BIGINT) AS n_digit, n,
+                 round(c / n, 6) AS observed,
+                 round(log10(1.0 + 1.0 / dg), 6) AS expected,
+                 (((c / n) - log10(1.0 + 1.0 / dg))
+                  * ((c / n) - log10(1.0 + 1.0 / dg)))
+                 / log10(1.0 + 1.0 / dg) AS term
+          FROM counts JOIN totals USING (o_orderpriority)
+        ),
+        chi AS (
+          SELECT o_orderpriority,
+                 round(CAST(max(n) AS DOUBLE)
+                       * (CAST(sum(CAST(round(term * 1e9) AS BIGINT)) AS BIGINT)
+                          / 1e9), 6) AS chi2
+          FROM scored GROUP BY o_orderpriority
+        )
+        SELECT s.o_orderpriority, s.digit, s.n_digit, s.n,
+               s.observed, s.expected, chi.chi2
+        FROM scored s JOIN chi USING (o_orderpriority)
         """,
         "q_logreg_gd": """
         WITH d AS (

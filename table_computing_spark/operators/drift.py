@@ -229,3 +229,75 @@ def robust_outliers(
         F.round(F.col("__mad"), round_to).alias("mad"),
         ((F.col("__mad") > 0) & (dev > thresh)).alias("is_outlier"),
     )
+
+
+def benford_report(
+    df: DataFrame,
+    value_col: str,
+    by: "Sequence[str] | None" = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Benford's-law first-digit screen (Newcomb 1881 / Benford 1938 —
+    public statistics; the classic books-cooking / synthetic-data
+    smell test): per group, the observed share of each leading digit
+    1-9 of |value| against the Benford expectation log10(1 + 1/d),
+    plus the group's chi-square statistic
+
+        chi2 = n · Σ_d (obs_d - exp_d)² / exp_d
+
+    repeated on every digit row (the driver-free layout every grouped
+    summary here uses). Zero/null values carry no leading digit and
+    are excluded; shares are exact integer ratios; the expectation
+    and chi-square are fixed-op-order float expressions mirrored by
+    the oracle.
+
+    One hash aggregation on (group, digit) + one on the group — no
+    driver state, no window."""
+    keys = list(by) if by else []
+    # leading digit: strip SIGN-free leading zeros/points only (the
+    # anchored pattern avoids zero-length-match semantics that differ
+    # across regex engines), then take the first character
+    digit = F.substring(
+        F.regexp_replace(
+            F.abs(F.col(value_col)).cast("decimal(38,9)").cast("string"),
+            r"^[0.]+",
+            "",
+        ),
+        1,
+        1,
+    ).try_cast("int")  # zero/null values strip to '' — null, not error
+    base = df.select(*keys, digit.alias("__d")).where(
+        F.col("__d").isNotNull() & (F.col("__d") > 0)
+    )
+    counts = base.groupBy(*keys, F.col("__d")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    totals = counts.groupBy(*keys).agg(F.sum("__c").alias("__n"))
+    on = keys if keys else None
+    j = (
+        counts.join(totals, on) if on else counts.crossJoin(F.broadcast(totals))
+    )
+    obs = F.col("__c") / F.col("__n")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("__d"))
+    scored = j.select(
+        *keys,
+        F.col("__d").alias("digit"),
+        F.col("__c").cast("long").alias("n_digit"),
+        F.col("__n").cast("long").alias("n"),
+        F.round(obs, round_to).alias("observed"),
+        F.round(exp, round_to).alias("expected"),
+        (((obs - exp) * (obs - exp)) / exp).alias("__term"),
+    )
+    # chi-square: per-digit terms round to integer nanos BEFORE the sum
+    # (order-independent), one division after — the repo-wide discipline
+    chi = scored.groupBy(*keys).agg(
+        F.round(
+            F.max("n").cast("double")
+            * (F.sum(F.round(F.col("__term") * 1e9).cast("long")) / F.lit(1e9)),
+            round_to,
+        ).alias("chi2")
+    )
+    out = scored.join(chi, on) if on else scored.crossJoin(F.broadcast(chi))
+    return out.select(
+        *keys, "digit", "n_digit", "n", "observed", "expected", "chi2"
+    )

@@ -405,3 +405,65 @@ def test_bfs_hops_golden(spark):
     seeds2 = spark.createDataFrame([(1,), (5,)], "node long")
     got2 = {r["node"]: r["hops"] for r in bfs_hops(e, seeds2, max_hops=2).collect()}
     assert got2 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2, 6: 2}
+
+
+# ------------------------------------------------------- benford
+
+
+def test_benford_report_digits_and_chi2(spark):
+    from table_computing_spark.operators.drift import benford_report
+
+    # crafted values: leading digits known; zeros/nulls excluded
+    rows = [
+        ("g", 123.4), ("g", 0.045), ("g", 1999.0), ("g", 0.0), ("g", None),
+        ("g", 234.0), ("g", 0.29), ("g", 911.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r["digit"]: r for r in benford_report(df, "v", ["k"]).collect()}
+    # digits: 1 (123.4), 4 (0.045), 1 (1999), 2 (234), 2 (0.29), 9 (911)
+    assert {d: out[d]["n_digit"] for d in out} == {1: 2, 2: 2, 4: 1, 9: 1}
+    assert all(r["n"] == 6 for r in out.values())
+    import math
+
+    for d, r in out.items():
+        assert r["expected"] == round(math.log10(1 + 1 / d), 6)
+        assert r["observed"] == round(r["n_digit"] / 6, 6)
+    # chi2 identical on every row of the group
+    assert len({r["chi2"] for r in out.values()}) == 1
+
+
+def test_benford_uniform_digits_deviate(spark):
+    from table_computing_spark.operators.drift import benford_report
+
+    import math
+
+    # uniform first digits 1..9 (anti-Benford): chi2 ~ n * sum term
+    rows = [(float(d) * 10 ** (i % 3),) for d in range(1, 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "v double")
+    out = benford_report(df, "v").collect()
+    n = 270
+    want = n * sum(
+        (1 / 9 - math.log10(1 + 1 / d)) ** 2 / math.log10(1 + 1 / d)
+        for d in range(1, 10)
+    )
+    assert out[0]["chi2"] == pytest.approx(want, rel=1e-4)
+
+
+# ----------------------------------------------------------- rfm
+
+
+def test_rfm_quintiles(spark):
+    import __spark_entry__ as m
+
+    out = m.queries()["q_rfm"](spark, "/root/testdata/sf0.001").collect()
+    rs = [r["r"] for r in out]
+    assert set(rs) <= {1, 2, 3, 4, 5}
+    # quintiles balanced within 1
+    from collections import Counter
+
+    for col in ("r", "f", "m"):
+        c = Counter(r[col] for r in out)
+        assert max(c.values()) - min(c.values()) <= 1
+    # segment code composes the three digits
+    for r in out[:50]:
+        assert r["segment"] == r["r"] * 100 + r["f"] * 10 + r["m"]
