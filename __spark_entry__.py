@@ -794,6 +794,40 @@ def q_window_slide(spark, sf_dir):
     ).df
 
 
+def q_running_balance(spark, sf_dir):
+    """Clamped inventory balance (temporal.bounded_running_balance):
+    per part, returns add stock and shipments draw it down in shipdate
+    order with a zero floor — the sequential clamp no window can
+    express, run as an engine-exact integer-cent array fold (DuckDB
+    mirrors it with list_reduce over the same ordered list). Tail slot
+    for the r08 window. (New r07.)"""
+    from table_computing_spark.operators.temporal import bounded_running_balance
+
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_partkey",
+        F.unix_millis(F.col("l_shipdate").cast("timestamp")).alias("ms"),
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
+        .otherwise(-F.col("l_quantity"))
+        .alias("delta"),
+    )
+    return bounded_running_balance(
+        li, ["l_partkey"], ["ms", "l_orderkey", "l_linenumber"], "delta"
+    )
+
+
+def q_hashed_features(spark, sf_dir):
+    """Hashing-trick featurization (encoding.hashed_features, dim=256):
+    every document becomes sparse (bucket, weight) rows with no
+    vocabulary table — md5-derived buckets/signs so both engines
+    reproduce every projection exactly. One explode + one hash
+    aggregation. Tail slot for the r08 window. (New r07.)"""
+    from table_computing_spark.operators.encoding import hashed_features
+
+    return hashed_features(_t(spark, sf_dir, "documents").df, dim=256)
+
+
 def q_rfm(spark, sf_dir):
     """RFM customer segmentation — the classic marketing triple:
     Recency (latest order), Frequency (order count), Monetary
@@ -3952,7 +3986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_interval_coverage, q_label_prop, q_group_quantiles,
     q_seasonal_anomaly, q_logreg_gd, q_kcore, q_assortativity). Two
     further r07 queries declared after the window filled (q_bfs_hops,
-    q_time_to_convert, q_window_distinct, q_rfm, q_benford) head the tail — first in line for the r08
+    q_time_to_convert, q_window_distinct, q_rfm, q_benford,
+    q_hashed_features, q_running_balance) head the tail — first in line for the r08
     window, with the five displaced r03 rows right behind them. Zero
     overlap with the r05/r06-verified sets. The dtype-strict local sim
     (tests/oracle.py) is green on all entries at sf0.01.
@@ -4023,6 +4058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_distinct": q_window_distinct,
         "q_rfm": q_rfm,
         "q_benford": q_benford,
+        "q_hashed_features": q_hashed_features,
+        "q_running_balance": q_running_balance,
         # rotation pool, staleness order: r04 remainder, then r05, then r06
         # --- last green r03 (displaced from the r07 window by new queries) ---
         "q_tpch_q12": tpch["q_tpch_q12"],
@@ -4703,6 +4740,63 @@ def oracle_sql() -> dict[str, str]:
         SELECT cohort, n,
                round(lo50 * (1.0 - fr50) + hi50 * fr50, 6) AS q50
         FROM g
+        """,
+        "q_running_balance": """
+        -- sequential clamp replayed as a RECURSIVE CTE (one step per
+        -- event rank); DuckDB v1.0.0 list_reduce miscounts with struct
+        -- accumulators on longer lists, so the fold is not mirrored
+        -- with it
+        WITH RECURSIVE d AS (
+          SELECT l_partkey,
+                 row_number() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY epoch_ms(l_shipdate), l_orderkey, l_linenumber,
+                            CAST(round((CASE WHEN l_returnflag = 'R'
+                                             THEN l_quantity
+                                             ELSE -l_quantity END) * 100)
+                                 AS BIGINT)
+                 ) AS rn,
+                 CAST(round((CASE WHEN l_returnflag = 'R' THEN l_quantity
+                                  ELSE -l_quantity END) * 100) AS BIGINT) AS dc
+          FROM lineitem
+        ),
+        sizes AS (
+          SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_events
+          FROM d GROUP BY l_partkey
+        ),
+        step AS (
+          SELECT l_partkey, CAST(0 AS BIGINT) AS rn,
+                 CAST(0 AS BIGINT) AS bal, CAST(0 AS BIGINT) AS n
+          FROM sizes
+          UNION ALL
+          SELECT s.l_partkey, s.rn + 1,
+                 greatest(s.bal + d.dc, 0),
+                 s.n + CASE WHEN s.bal + d.dc < 0 THEN 1 ELSE 0 END
+          FROM step s JOIN d ON d.l_partkey = s.l_partkey AND d.rn = s.rn + 1
+        )
+        SELECT st.l_partkey, sizes.n_events,
+               round(st.bal / 100, 2) AS final_balance,
+               st.n AS n_stockouts
+        FROM step st
+        JOIN sizes ON sizes.l_partkey = st.l_partkey AND sizes.n_events = st.rn
+        """,
+        "q_hashed_features": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 256 AS bucket,
+                 CASE WHEN CAST('0x' || substr(md5(tok), 16, 1) AS BIGINT) % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+          FROM toks
+        )
+        SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
+        FROM h GROUP BY doc_id, bucket
+        HAVING sum(s) <> 0
         """,
         "q_rfm": """
         WITH per AS (

@@ -92,3 +92,43 @@ def target_encode(
         )
     )
     return tagged.join(enriched, [cat_col, "__fold"], "left").drop("__t")
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009 — public algorithm):
+    project each document's token counts into a FIXED dim-dimensional
+    sparse vector without a vocabulary table — bucket = hash(token)
+    mod dim, sign = a second hash bit, weight = signed count sum. The
+    fastText-style input prep for the logreg_gd quality classifier:
+    no vocab build, no OOV, bounded feature width at any corpus size.
+
+    Returns sparse rows (id, bucket, weight), zero weights dropped
+    (sign cancellation). Hashes are md5-derived like the count-min
+    sketch (frequency._cms_slots) so the DuckDB oracle reproduces
+    every bucket and sign exactly — not xxhash64, which DuckDB lacks.
+
+    Scale shape: one explode + one (id, bucket) hash aggregation with
+    map-side combine; output is at most min(tokens, dim) rows per doc.
+    """
+    from table_computing_spark.operators.text import tokens
+
+    h = F.md5(F.col("__tok"))
+    bucket = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % dim
+    sign = (
+        F.when(F.conv(F.substring(h, 16, 1), 16, 10).cast("long") % 2 == 0, 1)
+        .otherwise(-1)
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    return (
+        toks.select(F.col(id_col), bucket.alias("bucket"), sign.alias("__s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("__s").cast("long").alias("weight"))
+        .where(F.col("weight") != 0)
+    )

@@ -720,3 +720,66 @@ def interval_coverage(
         F.count(F.lit(1)).cast("long").alias("n_islands"),
         F.sum(F.col("__e") - F.col("__s")).cast("long").alias("covered"),
     )
+
+
+def bounded_running_balance(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_by: Sequence[str],
+    delta_col: str,
+    floor: float = 0.0,
+    scale: int = 2,
+) -> DataFrame:
+    """Inventory-style clamped running balance per key: process deltas
+    in time order, flooring the balance (stock can't go negative; a
+    clamp event is a stockout). This is SEQUENTIAL state a window
+    cannot express (the clamp makes each step depend on the clamped
+    previous step), so it runs as a per-key ARRAY FOLD: sort_array of
+    the (order, delta) structs, then one left-to-right aggregate()
+    with integer-cent arithmetic — engine-exact, and DuckDB mirrors it
+    with the same fold via list_reduce.
+
+    BOUNDED-GROUP contract: a key's full history materializes as one
+    array in one task (like every collect_list operator here) — fine
+    for per-SKU/per-account histories; shard the key by time window
+    first if a single key's events outgrow a task.
+
+    Returns (keys..., n_events, final_balance, n_stockouts)."""
+    cents = int(10**scale)
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_by)],
+                F.round(F.col(delta_col) * cents).cast("long").alias("d"),
+            )
+        )
+    )
+    floor_c = F.lit(int(round(floor * cents))).cast("long")
+    init = F.struct(
+        F.lit(0).cast("long").alias("bal"), F.lit(0).cast("long").alias("n")
+    )
+    fold = F.aggregate(
+        ordered,
+        init,
+        lambda acc, x: F.struct(
+            F.greatest(acc["bal"] + x["d"], floor_c).alias("bal"),
+            (
+                acc["n"]
+                + F.when(acc["bal"] + x["d"] < floor_c, 1).otherwise(0)
+            ).cast("long").alias("n"),
+        ),
+    )
+    keys = [F.col(k) for k in key_cols]
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            fold.alias("__f"),
+        )
+        .select(
+            *key_cols,
+            "n_events",
+            F.round(F.col("__f.bal") / cents, scale).alias("final_balance"),
+            F.col("__f.n").alias("n_stockouts"),
+        )
+    )

@@ -467,3 +467,41 @@ def test_rfm_quintiles(spark):
     # segment code composes the three digits
     for r in out[:50]:
         assert r["segment"] == r["r"] * 100 + r["f"] * 10 + r["m"]
+
+
+# -------------------------------------------- bounded_running_balance
+
+
+def test_bounded_running_balance_replay(spark):
+    from table_computing_spark.operators.temporal import bounded_running_balance
+
+    rows = [
+        # key a: 10 -> clamp(10-25)=0 (stockout) -> 3 -> clamp(3-4)=0
+        # (stockout) -> 6
+        ("a", 1, 10.0), ("a", 2, -25.0), ("a", 3, 3.0),
+        ("a", 4, -4.0), ("a", 5, 6.0),
+        # key b: never clamps
+        ("b", 1, 5.0), ("b", 2, -2.5),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, delta double")
+    got = {r["k"]: (r["n_events"], r["final_balance"], r["n_stockouts"])
+           for r in bounded_running_balance(df, ["k"], ["t"], "delta").collect()}
+    assert got["a"] == (5, 6.0, 2)
+    assert got["b"] == (2, 2.5, 0)
+
+    # randomized agreement with a pure-python replay (integer cents)
+    import random
+
+    rnd = random.Random(9)
+    data = [("x", i, round(rnd.uniform(-30, 20), 2)) for i in range(200)]
+    df2 = spark.createDataFrame(data, "k string, t long, delta double")
+    r = bounded_running_balance(df2, ["k"], ["t"], "delta").collect()[0]
+    bal, n = 0, 0
+    for _, _, d in data:
+        dc = int(round(d * 100))
+        if bal + dc < 0:
+            n += 1
+        bal = max(bal + dc, 0)
+    assert (r["n_events"], r["final_balance"], r["n_stockouts"]) == (
+        200, round(bal / 100, 2), n
+    )
