@@ -110,6 +110,34 @@ def _pagerank_nano(spark, n):
     return pagerank_nano(_edges(spark, n), iterations=3)
 
 
+def _hits(spark, n):
+    from table_computing_spark.operators.graph import hits_nano
+
+    return hits_nano(_edges(spark, n), iterations=2)
+
+
+def _group_quantiles(spark, n):
+    from table_computing_spark import functions as tcf
+
+    return tcf.group_quantiles(
+        _li(spark, n), "l_extendedprice", ["l_suppkey"], qs=(0.25, 0.5, 0.9)
+    )
+
+
+def _running_balance(spark, n):
+    from table_computing_spark.operators.temporal import bounded_running_balance
+
+    li = _li(spark, n).select(
+        "l_partkey", "ship_ms", "l_orderkey", "l_linenumber",
+        F.when(F.col("l_suppkey") % 2 == 0, F.col("l_quantity"))
+        .otherwise(-F.col("l_quantity"))
+        .alias("delta"),
+    )
+    return bounded_running_balance(
+        li, ["l_partkey"], ["ship_ms", "l_orderkey", "l_linenumber"], "delta"
+    )
+
+
 CASES = [
     ("moment_stats", _moment_stats),
     ("linreg", _linreg),
@@ -118,6 +146,9 @@ CASES = [
     ("ema_trailing", _ema_trailing),
     ("kn_bigram_nll", _kn_bigram_nll),
     ("pagerank_nano", _pagerank_nano),
+    ("hits_nano", _hits),
+    ("group_quantiles", _group_quantiles),
+    ("running_balance", _running_balance),
 ]
 
 
