@@ -817,6 +817,61 @@ def q_running_balance(spark, sf_dir):
     )
 
 
+def q_stream_running_balance(spark, sf_dir):
+    """STREAMING clamped balance under the oracle gate
+    (streaming/stateful.stream_running_balance): lineitem replayed as
+    three time-ordered micro-batches; per-key integer-cent state
+    (balance, counts) carried across batches; the final emission per
+    key must hash-match the recursive-CTE replay of the WHOLE history
+    — the same oracle as the batch fold. Tail slot for the r08 window.
+    (New r07.)"""
+    import tempfile
+
+    from table_computing_spark.streaming.stateful import stream_running_balance
+
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_partkey",
+        F.unix_millis(F.col("l_shipdate").cast("timestamp")).alias("ms"),
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
+        .otherwise(-F.col("l_quantity"))
+        .alias("delta"),
+    )
+    base = tempfile.mkdtemp(prefix="tc_srb_")
+    src = os.path.join(base, "src")
+    lo, hi = li.agg(F.min("ms"), F.max("ms")).collect()[0]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    for cond in (
+        F.col("ms") <= cut1,
+        (F.col("ms") > cut1) & (F.col("ms") <= cut2),
+        F.col("ms") > cut2,
+    ):
+        li.where(cond).coalesce(1).write.mode("append").parquet(src)
+    sdf = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stream_running_balance(
+        sdf, ["l_partkey"], ["ms", "l_orderkey", "l_linenumber"], "delta"
+    )
+    with _state_partitions(spark):
+        emitted = _run_stream_to_df(spark, out, "append")
+    # last emission per key: highest n_events wins (counts only grow)
+    final = emitted.groupBy("l_partkey").agg(
+        F.max(
+            F.struct("n_events", "final_balance", "n_stockouts")
+        ).alias("__f")
+    )
+    return final.select(
+        "l_partkey",
+        F.col("__f.n_events").alias("n_events"),
+        F.col("__f.final_balance").alias("final_balance"),
+        F.col("__f.n_stockouts").alias("n_stockouts"),
+    )
+
+
 def q_hashed_features(spark, sf_dir):
     """Hashing-trick featurization (encoding.hashed_features, dim=256):
     every document becomes sparse (bucket, weight) rows with no
@@ -3987,7 +4042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_seasonal_anomaly, q_logreg_gd, q_kcore, q_assortativity). Two
     further r07 queries declared after the window filled (q_bfs_hops,
     q_time_to_convert, q_window_distinct, q_rfm, q_benford,
-    q_hashed_features, q_running_balance) head the tail — first in line for the r08
+    q_hashed_features, q_running_balance, q_stream_running_balance)
+    head the tail — first in line for the r08
     window, with the five displaced r03 rows right behind them. Zero
     overlap with the r05/r06-verified sets. The dtype-strict local sim
     (tests/oracle.py) is green on all entries at sf0.01.
@@ -4060,6 +4116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_benford": q_benford,
         "q_hashed_features": q_hashed_features,
         "q_running_balance": q_running_balance,
+        "q_stream_running_balance": q_stream_running_balance,
         # rotation pool, staleness order: r04 remainder, then r05, then r06
         # --- last green r03 (displaced from the r07 window by new queries) ---
         "q_tpch_q12": tpch["q_tpch_q12"],
@@ -4742,6 +4799,45 @@ def oracle_sql() -> dict[str, str]:
         FROM g
         """,
         "q_running_balance": """
+        -- sequential clamp replayed as a RECURSIVE CTE (one step per
+        -- event rank); DuckDB v1.0.0 list_reduce miscounts with struct
+        -- accumulators on longer lists, so the fold is not mirrored
+        -- with it
+        WITH RECURSIVE d AS (
+          SELECT l_partkey,
+                 row_number() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY epoch_ms(l_shipdate), l_orderkey, l_linenumber,
+                            CAST(round((CASE WHEN l_returnflag = 'R'
+                                             THEN l_quantity
+                                             ELSE -l_quantity END) * 100)
+                                 AS BIGINT)
+                 ) AS rn,
+                 CAST(round((CASE WHEN l_returnflag = 'R' THEN l_quantity
+                                  ELSE -l_quantity END) * 100) AS BIGINT) AS dc
+          FROM lineitem
+        ),
+        sizes AS (
+          SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_events
+          FROM d GROUP BY l_partkey
+        ),
+        step AS (
+          SELECT l_partkey, CAST(0 AS BIGINT) AS rn,
+                 CAST(0 AS BIGINT) AS bal, CAST(0 AS BIGINT) AS n
+          FROM sizes
+          UNION ALL
+          SELECT s.l_partkey, s.rn + 1,
+                 greatest(s.bal + d.dc, 0),
+                 s.n + CASE WHEN s.bal + d.dc < 0 THEN 1 ELSE 0 END
+          FROM step s JOIN d ON d.l_partkey = s.l_partkey AND d.rn = s.rn + 1
+        )
+        SELECT st.l_partkey, sizes.n_events,
+               round(st.bal / 100, 2) AS final_balance,
+               st.n AS n_stockouts
+        FROM step st
+        JOIN sizes ON sizes.l_partkey = st.l_partkey AND sizes.n_events = st.rn
+        """,
+        "q_stream_running_balance": """
         -- sequential clamp replayed as a RECURSIVE CTE (one step per
         -- event rank); DuckDB v1.0.0 list_reduce miscounts with struct
         -- accumulators on longer lists, so the fold is not mirrored

@@ -23,6 +23,7 @@ oracle for these functions (tests/test_streaming.py compares both).
 from __future__ import annotations
 
 import json
+import math
 from collections.abc import Callable, Sequence
 from typing import Any, Iterator
 
@@ -458,4 +459,77 @@ def stream_session_capped(
 
     return stream_session_apply(
         sdf, keys, event_time_col, gap_ms, transform, out_schema, watermark
+    )
+
+
+def stream_running_balance(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    delta_col: str,
+    floor: float = 0.0,
+    scale: int = 2,
+) -> DataFrame:
+    """Streaming face of temporal.bounded_running_balance: per-key
+    integer-cent state (balance, event count, stockout count) carried
+    across micro-batches; each batch's rows fold in `order_cols` order
+    on top of the persisted state, so the clamp semantics are
+    IDENTICAL to the batch fold over the full history (pytest-pinned).
+    Rows must arrive per key in nondecreasing order across batches —
+    the same contract as stream_over_by_size (feed through a
+    watermark/sorted source).
+
+    Emits one row per (key, micro-batch) with the post-batch state:
+    (keys..., n_events, final_balance, n_stockouts) — the last emitted
+    row per key is the full-history answer. State is three longs per
+    key, forever-bounded."""
+    cents = int(10**scale)
+    floor_c = int(round(floor * cents))
+    keys = list(key_cols)
+    ocols = list(order_cols)
+    out_schema = T.StructType(
+        [sdf.schema[k] for k in keys]
+        + [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("final_balance", T.DoubleType()),
+            T.StructField("n_stockouts", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("bal", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_stockouts", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        bal, n_ev, n_so = state.get if state.exists else (0, 0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            # HALF_UP away from zero, like Spark round(); floor(x+0.5)
+            # would shift negative half-cents by one
+            batch = batch.assign(
+                __dc=[
+                    int(math.copysign(math.floor(abs(float(d)) * cents + 0.5), d))
+                    for d in batch[delta_col]
+                ]
+            ).sort_values(ocols + ["__dc"], kind="mergesort")
+            for dc in batch["__dc"]:
+                if bal + dc < floor_c:
+                    n_so += 1
+                bal = max(bal + dc, floor_c)
+                n_ev += 1
+        state.update((int(bal), int(n_ev), int(n_so)))
+        yield pd.DataFrame(
+            {
+                **{k: [key[i]] for i, k in enumerate(keys)},
+                "n_events": [n_ev],
+                "final_balance": [round(bal / cents, scale)],
+                "n_stockouts": [n_so],
+            }
+        )
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
     )

@@ -1111,3 +1111,72 @@ def test_stream_session_capped_equals_batch(spark, stream_dir):
     assert any(len(v) > 1 for v in starts_per_gap.values())
     # and everything emitted matches the batch grouping exactly
     assert set(emitted) <= set(want)
+
+
+def test_stream_running_balance_equals_batch_fold(spark, tmp_path):
+    """stream_running_balance carries (balance, counts) state across
+    real micro-batches; the LAST emitted row per key must equal the
+    batch bounded_running_balance over the full history."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators.temporal import bounded_running_balance
+    from table_computing_spark.streaming.stateful import stream_running_balance
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select(
+            "l_partkey",
+            F.unix_millis(F.col("l_shipdate").cast("timestamp")).alias("ms"),
+            "l_orderkey",
+            "l_linenumber",
+            F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
+            .otherwise(-F.col("l_quantity"))
+            .alias("delta"),
+        )
+    )
+    want = {
+        r["l_partkey"]: (r["n_events"], r["final_balance"], r["n_stockouts"])
+        for r in bounded_running_balance(
+            li, ["l_partkey"], ["ms", "l_orderkey", "l_linenumber"], "delta"
+        ).collect()
+    }
+    # replay as 3 time-ordered micro-batches (per-key nondecreasing ms
+    # across batches — the operator's arrival contract)
+    src = str(tmp_path / "src")
+    lo, hi = li.agg(F.min("ms"), F.max("ms")).collect()[0]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    for cond in (
+        F.col("ms") <= cut1,
+        (F.col("ms") > cut1) & (F.col("ms") <= cut2),
+        F.col("ms") > cut2,
+    ):
+        li.where(cond).coalesce(1).write.mode("append").parquet(src)
+    sdf = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stream_running_balance(
+        sdf, ["l_partkey"], ["ms", "l_orderkey", "l_linenumber"], "delta"
+    )
+    name = "tc_stream_rb"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+    rows = spark.table(name).collect()
+    # last emission per key = the one with the highest n_events
+    got = {}
+    for r in rows:
+        k = r["l_partkey"]
+        if k not in got or r["n_events"] > got[k][0]:
+            got[k] = (r["n_events"], r["final_balance"], r["n_stockouts"])
+    assert got == want
