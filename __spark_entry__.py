@@ -817,6 +817,75 @@ def q_running_balance(spark, sf_dir):
     )
 
 
+def q_decayed_topk(spark, sf_dir):
+    """Trending items: exponentially time-decayed event counts with a
+    6-hour half-life anchored at the corpus max timestamp — each event
+    contributes 2^(-(age_ms)/hl_ms), rounded to integer nanos BEFORE
+    the per-type sum (order-independent, engine-exact), so "trending"
+    needs no streaming state to be oracle-checked. One scalar max
+    broadcast + one hash aggregation + TakeOrderedAndProject.
+    Tail slot for the r08 window. (New r07.)"""
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type", tcf.epoch_ms("ts").alias("t")
+    )
+    now = ev.agg(F.max("t").alias("__now"))
+    hl = 21_600_000.0
+    w_nano = F.round(
+        F.pow(F.lit(2.0), -((F.col("__now") - F.col("t")) / F.lit(hl))) * 1e9
+    ).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(now))
+        .select("event_type", w_nano.alias("__w"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("__w") / 1e9, 6).alias("decayed_count"),
+        )
+        .orderBy(F.desc("decayed_count"), F.asc("event_type"))
+        .limit(10)
+    )
+
+
+def q_gini(spark, sf_dir):
+    """Revenue concentration: the Gini coefficient of customer spend
+    per order-priority class — gini = (2·Σ i·x_(i) )/(n·Σx) − (n+1)/n
+    over rank-ordered exact DECIMAL spend (one rank window + one
+    aggregation; the integer arithmetic keeps both engines identical
+    bit-for-bit before the final division). The inequality gate for
+    "is this segment driven by a few whales". Tail slot for the r08
+    window. (New r07.)"""
+    o = _t(spark, sf_dir, "orders").df
+    spend = o.groupBy("o_orderpriority", "o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)")).alias("x")
+    )
+    from pyspark.sql.window import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("o_orderpriority").orderBy(
+            F.col("x").asc(), F.col("o_custkey").asc()
+        )
+    )
+    ranked = spend.select(
+        "o_orderpriority",
+        F.col("x"),
+        rk.alias("i"),
+    )
+    agg = ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("x")).alias("__sx"),
+        F.sum(F.col("i").cast("decimal(38,4)") * F.col("x")).alias("__six"),
+    )
+    n_d = F.col("n_customers").cast("double")
+    gini = (
+        (F.lit(2.0) * F.col("__six").cast("double"))
+        / (n_d * F.col("__sx").cast("double"))
+        - (n_d + F.lit(1.0)) / n_d
+    )
+    return agg.select(
+        "o_orderpriority", "n_customers", F.round(gini, 6).alias("gini")
+    )
+
+
 def q_stream_running_balance(spark, sf_dir):
     """STREAMING clamped balance under the oracle gate
     (streaming/stateful.stream_running_balance): lineitem replayed as
@@ -4046,8 +4115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_seasonal_anomaly, q_logreg_gd, q_kcore, q_assortativity). Two
     further r07 queries declared after the window filled (q_bfs_hops,
     q_time_to_convert, q_window_distinct, q_rfm, q_benford,
-    q_hashed_features, q_running_balance, q_stream_running_balance)
-    head the tail — first in line for the r08
+    q_hashed_features, q_running_balance, q_stream_running_balance,
+    q_decayed_topk, q_gini) head the tail — first in line for the r08
     window, with the five displaced r03 rows right behind them. Zero
     overlap with the r05/r06-verified sets. The dtype-strict local sim
     (tests/oracle.py) is green on all entries at sf0.01.
@@ -4121,6 +4190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hashed_features": q_hashed_features,
         "q_running_balance": q_running_balance,
         "q_stream_running_balance": q_stream_running_balance,
+        "q_decayed_topk": q_decayed_topk,
+        "q_gini": q_gini,
         # rotation pool, staleness order: r04 remainder, then r05, then r06
         # --- last green r03 (displaced from the r07 window by new queries) ---
         "q_tpch_q12": tpch["q_tpch_q12"],
@@ -4840,6 +4911,47 @@ def oracle_sql() -> dict[str, str]:
                st.n AS n_stockouts
         FROM step st
         JOIN sizes ON sizes.l_partkey = st.l_partkey AND sizes.n_events = st.rn
+        """,
+        "q_decayed_topk": """
+        WITH e AS (
+          SELECT event_type, epoch_ms(ts) AS t FROM events
+        ),
+        nw AS (SELECT max(t) AS now FROM e)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(sum(CAST(round(pow(2.0, -((nw.now - t) / 21600000.0))
+                                          * 1e9) AS BIGINT)) AS BIGINT) / 1e9, 6)
+                 AS decayed_count
+        FROM e, nw
+        GROUP BY event_type
+        ORDER BY decayed_count DESC, event_type ASC
+        LIMIT 10
+        """,
+        "q_gini": """
+        WITH spend AS (
+          SELECT o_orderpriority, o_custkey,
+                 sum(CAST(o_totalprice AS DECIMAL(30,4))) AS x
+          FROM orders GROUP BY o_orderpriority, o_custkey
+        ),
+        ranked AS (
+          SELECT o_orderpriority, x,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY x ASC, o_custkey ASC) AS i
+          FROM spend
+        ),
+        agg AS (
+          SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n_customers,
+                 sum(x) AS sx,
+                 sum(CAST(i AS DECIMAL(38,4)) * x) AS six
+          FROM ranked GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, n_customers,
+               round((2.0 * CAST(six AS DOUBLE))
+                     / (CAST(n_customers AS DOUBLE) * CAST(sx AS DOUBLE))
+                     - (CAST(n_customers AS DOUBLE) + 1.0)
+                       / CAST(n_customers AS DOUBLE), 6) AS gini
+        FROM agg
         """,
         "q_stream_running_balance": """
         -- sequential clamp replayed as a RECURSIVE CTE (one step per
