@@ -961,9 +961,13 @@ def q_rfm(spark, sf_dir):
     Recency (latest order), Frequency (order count), Monetary
     (DECIMAL-exact spend), each quintiled with a deterministic
     (metric, custkey) total order, concatenated into the 555-style
-    segment code. Three window ntiles over one per-customer aggregate;
-    no self-joins. Tail slot for the r08 window. (New r07.)"""
-    from pyspark.sql.window import Window as W
+    segment code. Each quintile is `ids.ntile_distributed` — exact
+    ntile semantics via a range-partitioned global rank plus a
+    closed-form bucket, so NO unpartitioned window ever sees the
+    per-customer rows (the r07 version's three global ntile windows
+    each funneled every customer through one task). (New r07;
+    de-globalized r08 per VERDICT.)"""
+    from table_computing_spark.operators.ids import ntile_distributed
 
     o = _t(spark, sf_dir, "orders").df
     per = o.groupBy("o_custkey").agg(
@@ -973,12 +977,11 @@ def q_rfm(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(30,4)")).cast("double"), 2
         ).alias("monetary"),
     )
-    r = F.ntile(5).over(W.orderBy(F.col("rec_ms").asc(), F.col("o_custkey").asc()))
-    f = F.ntile(5).over(W.orderBy(F.col("freq").asc(), F.col("o_custkey").asc()))
-    m = F.ntile(5).over(W.orderBy(F.col("monetary").asc(), F.col("o_custkey").asc()))
+    per = ntile_distributed(per, ["rec_ms", "o_custkey"], 5, out_col="r")
+    per = ntile_distributed(per, ["freq", "o_custkey"], 5, out_col="f")
+    per = ntile_distributed(per, ["monetary", "o_custkey"], 5, out_col="m")
     return per.select(
-        "o_custkey", "rec_ms", "freq", "monetary",
-        r.alias("r"), f.alias("f"), m.alias("m"),
+        "o_custkey", "rec_ms", "freq", "monetary", "r", "f", "m"
     ).withColumn(
         "segment", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int")
     )
@@ -4105,83 +4108,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     until every declared query has a green row in some round's
     CORRECTNESS file.
 
-    Round-7 window: (a) the 14 round-6 overflow queries (declared after
-    the r06 window filled; all locally sim-green, 4/4 of the judge's
-    independent spot-checks pass), (b) the 22 stalest queries on the
-    board (last green r03), and (c) the fourteen NEW r07 queries
-    (q_stream_matview, q_resample_interp, q_attribution,
-    q_cooccur_pmi, q_hits, q_silhouette, q_jaccard_prefix,
-    q_interval_coverage, q_label_prop, q_group_quantiles,
-    q_seasonal_anomaly, q_logreg_gd, q_kcore, q_assortativity). Two
-    further r07 queries declared after the window filled (q_bfs_hops,
-    q_time_to_convert, q_window_distinct, q_rfm, q_benford,
-    q_hashed_features, q_running_balance, q_stream_running_balance,
-    q_decayed_topk, q_gini) head the tail — first in line for the r08
-    window, with the five displaced r03 rows right behind them. Zero
-    overlap with the r05/r06-verified sets. The dtype-strict local sim
-    (tests/oracle.py) is green on all entries at sf0.01.
+    Round-8 window: (a) the 10 round-7 overflow queries (declared after
+    the r07 window filled; never driver-verified, all locally
+    sim-green AND independently oracle-verified by the r07 judge),
+    (b) the 5 stale-r03 rows displaced from the r07 window
+    (q_tpch_q12, q_transform_explode, q_over_apply, q_join_full_outer,
+    q_join_nullsafe — reference golden join cardinalities back under a
+    fresh driver hash), and (c) the 35 next-stalest rows (last green
+    r04), swapped out for NEW r08 queries as they land. Zero overlap
+    with the r07 window (pinned by tests/test_queries.py). The
+    dtype-strict local sim (tests/oracle.py) is green on all entries
+    at sf0.01.
     """
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
     tpch = dict(TPCH_QUERIES)
     window_50 = {
-        # (a) the 14 r06-overflow queries, never driver-verified
-        "q_containment_pairs": q_containment_pairs,
-        "q_personalized_pagerank": q_personalized_pagerank,
-        "q_exact_global_quantiles": q_exact_global_quantiles,
-        "q_maintain_distinct": q_maintain_distinct,
-        "q_join_explosion": q_join_explosion,
-        "q_changed_partitions": q_changed_partitions,
-        "q_ann_recall": q_ann_recall,
-        "q_session_capped": q_session_capped,
-        "q_ema_trailing": q_ema_trailing,
-        "q_robust_outliers": q_robust_outliers,
-        "q_rolling_corr": q_rolling_corr,
-        "q_scd2_lookup": q_scd2_lookup,
-        "q_funnel_within": q_funnel_within,
-        "q_path_counts": q_path_counts,
-        # (b) stalest on the board: last green r03
-        "q_stream_dedup": q_stream_dedup,
-        "q_semi_anti_join": q_semi_anti_join,
-        "q_top_n": q_top_n,
-        "q_order_by_limit": q_order_by_limit,
-        "q_dedup_exact": q_dedup_exact,
-        "q_cosine_topk": q_cosine_topk,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_text_analysis": q_text_analysis,
-        "q_stream_ivf_assign": q_stream_ivf_assign,
-        "q_dedup_groups": q_dedup_groups,
-        "q_dedup_jaccard": q_dedup_jaccard,
-        "q_curation_canonical": q_curation_canonical,
-        "q_embedding_neardup": q_embedding_neardup,
-        "q_lsh_bucketed_topk": q_lsh_bucketed_topk,
-        "q_lsh_multiprobe": q_lsh_multiprobe,
-        "q_ivf_topk": q_ivf_topk,
-        "q_salted_join": q_salted_join,
-        "q_repetition_metrics": q_repetition_metrics,
-        "q_text_scrub": q_text_scrub,
-        "q_tfidf_terms": q_tfidf_terms,
-        "q_doc_chunks": q_doc_chunks,
-        "q_tpch_q1": tpch["q_tpch_q1"],
-        # (c) next-stalest (r04) — swapped out for new r07 queries as they land
-        "q_stream_matview": q_stream_matview,  # new r07
-        "q_resample_interp": q_resample_interp,  # new r07
-        "q_attribution": q_attribution,  # new r07
-        "q_cooccur_pmi": q_cooccur_pmi,  # new r07
-        "q_hits": q_hits,  # new r07
-        "q_silhouette": q_silhouette,  # new r07
-        "q_jaccard_prefix": q_jaccard_prefix,  # new r07
-        "q_interval_coverage": q_interval_coverage,  # new r07
-        "q_label_prop": q_label_prop,  # new r07
-        "q_group_quantiles": q_group_quantiles,  # new r07
-        "q_seasonal_anomaly": q_seasonal_anomaly,  # new r07
-        "q_logreg_gd": q_logreg_gd,  # new r07
-        "q_kcore": q_kcore,  # new r07
-        "q_assortativity": q_assortativity,  # new r07
-    }
-    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
-    tail = {
-        # r07 overflow (window full — first in line for the r08 window)
+        # (a) the 10 r07-overflow queries, never driver-verified
         "q_bfs_hops": q_bfs_hops,
         "q_time_to_convert": q_time_to_convert,
         "q_window_distinct": q_window_distinct,
@@ -4192,14 +4135,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_running_balance": q_stream_running_balance,
         "q_decayed_topk": q_decayed_topk,
         "q_gini": q_gini,
-        # rotation pool, staleness order: r04 remainder, then r05, then r06
-        # --- last green r03 (displaced from the r07 window by new queries) ---
+        # (b) stalest on the board: last green r03
         "q_tpch_q12": tpch["q_tpch_q12"],
         "q_transform_explode": q_transform_explode,
         "q_over_apply": q_over_apply,
         "q_join_full_outer": q_join_full_outer,
         "q_join_nullsafe": q_join_nullsafe,
-        # --- last green r04 ---
+        # (c) next-stalest (r04) — swapped out for new r08 queries as they land
         "q_flagship_top100": q_flagship_top100,
         "q_filter_rows": q_filter_rows,
         "q_transform_rows": q_transform_rows,
@@ -4235,6 +4177,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_enrich": q_stream_enrich,
         "q_stream_interval_join": q_stream_interval_join,
         "q_stream_anomaly": q_stream_anomaly,
+    }
+    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
+    tail = {
+        # rotation pool, staleness order: r04 remainder, then r05, r06, r07
+        # --- last green r04 ---
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_pairs": q_simhash_pairs,
         "q_stream_minhash": q_stream_minhash,
@@ -4347,6 +4294,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_agg": q_incremental_agg,
         "q_kn_bigram_nll": q_kn_bigram_nll,
         "q_resample_ffill": q_resample_ffill,
+        # --- last green r07 (the full r07 driver window, freshest) ---
+        "q_containment_pairs": q_containment_pairs,
+        "q_personalized_pagerank": q_personalized_pagerank,
+        "q_exact_global_quantiles": q_exact_global_quantiles,
+        "q_maintain_distinct": q_maintain_distinct,
+        "q_join_explosion": q_join_explosion,
+        "q_changed_partitions": q_changed_partitions,
+        "q_ann_recall": q_ann_recall,
+        "q_session_capped": q_session_capped,
+        "q_ema_trailing": q_ema_trailing,
+        "q_robust_outliers": q_robust_outliers,
+        "q_rolling_corr": q_rolling_corr,
+        "q_scd2_lookup": q_scd2_lookup,
+        "q_funnel_within": q_funnel_within,
+        "q_path_counts": q_path_counts,
+        "q_stream_dedup": q_stream_dedup,
+        "q_semi_anti_join": q_semi_anti_join,
+        "q_top_n": q_top_n,
+        "q_order_by_limit": q_order_by_limit,
+        "q_dedup_exact": q_dedup_exact,
+        "q_cosine_topk": q_cosine_topk,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_text_analysis": q_text_analysis,
+        "q_stream_ivf_assign": q_stream_ivf_assign,
+        "q_dedup_groups": q_dedup_groups,
+        "q_dedup_jaccard": q_dedup_jaccard,
+        "q_curation_canonical": q_curation_canonical,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_lsh_bucketed_topk": q_lsh_bucketed_topk,
+        "q_lsh_multiprobe": q_lsh_multiprobe,
+        "q_ivf_topk": q_ivf_topk,
+        "q_salted_join": q_salted_join,
+        "q_repetition_metrics": q_repetition_metrics,
+        "q_text_scrub": q_text_scrub,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_doc_chunks": q_doc_chunks,
+        "q_tpch_q1": tpch["q_tpch_q1"],
+        "q_stream_matview": q_stream_matview,
+        "q_resample_interp": q_resample_interp,
+        "q_attribution": q_attribution,
+        "q_cooccur_pmi": q_cooccur_pmi,
+        "q_hits": q_hits,
+        "q_silhouette": q_silhouette,
+        "q_jaccard_prefix": q_jaccard_prefix,
+        "q_interval_coverage": q_interval_coverage,
+        "q_label_prop": q_label_prop,
+        "q_group_quantiles": q_group_quantiles,
+        "q_seasonal_anomaly": q_seasonal_anomaly,
+        "q_logreg_gd": q_logreg_gd,
+        "q_kcore": q_kcore,
+        "q_assortativity": q_assortativity,
     }
     return {**window_50, **tail}
 

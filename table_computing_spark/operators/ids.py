@@ -82,3 +82,38 @@ def dense_ids(
         (F.lit(start).cast("long") + F.col("__off") + F.col("__local")).cast("long"),
     )
     return out.drop("__pid", "__local", "__off")
+
+
+def ntile_distributed(
+    df: DataFrame,
+    order_by: "list[Column | str]",
+    n: int,
+    out_col: str = "ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact `ntile(n) OVER (ORDER BY order_by)` without the
+    single-task global window (`Window.orderBy` with no partitionBy
+    moves the ENTIRE input to one partition — the canonical 100 TB
+    cliff this module exists to remove).
+
+    Semantics are bit-identical to SQL ntile: with N rows, the first
+    N mod n buckets get floor(N/n)+1 rows, the rest floor(N/n) — so
+    any ntile-based oracle keeps hash-matching. The order must be
+    TOTAL (include a unique tiebreak) for cross-engine determinism,
+    same contract as `dense_ids`.
+
+    Shape: one range shuffle for the global rank (dense_ids), a 1-row
+    count aggregate broadcast back, and a pure closed-form bucket
+    expression — no window over data rows at any point.
+    """
+    ranked = dense_ids(df, order_by, id_col="__rn", num_partitions=num_partitions)
+    total = ranked.agg(F.count(F.lit(1)).alias("__N"))
+    out = ranked.join(F.broadcast(total))
+    q = (F.col("__N") / n).cast("long")  # floor: __N >= 0
+    r = F.col("__N") % n
+    threshold = r * (q + 1)
+    rn = F.col("__rn")
+    bucket = F.when(
+        rn < threshold, (rn / (q + 1)).cast("long") + 1
+    ).otherwise(r + ((rn - threshold) / F.greatest(q, F.lit(1))).cast("long") + 1)
+    return out.withColumn(out_col, bucket.cast("int")).drop("__rn", "__N")

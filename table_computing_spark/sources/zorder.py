@@ -9,15 +9,17 @@ column simultaneously — the technique behind Delta/Iceberg
 the size-targeted writer.
 
 `zorder_value` rank-normalizes each column to `bits` quantile buckets
-(ntile — value-distribution-proof) and interleaves the bucket bits.
-Pure integer arithmetic → the same expression is reproducible in any
-engine, and the locality claim itself is oracle-checkable: within any
-Morton-range slice, BOTH dimensions' min/max spans are narrow (see
-q_zorder_locality).
+(exact ntile semantics — value-distribution-proof) and interleaves the
+bucket bits. Pure integer arithmetic → the same expression is
+reproducible in any engine, and the locality claim itself is
+oracle-checkable: within any Morton-range slice, BOTH dimensions'
+min/max spans are narrow (see q_zorder_locality).
 
-Scale: ntile is one window over the sort key each — at 100 TB replace
-with approx quantile cutpoints (percentile_approx broadcast) to avoid
-global windows; the interleave stays identical.
+Scale: each column's bucketing is `operators.ids.ntile_distributed` —
+a range-partitioned global rank + closed-form bucket, never an
+unpartitioned window, so no single task ever holds the table. The
+legacy single-task `ntile()` window survives only behind
+`use_window=True` for tiny-data tests.
 """
 
 from __future__ import annotations
@@ -50,22 +52,35 @@ def zorder_value(
     bits: int = 8,
     out_col: str = "zvalue",
     tiebreak: "str | None" = None,
+    use_window: bool = False,
 ) -> DataFrame:
     """Add a Morton code over rank-normalized columns: each column is
-    ntile'd into 2^bits quantile buckets (distribution-proof), buckets
-    interleaved bitwise. Pass `tiebreak` (a unique column) to make the
-    ntile assignment a total order — required for engine-exact
-    reproducibility when values repeat."""
-    from pyspark.sql import Window
+    quantile-bucketed into 2^bits ntile buckets (distribution-proof),
+    buckets interleaved bitwise. Pass `tiebreak` (a unique column) to
+    make the bucket assignment a total order — required for
+    engine-exact reproducibility when values repeat.
+
+    Default path is `ntile_distributed` (exact ntile, no unpartitioned
+    window — one range shuffle per column). `use_window=True` keeps the
+    literal single-task `ntile()` window for tiny-data tests; the two
+    paths produce identical buckets."""
+    from table_computing_spark.operators.ids import ntile_distributed
 
     buckets = []
     tmp = df
     for c in cols:
         b = f"__zb_{c}"
         order = [c, tiebreak] if tiebreak else [c]
-        tmp = tmp.withColumn(
-            b, (F.ntile(2**bits).over(Window.orderBy(*order)) - 1).cast("long")
-        )
+        if use_window:
+            from pyspark.sql import Window
+
+            tmp = tmp.withColumn(
+                b, (F.ntile(2**bits).over(Window.orderBy(*order)) - 1).cast("long")
+            )
+        else:
+            tmp = ntile_distributed(tmp, order, 2**bits, out_col=b).withColumn(
+                b, (F.col(b) - 1).cast("long")
+            )
         buckets.append(b)
     out = tmp.withColumn(out_col, interleave_bits([F.col(b) for b in buckets], bits))
     return out.drop(*buckets)

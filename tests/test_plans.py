@@ -150,6 +150,93 @@ def test_top_n_uses_window_group_limit(plans):
     assert len(re.findall(r"\(\d+\) WindowGroupLimit", p)) == 2, p
 
 
+def _top_level_bracket_groups(s: str) -> list[str]:
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start + 1 : i])
+    return groups
+
+
+# Unpartitioned-window whitelist: sites where the window input is
+# PROVABLY bounded, so the single-task sort is a few rows, not the data.
+_GLOBAL_WINDOW_OK = {
+    # row_number over DISTINCT event_type — bounded by category
+    # cardinality (the id-assignment pattern; the data-sized rank path
+    # is ids.dense_ids, which this gate still covers)
+    "q_label_prop": "distinct event_type label ids",
+    # sum(x) OVER () over a contingency table of category pairs
+    "q_mutual_info": "global total over |a|x|b| category cells",
+    # sum(x) OVER () over fixed-width histogram bins
+    "q_psi_drift": "global totals over fixed bin table",
+    # sum(x) OVER () over per-category aggregates
+    "q_woe_iv": "global totals over category aggregate",
+}
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Window nodes whose partition spec is empty AND that sort their
+    input (the single-task global-sort cliff). Partition-only windows
+    (2 groups, no sort dirs) and the ids.py offset cumsum (orders a
+    one-row-per-partition count table on __pid) are allowed."""
+    bad = []
+    for blk in re.split(r"\n\n", plan):
+        m = re.match(r"\(\d+\) (Window|WindowGroupLimit)\b", blk)
+        if not m:
+            continue
+        arg = next(
+            (l for l in blk.splitlines() if l.startswith("Arguments:")), ""
+        )
+        groups = _top_level_bracket_groups(arg)
+        if m.group(1) == "WindowGroupLimit":
+            # Arguments: [partSpec], [orderSpec], fn, k, mode
+            if groups and groups[0].strip() == "":
+                bad.append(arg[:120])
+            continue
+        if len(groups) <= 1:
+            bad.append(arg[:120])  # sum(x) OVER () — global, unordered
+        elif len(groups) == 2 and re.search(r" (ASC|DESC)", groups[1]):
+            if not groups[1].lstrip().startswith("__pid#"):
+                bad.append(groups[1][:120])
+    return bad
+
+
+def test_no_unpartitioned_window_over_data(plans):
+    """The 100 TB window contract: no batch query may plan a Window
+    with an empty partition spec over data-sized input — Spark funnels
+    the ENTIRE input through one task ("No Partition Defined for Window
+    operation"). Exact global ranks go through ids.dense_ids /
+    ids.ntile_distributed (range shuffle + closed form) instead. This
+    is the gate that would have caught q_rfm's three global ntiles and
+    zorder_value's per-column ntile (both de-globalized in r08)."""
+    offenders = {
+        n: ws
+        for n, p in plans.items()
+        if (ws := _unpartitioned_windows(p)) and n not in _GLOBAL_WINDOW_OK
+    }
+    assert not offenders, offenders
+
+
+def test_write_zordered_plan_has_no_global_window(spark):
+    """VERDICT r07 item 3: the zorder write path must never plan an
+    unpartitioned data window (the per-column bucketing is
+    ntile_distributed now; only the ids.py __pid offset cumsum — one
+    row per partition — may order globally)."""
+    from table_computing_spark.sources.zorder import zorder_value
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_custkey"
+    )
+    z = zorder_value(o, ["o_totalprice", "o_custkey"], bits=4, tiebreak="o_orderkey")
+    assert not _unpartitioned_windows(plan_of(z))
+
+
 def test_every_batch_query_plans(plans):
     # plan construction itself succeeded for the whole surface
     assert len(plans) == len(BATCH_QUERIES)

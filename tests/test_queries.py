@@ -178,3 +178,52 @@ def test_every_query_function_is_registered():
     assert not missing, f"defined but not registered: {sorted(missing)}"
     no_oracle = registered - set(m.oracle_sql())
     assert not no_oracle, f"registered without oracle: {sorted(no_oracle)}"
+    # inverse pin: every registered name that looks like a q_* def must
+    # map to exactly ONE distinct callable — a copy-paste that registers
+    # the same function under two names silently halves coverage
+    from collections import Counter
+
+    funcs = Counter(id(v) for v in m.queries().values())
+    dupes = {
+        n
+        for n, v in m.queries().items()
+        if funcs[id(v)] > 1 and not n.startswith("q_tpch")
+    }
+    assert not dupes, f"same callable registered under multiple names: {sorted(dupes)}"
+
+
+def test_window_rotation_discipline():
+    """VERDICT r07 item 9: the first-50 driver window must have ZERO
+    overlap with the previous round's window (CORRECTNESS_r07.json)
+    unless a row went red there — re-verifying green rows burns slots
+    the never-verified tail needs. Also pins that the 15 rows the r07
+    verdict queued (10 never-driver-verified + 5 stale-r03) are all
+    inside the r08 window."""
+    import itertools
+    import json
+    import pathlib
+
+    import __spark_entry__ as m
+
+    window = list(itertools.islice(m.queries(), 50))
+    prev = json.loads(
+        pathlib.Path(__file__).with_name("..").resolve().joinpath(
+            "CORRECTNESS_r07.json"
+        ).read_text()
+    )
+    prev_green = {
+        k
+        for k, v in prev.items()
+        if v.get("rows_match") and v.get("schema_match") and v.get("hash_match")
+    }
+    overlap = set(window) & prev_green
+    assert not overlap, f"window wastes slots on already-green rows: {sorted(overlap)}"
+    queued = {
+        "q_bfs_hops", "q_time_to_convert", "q_window_distinct", "q_rfm",
+        "q_benford", "q_hashed_features", "q_running_balance",
+        "q_stream_running_balance", "q_decayed_topk", "q_gini",
+        "q_join_full_outer", "q_join_nullsafe", "q_over_apply",
+        "q_tpch_q12", "q_transform_explode",
+    }
+    missing = queued - set(window)
+    assert not missing, f"verdict-queued rows missing from the window: {sorted(missing)}"

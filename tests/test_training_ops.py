@@ -1306,6 +1306,32 @@ def test_dense_ids_contiguous_and_partitioning_invariant(spark):
         )
 
 
+def test_ntile_distributed_matches_sql_ntile(spark):
+    """Closed-form bucket == real ntile() for awkward N/n combos
+    (N % n != 0, ties on the primary key, N < n) under any input
+    partitioning — and the plan carries NO unpartitioned window over
+    the data rows (the whole point)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators.ids import ntile_distributed
+
+    rows = [(i, (i * 7) % 13, f"k{i:04d}") for i in range(997)]
+    d = spark.createDataFrame(rows, "rid long, v long, k string").repartition(11)
+    for n in (5, 16, 1, 3):
+        got = ntile_distributed(d, [F.col("v"), F.col("k")], n, out_col="b")
+        want = d.withColumn(
+            "b", F.ntile(n).over(Window.orderBy(F.col("v"), F.col("k")))
+        )
+        g = {r["rid"]: r["b"] for r in got.collect()}
+        w = {r["rid"]: r["b"] for r in want.collect()}
+        assert g == w, f"ntile({n}) mismatch"
+    # N < n: every row its own bucket
+    tiny = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "v long, k string")
+    got = ntile_distributed(tiny, ["v"], 10, out_col="b")
+    assert sorted(r["b"] for r in got.collect()) == [1, 2, 3]
+
+
 def test_semantic_dedup_matches_naive_numpy(spark):
     """Re-derive every keep/drop decision with a naive numpy
     reimplementation (buckets, integer-micro centroids, rounded
