@@ -1657,3 +1657,60 @@ def test_robust_outliers_resists_contamination(spark):
     cgroup = out.where("g = 'c'").collect()
     assert all(not r["is_outlier"] for r in cgroup)
     assert all(r["mad"] == 0.0 for r in cgroup)
+
+
+def test_prefix_agg_matches_global_window(spark):
+    """Running sum/min/max/count from prefix_agg == the literal
+    unpartitioned-window SQL (inclusive AND exclusive frames, ties in
+    the order prefix, negative values, any input partitioning) — and
+    the plan's only globally ordered window is the one-row-per-partition
+    __pid offset table."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators.prefix import prefix_agg
+
+    rows = [(i, (i * 3) % 17, ((i * 7919) % 2001) - 1000) for i in range(3001)]
+    d = spark.createDataFrame(rows, "rid long, tie long, x long").repartition(13)
+    order = [F.col("tie"), F.col("rid")]
+    for exclusive in (False, True):
+        got = prefix_agg(
+            d,
+            order,
+            {
+                "run_sum": ("sum", "x"),
+                "run_min": ("min", "x"),
+                "run_max": ("max", "x"),
+                "run_n": ("count", F.lit(1)),
+            },
+            exclusive=exclusive,
+            num_partitions=7,
+        )
+        end = -1 if exclusive else 0
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, end)
+        want = (
+            d.withColumn("run_sum", F.sum("x").over(w))
+            .withColumn("run_min", F.min("x").over(w))
+            .withColumn("run_max", F.max("x").over(w))
+            .withColumn("run_n", F.count(F.lit(1)).over(w))
+        )
+        cols = ["run_sum", "run_min", "run_max", "run_n"]
+        g = {r["rid"]: tuple(r[c] for c in cols) for r in got.collect()}
+        e = {r["rid"]: tuple(r[c] for c in cols) for r in want.collect()}
+        assert g == e, f"exclusive={exclusive}"
+    # plan: no unpartitioned window over the data (only __pid offsets)
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    for blk in re.split(r"\n\n", plan):
+        if re.match(r"\(\d+\) Window\b", blk):
+            arg = next(
+                (l for l in blk.splitlines() if l.startswith("Arguments:")), ""
+            )
+            if " ASC" in arg or " DESC" in arg:
+                assert "__pid#" in arg, arg
