@@ -1074,6 +1074,54 @@ def q_skyline(spark, sf_dir):
     )
 
 
+def q_cube(spark, sf_dir):
+    """CUBE aggregation (Table.group_by_cube — SURVEY §2.4 grouping
+    sets, the all-combinations completion of q_rollup /
+    q_grouping_sets): counts and exact totals for every subset of
+    (status, priority), one Expand + hash aggregate. (New r08.)"""
+    o = _t(spark, sf_dir, "orders")
+    return o.group_by_cube(
+        ["o_orderstatus", "o_orderpriority"],
+        n=F.count(F.lit(1)),
+        total=F.round(tcf.sum_exact("o_totalprice").cast("double"), 2),
+    ).df
+
+
+def q_ab_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test (drift.welch_ttest) of every
+    order priority against the '5-LOW' control: the A/B experiment
+    readout on DECIMAL-exact cents — n/Σx/Σx² per group, broadcast
+    control row, fixed-op-order mean/var/t/Welch-df doubles. One hash
+    aggregate + a 1-row broadcast; no window, no self-join. (New
+    r08.)"""
+    from table_computing_spark.operators.drift import welch_ttest
+
+    o = _t(spark, sf_dir, "orders").df
+    return welch_ttest(
+        o,
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+        "o_orderpriority",
+        control="5-LOW",
+    )
+
+
+def q_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of each event type's hourly event-count
+    series (temporal.lag_autocorr): downsample to integer counts per
+    (type, hour), pair consecutive observed hours with a
+    key-partitioned lag window, Pearson r from pure DECIMAL sufficient
+    statistics — bit-exact across engines. The stickiness/mean-
+    reversion diagnostic. (New r08.)"""
+    from table_computing_spark.operators.temporal import lag_autocorr
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type",
+        F.floor(tcf.epoch_ms("ts") / 3600000).cast("long").alias("hr"),
+    )
+    series = ev.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("n"))
+    return lag_autocorr(series, ["event_type"], "hr", "n", lag=1)
+
+
 def q_stream_running_balance(spark, sf_dir):
     """STREAMING clamped balance under the oracle gate
     (streaming/stateful.stream_running_balance): lineitem replayed as
@@ -4358,18 +4406,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_session": q_window_session,
         "q_over_by_size": q_over_by_size,
         "q_over_by_duration": q_over_by_duration,
-        "q_streaming_tumble": q_streaming_tumble,
-        "q_streaming_slide": q_streaming_slide,
-        "q_streaming_session": q_streaming_session,
         # --- NEW r08 queries (never verified — swapped in for r04 fillers) ---
         "q_csv_ingest": q_csv_ingest,
         "q_json_ingest": q_json_ingest,
         "q_prefix_cumsum": q_prefix_cumsum,
         "q_skyline": q_skyline,
+        "q_cube": q_cube,
+        "q_ab_ttest": q_ab_ttest,
+        "q_autocorr": q_autocorr,
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
         # r04 fillers displaced from the window by new r08 queries
+        "q_streaming_tumble": q_streaming_tumble,
+        "q_streaming_slide": q_streaming_slide,
+        "q_streaming_session": q_streaming_session,
         "q_stream_over_duration": q_stream_over_duration,
         "q_stream_enrich": q_stream_enrich,
         "q_stream_interval_join": q_stream_interval_join,
@@ -4876,6 +4927,82 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         **TPCH_ORACLES,
+        "q_cube": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q_ab_ttest": """
+        WITH per AS (
+          SELECT o_orderpriority,
+                 count(*) AS n,
+                 sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS DECIMAL(38,0))) AS s,
+                 sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS DECIMAL(38,0))
+                     * CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS DECIMAL(38,0))) AS ss
+          FROM orders GROUP BY o_orderpriority
+        ), m AS (
+          SELECT o_orderpriority, n,
+                 CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                 (CAST(ss AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0) AS var
+          FROM per
+        ), c AS (
+          SELECT n AS cn, mean AS cm, var AS cv FROM m
+          WHERE o_orderpriority = '5-LOW'
+        ), j AS (
+          SELECT m.*, c.cn, c.cm, c.cv,
+                 var / CAST(n AS DOUBLE) AS seg,
+                 cv / CAST(cn AS DOUBLE) AS sec
+          FROM m, c WHERE m.o_orderpriority <> '5-LOW'
+        )
+        SELECT o_orderpriority, n,
+               round(mean, 6) AS mean,
+               round(var, 6) AS var,
+               round((mean - cm) / sqrt(seg + sec), 6) AS t_stat,
+               round(((seg + sec) * (seg + sec))
+                     / ((seg * seg) / (CAST(n AS DOUBLE) - 1.0)
+                        + (sec * sec) / (CAST(cn AS DOUBLE) - 1.0)), 6) AS df_welch
+        FROM j
+        """,
+        "q_autocorr": """
+        WITH s AS (
+          SELECT event_type, epoch_ms(ts) // 3600000 AS hr,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        ), p AS (
+          SELECT event_type,
+                 CAST(n AS DECIMAL(38,0)) AS x,
+                 CAST(lag(n) OVER (PARTITION BY event_type ORDER BY hr)
+                      AS DECIMAL(38,0)) AS y
+          FROM s
+        ), q AS (SELECT * FROM p WHERE y IS NOT NULL),
+        a AS (
+          SELECT event_type, count(*) AS n_pairs,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM q GROUP BY event_type
+        )
+        SELECT event_type, n_pairs,
+               round(CASE WHEN n_pairs > 1
+                          AND CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                          AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                     THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                 * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     END, 6) AS autocorr
+        FROM a
+        """,
         "q_prefix_cumsum": """
         WITH c AS (
           SELECT o_orderkey, o_orderdate,

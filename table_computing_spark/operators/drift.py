@@ -301,3 +301,59 @@ def benford_report(
     return out.select(
         *keys, "digit", "n_digit", "n", "observed", "expected", "chi2"
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: Column,
+    group_col: str,
+    control: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance t-test (Welch 1947 — public statistics)
+    of every group against a named control group: the A/B experiment
+    readout. `value_col` should be an INTEGER-exact expression (cents,
+    counts) so the sufficient statistics — n, Σx, Σx² per group, kept
+    in DECIMAL — aggregate order-independently; the mean / variance /
+    t / Welch-df arithmetic then runs in a fixed operation order on
+    doubles, so any engine reproduces the result bit-for-bit.
+
+        var = (Σx² − (Σx)²/n) / (n−1)
+        t   = (m_g − m_c) / sqrt(v_g/n_g + v_c/n_c)
+        df  = (v_g/n_g + v_c/n_c)² /
+              ((v_g/n_g)²/(n_g−1) + (v_c/n_c)²/(n_c−1))
+
+    Shape: one hash aggregate on group_col, the 1-row control slice
+    broadcast back — no window, no self-join of data rows."""
+    x = value_col.cast("decimal(38,0)")
+    per = df.groupBy(group_col).agg(
+        F.count(value_col).alias("n"),
+        F.sum(x).alias("__s"),
+        F.sum(x * x).alias("__ss"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("__s").cast("double") / nd
+    var = (
+        F.col("__ss").cast("double") - F.col("__s").cast("double") * F.col("__s").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    per = per.withColumn("mean", mean).withColumn("var", var)
+    ctrl = per.filter(F.col(group_col) == control).select(
+        F.col("n").alias("__cn"), F.col("mean").alias("__cm"), F.col("var").alias("__cv")
+    )
+    j = per.filter(F.col(group_col) != control).join(F.broadcast(ctrl))
+    se_g = F.col("var") / F.col("n").cast("double")
+    se_c = F.col("__cv") / F.col("__cn").cast("double")
+    se2 = se_g + se_c
+    t = (F.col("mean") - F.col("__cm")) / F.sqrt(se2)
+    df_w = (se2 * se2) / (
+        (se_g * se_g) / (F.col("n").cast("double") - F.lit(1.0))
+        + (se_c * se_c) / (F.col("__cn").cast("double") - F.lit(1.0))
+    )
+    return j.select(
+        group_col,
+        "n",
+        F.round("mean", round_to).alias("mean"),
+        F.round("var", round_to).alias("var"),
+        F.round(t, round_to).alias("t_stat"),
+        F.round(df_w, round_to).alias("df_welch"),
+    )

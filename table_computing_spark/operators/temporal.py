@@ -783,3 +783,50 @@ def bounded_running_balance(
             F.col("__f.n").alias("n_stockouts"),
         )
     )
+
+
+def lag_autocorr(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    order_col: str,
+    value_col: str,
+    lag: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Lag-k autocorrelation of an INTEGER-valued series per key — the
+    "is this metric sticky or mean-reverting" diagnostic on any
+    downsampled series (hourly counts, daily revenue cents). Pairs
+    (x_t, x_{t-k}) come from a KEY-PARTITIONED lag window over the
+    observed points in `order_col` order (gaps pair with the previous
+    observed point — documented contract, deterministic); the Pearson
+    correlation over pairs uses pure integer sufficient statistics
+
+        r = (nΣxy − ΣxΣy) / sqrt((nΣxx − (Σx)²) · (nΣyy − (Σy)²))
+
+    in DECIMAL, so every engine reproduces the division bit-for-bit.
+    Shape: one partitioned window + one hash aggregate; keys with
+    fewer than lag+2 points or a constant side yield NULL r."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    x = F.col(value_col).cast("decimal(38,0)")
+    pairs = df.select(*keys, order_col, x.alias("__x")).withColumn(
+        "__y", F.lag("__x", lag).over(w)
+    ).filter(F.col("__y").isNotNull())
+    agg = pairs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    num = nd * F.col("__sxy").cast("double") - F.col("__sx").cast("double") * F.col("__sy").cast("double")
+    den_x = nd * F.col("__sxx").cast("double") - F.col("__sx").cast("double") * F.col("__sx").cast("double")
+    den_y = nd * F.col("__syy").cast("double") - F.col("__sy").cast("double") * F.col("__sy").cast("double")
+    r = F.when(
+        (F.col("n_pairs") > 1) & (den_x > 0) & (den_y > 0),
+        num / F.sqrt(den_x * den_y),
+    )
+    return agg.select(*keys, "n_pairs", F.round(r, round_to).alias("autocorr"))

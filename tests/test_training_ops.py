@@ -1714,3 +1714,69 @@ def test_prefix_agg_matches_global_window(spark):
             )
             if " ASC" in arg or " DESC" in arg:
                 assert "__pid#" in arg, arg
+
+
+def test_welch_ttest_matches_numpy(spark):
+    """t / Welch-df against the textbook numpy computation on skewed
+    integer samples (ddof=1), and the control group never appears as
+    an output row."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators.drift import welch_ttest
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for g, (mu, sd, n) in {
+        "a": (1000, 50, 400), "b": (1100, 200, 150), "ctl": (1020, 80, 300)
+    }.items():
+        for v in rng.normal(mu, sd, n).astype(int):
+            rows.append((g, int(v)))
+    d = spark.createDataFrame(rows, "grp string, v long")
+    out = {
+        r["grp"]: r
+        for r in welch_ttest(d, F.col("v"), "grp", control="ctl").collect()
+    }
+    assert set(out) == {"a", "b"}
+    arr = {g: np.array([v for gg, v in rows if gg == g], dtype=float)
+           for g in ("a", "b", "ctl")}
+    for g in ("a", "b"):
+        x, c = arr[g], arr["ctl"]
+        vx, vc = x.var(ddof=1), c.var(ddof=1)
+        se = vx / len(x) + vc / len(c)
+        t = (x.mean() - c.mean()) / np.sqrt(se)
+        dfw = se**2 / ((vx / len(x)) ** 2 / (len(x) - 1)
+                       + (vc / len(c)) ** 2 / (len(c) - 1))
+        assert abs(out[g]["t_stat"] - t) < 1e-4, g
+        assert abs(out[g]["df_welch"] - dfw) < 1e-2, g
+        assert out[g]["n"] == len(x)
+
+
+def test_lag_autocorr_matches_numpy(spark):
+    """Pearson r of (x_t, x_{t-k}) == numpy corrcoef per key; constant
+    and too-short series yield NULL."""
+    import numpy as np
+
+    from table_computing_spark.operators.temporal import lag_autocorr
+
+    rng = np.random.RandomState(11)
+    series = {
+        "trend": np.cumsum(rng.randint(-3, 10, 200)) + 500,
+        "noise": rng.randint(0, 100, 120),
+        "const": np.full(50, 7),
+        "short": np.array([3, 9]),
+    }
+    rows = [
+        (k, int(t), int(v))
+        for k, xs in series.items()
+        for t, v in enumerate(xs)
+    ]
+    d = spark.createDataFrame(rows, "k string, t long, v long")
+    out = {r["k"]: r for r in lag_autocorr(d, ["k"], "t", "v", lag=1).collect()}
+    for k in ("trend", "noise"):
+        xs = series[k].astype(float)
+        want = np.corrcoef(xs[1:], xs[:-1])[0, 1]
+        assert abs(out[k]["autocorr"] - want) < 1e-5, k
+        assert out[k]["n_pairs"] == len(xs) - 1
+    assert out["const"]["autocorr"] is None
+    assert out["short"]["n_pairs"] == 1 and out["short"]["autocorr"] is None
