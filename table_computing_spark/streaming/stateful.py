@@ -337,15 +337,32 @@ def stream_session_tws(
     bounds [firstTime, lastTime + 1), `time_col` epoch-ms BIGINT or
     TimestampType.
 
-    CONTAINER LIMITATION: transformWithState's Python runner imports
+    CONTAINER LIMITATION: transformWithState's Python RUNNER imports
     protobuf, which this build environment lacks (and installs are
-    prohibited), so the accompanying pytest skips unless protobuf is
-    importable — stream_session_wallclock (applyInPandasWithState) is
-    the execution-verified variant here; this one is the
+    prohibited), so the end-to-end pytest skips unless protobuf is
+    importable. The processor LOGIC itself is protobuf-free and built
+    by the module-level `make_session_processor` factory, which pytest
+    drives directly with fake handle/state/timer objects — in-band
+    splitting, timer re-arm, superseded-timer filtering, and the
+    no-data expiry flush are all CI-proven; only Spark's wire runner
+    is env-waived. stream_session_wallclock (applyInPandasWithState)
+    is the end-to-end-executed variant here; this one is the
     API-of-record for deployments with a full PySpark dependency set."""
+    idle = gap_ms if idle_flush_ms is None else idle_flush_ms
+    return sdf.groupBy(*partition_by).transformWithStateInPandas(
+        make_session_processor(time_col, gap_ms, idle, transform),
+        outputStructType=output_schema,
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )
+
+
+def make_session_processor(time_col, gap_ms, idle, transform):
+    """Build the transformWithState session processor (see
+    stream_session_tws). Module-level so its semantics are unit-
+    testable without the protobuf-dependent Spark runner."""
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
-    idle = gap_ms if idle_flush_ms is None else idle_flush_ms
     tcol = time_col
     state_schema = T.StructType(
         [T.StructField("buf", T.StringType()), T.StructField("deadline", T.LongType())]
@@ -408,12 +425,7 @@ def stream_session_tws(
         def close(self) -> None:
             pass
 
-    return sdf.groupBy(*partition_by).transformWithStateInPandas(
-        _SessionProcessor(),
-        outputStructType=output_schema,
-        outputMode="Append",
-        timeMode="ProcessingTime",
-    )
+    return _SessionProcessor()
 
 
 def stream_session_capped(

