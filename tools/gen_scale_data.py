@@ -86,6 +86,42 @@ def gen_documents(rng: np.random.Generator, n: int, out: str) -> None:
     }))
 
 
+def gen_documents_heaps(rng: np.random.Generator, n: int, out: str) -> None:
+    """Open-vocabulary corpus following Heaps' law (V ~ K·n^beta) with
+    a Zipf rank-frequency draw — the realistic web-crawl shape the
+    fixed ~40-token audit corpus deliberately is NOT. On this corpus a
+    stopword-df cap (`max_token_df`) prunes only the Zipf head and
+    KEEPS a long content-word tail, so the capped inverted-index
+    jaccard path can be measured doing real work (r07 audit caveat:
+    on the closed vocabulary the cap pruned every token)."""
+    V = 50 + int(20 * n ** 0.62)
+    vocab = np.array([f"w{k}" for k in range(V)])
+    p = np.arange(1, V + 1, dtype=np.float64) ** -1.05
+    p /= p.sum()
+    lengths = rng.integers(10, 60, size=n)
+    flat = rng.choice(V, size=int(lengths.sum()), p=p)
+    texts: "list[str]" = []
+    pos = 0
+    for i in range(n):
+        L = int(lengths[i])
+        if i > 1000 and rng.random() < 0.03:
+            src = texts[int(rng.integers(0, i - 1))].split()
+            src[int(rng.integers(0, len(src)))] = vocab[int(rng.integers(0, V))]
+            texts.append(" ".join(src))
+        else:
+            texts.append(" ".join(vocab[flat[pos:pos + L]]))
+        pos += L
+    langs = rng.choice(["en", "de", "es", "zh", "fr"], size=n, p=[0.6, 0.1, 0.1, 0.1, 0.1])
+    srcs = [f"src{int(x)}" for x in rng.integers(0, 20, size=n)]
+    _write(out, pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs.tolist()),
+        "source": pa.array(srcs),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+
+
 def gen_embeddings(rng: np.random.Generator, n: int, out: str) -> None:
     centroids = rng.normal(0, 1.0, size=(8, 64))
     labels = rng.integers(0, 8, size=n)
@@ -162,7 +198,21 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", nargs="+", type=float, default=[0.01, 0.1, 1.0])
     ap.add_argument("--root", default=os.path.join(os.path.dirname(__file__), "..", ".scale"))
+    ap.add_argument(
+        "--corpus", choices=["closed", "heaps"], default="closed",
+        help="heaps: open Zipf/Heaps-law documents only, under heaps_s{X}/",
+    )
     args = ap.parse_args()
+    if args.corpus == "heaps":
+        for s in args.scales:
+            d = os.path.join(args.root, f"heaps_s{s:g}")
+            rng = np.random.default_rng(42)
+            gen_documents_heaps(
+                rng, max(int(BASE["documents"] * s), 500),
+                os.path.join(d, "documents.parquet"),
+            )
+            print("wrote", d)
+        return
     for s in args.scales:
         d = os.path.join(args.root, f"s{s:g}")
         rng = np.random.default_rng(42)  # same seed: smaller scales are prefixes-in-law
