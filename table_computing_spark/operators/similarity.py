@@ -581,7 +581,12 @@ def semantic_dedup(
     `bucket_col` with `ivf_fit`/`ivf_assign` cluster ids instead — the
     keep-rule is identical and cell occupancy stays bounded when the
     cell count scales with the corpus (the r07 scaling audit measured
-    alpha≈2 for FIXED 2^bits cells — PLANS.md).
+    alpha≈2 for FIXED 2^bits cells — PLANS.md). Operational contract,
+    measured in r08 (PLANS.md round-8 table): the cells must also be
+    BALANCED — raw seed vectors as centroids collapse onto the data's
+    true clusters and occupancy grows with the corpus again (measured
+    63 s vs 41 s at s1); run at least a couple of `ivf_fit` Lloyd
+    iterations so dense clusters subdivide.
 
     Keep policy (the paper's, made one-pass): rank each cluster by
     LOWEST similarity-to-centroid first (SemDeDup keeps the points
