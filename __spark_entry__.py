@@ -1122,6 +1122,56 @@ def q_autocorr(spark, sf_dir):
     return lag_autocorr(series, ["event_type"], "hr", "n", lag=1)
 
 
+# deterministic messy-URL synthesis, written once in ANSI SQL so BOTH
+# engines derive byte-identical inputs ({S} = STRING for Spark, VARCHAR
+# for DuckDB): case-varied scheme/host, default + real ports, trailing
+# slashes, tracking params in shuffled positions, fragments
+_URL_SYNTH = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' || "
+    "CASE doc_id % 3 WHEN 0 THEN 'Example.COM' WHEN 1 THEN 'www.Example.com' "
+    "ELSE 'CDN.example.Com' END || "
+    "CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' "
+    "ELSE '' END || "
+    "'/Path' || CAST(doc_id % 7 AS {S}) || "
+    "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || "
+    "CASE doc_id % 4 WHEN 0 THEN '?utm_source=tw&b=2&a=' || CAST(doc_id % 10 AS {S}) "
+    "WHEN 1 THEN '?a=' || CAST(doc_id % 10 AS {S}) || '&utm_campaign=x&b=2' "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 2 = 0 THEN '#Sec' ELSE '' END"
+)
+
+
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization (text.url_canonicalize) — the crawl-dedup
+    key normalizer: lowercase scheme/host, strip default ports /
+    fragments / tracking params, sort surviving query params, collapse
+    trailing slashes. Pure JVM string expressions over synthetic messy
+    URLs both engines derive identically from doc_id. (New r08.)"""
+    from table_computing_spark.operators.text import url_canonicalize
+
+    d = _t(spark, sf_dir, "documents").df.select(
+        "doc_id", F.expr(_URL_SYNTH.format(S="STRING")).alias("url")
+    )
+    return d.withColumn("canonical_url", url_canonicalize("url"))
+
+
+def q_url_dedup(spark, sf_dir):
+    """The dedup composition on top of q_url_canonical: group crawl
+    records by canonical URL, count the variant fan-in and keep the
+    lowest doc_id — exact dedup whose key is the canonicalization.
+    One hash aggregate after the JVM-side normalize. (New r08.)"""
+    from table_computing_spark.operators.text import url_canonicalize
+
+    d = _t(spark, sf_dir, "documents").df.select(
+        "doc_id", F.expr(_URL_SYNTH.format(S="STRING")).alias("url")
+    )
+    canon = d.withColumn("canonical_url", url_canonicalize("url"))
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.min("doc_id").alias("keeper_doc"),
+    )
+
+
 def q_stream_running_balance(spark, sf_dir):
     """STREAMING clamped balance under the oracle gate
     (streaming/stateful.stream_running_balance): lineitem replayed as
@@ -4403,8 +4453,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_udaf_apply": q_udaf_apply,
         "q_window_tumble": q_window_tumble,
         "q_window_slide": q_window_slide,
-        "q_window_session": q_window_session,
-        "q_over_by_size": q_over_by_size,
         "q_over_by_duration": q_over_by_duration,
         # --- NEW r08 queries (never verified — swapped in for r04 fillers) ---
         "q_csv_ingest": q_csv_ingest,
@@ -4414,10 +4462,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube": q_cube,
         "q_ab_ttest": q_ab_ttest,
         "q_autocorr": q_autocorr,
+        "q_url_canonical": q_url_canonical,
+        "q_url_dedup": q_url_dedup,
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
         # r04 fillers displaced from the window by new r08 queries
+        "q_window_session": q_window_session,
+        "q_over_by_size": q_over_by_size,
         "q_streaming_tumble": q_streaming_tumble,
         "q_streaming_slide": q_streaming_slide,
         "q_streaming_session": q_streaming_session,
@@ -4927,6 +4979,83 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         **TPCH_ORACLES,
+        "q_url_canonical": """
+        WITH u AS (
+          SELECT doc_id, """ + _URL_SYNTH.format(S="VARCHAR") + """ AS url
+          FROM documents
+        ), p AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 string_split(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#')[1] AS nofrag
+          FROM u
+        ), p2 AS (
+          SELECT *, regexp_extract(nofrag, '^([^/?]*)', 1) AS hostport,
+                 substring(nofrag, length(regexp_extract(nofrag, '^([^/?]*)', 1)) + 1) AS pathquery
+          FROM p
+        ), p3 AS (
+          SELECT *, regexp_extract(pathquery, '^([^?]*)', 1) AS path0,
+                 substring(pathquery, length(regexp_extract(pathquery, '^([^?]*)', 1)) + 2) AS query
+          FROM p2
+        ), p4 AS (
+          SELECT *,
+                 CASE WHEN scheme = 'http' THEN regexp_replace(lower(hostport), ':80$', '')
+                      WHEN scheme = 'https' THEN regexp_replace(lower(hostport), ':443$', '')
+                      ELSE lower(hostport) END AS host,
+                 CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                      ELSE regexp_replace(path0, '/+$', '') END AS path,
+                 coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+                     x -> x <> '' AND NOT (starts_with(x, 'utm_')
+                          OR starts_with(x, 'fbclid') OR starts_with(x, 'gclid')
+                          OR starts_with(x, 'ref_')))), '&'), '') AS q
+          FROM p3
+        )
+        SELECT doc_id, url,
+               CASE WHEN scheme = '' THEN trim(url)
+                    ELSE scheme || '://' || host || path ||
+                         CASE WHEN q = '' THEN '' ELSE '?' || q END
+               END AS canonical_url
+        FROM p4
+        """,
+        "q_url_dedup": """
+        WITH u AS (
+          SELECT doc_id, """ + _URL_SYNTH.format(S="VARCHAR") + """ AS url
+          FROM documents
+        ), p AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 string_split(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#')[1] AS nofrag
+          FROM u
+        ), p2 AS (
+          SELECT *, regexp_extract(nofrag, '^([^/?]*)', 1) AS hostport,
+                 substring(nofrag, length(regexp_extract(nofrag, '^([^/?]*)', 1)) + 1) AS pathquery
+          FROM p
+        ), p3 AS (
+          SELECT *, regexp_extract(pathquery, '^([^?]*)', 1) AS path0,
+                 substring(pathquery, length(regexp_extract(pathquery, '^([^?]*)', 1)) + 2) AS query
+          FROM p2
+        ), p4 AS (
+          SELECT *,
+                 CASE WHEN scheme = 'http' THEN regexp_replace(lower(hostport), ':80$', '')
+                      WHEN scheme = 'https' THEN regexp_replace(lower(hostport), ':443$', '')
+                      ELSE lower(hostport) END AS host,
+                 CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                      ELSE regexp_replace(path0, '/+$', '') END AS path,
+                 coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+                     x -> x <> '' AND NOT (starts_with(x, 'utm_')
+                          OR starts_with(x, 'fbclid') OR starts_with(x, 'gclid')
+                          OR starts_with(x, 'ref_')))), '&'), '') AS q
+          FROM p3
+        ), c AS (
+          SELECT doc_id,
+                 CASE WHEN scheme = '' THEN trim(url)
+                      ELSE scheme || '://' || host || path ||
+                           CASE WHEN q = '' THEN '' ELSE '?' || q END
+                 END AS canonical_url
+          FROM p4
+        )
+        SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS keeper_doc
+        FROM c GROUP BY canonical_url
+        """,
         "q_cube": """
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n,

@@ -1252,3 +1252,59 @@ def cooccur_pmi(
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(top_k)
+
+
+def url_canonicalize(
+    url: ColumnLike,
+    drop_params: "tuple[str, ...]" = ("utm_", "fbclid", "gclid", "ref_"),
+) -> Column:
+    """Canonical URL for crawl dedup — the highest-leverage exact-dedup
+    key a web corpus has (the same page arrives under dozens of
+    tracking-parameter / case / default-port variants). Pure JVM string
+    expressions, no UDF:
+
+      - scheme and host lowercased (path/query case is significant and
+        preserved);
+      - default port stripped (:80 for http, :443 for https; any other
+        port kept);
+      - fragment dropped;
+      - tracking parameters dropped (prefix match on `drop_params`),
+        remaining query params SORTED so param order stops mattering;
+      - trailing path slashes collapsed ('' and '/' both normalize
+        to '/').
+
+    Inputs must carry an explicit scheme ('<scheme>://...'); anything
+    else passes through with only whitespace trimmed — a quarantine
+    filter upstream (q_csv_ingest pattern) is the place to catch junk,
+    not a silent rewrite here."""
+    import functools
+
+    s = F.trim(_col(url))
+    scheme = F.lower(F.regexp_extract(s, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(s, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    nofrag = F.split(rest, "#", 2).getItem(0)
+    hostport = F.regexp_extract(nofrag, r"^([^/?]*)", 1)
+    pathquery = F.substring(nofrag, F.length(hostport) + 1, F.lit(1 << 30))
+    path = F.regexp_extract(pathquery, r"^([^?]*)", 1)
+    query = F.substring(pathquery, F.length(path) + 2, F.lit(1 << 30))
+    host = F.lower(hostport)
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    keep = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "")
+        & ~functools.reduce(
+            lambda a, b: a | b, [x.startswith(p) for p in drop_params]
+        ),
+    )
+    q = F.array_join(F.array_sort(keep), "&")
+    canonical = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    return F.when(scheme == "", s).otherwise(canonical)

@@ -1780,3 +1780,28 @@ def test_lag_autocorr_matches_numpy(spark):
         assert out[k]["n_pairs"] == len(xs) - 1
     assert out["const"]["autocorr"] is None
     assert out["short"]["n_pairs"] == 1 and out["short"]["autocorr"] is None
+
+
+def test_url_canonicalize_rules(spark):
+    """Each canonicalization rule pinned: case, default ports (per
+    scheme), fragments, tracking params, param sorting, trailing
+    slashes, schemeless passthrough."""
+    from table_computing_spark.operators.text import url_canonicalize
+
+    cases = [
+        ("HTTP://Example.COM:80/Path/?utm_source=tw&b=2&a=1#frag",
+         "http://example.com/Path?a=1&b=2"),
+        ("https://WWW.Example.com:443/a/b//", "https://www.example.com/a/b"),
+        ("https://example.com:8080/x?b=2&a=1",
+         "https://example.com:8080/x?a=1&b=2"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/?utm_campaign=x&fbclid=9", "http://example.com/"),
+        ("  http://A.com/Q?gclid=1&z=9&ref_src=x&a=2 ", "http://a.com/Q?a=2&z=9"),
+        ("not a url", "not a url"),
+        # the OTHER scheme's default port must be kept
+        ("http://example.com:443/x", "http://example.com:443/x"),
+        ("ftp://Host.com:21/f", "ftp://host.com:21/f"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r[0] for r in df.select(url_canonicalize("u")).collect()]
+    assert got == [w for _, w in cases]
