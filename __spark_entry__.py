@@ -1172,6 +1172,59 @@ def q_url_dedup(spark, sf_dir):
     )
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary-growth curve — corpus health telemetry a
+    training pipeline tracks per crawl snapshot (a flattening curve
+    means the new data stopped bringing new tokens): cumulative
+    distinct-token count at 1/8, 1/4, 1/2 and all of the corpus,
+    computed WITHOUT re-scanning per prefix — each token's FIRST doc id
+    (one hash aggregate) makes every prefix count a conditional sum.
+    (New r08.)"""
+    d = _t(spark, sf_dir, "documents").df
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.col("text"), r"\s+"))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    mx = d.agg(F.max("doc_id").alias("m"))
+    counts = first.join(F.broadcast(mx)).agg(
+        *[
+            F.sum((F.col("fd") <= F.floor(F.col("m") / div).cast("long")).cast("long"))
+            .alias(f"v{div}")
+            for div in (8, 4, 2, 1)
+        ]
+    )
+    return counts.selectExpr(
+        "stack(4, 8, v8, 4, v4, 2, v2, 1, v1) AS (denom, vocab_size)"
+    )
+
+
+def q_quantile_buckets(spark, sf_dir):
+    """Exact decile feature-bucketing of the FACT table
+    (ids.ntile_distributed on lineitem price cents with a unique
+    tiebreak): the quantile-bucketize transform every feature pipeline
+    ships, as a range-shuffled global rank + closed-form bucket — the
+    plan that survives 6B rows, vs the single-task ntile window.
+    Output: per-bucket row count and exact cent bounds. (New r08.)"""
+    from table_computing_spark.operators.ids import ntile_distributed
+
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    b = ntile_distributed(
+        li, ["cents", "l_orderkey", "l_linenumber"], 10, out_col="bucket"
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+
+
 def q_stream_running_balance(spark, sf_dir):
     """STREAMING clamped balance under the oracle gate
     (streaming/stateful.stream_running_balance): lineitem replayed as
@@ -4451,8 +4504,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract": q_json_extract,
         "q_unpivot": q_unpivot,
         "q_udaf_apply": q_udaf_apply,
-        "q_window_tumble": q_window_tumble,
-        "q_window_slide": q_window_slide,
         "q_over_by_duration": q_over_by_duration,
         # --- NEW r08 queries (never verified — swapped in for r04 fillers) ---
         "q_csv_ingest": q_csv_ingest,
@@ -4464,10 +4515,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_autocorr": q_autocorr,
         "q_url_canonical": q_url_canonical,
         "q_url_dedup": q_url_dedup,
+        "q_vocab_growth": q_vocab_growth,
+        "q_quantile_buckets": q_quantile_buckets,
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
         # r04 fillers displaced from the window by new r08 queries
+        "q_window_tumble": q_window_tumble,
+        "q_window_slide": q_window_slide,
         "q_window_session": q_window_session,
         "q_over_by_size": q_over_by_size,
         "q_streaming_tumble": q_streaming_tumble,
@@ -4979,6 +5034,41 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         **TPCH_ORACLES,
+        "q_vocab_growth": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_filter(
+                     string_split_regex(text, '\s+'), x -> x <> ''))) AS tok
+          FROM documents
+        ), f AS (
+          SELECT tok, min(doc_id) AS fd FROM t GROUP BY tok
+        ), mx AS (SELECT max(doc_id) AS m FROM documents),
+        a AS (
+          SELECT CAST(sum(CAST(fd <= CAST(m // 8 AS BIGINT) AS INT)) AS BIGINT) AS v8,
+                 CAST(sum(CAST(fd <= CAST(m // 4 AS BIGINT) AS INT)) AS BIGINT) AS v4,
+                 CAST(sum(CAST(fd <= CAST(m // 2 AS BIGINT) AS INT)) AS BIGINT) AS v2,
+                 CAST(sum(CAST(fd <= CAST(m // 1 AS BIGINT) AS INT)) AS BIGINT) AS v1
+          FROM f, mx
+        )
+        SELECT 8 AS denom, v8 AS vocab_size FROM a
+        UNION ALL SELECT 4, v4 FROM a
+        UNION ALL SELECT 2, v2 FROM a
+        UNION ALL SELECT 1, v1 FROM a
+        """,
+        "q_quantile_buckets": """
+        WITH c AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem
+        ), b AS (
+          SELECT cents,
+                 ntile(10) OVER (ORDER BY cents, l_orderkey, l_linenumber) AS bucket
+          FROM c
+        )
+        SELECT bucket, count(*) AS n_rows,
+               min(cents) AS min_cents, max(cents) AS max_cents
+        FROM b GROUP BY bucket
+        """,
         "q_url_canonical": """
         WITH u AS (
           SELECT doc_id, """ + _URL_SYNTH.format(S="VARCHAR") + """ AS url
