@@ -1225,6 +1225,41 @@ def q_quantile_buckets(spark, sf_dir):
     )
 
 
+def q_knn_classify(spark, sf_dir):
+    """k-NN classification by retrieval (similarity.cosine_topk + a
+    label-majority vote): each query vector takes its 10 nearest
+    corpus neighbors' labels, majority wins, ties break to the
+    smallest label — the label-propagation / weak-supervision pattern
+    a curation pipeline uses to extend a seed taxonomy. Broadcast
+    query side + partitioned rank window + one hash aggregate.
+    (New r08.)"""
+    from pyspark.sql.window import Window as W
+
+    from table_computing_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    nn = sim.cosine_topk(emb, queries_df, k=10)
+    votes = (
+        nn.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label")),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    pred = (
+        votes.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+    truth = queries_df.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "query_id")
+
+
 def q_stream_running_balance(spark, sf_dir):
     """STREAMING clamped balance under the oracle gate
     (streaming/stateful.stream_running_balance): lineitem replayed as
@@ -4504,7 +4539,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract": q_json_extract,
         "q_unpivot": q_unpivot,
         "q_udaf_apply": q_udaf_apply,
-        "q_over_by_duration": q_over_by_duration,
         # --- NEW r08 queries (never verified — swapped in for r04 fillers) ---
         "q_csv_ingest": q_csv_ingest,
         "q_json_ingest": q_json_ingest,
@@ -4517,10 +4551,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_dedup": q_url_dedup,
         "q_vocab_growth": q_vocab_growth,
         "q_quantile_buckets": q_quantile_buckets,
+        "q_knn_classify": q_knn_classify,
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
         # r04 fillers displaced from the window by new r08 queries
+        "q_over_by_duration": q_over_by_duration,
         "q_window_tumble": q_window_tumble,
         "q_window_slide": q_window_slide,
         "q_window_session": q_window_session,
@@ -5034,6 +5070,26 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         **TPCH_ORACLES,
+        "q_knn_classify": """
+        WITH q AS (SELECT vec_id AS query_id, label AS true_label,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id % 50 = 0),
+             c AS (SELECT vec_id AS neighbor_id, label,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings),
+             s AS (SELECT query_id, true_label, neighbor_id, label,
+                          round(list_cosine_similarity(qv, cv), 4) AS cos_sim
+                   FROM q, c WHERE query_id <> neighbor_id),
+             r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM s),
+             v AS (SELECT query_id, true_label, label,
+                          count(*) AS votes
+                   FROM r WHERE rank <= 10 GROUP BY query_id, true_label, label),
+             p AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY votes DESC, label ASC) AS rk FROM v)
+        SELECT query_id, label AS pred_label, votes, true_label
+        FROM p WHERE rk = 1
+        """,
         "q_vocab_growth": r"""
         WITH t AS (
           SELECT doc_id,
