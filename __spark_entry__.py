@@ -1260,6 +1260,18 @@ def q_knn_classify(spark, sf_dir):
     return pred.join(truth, "query_id")
 
 
+def q_boilerplate(spark, sf_dir):
+    """Corpus-level boilerplate-line removal
+    (text.drop_boilerplate_lines, the CCNet/RefinedWeb paragraph-dedup
+    step): any line appearing in >= 3 distinct documents (nav bars,
+    footers, cookie banners) is dropped from every document; text is
+    reassembled in original line order. One line-df aggregate + a
+    broadcast semi-tag + one order-pinned re-aggregate. (New r08.)"""
+    from table_computing_spark.operators.text import drop_boilerplate_lines
+
+    return drop_boilerplate_lines(_t(spark, sf_dir, "documents").df, min_df=3)
+
+
 def q_stream_running_balance(spark, sf_dir):
     """STREAMING clamped balance under the oracle gate
     (streaming/stateful.stream_running_balance): lineitem replayed as
@@ -4538,7 +4550,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lag_lead": q_lag_lead,
         "q_json_extract": q_json_extract,
         "q_unpivot": q_unpivot,
-        "q_udaf_apply": q_udaf_apply,
         # --- NEW r08 queries (never verified — swapped in for r04 fillers) ---
         "q_csv_ingest": q_csv_ingest,
         "q_json_ingest": q_json_ingest,
@@ -4552,10 +4563,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_growth": q_vocab_growth,
         "q_quantile_buckets": q_quantile_buckets,
         "q_knn_classify": q_knn_classify,
+        "q_boilerplate": q_boilerplate,
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
         # r04 fillers displaced from the window by new r08 queries
+        "q_udaf_apply": q_udaf_apply,
         "q_over_by_duration": q_over_by_duration,
         "q_window_tumble": q_window_tumble,
         "q_window_slide": q_window_slide,
@@ -5070,6 +5083,30 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         **TPCH_ORACLES,
+        "q_boilerplate": """
+        WITH parts AS (
+          SELECT doc_id, string_split(text, chr(10)) AS ps FROM documents
+        ), l AS (
+          SELECT doc_id, unnest(generate_series(1, len(ps))) AS idx, ps
+          FROM parts
+        ), lines AS (
+          SELECT doc_id, idx, ps[idx] AS line FROM l
+        ), dfreq AS (
+          SELECT line FROM (
+            SELECT line, count(DISTINCT doc_id) AS d FROM lines GROUP BY line
+          ) WHERE d >= 3
+        ), tag AS (
+          SELECT lines.doc_id, lines.idx, lines.line,
+                 (dfreq.line IS NOT NULL) AS dropped
+          FROM lines LEFT JOIN dfreq USING (line)
+        )
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+                                   chr(10) ORDER BY idx), '') AS clean_text,
+               CAST(sum(CAST(NOT dropped AS INT)) AS BIGINT) AS n_kept,
+               CAST(sum(CAST(dropped AS INT)) AS BIGINT) AS n_dropped
+        FROM tag GROUP BY doc_id
+        """,
         "q_knn_classify": """
         WITH q AS (SELECT vec_id AS query_id, label AS true_label,
                           CAST(embedding AS DOUBLE[]) AS qv

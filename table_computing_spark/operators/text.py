@@ -1308,3 +1308,59 @@ def url_canonicalize(
         F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
     )
     return F.when(scheme == "", s).otherwise(canonical)
+
+
+def drop_boilerplate_lines(
+    df: DataFrame,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet / RefinedWeb
+    paragraph-dedup step): a LINE that appears in `min_df` or more
+    DISTINCT documents is boilerplate (nav bars, cookie banners,
+    license footers) and is dropped from every document; document text
+    is reassembled in original line order.
+
+    Shape: explode lines → line-hash document-frequency (one hash
+    aggregate over (line, doc) pairs) → broadcast-or-shuffle semi-join
+    of the boilerplate set back onto the exploded lines → re-aggregate
+    per document with an order-pinned array_sort — no window, no
+    driver state; the boilerplate set is df-bounded and tiny relative
+    to the corpus.
+
+    Returns (id, clean_text, n_kept, n_dropped)."""
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__idx", "__line"),
+    )
+    line_df = (
+        lines.groupBy("__line")
+        .agg(F.countDistinct("__id").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__line")
+    )
+    tagged = lines.join(
+        F.broadcast(line_df.withColumn("__drop", F.lit(True))), "__line", "left"
+    ).withColumn("__drop", F.coalesce(F.col("__drop"), F.lit(False)))
+    out = tagged.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__drop"),
+                            F.struct(F.col("__idx"), F.col("__line")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("__line"),
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.sum((~F.col("__drop")).cast("long")).alias("n_kept"),
+        F.sum(F.col("__drop").cast("long")).alias("n_dropped"),
+    )
+    return out.select(
+        F.col("__id").alias(id_col), "clean_text", "n_kept", "n_dropped"
+    )
