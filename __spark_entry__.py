@@ -1260,6 +1260,31 @@ def q_knn_classify(spark, sf_dir):
     return pred.join(truth, "query_id")
 
 
+def q_running_balance_scaled(spark, sf_dir):
+    """Per-key running revenue where a KEY'S WHOLE HISTORY exceeds one
+    task (prefix_agg partition_by mode): five priority classes, each
+    ~n/5 rows, running sum/count in (date, orderkey) order with the
+    range shuffle on (key, order) — one hot key spreads over many
+    partitions, only its per-(key, partition) totals are combined.
+    The unbounded-history answer to temporal.bounded_running_balance's
+    BOUNDED-GROUP contract. (New r08.)"""
+    from table_computing_spark.operators.prefix import prefix_agg
+
+    o = _t(spark, sf_dir, "orders").df.select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    out = prefix_agg(
+        o,
+        ["o_orderdate", "o_orderkey"],
+        {"bal_cents": ("sum", "cents"), "n_orders": ("count", F.lit(1))},
+        partition_by=["o_orderpriority"],
+    )
+    return out.select("o_orderkey", "o_orderpriority", "bal_cents", "n_orders")
+
+
 def q_boilerplate(spark, sf_dir):
     """Corpus-level boilerplate-line removal
     (text.drop_boilerplate_lines, the CCNet/RefinedWeb paragraph-dedup
@@ -4549,7 +4574,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_integrity_checks": q_integrity_checks,
         "q_lag_lead": q_lag_lead,
         "q_json_extract": q_json_extract,
-        "q_unpivot": q_unpivot,
         # --- NEW r08 queries (never verified — swapped in for r04 fillers) ---
         "q_csv_ingest": q_csv_ingest,
         "q_json_ingest": q_json_ingest,
@@ -4564,10 +4588,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_buckets": q_quantile_buckets,
         "q_knn_classify": q_knn_classify,
         "q_boilerplate": q_boilerplate,
+        "q_running_balance_scaled": q_running_balance_scaled,
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
         # r04 fillers displaced from the window by new r08 queries
+        "q_unpivot": q_unpivot,
         "q_udaf_apply": q_udaf_apply,
         "q_over_by_duration": q_over_by_duration,
         "q_window_tumble": q_window_tumble,
@@ -5083,6 +5109,20 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         **TPCH_ORACLES,
+        "q_running_balance_scaled": """
+        WITH c AS (
+          SELECT o_orderkey, o_orderdate, o_orderpriority,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        )
+        SELECT o_orderkey, o_orderpriority,
+               CAST(sum(cents) OVER w AS BIGINT) AS bal_cents,
+               count(*) OVER w AS n_orders
+        FROM c
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
         "q_boilerplate": """
         WITH parts AS (
           SELECT doc_id, string_split(text, chr(10)) AS ps FROM documents

@@ -43,6 +43,7 @@ def prefix_agg(
     specs: "Mapping[str, Tuple[str, Column | str]]",
     exclusive: bool = False,
     num_partitions: int | None = None,
+    partition_by: "Sequence[str] | None" = None,
 ) -> DataFrame:
     """Add running aggregates in the global `order_by` order without an
     unpartitioned window.
@@ -53,28 +54,38 @@ def prefix_agg(
     count is 0, exactly as in SQL) — the form dominance/skyline scans
     need.
 
-    The order must be TOTAL (include a unique tiebreak column) or
-    results are nondeterministic across runs, same contract as
-    dense_ids."""
+    partition_by restarts the running aggregate per key — the
+    `SUM(x) OVER (PARTITION BY key ORDER BY ...)` shape for keys whose
+    HISTORY exceeds one task: unlike the plain partitioned window
+    (which funnels each key's entire history through one task — the
+    temporal.bounded_running_balance BOUNDED-GROUP caveat), the range
+    shuffle here runs on (key, order), so one hot key spreads over many
+    partitions and only its per-(key, partition) totals are combined.
+
+    The order must be TOTAL within a key (include a unique tiebreak
+    column) or results are nondeterministic across runs, same contract
+    as dense_ids."""
     for name, (kind, _) in specs.items():
         if kind not in _KINDS:
             raise ValueError(f"{name}: unknown kind {kind!r}; use one of {_KINDS}")
+    keys = list(partition_by or [])
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    range_cols = [F.col(k) for k in keys] + cols
     part = (
-        df.repartitionByRange(num_partitions, *cols)
+        df.repartitionByRange(num_partitions, *range_cols)
         if num_partitions
-        else df.repartitionByRange(*cols)
+        else df.repartitionByRange(*range_cols)
     )
     # pin the physical partitioning: the totals aggregate and the final
     # merge join must observe the SAME pid assignment (see dense_ids)
     tagged = (
-        part.sortWithinPartitions(*cols)
+        part.sortWithinPartitions(*range_cols)
         .withColumn("__pid", F.shiftright(F.monotonically_increasing_id(), _MID_SHIFT))
         .localCheckpoint(eager=True)
     )
     end = -1 if exclusive else 0
     local_w = (
-        Window.partitionBy("__pid")
+        Window.partitionBy("__pid", *keys)
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, end)
     )
@@ -83,10 +94,11 @@ def prefix_agg(
     for name, (kind, expr) in specs.items():
         e = F.col(expr) if isinstance(expr, str) else expr
         with_local = with_local.withColumn(f"__loc_{name}", local_fn[kind](e).over(local_w))
-    # one tiny row per partition; the EXCLUSIVE cumulative combine over
-    # it is the only globally ordered window — numPartitions rows, and
-    # its __pid order key is whitelisted by the plan gate as bounded
-    totals = tagged.groupBy("__pid").agg(
+    # one tiny row per (partition, key-slice); the EXCLUSIVE cumulative
+    # combine over it is the only cross-partition ordered window —
+    # global (bounded __pid rows, plan-gate-whitelisted) when ungrouped,
+    # key-partitioned over per-key pid rows when grouped
+    totals = tagged.groupBy("__pid", *keys).agg(
         *[
             local_fn[kind](F.col(expr) if isinstance(expr, str) else expr).alias(
                 f"__tot_{name}"
@@ -94,9 +106,14 @@ def prefix_agg(
             for name, (kind, expr) in specs.items()
         ]
     )
-    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_w = (
+        Window.partitionBy(*keys).orderBy("__pid")
+        if keys
+        else Window.orderBy("__pid")
+    ).rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "__pid",
+        *keys,
         *[
             {
                 "sum": F.sum(f"__tot_{name}"),
@@ -109,7 +126,12 @@ def prefix_agg(
             for name, (kind, _) in specs.items()
         ],
     )
-    out = with_local.join(F.broadcast(offsets), "__pid")
+    # ungrouped: offsets is numPartitions rows — always broadcast.
+    # grouped: offsets is ~(#keys + #pids) rows; few-hot-keys (the case
+    # this mode exists for) stays tiny, but an unbounded key count must
+    # not force a driver-sized broadcast — let AQE pick the join side.
+    off_side = F.broadcast(offsets) if not keys else offsets
+    out = with_local.join(off_side, ["__pid", *keys])
     for name, (kind, _) in specs.items():
         loc, off = F.col(f"__loc_{name}"), F.col(f"__off_{name}")
         if kind == "count":

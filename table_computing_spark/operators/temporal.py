@@ -744,7 +744,13 @@ def bounded_running_balance(
     for per-SKU/per-account histories; shard the key by time window
     first if a single key's events outgrow a task.
 
-    Returns (keys..., n_events, final_balance, n_stockouts)."""
+    Returns (keys..., n_events, final_balance, n_stockouts).
+
+    For keys whose history does NOT fit one task, use
+    operators/prefix.prefix_agg(partition_by=[key]) — the range shuffle
+    runs on (key, order), so a hot key spreads over many partitions and
+    only its per-(key, partition) totals are combined (q_running_balance_scaled).
+    """
     cents = int(10**scale)
     ordered = F.sort_array(
         F.collect_list(

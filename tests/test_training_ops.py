@@ -1805,3 +1805,53 @@ def test_url_canonicalize_rules(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r[0] for r in df.select(url_canonicalize("u")).collect()]
     assert got == [w for _, w in cases]
+
+
+def test_prefix_agg_grouped_matches_partitioned_window(spark):
+    """partition_by mode == the literal SUM() OVER (PARTITION BY key
+    ORDER BY ...) window, including a HOT key whose history spans many
+    range partitions (the shape the plain window cannot spread) and a
+    key with a single row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators.prefix import prefix_agg
+
+    rows = [("hot", i, ((i * 7919) % 401) - 200) for i in range(4000)]
+    rows += [("warm", i, i % 23) for i in range(300)]
+    rows += [("solo", 0, 42)]
+    d = spark.createDataFrame(rows, "k string, t long, x long").repartition(9)
+    got = prefix_agg(
+        d,
+        ["t"],
+        {"bal": ("sum", "x"), "peak": ("max", "x"), "n": ("count", F.lit(1))},
+        partition_by=["k"],
+        num_partitions=11,
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = (
+        d.withColumn("bal", F.sum("x").over(w))
+        .withColumn("peak", F.max("x").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+    )
+    cols = ["bal", "peak", "n"]
+    g = {(r["k"], r["t"]): tuple(r[c] for c in cols) for r in got.collect()}
+    e = {(r["k"], r["t"]): tuple(r[c] for c in cols) for r in want.collect()}
+    assert g == e
+    # the hot key must actually SPAN partitions (else this test proves
+    # nothing about the spread)
+    from table_computing_spark.operators.prefix import _MID_SHIFT
+
+    spans = (
+        d.repartitionByRange(11, F.col("k"), F.col("t"))
+        .withColumn("__pid", F.shiftright(F.monotonically_increasing_id(), _MID_SHIFT))
+        .filter(F.col("k") == "hot")
+        .select("__pid")
+        .distinct()
+        .count()
+    )
+    assert spans >= 3, spans
