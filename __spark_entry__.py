@@ -1285,6 +1285,40 @@ def q_running_balance_scaled(spark, sf_dir):
     return out.select("o_orderkey", "o_orderpriority", "bal_cents", "n_orders")
 
 
+def q_peak_concurrency(spark, sf_dir):
+    """Peak concurrent activity per event type — the classic
+    sweep-line: each event opens [t, t+value·1000ms); +1/−1 boundary
+    deltas, running sum in (t, delta) order (ends close BEFORE starts
+    at the same tick — half-open semantics), max per key. The running
+    sum is the grouped prefix scan (prefix_agg partition_by), so a
+    key's boundary stream never funnels through one task; per-row
+    prefix values inside a tied (t, delta) block are order-dependent
+    but the per-key MAX is provably not (monotone within blocks).
+    (New r08.)"""
+    from table_computing_spark.operators.prefix import prefix_agg
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type",
+        tcf.epoch_ms("ts").alias("s"),
+        (tcf.epoch_ms("ts") + F.round(F.col("value") * 1000).cast("long")).alias("e"),
+    )
+    bounds = ev.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        ev.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    run = prefix_agg(
+        bounds,
+        ["t", "delta"],
+        {"conc": ("sum", "delta")},
+        partition_by=["event_type"],
+    )
+    return run.groupBy("event_type").agg(
+        F.max("conc").cast("long").alias("peak_concurrency"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )
+
+
 def q_boilerplate(spark, sf_dir):
     """Corpus-level boilerplate-line removal
     (text.drop_boilerplate_lines, the CCNet/RefinedWeb paragraph-dedup
@@ -4573,7 +4607,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram": q_histogram,
         "q_integrity_checks": q_integrity_checks,
         "q_lag_lead": q_lag_lead,
-        "q_json_extract": q_json_extract,
         # --- NEW r08 queries (never verified — swapped in for r04 fillers) ---
         "q_csv_ingest": q_csv_ingest,
         "q_json_ingest": q_json_ingest,
@@ -4589,10 +4622,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_classify": q_knn_classify,
         "q_boilerplate": q_boilerplate,
         "q_running_balance_scaled": q_running_balance_scaled,
+        "q_peak_concurrency": q_peak_concurrency,
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
         # r04 fillers displaced from the window by new r08 queries
+        "q_json_extract": q_json_extract,
         "q_unpivot": q_unpivot,
         "q_udaf_apply": q_udaf_apply,
         "q_over_by_duration": q_over_by_duration,
@@ -5109,6 +5144,28 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         **TPCH_ORACLES,
+        "q_peak_concurrency": """
+        WITH iv AS (
+          SELECT event_type, epoch_ms(ts) AS s,
+                 epoch_ms(ts) + CAST(round(value * 1000) AS BIGINT) AS e
+          FROM events
+        ), b AS (
+          SELECT event_type, s AS t, 1 AS delta FROM iv
+          UNION ALL
+          SELECT event_type, e AS t, -1 AS delta FROM iv
+        ), r AS (
+          SELECT event_type,
+                 CAST(sum(delta) OVER (PARTITION BY event_type
+                      ORDER BY t, delta
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS conc
+          FROM b
+        )
+        SELECT event_type,
+               max(conc) AS peak_concurrency,
+               CAST(count(*) / 2 AS BIGINT) AS n_intervals
+        FROM r GROUP BY event_type
+        """,
         "q_running_balance_scaled": """
         WITH c AS (
           SELECT o_orderkey, o_orderdate, o_orderpriority,
