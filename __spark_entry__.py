@@ -1319,6 +1319,22 @@ def q_peak_concurrency(spark, sf_dir):
     )
 
 
+def q_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix — the eval every lang-filtered
+    corpus slice needs before trusting its language column: stopword-
+    overlap predictions (text.lang_id) against the labeled `lang`
+    column, one count per (truth, predicted) cell. Pure codegen
+    expressions + one hash aggregate. (New r08.)"""
+    from table_computing_spark.operators import text as tx
+
+    d = _t(spark, sf_dir, "documents").df
+    return (
+        d.select("lang", tx.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_boilerplate(spark, sf_dir):
     """Corpus-level boilerplate-line removal
     (text.drop_boilerplate_lines, the CCNet/RefinedWeb paragraph-dedup
@@ -4606,7 +4622,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_data_profile": q_data_profile,
         "q_histogram": q_histogram,
         "q_integrity_checks": q_integrity_checks,
-        "q_lag_lead": q_lag_lead,
         # --- NEW r08 queries (never verified — swapped in for r04 fillers) ---
         "q_csv_ingest": q_csv_ingest,
         "q_json_ingest": q_json_ingest,
@@ -4623,10 +4638,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate": q_boilerplate,
         "q_running_balance_scaled": q_running_balance_scaled,
         "q_peak_concurrency": q_peak_concurrency,
+        "q_langid_confusion": q_langid_confusion,
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
         # r04 fillers displaced from the window by new r08 queries
+        "q_lag_lead": q_lag_lead,
         "q_json_extract": q_json_extract,
         "q_unpivot": q_unpivot,
         "q_udaf_apply": q_udaf_apply,
@@ -5144,6 +5161,31 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         **TPCH_ORACLES,
+        "q_langid_confusion": r"""
+        WITH base AS (
+          SELECT lang,
+                 list_distinct(list_filter(
+                     string_split_regex(lower(text), '\s+'), x -> x <> '')) AS dt
+          FROM documents
+        ), s AS (
+          SELECT lang,
+                 len(list_intersect(dt, ['der','die','das','und','ist','nicht','ein','mit','auf','zu'])) AS s_de,
+                 len(list_intersect(dt, ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
+                 len(list_intersect(dt, ['el','la','los','y','es','un','una','de','en','se'])) AS s_es,
+                 len(list_intersect(dt, ['le','la','les','et','est','un','une','des','dans','que'])) AS s_fr
+          FROM base
+        ), p AS (
+          SELECT lang,
+                 CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                      WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                      WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                      WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                      ELSE 'fr' END AS lang_pred
+          FROM s
+        )
+        SELECT lang, lang_pred, count(*) AS n_docs
+        FROM p GROUP BY lang, lang_pred
+        """,
         "q_peak_concurrency": """
         WITH iv AS (
           SELECT event_type, epoch_ms(ts) AS s,
