@@ -1335,6 +1335,39 @@ def q_langid_confusion(spark, sf_dir):
     )
 
 
+def q_token_fertility(spark, sf_dir):
+    """Tokenizer fertility per language — the tokens-per-word ratio
+    that decides how expensive a language is to train on (fertility
+    creep is the canary for tokenizer/corpus mismatch): BPE-ish regex
+    tokens over whitespace words, exact integer sums per lang, one
+    fixed-order division. Plus chars-per-token. One hash aggregate.
+    (New r08.)"""
+    from table_computing_spark.operators import text as tx
+
+    d = _t(spark, sf_dir, "documents").df
+    per = d.select(
+        "lang",
+        tx.token_count(F.col("text")).cast("long").alias("ws"),
+        tx.token_count_bpe(F.col("text")).cast("long").alias("bpe"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").alias("n_words"),
+        F.sum("bpe").alias("n_bpe_tokens"),
+        F.sum("chars").alias("n_chars"),
+    )
+    return agg.select(
+        "lang", "n_docs", "n_words", "n_bpe_tokens",
+        F.round(
+            F.col("n_bpe_tokens").cast("double") / F.col("n_words").cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_bpe_tokens").cast("double"), 6
+        ).alias("chars_per_token"),
+    )
+
+
 def q_boilerplate(spark, sf_dir):
     """Corpus-level boilerplate-line removal
     (text.drop_boilerplate_lines, the CCNet/RefinedWeb paragraph-dedup
@@ -4621,7 +4654,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_features": q_multimodal_features,
         "q_data_profile": q_data_profile,
         "q_histogram": q_histogram,
-        "q_integrity_checks": q_integrity_checks,
         # --- NEW r08 queries (never verified — swapped in for r04 fillers) ---
         "q_csv_ingest": q_csv_ingest,
         "q_json_ingest": q_json_ingest,
@@ -4639,10 +4671,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_running_balance_scaled": q_running_balance_scaled,
         "q_peak_concurrency": q_peak_concurrency,
         "q_langid_confusion": q_langid_confusion,
+        "q_token_fertility": q_token_fertility,
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
         # r04 fillers displaced from the window by new r08 queries
+        "q_integrity_checks": q_integrity_checks,
         "q_lag_lead": q_lag_lead,
         "q_json_extract": q_json_extract,
         "q_unpivot": q_unpivot,
@@ -5161,6 +5195,25 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         **TPCH_ORACLES,
+        "q_token_fertility": r"""
+        WITH per AS (
+          SELECT lang,
+                 len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws,
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe,
+                 length(text) AS chars
+          FROM documents
+        ), a AS (
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(ws) AS BIGINT) AS n_words,
+                 CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+                 CAST(sum(chars) AS BIGINT) AS n_chars
+          FROM per GROUP BY lang
+        )
+        SELECT lang, n_docs, n_words, n_bpe_tokens,
+               round(CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS fertility,
+               round(CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE), 6) AS chars_per_token
+        FROM a
+        """,
         "q_langid_confusion": r"""
         WITH base AS (
           SELECT lang,
