@@ -1368,6 +1368,48 @@ def q_token_fertility(spark, sf_dir):
     )
 
 
+def q_stream_json_ingest(spark, sf_dir):
+    """STREAMING text ingest with per-row quarantine — the Kafka
+    value-parse contract (sources/kafka.py json_value_columns; ref
+    sp/input/KafkaStreamTable.java) exercised through a real
+    micro-batch run without a broker: the malformed-JSONL fixture
+    replayed as a file stream with the same PERMISSIVE +
+    `_corrupt_record` schema as q_json_ingest, aggregated to per-class
+    counts in complete mode. Final state hash-matches the batch
+    oracle's quarantine split. (New r08.)"""
+    import os
+
+    from pyspark.sql import types as T
+
+    path = _ensure_json_ingest_fixture()
+    schema = T.StructType.fromDDL(
+        "id bigint, name string, cents bigint, _corrupt_record string"
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("pathGlobFilter", os.path.basename(path))
+        .json(os.path.dirname(path))
+    )
+    # reference EVERY schema field: Spark prunes the JSON parse to the
+    # referenced columns, and the corrupt flag is defined relative to
+    # the PARSED schema — an aggregate touching only cents would stop
+    # flagging wrong-typed ids (measured: 45 vs 136 quarantined rows)
+    out = (
+        sdf.withColumn("is_corrupt", F.col("_corrupt_record").isNotNull())
+        .groupBy("is_corrupt")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.coalesce(F.col("cents"), F.lit(0))).alias("sum_cents"),
+            F.sum(F.coalesce(F.col("id"), F.lit(0))).alias("sum_ids"),
+            F.count(F.col("name")).alias("n_names"),
+        )
+    )
+    with _state_partitions(spark):
+        return _run_stream_to_df(spark, out, "complete")
+
+
 def q_boilerplate(spark, sf_dir):
     """Corpus-level boilerplate-line removal
     (text.drop_boilerplate_lines, the CCNet/RefinedWeb paragraph-dedup
@@ -4653,7 +4695,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_multimodal_features": q_multimodal_features,
         "q_data_profile": q_data_profile,
-        "q_histogram": q_histogram,
         # --- NEW r08 queries (never verified — swapped in for r04 fillers) ---
         "q_csv_ingest": q_csv_ingest,
         "q_json_ingest": q_json_ingest,
@@ -4672,10 +4713,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_peak_concurrency": q_peak_concurrency,
         "q_langid_confusion": q_langid_confusion,
         "q_token_fertility": q_token_fertility,
+        "q_stream_json_ingest": q_stream_json_ingest,
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
         # r04 fillers displaced from the window by new r08 queries
+        "q_histogram": q_histogram,
         "q_integrity_checks": q_integrity_checks,
         "q_lag_lead": q_lag_lead,
         "q_json_extract": q_json_extract,
@@ -5195,6 +5238,38 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         **TPCH_ORACLES,
+        "q_stream_json_ingest": rf"""
+        WITH raw AS (
+          SELECT line
+          FROM read_csv('{_JSON_INGEST_PATH}', delim='\t', header=false,
+                        quote='', columns={{'line': 'VARCHAR'}})
+          WHERE line <> ''
+        ), j AS (
+          SELECT line, json_valid(line) AS v,
+                 CASE WHEN json_valid(line)
+                      THEN json_type(line, '$.id') END AS tid,
+                 CASE WHEN json_valid(line)
+                      THEN json_type(line, '$.cents') END AS tc
+          FROM raw
+        ), p AS (
+          SELECT NOT (v AND (tid IS NULL OR tid IN ('BIGINT', 'UBIGINT'))
+                        AND (tc IS NULL OR tc IN ('BIGINT', 'UBIGINT')))
+                 AS is_corrupt,
+                 CASE WHEN v AND tc IN ('BIGINT', 'UBIGINT')
+                      THEN CAST(json_extract_string(line, '$.cents') AS BIGINT)
+                      ELSE 0 END AS cents,
+                 CASE WHEN v AND tid IN ('BIGINT', 'UBIGINT')
+                      THEN CAST(json_extract_string(line, '$.id') AS BIGINT)
+                      ELSE 0 END AS id,
+                 CASE WHEN v THEN json_extract_string(line, '$.name') END AS name
+          FROM j
+        )
+        SELECT is_corrupt, count(*) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               CAST(sum(id) AS BIGINT) AS sum_ids,
+               count(name) AS n_names
+        FROM p GROUP BY is_corrupt
+        """,
         "q_token_fertility": r"""
         WITH per AS (
           SELECT lang,
