@@ -13,6 +13,15 @@ surfaces bad records instead of failing the job): PERMISSIVE mode
 plus a `_corrupt_record` column when `keep_corrupt=True`, so a 100 TB
 ingest quarantines bad lines instead of dying at hour nine.
 
+SEMANTICS TRAP (measured, r08): the corrupt flag is defined relative
+to the PARSED schema, and Spark prunes the text parse to the columns a
+query references — an aggregate touching only one field stops
+flagging type errors in the others (45 vs 136 quarantined rows on the
+same file). Quarantine queries must reference every schema field, or
+land the full parse to parquet first. Spark also refuses plans whose
+only referenced column is `_corrupt_record` (count() prunes to that);
+cache the parse or persist it before counting.
+
 Scale notes: CSV/JSON scans support column pruning but NOT parquet-
 grade predicate pushdown or encodings — the intended pipeline is
 read text once → write_compacted parquet (sources/compaction.py) →
