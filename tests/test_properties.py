@@ -317,3 +317,79 @@ def test_transition_counts_property(spark, events, gap):
             if t1 - t0 <= gap:
                 c[(s0, s1)] += 1
     assert got == dict(c)
+
+
+@given(
+    xs=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=60,
+    ),
+    n=st.integers(1, 7),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ntile_distributed_property(spark, xs, n):
+    """ntile_distributed == pandas-computed SQL ntile on arbitrary
+    small frames (ties everywhere, duplicate values, any n)."""
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators.ids import ntile_distributed
+
+    rows = [(i, v) for i, (v, _) in enumerate(xs)]
+    d = spark.createDataFrame(rows, "rid long, v long")
+    got = {
+        r["rid"]: r["b"]
+        for r in ntile_distributed(d, ["v", "rid"], n, out_col="b").collect()
+    }
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    N = len(order)
+    q, r = divmod(N, n)
+    want = {}
+    for pos, (rid, _) in enumerate(order):
+        if pos < r * (q + 1):
+            want[rid] = pos // (q + 1) + 1
+        else:
+            want[rid] = r + (pos - r * (q + 1)) // max(q, 1) + 1
+    assert got == want
+
+
+@given(
+    xs=st.lists(
+        st.tuples(st.integers(0, 10), st.integers(-50, 50)),
+        min_size=1,
+        max_size=50,
+    ),
+    exclusive=st.booleans(),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_agg_property(spark, xs, exclusive):
+    """prefix_agg running sum/min == the python prefix fold on
+    arbitrary frames with heavy ties, both frames."""
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators.prefix import prefix_agg
+
+    rows = [(i, t, v) for i, (t, v) in enumerate(xs)]
+    d = spark.createDataFrame(rows, "rid long, t long, v long").repartition(5)
+    got = {
+        r["rid"]: (r["s"], r["mn"])
+        for r in prefix_agg(
+            d, ["t", "rid"], {"s": ("sum", "v"), "mn": ("min", "v")},
+            exclusive=exclusive, num_partitions=3,
+        ).collect()
+    }
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = {}
+    run_s, run_m = 0, None
+    seen = 0
+    for rid, _, v in order:
+        if exclusive:
+            want[rid] = (run_s if seen else None, run_m)
+        run_s += v
+        run_m = v if run_m is None else min(run_m, v)
+        seen += 1
+        if not exclusive:
+            want[rid] = (run_s, run_m)
+    assert got == want
