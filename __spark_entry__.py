@@ -1410,6 +1410,36 @@ def q_stream_json_ingest(spark, sf_dir):
         return _run_stream_to_df(spark, out, "complete")
 
 
+def q_minhash_accuracy(spark, sf_dir):
+    """Sketch-accuracy audit for MinHash (dedup.minhash_estimate_pairs
+    — the q_ann_recall pattern applied to signatures): for every
+    token-Jaccard >= 0.5 candidate pair, the 32-hash signature-
+    agreement ESTIMATE next to the exact token Jaccard and the
+    absolute error. Signatures use md5 (engine-portable, unlike the
+    production xxhash64 path), so the whole audit sits under the
+    value-hash oracle. Exact and estimate both score TOKEN sets (the
+    exact value falls out of the candidate generator — no second
+    verification pass), at t=0.5 on a 1/10 doc slice: ~94% of ALL
+    pairs clear t=0.3 on this near-dup-saturated corpus
+    (output-quadratic — measured 102 s full-corpus at sf0.1) and an
+    accuracy audit needs a sample near the decision threshold, not
+    the census — same scoping precedent as q_jaccard_prefix.
+    (New r08.)"""
+    from table_computing_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents").df.filter(F.col("doc_id") % 10 == 0)
+    exact = dedup.ngram_jaccard_pairs(d, threshold=0.5)
+    est = dedup.minhash_estimate_pairs(
+        d, exact.select("id_a", "id_b"), use_tokens=True
+    )
+    return exact.join(est, ["id_a", "id_b"]).select(
+        "id_a", "id_b",
+        F.col("jaccard").alias("exact_jaccard"),
+        "est_jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
+    )
+
+
 def q_boilerplate(spark, sf_dir):
     """Corpus-level boilerplate-line removal
     (text.drop_boilerplate_lines, the CCNet/RefinedWeb paragraph-dedup
@@ -4699,7 +4729,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_split": q_sample_split,
         "q_stratified_sample": q_stratified_sample,
         "q_multimodal_features": q_multimodal_features,
-        "q_data_profile": q_data_profile,
         # --- NEW r08 queries (never verified — swapped in for r04 fillers) ---
         "q_csv_ingest": q_csv_ingest,
         "q_json_ingest": q_json_ingest,
@@ -4719,10 +4748,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid_confusion": q_langid_confusion,
         "q_token_fertility": q_token_fertility,
         "q_stream_json_ingest": q_stream_json_ingest,
+        "q_minhash_accuracy": q_minhash_accuracy,
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
         # r04 fillers displaced from the window by new r08 queries
+        "q_data_profile": q_data_profile,
         "q_histogram": q_histogram,
         "q_integrity_checks": q_integrity_checks,
         "q_lag_lead": q_lag_lead,
@@ -7672,6 +7703,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         # exact 3-shingle Jaccard over ALL pairs — the Spark side must
         # find every >= 0.5 pair through banded LSH + exact verification
+        "q_minhash_accuracy": r"""
+        WITH t AS (
+          SELECT doc_id AS id,
+                 list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents WHERE doc_id % 10 = 0
+        ), tok AS (
+          SELECT id, unnest(list_distinct(toks)) AS tk FROM t
+        ), tsz AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+        tshared AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+          FROM tok a JOIN tok b ON a.tk = b.tk AND a.id < b.id
+          GROUP BY 1, 2
+        ), exact AS (
+          SELECT id_a, id_b,
+                 round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6)
+                 AS exact_jaccard
+          FROM tshared
+          JOIN tsz sa ON sa.id = id_a JOIN tsz sb ON sb.id = id_b
+          WHERE round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6) >= 0.5
+        ), sig AS (
+          SELECT id, i,
+                 min(CAST('0x' || substring(
+                     md5(CAST(i AS VARCHAR) || '|' || tk), 1, 15) AS BIGINT)) AS m
+          FROM tok, range(0, 32) r(i)
+          GROUP BY id, i
+        ), est AS (
+          SELECT e.id_a, e.id_b,
+                 round(CAST(sum(CAST(a.m = b.m AS INT)) AS DOUBLE) / 32, 6)
+                 AS est_jaccard
+          FROM exact e
+          JOIN sig a ON a.id = e.id_a
+          JOIN sig b ON b.id = e.id_b AND b.i = a.i
+          GROUP BY 1, 2
+        )
+        SELECT e.id_a, e.id_b, e.exact_jaccard, s.est_jaccard,
+               round(abs(s.est_jaccard - e.exact_jaccard), 6) AS abs_err
+        FROM exact e JOIN est s ON e.id_a = s.id_a AND e.id_b = s.id_b
+        """,
         "q_minhash_lsh": r"""
             WITH t AS (
               SELECT doc_id AS id,

@@ -718,3 +718,69 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_small", "id_big", "containment")
     )
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    round_to: int = 6,
+    use_tokens: bool = False,
+) -> DataFrame:
+    """Signature-agreement Jaccard ESTIMATE for an explicit pair list —
+    the sketch-accuracy half of an est-vs-exact audit (the production
+    signatures above use xxhash64 for speed; these use md5 so ANY
+    engine reproduces every signature bit-for-bit, the same
+    portability trade the count-min sketch makes in frequency.py).
+
+    est_jaccard = fraction of the num_hashes positions where the two
+    docs' min-over-shingles hashes agree — an unbiased estimator with
+    std ~ sqrt(j(1-j)/n). The agreement count is a row-wise codegen
+    sum over the wide signature join, no explode.
+
+    Docs with no complete shingle (< k tokens) have no signature and
+    their pairs drop out (inner joins) — mirror-constructed oracles
+    drop the same pairs. `use_tokens=True` switches the unit set to
+    distinct tokens (the granularity ngram_jaccard_pairs scores), so
+    est and exact measure the SAME similarity."""
+    if use_tokens:
+        sh = _spread(df).select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("__sh"),
+        )
+    else:
+        sh = (
+            shingle_rows(df, text_col, id_col, shingle_k)
+            .filter(F.col("__sh").isNotNull())
+            .select("__id", "__sh")
+            .distinct()
+        )
+
+    def h(i: int) -> Column:
+        s = F.concat(F.lit(f"{i}|"), F.col("__sh"))
+        return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+    sig = sh.groupBy("__id").agg(
+        *[F.min(h(i)).alias(f"m{i}") for i in range(num_hashes)]
+    )
+    a = sig.select(
+        F.col("__id").alias("id_a"),
+        *[F.col(f"m{i}").alias(f"__a{i}") for i in range(num_hashes)],
+    )
+    b = sig.select(
+        F.col("__id").alias("id_b"),
+        *[F.col(f"m{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    )
+    j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    agree = sum(
+        [(F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int") for i in range(num_hashes)],
+        F.lit(0),
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        F.round(agree.cast("double") / num_hashes, round_to).alias("est_jaccard"),
+    )
