@@ -1855,3 +1855,31 @@ def test_prefix_agg_grouped_matches_partitioned_window(spark):
         .count()
     )
     assert spans >= 3, spans
+
+
+def test_minhash_estimate_pairs_bounds(spark):
+    """Signature-agreement estimate: exactly 1.0 for identical unit
+    sets, exactly 0.0 for disjoint ones, and within 4 standard errors
+    (4*sqrt(j(1-j)/32) ~ 0.36) of a mid-similarity pair."""
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.operators.dedup import (
+        minhash_estimate_pairs, ngram_jaccard_pairs)
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),        # identical to 1
+        (3, "one two three four five six"),                # disjoint from 1
+        (4, "alpha beta gamma one two three"),             # j = 3/9 vs 1
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_estimate_pairs(d, pairs, use_tokens=True).collect()
+    }
+    assert est[(1, 2)] == 1.0
+    assert est[(1, 3)] == 0.0
+    assert abs(est[(1, 4)] - 3 / 9) <= 0.36
