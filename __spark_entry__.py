@@ -1440,6 +1440,35 @@ def q_minhash_accuracy(spark, sf_dir):
     )
 
 
+def q_asof_forward(spark, sf_dir):
+    """FORWARD as-of join (temporal.asof_join direction='forward' —
+    the next-tick/next-delivery half of the as-of pair): each order
+    attaches its FIRST shipment on/after the order date. The right
+    side pre-aggregates to one row per (orderkey, shipdate) — min
+    cents as the representative — so the tie pick is engine-exact.
+    One union + one key-partitioned descending window, no range
+    self-join. (New r08.)"""
+    from table_computing_spark.operators.temporal import asof_join
+
+    o = _t(spark, sf_dir, "orders").df.select(
+        F.col("o_orderkey").alias("okey"),
+        tcf.epoch_ms("o_orderdate").alias("order_ms"),
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem").df.select(
+            F.col("l_orderkey").alias("okey"),
+            tcf.epoch_ms("l_shipdate").alias("ship_ms"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("okey", "ship_ms")
+        .agg(F.min("cents").alias("ship_cents"))
+    )
+    out = asof_join(
+        o, li, ["okey"], "order_ms", "ship_ms", how="left", direction="forward"
+    )
+    return out.select("okey", "order_ms", "ship_cents")
+
+
 def q_boilerplate(spark, sf_dir):
     """Corpus-level boilerplate-line removal
     (text.drop_boilerplate_lines, the CCNet/RefinedWeb paragraph-dedup
@@ -4728,7 +4757,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_centroids": q_embedding_centroids,
         "q_sample_split": q_sample_split,
         "q_stratified_sample": q_stratified_sample,
-        "q_multimodal_features": q_multimodal_features,
         # --- NEW r08 queries (never verified — swapped in for r04 fillers) ---
         "q_csv_ingest": q_csv_ingest,
         "q_json_ingest": q_json_ingest,
@@ -4749,10 +4777,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_fertility": q_token_fertility,
         "q_stream_json_ingest": q_stream_json_ingest,
         "q_minhash_accuracy": q_minhash_accuracy,
+        "q_asof_forward": q_asof_forward,
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
         # r04 fillers displaced from the window by new r08 queries
+        "q_multimodal_features": q_multimodal_features,
         "q_data_profile": q_data_profile,
         "q_histogram": q_histogram,
         "q_integrity_checks": q_integrity_checks,
@@ -7703,6 +7733,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         # exact 3-shingle Jaccard over ALL pairs — the Spark side must
         # find every >= 0.5 pair through banded LSH + exact verification
+        "q_asof_forward": """
+        WITH li AS (
+          SELECT l_orderkey AS okey, epoch_ms(l_shipdate) AS ship_ms,
+                 min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ship_cents
+          FROM lineitem GROUP BY 1, 2
+        ), o AS (
+          SELECT o_orderkey AS okey, epoch_ms(o_orderdate) AS order_ms
+          FROM orders
+        ), matched AS (
+          SELECT o.okey, o.order_ms,
+                 min_by(li.ship_cents, li.ship_ms) AS ship_cents
+          FROM o JOIN li ON li.okey = o.okey AND li.ship_ms >= o.order_ms
+          GROUP BY 1, 2
+        )
+        SELECT o.okey, o.order_ms, matched.ship_cents
+        FROM o LEFT JOIN matched ON matched.okey = o.okey
+                                AND matched.order_ms = o.order_ms
+        """,
         "q_minhash_accuracy": r"""
         WITH t AS (
           SELECT doc_id AS id,

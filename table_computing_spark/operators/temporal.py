@@ -34,17 +34,27 @@ def asof_join(
     right_time: str,
     how: str = "inner",
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     `right_time` <= `left_time` within the same `on` key (pandas
     merge_asof / DuckDB ASOF JOIN semantics; ties on right_time resolve
     to the last right row in (time, input) order).
 
+    direction='forward' flips the match to the SMALLEST
+    `right_time` >= `left_time` (next tick / next delivery) — the same
+    one-pass union window, ordered descending. With duplicate
+    (key, right_time) rows the tie pick follows input order (same
+    caveat as backward); pre-aggregate the right side to one row per
+    (key, time) when the choice must be engine-deterministic.
+
     how='left' keeps unmatched left rows (right columns null).
     Right columns that collide with left names get `suffix`.
     """
     if how not in ("inner", "left"):
         raise ValueError("asof_join supports inner/left")
+    if direction not in ("backward", "forward"):
+        raise ValueError("asof_join direction must be backward/forward")
     keys = list(on)
     lcols = [c for c in left.columns if c not in keys]
     rcols = [c for c in right.columns if c not in keys and c != right_time]
@@ -69,9 +79,10 @@ def asof_join(
         F.col(right_time).cast("double").alias("__rt"),
     )
     u = lpart.unionByName(rpart)
+    torder = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         W.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .orderBy(torder, F.col("__side").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = u.select(

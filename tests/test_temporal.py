@@ -212,3 +212,35 @@ def test_path_counts_golden_and_cross_key_isolation(spark):
         for r in path_counts(df, ["k"], ["t"], "s", depth=3, top_k=10).collect()
     ]
     assert got == [("a>b>c", 2), ("b>c>a", 1)]
+
+
+def test_asof_join_forward_matches_pandas(spark):
+    """direction='forward' == pandas merge_asof(direction='forward')
+    on unique (key, time) right rows, inclusive on equal times; 'left'
+    keeps unmatched rows."""
+    import pandas as pd
+
+    from table_computing_spark.operators.temporal import asof_join
+
+    left = [(1, 10), (1, 25), (1, 31), (2, 5), (2, 99)]
+    right = [(1, 10, 100.0), (1, 30, 300.0), (2, 7, 70.0)]
+    L = spark.createDataFrame(left, "k long, t long")
+    R = spark.createDataFrame(right, "k long, t long, px double")
+    got = {
+        (r["k"], r["t"]): r["px"]
+        for r in asof_join(
+            L, R, ["k"], "t", "t", how="left", direction="forward"
+        ).collect()
+    }
+    lp = pd.DataFrame(left, columns=["k", "t"]).sort_values("t")
+    rp = pd.DataFrame(right, columns=["k", "t2", "px"]).sort_values("t2")
+    m = pd.merge_asof(lp, rp, left_on="t", right_on="t2", by="k",
+                      direction="forward")
+    want = {
+        (int(r.k), int(r.t)): (None if pd.isna(r.px) else float(r.px))
+        for r in m.itertuples()
+    }
+    assert got == want
+    inner = asof_join(L, R, ["k"], "t", "t", how="inner",
+                      direction="forward").count()
+    assert inner == sum(1 for v in want.values() if v is not None)
