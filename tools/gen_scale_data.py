@@ -194,6 +194,62 @@ def gen_events(rng: np.random.Generator, n: int, s: float, out: str) -> None:
     }))
 
 
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+P_BRANDS = [f"Brand#{i}{j}" for i in range(1, 6) for j in range(1, 6)]
+P_TYPES = [
+    f"{a} {b} {c}"
+    for a in ("STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO")
+    for b in ("ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED")
+    for c in ("TIN", "NICKEL", "BRASS", "STEEL", "COPPER")
+]
+
+
+def gen_dims(rng: np.random.Generator, s: float, d: str) -> None:
+    """Dimension tables mirroring the driver schemas so the ENTIRE
+    query surface (TPC-H shapes included) runs on the scale family.
+    Key cardinalities follow the same laws the fact generators assume
+    (customers 150k·s, suppliers 1k·s, parts 20k·s)."""
+    _write(os.path.join(d, "region.parquet"), pa.table({
+        "r_regionkey": pa.array(np.arange(5, dtype=np.int32), pa.int32()),
+        "r_name": pa.array(REGIONS),
+    }))
+    nkeys = np.arange(25, dtype=np.int32)
+    _write(os.path.join(d, "nation.parquet"), pa.table({
+        "n_nationkey": pa.array(nkeys, pa.int32()),
+        "n_name": pa.array([f"NATION_{i:02d}" for i in range(25)]),
+        "n_regionkey": pa.array((nkeys % 5).astype(np.int32), pa.int32()),
+    }))
+    n_cust = max(int(150_000 * s), 100)
+    _write(os.path.join(d, "customer.parquet"), pa.table({
+        "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+        "c_nationkey": pa.array(rng.integers(0, 25, size=n_cust).astype(np.int32), pa.int32()),
+        "c_acctbal": pa.array(np.round(rng.uniform(-999.99, 9999.99, size=n_cust), 2)),
+        "c_mktsegment": pa.array(rng.choice(SEGMENTS, size=n_cust).tolist()),
+    }))
+    n_supp = max(int(1000 * s), 10)
+    _write(os.path.join(d, "supplier.parquet"), pa.table({
+        "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+        "s_nationkey": pa.array(rng.integers(0, 25, size=n_supp).astype(np.int32), pa.int32()),
+        "s_acctbal": pa.array(np.round(rng.uniform(-999.99, 9999.99, size=n_supp), 2)),
+    }))
+    n_part = max(int(20_000 * s), 200)
+    colors = ["almond", "antique", "aquamarine", "azure", "beige", "bisque",
+              "black", "blanched", "blue", "blush"]
+    _write(os.path.join(d, "part.parquet"), pa.table({
+        "p_partkey": pa.array(np.arange(n_part), pa.int64()),
+        "p_name": pa.array([
+            f"{colors[i % 10]} {colors[(i // 10) % 10]} part{i}" for i in range(n_part)
+        ]),
+        "p_brand": pa.array(rng.choice(P_BRANDS, size=n_part).tolist()),
+        "p_type": pa.array(rng.choice(P_TYPES, size=n_part).tolist()),
+        "p_size": pa.array(rng.integers(1, 51, size=n_part).astype(np.int32), pa.int32()),
+        "p_retailprice": pa.array(np.round(rng.uniform(900, 2000, size=n_part), 2)),
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", nargs="+", type=float, default=[0.01, 0.1, 1.0])
@@ -221,6 +277,7 @@ def main() -> None:
         gen_lineitem(rng, max(int(BASE["lineitem"] * s), 1000), s, os.path.join(d, "lineitem.parquet"))
         gen_orders(rng, max(int(BASE["orders"] * s), 500), s, os.path.join(d, "orders.parquet"))
         gen_events(rng, max(int(BASE["events"] * s), 500), s, os.path.join(d, "events.parquet"))
+        gen_dims(rng, s, d)
         print("wrote", d)
 
 
