@@ -4697,6 +4697,48 @@ def q_gate_setops(spark, sf_dir):
     return both.append(only_urgent).append(any_cohort).df
 
 
+def q_tdigest_accuracy(spark, sf_dir):
+    """Sketch-accuracy audit for the mergeable t-digest
+    (operators/tdigest.py — the 100 TB quantile-maintenance path, same
+    audit pattern as q_minhash_accuracy): estimate 7 quantiles of
+    l_extendedprice from a two-level distributed digest, then keep a
+    (q, exact_value, band_lo, band_hi) row ONLY if the estimate lies
+    inside the exact +/-1% rank band (band edges from
+    quantiles.exact_quantiles distributed selection — oracle-portable
+    quantile_cont values). The k0 digest bounds two-level rank error at
+    1/delta = 0.25%, so all 7 rows survive; a violated bound drops its
+    row and hash-mismatches the oracle. The estimate itself never
+    reaches the output (sketches aren't engine-portable); its accuracy
+    contract is what's hashed. (New r08.)"""
+    from table_computing_spark.operators import tdigest as td
+    from table_computing_spark.operators.quantiles import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").df
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    eps = 0.01
+    lo_q = {q: max(0.0, round(q - eps, 6)) for q in qs}
+    hi_q = {q: min(1.0, round(q + eps, 6)) for q in qs}
+    band_qs = sorted(set(qs) | set(lo_q.values()) | set(hi_q.values()))
+    ex = exact_quantiles(li, "l_extendedprice", band_qs)
+    est = td.tdigest_quantiles(td.tdigest_sketch(li, "l_extendedprice", delta=400), qs)
+    m = spark.createDataFrame(
+        [(q, lo_q[q], hi_q[q]) for q in qs], "q double, lq double, hq double"
+    )
+    out = (
+        m.join(ex.select("q", F.col("value").alias("exact_value")), "q")
+        .join(ex.select(F.col("q").alias("lq"), F.col("value").alias("band_lo")), "lq")
+        .join(ex.select(F.col("q").alias("hq"), F.col("value").alias("band_hi")), "hq")
+        .join(est, "q")
+        .filter(F.col("est").between(F.col("band_lo"), F.col("band_hi")))
+    )
+    return out.select(
+        "q",
+        F.round("exact_value", 4).alias("exact_value"),
+        F.round("band_lo", 4).alias("band_lo"),
+        F.round("band_hi", 4).alias("band_hi"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -4967,6 +5009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_logreg_gd": q_logreg_gd,
         "q_kcore": q_kcore,
         "q_assortativity": q_assortativity,
+        # --- r08 late additions (next round's window head) ---
+        "q_tdigest_accuracy": q_tdigest_accuracy,
     }
     return {**window_50, **tail}
 
@@ -9362,4 +9406,17 @@ def oracle_sql() -> dict[str, str]:
                        FROM f)
             SELECT anchor_id, negative_id, cos_sim, rank FROM r WHERE rank <= 5
         """,
+        # the t-digest estimate is not engine-portable; the hashed claim
+        # is the exact value + the +/-1% rank band the estimate must hit
+        # (the Spark side drops any row whose estimate misses the band)
+        "q_tdigest_accuracy": "\nUNION ALL\n".join(
+            f"""
+            SELECT CAST({q} AS DOUBLE) AS q,
+                   round(quantile_cont(l_extendedprice, {q}), 4) AS exact_value,
+                   round(quantile_cont(l_extendedprice, {max(0.0, round(q - 0.01, 6))}), 4) AS band_lo,
+                   round(quantile_cont(l_extendedprice, {min(1.0, round(q + 0.01, 6))}), 4) AS band_hi
+            FROM lineitem
+            """
+            for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+        ),
     }
