@@ -3547,16 +3547,27 @@ def _linkage_inputs(spark, sf_dir):
     """Shared by q_record_linkage / q_linkage_em: customers vs a
     deterministically perturbed second source (25%% of names altered,
     20%% of balances shifted) plus the three Fellegi–Sunter field
-    rules."""
+    rules.
+
+    Blocking is (nation, segment, name-prefix). The name prefix (all
+    but the last 3 digits — robust to the suffix perturbation) is the
+    key that makes the pair space scale: its cardinality GROWS with the
+    table (~n/1000 blocks), where (nation, segment) alone is 125 fixed
+    blocks whose sizes — and pair counts, quadratically — grow with n
+    (the r08 full-surface sweep measured 87x per data decade before
+    this key was added, ~linear after). Fixed-cardinality blocking
+    keys are a scale bug in ANY linkage pipeline."""
     from table_computing_spark.operators import linkage
 
     c = _t(spark, sf_dir, "customer").df
+    blk = F.substring(F.col("c_name"), 1, 15).alias("name_blk")
     a = c.select(
         F.col("c_custkey").alias("id_a"),
         F.col("c_name").alias("name_a"),
         "c_nationkey",
         F.col("c_acctbal").alias("bal_a"),
         "c_mktsegment",
+        blk,
     )
     b = c.select(
         (F.col("c_custkey") + 1_000_000).alias("id_b"),
@@ -3569,6 +3580,7 @@ def _linkage_inputs(spark, sf_dir):
             + F.when(F.col("c_custkey") % 5 == 0, F.lit(100.0)).otherwise(F.lit(0.0))
         ).alias("bal_b"),
         "c_mktsegment",
+        blk,
     )
     rules = [
         linkage.FieldRule(
@@ -3593,15 +3605,17 @@ def _linkage_inputs(spark, sf_dir):
 def q_record_linkage(spark, sf_dir):
     """Probabilistic record linkage (operators/linkage.py, Fellegi–
     Sunter 1969): customers vs a deterministically perturbed second
-    source, blocked on (nation, segment) so the cross product never
-    happens. Three field rules contribute ln(m/u) / ln((1-m)/(1-u))
-    weights in fixed order; thresholds split match / possible /
-    non-match and the non-matches are dropped."""
+    source, blocked on (nation, segment, perturbation-robust name
+    prefix) — see _linkage_inputs for why the growing-cardinality
+    prefix key is what keeps the pair space linear in n. Three field
+    rules contribute ln(m/u) / ln((1-m)/(1-u)) weights in fixed order;
+    thresholds split match / possible / non-match and the non-matches
+    are dropped."""
     from table_computing_spark.operators import linkage
 
     a, b, rules = _linkage_inputs(spark, sf_dir)
     scored = linkage.score_pairs(
-        a, b, ["c_nationkey", "c_mktsegment"], rules
+        a, b, ["c_nationkey", "c_mktsegment", "name_blk"], rules
     )
     return linkage.classify(scored, upper=3.0, lower=0.0).filter(
         F.col("decision") != "non_match"
@@ -3621,7 +3635,9 @@ def q_linkage_em(spark, sf_dir):
     from table_computing_spark.operators import linkage
 
     a, b, rules = _linkage_inputs(spark, sf_dir)
-    scored = linkage.score_pairs(a, b, ["c_nationkey", "c_mktsegment"], rules)
+    scored = linkage.score_pairs(
+        a, b, ["c_nationkey", "c_mktsegment", "name_blk"], rules
+    )
     fit, prior = linkage.estimate_em(
         scored, ["agree_name", "agree_balance", "agree_keymod"], iterations=5
     )
@@ -5276,18 +5292,20 @@ def _em_oracle_sql(iters: int = 5) -> str:
     parts = ["""
         WITH a AS (
           SELECT c_custkey AS id_a, c_name AS name_a, c_nationkey,
-                 c_acctbal AS bal_a, c_mktsegment
+                 c_acctbal AS bal_a, c_mktsegment,
+                 substring(c_name, 1, 15) AS name_blk
           FROM customer
         ), b AS (
           SELECT c_custkey + 1000000 AS id_b,
                  CASE WHEN c_custkey % 4 = 0 THEN c_name || 'X' ELSE c_name END AS name_b,
                  c_nationkey,
                  c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 100.0 ELSE 0.0 END AS bal_b,
-                 c_mktsegment
+                 c_mktsegment,
+                 substring(c_name, 1, 15) AS name_blk
           FROM customer
         ), p AS (
           SELECT id_a, id_b, name_a, name_b, bal_a, bal_b
-          FROM a JOIN b USING (c_nationkey, c_mktsegment)
+          FROM a JOIN b USING (c_nationkey, c_mktsegment, name_blk)
         ), pat AS (
           SELECT CAST(name_a = name_b AS INT) AS b1,
                  CAST(abs(bal_a - bal_b) < 1.0 AS INT) AS b2,
@@ -8895,18 +8913,20 @@ def oracle_sql() -> dict[str, str]:
         "q_record_linkage": """
             WITH a AS (
               SELECT c_custkey AS id_a, c_name AS name_a, c_nationkey,
-                     c_acctbal AS bal_a, c_mktsegment
+                     c_acctbal AS bal_a, c_mktsegment,
+                     substring(c_name, 1, 15) AS name_blk
               FROM customer
             ), b AS (
               SELECT c_custkey + 1000000 AS id_b,
                      CASE WHEN c_custkey % 4 = 0 THEN c_name || 'X' ELSE c_name END AS name_b,
                      c_nationkey,
                      c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 100.0 ELSE 0.0 END AS bal_b,
-                     c_mktsegment
+                     c_mktsegment,
+                     substring(c_name, 1, 15) AS name_blk
               FROM customer
             ), p AS (
               SELECT id_a, id_b, name_a, name_b, bal_a, bal_b
-              FROM a JOIN b USING (c_nationkey, c_mktsegment)
+              FROM a JOIN b USING (c_nationkey, c_mktsegment, name_blk)
             ), s AS (
               SELECT id_a, id_b,
                      CAST(name_a = name_b AS INT) AS agree_name,
