@@ -4774,9 +4774,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     confusion, token fertility), and (d) 17 next-stalest rows (last
     green r04) as fillers. Zero overlap with the r07 window (pinned by
     tests/test_queries.py::test_window_rotation_discipline). The
-    dtype-strict local sim (tests/oracle.py) is green on ALL 228
-    entries at sf0.01 (full-sim runs this round: 210/210, 223/223,
-    228/228 — zero mismatches).
+    dtype-strict local sim (tests/oracle.py) is green on ALL entries
+    at sf0.01 (full-sim runs this round: 210/210, 223/223, 228/228,
+    229/229 — zero mismatches; final surface 230 with
+    q_tdigest_accuracy, sim-verified at sf0.001 + sf0.01).
     """
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 

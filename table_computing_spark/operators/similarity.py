@@ -19,6 +19,8 @@ with a threshold instead of top-k.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -273,7 +275,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: "int | str" = 16,
     n_probe: int = 4,
     iters: int = 2,
     id_col: str = "vec_id",
@@ -288,9 +290,18 @@ def ivf_topk(
     recall=1 configuration the tests pin).
 
     Scale path: candidate generation is a shuffle on the cluster id —
-    O(N · n_probe / n_centroids) pairs instead of O(Q × N)."""
+    O(N · n_probe / n_centroids) pairs instead of O(Q × N).
+
+    A FIXED n_centroids is itself a scale bug (the r08 full-surface
+    sweep measured 15× per data decade at nlist=16: cells grow
+    linearly with N, so probe cost goes quadratic when the query side
+    scales too). Pass n_centroids="auto" for the standard
+    nlist ≈ √N rule — cell size and centroid count both grow as √N,
+    keeping probe work per query O(n_probe·√N)."""
     import numpy as np
 
+    if n_centroids == "auto":
+        n_centroids = max(16, int(round(math.sqrt(corpus.count()))))
     if centroids is None:
         centroids = ivf_fit(corpus, n_centroids, iters, id_col, vec_col)
     assign = _nearest_centroid_udf(centroids)
@@ -428,9 +439,10 @@ def lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = 4,
+    bits: "int | str" = 4,
     round_to: int = 4,
     multiprobe: int = 0,
+    target_bucket: int = 256,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's sign-LSH
     bucket — bucket equi-join instead of a cross join.
@@ -441,7 +453,18 @@ def lsh_topk(
     a hyperplane land on its far side with high probability, and those
     are exactly the Hamming-1 buckets. Cost is (1+m)× candidate rows,
     still a bucket equi-join (the QUERY side fans out, which is the
-    small side), recall → 1 as m → bits."""
+    small side), recall → 1 as m → bits.
+
+    FIXED bits is a scale bug (r08 sweep: 13× per data decade at
+    bits=4 — bucket occupancy N/2^bits grows linearly with N). Pass
+    bits="auto" for bits ≈ log2(N / target_bucket), clamped to the
+    embedding dimension: occupancy stays ≈ target_bucket however large
+    the corpus, so per-query candidate work is flat."""
+    if bits == "auto":
+        n = corpus.count()
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"]) if first else 4
+        bits = max(4, min(dim, math.ceil(math.log2(max(n / target_bucket, 2)))))
     probe_bucket = sign_bucket(F.col(vec_col), bits)
     if multiprobe > 0:
         m = min(multiprobe, bits)

@@ -105,6 +105,30 @@ def test_lsh_topk_same_bucket_correctness(spark):
     assert sorted(got) == sorted(want)
 
 
+def test_lsh_auto_bits_and_ivf_auto_nlist(spark):
+    """bits="auto" resolves to log2(N / target_bucket) clamped to the
+    embedding dim; n_centroids="auto" to ~sqrt(N). Both must produce
+    the same result as passing the resolved value explicitly — the
+    auto rule only picks the parameter, it never changes semantics."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    n = emb.count()
+    dim = len(emb.first()["embedding"])
+    import math as _math
+
+    want_bits = max(4, min(dim, _math.ceil(_math.log2(max(n / 8, 2)))))
+    auto = similarity.lsh_topk(emb, queries, k=3, bits="auto", target_bucket=8)
+    explicit = similarity.lsh_topk(emb, queries, k=3, bits=want_bits)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, explicit.collect()))
+
+    from table_computing_spark.operators import similarity as sim
+
+    want_nlist = max(16, int(round(_math.sqrt(n))))
+    a = sim.ivf_topk(emb, queries, k=3, n_centroids="auto", n_probe=2, iters=1)
+    e = sim.ivf_topk(emb, queries, k=3, n_centroids=want_nlist, n_probe=2, iters=1)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, e.collect()))
+
+
 def test_lsh_multiprobe_improves_recall(spark):
     """Multi-probe LSH: (a) every candidate is within Hamming 1 of the
     query bucket, (b) per-query recall@5 vs brute force is >= the
