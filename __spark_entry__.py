@@ -4755,6 +4755,34 @@ def q_tdigest_accuracy(spark, sf_dir):
     )
 
 
+def q_bitmap_distinct(spark, sf_dir):
+    """Exact mergeable distinct counts (operators/bitmaps.py — the
+    exact twin of the HLL state in q_maintain_distinct): bitmap state
+    built INCREMENTALLY at the (priority, status) grain — base facts
+    (o_orderkey % 7 != 0) OR-merged with the delta's state, historical
+    facts never rescanned — then rolled up to per-priority distinct
+    customers from the state alone. Bit-OR is set union, so both
+    grains hash exactly against COUNT(DISTINCT). Whole-stage codegen
+    end to end (Spark bitmap_* builtins, no UDFs). (New r08, r09
+    window head.)"""
+    from table_computing_spark.operators import bitmaps
+
+    o = _t(spark, sf_dir, "orders").df
+    base = o.where(F.col("o_orderkey") % 7 != 0)
+    delta = o.where(F.col("o_orderkey") % 7 == 0)
+    fine_keys = ["o_orderpriority", "o_orderstatus"]
+    st = bitmaps.merge_states(
+        bitmaps.distinct_state(base, fine_keys, "o_custkey"),
+        bitmaps.distinct_state(delta, fine_keys, "o_custkey"),
+        fine_keys,
+    )
+    fine = bitmaps.distinct_count(st, fine_keys)
+    coarse = bitmaps.rollup_distinct(st, fine_keys, ["o_orderpriority"])
+    return fine.join(
+        coarse.withColumnRenamed("n_distinct", "n_priority"), "o_orderpriority"
+    ).select("o_orderpriority", "o_orderstatus", "n_distinct", "n_priority")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5028,6 +5056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_assortativity": q_assortativity,
         # --- r08 late additions (next round's window head) ---
         "q_tdigest_accuracy": q_tdigest_accuracy,
+        "q_bitmap_distinct": q_bitmap_distinct,
     }
     return {**window_50, **tail}
 
@@ -9440,4 +9469,17 @@ def oracle_sql() -> dict[str, str]:
             """
             for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
         ),
+        "q_bitmap_distinct": """
+        WITH fine AS (
+          SELECT o_orderpriority, o_orderstatus,
+                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+          FROM orders GROUP BY 1, 2
+        ), coarse AS (
+          SELECT o_orderpriority,
+                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_priority
+          FROM orders GROUP BY 1
+        )
+        SELECT f.o_orderpriority, f.o_orderstatus, f.n_distinct, c.n_priority
+        FROM fine f JOIN coarse c USING (o_orderpriority)
+        """,
     }

@@ -1,0 +1,99 @@
+"""Exact mergeable DISTINCT counts via bitmap states.
+
+The sketch path (incremental.distinct_state — HLL) trades exactness
+for O(2^lgk) state. For INTEGRAL id domains (customer keys, order
+keys, doc ids) Spark ships an exact alternative: the bitmap aggregate
+family (`bitmap_bucket_number` / `bitmap_bit_position` /
+`bitmap_construct_agg` / `bitmap_or_agg` / `bitmap_count`). Ids are
+bucketed into fixed 32768-bit buckets; each (group, bucket) holds one
+4 KiB bitmap; OR-ing bitmaps is the exact analogue of sketch union.
+
+Why this matters at 100 TB:
+
+* **COUNT DISTINCT becomes additive.** A plain `countDistinct`
+  re-shuffles the FACT table every time the question is asked at a
+  new grain. The bitmap state is built once at the finest grain, and
+  any coarser rollup is a groupBy over the (small) state — the facts
+  are never rescanned (`rollup_distinct`).
+* **Incremental.** `merge_states` ORs yesterday's state with the
+  delta's state — append-only maintenance with exact answers, the
+  same contract as incremental.maintain_distinct but without the
+  ±rsd error bar (deletes still need recompute, same as HLL).
+* **Partition-parallel.** The state is keyed by (group, bucket), so
+  the OR-merge shuffles |groups| × |id-range| / 32768 bitmap rows,
+  not fact rows; whole-stage codegen end to end, no UDFs.
+
+Reference parity: the reference keeps per-window distinct counts by
+materializing the value set inside its aggregation state
+(sp/.../AggregationUtil.java analog); a bitmap is that same set,
+bit-packed and mergeable.
+
+Engine-exactness: bitmap counts are exact longs — oracle rows hash
+bit-for-bit against `COUNT(DISTINCT ...)` in any engine.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: "Column | str",
+) -> DataFrame:
+    """Exact distinct-count state: one bitmap per (keys..., bucket).
+
+    `col` must be integral (ids). Output schema:
+    (keys..., bucket bigint, bm binary). Build it at the FINEST grain
+    you will ever query — every coarser grain rolls up from here.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        df.groupBy(*list(keys), F.bitmap_bucket_number(c).alias("bucket"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position(c)).alias("bm"))
+    )
+
+
+def merge_states(a: DataFrame, b: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """OR-merge two bitmap states (same keys): exact state for the
+    UNION of the underlying fact sets. Append-only incremental
+    maintenance is `merge_states(state, distinct_state(delta, ...))`;
+    the historical facts are never rescanned."""
+    keys = list(keys)
+    both = a.select(*keys, "bucket", "bm").unionByName(
+        b.select(*keys, "bucket", "bm")
+    )
+    return both.groupBy(*keys, "bucket").agg(F.bitmap_or_agg("bm").alias("bm"))
+
+
+def distinct_count(state: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """(keys..., n_distinct) — exact, from the state alone."""
+    return state.groupBy(*list(keys)).agg(
+        F.sum(F.bitmap_count("bm")).alias("n_distinct")
+    )
+
+
+def rollup_distinct(
+    state: DataFrame,
+    fine_keys: Sequence[str],
+    coarse_keys: Sequence[str],
+) -> DataFrame:
+    """Exact distinct counts at a COARSER grain, computed from the
+    fine-grain state without touching the facts: OR the bitmaps of
+    the fine groups that collapse into each coarse group (bit-OR is
+    exactly set union, so the count stays exact — the step sketch
+    rollups can only approximate).
+
+    fine_keys must be a superset of coarse_keys (the state's grain).
+    """
+    missing = [k for k in coarse_keys if k not in list(fine_keys)]
+    if missing:
+        raise ValueError(f"coarse keys {missing} not in the state grain {list(fine_keys)}")
+    coarse = state.groupBy(*list(coarse_keys), "bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    return distinct_count(coarse, coarse_keys)
