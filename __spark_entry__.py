@@ -4783,6 +4783,43 @@ def q_bitmap_distinct(spark, sf_dir):
     ).select("o_orderpriority", "o_orderstatus", "n_distinct", "n_priority")
 
 
+def q_pit_features(spark, sf_dir):
+    """Point-in-time-correct feature enrichment
+    (temporal.pit_features — the feature-store join): every order gets
+    the customer's latest event value at-or-before the order date PLUS
+    trailing-7-day event count and spend, leakage-free by construction
+    (facts after the as-of instant cannot reach their spine row). No
+    range join, no candidate pairs: the trailing aggregates come from
+    running-prefix differences F(t) − F(t−7d) read by probe rows in
+    ONE per-entity window pass. Sums ride on integer cents so the
+    prefix difference is float-exact cross-engine. (New r08, r09
+    window head.)"""
+    from table_computing_spark.operators.temporal import pit_features
+
+    ev = _t(spark, sf_dir, "events").df
+    facts = (
+        ev.groupBy("user_id", "ts")
+        .agg(
+            F.max("value").alias("last_value"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .withColumn("ev_ms", tcf.epoch_ms("ts"))
+        .drop("ts")
+    )
+    spine = _t(spark, sf_dir, "orders").df.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        tcf.epoch_ms("o_orderdate").alias("o_ms"),
+    )
+    week = 7 * 86400000
+    out = pit_features(
+        spine, facts, on=["user_id"], spine_time="o_ms", fact_time="ev_ms",
+        spine_id="o_orderkey", last_cols=["last_value"],
+        trailing={"n7": ("count", "cents", week), "s7_cents": ("sum", "cents", week)},
+    )
+    return out.select("o_orderkey", "user_id", "o_ms", "last_value", "n7", "s7_cents")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5057,6 +5094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r08 late additions (next round's window head) ---
         "q_tdigest_accuracy": q_tdigest_accuracy,
         "q_bitmap_distinct": q_bitmap_distinct,
+        "q_pit_features": q_pit_features,
     }
     return {**window_50, **tail}
 
@@ -9481,5 +9519,30 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT f.o_orderpriority, f.o_orderstatus, f.n_distinct, c.n_priority
         FROM fine f JOIN coarse c USING (o_orderpriority)
+        """,
+        "q_pit_features": """
+        WITH f AS (
+          SELECT user_id, epoch_ms(ts) AS ev_ms,
+                 max(value) AS last_value,
+                 sum(CAST(round(value * 100) AS BIGINT)) AS cents
+          FROM events GROUP BY 1, 2
+        ), sp AS (
+          SELECT o_orderkey, o_custkey AS user_id,
+                 epoch_ms(o_orderdate) AS o_ms
+          FROM orders
+        ), lastf AS (
+          SELECT sp.o_orderkey, sp.user_id, sp.o_ms, f.last_value
+          FROM sp ASOF LEFT JOIN f
+            ON sp.user_id = f.user_id AND sp.o_ms >= f.ev_ms
+        ), tr AS (
+          SELECT sp.o_orderkey,
+                 CAST(count(f.cents) AS BIGINT) AS n7,
+                 CAST(sum(f.cents) AS DOUBLE) AS s7_cents
+          FROM sp LEFT JOIN f ON sp.user_id = f.user_id
+             AND f.ev_ms > sp.o_ms - 604800000 AND f.ev_ms <= sp.o_ms
+          GROUP BY 1
+        )
+        SELECT l.o_orderkey, l.user_id, l.o_ms, l.last_value, t.n7, t.s7_cents
+        FROM lastf l JOIN tr t USING (o_orderkey)
         """,
     }

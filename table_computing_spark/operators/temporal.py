@@ -847,3 +847,128 @@ def lag_autocorr(
         num / F.sqrt(den_x * den_y),
     )
     return agg.select(*keys, "n_pairs", F.round(r, round_to).alias("autocorr"))
+
+
+def pit_features(
+    spine: DataFrame,
+    facts: DataFrame,
+    on: Sequence[str],
+    spine_time: str,
+    fact_time: str,
+    spine_id: str,
+    last_cols: Sequence[str] = (),
+    trailing: "dict[str, tuple[str, str, int]] | None" = None,
+) -> DataFrame:
+    """Point-in-time-correct feature enrichment (the feature-store
+    join): for each spine row (entity keys `on` + as-of time
+    `spine_time`, uniquely identified by `spine_id`) attach
+
+      * `last_cols` — the fact columns of the LATEST fact at or before
+        the as-of time (asof_join, left);
+      * `trailing`  — {out: (kind, col, window)} trailing-window
+        aggregates over facts in (t - window, t], kind in count|sum
+        (max is not prefix-subtractable — use over_by_duration for
+        bounded trailing extrema), `window` in the same units as the
+        time columns.
+
+    Leakage-free by construction: no fact with t_f > t_l can reach its
+    spine row, because both paths read only the running prefix at the
+    probe position.
+
+    Scale shape: NO candidate pairs and NO range join — each distinct
+    trailing window costs one union + one per-entity window pass
+    (facts + 2 probe rows per spine row), the asof path one more; all
+    shuffles are on the entity key. Trailing values come from the
+    running-prefix difference F(t) - F(t - window): probe rows at both
+    ends read the running aggregate where they land (probes order
+    AFTER facts at equal time, so the lower probe excludes facts at
+    exactly t - window — the (lo, hi] convention). Empty-window SQL
+    semantics: count 0, sum/max NULL.
+
+    The reference reaches the same shapes imperatively (dimension
+    lookup + OverWindowByDuration trailing state,
+    sp/.../OverWindowByDuration analog); here both are one declarative
+    plan. Facts must be pre-aggregated to one row per (key, time) if
+    last_cols tie-breaks must be engine-deterministic (asof_join
+    caveat).
+    """
+    keys = list(on)
+    trailing = dict(trailing or {})
+    out = spine
+    if last_cols:
+        right = facts.select(*keys, fact_time, *last_cols)
+        out = asof_join(
+            out, right, on=keys, left_time=spine_time,
+            right_time=fact_time, how="left",
+        )
+
+    kinds = {k: s[0] for k, s in trailing.items()}
+    bad = [k for k, v in kinds.items() if v not in ("count", "sum")]
+    if bad:
+        raise ValueError(f"unsupported trailing kinds: {bad}")
+    # one union+window pass per distinct window length
+    windows: dict[int, list[str]] = {}
+    for name, (_, _, win) in trailing.items():
+        windows.setdefault(win, []).append(name)
+    for win, names in sorted(windows.items()):
+        aggs = {n: trailing[n] for n in names}
+        fpart = facts.select(
+            *keys,
+            F.col(fact_time).cast("double").alias("__t"),
+            F.lit(0).alias("__probe"),
+            F.lit(None).cast("long").alias("__sid"),
+            *[
+                F.col(c).cast("double").alias(f"__v_{n}")
+                for n, (_, c, _) in aggs.items()
+            ],
+        )
+        probes = spine.select(
+            *keys,
+            F.col(spine_time).cast("double").alias("__pt"),
+            F.col(spine_id).cast("long").alias("__sid"),
+        )
+        ppart = probes.select(
+            *keys, F.col("__pt").alias("__t"), F.lit(1).alias("__probe"),
+            "__sid", *[F.lit(None).cast("double").alias(f"__v_{n}") for n in aggs],
+        ).unionByName(
+            probes.select(
+                *keys, (F.col("__pt") - F.lit(float(win))).alias("__t"),
+                F.lit(2).alias("__probe"), "__sid",
+                *[F.lit(None).cast("double").alias(f"__v_{n}") for n in aggs],
+            )
+        )
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__probe").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        run_cols = [
+            F.count(f"__v_{n}").over(w).alias(f"__c_{n}") for n in aggs
+        ] + [
+            F.sum(f"__v_{n}").over(w).alias(f"__r_{n}")
+            for n in aggs
+            if kinds[n] == "sum"
+        ]
+        ran = fpart.unionByName(ppart).select("__probe", "__sid", *run_cols)
+        hi = F.col("__probe") == 1
+        per_spine = ran.filter(F.col("__probe") > 0).groupBy("__sid")
+        sel = []
+        for n in aggs:
+            cnt = F.max(F.when(hi, F.col(f"__c_{n}"))) - F.max(
+                F.when(~hi, F.col(f"__c_{n}"))
+            )
+            if kinds[n] == "count":
+                sel.append(cnt.alias(n))
+            else:
+                dif = F.max(F.when(hi, F.coalesce(F.col(f"__r_{n}"), F.lit(0.0)))) - F.max(
+                    F.when(~hi, F.coalesce(F.col(f"__r_{n}"), F.lit(0.0)))
+                )
+                sel.append(F.when(cnt > 0, dif).alias(n))
+        agg_df = per_spine.agg(*sel)
+        out = out.join(agg_df, out[spine_id].cast("long") == agg_df["__sid"], "left").drop(
+            "__sid"
+        )
+        for n in aggs:
+            if kinds[n] == "count":
+                out = out.withColumn(n, F.coalesce(F.col(n), F.lit(0)))
+    return out

@@ -82,3 +82,47 @@ class TestBitmapDistinct:
         fine = bitmaps.distinct_state(o, ["o_orderstatus"], "o_custkey")
         with pytest.raises(ValueError, match="not in the state grain"):
             bitmaps.rollup_distinct(fine, ["o_orderstatus"], ["o_orderpriority"])
+
+
+class TestPitFeatures:
+    def test_matches_hand_computed(self, spark):
+        """Point-in-time enrichment on a hand-checkable fixture:
+        last-before value, trailing (t-10, t] count and sum; the
+        boundary fact at exactly t-10 is excluded, the fact at exactly
+        t included; entities with no history get NULL/0/NULL."""
+        from table_computing_spark.operators.temporal import pit_features
+
+        facts = spark.createDataFrame(
+            [(1, 5.0, 10.0), (1, 10.0, 20.0), (1, 15.0, 40.0),
+             (1, 20.0, 80.0), (2, 7.0, 3.0)],
+            "uid long, t double, v double",
+        )
+        spine = spark.createDataFrame(
+            [(100, 1, 20.0), (101, 1, 14.0), (102, 2, 6.0), (103, 3, 9.0)],
+            "sid long, uid long, t_asof double",
+        )
+        out = pit_features(
+            spine, facts, on=["uid"], spine_time="t_asof", fact_time="t",
+            spine_id="sid", last_cols=["v"],
+            trailing={"n10": ("count", "v", 10), "s10": ("sum", "v", 10)},
+        )
+        got = {r["sid"]: (r["v"], r["n10"], r["s10"]) for r in out.collect()}
+        # sid 100: t=20 → last v=80; window (10,20] → facts 15,20 (10 excluded)
+        # sid 101: t=14 → last v=20 (t=10); window (4,14] → 5,10
+        # sid 102: t=6  → no fact <= 6 for uid 2 (7>6) → NULL; window (−4,6] empty
+        # sid 103: unseen entity → NULL, 0, NULL
+        assert got == {
+            100: (80.0, 2, 120.0),
+            101: (20.0, 2, 30.0),
+            102: (None, 0, None),
+            103: (None, 0, None),
+        }
+
+    def test_rejects_unknown_kind(self, spark):
+        from table_computing_spark.operators.temporal import pit_features
+
+        df = spark.range(1).selectExpr("id as uid", "1.0 as t", "1.0 as v")
+        sp = spark.range(1).selectExpr("id as sid", "id as uid", "2.0 as t_asof")
+        with pytest.raises(ValueError, match="unsupported trailing kinds"):
+            pit_features(sp, df, ["uid"], "t_asof", "t", "sid",
+                         trailing={"m": ("max", "v", 10)})
