@@ -4820,6 +4820,28 @@ def q_pit_features(spark, sf_dir):
     return out.select("o_orderkey", "user_id", "o_ms", "last_value", "n7", "s7_cents")
 
 
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov drift test
+    (drift.ks_test): did o_totalprice's distribution move between the
+    base snapshot (o_orderkey % 7 != 0) and the new batch, per order
+    priority? KS catches ANY distributional change (the nonparametric
+    complement of q_psi_drift's binned PSI and q_ab_ttest's mean
+    shift). Integer-exact: CDFs are integer prefix sums over distinct
+    values (prefix_agg — no unpartitioned window), the max gap is the
+    integer |cum_a·n_b − cum_b·n_a|, and the only division is one per
+    group at the end. (New r08, r09 window head.)"""
+    from table_computing_spark.operators.drift import ks_test
+
+    o = _t(spark, sf_dir, "orders").df
+    a = o.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderpriority", F.col("o_totalprice").alias("v")
+    )
+    b = o.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderpriority", F.col("o_totalprice").alias("v")
+    )
+    return ks_test(a, b, "v", keys=["o_orderpriority"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5095,6 +5117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tdigest_accuracy": q_tdigest_accuracy,
         "q_bitmap_distinct": q_bitmap_distinct,
         "q_pit_features": q_pit_features,
+        "q_ks_drift": q_ks_drift,
     }
     return {**window_50, **tail}
 
@@ -9544,5 +9567,37 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT l.o_orderkey, l.user_id, l.o_ms, l.last_value, t.n7, t.s7_cents
         FROM lastf l JOIN tr t USING (o_orderkey)
+        """,
+        "q_ks_drift": """
+        WITH a AS (
+          SELECT o_orderpriority AS g, o_totalprice AS v
+          FROM orders WHERE o_orderkey % 7 <> 0
+        ), b AS (
+          SELECT o_orderpriority AS g, o_totalprice AS v
+          FROM orders WHERE o_orderkey % 7 = 0
+        ), u AS (
+          SELECT g, v, 1 AS sa, 0 AS sb FROM a
+          UNION ALL
+          SELECT g, v, 0 AS sa, 1 AS sb FROM b
+        ), c AS (
+          SELECT g, v, CAST(sum(sa) AS BIGINT) AS ai,
+                 CAST(sum(sb) AS BIGINT) AS bi
+          FROM u GROUP BY 1, 2
+        ), r AS (
+          SELECT g, v,
+                 CAST(sum(ai) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS ca,
+                 CAST(sum(bi) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cb
+          FROM c
+        ), t AS (
+          SELECT g, CAST(sum(ai) AS BIGINT) AS n_a,
+                 CAST(sum(bi) AS BIGINT) AS n_b
+          FROM c GROUP BY 1
+        ), m AS (
+          SELECT r.g, CAST(max(abs(ca * n_b - cb * n_a)) AS BIGINT) AS ks_num
+          FROM r JOIN t ON r.g = t.g GROUP BY 1
+        )
+        SELECT m.g AS o_orderpriority, t.n_a, t.n_b, m.ks_num,
+               round(CAST(m.ks_num AS DOUBLE) / (t.n_a * t.n_b), 6) AS ks_d
+        FROM m JOIN t ON m.g = t.g
         """,
     }

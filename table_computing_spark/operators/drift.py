@@ -357,3 +357,68 @@ def welch_ttest(
         F.round(t, round_to).alias("t_stat"),
         F.round(df_w, round_to).alias("df_welch"),
     )
+
+
+def ks_test(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    keys: Sequence[str] = (),
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic, optionally per
+    group: D = max_x |F_a(x) − F_b(x)| over the empirical CDFs — the
+    nonparametric complement to psi_drift (binned) and welch_ttest
+    (mean-shift only); KS sees ANY distributional change.
+
+    Exact and engine-portable: both samples collapse to per-value
+    counts (one hash aggregate each), the CDFs are integer prefix sums
+    over the merged value order, and the max gap is computed on the
+    INTEGER cross-product form |cum_a·n_b − cum_b·n_a| — no float
+    accumulation anywhere; the single division happens once per group
+    at the very end.
+
+    Scale shape: data-sized work is the two count aggregates; the
+    prefix runs on DISTINCT values via prefix_agg's partition-
+    decomposed running sum (operators/prefix.py), so no unpartitioned
+    window even for the global (keys=()) case. Output per group:
+    (keys..., n_a, n_b, ks_num, ks_d) with ks_num the exact integer
+    max |cum_a·n_b − cum_b·n_a| and ks_d = ks_num / (n_a·n_b).
+    """
+    from table_computing_spark.operators.prefix import prefix_agg
+
+    keys = list(keys)
+    u = a.select(
+        *keys, F.col(col).alias("__v"), F.lit(1).alias("__sa"), F.lit(0).alias("__sb")
+    ).unionByName(
+        b.select(
+            *keys, F.col(col).alias("__v"), F.lit(0).alias("__sa"), F.lit(1).alias("__sb")
+        )
+    )
+    counts = u.groupBy(*keys, "__v").agg(
+        F.sum("__sa").alias("__ai"), F.sum("__sb").alias("__bi")
+    )
+    cum = prefix_agg(
+        counts,
+        order_by=["__v"],
+        specs={"__ca": ("sum", "__ai"), "__cb": ("sum", "__bi")},
+        partition_by=keys or None,
+    )
+    if keys:
+        totals = counts.groupBy(*keys).agg(
+            F.sum("__ai").alias("n_a"), F.sum("__bi").alias("n_b")
+        )
+        cum = cum.join(F.broadcast(totals), keys)
+    else:
+        totals = counts.agg(
+            F.sum("__ai").alias("n_a"), F.sum("__bi").alias("n_b")
+        )
+        cum = cum.crossJoin(F.broadcast(totals))
+    gap = F.abs(F.col("__ca") * F.col("n_b") - F.col("__cb") * F.col("n_a"))
+    per = cum.groupBy(*keys, "n_a", "n_b").agg(F.max(gap).alias("ks_num"))
+    d = F.col("ks_num").cast("double") / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return per.select(
+        *keys, "n_a", "n_b", "ks_num", F.round(d, round_to).alias("ks_d")
+    )

@@ -126,3 +126,58 @@ class TestPitFeatures:
         with pytest.raises(ValueError, match="unsupported trailing kinds"):
             pit_features(sp, df, ["uid"], "t_asof", "t", "sid",
                          trailing={"m": ("max", "v", 10)})
+
+
+class TestKsTest:
+    @staticmethod
+    def _ks_ref(x, y):
+        import numpy as np
+
+        xs, ys = np.sort(np.asarray(x)), np.sort(np.asarray(y))
+        allv = np.unique(np.concatenate([xs, ys]))
+        fa = np.searchsorted(xs, allv, side="right") / len(xs)
+        fb = np.searchsorted(ys, allv, side="right") / len(ys)
+        return float(np.max(np.abs(fa - fb)))
+
+    def test_global_matches_numpy(self, spark):
+        from table_computing_spark.operators.drift import ks_test
+
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        x = rng.integers(0, 40, 300).tolist()
+        y = (rng.integers(0, 40, 200) + 4).tolist()
+        a = spark.createDataFrame([(int(v),) for v in x], "v long").repartition(5)
+        b = spark.createDataFrame([(int(v),) for v in y], "v long").repartition(3)
+        row = ks_test(a, b, "v").collect()[0]
+        assert row["n_a"] == 300 and row["n_b"] == 200
+        want = self._ks_ref(x, y)
+        assert abs(row["ks_d"] - want) < 1e-6
+        assert row["ks_num"] == round(want * 300 * 200)
+
+    def test_identical_samples_give_zero(self, spark):
+        from table_computing_spark.operators.drift import ks_test
+
+        a = spark.range(100).selectExpr("id % 13 as v")
+        assert ks_test(a, a, "v").collect()[0]["ks_d"] == 0.0
+
+    def test_grouped(self, spark):
+        from table_computing_spark.operators.drift import ks_test
+
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        rows_a, rows_b, ref = [], [], {}
+        for g in ["p", "q"]:
+            x = rng.integers(0, 25, 150).tolist()
+            shift = 0 if g == "p" else 6
+            y = (rng.integers(0, 25, 120) + shift).tolist()
+            rows_a += [(g, int(v)) for v in x]
+            rows_b += [(g, int(v)) for v in y]
+            ref[g] = self._ks_ref(x, y)
+        a = spark.createDataFrame(rows_a, "g string, v long")
+        b = spark.createDataFrame(rows_b, "g string, v long")
+        got = {r["g"]: r["ks_d"] for r in ks_test(a, b, "v", keys=["g"]).collect()}
+        assert set(got) == {"p", "q"}
+        for g in got:
+            assert abs(got[g] - ref[g]) < 1e-6
