@@ -4842,6 +4842,26 @@ def q_ks_drift(spark, sf_dir):
     return ks_test(a, b, "v", keys=["o_orderpriority"])
 
 
+def q_calibration(spark, sf_dir):
+    """Reliability-diagram bins + Expected Calibration Error
+    (classify.calibration_bins): is a classifier's probability
+    trustworthy at volume? One hash aggregate over the scored rows,
+    then arithmetic on <= 10 bin rows; ECE uses the
+    common-denominator integer form Σ|scale·pos − Σscore|/(scale·N)
+    so nothing accumulates in floating point. Score here is a
+    deterministic integer-milli stand-in (o_custkey % 1001 / 1000)
+    labeled by order status — the eval op is the point, not the model.
+    (New r08, r09 window head.)"""
+    from table_computing_spark.operators.classify import calibration_bins
+
+    o = _t(spark, sf_dir, "orders").df
+    scored = o.select(
+        (F.col("o_custkey") % 1001).alias("s"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    return calibration_bins(scored, "s", 1000, "y", bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5118,6 +5138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bitmap_distinct": q_bitmap_distinct,
         "q_pit_features": q_pit_features,
         "q_ks_drift": q_ks_drift,
+        "q_calibration": q_calibration,
     }
     return {**window_50, **tail}
 
@@ -9599,5 +9620,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT m.g AS o_orderpriority, t.n_a, t.n_b, m.ks_num,
                round(CAST(m.ks_num AS DOUBLE) / (t.n_a * t.n_b), 6) AS ks_d
         FROM m JOIN t ON m.g = t.g
+        """,
+        "q_calibration": """
+        WITH s AS (
+          SELECT CAST(least(CAST(floor((o_custkey % 1001) * 10 / 1000) AS BIGINT),
+                            9) AS INTEGER) AS bin,
+                 CAST(o_custkey % 1001 AS BIGINT) AS si,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders
+        ), per AS (
+          SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(si) AS BIGINT) AS ssum,
+                 CAST(sum(y) AS BIGINT) AS pos
+          FROM s GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS nt,
+                 CAST(sum(abs(1000 * pos - ssum)) AS BIGINT) AS gt
+          FROM per
+        )
+        SELECT bin, n,
+               round(CAST(ssum AS DOUBLE) / (n * 1000.0), 6) AS mean_pred,
+               round(CAST(pos AS DOUBLE) / n, 6) AS pos_rate,
+               round(CAST(gt AS DOUBLE) / (nt * 1000.0), 6) AS ece
+        FROM per, tot
         """,
     }

@@ -223,3 +223,72 @@ def logreg_gd(
         *[F.round(f"w_{c}", round_to).alias(f"w_{c}") for c in feature_cols],
         F.round("bias", round_to).alias("bias"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_int: "F.Column | str",
+    scale: int,
+    label_col: "F.Column | str",
+    bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reliability-diagram bins + Expected Calibration Error for a
+    probabilistic classifier score — the model-eval readout a curation
+    pipeline runs before trusting a quality/language classifier's
+    probabilities at volume (Naeini et al. 2015's ECE, public
+    statistics).
+
+    Engine-exact discipline: the score enters as an INTEGER numerator
+    `score_int` with denominator `scale` (score = score_int/scale in
+    [0, 1]), so per-bin mean prediction and positive rate are single
+    divisions of exact integer sums, and ECE's weighted gap uses the
+    common-denominator form
+
+        ECE = Σ_bins |scale·pos_i − Σscore_int_i| / (scale · N)
+
+    whose numerator is an exact integer — no float accumulation.
+
+    Shape: ONE hash aggregate over the scored rows (map-side
+    combinable), then arithmetic on ≤ bins rows; the ECE total joins
+    back broadcast so every bin row carries it.
+    """
+    s = F.col(score_int) if isinstance(score_int, str) else score_int
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    s = s.cast("long")
+    bin_c = F.least(
+        F.floor(s * F.lit(int(bins)) / F.lit(int(scale))), F.lit(int(bins) - 1)
+    ).cast("int")
+    per = (
+        df.select(
+            bin_c.alias("bin"),
+            s.alias("__s"),
+            y.cast("long").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__s").alias("__ssum"),
+            F.sum("__y").alias("__pos"),
+        )
+    )
+    gap_num = F.abs(F.lit(int(scale)) * F.col("__pos") - F.col("__ssum"))
+    per = per.withColumn("__gap", gap_num)
+    tot = per.agg(
+        F.sum("n").alias("__n_total"), F.sum("__gap").alias("__gap_total")
+    )
+    out = per.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    return out.select(
+        "bin",
+        "n",
+        F.round(F.col("__ssum").cast("double") / (nd * float(scale)), round_to).alias(
+            "mean_pred"
+        ),
+        F.round(F.col("__pos").cast("double") / nd, round_to).alias("pos_rate"),
+        F.round(
+            F.col("__gap_total").cast("double")
+            / (F.col("__n_total").cast("double") * float(scale)),
+            round_to,
+        ).alias("ece"),
+    )

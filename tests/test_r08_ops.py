@@ -181,3 +181,32 @@ class TestKsTest:
         assert set(got) == {"p", "q"}
         for g in got:
             assert abs(got[g] - ref[g]) < 1e-6
+
+
+class TestCalibrationBins:
+    def test_matches_hand_computed(self, spark):
+        from table_computing_spark.operators.classify import calibration_bins
+
+        # (score_milli, label): bin width 0.5 → bins {0, 1}
+        rows = [(100, 0), (400, 1), (600, 1), (900, 1), (1000, 1)]
+        df = spark.createDataFrame(rows, "s long, y int")
+        got = {
+            r["bin"]: r
+            for r in calibration_bins(df, "s", 1000, "y", bins=2).collect()
+        }
+        # bin 0: s=100,400 → n=2, mean_pred=.25, pos=1 → rate .5
+        # bin 1: s=600,900,1000 (1.0 clamps into last bin) → mean .833333, rate 1
+        assert got[0]["n"] == 2 and got[0]["mean_pred"] == 0.25 and got[0]["pos_rate"] == 0.5
+        assert got[1]["n"] == 3 and got[1]["mean_pred"] == round(2500 / 3000, 6)
+        assert got[1]["pos_rate"] == 1.0
+        # ECE = (|1000*1-500| + |1000*3-2500|) / (1000*5) = 1000/5000
+        assert got[0]["ece"] == got[1]["ece"] == 0.2
+
+    def test_perfectly_calibrated_score_has_zero_ece(self, spark):
+        from table_computing_spark.operators.classify import calibration_bins
+
+        # score 0 with label 0, score 1000 with label 1 → every bin gap 0
+        rows = [(0, 0)] * 5 + [(1000, 1)] * 5
+        df = spark.createDataFrame(rows, "s long, y int")
+        out = calibration_bins(df, "s", 1000, "y", bins=4).collect()
+        assert all(r["ece"] == 0.0 for r in out)
