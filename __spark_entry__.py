@@ -4862,6 +4862,70 @@ def q_calibration(spark, sf_dir):
     return calibration_bins(scored, "s", 1000, "y", bins=10)
 
 
+def q_pq_recall(spark, sf_dir):
+    """Product-quantization ANN audit (similarity.pq_fit/pq_encode/
+    pq_topk — Jégou et al. 2011; with ivf_assign this is IVF-PQ, the
+    standard billion-vector layout): vectors compress to 32 codeword
+    ids, queries scan CODES via an additive distance table, then one
+    exact join re-ranks 100 candidates. Contract row per query: the
+    exact L2 nearest neighbor (engine-portable), kept ONLY if PQ's
+    top-10 recalls >= 0.8 of the exact top-10 (measured 1.0 at the
+    gate scale — a quantizer regression drops rows and hash-fails).
+    The PQ ranking itself never reaches the output (codebooks aren't
+    engine-portable); its accuracy contract is what's hashed. (New
+    r08, r09 window head.)"""
+    from pyspark.sql import Window
+
+    from table_computing_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    books = sim.pq_fit(emb, m=32, k=16, iters=2)
+    pred = sim.pq_topk(emb, qs, books, k=10, candidates=100)
+
+    def dvec(c):
+        return F.transform(F.col(c), lambda x: x.cast("double"))
+
+    qv = qs.select(F.col("vec_id").alias("query_id"), dvec("embedding").alias("__q"))
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), dvec("embedding").alias("__c")
+    )
+    d2 = F.aggregate(
+        F.zip_with("__q", "__c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        cv.crossJoin(F.broadcast(qv))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(d2, 4).alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    truth = pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    )
+    rec = (
+        pred.join(
+            truth.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .filter(F.col("__hits") >= 8)
+        .select("query_id")
+    )
+    return (
+        truth.filter(F.col("rank") == 1)
+        .join(rec, "query_id")
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("nn_id"),
+            F.col("d2").alias("nn_d2"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5139,6 +5203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pit_features": q_pit_features,
         "q_ks_drift": q_ks_drift,
         "q_calibration": q_calibration,
+        "q_pq_recall": q_pq_recall,
     }
     return {**window_50, **tail}
 
@@ -9643,5 +9708,29 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(pos AS DOUBLE) / n, 6) AS pos_rate,
                round(CAST(gt AS DOUBLE) / (nt * 1000.0), 6) AS ece
         FROM per, tot
+        """,
+        # the PQ ranking is not engine-portable (fitted codebooks); the
+        # hashed claim is the exact L2 nearest neighbor per query, kept
+        # only when PQ top-10 recall >= 0.8 (Spark-side filter)
+        "q_pq_recall": """
+        WITH qv AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 50 = 0
+        ), cv AS (
+          SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+        ), d AS (
+          SELECT query_id, neighbor_id,
+                 round(list_sum(list_transform(range(1, len(qv.v) + 1),
+                        i -> (qv.v[i] - cv.v[i]) * (qv.v[i] - cv.v[i]))), 4) AS d2
+          FROM qv, cv WHERE query_id <> neighbor_id
+        ), r AS (
+          SELECT query_id, neighbor_id, d2,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY d2 ASC, neighbor_id ASC) AS rank
+          FROM d
+        )
+        SELECT query_id, neighbor_id AS nn_id, d2 AS nn_d2
+        FROM r WHERE rank = 1
         """,
     }

@@ -872,3 +872,225 @@ def centroid_silhouette(
             F.round((F.col("__sum") / F.col("n")) / 1e9, round_to).alias("silhouette"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search" — public) — the memory-side half of
+# IVF-PQ, the standard billion-vector ANN layout. Vectors compress to
+# m byte codes (one k-way codeword per subspace); queries scan CODES
+# with an additive distance table instead of raw floats, cutting both
+# memory traffic and per-pair math from O(dim) to O(m).
+# ---------------------------------------------------------------------------
+
+
+def _pq_sub_rows(df: DataFrame, m: int, id_col: str, vec_col: str) -> DataFrame:
+    """(id, __sub, __subvec): each vector split into m contiguous
+    equal-width subvectors (dim % m must be 0)."""
+    d0 = F.floor(F.size(vec_col) / F.lit(m)).cast("int")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.alias("s"), F.slice(vec_col, s * d0 + 1, d0).alias("v")
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(subs).alias("__sv")
+    ).select(id_col, F.col("__sv.s").alias("__sub"), F.col("__sv.v").alias("__subvec"))
+
+
+def _pq_assign_udf(codebooks: "list[list[list[float]]]"):
+    """pandas UDF (sub, subvec) → nearest codeword index by squared
+    L2. The full codebook set is m × k × (dim/m) floats —
+    closure-captured, broadcast with the task."""
+    import numpy as np
+
+    books = [np.array(b, dtype="float64") for b in codebooks]
+
+    @pandas_udf(T.IntegerType())
+    def assign(sub: pd.Series, v: pd.Series) -> pd.Series:
+        out = np.empty(len(sub), dtype="int32")
+        sv = sub.values
+        M = np.array(v.tolist(), dtype="float64")
+        for s in np.unique(sv):
+            B = books[int(s)]
+            idx = np.nonzero(sv == s)[0]
+            X = M[idx]
+            d2 = ((X[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            out[idx] = np.argmin(d2, axis=1)
+        return pd.Series(out)
+
+    return assign
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[list[list[float]]]":
+    """Fit per-subspace codebooks (m books of k codewords) with
+    distributed Lloyd iterations, all subspaces in ONE pass per
+    iteration (rows are (id, sub, subvec); assignment is a broadcast
+    pandas UDF; means recompute via posexplode + groupBy(sub, code,
+    dim) — the ivf_fit pattern, so every shuffle is on tiny keys and
+    only m × k × dim/m floats ever reach the driver).
+
+    Deterministic like ivf_fit: seeds are the subvectors of the first
+    k vectors by id — no RNG, stable across runs and engines."""
+    rows = _pq_sub_rows(corpus, m, id_col, vec_col)
+    seeds = (
+        corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    dim = len(seeds[0][0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d0 = dim // m
+    books = [
+        [list(r[0][s * d0 : (s + 1) * d0]) for r in seeds] for s in range(m)
+    ]
+    for _ in range(iters):
+        assign = _pq_assign_udf(books)
+        assigned = rows.select(
+            "__sub",
+            assign(F.col("__sub"), F.col("__subvec")).alias("__c"),
+            F.posexplode("__subvec").alias("__d", "__x"),
+        )
+        means = (
+            assigned.groupBy("__sub", "__c", "__d")
+            .agg(F.avg("__x").alias("m"))
+            .groupBy("__sub", "__c")
+            .agg(F.sort_array(F.collect_list(F.struct("__d", "m"))).alias("dm"))
+            .select("__sub", "__c", F.col("dm.m").alias("mean"))
+            .collect()
+        )
+        new = {(r["__sub"], r["__c"]): list(r["mean"]) for r in means}
+        books = [
+            [new.get((s, c), books[s][c]) for c in range(k)] for s in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """(id, codes array<int> of length m): each vector compressed to
+    its per-subspace nearest-codeword indices — dim doubles become m
+    small ints (the stored ANN index payload)."""
+    m = len(codebooks)
+    assign = _pq_assign_udf(codebooks)
+    coded = _pq_sub_rows(df, m, id_col, vec_col).select(
+        id_col, "__sub", assign(F.col("__sub"), F.col("__subvec")).alias("__c")
+    )
+    return (
+        coded.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("__sub", "__c"))).alias("sc"))
+        .select(id_col, F.col("sc.__c").alias(out_col))
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    k: int = 10,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_codes: "DataFrame | None" = None,
+) -> DataFrame:
+    """Approximate top-k by squared L2 via asymmetric distance
+    computation (ADC) + exact re-rank: queries never touch corpus
+    FLOATS until the final re-rank — the scan runs on codes.
+
+      1. per (query, sub): the k codeword distances — a tiny
+         (Q × m × k)-row distance table, built distributedly and
+         broadcast;
+      2. corpus codes explode to (id, sub, code), join the table on
+         (sub, code), groupBy (query, id) SUM — the ADC add;
+      3. top `candidates` per query by ADC distance (partitioned
+         window), then ONE exact join re-ranks those few with true
+         squared L2 and keeps k.
+
+    Returns (query_id, neighbor_id, d2, rank). d2 rounds to 4dp in a
+    fixed index-order summation (portable). Pre-encode the corpus once
+    and pass `corpus_codes` to amortize across query batches. Scale
+    path: compose with ivf_assign cells to bound step 2's join per
+    probe list (IVF-PQ); the ADC scan itself is the memory-bandwidth
+    win — m byte-ish lookups per pair instead of dim multiplies."""
+    import numpy as np
+
+    m = len(codebooks)
+    kq = len(codebooks[0])
+    books = [np.array(b, dtype="float64") for b in codebooks]
+
+    @pandas_udf(T.ArrayType(DoubleType()))
+    def dtable(sub: pd.Series, v: pd.Series) -> pd.Series:
+        sv = sub.values
+        M = np.array(v.tolist(), dtype="float64")
+        out = [None] * len(sv)
+        for s in np.unique(sv):
+            B = books[int(s)]
+            idx = np.nonzero(sv == s)[0]
+            d2 = ((M[idx][:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            for j, row in zip(idx, d2):
+                out[j] = [float(x) for x in row]
+        return pd.Series(out)
+
+    qrows = _pq_sub_rows(queries, m, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        "__sub",
+        dtable(F.col("__sub"), F.col("__subvec")).alias("__dt"),
+    )
+    qtab = qrows.select(
+        "query_id", "__sub", F.posexplode("__dt").alias("__c", "__d2")
+    )
+    codes = (
+        corpus_codes
+        if corpus_codes is not None
+        else pq_encode(corpus, codebooks, id_col, vec_col)
+    )
+    ccodes = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("__sub", "__c"),
+    )
+    adc = (
+        ccodes.join(F.broadcast(qtab), ["__sub", "__c"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__d2").alias("__adc"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id").asc()
+    )
+    cand = adc.withColumn("__r", F.row_number().over(wq)).filter(
+        F.col("__r") <= max(candidates, k)
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rer = (
+        cand.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", F.round(d2, 4).alias("d2"))
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return rer.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= k
+    )

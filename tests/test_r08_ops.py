@@ -210,3 +210,73 @@ class TestCalibrationBins:
         df = spark.createDataFrame(rows, "s long, y int")
         out = calibration_bins(df, "s", 1000, "y", bins=4).collect()
         assert all(r["ece"] == 0.0 for r in out)
+
+
+class TestProductQuantization:
+    def test_encode_shape_and_determinism(self, spark):
+        from table_computing_spark.operators import similarity as sim
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        books = sim.pq_fit(emb, m=8, k=16, iters=1)
+        assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+        codes = sim.pq_encode(emb, books).collect()
+        assert all(len(r["codes"]) == 8 for r in codes)
+        assert all(0 <= c < 16 for r in codes for c in r["codes"])
+        again = {r["vec_id"]: r["codes"] for r in sim.pq_encode(emb, books).collect()}
+        assert {r["vec_id"]: r["codes"] for r in codes} == again
+
+    def test_full_candidate_rerank_equals_exact(self, spark):
+        """With candidates >= corpus size the exact re-rank sees every
+        vector, so pq_topk must equal brute-force L2 top-k no matter
+        what ADC ordered — the recall knob only moves between these
+        extremes."""
+        import numpy as np
+
+        from table_computing_spark.operators import similarity as sim
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qs = emb.filter(F.col("vec_id") % 100 == 0)
+        books = sim.pq_fit(emb, m=8, k=16, iters=1)
+        n = emb.count()
+        got = sim.pq_topk(emb, qs, books, k=5, candidates=n)
+        rows = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+        E = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+        for qid in [r["vec_id"] for r in qs.collect()]:
+            d2 = sorted(
+                (float(((E[qid] - v) ** 2).sum()), cid)
+                for cid, v in E.items()
+                if cid != qid
+            )
+            wantd = [round(d, 4) for d, _ in d2[:5]]
+            # compare by distance (ties on rounded d2 may reorder ids)
+            gotd = []
+            for rk in range(1, 6):
+                cid = rows[(qid, rk)]
+                gotd.append(round(float(((E[qid] - E[cid]) ** 2).sum()), 4))
+            assert gotd == wantd
+
+    def test_adc_recall_reasonable(self, spark):
+        """ADC with a 10%-of-corpus candidate pool should recover most
+        of the exact top-10 (deterministic given the fixed fit)."""
+        import numpy as np
+
+        from table_computing_spark.operators import similarity as sim
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qs = emb.filter(F.col("vec_id") % 100 == 0)
+        books = sim.pq_fit(emb, m=16, k=16, iters=2)
+        got = sim.pq_topk(emb, qs, books, k=10, candidates=100)
+        pred = {}
+        for r in got.collect():
+            pred.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        E = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+        recalls = []
+        for qid in pred:
+            d2 = sorted(
+                (float(((E[qid] - v) ** 2).sum()), cid)
+                for cid, v in E.items()
+                if cid != qid
+            )
+            truth = {cid for _, cid in d2[:10]}
+            recalls.append(len(pred[qid] & truth) / 10)
+        assert sum(recalls) / len(recalls) >= 0.7, recalls
