@@ -4926,6 +4926,33 @@ def q_pq_recall(spark, sf_dir):
     )
 
 
+def q_impute(spark, sf_dir):
+    """Per-group missing-value imputation (operators/impute.py):
+    planted NULLs (custkey % 11 / % 13) fill with the per-nation exact
+    MEDIAN balance and MODAL segment (deterministic tie-break: max
+    count then min value — two hash aggregates, no window), falling
+    back to the global statistic for all-NULL groups. Median is an
+    order statistic and the mode tie-break is total, so every fill is
+    engine-exact — mean is deliberately not offered (float sum order).
+    (New r08, r09 window head.)"""
+    from table_computing_spark.operators import impute as imp
+
+    c = _t(spark, sf_dir, "customer").df
+    base = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("c_acctbal"))
+        .alias("acctbal"),
+        F.when(F.col("c_custkey") % 13 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("mktsegment"),
+    )
+    return imp.impute(
+        base, ["c_nationkey"], numeric=["acctbal"], categorical=["mktsegment"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5204,6 +5231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ks_drift": q_ks_drift,
         "q_calibration": q_calibration,
         "q_pq_recall": q_pq_recall,
+        "q_impute": q_impute,
     }
     return {**window_50, **tail}
 
@@ -9732,5 +9760,39 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id AS nn_id, d2 AS nn_d2
         FROM r WHERE rank = 1
+        """,
+        "q_impute": """
+        WITH base AS (
+          SELECT c_custkey, c_nationkey,
+                 CASE WHEN c_custkey % 11 = 0 THEN NULL
+                      ELSE c_acctbal END AS v,
+                 CASE WHEN c_custkey % 13 = 0 THEN NULL
+                      ELSE c_mktsegment END AS seg
+          FROM customer
+        ), med AS (
+          SELECT c_nationkey, median(v) AS m FROM base GROUP BY 1
+        ), gmed AS (
+          SELECT median(v) AS gm FROM base
+        ), cnt AS (
+          SELECT c_nationkey, seg, count(*) AS n
+          FROM base WHERE seg IS NOT NULL GROUP BY 1, 2
+        ), mx AS (
+          SELECT c_nationkey, max(n) AS n FROM cnt GROUP BY 1
+        ), md AS (
+          SELECT cnt.c_nationkey, min(cnt.seg) AS mo
+          FROM cnt JOIN mx USING (c_nationkey, n) GROUP BY 1
+        ), gcnt AS (
+          SELECT seg, count(*) AS n FROM base WHERE seg IS NOT NULL GROUP BY 1
+        ), gmo AS (
+          SELECT min(seg) AS gmo FROM gcnt
+          WHERE n = (SELECT max(n) FROM gcnt)
+        )
+        SELECT b.c_custkey, b.c_nationkey,
+               coalesce(b.v, med.m, gmed.gm) AS acctbal,
+               coalesce(b.seg, md.mo, gmo.gmo) AS mktsegment
+        FROM base b
+        LEFT JOIN med USING (c_nationkey)
+        LEFT JOIN md USING (c_nationkey)
+        CROSS JOIN gmed CROSS JOIN gmo
         """,
     }

@@ -280,3 +280,45 @@ class TestProductQuantization:
             truth = {cid for _, cid in d2[:10]}
             recalls.append(len(pred[qid] & truth) / 10)
         assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+class TestImpute:
+    def test_median_and_mode_fill(self, spark):
+        from table_computing_spark.operators import impute as imp
+
+        rows = [
+            # g=a: vals 1,3,None → median 2.0; cats x,x,None → mode x
+            ("a", 1.0, "x"), ("a", 3.0, "x"), ("a", None, None),
+            # g=b: all None numeric → falls back to global median of
+            # non-nulls {1,3,10} = 3.0; cats y,z tie → min "y"
+            ("b", None, "y"), ("b", None, "z"),
+            # NULL group key → global fallbacks (median 3.0, mode x)
+            (None, None, None),
+            ("c", 10.0, "z"),
+        ]
+        df = spark.createDataFrame(rows, "g string, v double, c string")
+        got = {
+            (r["g"], r["v"], r["c"])
+            for r in imp.impute(df, ["g"], numeric=["v"], categorical=["c"]).collect()
+        }
+        assert got == {
+            ("a", 1.0, "x"), ("a", 3.0, "x"), ("a", 2.0, "x"),
+            ("b", 3.0, "y"), ("b", 3.0, "z"),
+            (None, 3.0, "x"),
+            ("c", 10.0, "z"),
+        }
+
+    def test_mode_tiebreak_is_min_value(self, spark):
+        from table_computing_spark.operators.impute import mode_stats
+
+        df = spark.createDataFrame(
+            [("a", "q"), ("a", "q"), ("a", "p"), ("a", "p")], "g string, c string"
+        )
+        assert mode_stats(df, ["g"], "c").collect()[0]["c__mode"] == "p"
+
+    def test_schema_preserved(self, spark):
+        from table_computing_spark.operators import impute as imp
+
+        df = spark.createDataFrame([("a", 1.0, "x")], "g string, v double, c string")
+        out = imp.impute(df, ["g"], numeric=["v"], categorical=["c"])
+        assert out.columns == df.columns
