@@ -4953,6 +4953,26 @@ def q_impute(spark, sf_dir):
     )
 
 
+def q_ivfpq(spark, sf_dir):
+    """IVF-PQ composed ANN (similarity.ivfpq_topk — coarse cells bound
+    WHICH codes each query scans, PQ ADC bounds the COST per code; the
+    billion-vector layout). Run here in its exact-recovery
+    configuration (every cell probed, corpus-sized candidate pool) so
+    the full plan — cell equi-join, broadcast distance table, ADC sum,
+    exact re-rank — is exercised AND the output hashes against the
+    brute-force L2 top-5 oracle; the recall/work trade is pytest-pinned
+    (probe-all == exact; candidates ⊂ probed cells). (New r08, r09
+    window head.)"""
+    from table_computing_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = sim.ivf_fit(emb, n_centroids=8, iters=1)
+    books = sim.pq_fit(emb, m=16, k=16, iters=1)
+    n = emb.count()
+    return sim.ivfpq_topk(emb, qs, books, cents, k=5, n_probe=8, candidates=n)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5232,6 +5252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_calibration": q_calibration,
         "q_pq_recall": q_pq_recall,
         "q_impute": q_impute,
+        "q_ivfpq": q_ivfpq,
     }
     return {**window_50, **tail}
 
@@ -9794,5 +9815,28 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN med USING (c_nationkey)
         LEFT JOIN md USING (c_nationkey)
         CROSS JOIN gmed CROSS JOIN gmo
+        """,
+        # exact-recovery configuration: probe-all + full candidate pool
+        # makes IVF-PQ == brute-force L2 top-5 (the plan is what's
+        # exercised; the recall/work trade is pytest-pinned)
+        "q_ivfpq": """
+        WITH qv AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 50 = 0
+        ), cv AS (
+          SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+        ), d AS (
+          SELECT query_id, neighbor_id,
+                 round(list_sum(list_transform(range(1, len(qv.v) + 1),
+                        i -> (qv.v[i] - cv.v[i]) * (qv.v[i] - cv.v[i]))), 4) AS d2
+          FROM qv, cv WHERE query_id <> neighbor_id
+        )
+        SELECT query_id, neighbor_id, d2, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT query_id, neighbor_id, d2,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY d2 ASC, neighbor_id ASC) AS rank
+          FROM d
+        ) WHERE rank <= 5
         """,
     }

@@ -1094,3 +1094,131 @@ def pq_topk(
     return rer.withColumn("rank", F.row_number().over(wr)).filter(
         F.col("rank") <= k
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    centroids: "list[list[float]]",
+    k: int = 10,
+    n_probe: int = 4,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_codes: "DataFrame | None" = None,
+) -> DataFrame:
+    """IVF-PQ: the standard billion-vector ANN layout (Jégou et al.
+    2011 §V) — the IVF coarse quantizer bounds WHICH codes each query
+    scans (cell equi-join on the n_probe nearest cells), PQ bounds the
+    COST of scanning each one (ADC adds over m codeword ids). Both
+    halves already exist (ivf_fit/ivf_assign, pq_fit/pq_encode); this
+    operator is their declarative composition:
+
+      1. corpus → (id, cell) via ivf_assign; queries → their n_probe
+         nearest cells (the same closure-captured centroid matmul);
+      2. candidate pairs = cell equi-join (never Q × N);
+      3. ADC distance per pair: exploded corpus codes restricted to
+         candidates, joined to the broadcast (query, sub, code)
+         distance table, groupBy sum;
+      4. top `candidates` per query by ADC, ONE exact join re-ranks,
+         keep k.
+
+    Returns (query_id, neighbor_id, d2, rank) like pq_topk. Shuffle
+    volume is O(N · n_probe / n_cells · m) code rows — flat per query
+    when n_cells grows ~√N (ivf_fit's auto rule) — instead of the
+    O(Q · N · dim) float scan of the exact path."""
+    import numpy as np
+
+    m = len(codebooks)
+    books = [np.array(b, dtype="float64") for b in codebooks]
+    C = np.array(centroids, dtype="float64")
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    npb = min(n_probe, len(centroids))
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(v: pd.Series) -> pd.Series:
+        M = np.array(v.tolist(), dtype="float64")
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = M @ Cn.T
+        order = np.argsort(-S, axis=1, kind="stable")[:, :npb]
+        return pd.Series([[int(c) for c in row] for row in order])
+
+    cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell"
+    )
+    qcells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    pairs = (
+        cells.join(qcells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+
+    @pandas_udf(T.ArrayType(DoubleType()))
+    def dtable(sub: pd.Series, v: pd.Series) -> pd.Series:
+        sv = sub.values
+        M = np.array(v.tolist(), dtype="float64")
+        out = [None] * len(sv)
+        for s in np.unique(sv):
+            B = books[int(s)]
+            idx = np.nonzero(sv == s)[0]
+            d2 = ((M[idx][:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            for j, row in zip(idx, d2):
+                out[j] = [float(x) for x in row]
+        return pd.Series(out)
+
+    qtab = (
+        _pq_sub_rows(queries, m, id_col, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            "__sub",
+            dtable(F.col("__sub"), F.col("__subvec")).alias("__dt"),
+        )
+        .select("query_id", "__sub", F.posexplode("__dt").alias("__c", "__d2"))
+    )
+    codes = (
+        corpus_codes
+        if corpus_codes is not None
+        else pq_encode(corpus, codebooks, id_col, vec_col)
+    )
+    ccodes = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("__sub", "__c"),
+    )
+    adc = (
+        pairs.join(ccodes, "neighbor_id")
+        .join(F.broadcast(qtab), ["query_id", "__sub", "__c"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__d2").alias("__adc"))
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id").asc()
+    )
+    cand = adc.withColumn("__r", F.row_number().over(wq)).filter(
+        F.col("__r") <= max(candidates, k)
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rer = (
+        cand.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", F.round(d2, 4).alias("d2"))
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return rer.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= k
+    )

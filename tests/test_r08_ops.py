@@ -322,3 +322,53 @@ class TestImpute:
         df = spark.createDataFrame([("a", 1.0, "x")], "g string, v double, c string")
         out = imp.impute(df, ["g"], numeric=["v"], categorical=["c"])
         assert out.columns == df.columns
+
+
+class TestIvfPq:
+    def test_probe_all_full_candidates_equals_exact(self, spark):
+        """With every cell probed and a corpus-sized candidate pool the
+        exact re-rank sees everything — ivfpq_topk must equal brute
+        force; n_probe/candidates only trade recall for work between
+        this and the fast configuration."""
+        import numpy as np
+
+        from table_computing_spark.operators import similarity as sim
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qs = emb.filter(F.col("vec_id") % 100 == 0)
+        cents = sim.ivf_fit(emb, n_centroids=8, iters=1)
+        books = sim.pq_fit(emb, m=16, k=16, iters=1)
+        n = emb.count()
+        got = sim.ivfpq_topk(
+            emb, qs, books, cents, k=5, n_probe=8, candidates=n
+        )
+        rows = {(r["query_id"], r["rank"]): r["d2"] for r in got.collect()}
+        E = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+        for qid in [r["vec_id"] for r in qs.collect()]:
+            d2s = sorted(
+                round(float(((E[qid] - v) ** 2).sum()), 4)
+                for cid, v in E.items()
+                if cid != qid
+            )[:5]
+            assert [rows[(qid, rk)] for rk in range(1, 6)] == d2s
+
+    def test_candidates_come_from_probed_cells(self, spark):
+        from table_computing_spark.operators import similarity as sim
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qs = emb.filter(F.col("vec_id") % 250 == 0)
+        cents = sim.ivf_fit(emb, n_centroids=8, iters=1)
+        books = sim.pq_fit(emb, m=16, k=16, iters=1)
+        out = sim.ivfpq_topk(emb, qs, books, cents, k=5, n_probe=2, candidates=20)
+        cells = {r["vec_id"]: r["cell"] for r in sim.ivf_assign(emb, cents).collect()}
+        import numpy as np
+
+        C = np.array(cents)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        for r in out.collect():
+            q = np.array(
+                emb.filter(F.col("vec_id") == r["query_id"]).first()["embedding"]
+            )
+            qn = q / max(np.linalg.norm(q), 1e-12)
+            probed = set(np.argsort(-(qn @ Cn.T), kind="stable")[:2].tolist())
+            assert cells[r["neighbor_id"]] in probed
