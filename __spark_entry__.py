@@ -4973,6 +4973,24 @@ def q_ivfpq(spark, sf_dir):
     return sim.ivfpq_topk(emb, qs, books, cents, k=5, n_probe=8, candidates=n)
 
 
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix in ONE pass
+    (functions/aggregate.corr_matrix): all 6 pairs among 4 lineitem
+    measures per return flag from a single hash aggregate of
+    decimal-exact integer-unit moments — k scans collapse to 1, the
+    closed forms run on identical inputs in identical op order, so
+    every r is engine-exact before the round. (New r08, r09 window
+    head.)"""
+    from table_computing_spark.functions.aggregate import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem").df
+    return corr_matrix(
+        li,
+        {"l_quantity": 0, "l_extendedprice": 2, "l_discount": 2, "l_tax": 2},
+        by=["l_returnflag"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5253,6 +5271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_recall": q_pq_recall,
         "q_impute": q_impute,
         "q_ivfpq": q_ivfpq,
+        "q_corr_matrix": q_corr_matrix,
     }
     return {**window_50, **tail}
 
@@ -9839,4 +9858,48 @@ def oracle_sql() -> dict[str, str]:
           FROM d
         ) WHERE rank <= 5
         """,
+        # one moment CTE, six closed-form pair rows — mirrors
+        # corr_matrix's decimal-exact integer-unit arithmetic
+        "q_corr_matrix": (
+            """
+        WITH s AS (
+          SELECT l_returnflag AS g,
+                 CAST(round(l_quantity) AS HUGEINT) AS v0,
+                 CAST(round(l_extendedprice * 100) AS HUGEINT) AS v1,
+                 CAST(round(l_discount * 100) AS HUGEINT) AS v2,
+                 CAST(round(l_tax * 100) AS HUGEINT) AS v3
+          FROM lineitem
+        ), m AS (
+          SELECT g, CAST(count(*) AS HUGEINT) AS n,
+                 sum(v0) AS s0, sum(v0*v0) AS q0,
+                 sum(v1) AS s1, sum(v1*v1) AS q1,
+                 sum(v2) AS s2, sum(v2*v2) AS q2,
+                 sum(v3) AS s3, sum(v3*v3) AS q3,
+                 sum(v0*v1) AS p0_1, sum(v0*v2) AS p0_2, sum(v0*v3) AS p0_3,
+                 sum(v1*v2) AS p1_2, sum(v1*v3) AS p1_3, sum(v2*v3) AS p2_3
+          FROM s GROUP BY 1
+        )
+        """
+            + "\nUNION ALL\n".join(
+                f"""
+        SELECT g AS l_returnflag, '{nx}' AS col_x, '{ny}' AS col_y,
+               CAST(n AS BIGINT) AS n,
+               CASE WHEN CAST(n*q{i} - s{i}*s{i} AS DOUBLE) > 0
+                     AND CAST(n*q{j} - s{j}*s{j} AS DOUBLE) > 0
+                    THEN round(CAST(n*p{i}_{j} - s{i}*s{j} AS DOUBLE)
+                         / sqrt(CAST(n*q{i} - s{i}*s{i} AS DOUBLE)
+                              * CAST(n*q{j} - s{j}*s{j} AS DOUBLE)), 6)
+               END AS r
+        FROM m
+        """
+                for i, j, nx, ny in [
+                    (0, 1, "l_quantity", "l_extendedprice"),
+                    (0, 2, "l_quantity", "l_discount"),
+                    (0, 3, "l_quantity", "l_tax"),
+                    (1, 2, "l_extendedprice", "l_discount"),
+                    (1, 3, "l_extendedprice", "l_tax"),
+                    (2, 3, "l_discount", "l_tax"),
+                ]
+            )
+        ),
     }

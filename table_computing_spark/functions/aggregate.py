@@ -222,3 +222,61 @@ def group_quantiles(
         agg = agg.withColumn(name, F.round(val, round_to))
         outs.append(name)
     return agg.select(*outs)
+
+
+def corr_matrix(
+    df,
+    cols: "dict[str, int]",
+    by: "list[str] | None" = None,
+    round_to: int = 6,
+):
+    """Pairwise Pearson correlation matrix over k numeric columns in
+    ONE aggregation pass — the feature-selection / profiling
+    primitive. `cols` maps column → decimal scale (values are
+    converted to integer units like moment_stats/linreg, so the
+    k + k + k(k−1)/2 moment sums accumulate order-independently in
+    DECIMAL and every engine reproduces each r bit-for-bit from
+    identical closed-form inputs).
+
+    Output: one row per unordered pair (col_x, col_y in input order),
+    with (by..., col_x, col_y, n, r); r is NULL when either side is
+    constant. Shape: one hash aggregate over the data (map-side
+    partials; shuffle width k²/2 sums per group), then k(k−1)/2
+    column-arithmetic selects over the tiny per-group moment table —
+    the data is never rescanned per pair, which is the whole point at
+    100 TB (k scans → 1 scan).
+    """
+    from functools import reduce
+
+    names = list(cols)
+    by = list(by or [])
+    ivals = [
+        F.round(F.col(c) * (10 ** cols[c])).cast("decimal(38,0)").alias(f"__v{i}")
+        for i, c in enumerate(names)
+    ]
+    sel = df.select(*by, *ivals)
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for i in range(len(names)):
+        aggs.append(F.sum(F.col(f"__v{i}")).alias(f"s{i}"))
+        aggs.append(F.sum(F.col(f"__v{i}") * F.col(f"__v{i}")).alias(f"q{i}"))
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            aggs.append(F.sum(F.col(f"__v{i}") * F.col(f"__v{j}")).alias(f"p{i}_{j}"))
+    g = sel.groupBy(*by).agg(*aggs)
+    outs = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            num = (F.col("n") * F.col(f"p{i}_{j}") - F.col(f"s{i}") * F.col(f"s{j}")).cast("double")
+            dx = (F.col("n") * F.col(f"q{i}") - F.col(f"s{i}") * F.col(f"s{i}")).cast("double")
+            dy = (F.col("n") * F.col(f"q{j}") - F.col(f"s{j}") * F.col(f"s{j}")).cast("double")
+            r = F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy))
+            outs.append(
+                g.select(
+                    *by,
+                    F.lit(names[i]).alias("col_x"),
+                    F.lit(names[j]).alias("col_y"),
+                    F.col("n").cast("long").alias("n"),
+                    F.round(r, round_to).alias("r"),
+                )
+            )
+    return reduce(lambda a, b: a.unionByName(b), outs)

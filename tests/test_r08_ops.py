@@ -372,3 +372,47 @@ class TestIvfPq:
             qn = q / max(np.linalg.norm(q), 1e-12)
             probed = set(np.argsort(-(qn @ Cn.T), kind="stable")[:2].tolist())
             assert cells[r["neighbor_id"]] in probed
+
+
+class TestCorrMatrix:
+    def test_matches_numpy(self, spark):
+        from table_computing_spark.functions.aggregate import corr_matrix
+
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        x = rng.integers(0, 100, 200)
+        y = (2 * x + rng.integers(0, 50, 200))
+        z = rng.integers(0, 100, 200)
+        df = spark.createDataFrame(
+            [(int(a), int(b), int(c)) for a, b, c in zip(x, y, z)],
+            "x long, y long, z long",
+        )
+        got = {
+            (r["col_x"], r["col_y"]): r["r"]
+            for r in corr_matrix(df, {"x": 0, "y": 0, "z": 0}).collect()
+        }
+        assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+        for (a, b), rv in got.items():
+            ref = float(np.corrcoef(eval(a), eval(b))[0, 1])
+            assert abs(rv - ref) < 1e-6, (a, b, rv, ref)
+
+    def test_constant_column_gives_null(self, spark):
+        from table_computing_spark.functions.aggregate import corr_matrix
+
+        df = spark.createDataFrame([(1, 5), (2, 5), (3, 5)], "x long, k long")
+        row = corr_matrix(df, {"x": 0, "k": 0}).collect()[0]
+        assert row["r"] is None
+
+    def test_grouped(self, spark):
+        from table_computing_spark.functions.aggregate import corr_matrix
+
+        rows = [("a", i, 2 * i) for i in range(10)] + [
+            ("b", i, -3 * i) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "g string, x long, y long")
+        got = {
+            r["g"]: r["r"]
+            for r in corr_matrix(df, {"x": 0, "y": 0}, by=["g"]).collect()
+        }
+        assert got == {"a": 1.0, "b": -1.0}
