@@ -4991,6 +4991,50 @@ def q_corr_matrix(spark, sf_dir):
     )
 
 
+def q_stream_bitmap_distinct(spark, sf_dir):
+    """Streaming EXACT distinct-count maintenance
+    (streaming/matview.stream_maintain_distinct): orders replayed as a
+    3-file parquet stream (maxFilesPerTrigger=1 — three real
+    foreachBatch OR-merges against the persisted bitmap state,
+    ping-pong versioned, batch-id idempotent), then the state is read
+    back and counted. Oracle: the definition of correctness — exact
+    COUNT(DISTINCT) over everything ingested; bit-OR is set union, so
+    the stream answer carries NO error bar, unlike the HLL twin
+    (q_maintain_distinct). (New r08, r09 window head.)"""
+    import tempfile
+
+    from table_computing_spark.operators import bitmaps
+    from table_computing_spark.streaming import matview
+
+    o = _t(spark, sf_dir, "orders").df.select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    )
+    base = tempfile.mkdtemp(prefix="tc_bmdist_")
+    src = os.path.join(base, "deltas")
+    for i in range(3):
+        o.where(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    sdf = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with _state_partitions(spark):
+        q = matview.stream_maintain_distinct(
+            sdf,
+            ["o_orderpriority"],
+            "o_custkey",
+            os.path.join(base, "state"),
+            os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+    st = matview.read_state(spark, os.path.join(base, "state"))
+    return bitmaps.distinct_count(st, ["o_orderpriority"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5272,6 +5316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_impute": q_impute,
         "q_ivfpq": q_ivfpq,
         "q_corr_matrix": q_corr_matrix,
+        "q_stream_bitmap_distinct": q_stream_bitmap_distinct,
     }
     return {**window_50, **tail}
 
@@ -9902,4 +9947,9 @@ def oracle_sql() -> dict[str, str]:
                 ]
             )
         ),
+        "q_stream_bitmap_distinct": """
+        SELECT o_orderpriority,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+        FROM orders GROUP BY 1
+        """,
     }

@@ -97,3 +97,60 @@ def stream_maintain_agg(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_maintain_distinct(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain EXACT per-group DISTINCT counts from an append stream:
+    each micro-batch collapses to its own bitmap state
+    (operators/bitmaps.distinct_state — one 4 KiB bitmap per
+    (group, id-bucket)) and OR-merges with the persisted state, under
+    the same versioned ping-pong + batch-id idempotence contract as
+    stream_maintain_agg. COUNT DISTINCT is the classic
+    non-self-maintainable aggregate; the bitmap state restores
+    incrementality with NO error bar (the HLL twin
+    incremental.maintain_distinct trades exactness for fixed size —
+    use it when the id domain is not integral or state size rules).
+
+    Query the result with bitmaps.distinct_count(read_state(...), keys)
+    — or roll the SAME state up to any coarser grain with
+    rollup_distinct, which a count-valued state could never do.
+    """
+    from table_computing_spark.operators import bitmaps
+
+    os.makedirs(state_dir, exist_ok=True)
+    keys = list(keys)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ptr = _read_pointer(state_dir)
+        if batch_id <= ptr["last_batch"]:
+            return  # replayed batch — already merged (idempotence)
+        spark = batch_df.sparkSession
+        delta = bitmaps.distinct_state(batch_df, keys, col)
+        if ptr["version"] >= 0:
+            old = spark.read.parquet(os.path.join(state_dir, f"v{ptr['version']}"))
+            new = bitmaps.merge_states(old, delta, keys)
+        else:
+            new = delta
+        nxt = ptr["version"] + 1
+        new.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{nxt}"))
+        with open(os.path.join(state_dir, _POINTER), "w") as f:
+            json.dump({"version": nxt, "last_batch": batch_id}, f)
+        if ptr["version"] >= 0:
+            shutil.rmtree(
+                os.path.join(state_dir, f"v{ptr['version']}"), ignore_errors=True
+            )
+
+    writer = (
+        sdf.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

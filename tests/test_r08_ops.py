@@ -416,3 +416,56 @@ class TestCorrMatrix:
             for r in corr_matrix(df, {"x": 0, "y": 0}, by=["g"]).collect()
         }
         assert got == {"a": 1.0, "b": -1.0}
+
+
+class TestStreamMaintainDistinct:
+    def test_stream_counts_exact_and_idempotent(self, spark, tmp_path):
+        import os
+
+        from table_computing_spark.operators import bitmaps
+        from table_computing_spark.streaming import matview
+
+        o = _orders(spark).select("o_orderkey", "o_orderstatus", "o_custkey")
+        src = str(tmp_path / "deltas")
+        for i in range(2):
+            o.where(F.col("o_orderkey") % 2 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        sdf = (
+            spark.readStream.schema(o.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        state = str(tmp_path / "state")
+        q = matview.stream_maintain_distinct(
+            sdf, ["o_orderstatus"], "o_custkey", state, str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        st = matview.read_state(spark, state)
+        got = {
+            r["o_orderstatus"]: r["n_distinct"]
+            for r in bitmaps.distinct_count(st, ["o_orderstatus"]).collect()
+        }
+        want = {
+            r["o_orderstatus"]: r["n"]
+            for r in o.groupBy("o_orderstatus")
+            .agg(F.countDistinct("o_custkey").alias("n"))
+            .collect()
+        }
+        assert got == want
+        # re-running the same availableNow stream over the same
+        # checkpoint replays nothing; the version pointer must not move
+        ptr_before = matview._read_pointer(state)
+        q2 = matview.stream_maintain_distinct(
+            spark.readStream.schema(o.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            ["o_orderstatus"],
+            "o_custkey",
+            state,
+            str(tmp_path / "ckpt"),
+        )
+        q2.awaitTermination(120)
+        assert q2.exception() is None
+        assert matview._read_pointer(state)["version"] == ptr_before["version"]
