@@ -5035,6 +5035,27 @@ def q_stream_bitmap_distinct(spark, sf_dir):
     return bitmaps.distinct_count(st, ["o_orderpriority"])
 
 
+def q_cusum(spark, sf_dir):
+    """CUSUM change-point location (drift.cusum_changepoint — Page
+    1954): per event type, WHERE in the (ts, event_id)-ordered value
+    sequence the running sum pulls furthest from the no-change line,
+    k* = argmax |n·S_k − k·S_n| on exact integer cents — running sums
+    via prefix_agg's partition-decomposed window (hot keys safe),
+    argmax as ONE max(struct) aggregate with earliest-k tie-break.
+    Complements q_ks_drift (two-snapshot drift) with in-sequence
+    localization. (New r08, r09 window head.)"""
+    from table_computing_spark.operators.drift import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events").df
+    base = ev.select(
+        "event_type",
+        tcf.epoch_ms("ts").alias("t"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return cusum_changepoint(base, ["event_type"], ["t", "event_id"], "cents")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5317,6 +5338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivfpq": q_ivfpq,
         "q_corr_matrix": q_corr_matrix,
         "q_stream_bitmap_distinct": q_stream_bitmap_distinct,
+        "q_cusum": q_cusum,
     }
     return {**window_50, **tail}
 
@@ -9951,5 +9973,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderpriority,
                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
         FROM orders GROUP BY 1
+        """,
+        "q_cusum": """
+        WITH e AS (
+          SELECT event_type, epoch_ms(ts) AS t, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS x
+          FROM events
+        ), o AS (
+          SELECT event_type,
+                 CAST(count(x) OVER w AS BIGINT) AS k,
+                 CAST(sum(x) OVER w AS BIGINT) AS sk
+          FROM e WINDOW w AS (PARTITION BY event_type
+                              ORDER BY t, event_id)
+        ), tt AS (
+          SELECT event_type, CAST(count(x) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sn
+          FROM e GROUP BY 1
+        ), d AS (
+          SELECT o.event_type, k, abs(n * sk - k * sn) AS dk, n, sn
+          FROM o JOIN tt USING (event_type) WHERE k < n
+        ), m AS (
+          SELECT event_type, n, k AS cp_k, CAST(dk AS BIGINT) AS cp_stat_num,
+                 sn,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY dk DESC, k ASC) AS rn
+          FROM d
+        )
+        SELECT event_type, n, cp_k, cp_stat_num,
+               round(CAST(cp_stat_num AS DOUBLE)
+                     / (n * greatest(abs(sn), 1)), 6) AS cp_stat
+        FROM m WHERE rn = 1
         """,
     }

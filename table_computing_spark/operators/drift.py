@@ -422,3 +422,71 @@ def ks_test(
     return per.select(
         *keys, "n_a", "n_b", "ks_num", F.round(d, round_to).alias("ks_d")
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: "Sequence[str]",
+    value_int: "Column | str",
+    round_to: int = 6,
+) -> DataFrame:
+    """Single change-point location per key by the CUSUM criterion
+    (Page 1954; the max-|CUSUM| estimator is the classic mean-shift
+    locator): over the key's sequence in `order_by` order, the change
+    point is
+
+        k* = argmax_{1<=k<n} |S_k − (k/n)·S_n|,   S_k = Σ_{i<=k} x_i
+
+    — where the running sum pulls furthest from the no-change line.
+    Complements ks_test (is there drift between two snapshots?) with
+    WHERE the shift happened inside one sequence.
+
+    Exact and engine-portable: `value_int` must be an integer-unit
+    expression (cents, counts); the criterion is evaluated in the
+    common-denominator form |n·S_k − k·S_n| (exact integers, no float
+    accumulation), ties break to the earliest k. Output per key:
+    (keys..., n, cp_k, cp_stat_num, cp_stat) with cp_stat =
+    cp_stat_num / (n·max(|S_n|, 1)) — a scale-free magnitude.
+
+    Shape: running sums via prefix_agg's partition-decomposed window
+    (hot keys span partitions safely), per-key totals join back
+    (AQE-broadcast), argmax is ONE max(struct) hash aggregate — no
+    second pass, no window over the argmax."""
+    from table_computing_spark.operators.prefix import prefix_agg
+
+    keys = list(keys)
+    x = (F.col(value_int) if isinstance(value_int, str) else value_int).cast("long")
+    base = df.select(*keys, *order_by, x.alias("__x"))
+    cum = prefix_agg(
+        base,
+        order_by=list(order_by),
+        specs={"__sk": ("sum", "__x"), "__k": ("count", "__x")},
+        partition_by=keys,
+    )
+    totals = base.groupBy(*keys).agg(
+        F.sum("__x").alias("__sn"), F.count("__x").alias("__n")
+    )
+    j = cum.join(totals, keys).filter(F.col("__k") < F.col("__n"))
+    dk = F.abs(F.col("__n") * F.col("__sk") - F.col("__k") * F.col("__sn"))
+    pick = F.max(
+        F.struct(
+            dk.alias("d"),
+            (-F.col("__k")).alias("nk"),
+            F.col("__k").alias("k"),
+            F.col("__n").alias("n"),
+            F.col("__sn").alias("sn"),
+        )
+    ).alias("__p")
+    out = j.groupBy(*keys).agg(pick)
+    stat = F.col("__p.d").cast("double") / (
+        F.col("__p.n").cast("double")
+        * F.greatest(F.abs(F.col("__p.sn")), F.lit(1)).cast("double")
+    )
+    return out.select(
+        *keys,
+        F.col("__p.n").alias("n"),
+        F.col("__p.k").alias("cp_k"),
+        F.col("__p.d").alias("cp_stat_num"),
+        F.round(stat, round_to).alias("cp_stat"),
+    )

@@ -469,3 +469,42 @@ class TestStreamMaintainDistinct:
         q2.awaitTermination(120)
         assert q2.exception() is None
         assert matview._read_pointer(state)["version"] == ptr_before["version"]
+
+
+class TestCusumChangepoint:
+    def test_finds_planted_shift(self, spark):
+        from table_computing_spark.operators.drift import cusum_changepoint
+
+        # 40 points at level 10, then 40 at level 50 → cp at k=40
+        rows = [("a", i, 10) for i in range(40)] + [
+            ("a", i, 50) for i in range(40, 80)
+        ]
+        df = spark.createDataFrame(rows, "g string, t long, x long").repartition(7)
+        r = cusum_changepoint(df, ["g"], ["t"], "x").collect()[0]
+        assert (r["n"], r["cp_k"]) == (80, 40)
+        # |n*S_40 - 40*S_n| = |80*400 - 40*2400| = 64000
+        assert r["cp_stat_num"] == 64000
+        assert r["cp_stat"] == round(64000 / (80 * 2400), 6)
+
+    def test_matches_brute_force_and_tiebreak(self, spark):
+        import numpy as np
+
+        from table_computing_spark.operators.drift import cusum_changepoint
+
+        rng = np.random.default_rng(5)
+        got_rows = {}
+        data = {}
+        rows = []
+        for g in ["p", "q"]:
+            xs = rng.integers(-5, 20, 60).tolist()
+            data[g] = xs
+            rows += [(g, i, int(v)) for i, v in enumerate(xs)]
+        df = spark.createDataFrame(rows, "g string, t long, x long").repartition(5)
+        for r in cusum_changepoint(df, ["g"], ["t"], "x").collect():
+            got_rows[r["g"]] = (r["cp_k"], r["cp_stat_num"])
+        for g, xs in data.items():
+            n, sn = len(xs), sum(xs)
+            best = max(
+                (abs(n * sum(xs[:k]) - k * sn), -k) for k in range(1, n)
+            )
+            assert got_rows[g] == (-best[1], best[0])
