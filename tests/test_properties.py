@@ -393,3 +393,43 @@ def test_prefix_agg_property(spark, xs, exclusive):
         if not exclusive:
             want[rid] = (run_s, run_m)
     assert got == want
+
+
+@_SETTINGS
+@given(
+    facts=st.lists(
+        st.tuples(keys, times, st.integers(min_value=-9, max_value=9)),
+        min_size=0,
+        max_size=20,
+    ),
+    spine=st.lists(st.tuples(keys, times), min_size=1, max_size=12),
+    win=st.integers(min_value=1, max_value=15),
+)
+def test_pit_features_property(spark, facts, spine, win):
+    """pit_features == per-spine-row brute force: latest fact value
+    at-or-before t, and count/sum over the half-open trailing window
+    (t-win, t] — including the boundary exclusions, NULL group keys
+    are absent here but empty-history rows must yield (None, 0, None)."""
+    from table_computing_spark.operators.temporal import pit_features
+
+    # unique (key, time) facts for a deterministic 'last' pick
+    fmap: dict = {}
+    for k, t, v in facts:
+        fmap[(k, t)] = v
+    frows = [(k, t, v) for (k, t), v in fmap.items()]
+    fdf = spark.createDataFrame(frows, "k string, t long, v long").repartition(3)
+    srows = [(i, k, t) for i, (k, t) in enumerate(spine)]
+    sdf = spark.createDataFrame(srows, "sid long, k string, t long").repartition(2)
+    out = pit_features(
+        sdf, fdf, on=["k"], spine_time="t", fact_time="t", spine_id="sid",
+        last_cols=["v"],
+        trailing={"n": ("count", "v", win), "s": ("sum", "v", win)},
+    )
+    got = {r["sid"]: (r["v"], r["n"], r["s"]) for r in out.collect()}
+    for sid, k, t in srows:
+        hist = [(ft, fv) for (fk, ft), fv in fmap.items() if fk == k]
+        before = [(ft, fv) for ft, fv in hist if ft <= t]
+        last = max(before)[1] if before else None
+        inwin = [fv for ft, fv in hist if t - win < ft <= t]
+        want = (last, len(inwin), sum(inwin) if inwin else None)
+        assert got[sid] == want, (sid, k, t, got[sid], want)
