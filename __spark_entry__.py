@@ -5056,6 +5056,23 @@ def q_cusum(spark, sf_dir):
     return cusum_changepoint(base, ["event_type"], ["t", "event_id"], "cents")
 
 
+def q_winsorize(spark, sf_dir):
+    """Per-group winsorization (quantiles.winsorize): lineitem prices
+    clipped to each return flag's own exact [p05, p95] band — one hash
+    aggregate for the cut points (Spark exact percentile ==
+    quantile_cont), broadcast band join, pure-codegen least/greatest
+    clip. The outlier-robust feature squash, grouped so heavy-tailed
+    segments clip against their own distribution. (New r08, r09 window
+    head.)"""
+    from table_computing_spark.operators.quantiles import winsorize
+
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+    )
+    return winsorize(li, ["l_returnflag"], "price", 0.05, 0.95)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5343,6 +5360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corr_matrix": q_corr_matrix,
         "q_stream_bitmap_distinct": q_stream_bitmap_distinct,
         "q_cusum": q_cusum,
+        "q_winsorize": q_winsorize,
     }
     return {**window_50, **tail}
 
@@ -10007,5 +10025,16 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(cp_stat_num AS DOUBLE)
                      / (n * greatest(abs(sn), 1)), 6) AS cp_stat
         FROM m WHERE rn = 1
+        """,
+        "q_winsorize": """
+        WITH band AS (
+          SELECT l_returnflag,
+                 quantile_cont(l_extendedprice, 0.05) AS lo,
+                 quantile_cont(l_extendedprice, 0.95) AS hi
+          FROM lineitem GROUP BY 1
+        )
+        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+               least(greatest(l.l_extendedprice, b.lo), b.hi) AS price
+        FROM lineitem l JOIN band b USING (l_returnflag)
         """,
     }

@@ -228,3 +228,38 @@ def exact_quantiles(
         v = stats[lo] if frac == 0 else stats[lo] + frac * (stats[lo + 1] - stats[lo])
         rows.append((float(q), float(v)))
     return spark.createDataFrame(rows, "q double, value double")
+
+
+def winsorize(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Clip `col` to its per-group exact [p_lo, p_hi] percentile band —
+    the standard outlier-robust feature squash (winsorization), grouped
+    so heavy-tailed segments clip against their OWN distribution.
+
+    Engine-exact: the cut points are Spark's exact `percentile`
+    (quantile_cont interpolation — the same convention DuckDB uses),
+    and the clip is two comparisons; no float accumulation anywhere.
+
+    Shape: one hash aggregate for the per-group band (state bounded by
+    group count), joined back (AQE broadcasts small band tables), then
+    a pure-codegen least/greatest projection. Output schema == input
+    schema with `col` clipped. Groups too small for a meaningful band
+    still get exact percentiles of whatever they hold; NULLs pass
+    through unclipped (SQL percentile ignores them)."""
+    keys = list(keys)
+    band = df.groupBy(*keys).agg(
+        F.expr(f"percentile({col}, array({lo}, {hi}))").alias("__band")
+    )
+    clipped = F.when(
+        F.col(col).isNotNull(),
+        F.least(
+            F.greatest(F.col(col), F.col("__band")[0]), F.col("__band")[1]
+        ),
+    )
+    out = df.join(band, keys)
+    return out.withColumn(col, clipped).select(*df.columns)

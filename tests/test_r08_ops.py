@@ -508,3 +508,31 @@ class TestCusumChangepoint:
                 (abs(n * sum(xs[:k]) - k * sn), -k) for k in range(1, n)
             )
             assert got_rows[g] == (-best[1], best[0])
+
+
+class TestWinsorize:
+    def test_clips_to_exact_percentiles(self, spark):
+        from table_computing_spark.operators.quantiles import winsorize
+
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        xs = rng.normal(0, 100, 400).round(2).tolist()
+        df = spark.createDataFrame([("g", float(v)) for v in xs], "g string, v double")
+        out = winsorize(df, ["g"], "v", 0.1, 0.9).collect()
+        lo, hi = np.percentile(np.array(xs), [10, 90], method="linear")
+        got = sorted(r["v"] for r in out)
+        want = sorted(min(max(v, lo), hi) for v in xs)
+        assert all(abs(a - b) < 1e-9 for a, b in zip(got, want))
+
+    def test_nulls_pass_through_and_schema_kept(self, spark):
+        from table_computing_spark.operators.quantiles import winsorize
+
+        df = spark.createDataFrame(
+            [("a", 1.0, "z"), ("a", 100.0, "y"), ("a", None, "x")],
+            "g string, v double, other string",
+        )
+        out = winsorize(df, ["g"], "v", 0.25, 0.75)
+        assert out.columns == df.columns
+        vals = {r["other"]: r["v"] for r in out.collect()}
+        assert vals["x"] is None
