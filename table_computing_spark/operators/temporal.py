@@ -35,11 +35,19 @@ def asof_join(
     how: str = "inner",
     suffix: str = "_r",
     direction: str = "backward",
+    tolerance: "float | None" = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     `right_time` <= `left_time` within the same `on` key (pandas
     merge_asof / DuckDB ASOF JOIN semantics; ties on right_time resolve
     to the last right row in (time, input) order).
+
+    `tolerance` bounds the match's staleness (pandas merge_asof
+    tolerance / the feature-store TTL): a match further than
+    `tolerance` time units from the left row (older for backward,
+    later for forward) is treated as NO match — right columns null for
+    how='left', row dropped for how='inner'. Same one-pass plan; the
+    bound is one filter on the carried match time.
 
     direction='forward' flips the match to the SMALLEST
     `right_time` >= `left_time` (next tick / next delivery) — the same
@@ -94,6 +102,24 @@ def asof_join(
         F.last("__rt", ignorenulls=True).over(w).alias("__rt"),
     )
     out = filled.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        gap = (
+            F.col("__t") - F.col("__rt")
+            if direction == "backward"
+            else F.col("__rt") - F.col("__t")
+        )
+        ok = F.col("__rt").isNotNull() & (gap <= F.lit(float(tolerance)))
+        out = out.select(
+            *keys,
+            "__t",
+            "__side",
+            *lcols,
+            *[
+                F.when(ok, F.col(rnames[c])).alias(rnames[c])
+                for c in rcols
+            ],
+            F.when(ok, F.col("__rt")).alias("__rt"),
+        )
     if how == "inner":
         out = out.filter(F.col("__rt").isNotNull())
     # lcols already carries the original left_time column (typed);
@@ -858,13 +884,16 @@ def pit_features(
     spine_id: str,
     last_cols: Sequence[str] = (),
     trailing: "dict[str, tuple[str, str, int]] | None" = None,
+    last_ttl: "float | None" = None,
 ) -> DataFrame:
     """Point-in-time-correct feature enrichment (the feature-store
     join): for each spine row (entity keys `on` + as-of time
     `spine_time`, uniquely identified by `spine_id`) attach
 
       * `last_cols` — the fact columns of the LATEST fact at or before
-        the as-of time (asof_join, left);
+        the as-of time (asof_join, left); `last_ttl` bounds its
+        staleness (feature-store TTL) — a last value older than
+        `last_ttl` reads as NULL instead of leaking ancient state;
       * `trailing`  — {out: (kind, col, window)} trailing-window
         aggregates over facts in (t - window, t], kind in count|sum
         (max is not prefix-subtractable — use over_by_duration for
@@ -899,7 +928,7 @@ def pit_features(
         right = facts.select(*keys, fact_time, *last_cols)
         out = asof_join(
             out, right, on=keys, left_time=spine_time,
-            right_time=fact_time, how="left",
+            right_time=fact_time, how="left", tolerance=last_ttl,
         )
 
     kinds = {k: s[0] for k, s in trailing.items()}

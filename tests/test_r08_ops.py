@@ -536,3 +536,56 @@ class TestWinsorize:
         assert out.columns == df.columns
         vals = {r["other"]: r["v"] for r in out.collect()}
         assert vals["x"] is None
+
+
+class TestAsofTolerance:
+    def test_stale_matches_null_out(self, spark):
+        from table_computing_spark.operators.temporal import asof_join, pit_features
+
+        right = spark.createDataFrame(
+            [(1, 10.0, 5.0), (1, 40.0, 7.0)], "k long, rt double, rv double"
+        )
+        left = spark.createDataFrame(
+            [(1, 12.0), (1, 30.0), (1, 41.0)], "k long, lt double"
+        )
+        out = {
+            r["lt"]: r["rv"]
+            for r in asof_join(
+                left, right, ["k"], "lt", "rt", how="left", tolerance=5.0
+            ).collect()
+        }
+        # lt=12 → rt=10 gap 2 ok; lt=30 → rt=10 gap 20 > 5 → NULL;
+        # lt=41 → rt=40 gap 1 ok
+        assert out == {12.0: 5.0, 30.0: None, 41.0: 7.0}
+
+        # inner drops the stale row entirely
+        inner = asof_join(left, right, ["k"], "lt", "rt", how="inner", tolerance=5.0)
+        assert sorted(r["lt"] for r in inner.collect()) == [12.0, 41.0]
+
+        # pit_features threads the TTL through as last_ttl
+        spine = spark.createDataFrame(
+            [(100, 1, 30.0), (101, 1, 12.0)], "sid long, k long, t double"
+        )
+        facts = right.withColumnRenamed("rt", "t").withColumnRenamed("rv", "v")
+        got = {
+            r["sid"]: r["v"]
+            for r in pit_features(
+                spine, facts, ["k"], "t", "t", "sid",
+                last_cols=["v"], last_ttl=5.0,
+            ).collect()
+        }
+        assert got == {100: None, 101: 5.0}
+
+    def test_forward_tolerance(self, spark):
+        from table_computing_spark.operators.temporal import asof_join
+
+        right = spark.createDataFrame([(1, 50.0, 9.0)], "k long, rt double, rv double")
+        left = spark.createDataFrame([(1, 48.0), (1, 10.0)], "k long, lt double")
+        out = {
+            r["lt"]: r["rv"]
+            for r in asof_join(
+                left, right, ["k"], "lt", "rt",
+                how="left", direction="forward", tolerance=5.0,
+            ).collect()
+        }
+        assert out == {48.0: 9.0, 10.0: None}
