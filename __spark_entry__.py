@@ -5073,6 +5073,23 @@ def q_winsorize(spark, sf_dir):
     return winsorize(li, ["l_returnflag"], "price", 0.05, 0.95)
 
 
+def q_percent_rank_global(spark, sf_dir):
+    """Global percent_rank WITHOUT the single-task global window
+    (quantiles.global_percent_rank): every lineitem price mapped to
+    its global quantile position via per-value counts + exclusive
+    prefix sums over DISTINCT values (prefix_agg decomposition) + a
+    value-keyed join back — exactly SQL's ties-share definition
+    rows_below/(n−1), one integer division. The quantile-transform /
+    score-to-percentile primitive at 100 TB. (New r08, r09 window
+    head.)"""
+    from table_computing_spark.operators.quantiles import global_percent_rank
+
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey", "l_linenumber", F.col("l_extendedprice").alias("price")
+    )
+    return global_percent_rank(li, "price", "pr", round_to=9)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5361,6 +5378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_bitmap_distinct": q_stream_bitmap_distinct,
         "q_cusum": q_cusum,
         "q_winsorize": q_winsorize,
+        "q_percent_rank_global": q_percent_rank_global,
     }
     return {**window_50, **tail}
 
@@ -10036,5 +10054,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
                least(greatest(l.l_extendedprice, b.lo), b.hi) AS price
         FROM lineitem l JOIN band b USING (l_returnflag)
+        """,
+        "q_percent_rank_global": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice AS price,
+               round(percent_rank() OVER (ORDER BY l_extendedprice), 9) AS pr
+        FROM lineitem
         """,
     }

@@ -263,3 +263,54 @@ def winsorize(
     )
     out = df.join(band, keys)
     return out.withColumn(col, clipped).select(*df.columns)
+
+
+def global_percent_rank(
+    df: DataFrame,
+    col: str,
+    out_col: str = "percent_rank",
+    round_to: int = 9,
+) -> DataFrame:
+    """`percent_rank() OVER (ORDER BY col)` — the global quantile
+    transform (uniformize a feature, score-to-percentile maps) —
+    WITHOUT the single-task global window Spark would plan for it.
+
+    Decomposition: rows collapse to per-VALUE counts (one hash
+    aggregate), the exclusive prefix sum over the distinct-value order
+    gives each value its "rows strictly below" (prefix_agg's
+    partition-decomposed running sum — no unpartitioned window), and a
+    join on the value carries the rank back to every row:
+
+        percent_rank(v) = rows_below(v) / (n − 1)
+
+    which is exactly SQL's ties-share rank()-based definition. The
+    division is one op on exact integers → engine-identical doubles.
+
+    NULLs: engines disagree on NULL placement in ORDER BY (Spark
+    nulls-first vs DuckDB nulls-last), so NULL values get a NULL rank
+    here — filter or impute first if NULLs must participate. n == 1
+    yields 0.0 (SQL convention).
+
+    Scale shape: shuffle on the value for the count, prefix over
+    DISTINCT values only, then a value-keyed join back (AQE broadcasts
+    small value tables). Nothing global-sorts the data."""
+    from table_computing_spark.operators.prefix import prefix_agg
+
+    vals = df.select(F.col(col).alias("__v")).where(F.col("__v").isNotNull())
+    counts = vals.groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
+    cum = prefix_agg(
+        counts,
+        order_by=["__v"],
+        specs={"__below": ("sum", "__c")},
+        exclusive=True,
+    ).select("__v", F.coalesce(F.col("__below"), F.lit(0)).alias("__below"))
+    total = counts.agg(F.sum("__c").alias("__n"))
+    ranked = cum.crossJoin(F.broadcast(total)).select(
+        "__v",
+        F.when(F.col("__n") > 1,
+               F.round(F.col("__below").cast("double")
+                       / (F.col("__n") - F.lit(1)).cast("double"), round_to))
+        .otherwise(F.lit(0.0))
+        .alias(out_col),
+    )
+    return df.join(ranked, df[col] == ranked["__v"], "left").drop("__v")

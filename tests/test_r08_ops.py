@@ -589,3 +589,34 @@ class TestAsofTolerance:
             ).collect()
         }
         assert out == {48.0: 9.0, 10.0: None}
+
+
+class TestGlobalPercentRank:
+    def test_matches_sql_percent_rank(self, spark):
+        from table_computing_spark.operators.quantiles import global_percent_rank
+
+        import numpy as np
+
+        rng = np.random.default_rng(21)
+        xs = rng.integers(0, 50, 300).tolist()  # heavy ties
+        df = spark.createDataFrame(
+            [(i, int(v)) for i, v in enumerate(xs)], "rid long, v long"
+        ).repartition(6)
+        got = {
+            r["rid"]: r["percent_rank"]
+            for r in global_percent_rank(df, "v").collect()
+        }
+        want = {
+            r["rid"]: round(r["pr"], 9)
+            for r in df.selectExpr(
+                "rid", "percent_rank() OVER (ORDER BY v) AS pr"
+            ).collect()
+        }
+        assert got == want
+
+    def test_null_gets_null_rank_and_single_row_zero(self, spark):
+        from table_computing_spark.operators.quantiles import global_percent_rank
+
+        df = spark.createDataFrame([(1, None), (2, 5.0)], "rid long, v double")
+        got = {r["rid"]: r["percent_rank"] for r in global_percent_rank(df, "v").collect()}
+        assert got[1] is None and got[2] == 0.0
