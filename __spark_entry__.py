@@ -5090,6 +5090,33 @@ def q_percent_rank_global(spark, sf_dir):
     return global_percent_rank(li, "price", "pr", round_to=9)
 
 
+def q_interval_overlap(spark, sf_dir):
+    """Interval × interval overlap join
+    (temporal.interval_overlap_join — range_join's two-sided sibling):
+    which big orders' 14-day windows overlap the sampled orders'
+    windows — bucket registration + equi-join + responsible-bucket
+    dedup, shuffle O(Σ spans/width), never |A|×|B|. (New r08, r09
+    window head.)"""
+    from table_computing_spark.operators.temporal import interval_overlap_join
+
+    o = _t(spark, sf_dir, "orders").df
+    day14 = 14 * 86400000
+    a = o.where(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("aid"),
+        tcf.epoch_ms("o_orderdate").alias("sa"),
+        (tcf.epoch_ms("o_orderdate") + day14).alias("ea"),
+    )
+    b = o.where(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("bid"),
+        tcf.epoch_ms("o_orderdate").alias("sb"),
+        (tcf.epoch_ms("o_orderdate") + day14).alias("eb"),
+    )
+    out = interval_overlap_join(
+        a, b, "sa", "ea", "sb", "eb", bucket_width=float(day14)
+    )
+    return out.select("aid", "bid")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5379,6 +5406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cusum": q_cusum,
         "q_winsorize": q_winsorize,
         "q_percent_rank_global": q_percent_rank_global,
+        "q_interval_overlap": q_interval_overlap,
     }
     return {**window_50, **tail}
 
@@ -10059,5 +10087,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT l_orderkey, l_linenumber, l_extendedprice AS price,
                round(percent_rank() OVER (ORDER BY l_extendedprice), 9) AS pr
         FROM lineitem
+        """,
+        "q_interval_overlap": """
+        WITH a AS (
+          SELECT o_orderkey AS aid, epoch_ms(o_orderdate) AS sa,
+                 epoch_ms(o_orderdate) + 14 * 86400000 AS ea
+          FROM orders WHERE o_totalprice > 400000
+        ), b AS (
+          SELECT o_orderkey AS bid, epoch_ms(o_orderdate) AS sb,
+                 epoch_ms(o_orderdate) + 14 * 86400000 AS eb
+          FROM orders WHERE o_orderkey % 97 = 0
+        )
+        SELECT aid, bid FROM a JOIN b ON sa < eb AND sb < ea
         """,
     }

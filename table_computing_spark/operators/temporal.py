@@ -1001,3 +1001,63 @@ def pit_features(
             if kinds[n] == "count":
                 out = out.withColumn(n, F.coalesce(F.col(n), F.lit(0)))
     return out
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket_width: float,
+    on: Sequence[str] = (),
+    suffix: str = "_b",
+) -> DataFrame:
+    """Interval × interval OVERLAP join (half-open [start, end);
+    overlap iff a.start < b.end AND b.start < a.end) — the
+    two-sided sibling of range_join, still without a cross join.
+
+    Both sides register in the fixed-width buckets their span covers;
+    candidates meet in a bucket equi-join (+ optional equi-keys `on`);
+    a residual filter keeps true overlaps; and the pair is KEPT ONLY in
+    the bucket containing max(a.start, b.start) — each true overlap
+    intersects that bucket by construction, so the dedup needs no
+    post-join distinct (the classic responsible-bucket trick).
+
+    Shuffle is O(Σ spans / width) per side, never |a| × |b|. Pick
+    bucket_width near the typical span; very long intervals cost their
+    span/width in duplicate registrations (cap them upstream or raise
+    the width). B's columns that collide with A's get `suffix`.
+    """
+    keys = list(on)
+
+    def buckets(df, s, e):
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s).cast("double") / bucket_width).cast("bigint"),
+                    F.floor(
+                        (F.col(e).cast("double") - 1e-9) / bucket_width
+                    ).cast("bigint"),
+                )
+            ),
+        )
+    renames = {
+        c: (c + suffix if c in a.columns else c)
+        for c in b.columns
+        if c not in keys
+    }
+    b_r = b.select(*keys, *[F.col(c).alias(renames[c]) for c in renames])
+    sa, ea = F.col(a_start), F.col(a_end)
+    sb, eb = F.col(renames.get(b_start, b_start)), F.col(renames.get(b_end, b_end))
+    joined = buckets(a, a_start, a_end).join(
+        buckets(b_r, renames.get(b_start, b_start), renames.get(b_end, b_end)),
+        ["__bucket", *keys],
+    )
+    responsible = (
+        F.floor(F.greatest(sa, sb).cast("double") / bucket_width).cast("bigint")
+        == F.col("__bucket")
+    )
+    return joined.filter((sa < eb) & (sb < ea) & responsible).drop("__bucket")

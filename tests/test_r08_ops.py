@@ -620,3 +620,44 @@ class TestGlobalPercentRank:
         df = spark.createDataFrame([(1, None), (2, 5.0)], "rid long, v double")
         got = {r["rid"]: r["percent_rank"] for r in global_percent_rank(df, "v").collect()}
         assert got[1] is None and got[2] == 0.0
+
+
+class TestIntervalOverlapJoin:
+    def test_matches_brute_force(self, spark):
+        import numpy as np
+
+        from table_computing_spark.operators.temporal import interval_overlap_join
+
+        rng = np.random.default_rng(13)
+        A = [(i, int(s), int(s + d)) for i, (s, d) in enumerate(
+            zip(rng.integers(0, 200, 40), rng.integers(1, 30, 40)))]
+        B = [(j, int(s), int(s + d)) for j, (s, d) in enumerate(
+            zip(rng.integers(0, 200, 40), rng.integers(1, 30, 40)))]
+        a = spark.createDataFrame(A, "aid long, s long, e long").repartition(4)
+        b = spark.createDataFrame(B, "bid long, s long, e long").repartition(3)
+        got = {
+            (r["aid"], r["bid"])
+            for r in interval_overlap_join(
+                a, b, "s", "e", "s", "e", bucket_width=16.0
+            ).collect()
+        }
+        want = {
+            (i, j)
+            for i, sa, ea in A
+            for j, sb, eb in B
+            if sa < eb and sb < ea
+        }
+        assert got == want
+
+    def test_keys_and_no_duplicates_on_long_intervals(self, spark):
+        from table_computing_spark.operators.temporal import interval_overlap_join
+
+        # one long interval spanning many buckets must pair exactly once
+        a = spark.createDataFrame([("k", 1, 0, 1000)], "g string, aid long, s long, e long")
+        b = spark.createDataFrame(
+            [("k", 1, 500, 520), ("x", 2, 500, 520)], "g string, bid long, s long, e long"
+        )
+        out = interval_overlap_join(
+            a, b, "s", "e", "s", "e", bucket_width=10.0, on=["g"]
+        ).collect()
+        assert len(out) == 1 and out[0]["bid"] == 1
