@@ -374,9 +374,13 @@ def ks_test(
     Exact and engine-portable: both samples collapse to per-value
     counts (one hash aggregate each), the CDFs are integer prefix sums
     over the merged value order, and the max gap is computed on the
-    INTEGER cross-product form |cum_a·n_b − cum_b·n_a| — no float
-    accumulation anywhere; the single division happens once per group
-    at the very end.
+    INTEGER cross-product form |cum_a·n_b − cum_b·n_a| — accumulated
+    in DECIMAL(38,0) so the product cannot wrap even at
+    billions-per-side sample sizes (long would overflow past
+    n_a·n_b ≈ 2^63); no float accumulation anywhere; the single
+    division happens once per group at the very end. NULL values are
+    dropped (engines disagree on NULL placement in ORDER BY, and a
+    NULL is not a sample point).
 
     Scale shape: data-sized work is the two count aggregates; the
     prefix runs on DISTINCT values via prefix_agg's partition-
@@ -388,10 +392,10 @@ def ks_test(
     from table_computing_spark.operators.prefix import prefix_agg
 
     keys = list(keys)
-    u = a.select(
+    u = a.where(F.col(col).isNotNull()).select(
         *keys, F.col(col).alias("__v"), F.lit(1).alias("__sa"), F.lit(0).alias("__sb")
     ).unionByName(
-        b.select(
+        b.where(F.col(col).isNotNull()).select(
             *keys, F.col(col).alias("__v"), F.lit(0).alias("__sa"), F.lit(1).alias("__sb")
         )
     )
@@ -414,13 +418,21 @@ def ks_test(
             F.sum("__ai").alias("n_a"), F.sum("__bi").alias("n_b")
         )
         cum = cum.crossJoin(F.broadcast(totals))
-    gap = F.abs(F.col("__ca") * F.col("n_b") - F.col("__cb") * F.col("n_a"))
-    per = cum.groupBy(*keys, "n_a", "n_b").agg(F.max(gap).alias("ks_num"))
-    d = F.col("ks_num").cast("double") / (
+    dec = "decimal(38,0)"
+    gap = F.abs(
+        F.col("__ca").cast(dec) * F.col("n_b").cast(dec)
+        - F.col("__cb").cast(dec) * F.col("n_a").cast(dec)
+    )
+    per = cum.groupBy(*keys, "n_a", "n_b").agg(F.max(gap).alias("__ks"))
+    d = F.col("__ks").cast("double") / (
         F.col("n_a").cast("double") * F.col("n_b").cast("double")
     )
     return per.select(
-        *keys, "n_a", "n_b", "ks_num", F.round(d, round_to).alias("ks_d")
+        *keys,
+        "n_a",
+        "n_b",
+        F.col("__ks").cast("long").alias("ks_num"),
+        F.round(d, round_to).alias("ks_d"),
     )
 
 
@@ -444,8 +456,9 @@ def cusum_changepoint(
 
     Exact and engine-portable: `value_int` must be an integer-unit
     expression (cents, counts); the criterion is evaluated in the
-    common-denominator form |n·S_k − k·S_n| (exact integers, no float
-    accumulation), ties break to the earliest k. Output per key:
+    common-denominator form |n·S_k − k·S_n| in DECIMAL(38,0) (exact
+    integers that cannot wrap where long products would, n·S_k ≈ 1e23
+    at a billion ~1e5-cent rows), ties break to the earliest k. Output per key:
     (keys..., n, cp_k, cp_stat_num, cp_stat) with cp_stat =
     cp_stat_num / (n·max(|S_n|, 1)) — a scale-free magnitude.
 
@@ -468,7 +481,11 @@ def cusum_changepoint(
         F.sum("__x").alias("__sn"), F.count("__x").alias("__n")
     )
     j = cum.join(totals, keys).filter(F.col("__k") < F.col("__n"))
-    dk = F.abs(F.col("__n") * F.col("__sk") - F.col("__k") * F.col("__sn"))
+    dec = "decimal(38,0)"
+    dk = F.abs(
+        F.col("__n").cast(dec) * F.col("__sk").cast(dec)
+        - F.col("__k").cast(dec) * F.col("__sn").cast(dec)
+    )
     pick = F.max(
         F.struct(
             dk.alias("d"),
@@ -487,6 +504,6 @@ def cusum_changepoint(
         *keys,
         F.col("__p.n").alias("n"),
         F.col("__p.k").alias("cp_k"),
-        F.col("__p.d").alias("cp_stat_num"),
+        F.col("__p.d").cast("long").alias("cp_stat_num"),
         F.round(stat, round_to).alias("cp_stat"),
     )

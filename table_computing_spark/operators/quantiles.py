@@ -249,19 +249,27 @@ def winsorize(
     group count), joined back (AQE broadcasts small band tables), then
     a pure-codegen least/greatest projection. Output schema == input
     schema with `col` clipped. Groups too small for a meaningful band
-    still get exact percentiles of whatever they hold; NULLs pass
-    through unclipped (SQL percentile ignores them)."""
+    still get exact percentiles of whatever they hold; NULL values
+    pass through unclipped (SQL percentile ignores them), and NULL
+    group KEYS clip against the NULL group's own band (the join is
+    null-safe — a plain equi-join would silently DROP those rows)."""
     keys = list(keys)
     band = df.groupBy(*keys).agg(
         F.expr(f"percentile({col}, array({lo}, {hi}))").alias("__band")
     )
+    for k in keys:
+        band = band.withColumnRenamed(k, f"__bk_{k}")
+    cond = None
+    for k in keys:
+        c = df[k].eqNullSafe(band[f"__bk_{k}"])
+        cond = c if cond is None else cond & c
     clipped = F.when(
-        F.col(col).isNotNull(),
+        F.col(col).isNotNull() & F.col("__band").isNotNull(),
         F.least(
             F.greatest(F.col(col), F.col("__band")[0]), F.col("__band")[1]
         ),
-    )
-    out = df.join(band, keys)
+    ).otherwise(F.col(col))
+    out = df.join(band, cond, "left")
     return out.withColumn(col, clipped).select(*df.columns)
 
 

@@ -300,9 +300,12 @@ def ivf_topk(
     keeping probe work per query O(n_probe·√N)."""
     import numpy as np
 
-    if n_centroids == "auto":
-        n_centroids = max(16, int(round(math.sqrt(corpus.count()))))
     if centroids is None:
+        if n_centroids == "auto":
+            # resolve only when a fit actually runs — precomputed
+            # centroids must not pay a full corpus scan for a number
+            # that would go unused
+            n_centroids = max(16, int(round(math.sqrt(corpus.count()))))
         centroids = ivf_fit(corpus, n_centroids, iters, id_col, vec_col)
     assign = _nearest_centroid_udf(centroids)
     c = corpus.select(
@@ -461,9 +464,11 @@ def lsh_topk(
     embedding dimension: occupancy stays ≈ target_bucket however large
     the corpus, so per-query candidate work is flat."""
     if bits == "auto":
-        n = corpus.count()
-        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = int(first["d"]) if first else 4
+        stats = corpus.agg(
+            F.count(F.lit(1)).alias("n"), F.first(F.size(F.col(vec_col))).alias("d")
+        ).first()
+        n = int(stats["n"])
+        dim = int(stats["d"]) if stats["d"] is not None else 4
         bits = max(4, min(dim, math.ceil(math.log2(max(n / target_bucket, 2)))))
     probe_bucket = sign_bucket(F.col(vec_col), bits)
     if multiprobe > 0:
@@ -923,6 +928,68 @@ def _pq_assign_udf(codebooks: "list[list[list[float]]]"):
     return assign
 
 
+def _pq_dtable_udf(codebooks: "list[list[list[float]]]"):
+    """pandas UDF (sub, subvec) → the k codeword squared-L2 distances
+    for that subspace — the per-query ADC distance-table rows. Shared
+    by pq_topk and ivfpq_topk (one definition, one tie/rounding
+    convention)."""
+    import numpy as np
+
+    books = [np.array(b, dtype="float64") for b in codebooks]
+
+    @pandas_udf(T.ArrayType(DoubleType()))
+    def dtable(sub: pd.Series, v: pd.Series) -> pd.Series:
+        sv = sub.values
+        M = np.array(v.tolist(), dtype="float64")
+        out = [None] * len(sv)
+        for s in np.unique(sv):
+            B = books[int(s)]
+            idx = np.nonzero(sv == s)[0]
+            d2 = ((M[idx][:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            for j, row in zip(idx, d2):
+                out[j] = [float(x) for x in row]
+        return pd.Series(out)
+
+    return dtable
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact squared-L2 re-rank of (query_id, neighbor_id) candidate
+    pairs → (query_id, neighbor_id, d2, rank<=k). One corpus join +
+    one broadcast query join; d2 rounds to 4dp in fixed index-order
+    summation (portable); ties break on neighbor_id. Shared tail of
+    pq_topk and ivfpq_topk."""
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rer = (
+        cand.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", F.round(d2, 4).alias("d2"))
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return rer.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= k
+    )
+
+
 def pq_fit(
     corpus: DataFrame,
     m: int = 8,
@@ -944,6 +1011,10 @@ def pq_fit(
     seeds = (
         corpus.orderBy(id_col).limit(k).select(vec_col).collect()
     )
+    if len(seeds) < k:
+        raise ValueError(
+            f"pq_fit needs at least k={k} vectors to seed codebooks; corpus has {len(seeds)}"
+        )
     dim = len(seeds[0][0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -1024,25 +1095,8 @@ def pq_topk(
     path: compose with ivf_assign cells to bound step 2's join per
     probe list (IVF-PQ); the ADC scan itself is the memory-bandwidth
     win — m byte-ish lookups per pair instead of dim multiplies."""
-    import numpy as np
-
     m = len(codebooks)
-    kq = len(codebooks[0])
-    books = [np.array(b, dtype="float64") for b in codebooks]
-
-    @pandas_udf(T.ArrayType(DoubleType()))
-    def dtable(sub: pd.Series, v: pd.Series) -> pd.Series:
-        sv = sub.values
-        M = np.array(v.tolist(), dtype="float64")
-        out = [None] * len(sv)
-        for s in np.unique(sv):
-            B = books[int(s)]
-            idx = np.nonzero(sv == s)[0]
-            d2 = ((M[idx][:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
-            for j, row in zip(idx, d2):
-                out[j] = [float(x) for x in row]
-        return pd.Series(out)
-
+    dtable = _pq_dtable_udf(codebooks)
     qrows = _pq_sub_rows(queries, m, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         "__sub",
@@ -1072,28 +1126,7 @@ def pq_topk(
     cand = adc.withColumn("__r", F.row_number().over(wq)).filter(
         F.col("__r") <= max(candidates, k)
     )
-    cvec = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
-    qvec = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    d2 = F.aggregate(
-        F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    rer = (
-        cand.join(cvec, "neighbor_id")
-        .join(F.broadcast(qvec), "query_id")
-        .select("query_id", "neighbor_id", F.round(d2, 4).alias("d2"))
-    )
-    wr = W.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("neighbor_id").asc()
-    )
-    return rer.withColumn("rank", F.row_number().over(wr)).filter(
-        F.col("rank") <= k
-    )
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col)
 
 
 def ivfpq_topk(
@@ -1131,7 +1164,6 @@ def ivfpq_topk(
     import numpy as np
 
     m = len(codebooks)
-    books = [np.array(b, dtype="float64") for b in codebooks]
     C = np.array(centroids, dtype="float64")
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     npb = min(n_probe, len(centroids))
@@ -1157,19 +1189,7 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id")
     )
 
-    @pandas_udf(T.ArrayType(DoubleType()))
-    def dtable(sub: pd.Series, v: pd.Series) -> pd.Series:
-        sv = sub.values
-        M = np.array(v.tolist(), dtype="float64")
-        out = [None] * len(sv)
-        for s in np.unique(sv):
-            B = books[int(s)]
-            idx = np.nonzero(sv == s)[0]
-            d2 = ((M[idx][:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
-            for j, row in zip(idx, d2):
-                out[j] = [float(x) for x in row]
-        return pd.Series(out)
-
+    dtable = _pq_dtable_udf(codebooks)
     qtab = (
         _pq_sub_rows(queries, m, id_col, vec_col)
         .select(
@@ -1200,25 +1220,4 @@ def ivfpq_topk(
     cand = adc.withColumn("__r", F.row_number().over(wq)).filter(
         F.col("__r") <= max(candidates, k)
     )
-    cvec = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
-    qvec = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    d2 = F.aggregate(
-        F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    rer = (
-        cand.join(cvec, "neighbor_id")
-        .join(F.broadcast(qvec), "query_id")
-        .select("query_id", "neighbor_id", F.round(d2, 4).alias("d2"))
-    )
-    wr = W.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("neighbor_id").asc()
-    )
-    return rer.withColumn("rank", F.row_number().over(wr)).filter(
-        F.col("rank") <= k
-    )
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col)

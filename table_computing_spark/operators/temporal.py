@@ -149,16 +149,21 @@ def range_join(
     p = points.withColumn(
         "__bucket", F.floor(F.col(point_col).cast("double") / bucket_width).cast("bigint")
     )
-    i = intervals.withColumn(
+    i = intervals.where(
+        F.col(end_col).cast("double") > F.col(start_col).cast("double")
+    ).withColumn(
         "__bucket",
         F.explode(
             F.sequence(
                 F.floor(F.col(start_col).cast("double") / bucket_width).cast("bigint"),
-                F.floor(
-                    # end is exclusive: the last covered bucket is the one
-                    # containing the greatest value < end
-                    (F.col(end_col).cast("double") - 1e-9) / bucket_width
-                ).cast("bigint"),
+                # end is exclusive, but registering THROUGH floor(end/w)
+                # is the only float-safe bound: float division is not
+                # strictly monotone, so a point just under a boundary
+                # end can still probe the boundary bucket (an absolute
+                # epsilon also breaks at small magnitudes). At most one
+                # extra bucket per interval; the residual filter is
+                # what's exact.
+                F.floor(F.col(end_col).cast("double") / bucket_width).cast("bigint"),
             )
         ),
     )
@@ -941,11 +946,12 @@ def pit_features(
         windows.setdefault(win, []).append(name)
     for win, names in sorted(windows.items()):
         aggs = {n: trailing[n] for n in names}
+        sid_type = spine.schema[spine_id].dataType
         fpart = facts.select(
             *keys,
             F.col(fact_time).cast("double").alias("__t"),
             F.lit(0).alias("__probe"),
-            F.lit(None).cast("long").alias("__sid"),
+            F.lit(None).cast(sid_type).alias("__sid"),
             *[
                 F.col(c).cast("double").alias(f"__v_{n}")
                 for n, (_, c, _) in aggs.items()
@@ -954,7 +960,7 @@ def pit_features(
         probes = spine.select(
             *keys,
             F.col(spine_time).cast("double").alias("__pt"),
-            F.col(spine_id).cast("long").alias("__sid"),
+            F.col(spine_id).alias("__sid"),
         )
         ppart = probes.select(
             *keys, F.col("__pt").alias("__t"), F.lit(1).alias("__probe"),
@@ -994,7 +1000,7 @@ def pit_features(
                 )
                 sel.append(F.when(cnt > 0, dif).alias(n))
         agg_df = per_spine.agg(*sel)
-        out = out.join(agg_df, out[spine_id].cast("long") == agg_df["__sid"], "left").drop(
+        out = out.join(agg_df, out[spine_id] == agg_df["__sid"], "left").drop(
             "__sid"
         )
         for n in aggs:
@@ -1033,14 +1039,15 @@ def interval_overlap_join(
     keys = list(on)
 
     def buckets(df, s, e):
-        return df.withColumn(
+        # register THROUGH floor(end/w): superset-safe for float
+        # division's weak monotonicity (see range_join), empty
+        # intervals (end <= start) dropped — they overlap nothing
+        return df.where(F.col(e).cast("double") > F.col(s).cast("double")).withColumn(
             "__bucket",
             F.explode(
                 F.sequence(
                     F.floor(F.col(s).cast("double") / bucket_width).cast("bigint"),
-                    F.floor(
-                        (F.col(e).cast("double") - 1e-9) / bucket_width
-                    ).cast("bigint"),
+                    F.floor(F.col(e).cast("double") / bucket_width).cast("bigint"),
                 )
             ),
         )

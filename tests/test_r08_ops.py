@@ -661,3 +661,42 @@ class TestIntervalOverlapJoin:
             a, b, "s", "e", "s", "e", bucket_width=10.0, on=["g"]
         ).collect()
         assert len(out) == 1 and out[0]["bid"] == 1
+
+
+class TestWinsorizeNullKeys:
+    def test_null_group_keys_kept_and_clipped(self, spark):
+        """Regression (session code review): a plain equi-join dropped
+        NULL-key rows; the null-safe left join must keep them AND clip
+        them against the NULL group's own band."""
+        from table_computing_spark.operators.quantiles import winsorize
+
+        rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)] + [
+            (None, 10.0), (None, 20.0), (None, 30.0), (None, 1000.0)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = winsorize(df, ["g"], "v", 0.0, 0.5).collect()
+        assert len(out) == len(rows)  # nothing dropped
+        nulls = sorted(r["v"] for r in out if r["g"] is None)
+        # NULL group's p50 (quantile_cont) = 25.0 → 1000 clips to 25
+        assert nulls == [10.0, 20.0, 25.0, 25.0]
+
+
+class TestPitStringSpineId:
+    def test_string_spine_ids_work(self, spark):
+        """Regression (session code review): spine_id was cast to long,
+        so string ids (UUIDs) silently became NULL and every trailing
+        feature read 0/NULL. Ids must keep their own type."""
+        from table_computing_spark.operators.temporal import pit_features
+
+        facts = spark.createDataFrame([(1, 5.0, 10.0)], "uid long, t double, v double")
+        spine = spark.createDataFrame(
+            [("ord-a", 1, 6.0), ("ord-b", 1, 3.0)], "sid string, uid long, t double"
+        )
+        got = {
+            r["sid"]: (r["n"], r["s"])
+            for r in pit_features(
+                spine, facts, ["uid"], "t", "t", "sid",
+                trailing={"n": ("count", "v", 10), "s": ("sum", "v", 10)},
+            ).collect()
+        }
+        assert got == {"ord-a": (1, 10.0), "ord-b": (0, None)}
