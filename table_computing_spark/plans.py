@@ -1,0 +1,155 @@
+"""Physical-plan pre-flight audit — ask Spark what it WILL do before
+burning a 100 TB pass on it.
+
+The test suite enforces these rules over every shipped query
+(tests/test_plans.py); this module makes the same checks a first-class
+operator a user can run on their OWN DataFrame before submitting:
+
+    from table_computing_spark.plans import plan_report
+    report = plan_report(df)
+    assert report.ok, report.findings
+
+Checks (each one is a measured scale-killer from this repo's history):
+
+  cartesian          CartesianProduct / non-trivially-small
+                     BroadcastNestedLoopJoin — |A|x|B| work.
+  python_row_udf     BatchEvalPython — row-at-a-time Python in the hot
+                     path (~10-100x slower than Arrow; use pandas
+                     UDFs / mapInPandas).
+  unpartitioned_window  a Window with an empty partition spec sorting
+                     data-sized input — Spark funnels the ENTIRE input
+                     through one task. Use ids.dense_ids /
+                     ids.ntile_distributed / prefix.prefix_agg /
+                     quantiles.global_percent_rank, which decompose
+                     the global order.
+  wide_scan          a parquet scan reading >= `wide_scan_cols`
+                     columns — usually a missing projection before a
+                     cache/join (column pruning is free if you select
+                     first).
+
+The report also carries counts (exchanges, scans) so a before/after
+diff of a rewrite is one subtraction. (Codegen coverage is not
+reported: AQE formatted plans omit codegen ids until the final plan.)
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def plan_of(df: DataFrame, mode: str = "formatted") -> str:
+    """The formatted physical plan as a string."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _top_level_bracket_groups(s: str) -> "list[str]":
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start + 1 : i])
+    return groups
+
+
+def unpartitioned_windows(plan: str) -> "list[str]":
+    """Window nodes whose partition spec is empty AND that sort their
+    input (the single-task global-sort cliff). Partition-only windows
+    (no sort dirs) and the ids.py __pid offset cumsum (orders a
+    one-row-per-partition count table) are allowed."""
+    bad = []
+    for blk in re.split(r"\n\n", plan):
+        m = re.match(r"\(\d+\) (Window|WindowGroupLimit)\b", blk)
+        if not m:
+            continue
+        arg = next((l for l in blk.splitlines() if l.startswith("Arguments:")), "")
+        groups = _top_level_bracket_groups(arg)
+        if m.group(1) == "WindowGroupLimit":
+            if groups and groups[0].strip() == "":
+                bad.append(arg[:120])
+            continue
+        if len(groups) <= 1:
+            bad.append(arg[:120])  # agg OVER () — global, unordered
+        elif len(groups) == 2 and re.search(r" (ASC|DESC)", groups[1]):
+            if not groups[1].lstrip().startswith("__pid#"):
+                bad.append(groups[1][:120])
+    return bad
+
+
+def _scan_blocks(plan: str) -> "list[str]":
+    return [
+        b
+        for b in re.split(r"\n\n", plan)
+        if "Scan parquet" in b and "ReadSchema" in b
+    ]
+
+
+def _read_schema_width(block: str) -> int:
+    m = re.search(r"ReadSchema: struct<(.*)>", block)
+    if not m:
+        return 0
+    body = m.group(1)
+    depth, cols = 0, 1 if body else 0
+    for ch in body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            cols += 1
+    return cols
+
+
+@dataclass
+class PlanReport:
+    findings: "dict[str, list[str]]" = field(default_factory=dict)
+    exchanges: int = 0
+    scans: int = 0
+
+    @property
+    def ok(self) -> bool:
+        return not any(self.findings.values())
+
+
+def plan_report(df: DataFrame, wide_scan_cols: int = 12) -> PlanReport:
+    """Audit `df`'s physical plan for the known scale-killers. Returns
+    a PlanReport; `report.ok` is False when any finding fired, and
+    `report.findings` names each offender with a plan snippet. Purely
+    driver-side: nothing executes."""
+    plan = plan_of(df)
+    findings: "dict[str, list[str]]" = {
+        "cartesian": [],
+        "python_row_udf": [],
+        "unpartitioned_window": [],
+        "wide_scan": [],
+    }
+    for blk in re.split(r"\n\n", plan):
+        head = blk.splitlines()[0] if blk.strip() else ""
+        if re.match(r"\(\d+\) CartesianProduct", head):
+            findings["cartesian"].append(head[:120])
+        if re.match(r"\(\d+\) BatchEvalPython", head):
+            findings["python_row_udf"].append(head[:120])
+    findings["unpartitioned_window"] = unpartitioned_windows(plan)
+    wide = [
+        b.splitlines()[0][:120]
+        for b in _scan_blocks(plan)
+        if _read_schema_width(b) >= wide_scan_cols
+    ]
+    findings["wide_scan"] = wide
+    return PlanReport(
+        findings=findings,
+        exchanges=len(re.findall(r"\(\d+\) (?:Exchange|BroadcastExchange)", plan)),
+        scans=len(re.findall(r"\(\d+\) Scan ", plan)),
+    )

@@ -700,3 +700,48 @@ class TestPitStringSpineId:
             ).collect()
         }
         assert got == {"ord-a": (1, 10.0), "ord-b": (0, None)}
+
+
+class TestPlanReport:
+    def test_flags_global_window_and_cartesian(self, spark):
+        from pyspark.sql import Window
+
+        from table_computing_spark.plans import plan_report
+
+        df = spark.range(100).selectExpr("id", "id % 7 as k")
+        bad_window = df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("id"))
+        )
+        r = plan_report(bad_window)
+        assert not r.ok and r.findings["unpartitioned_window"]
+
+        cart = df.crossJoin(spark.range(10).selectExpr("id as j").hint("shuffle_replicate_nl"))
+        r2 = plan_report(cart)
+        assert not r2.ok and r2.findings["cartesian"]
+
+    def test_clean_plan_passes_with_counts(self, spark):
+        from table_computing_spark.plans import plan_report
+
+        df = (
+            spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+            .select("o_custkey", "o_totalprice")
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        r = plan_report(df)
+        assert r.ok, r.findings
+        assert r.scans == 1 and r.exchanges >= 1
+
+    def test_flags_row_udf_and_wide_scan(self, spark):
+        from pyspark.sql.types import LongType
+
+        from table_computing_spark.plans import plan_report
+
+        slow = F.udf(lambda x: x + 1, LongType(), useArrow=False)
+        df = spark.range(10).select(slow("id").alias("y"))
+        r = plan_report(df)
+        assert r.findings["python_row_udf"]
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        r2 = plan_report(li, wide_scan_cols=10)
+        assert r2.findings["wide_scan"]
