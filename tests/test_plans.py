@@ -150,20 +150,6 @@ def test_top_n_uses_window_group_limit(plans):
     assert len(re.findall(r"\(\d+\) WindowGroupLimit", p)) == 2, p
 
 
-def _top_level_bracket_groups(s: str) -> list[str]:
-    groups, depth, start = [], 0, None
-    for i, ch in enumerate(s):
-        if ch == "[":
-            if depth == 0:
-                start = i
-            depth += 1
-        elif ch == "]":
-            depth -= 1
-            if depth == 0:
-                groups.append(s[start + 1 : i])
-    return groups
-
-
 # Unpartitioned-window whitelist: sites where the window input is
 # PROVABLY bounded, so the single-task sort is a few rows, not the data.
 _GLOBAL_WINDOW_OK = {
@@ -180,31 +166,10 @@ _GLOBAL_WINDOW_OK = {
 }
 
 
-def _unpartitioned_windows(plan: str) -> list[str]:
-    """Window nodes whose partition spec is empty AND that sort their
-    input (the single-task global-sort cliff). Partition-only windows
-    (2 groups, no sort dirs) and the ids.py offset cumsum (orders a
-    one-row-per-partition count table on __pid) are allowed."""
-    bad = []
-    for blk in re.split(r"\n\n", plan):
-        m = re.match(r"\(\d+\) (Window|WindowGroupLimit)\b", blk)
-        if not m:
-            continue
-        arg = next(
-            (l for l in blk.splitlines() if l.startswith("Arguments:")), ""
-        )
-        groups = _top_level_bracket_groups(arg)
-        if m.group(1) == "WindowGroupLimit":
-            # Arguments: [partSpec], [orderSpec], fn, k, mode
-            if groups and groups[0].strip() == "":
-                bad.append(arg[:120])
-            continue
-        if len(groups) <= 1:
-            bad.append(arg[:120])  # sum(x) OVER () — global, unordered
-        elif len(groups) == 2 and re.search(r" (ASC|DESC)", groups[1]):
-            if not groups[1].lstrip().startswith("__pid#"):
-                bad.append(groups[1][:120])
-    return bad
+# single source of truth: the library's pre-flight audit
+# (table_computing_spark/plans.py) — the suite gate and the user-facing
+# plan_report must agree by construction
+from table_computing_spark.plans import unpartitioned_windows as _unpartitioned_windows  # noqa: E402
 
 
 def test_no_unpartitioned_window_over_data(plans):
