@@ -9884,7 +9884,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(bi) AS BIGINT) AS n_b
           FROM c GROUP BY 1
         ), m AS (
-          SELECT r.g, CAST(max(abs(ca * n_b - cb * n_a)) AS BIGINT) AS ks_num
+          SELECT r.g, CAST(max(abs(ca * n_b - cb * n_a)) AS DOUBLE) AS ks_num
           FROM r JOIN t ON r.g = t.g GROUP BY 1
         )
         SELECT m.g AS o_orderpriority, t.n_a, t.n_b, m.ks_num,
@@ -10063,7 +10063,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT o.event_type, k, abs(n * sk - k * sn) AS dk, n, sn
           FROM o JOIN tt USING (event_type) WHERE k < n
         ), m AS (
-          SELECT event_type, n, k AS cp_k, CAST(dk AS BIGINT) AS cp_stat_num,
+          SELECT event_type, n, k AS cp_k, CAST(dk AS DOUBLE) AS cp_stat_num,
                  sn,
                  row_number() OVER (PARTITION BY event_type
                                     ORDER BY dk DESC, k ASC) AS rn

@@ -431,7 +431,7 @@ def ks_test(
         *keys,
         "n_a",
         "n_b",
-        F.col("__ks").cast("long").alias("ks_num"),
+        F.col("__ks").cast("double").alias("ks_num"),
         F.round(d, round_to).alias("ks_d"),
     )
 
@@ -458,7 +458,9 @@ def cusum_changepoint(
     expression (cents, counts); the criterion is evaluated in the
     common-denominator form |n·S_k − k·S_n| in DECIMAL(38,0) (exact
     integers that cannot wrap where long products would, n·S_k ≈ 1e23
-    at a billion ~1e5-cent rows), ties break to the earliest k. Output per key:
+    at a billion ~1e5-cent rows), ties break to the earliest k.
+    cp_stat_num is emitted as DOUBLE for the same reason (a long cast
+    would crash under ANSI at exactly that advertised scale). Output per key:
     (keys..., n, cp_k, cp_stat_num, cp_stat) with cp_stat =
     cp_stat_num / (n·max(|S_n|, 1)) — a scale-free magnitude.
 
@@ -504,6 +506,6 @@ def cusum_changepoint(
         *keys,
         F.col("__p.n").alias("n"),
         F.col("__p.k").alias("cp_k"),
-        F.col("__p.d").cast("long").alias("cp_stat_num"),
+        F.col("__p.d").cast("double").alias("cp_stat_num"),
         F.round(stat, round_to).alias("cp_stat"),
     )

@@ -149,9 +149,11 @@ def range_join(
     p = points.withColumn(
         "__bucket", F.floor(F.col(point_col).cast("double") / bucket_width).cast("bigint")
     )
-    i = intervals.where(
-        F.col(end_col).cast("double") > F.col(start_col).cast("double")
-    ).withColumn(
+    # guard on the ORIGINAL typed columns: a double cast collapses
+    # sub-ULP intervals at big magnitudes (epoch-ns bigints) and would
+    # silently drop their matches; the cast is monotone, so the bucket
+    # sequence still never descends for end > start
+    i = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(
@@ -1040,9 +1042,10 @@ def interval_overlap_join(
 
     def buckets(df, s, e):
         # register THROUGH floor(end/w): superset-safe for float
-        # division's weak monotonicity (see range_join), empty
-        # intervals (end <= start) dropped — they overlap nothing
-        return df.where(F.col(e).cast("double") > F.col(s).cast("double")).withColumn(
+        # division's weak monotonicity (see range_join); empty
+        # intervals (end <= start, compared on the ORIGINAL types —
+        # a double cast collapses sub-ULP spans) overlap nothing
+        return df.where(F.col(e) > F.col(s)).withColumn(
             "__bucket",
             F.explode(
                 F.sequence(

@@ -11,8 +11,7 @@ operator a user can run on their OWN DataFrame before submitting:
 
 Checks (each one is a measured scale-killer from this repo's history):
 
-  cartesian          CartesianProduct / non-trivially-small
-                     BroadcastNestedLoopJoin — |A|x|B| work.
+  cartesian          CartesianProduct — |A|x|B| work, always flagged.
   python_row_udf     BatchEvalPython — row-at-a-time Python in the hot
                      path (~10-100x slower than Arrow; use pandas
                      UDFs / mapInPandas).
@@ -26,6 +25,14 @@ Checks (each one is a measured scale-killer from this repo's history):
                      columns — usually a missing projection before a
                      cache/join (column pruning is free if you select
                      first).
+
+Warnings (reported, but do not flip `ok`):
+
+  nested_loop_join   BroadcastNestedLoopJoin — the plan for non-equi
+                     joins and cross joins. Legitimate when the built
+                     side is tiny (1-row totals, bands); quadratic
+                     when it is not — the plan text carries no size,
+                     so this is surfaced for the reader to judge.
 
 The report also carries counts (exchanges, scans) so a before/after
 diff of a rewrite is one subtraction. (Codegen coverage is not
@@ -115,6 +122,7 @@ def _read_schema_width(block: str) -> int:
 @dataclass
 class PlanReport:
     findings: "dict[str, list[str]]" = field(default_factory=dict)
+    warnings: "dict[str, list[str]]" = field(default_factory=dict)
     exchanges: int = 0
     scans: int = 0
 
@@ -135,21 +143,27 @@ def plan_report(df: DataFrame, wide_scan_cols: int = 12) -> PlanReport:
         "unpartitioned_window": [],
         "wide_scan": [],
     }
+    warnings: "dict[str, list[str]]" = {"nested_loop_join": []}
     for blk in re.split(r"\n\n", plan):
-        head = blk.splitlines()[0] if blk.strip() else ""
+        if not blk.strip():
+            continue
+        head = blk.strip().splitlines()[0]
         if re.match(r"\(\d+\) CartesianProduct", head):
             findings["cartesian"].append(head[:120])
         if re.match(r"\(\d+\) BatchEvalPython", head):
             findings["python_row_udf"].append(head[:120])
+        if re.match(r"\(\d+\) BroadcastNestedLoopJoin", head):
+            warnings["nested_loop_join"].append(head[:120])
     findings["unpartitioned_window"] = unpartitioned_windows(plan)
     wide = [
-        b.splitlines()[0][:120]
+        b.strip().splitlines()[0][:120]
         for b in _scan_blocks(plan)
         if _read_schema_width(b) >= wide_scan_cols
     ]
     findings["wide_scan"] = wide
     return PlanReport(
         findings=findings,
+        warnings=warnings,
         exchanges=len(re.findall(r"\(\d+\) (?:Exchange|BroadcastExchange)", plan)),
         scans=len(re.findall(r"\(\d+\) Scan ", plan)),
     )

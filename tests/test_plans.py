@@ -17,9 +17,7 @@ run; their state/shuffle story is asserted in test_streaming.py).
 
 from __future__ import annotations
 
-import io
 import re
-from contextlib import redirect_stdout
 
 import pytest
 
@@ -32,11 +30,10 @@ BATCH_QUERIES = sorted(
 )
 
 
-def plan_of(df, mode: str = "formatted") -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain(mode)
-    return buf.getvalue()
+from table_computing_spark.plans import (  # noqa: E402 — single source
+    _read_schema_width as read_schema_width_lib,
+    plan_of,
+)
 
 
 @pytest.fixture(scope="module")
@@ -58,10 +55,7 @@ def scan_blocks(plan: str, table: str) -> list[str]:
 
 
 def read_schema_width(block: str) -> int:
-    m = re.search(r"ReadSchema: struct<(.*)>", block)
-    assert m, block
-    body = m.group(1)
-    return 0 if not body else body.count(",") + 1
+    return read_schema_width_lib(block)
 
 
 def test_no_cartesian_product(plans):

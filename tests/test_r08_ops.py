@@ -745,3 +745,15 @@ class TestPlanReport:
         li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
         r2 = plan_report(li, wide_scan_cols=10)
         assert r2.findings["wide_scan"]
+        # snippets must NAME the offender (regression: first detail
+        # block starts with a newline and produced an empty snippet)
+        assert all("Scan parquet" in w for w in r2.findings["wide_scan"])
+
+    def test_nested_loop_join_is_warning_not_failure(self, spark):
+        from table_computing_spark.plans import plan_report
+
+        a = spark.range(100).selectExpr("id as x")
+        b = spark.range(10).selectExpr("id as y")
+        r = plan_report(a.join(b, a.x > b.y))
+        assert r.ok  # tiny built sides are legitimate — reader judges
+        assert r.warnings["nested_loop_join"]
