@@ -154,3 +154,58 @@ def stream_maintain_distinct(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_maintain_tdigest(
+    sdf: DataFrame,
+    col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_cols: "Sequence[str] | None" = None,
+    delta: int = 400,
+    available_now: bool = True,
+):
+    """Maintain per-group QUANTILE state (a mergeable t-digest,
+    operators/tdigest.py) from an append stream: each micro-batch
+    sketches its own rows and merges with the persisted digest under
+    the versioned ping-pong + batch-id idempotence contract — the
+    quantile face of the same pattern as stream_maintain_agg (sums)
+    and stream_maintain_distinct (bitmaps). Historical rows are never
+    replayed; state is O(delta) floats per group.
+
+    Query the result with tdigest.tdigest_quantiles(read_state(...)).
+    The two-level rank-error bound (1/delta per merge level) holds
+    however many batches merged in — digests compose associatively.
+    """
+    from table_computing_spark.operators import tdigest as td
+
+    os.makedirs(state_dir, exist_ok=True)
+    groups = list(group_cols or [])
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ptr = _read_pointer(state_dir)
+        if batch_id <= ptr["last_batch"]:
+            return  # replayed batch — already merged (idempotence)
+        spark = batch_df.sparkSession
+        delta_sketch = td.tdigest_sketch(batch_df, col, delta, groups or None)
+        if ptr["version"] >= 0:
+            old = spark.read.parquet(os.path.join(state_dir, f"v{ptr['version']}"))
+            new = td.merge_sketches(old, delta_sketch, delta, groups or None)
+        else:
+            new = delta_sketch
+        nxt = ptr["version"] + 1
+        new.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{nxt}"))
+        with open(os.path.join(state_dir, _POINTER), "w") as f:
+            json.dump({"version": nxt, "last_batch": batch_id}, f)
+        if ptr["version"] >= 0:
+            shutil.rmtree(
+                os.path.join(state_dir, f"v{ptr['version']}"), ignore_errors=True
+            )
+
+    writer = (
+        sdf.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -757,3 +757,47 @@ class TestPlanReport:
         r = plan_report(a.join(b, a.x > b.y))
         assert r.ok  # tiny built sides are legitimate — reader judges
         assert r.warnings["nested_loop_join"]
+
+
+class TestStreamMaintainTdigest:
+    def test_streamed_digest_hits_rank_band(self, spark, tmp_path):
+        """The 3-batch streamed digest's quantile estimates must land
+        inside the +/-2% rank band of the exact batch quantiles — the
+        same contract q_tdigest_accuracy pins for the batch build."""
+        import os
+
+        from table_computing_spark.operators import tdigest as td
+        from table_computing_spark.operators.quantiles import exact_quantiles
+        from table_computing_spark.streaming import matview
+
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        src = str(tmp_path / "deltas")
+        for i in range(3):
+            o.where(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        sdf = (
+            spark.readStream.schema(o.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        state = str(tmp_path / "state")
+        q = matview.stream_maintain_tdigest(
+            sdf, "o_totalprice", state, str(tmp_path / "ckpt"), delta=300
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+        st = matview.read_state(spark, state)
+        qs = [0.1, 0.5, 0.9]
+        est = {r["q"]: r["est"] for r in td.tdigest_quantiles(st, qs).collect()}
+        band_qs = sorted(
+            {max(0.0, round(x - 0.02, 6)) for x in qs}
+            | {min(1.0, round(x + 0.02, 6)) for x in qs}
+        )
+        ex = {
+            r["q"]: r["value"]
+            for r in exact_quantiles(o, "o_totalprice", band_qs).collect()
+        }
+        for x in qs:
+            lo, hi = ex[max(0.0, round(x - 0.02, 6))], ex[min(1.0, round(x + 0.02, 6))]
+            assert lo <= est[x] <= hi, (x, est[x], lo, hi)
