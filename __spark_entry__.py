@@ -5180,6 +5180,26 @@ def q_stream_tdigest(spark, sf_dir):
     )
 
 
+def q_weighted_quantiles(spark, sf_dir):
+    """Exact weighted quantiles (quantiles.weighted_quantiles):
+    quantity-weighted price quartiles per return flag — the smallest
+    value whose cumulative weight reaches q·W, decided by the
+    cross-multiplied INTEGER comparison cum·scale >= num·W in DECIMAL
+    (no float boundary), cumulative weights via prefix_agg (no
+    unpartitioned window). The multiplicity-aware quantile a corpus
+    with token-count weights needs. (New r08, r09 window head.)"""
+    from table_computing_spark.operators.quantiles import weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_quantiles(
+        li, ["l_returnflag"], "price", "qty", [0.25, 0.5, 0.75]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5473,6 +5493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percent_rank_global": q_percent_rank_global,
         "q_interval_overlap": q_interval_overlap,
         "q_stream_tdigest": q_stream_tdigest,
+        "q_weighted_quantiles": q_weighted_quantiles,
     }
     return {**window_50, **tail}
 
@@ -10179,4 +10200,25 @@ def oracle_sql() -> dict[str, str]:
             """
             for x in (0.05, 0.25, 0.5, 0.75, 0.95)
         ),
+        "q_weighted_quantiles": """
+        WITH b AS (
+          SELECT l_returnflag AS g, l_extendedprice AS v,
+                 CAST(l_quantity AS BIGINT) AS w
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+        ), c AS (
+          SELECT g, v, CAST(sum(w) AS BIGINT) AS wi FROM b GROUP BY 1, 2
+        ), r AS (
+          SELECT g, v,
+                 CAST(sum(wi) OVER (PARTITION BY g ORDER BY v) AS HUGEINT) AS cw,
+                 CAST(sum(wi) OVER (PARTITION BY g) AS HUGEINT) AS W
+          FROM c
+        ), qt AS (
+          SELECT CAST(q AS DOUBLE) AS q, num
+          FROM (VALUES (0.25, 250000), (0.5, 500000), (0.75, 750000)) t(q, num)
+        )
+        SELECT r.g AS l_returnflag, qt.q, min(r.v) AS value
+        FROM r, qt WHERE cw * 1000000 >= num * W
+        GROUP BY 1, 2
+        """,
     }

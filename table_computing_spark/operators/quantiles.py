@@ -322,3 +322,65 @@ def global_percent_rank(
         .alias(out_col),
     )
     return df.join(ranked, df[col] == ranked["__v"], "left").drop("__v")
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    weight_col: str,
+    qs: Sequence[float],
+    q_scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact weighted quantiles per group (weighted median and
+    friends): the q-quantile is the SMALLEST value v whose cumulative
+    weight reaches q·W — the standard lower weighted quantile, the
+    right notion when rows carry multiplicities (token counts,
+    importance weights, sampled-up rows).
+
+    Engine-exact: weights must be integers; the threshold test is the
+    cross-multiplied integer comparison
+
+        cum(v) · q_scale >= round(q·q_scale) · W
+
+    in DECIMAL — no float boundary anywhere, so every engine picks the
+    identical v. Values collapse to per-(group, value) weight sums,
+    cumulative weights come from prefix_agg's partition-decomposed
+    running sum (grouped or global — never an unpartitioned window),
+    and each (group, q) answer is one min() aggregate over the
+    satisfying values.
+
+    Output: (keys..., q, value). NULL values and NULL/non-positive
+    weights are ignored (a NULL weight is not a multiplicity)."""
+    from table_computing_spark.operators.prefix import prefix_agg
+
+    keys = list(keys)
+    dec = "decimal(38,0)"
+    base = df.where(
+        F.col(col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+    ).select(*keys, F.col(col).alias("__v"), F.col(weight_col).cast("long").alias("__w"))
+    counts = base.groupBy(*keys, "__v").agg(F.sum("__w").alias("__wi"))
+    cum = prefix_agg(
+        counts,
+        order_by=["__v"],
+        specs={"__cw": ("sum", "__wi")},
+        partition_by=keys or None,
+    )
+    if keys:
+        totals = counts.groupBy(*keys).agg(F.sum("__wi").alias("__W"))
+        cum = cum.join(F.broadcast(totals), keys)
+    else:
+        cum = cum.crossJoin(F.broadcast(counts.agg(F.sum("__wi").alias("__W"))))
+    qrows = df.sparkSession.createDataFrame(
+        [(float(x), int(round(x * q_scale))) for x in qs], "q double, __num long"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(qrows))
+        .filter(
+            F.col("__cw").cast(dec) * F.lit(int(q_scale)).cast(dec)
+            >= F.col("__num").cast(dec) * F.col("__W").cast(dec)
+        )
+    )
+    return hit.groupBy(*keys, "q").agg(F.min("__v").alias("value"))

@@ -801,3 +801,40 @@ class TestStreamMaintainTdigest:
         for x in qs:
             lo, hi = ex[max(0.0, round(x - 0.02, 6))], ex[min(1.0, round(x + 0.02, 6))]
             assert lo <= est[x] <= hi, (x, est[x], lo, hi)
+
+
+class TestWeightedQuantiles:
+    def test_matches_expansion(self, spark):
+        """Weighted quantile of (v, w) == plain lower quantile of the
+        row-expanded multiset (each v repeated w times)."""
+        import numpy as np
+
+        from table_computing_spark.operators.quantiles import weighted_quantiles
+
+        rng = np.random.default_rng(17)
+        rows = [("g", int(v), int(w)) for v, w in zip(
+            rng.integers(0, 50, 60), rng.integers(1, 9, 60))]
+        df = spark.createDataFrame(rows, "g string, v long, w long").repartition(5)
+        qs = [0.1, 0.5, 0.9]
+        got = {
+            r["q"]: r["value"]
+            for r in weighted_quantiles(df, ["g"], "v", "w", qs).collect()
+        }
+        expanded = sorted(v for _, v, w in rows for _ in range(w))
+        W = len(expanded)
+        import math as _math
+
+        for x in qs:
+            # smallest v with cum >= x*W (lower weighted quantile)
+            want = expanded[max(0, _math.ceil(x * W) - 1)]
+            assert got[x] == want, (x, got[x], want)
+
+    def test_null_and_nonpositive_weights_ignored(self, spark):
+        from table_computing_spark.operators.quantiles import weighted_quantiles
+
+        df = spark.createDataFrame(
+            [("a", 1, 1), ("a", 100, 0), ("a", 200, -5), ("a", None, 3), ("a", 3, 1)],
+            "g string, v int, w int",
+        )
+        got = weighted_quantiles(df, ["g"], "v", "w", [0.5]).collect()
+        assert got[0]["value"] == 1  # only v=1 (w1) and v=3 (w1) count; cum(1)=1 >= 0.5*2
