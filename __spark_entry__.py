@@ -5200,6 +5200,28 @@ def q_weighted_quantiles(spark, sf_dir):
     )
 
 
+def q_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poisson-bootstrap confidence intervals
+    (operators/bootstrap.py — Chamandy et al. 2012): per-priority 95%
+    CI of mean order value from 100 replica means, every Poisson(1)
+    multiplicity drawn from md5("<id>:<replica>") against FIXED hex
+    CDF thresholds — no RNG, so reruns/retries/engines agree
+    bit-for-bit and the WHOLE pipeline (draws, replica means, rank
+    pick) replays in the SQL oracle. Error bars at 100 TB: replicas
+    are weighted aggregations (map-side combined), never materialized
+    datasets. (New r08, r09 window head.)"""
+    from table_computing_spark.operators import bootstrap as bs
+
+    o = _t(spark, sf_dir, "orders").df.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return bs.bootstrap_mean_ci(
+        o, ["o_orderpriority"], "cents", "o_orderkey", replicas=100
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5494,6 +5516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interval_overlap": q_interval_overlap,
         "q_stream_tdigest": q_stream_tdigest,
         "q_weighted_quantiles": q_weighted_quantiles,
+        "q_bootstrap_ci": q_bootstrap_ci,
     }
     return {**window_50, **tail}
 
@@ -10221,4 +10244,61 @@ def oracle_sql() -> dict[str, str]:
         FROM r, qt WHERE cw * 1000000 >= num * W
         GROUP BY 1, 2
         """,
+        # the full bootstrap replays in SQL: identical md5 draws
+        # against the same fixed hex CDF thresholds, identical replica
+        # means, identical rank pick
+        "q_bootstrap_ci": """
+        WITH b AS (
+          SELECT o_orderpriority AS g, CAST(o_orderkey AS VARCHAR) AS id,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS x
+          FROM orders
+        ), e AS (
+          SELECT g, id, x, r FROM b, range(100) t(r)
+        ), w AS (
+          SELECT g, r, x,
+                 CASE {poisson_case}
+                      ELSE 11 END AS wt
+          FROM e
+        ), pr AS (
+          SELECT g, r, CAST(sum(wt) AS BIGINT) AS sw,
+                 CAST(sum(wt * x) AS BIGINT) AS swx
+          FROM w GROUP BY 1, 2
+        ), m AS (
+          SELECT g, r, round(CAST(swx AS DOUBLE) / sw, 6) AS mu
+          FROM pr WHERE sw > 0
+        ), rk AS (
+          SELECT g, mu,
+                 row_number() OVER (PARTITION BY g ORDER BY mu, r) AS rn,
+                 count(*) OVER (PARTITION BY g) AS cnt
+          FROM m
+        ), ci AS (
+          SELECT g,
+                 max(CASE WHEN rn = greatest(
+                       CAST(ceil(cnt * 50 / 2000.0) AS BIGINT), 1)
+                     THEN mu END) AS ci_lo,
+                 max(CASE WHEN rn = least(
+                       CAST(ceil(cnt * 1950 / 2000.0) AS BIGINT), cnt)
+                     THEN mu END) AS ci_hi,
+                 CAST(max(cnt) AS BIGINT) AS n_replicas
+          FROM rk GROUP BY 1
+        ), f AS (
+          SELECT g, CAST(count(x) AS BIGINT) AS n,
+                 round(CAST(sum(x) AS DOUBLE) / count(x), 6) AS mean
+          FROM b GROUP BY 1
+        )
+        SELECT f.g AS o_orderpriority, f.n, f.mean,
+               ci.n_replicas, ci.ci_lo, ci.ci_hi
+        FROM f JOIN ci USING (g)
+        """.format(
+            poisson_case=" ".join(
+                f"WHEN substr(md5(id || ':' || CAST(r AS VARCHAR)), 1, 8)"
+                f" < '{h}' THEN {k}"
+                for k, h in enumerate(
+                    __import__(
+                        "table_computing_spark.operators.bootstrap",
+                        fromlist=["_POISSON1_HEX"],
+                    )._POISSON1_HEX
+                )
+            )
+        ),
     }

@@ -838,3 +838,40 @@ class TestWeightedQuantiles:
         )
         got = weighted_quantiles(df, ["g"], "v", "w", [0.5]).collect()
         assert got[0]["value"] == 1  # only v=1 (w1) and v=3 (w1) count; cum(1)=1 >= 0.5*2
+
+
+class TestBootstrapCI:
+    def test_deterministic_and_ordered(self, spark):
+        from table_computing_spark.operators import bootstrap as bs
+
+        df = spark.createDataFrame(
+            [("g", i, (i * 37) % 100) for i in range(400)], "g string, id long, x long"
+        ).repartition(6)
+        a = bs.bootstrap_mean_ci(df, ["g"], "x", "id", replicas=60).collect()[0]
+        b = bs.bootstrap_mean_ci(df, ["g"], "x", "id", replicas=60).collect()[0]
+        assert a == b  # no RNG anywhere — reruns identical
+        assert a["ci_lo"] <= a["mean"] <= a["ci_hi"]
+        assert a["n"] == 400 and a["n_replicas"] == 60
+
+    def test_interval_shrinks_with_n(self, spark):
+        from table_computing_spark.operators import bootstrap as bs
+
+        small = spark.createDataFrame(
+            [("g", i, (i * 37) % 100) for i in range(60)], "g string, id long, x long"
+        )
+        big = spark.createDataFrame(
+            [("g", i, (i * 37) % 100) for i in range(2000)], "g string, id long, x long"
+        )
+        ws = bs.bootstrap_mean_ci(small, ["g"], "x", "id", replicas=60).collect()[0]
+        wb = bs.bootstrap_mean_ci(big, ["g"], "x", "id", replicas=60).collect()[0]
+        assert (wb["ci_hi"] - wb["ci_lo"]) < (ws["ci_hi"] - ws["ci_lo"])
+
+    def test_poisson_weights_mean_near_one(self, spark):
+        from table_computing_spark.operators.bootstrap import poisson1_weight
+
+        df = spark.range(20000).select(
+            poisson1_weight(F.substring(F.md5(F.col("id").cast("string")), 1, 8)).alias("w")
+        )
+        stats = df.agg(F.avg("w").alias("m"), F.max("w").alias("mx")).first()
+        assert abs(stats["m"] - 1.0) < 0.02
+        assert stats["mx"] <= 11
