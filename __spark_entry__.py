@@ -5222,6 +5222,26 @@ def q_bootstrap_ci(spark, sf_dir):
     )
 
 
+def q_rolling_median(spark, sf_dir):
+    """Trailing-window median per user (temporal.rolling_quantile):
+    each event's value against the median of its last 10 events — the
+    robust rolling baseline for spike detection (one partitioned
+    bounded-frame window; Spark's exact percentile interpolates
+    identically to DuckDB's quantile_cont). (New r08, r09 window
+    head.)"""
+    from table_computing_spark.operators.temporal import rolling_quantile
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", "event_id", tcf.epoch_ms("ts").alias("t"), "value"
+    )
+    out = rolling_quantile(
+        ev, ["user_id"], ["t", "event_id"], "value", 0.5, 10, "med10"
+    )
+    return out.select(
+        "user_id", "event_id", "t", "value", F.round("med10", 6).alias("med10")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5517,6 +5537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_tdigest": q_stream_tdigest,
         "q_weighted_quantiles": q_weighted_quantiles,
         "q_bootstrap_ci": q_bootstrap_ci,
+        "q_rolling_median": q_rolling_median,
     }
     return {**window_50, **tail}
 
@@ -10301,4 +10322,11 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
         ),
+        "q_rolling_median": """
+        SELECT user_id, event_id, epoch_ms(ts) AS t, value,
+               round(quantile_cont(value, 0.5) OVER (
+                 PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS med10
+        FROM events
+        """,
     }

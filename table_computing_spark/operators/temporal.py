@@ -1071,3 +1071,35 @@ def interval_overlap_join(
         == F.col("__bucket")
     )
     return joined.filter((sa < eb) & (sb < ea) & responsible).drop("__bucket")
+
+
+def rolling_quantile(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: "Sequence[str]",
+    col: str,
+    q: float = 0.5,
+    window_rows: int = 10,
+    out_col: str = "rolling_q",
+) -> DataFrame:
+    """Trailing-window quantile per key (rolling median and friends):
+    `percentile(col, q)` over the last `window_rows` rows in
+    `order_by` order — the robust sibling of a rolling mean for
+    denoising metric streams (a single spike moves a rolling mean by
+    spike/n; it barely moves the median).
+
+    Engine-exact: the frame is a row-count frame (no float time
+    boundaries) and Spark's exact percentile uses the same
+    quantile_cont interpolation DuckDB does, so the order statistic
+    matches bit-for-bit. Plan: ONE partitioned window (bounded frame,
+    state = window_rows values per position) — keyed, so no
+    single-task sort; the per-key history assumption is the same one
+    every trailing-window operator here makes."""
+    w = (
+        W.partitionBy(*list(keys))
+        .orderBy(*[F.col(c).asc() for c in order_by])
+        .rowsBetween(-(window_rows - 1), W.currentRow)
+    )
+    return df.withColumn(
+        out_col, F.expr(f"percentile({col}, {q})").over(w)
+    )

@@ -875,3 +875,24 @@ class TestBootstrapCI:
         stats = df.agg(F.avg("w").alias("m"), F.max("w").alias("mx")).first()
         assert abs(stats["m"] - 1.0) < 0.02
         assert stats["mx"] <= 11
+
+
+class TestRollingQuantile:
+    def test_matches_pandas_rolling_median(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from table_computing_spark.operators.temporal import rolling_quantile
+
+        rng = np.random.default_rng(23)
+        vals = rng.integers(0, 100, 50).astype(float)
+        df = spark.createDataFrame(
+            [("k", i, float(v)) for i, v in enumerate(vals)], "g string, t long, v double"
+        ).repartition(4)
+        got = {
+            r["t"]: r["rolling_q"]
+            for r in rolling_quantile(df, ["g"], ["t"], "v", 0.5, 5).collect()
+        }
+        want = pd.Series(vals).rolling(5, min_periods=1).median()
+        for i in range(50):
+            assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
