@@ -5242,6 +5242,23 @@ def q_rolling_median(spark, sf_dir):
     )
 
 
+def q_profile_diff(spark, sf_dir):
+    """Column-property drift between snapshots
+    (operators/profile.profile_diff): base orders (o_orderkey % 7 != 0)
+    vs the full table — per column: completeness delta, distinct-
+    cardinality ratio, envelope (min/max) movement. The nightly
+    quality gate's first alarm, at the cost of one unpivot scan +
+    |cols|-row join per side — which rows changed is cdc.py's job;
+    which column PROPERTIES changed is this one's. (New r08, r09
+    window head.)"""
+    from table_computing_spark.operators.profile import profile_diff
+
+    o = _t(spark, sf_dir, "orders").df
+    base = o.where(F.col("o_orderkey") % 7 != 0)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    return profile_diff(base, o, cols)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5538,6 +5555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_quantiles": q_weighted_quantiles,
         "q_bootstrap_ci": q_bootstrap_ci,
         "q_rolling_median": q_rolling_median,
+        "q_profile_diff": q_profile_diff,
     }
     return {**window_50, **tail}
 
@@ -10329,4 +10347,41 @@ def oracle_sql() -> dict[str, str]:
                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS med10
         FROM events
         """,
+        "q_profile_diff": """
+        WITH po AS ({old_profiles}),
+        pn AS ({new_profiles})
+        SELECT po.col_name, po.rows_c AS rows_old, pn.rows_c AS rows_new,
+               po.distinct_c AS distinct_old, pn.distinct_c AS distinct_new,
+               round(CAST(pn.present_c AS DOUBLE) / pn.rows_c
+                     - CAST(po.present_c AS DOUBLE) / po.rows_c, 6)
+                 AS completeness_delta,
+               round(CAST(pn.distinct_c AS DOUBLE)
+                     / greatest(po.distinct_c, 1), 6) AS distinct_ratio,
+               (pn.min_s <> po.min_s OR pn.max_s <> po.max_s)
+                 AS envelope_moved
+        FROM po JOIN pn USING (col_name)
+        """.format(
+            old_profiles="\nUNION ALL\n".join(
+                f"""
+          SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS rows_c,
+                 CAST(count({c}) AS BIGINT) AS present_c,
+                 CAST(count(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT) AS distinct_c,
+                 min(CAST({c} AS VARCHAR)) AS min_s,
+                 max(CAST({c} AS VARCHAR)) AS max_s
+          FROM orders WHERE o_orderkey % 7 <> 0
+                """
+                for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+            ),
+            new_profiles="\nUNION ALL\n".join(
+                f"""
+          SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS rows_c,
+                 CAST(count({c}) AS BIGINT) AS present_c,
+                 CAST(count(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT) AS distinct_c,
+                 min(CAST({c} AS VARCHAR)) AS min_s,
+                 max(CAST({c} AS VARCHAR)) AS max_s
+          FROM orders
+                """
+                for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+            ),
+        ),
     }

@@ -896,3 +896,40 @@ class TestRollingQuantile:
         want = pd.Series(vals).rolling(5, min_periods=1).median()
         for i in range(50):
             assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
+
+
+class TestProfileDiff:
+    def test_detects_planted_changes(self, spark):
+        from table_computing_spark.operators.profile import profile_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0), (4, "c", None)],
+            "id long, cat string, v double",
+        )
+        # new: one more row, a NEW category (distinct up), v all present
+        # and max pushed out (envelope moves), id envelope also moves
+        new = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0), (4, "d", 5.0),
+             (5, "e", 99.0)],
+            "id long, cat string, v double",
+        )
+        got = {
+            r["col_name"]: r
+            for r in profile_diff(old, new, ["id", "cat", "v"]).collect()
+        }
+        assert got["v"]["completeness_delta"] == round(1.0 - 3 / 4, 6)
+        assert got["cat"]["distinct_old"] == 3 and got["cat"]["distinct_new"] == 4
+        assert got["cat"]["distinct_ratio"] == round(4 / 3, 6)
+        assert got["v"]["envelope_moved"] and got["id"]["envelope_moved"]
+        assert not got["cat"]["envelope_moved"] is None
+        # unchanged-envelope column: cat min 'a' max moved 'c'->'e'
+        assert got["cat"]["envelope_moved"]
+
+    def test_identical_snapshots_are_quiet(self, spark):
+        from table_computing_spark.operators.profile import profile_diff
+
+        df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+        for r in profile_diff(df, df, ["id", "s"]).collect():
+            assert r["completeness_delta"] == 0.0
+            assert r["distinct_ratio"] == 1.0
+            assert not r["envelope_moved"]
