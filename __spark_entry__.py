@@ -5259,6 +5259,21 @@ def q_profile_diff(spark, sf_dir):
     return profile_diff(base, o, cols)
 
 
+def q_video_scene_changes(spark, sf_dir):
+    """Video shot-boundary detection (multimodal.video_scene_changes):
+    PPM-stream videos with PLANTED cuts (brightness ramp flips
+    orientation at frame (i % 5) + 2) run the full pipeline — frame
+    sampling, per-frame dHash, per-video lag + bit_count(xor) — and
+    every cut must land exactly where planted with Hamming 64 (ramp
+    bits all flip), everything else Hamming 0. The oracle reproduces
+    the cut schedule analytically; the decode/hash path is what's
+    actually being gated. (New r08, r09 window head.)"""
+    from table_computing_spark.operators import multimodal as mm
+
+    vids = mm.make_demo_cut_video_media(spark, n=12, n_frames=8)
+    return mm.video_scene_changes(vids, every_n=1, max_frames=8, threshold=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5556,6 +5571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bootstrap_ci": q_bootstrap_ci,
         "q_rolling_median": q_rolling_median,
         "q_profile_diff": q_profile_diff,
+        "q_video_scene_changes": q_video_scene_changes,
     }
     return {**window_50, **tail}
 
@@ -10346,6 +10362,17 @@ def oracle_sql() -> dict[str, str]:
                  PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS med10
         FROM events
+        """,
+        # planted cut schedule is closed-form: frame (i % 5) + 2 flips
+        # the ramp, so hamming is exactly 64 there and 0 elsewhere
+        "q_video_scene_changes": """
+        WITH ids AS (SELECT unnest(range(12)) AS i),
+             fs AS (SELECT unnest(range(1, 8)) AS f)
+        SELECT CAST(i AS BIGINT) AS media_id, CAST(f AS INT) AS frame_idx,
+               CAST(CASE WHEN f = (i % 5) + 2 THEN 64 ELSE 0 END AS INT)
+                 AS hamming,
+               (f = (i % 5) + 2) AS is_cut
+        FROM ids CROSS JOIN fs
         """,
         "q_profile_diff": """
         WITH po AS ({old_profiles}),

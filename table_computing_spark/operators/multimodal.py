@@ -878,3 +878,78 @@ def make_demo_media(spark, n: int = 64) -> DataFrame:
     # few partitions: 64 demo rows across 32 default slices would spawn
     # a Python worker per near-empty partition
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+
+
+def make_demo_cut_video_media(spark, n: int = 12, n_frames: int = 8) -> DataFrame:
+    """Deterministic PPM-stream videos with a PLANTED scene cut: video
+    i shows a left-to-right brightness ramp for its first
+    (i % 5) + 2 frames, then the REVERSED ramp for the rest. A ramp
+    frame dHashes to all-ones, the reversed ramp to all-zeros, so the
+    cut position and its Hamming distance (64) are closed-form — the
+    scene-change oracle needs no pixel math."""
+    w, h = 9, 8  # dhash-native geometry: resize is the identity
+    up = np.repeat(
+        np.repeat((np.arange(w) * 28).astype(np.uint8)[None, :, None], h, axis=0),
+        3,
+        axis=2,
+    )
+    down = up[:, ::-1, :]
+    rows = []
+    for i in range(n):
+        cut = (i % 5) + 2
+        stream = b"".join(
+            encode_ppm(up if f < cut else down) for f in range(n_frames)
+        )
+        rows.append((i, "video", stream, None, '{"fmt": "ppm-stream"}'))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+
+
+def video_scene_changes(
+    df: DataFrame,
+    every_n: int = 1,
+    max_frames: int = 16,
+    threshold: int = 10,
+) -> DataFrame:
+    """Scene-cut detection over binary video columns: sample frames
+    (sample_frames), perceptual-hash each frame (image_dhash), then
+    flag frames whose dHash sits >= `threshold` Hamming bits from the
+    previous frame — the shot-boundary heuristic every video curation
+    pipeline runs before per-scene dedup/captioning.
+
+    All-Spark composition: the only Python is the two Arrow codec
+    stages; the temporal part is ONE per-video lag window +
+    bit_count(xor) — JVM-side, keyed, bounded frames per video.
+    Output: (media_id, frame_idx, hamming, is_cut) for every sampled
+    frame after its video's first; undecodable frames propagate NULL
+    hamming and is_cut=false (boundary discipline)."""
+    frames = sample_frames(df, every_n=every_n, max_frames=max_frames)
+    as_media = frames.select(
+        (F.col("media_id") * F.lit(1_000_000) + F.col("frame_idx")).alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.col("frame").alias("content"),
+        F.lit(None).cast("string").alias("uri"),
+        F.lit("{}").alias("meta"),
+    )
+    hashed = image_dhash(as_media).select(
+        F.floor(F.col("media_id") / F.lit(1_000_000)).cast("long").alias("media_id"),
+        (F.col("media_id") % F.lit(1_000_000)).cast("int").alias("frame_idx"),
+        "dhash",
+    )
+    from pyspark.sql.window import Window as W2
+
+    w = W2.partitionBy("media_id").orderBy(F.col("frame_idx").asc())
+    # materialize lag/rank BEFORE the first-frame filter: a window
+    # expression placed after the filter would re-evaluate over the
+    # filtered partition and lose the new first row's predecessor
+    ham = F.bit_count(F.col("dhash").bitwiseXOR(F.col("__prev")))
+    return (
+        hashed.withColumn("__prev", F.lag("dhash").over(w))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)  # a video's first frame has no prior
+        .select(
+            "media_id",
+            "frame_idx",
+            ham.alias("hamming"),
+            F.coalesce(ham >= F.lit(threshold), F.lit(False)).alias("is_cut"),
+        )
+    )

@@ -933,3 +933,20 @@ class TestProfileDiff:
             assert r["completeness_delta"] == 0.0
             assert r["distinct_ratio"] == 1.0
             assert not r["envelope_moved"]
+
+
+class TestVideoSceneChanges:
+    def test_planted_cuts_found_exactly(self, spark):
+        from table_computing_spark.operators import multimodal as mm
+
+        vids = mm.make_demo_cut_video_media(spark, n=10, n_frames=8)
+        out = mm.video_scene_changes(vids, every_n=1, max_frames=8, threshold=10)
+        rows = out.collect()
+        # every sampled frame but the first per video appears
+        assert len(rows) == 10 * 7
+        for r in rows:
+            cut = (r["media_id"] % 5) + 2
+            if r["frame_idx"] == cut:
+                assert r["is_cut"] and r["hamming"] == 64, r
+            else:
+                assert not r["is_cut"] and r["hamming"] == 0, r
