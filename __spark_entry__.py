@@ -5295,14 +5295,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_queries.py::test_window_rotation_discipline). The
     dtype-strict local sim (tests/oracle.py) is green on ALL entries
     at sf0.01 (full-sim runs this round: 210/210, 223/223, 228/228,
-    229/229, 231/231, 241/241, 244/244 ×2 — zero mismatches). Final
-    surface 245: the second r08 session added q_tdigest_accuracy,
-    q_bitmap_distinct, q_pit_features, q_ks_drift, q_calibration,
-    q_pq_recall, q_impute, q_ivfpq, q_corr_matrix,
+    229/229, 231/231, 241/241, 244/244 ×2, 250/250 — zero
+    mismatches). Final surface 250: the second r08 session added
+    q_tdigest_accuracy, q_bitmap_distinct, q_pit_features, q_ks_drift,
+    q_calibration, q_pq_recall, q_impute, q_ivfpq, q_corr_matrix,
     q_stream_bitmap_distinct, q_cusum, q_winsorize,
-    q_percent_rank_global, q_interval_overlap and q_stream_tdigest —
-    each individually driver-sim verified at sf0.01 on declaration;
-    all head the r09 window.
+    q_percent_rank_global, q_interval_overlap, q_stream_tdigest,
+    q_weighted_quantiles, q_bootstrap_ci, q_rolling_median,
+    q_profile_diff and q_video_scene_changes — each individually
+    driver-sim verified at sf0.01 on declaration; all head the r09
+    window.
     """
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
