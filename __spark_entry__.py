@@ -10348,8 +10348,8 @@ def oracle_sql() -> dict[str, str]:
         FROM f JOIN ci USING (g)
         """.format(
             poisson_case=" ".join(
-                f"WHEN substr(md5(id || ':' || CAST(r AS VARCHAR)), 1, 8)"
-                f" < '{h}' THEN {k}"
+                f"WHEN substr(md5(id || ':' || CAST(r // 4 AS VARCHAR)),"
+                f" 1 + (r % 4) * 8, 8) < '{h}' THEN {k}"
                 for k, h in enumerate(
                     __import__(
                         "table_computing_spark.operators.bootstrap",
