@@ -60,6 +60,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _await_stream(q, timeout: int = 300) -> None:
+    """availableNow streams must FINISH before their results are read:
+    an unchecked awaitTermination timeout leaves the query running and
+    races the reader against the in-flight foreachBatch merge (pointer
+    flip + version delete). Timeout -> stop and raise, never fall
+    through."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(f"streaming query did not finish within {timeout}s")
+    if q.exception() is not None:
+        raise q.exception()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str):
     return load_table(spark, sf_dir, name)
 
@@ -1701,9 +1714,7 @@ def _run_stream_to_df(spark, sdf, mode="complete"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    if q.exception() is not None:
-        raise q.exception()
+    _await_stream(q)
     return spark.table(name)
 
 
@@ -2192,25 +2203,18 @@ def q_data_profile(spark, sf_dir):
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_returnflag", "l_shipdate",
     ]
+    from table_computing_spark.operators.profile import column_profile
+
     li = _t(spark, sf_dir, "lineitem").df
-    stacked = li.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("col_name"),
-                        F.col(c).cast("string").alias("v"),
-                    )
-                    for c in cols
-                ]
-            )
-        ).alias("kv")
-    ).select("kv.*")
-    return stacked.groupBy("col_name").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("v").alias("n_present"),
-        F.count_distinct(F.col("v")).alias("n_distinct"),
-        F.round(F.count("v") / F.count(F.lit(1)), 6).alias("completeness"),
+    prof = column_profile(li, cols)
+    return prof.select(
+        "col_name",
+        "n_rows",
+        "n_present",
+        "n_distinct",
+        F.round(
+            F.col("n_present").cast("double") / F.col("n_rows").cast("double"), 6
+        ).alias("completeness"),
     )
 
 
@@ -4206,9 +4210,7 @@ def q_stream_matview(spark, sf_dir):
             os.path.join(base, "state"),
             os.path.join(base, "ckpt"),
         )
-        q.awaitTermination(300)
-        if q.exception() is not None:
-            raise q.exception()
+        _await_stream(q)
     st = matview.read_state(spark, os.path.join(base, "state"))
     return st.select(
         "o_custkey",
@@ -5028,9 +5030,7 @@ def q_stream_bitmap_distinct(spark, sf_dir):
             os.path.join(base, "state"),
             os.path.join(base, "ckpt"),
         )
-        q.awaitTermination(300)
-        if q.exception() is not None:
-            raise q.exception()
+        _await_stream(q)
     st = matview.read_state(spark, os.path.join(base, "state"))
     return bitmaps.distinct_count(st, ["o_orderpriority"])
 
@@ -5151,9 +5151,7 @@ def q_stream_tdigest(spark, sf_dir):
             sdf, "o_totalprice", os.path.join(base, "state"),
             os.path.join(base, "ckpt"), delta=500,
         )
-        q.awaitTermination(300)
-        if q.exception() is not None:
-            raise q.exception()
+        _await_stream(q)
     st = matview.read_state(spark, os.path.join(base, "state"))
     qs = [0.05, 0.25, 0.5, 0.75, 0.95]
     eps = 0.01

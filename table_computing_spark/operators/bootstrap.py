@@ -74,8 +74,12 @@ def bootstrap_mean_ci(
     (α = 1 − level_permille/1000; ranks via exact integer ceil, no
     float boundary). Replicas that draw total weight 0 are dropped
     (probability e^{-n} per replica — negligible except on tiny
-    groups, and the rank arithmetic uses the surviving count)."""
+    groups, and the rank arithmetic uses the surviving count). Rows
+    with a NULL id are EXCLUDED everywhere (no identity → no
+    deterministic draw; silently hashing NULL would give them weight 0
+    in Spark but weight 11 in a SQL CASE replay)."""
     keys = list(keys)
+    df = df.where(F.col(id_col).isNotNull())
     # one md5 yields 32 hex chars = FOUR independent 8-hex draws:
     # replica r = 4*rg + lane reads lane `lane` of md5("<id>:<rg>").
     # Structured as a TWO-LEVEL explode so each md5 computes once per
@@ -126,7 +130,11 @@ def bootstrap_mean_ci(
         weighted.groupBy(*keys, "__r")
         .agg(
             F.sum("__w").alias("__sw"),
-            F.sum(F.col("__w") * F.col("__x")).alias("__swx"),
+            # decimal like the full-sample mean below: a long replica
+            # sum wraps silently at the module's advertised scale
+            F.sum(
+                F.col("__w").cast("decimal(38,0)") * F.col("__x").cast("decimal(38,0)")
+            ).alias("__swx"),
         )
         .filter(F.col("__sw") > 0)
         .select(

@@ -921,7 +921,9 @@ def video_scene_changes(
     bit_count(xor) — JVM-side, keyed, bounded frames per video.
     Output: (media_id, frame_idx, hamming, is_cut) for every sampled
     frame after its video's first; undecodable frames propagate NULL
-    hamming and is_cut=false (boundary discipline)."""
+    hamming and is_cut=false (boundary discipline). media_id must fit
+    the composite packing: |id| < ~9.2e12 (id·1e6 stays a long; the
+    div/pmod recovery is exact integer arithmetic either way)."""
     frames = sample_frames(df, every_n=every_n, max_frames=max_frames)
     as_media = frames.select(
         (F.col("media_id") * F.lit(1_000_000) + F.col("frame_idx")).alias("media_id"),
@@ -930,9 +932,13 @@ def video_scene_changes(
         F.lit(None).cast("string").alias("uri"),
         F.lit("{}").alias("meta"),
     )
+    # integer div/pmod: float division corrupts composite keys above
+    # 2^53, and % keeps the dividend's sign for negative ids
     hashed = image_dhash(as_media).select(
-        F.floor(F.col("media_id") / F.lit(1_000_000)).cast("long").alias("media_id"),
-        (F.col("media_id") % F.lit(1_000_000)).cast("int").alias("frame_idx"),
+        F.expr("(media_id - pmod(media_id, 1000000)) div 1000000")
+        .cast("long")
+        .alias("media_id"),
+        F.pmod(F.col("media_id"), F.lit(1_000_000)).cast("int").alias("frame_idx"),
         "dhash",
     )
     from pyspark.sql.window import Window as W2

@@ -11,9 +11,15 @@ changed" — cheaper than any row diff and often the first alarm.
 
 Shape: each side is ONE unpivot scan + one hash aggregate of
 |cols| rows (the q_data_profile plan); the diff is a |cols|-row join.
-String-cast min/max keep the envelope engine-portable (casting is
-injective per engine; the COMPARISON is equality/inequality of the
-same engine's rendering on both sides, so renderings cancel out).
+The string-cast envelope comparison is self-consistent WITHIN an
+engine (both snapshots use the same rendering), and cross-engine
+portable for int/decimal/string/date columns whose renderings agree.
+It is NOT cross-engine portable for float/double columns: Spark
+renders large doubles in scientific notation ('9.0E7') where DuckDB
+writes '90000000.0', so the lexicographic arg-min/max can be a
+different VALUE per engine — keep envelope-gated oracle queries to
+the portable types (the distinct COUNT stays portable for any type:
+casting is injective per engine).
 """
 
 from __future__ import annotations

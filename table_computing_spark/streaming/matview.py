@@ -54,19 +54,33 @@ def read_state(spark, state_dir: str) -> "DataFrame | None":
     return spark.read.parquet(os.path.join(state_dir, f"v{ptr['version']}"))
 
 
-def stream_maintain_agg(
+def _write_pointer(state_dir: str, version: int, batch_id: int) -> None:
+    """Atomic pointer flip: write a temp file, then os.replace — a
+    crash mid-write must never leave truncated JSON, which
+    _read_pointer would read as "no state yet", silently rebuilding
+    from one batch and losing every earlier merge."""
+    tmp = os.path.join(state_dir, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "last_batch": batch_id}, f)
+    os.replace(tmp, os.path.join(state_dir, _POINTER))
+
+
+def _stream_maintain(
     sdf: DataFrame,
-    keys: Sequence[str],
-    measures: Mapping[str, Column],
     state_dir: str,
     checkpoint_dir: str,
-    available_now: bool = True,
+    build_first,
+    merge_in,
+    available_now: bool,
 ):
-    """Start a streaming query that maintains agg_state(stream-so-far)
-    under `state_dir`. Returns the StreamingQuery; await it, then
-    `read_state` is the full GROUP BY of everything ingested."""
+    """The shared versioned ping-pong maintenance loop: per micro-batch
+    (replays skipped by batch id — foreachBatch is at-least-once),
+    either build the first state from the batch or merge the batch
+    into the persisted version, write v{n+1}, flip the pointer
+    ATOMICALLY, drop v{n}. The three public maintainers (sums / exact
+    distinct / t-digest quantiles) differ only in their two callables:
+    build_first(batch_df) and merge_in(old_state_df, batch_df)."""
     os.makedirs(state_dir, exist_ok=True)
-    keys = list(keys)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         ptr = _read_pointer(state_dir)
@@ -75,15 +89,12 @@ def stream_maintain_agg(
         spark = batch_df.sparkSession
         if ptr["version"] >= 0:
             old = spark.read.parquet(os.path.join(state_dir, f"v{ptr['version']}"))
-            new = incremental.maintain_agg(
-                old, batch_df, batch_df.limit(0), keys, measures
-            )
+            new = merge_in(old, batch_df)
         else:
-            new = incremental.agg_state(batch_df, keys, measures)
+            new = build_first(batch_df)
         nxt = ptr["version"] + 1
         new.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{nxt}"))
-        with open(os.path.join(state_dir, _POINTER), "w") as f:
-            json.dump({"version": nxt, "last_batch": batch_id}, f)
+        _write_pointer(state_dir, nxt, batch_id)
         if ptr["version"] >= 0:
             # true ping-pong: the flipped-away version is dead now
             shutil.rmtree(
@@ -97,6 +108,29 @@ def stream_maintain_agg(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+
+def stream_maintain_agg(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    measures: Mapping[str, Column],
+    state_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start a streaming query that maintains agg_state(stream-so-far)
+    under `state_dir`. Returns the StreamingQuery; await it, then
+    `read_state` is the full GROUP BY of everything ingested."""
+    keys = list(keys)
+    return _stream_maintain(
+        sdf, state_dir, checkpoint_dir,
+        build_first=lambda b: incremental.agg_state(b, keys, measures),
+        merge_in=lambda old, b: incremental.maintain_agg(
+            old, b, b.limit(0), keys, measures
+        ),
+        available_now=available_now,
+    )
 
 
 def stream_maintain_distinct(
@@ -124,36 +158,15 @@ def stream_maintain_distinct(
     """
     from table_computing_spark.operators import bitmaps
 
-    os.makedirs(state_dir, exist_ok=True)
     keys = list(keys)
-
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ptr = _read_pointer(state_dir)
-        if batch_id <= ptr["last_batch"]:
-            return  # replayed batch — already merged (idempotence)
-        spark = batch_df.sparkSession
-        delta = bitmaps.distinct_state(batch_df, keys, col)
-        if ptr["version"] >= 0:
-            old = spark.read.parquet(os.path.join(state_dir, f"v{ptr['version']}"))
-            new = bitmaps.merge_states(old, delta, keys)
-        else:
-            new = delta
-        nxt = ptr["version"] + 1
-        new.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{nxt}"))
-        with open(os.path.join(state_dir, _POINTER), "w") as f:
-            json.dump({"version": nxt, "last_batch": batch_id}, f)
-        if ptr["version"] >= 0:
-            shutil.rmtree(
-                os.path.join(state_dir, f"v{ptr['version']}"), ignore_errors=True
-            )
-
-    writer = (
-        sdf.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
+    return _stream_maintain(
+        sdf, state_dir, checkpoint_dir,
+        build_first=lambda b: bitmaps.distinct_state(b, keys, col),
+        merge_in=lambda old, b: bitmaps.merge_states(
+            old, bitmaps.distinct_state(b, keys, col), keys
+        ),
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stream_maintain_tdigest(
@@ -179,33 +192,13 @@ def stream_maintain_tdigest(
     """
     from table_computing_spark.operators import tdigest as td
 
-    os.makedirs(state_dir, exist_ok=True)
     groups = list(group_cols or [])
-
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ptr = _read_pointer(state_dir)
-        if batch_id <= ptr["last_batch"]:
-            return  # replayed batch — already merged (idempotence)
-        spark = batch_df.sparkSession
-        delta_sketch = td.tdigest_sketch(batch_df, col, delta, groups or None)
-        if ptr["version"] >= 0:
-            old = spark.read.parquet(os.path.join(state_dir, f"v{ptr['version']}"))
-            new = td.merge_sketches(old, delta_sketch, delta, groups or None)
-        else:
-            new = delta_sketch
-        nxt = ptr["version"] + 1
-        new.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{nxt}"))
-        with open(os.path.join(state_dir, _POINTER), "w") as f:
-            json.dump({"version": nxt, "last_batch": batch_id}, f)
-        if ptr["version"] >= 0:
-            shutil.rmtree(
-                os.path.join(state_dir, f"v{ptr['version']}"), ignore_errors=True
-            )
-
-    writer = (
-        sdf.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
+    return _stream_maintain(
+        sdf, state_dir, checkpoint_dir,
+        build_first=lambda b: td.tdigest_sketch(b, col, delta, groups or None),
+        merge_in=lambda old, b: td.merge_sketches(
+            old, td.tdigest_sketch(b, col, delta, groups or None),
+            delta, groups or None,
+        ),
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
