@@ -5278,94 +5278,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     until every declared query has a green row in some round's
     CORRECTNESS file.
 
-    Round-8 window: (a) the 10 round-7 overflow queries (declared after
-    the r07 window filled; never driver-verified, all locally
-    sim-green AND independently oracle-verified by the r07 judge),
-    (b) the 5 stale-r03 rows displaced from the r07 window
-    (q_tpch_q12, q_transform_explode, q_over_apply, q_join_full_outer,
-    q_join_nullsafe — reference golden join cardinalities back under a
-    fresh driver hash), (c) the 18 NEW r08 queries (csv/json/stream
-    ingest, prefix/ntile family, cube, Welch t-test, autocorr, URL
-    canonical+dedup, vocab growth, quantile buckets, kNN classify,
-    boilerplate, running-balance-scaled, peak concurrency, lang-ID
-    confusion, token fertility), and (d) 17 next-stalest rows (last
-    green r04) as fillers. Zero overlap with the r07 window (pinned by
-    tests/test_queries.py::test_window_rotation_discipline). The
-    dtype-strict local sim (tests/oracle.py) is green on ALL entries
-    at sf0.01 (full-sim runs this round: 210/210, 223/223, 228/228,
-    229/229, 231/231, 241/241, 244/244 ×2, 250/250 — zero
-    mismatches). Final surface 250: the second r08 session added
-    q_tdigest_accuracy, q_bitmap_distinct, q_pit_features, q_ks_drift,
-    q_calibration, q_pq_recall, q_impute, q_ivfpq, q_corr_matrix,
-    q_stream_bitmap_distinct, q_cusum, q_winsorize,
+    Round-9 window (exactly the r08 verdict's task-1 composition):
+    (a) the 20 r08 late-addition queries, never driver-verified but
+    all green under the r08 judge's independent dtype-strict oracle
+    (q_tdigest_accuracy, q_bitmap_distinct, q_pit_features,
+    q_ks_drift, q_calibration, q_pq_recall, q_impute, q_ivfpq,
+    q_corr_matrix, q_stream_bitmap_distinct, q_cusum, q_winsorize,
     q_percent_rank_global, q_interval_overlap, q_stream_tdigest,
     q_weighted_quantiles, q_bootstrap_ci, q_rolling_median,
-    q_profile_diff and q_video_scene_changes — each individually
-    driver-sim verified at sf0.01 on declaration; all head the r09
-    window.
+    q_profile_diff, q_video_scene_changes); (b) NEW r09 queries,
+    never verified, swapped in for stale-r04 fillers as they land;
+    (c) the stalest rows on the board (last driver-green r04 — the
+    r08 judge re-sampled 8 of these, all green) filling to 50. Zero
+    overlap with the r08 window (pinned by
+    tests/test_queries.py::test_window_rotation_discipline); after
+    this round zero queries remain never-driver-verified. The
+    dtype-strict local sim (tests/oracle.py) is green on ALL entries
+    at sf0.01.
     """
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
     tpch = dict(TPCH_QUERIES)
     window_50 = {
-        # (a) the 10 r07-overflow queries, never driver-verified
-        "q_bfs_hops": q_bfs_hops,
-        "q_time_to_convert": q_time_to_convert,
-        "q_window_distinct": q_window_distinct,
-        "q_rfm": q_rfm,
-        "q_benford": q_benford,
-        "q_hashed_features": q_hashed_features,
-        "q_running_balance": q_running_balance,
-        "q_stream_running_balance": q_stream_running_balance,
-        "q_decayed_topk": q_decayed_topk,
-        "q_gini": q_gini,
-        # (b) stalest on the board: last green r03
-        "q_tpch_q12": tpch["q_tpch_q12"],
-        "q_transform_explode": q_transform_explode,
-        "q_over_apply": q_over_apply,
-        "q_join_full_outer": q_join_full_outer,
-        "q_join_nullsafe": q_join_nullsafe,
-        # (c) next-stalest (r04) — swapped out for new r08 queries as they land
-        "q_flagship_top100": q_flagship_top100,
-        "q_filter_rows": q_filter_rows,
-        "q_transform_rows": q_transform_rows,
-        "q_select_rows": q_select_rows,
-        "q_pack_sequences": q_pack_sequences,
-        "q_anomaly_zscore": q_anomaly_zscore,
-        "q_mode_per_key": q_mode_per_key,
-        "q_latest_per_key": q_latest_per_key,
-        "q_retention_cohort": q_retention_cohort,
-        "q_funnel": q_funnel,
-        "q_fuzzy_pairs": q_fuzzy_pairs,
-        "q_moment_stats": q_moment_stats,
-        "q_embedding_centroids": q_embedding_centroids,
-        "q_sample_split": q_sample_split,
-        "q_stratified_sample": q_stratified_sample,
-        # --- NEW r08 queries (never verified — swapped in for r04 fillers) ---
-        "q_csv_ingest": q_csv_ingest,
-        "q_json_ingest": q_json_ingest,
-        "q_prefix_cumsum": q_prefix_cumsum,
-        "q_skyline": q_skyline,
-        "q_cube": q_cube,
-        "q_ab_ttest": q_ab_ttest,
-        "q_autocorr": q_autocorr,
-        "q_url_canonical": q_url_canonical,
-        "q_url_dedup": q_url_dedup,
-        "q_vocab_growth": q_vocab_growth,
-        "q_quantile_buckets": q_quantile_buckets,
-        "q_knn_classify": q_knn_classify,
-        "q_boilerplate": q_boilerplate,
-        "q_running_balance_scaled": q_running_balance_scaled,
-        "q_peak_concurrency": q_peak_concurrency,
-        "q_langid_confusion": q_langid_confusion,
-        "q_token_fertility": q_token_fertility,
-        "q_stream_json_ingest": q_stream_json_ingest,
-        "q_minhash_accuracy": q_minhash_accuracy,
-        "q_asof_forward": q_asof_forward,
-    }
-    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
-    tail = {
-        # r04 fillers displaced from the window by new r08 queries
+        # (a) the 20 r08 late additions — never driver-verified; all 20
+        # passed the r08 judge's independent dtype-strict oracle
+        "q_tdigest_accuracy": q_tdigest_accuracy,
+        "q_bitmap_distinct": q_bitmap_distinct,
+        "q_pit_features": q_pit_features,
+        "q_ks_drift": q_ks_drift,
+        "q_calibration": q_calibration,
+        "q_pq_recall": q_pq_recall,
+        "q_impute": q_impute,
+        "q_ivfpq": q_ivfpq,
+        "q_corr_matrix": q_corr_matrix,
+        "q_stream_bitmap_distinct": q_stream_bitmap_distinct,
+        "q_cusum": q_cusum,
+        "q_winsorize": q_winsorize,
+        "q_percent_rank_global": q_percent_rank_global,
+        "q_interval_overlap": q_interval_overlap,
+        "q_stream_tdigest": q_stream_tdigest,
+        "q_weighted_quantiles": q_weighted_quantiles,
+        "q_bootstrap_ci": q_bootstrap_ci,
+        "q_rolling_median": q_rolling_median,
+        "q_profile_diff": q_profile_diff,
+        "q_video_scene_changes": q_video_scene_changes,
+        # (b) stalest rows on the board (last driver-green r04) — NEW r09
+        # queries displace from the BOTTOM of this block as they land
         "q_multimodal_features": q_multimodal_features,
         "q_data_profile": q_data_profile,
         "q_histogram": q_histogram,
@@ -5386,8 +5344,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_enrich": q_stream_enrich,
         "q_stream_interval_join": q_stream_interval_join,
         "q_stream_anomaly": q_stream_anomaly,
-        # rotation pool, staleness order: r04 remainder, then r05, r06, r07
-        # --- last green r04 ---
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_pairs": q_simhash_pairs,
         "q_stream_minhash": q_stream_minhash,
@@ -5395,11 +5351,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct": q_approx_distinct,
         "q_gate_relational": q_gate_relational,
         "q_gate_rowwise_udf": q_gate_rowwise_udf,
-        "q_gate_joins": q_gate_joins,
         "q_gate_aggregate": q_gate_aggregate,
         "q_gate_over": q_gate_over,
-        "q_gate_setops": q_gate_setops,
         "q_stream_over": q_stream_over,
+    }
+    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
+    tail = {
+        # r04 remainder (judge re-verified both this session); then the
+        # r08-window rows (freshest green), then r05..r07 staleness order
+        "q_gate_joins": q_gate_joins,
+        "q_gate_setops": q_gate_setops,
+        # --- last green r08 (the full r08 driver window) ---
+        "q_bfs_hops": q_bfs_hops,
+        "q_time_to_convert": q_time_to_convert,
+        "q_window_distinct": q_window_distinct,
+        "q_rfm": q_rfm,
+        "q_benford": q_benford,
+        "q_hashed_features": q_hashed_features,
+        "q_running_balance": q_running_balance,
+        "q_stream_running_balance": q_stream_running_balance,
+        "q_decayed_topk": q_decayed_topk,
+        "q_gini": q_gini,
+        "q_tpch_q12": tpch["q_tpch_q12"],
+        "q_transform_explode": q_transform_explode,
+        "q_over_apply": q_over_apply,
+        "q_join_full_outer": q_join_full_outer,
+        "q_join_nullsafe": q_join_nullsafe,
+        "q_flagship_top100": q_flagship_top100,
+        "q_filter_rows": q_filter_rows,
+        "q_transform_rows": q_transform_rows,
+        "q_select_rows": q_select_rows,
+        "q_pack_sequences": q_pack_sequences,
+        "q_anomaly_zscore": q_anomaly_zscore,
+        "q_mode_per_key": q_mode_per_key,
+        "q_latest_per_key": q_latest_per_key,
+        "q_retention_cohort": q_retention_cohort,
+        "q_funnel": q_funnel,
+        "q_fuzzy_pairs": q_fuzzy_pairs,
+        "q_moment_stats": q_moment_stats,
+        "q_embedding_centroids": q_embedding_centroids,
+        "q_sample_split": q_sample_split,
+        "q_stratified_sample": q_stratified_sample,
+        "q_csv_ingest": q_csv_ingest,
+        "q_json_ingest": q_json_ingest,
+        "q_prefix_cumsum": q_prefix_cumsum,
+        "q_skyline": q_skyline,
+        "q_cube": q_cube,
+        "q_ab_ttest": q_ab_ttest,
+        "q_autocorr": q_autocorr,
+        "q_url_canonical": q_url_canonical,
+        "q_url_dedup": q_url_dedup,
+        "q_vocab_growth": q_vocab_growth,
+        "q_quantile_buckets": q_quantile_buckets,
+        "q_knn_classify": q_knn_classify,
+        "q_boilerplate": q_boilerplate,
+        "q_running_balance_scaled": q_running_balance_scaled,
+        "q_peak_concurrency": q_peak_concurrency,
+        "q_langid_confusion": q_langid_confusion,
+        "q_token_fertility": q_token_fertility,
+        "q_stream_json_ingest": q_stream_json_ingest,
+        "q_minhash_accuracy": q_minhash_accuracy,
+        "q_asof_forward": q_asof_forward,
         # --- last green r05 ---
         "q_pivot": q_pivot,
         "q_token_budget": q_token_budget,
@@ -5551,27 +5563,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_logreg_gd": q_logreg_gd,
         "q_kcore": q_kcore,
         "q_assortativity": q_assortativity,
-        # --- r08 late additions (next round's window head) ---
-        "q_tdigest_accuracy": q_tdigest_accuracy,
-        "q_bitmap_distinct": q_bitmap_distinct,
-        "q_pit_features": q_pit_features,
-        "q_ks_drift": q_ks_drift,
-        "q_calibration": q_calibration,
-        "q_pq_recall": q_pq_recall,
-        "q_impute": q_impute,
-        "q_ivfpq": q_ivfpq,
-        "q_corr_matrix": q_corr_matrix,
-        "q_stream_bitmap_distinct": q_stream_bitmap_distinct,
-        "q_cusum": q_cusum,
-        "q_winsorize": q_winsorize,
-        "q_percent_rank_global": q_percent_rank_global,
-        "q_interval_overlap": q_interval_overlap,
-        "q_stream_tdigest": q_stream_tdigest,
-        "q_weighted_quantiles": q_weighted_quantiles,
-        "q_bootstrap_ci": q_bootstrap_ci,
-        "q_rolling_median": q_rolling_median,
-        "q_profile_diff": q_profile_diff,
-        "q_video_scene_changes": q_video_scene_changes,
     }
     return {**window_50, **tail}
 
@@ -6033,7 +6024,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, idx, ps[idx] AS line FROM l
         ), dfreq AS (
           SELECT line FROM (
-            SELECT line, count(DISTINCT doc_id) AS d FROM lines GROUP BY line
+            SELECT line, count(DISTINCT doc_id) AS d FROM lines
+            WHERE trim(line) <> '' GROUP BY line
           ) WHERE d >= 3
         ), tag AS (
           SELECT lines.doc_id, lines.idx, lines.line,
@@ -10384,7 +10376,8 @@ def oracle_sql() -> dict[str, str]:
                  AS completeness_delta,
                round(CAST(pn.distinct_c AS DOUBLE)
                      / greatest(po.distinct_c, 1), 6) AS distinct_ratio,
-               (pn.min_s <> po.min_s OR pn.max_s <> po.max_s)
+               (pn.min_s IS DISTINCT FROM po.min_s
+                OR pn.max_s IS DISTINCT FROM po.max_s)
                  AS envelope_moved
         FROM po JOIN pn USING (col_name)
         """.format(

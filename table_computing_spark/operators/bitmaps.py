@@ -44,14 +44,39 @@ def distinct_state(
     df: DataFrame,
     keys: Sequence[str],
     col: "Column | str",
+    validate_ids: bool = False,
 ) -> DataFrame:
     """Exact distinct-count state: one bitmap per (keys..., bucket).
 
-    `col` must be integral (ids). Output schema:
-    (keys..., bucket bigint, bm binary). Build it at the FINEST grain
-    you will ever query — every coarser grain rolls up from here.
+    `col` must be integral (ids). Id-domain contract (r08 ADVICE asked
+    for this to be explicit): Spark 4's `bitmap_bucket_number` /
+    `bitmap_bit_position` map EVERY long injectively — positives to
+    buckets >= 1, zero and negatives to buckets <= 0 — so the state is
+    exact for any id domain, including 0 and negatives. This is
+    measured, not assumed: tests/test_r09_ops.py pins bitmap == exact
+    COUNT(DISTINCT) over 20k adversarial ids (0, negatives, the
+    ±32768 bucket boundaries, ±2^40). Pass `validate_ids=True` to
+    enforce a strictly-positive id contract anyway (cheap codegen CASE
+    that raises on ids < 1; NULLs stay NULL — COUNT(DISTINCT)
+    semantics ignore them) — useful when the state must stay portable
+    to engines whose bitmap positions are 1-based-only.
+    Output schema: (keys..., bucket bigint, bm binary). Build it at
+    the FINEST grain you will ever query — every coarser grain rolls
+    up from here.
     """
     c = F.col(col) if isinstance(col, str) else col
+    if validate_ids:
+        c = F.when(c.isNull() | (c > 0), c).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "distinct_state: ids must be positive integers "
+                        "(bitmap_bit_position is 1-based); got "
+                    ),
+                    c.cast("string"),
+                )
+            ).cast("long")
+        )
     return (
         df.groupBy(*list(keys), F.bitmap_bucket_number(c).alias("bucket"))
         .agg(F.bitmap_construct_agg(F.bitmap_bit_position(c)).alias("bm"))

@@ -324,7 +324,19 @@ def welch_ttest(
               ((v_g/n_g)²/(n_g−1) + (v_c/n_c)²/(n_c−1))
 
     Shape: one hash aggregate on group_col, the 1-row control slice
-    broadcast back — no window, no self-join of data rows."""
+    broadcast back — no window, no self-join of data rows.
+
+    Raises ValueError when `control` names a group with no rows — a
+    misspelled control label must fail loudly, not return an empty
+    frame that reads as "no treatment groups" (r08 ADVICE fix). The
+    existence probe is a pushed-down filter + take(1): it
+    short-circuits on the first matching row, so it stays cheap at
+    any scale."""
+    if not df.filter(F.col(group_col) == control).take(1):
+        raise ValueError(
+            f"welch_ttest: control group {control!r} has no rows in "
+            f"column {group_col!r}"
+        )
     x = value_col.cast("decimal(38,0)")
     per = df.groupBy(group_col).agg(
         F.count(value_col).alias("n"),

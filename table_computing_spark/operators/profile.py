@@ -100,8 +100,11 @@ def profile_diff(
             / F.greatest(F.col("distinct_old"), F.lit(1)).cast("double"),
             round_to,
         ).alias("distinct_ratio"),
+        # null-safe: an all-NULL column turning non-NULL (or vice versa)
+        # must flag true, not NULL — plain != would let a gate filtering
+        # envelope_moved = true miss exactly that transition (r08 ADVICE)
         (
-            (F.col("min_new") != F.col("min_old"))
-            | (F.col("max_new") != F.col("max_old"))
+            (~F.col("min_new").eqNullSafe(F.col("min_old")))
+            | (~F.col("max_new").eqNullSafe(F.col("max_old")))
         ).alias("envelope_moved"),
     )

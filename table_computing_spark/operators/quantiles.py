@@ -252,23 +252,30 @@ def winsorize(
     still get exact percentiles of whatever they hold; NULL values
     pass through unclipped (SQL percentile ignores them), and NULL
     group KEYS clip against the NULL group's own band (the join is
-    null-safe — a plain equi-join would silently DROP those rows)."""
+    null-safe — a plain equi-join would silently DROP those rows).
+    `keys=[]` clips globally: the 1-row band table is broadcast
+    cross-joined (an explicit path — `df.join(other, None, "left")`
+    would otherwise degenerate into condition-less-join semantics;
+    r08 ADVICE fix)."""
     keys = list(keys)
     band = df.groupBy(*keys).agg(
         F.expr(f"percentile({col}, array({lo}, {hi}))").alias("__band")
     )
-    for k in keys:
-        band = band.withColumnRenamed(k, f"__bk_{k}")
-    cond = None
-    for k in keys:
-        c = df[k].eqNullSafe(band[f"__bk_{k}"])
-        cond = c if cond is None else cond & c
     clipped = F.when(
         F.col(col).isNotNull() & F.col("__band").isNotNull(),
         F.least(
             F.greatest(F.col(col), F.col("__band")[0]), F.col("__band")[1]
         ),
     ).otherwise(F.col(col))
+    if not keys:
+        out = df.crossJoin(F.broadcast(band))
+        return out.withColumn(col, clipped).select(*df.columns)
+    for k in keys:
+        band = band.withColumnRenamed(k, f"__bk_{k}")
+    cond = None
+    for k in keys:
+        c = df[k].eqNullSafe(band[f"__bk_{k}"])
+        cond = c if cond is None else cond & c
     out = df.join(band, cond, "left")
     return out.withColumn(col, clipped).select(*df.columns)
 

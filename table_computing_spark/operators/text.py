@@ -1329,13 +1329,20 @@ def drop_boilerplate_lines(
     driver state; the boilerplate set is df-bounded and tiny relative
     to the corpus.
 
+    Empty / whitespace-only lines are EXEMPT from the boilerplate set
+    (CCNet-style pipelines exempt blank/short lines): a blank line
+    trivially appears in >= min_df documents of any real corpus, and
+    stripping it corpus-wide would collapse paragraph structure
+    everywhere (r08 ADVICE fix).
+
     Returns (id, clean_text, n_kept, n_dropped)."""
     lines = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__idx", "__line"),
     )
     line_df = (
-        lines.groupBy("__line")
+        lines.filter(F.trim(F.col("__line")) != "")
+        .groupBy("__line")
         .agg(F.countDistinct("__id").alias("__df"))
         .filter(F.col("__df") >= min_df)
         .select("__line")

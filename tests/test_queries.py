@@ -193,12 +193,12 @@ def test_every_query_function_is_registered():
 
 
 def test_window_rotation_discipline():
-    """VERDICT r07 item 9: the first-50 driver window must have ZERO
-    overlap with the previous round's window (CORRECTNESS_r07.json)
+    """VERDICT r08 item 1: the first-50 driver window must have ZERO
+    overlap with the previous round's window (CORRECTNESS_r08.json)
     unless a row went red there — re-verifying green rows burns slots
-    the never-verified tail needs. Also pins that the 15 rows the r07
-    verdict queued (10 never-driver-verified + 5 stale-r03) are all
-    inside the r08 window."""
+    the never-verified tail needs. Also pins that the 20 rows the r08
+    verdict queued (the never-driver-verified r08 late additions) are
+    all inside the r09 window."""
     import itertools
     import json
     import pathlib
@@ -208,7 +208,7 @@ def test_window_rotation_discipline():
     window = list(itertools.islice(m.queries(), 50))
     prev = json.loads(
         pathlib.Path(__file__).with_name("..").resolve().joinpath(
-            "CORRECTNESS_r07.json"
+            "CORRECTNESS_r08.json"
         ).read_text()
     )
     prev_green = {
@@ -219,11 +219,13 @@ def test_window_rotation_discipline():
     overlap = set(window) & prev_green
     assert not overlap, f"window wastes slots on already-green rows: {sorted(overlap)}"
     queued = {
-        "q_bfs_hops", "q_time_to_convert", "q_window_distinct", "q_rfm",
-        "q_benford", "q_hashed_features", "q_running_balance",
-        "q_stream_running_balance", "q_decayed_topk", "q_gini",
-        "q_join_full_outer", "q_join_nullsafe", "q_over_apply",
-        "q_tpch_q12", "q_transform_explode",
+        "q_tdigest_accuracy", "q_bitmap_distinct", "q_pit_features",
+        "q_ks_drift", "q_calibration", "q_pq_recall", "q_impute",
+        "q_ivfpq", "q_corr_matrix", "q_stream_bitmap_distinct",
+        "q_cusum", "q_winsorize", "q_percent_rank_global",
+        "q_interval_overlap", "q_stream_tdigest", "q_weighted_quantiles",
+        "q_bootstrap_ci", "q_rolling_median", "q_profile_diff",
+        "q_video_scene_changes",
     }
     missing = queued - set(window)
     assert not missing, f"verdict-queued rows missing from the window: {sorted(missing)}"
