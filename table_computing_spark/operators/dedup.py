@@ -331,35 +331,66 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    chunk_bits: "int | str" = "auto",
+    target_occupancy: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
-    chunks with Hamming-1 multi-probing (HmSearch-style): the probe
-    side emits each chunk value plus its 16 single-bit flips, the build
-    side emits the exact value, and candidates meet in a (chunk, value)
-    equi-join — never a cross join.
+    """Near-dup pairs by SimHash Hamming distance, blocked on
+    `chunk_bits`-wide fingerprint chunks with multi-bit probing
+    (HmSearch-style): the probe side emits each chunk value plus its
+    <= radius bit-flips, the build side emits the exact value, and
+    candidates meet in a (chunk, value) equi-join — never a cross
+    join.
 
-    Recall guarantee by pigeonhole: a pair at Hamming distance h has
-    some chunk with <= floor(h/4) differing bits, so exact-chunk
-    blocking alone covers h <= 3, 1-bit probes cover h <= 7, and 2-bit
-    probes cover h <= 11 — without shrinking buckets below 16 bits
-    (8-bit chunks would also raise the bound but collapse to 256
-    buckets, quadratic candidate blowup on a large corpus).
+    Recall guarantee by pigeonhole, for c = 64/chunk_bits chunks: a
+    pair at Hamming distance h has some chunk with <= floor(h/c)
+    differing bits, so probing radius = floor(max_hamming/c) covers
+    every qualifying pair. 16-bit chunks cover h <= 3 with exact-match
+    blocking, h <= 7 with 1-bit probes, h <= 11 with 2-bit probes.
 
-    Cost: 4 x n_probes rows on the probe side (17 at radius 1, 137 at
-    radius 2) + 4 build rows per doc, 2^16 buckets per chunk — shuffle
-    stays O(docs), candidates O(bucket collisions)."""
+    `chunk_bits="auto"` (default — r08 verdict task 4): the bucket
+    SPACE per chunk is 2^chunk_bits, fixed — at corpus sizes past
+    `target_occupancy`·2^16 the 16-bit buckets fill linearly with N
+    and the bucket-local join goes quadratic (the fixed-bucket-count
+    shape the r08 sweep flagged for lsh_topk/ivf_topk). auto keeps
+    16-bit chunks until then, and switches to 2×32-bit chunks with
+    1-bit probes (33 probe rows/chunk, 2^32 bucket space) when
+    max_hamming <= 3 allows it — the pair OUTPUT is identical either
+    way (both configurations have full recall at the given
+    max_hamming, and the exact hamming filter runs last). Costs one
+    count() scan. Explicit chunk_bits=16/32 pins a layout; 32-bit
+    chunks at max_hamming > 3 would need >= 3-bit probes (5489
+    rows/chunk) and are rejected.
+
+    Cost: c × n_probes rows on the probe side + c build rows per doc —
+    shuffle stays O(docs), candidates O(bucket collisions)."""
     if max_hamming > 11:
-        raise ValueError("multi-probe 16-bit blocking guarantees recall only to hamming 11")
-    radius = 0 if max_hamming <= 3 else (1 if max_hamming <= 7 else 2)
+        raise ValueError("multi-probe blocking guarantees recall only to hamming 11")
+    if chunk_bits == "auto":
+        n = df.count()
+        chunk_bits = 32 if (max_hamming <= 3 and n > target_occupancy * 65536) else 16
+    if chunk_bits not in (16, 32):
+        raise ValueError("chunk_bits must be 16 or 32 (64-bit fingerprint)")
+    n_chunks = 64 // chunk_bits
+    radius = max_hamming // n_chunks
     masks = [0]
     if radius >= 1:
-        masks += [1 << j for j in range(16)]
+        masks += [1 << j for j in range(chunk_bits)]
     if radius >= 2:
-        masks += [(1 << j) | (1 << k) for j in range(16) for k in range(j + 1, 16)]
+        masks += [
+            (1 << j) | (1 << k)
+            for j in range(chunk_bits)
+            for k in range(j + 1, chunk_bits)
+        ]
+    if radius >= 3:
+        raise ValueError(
+            f"radius {radius} at chunk_bits={chunk_bits} explodes the probe "
+            f"side; use chunk_bits=16 for max_hamming > 3"
+        )
     fps = simhash(df, text_col, id_col).withColumnRenamed(id_col, "__id")
+    cmask = (1 << chunk_bits) - 1
 
     def chunk_val(i: int) -> F.Column:
-        return F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+        return F.shiftright("simhash", i * chunk_bits).bitwiseAND(F.lit(cmask))
 
     probes = fps.select(
         "__id",
@@ -371,7 +402,7 @@ def simhash_pairs(
                         F.lit(i).alias("chunk"),
                         (chunk_val(i) if m == 0 else chunk_val(i).bitwiseXOR(F.lit(m))).alias("val"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                     for m in masks
                 ]
             )
@@ -384,7 +415,7 @@ def simhash_pairs(
             F.array(
                 *[
                     F.struct(F.lit(i).alias("chunk"), chunk_val(i).alias("val"))
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),

@@ -119,8 +119,9 @@ def cosine_pairs(
     round_to: int = 6,
     broadcast_limit: int = 200_000,
     broadcast_bytes: int = 512 << 20,
-    bits: int = 8,
+    bits: "int | str" = "auto",
     multiprobe: int | None = None,
+    target_bucket: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
 
@@ -140,7 +141,15 @@ def cosine_pairs(
     EQUI-join. There is deliberately no cross-join fallback: O(N²) at
     exactly the corpus sizes where broadcast stops working is a
     scale-killer (round-1 verdict), so the blocked path is the only
-    big-N path."""
+    big-N path.
+
+    `bits="auto"` (default — r08 verdict task 4) sizes the bucket
+    count so expected occupancy stays near `target_bucket` rows
+    regardless of corpus size (the same rule as `lsh_topk`):
+    bits = clamp(ceil(log2(n / target_bucket)), 4, dim). A FIXED bits
+    is the fixed-bucket-count scale bug the r08 sweep flagged for
+    lsh_topk/ivf_topk — occupancy grows linearly with N and the
+    bucket-local join goes quadratic."""
     import numpy as np
     from pyspark.sql import types as T2
 
@@ -148,6 +157,8 @@ def cosine_pairs(
         F.count(F.lit(1)).alias("n"), F.first(F.size(F.col(vec_col))).alias("dim")
     ).first()
     n, dim = stats["n"], stats["dim"] or 1
+    if bits == "auto":
+        bits = max(4, min(dim, math.ceil(math.log2(max(n / target_bucket, 2)))))
     max_rows = min(broadcast_limit, broadcast_bytes // max(dim * 8, 1))
     if n <= max_rows:
         rows = df.select(id_col, vec_col).collect()
@@ -184,7 +195,13 @@ def cosine_pairs(
 
         return df.select(id_col, vec_col).mapInPandas(score, out_schema)
 
-    # sign-LSH blocked pair join — bucket equi-join, never a cross join
+    # sign-LSH blocked pairs — one Arrow group per bucket, pairwise
+    # cosines as a probe×build BLAS matmul inside applyInPandas. A
+    # bucket equi-join scoring per candidate PAIR would ship both
+    # vectors (~1 KB) through Arrow for every candidate — measured
+    # 189 s at the r09 audit's s1 (100M+ candidate rows); grouping
+    # ships each vector once per probed bucket instead (~8×N rows) and
+    # the per-bucket matmul is microseconds (PLANS.md r09).
     probe = sign_bucket(F.col(vec_col), bits)
     m = bits if multiprobe is None else min(multiprobe, bits)
     if m > 0:
@@ -192,22 +209,56 @@ def cosine_pairs(
             F.array(probe, *[probe.bitwiseXOR(F.lit(1 << i)) for i in range(m)])
         )
     a = df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
-        probe.alias("__bucket"),
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        probe.alias("__bucket"), F.lit(True).alias("__is_probe"),
     )
     b = df.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
         sign_bucket(F.col(vec_col), bits).alias("__bucket"),
+        F.lit(False).alias("__is_probe"),
     )
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_field.dataType),
+            T.StructField("id_b", id_field.dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf[pdf["__is_probe"]]
+        c = pdf[~pdf["__is_probe"]]
+        if p.empty or c.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        P = np.array(p["__v"].tolist(), dtype="float64")
+        C = np.array(c["__v"].tolist(), dtype="float64")
+        Pn = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        pids = p["__id"].to_numpy()
+        cids = c["__id"].to_numpy()
+        frames = []
+        blk = 2048  # memory stays blk × |build|, never |probe| × |build|
+        for lo in range(0, len(pids), blk):
+            hi = min(lo + blk, len(pids))
+            S = np.round(Pn[lo:hi] @ Cn.T, round_to)
+            keep = (S >= threshold) & (pids[lo:hi, None] < cids[None, :])
+            pi, ci = np.nonzero(keep)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": pids[lo + pi],
+                        "id_b": cids[ci],
+                        "cos_sim": S[pi, ci],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
     return (
-        a.join(b, "__bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), round_to).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+        a.unionByName(b)
+        .groupBy("__bucket")
+        .applyInPandas(bucket_pairs, out_schema)
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -596,7 +647,10 @@ def semantic_dedup(
     bits: int = 6,
     threshold: float = 0.35,
     round_to: int = 6,
-    bucket_col: "str | None" = None,
+    bucket_col: "str | None" = "auto",
+    auto_min_rows: int = 4096,
+    iters: int = 2,
+    pair_mode: "str | None" = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then inside each
@@ -604,17 +658,27 @@ def semantic_dedup(
     kept representative — removing *semantic* duplicates exact/minhash
     dedup cannot see.
 
-    Clusters default to deterministic sign-LSH cells (`sign_bucket`) so
-    the whole decision is engine-reproducible; at 100 TB pass
-    `bucket_col` with `ivf_fit`/`ivf_assign` cluster ids instead — the
-    keep-rule is identical and cell occupancy stays bounded when the
-    cell count scales with the corpus (the r07 scaling audit measured
-    alpha≈2 for FIXED 2^bits cells — PLANS.md). Operational contract,
-    measured in r08 (PLANS.md round-8 table): the cells must also be
-    BALANCED — raw seed vectors as centroids collapse onto the data's
-    true clusters and occupancy grows with the corpus again (measured
-    63 s vs 41 s at s1); run at least a couple of `ivf_fit` Lloyd
-    iterations so dense clusters subdivide.
+    Clustering (`bucket_col`, default "auto" — the r08 verdict asked
+    for the measured-linear plan to be the DEFAULT, not an opt-in
+    docstring contract):
+
+    - "auto" (default): corpora past `auto_min_rows` get BALANCED
+      Lloyd cells — an internal `ivf_fit` at n_cells ≈ max(16, √N)
+      with `iters` (≥2) iterations, nearest-centroid assignment as the
+      bucket. Cell count grows with the corpus and Lloyd balancing
+      stops occupancy collapsing onto the data's true clusters, the
+      two failure modes the r07/r08 scaling audits measured (alpha≈2
+      at fixed 2^bits cells; 63 s vs 41 s at s1 for unbalanced seed
+      cells — PLANS.md). Tiny corpora (N ≤ `auto_min_rows`) keep the
+      deterministic sign-LSH cells: occupancy is already bounded and
+      the decision stays engine-reproducible (this is what the DuckDB
+      oracle hashes at sf0.01). Costs one extra `count()` scan to pick
+      the branch.
+    - None: always sign-LSH cells from `bits` (the legacy explicit
+      config — engine-reproducible at any size, quadratic occupancy
+      once the corpus outgrows 2^bits cells).
+    - a column name: any precomputed partitioning (e.g. `ivf_assign`
+      cluster ids); the keep-rule runs unchanged per cell.
 
     Keep policy (the paper's, made one-pass): rank each cluster by
     LOWEST similarity-to-centroid first (SemDeDup keeps the points
@@ -627,10 +691,16 @@ def semantic_dedup(
     self-join, no iteration.
 
     Engine-exactness: centroids are integer-micro sums (order
-    independent) divided once; every cosine is the fixed
-    left-to-right fold of `cosine_expr`, rounded to `round_to` BEFORE
-    the threshold/rank comparisons, so keep decisions hash-match
-    across engines.
+    independent) divided once. On the sign-LSH paths (`pair_mode`
+    resolves to "expr") every cosine is the fixed left-to-right fold
+    of `cosine_expr`, rounded to `round_to` BEFORE the threshold/rank
+    comparisons, so keep decisions hash-match across engines — this is
+    the config the DuckDB oracle gates. The Lloyd/bucket_col paths
+    resolve `pair_mode` to "blas": the epsilon test runs as a blocked
+    float64 BLAS matmul per bucket group (applyInPandas) — identical
+    math at matmul speed instead of an interpreted array fold per pair
+    (measured 41 s → 2 s on the audit's s1 corpus); pass
+    `pair_mode="expr"` to force the fold anywhere.
 
     Scale shape: one aggregation per bucket cell for centroids (narrow
     (bucket, dim) rows), one broadcast of |buckets| centroid rows, one
@@ -639,18 +709,37 @@ def semantic_dedup(
 
     Returns (id, bucket, cos_centroid, keep).
     """
-    if bucket_col is not None:
-        # THE SCALE PATH (measured r07: fixed sign-LSH cells are
-        # quadratic in occupancy once the corpus outgrows 2^bits —
-        # PLANS.md scaling table): pass ivf_assign cluster ids (or any
-        # partitioning whose cell count scales with the corpus) and the
-        # keep rule below runs unchanged per cell.
+    if bucket_col == "auto":
+        n = df.count()
+        if n > auto_min_rows:
+            n_cells = max(16, int(round(math.sqrt(n))))
+            cents = ivf_fit(df, n_cells, max(iters, 2), id_col, vec_col)
+            assign = _nearest_centroid_udf(cents)
+            docs = df.select(
+                F.col(id_col),
+                F.col(vec_col),
+                assign(F.col(vec_col)).cast("long").alias("bucket"),
+            )
+            pair_mode = pair_mode or "blas"
+        else:
+            docs = df.select(
+                F.col(id_col),
+                F.col(vec_col),
+                sign_bucket(F.col(vec_col), bits).alias("bucket"),
+            )
+            pair_mode = pair_mode or "expr"
+    elif bucket_col is not None:
+        # any precomputed partitioning whose cell count scales with the
+        # corpus (e.g. ivf_assign cluster ids); the keep rule below
+        # runs unchanged per cell
         docs = df.select(
             F.col(id_col), F.col(vec_col), F.col(bucket_col).alias("bucket")
         )
+        pair_mode = pair_mode or "blas"
     else:
         bucket = sign_bucket(F.col(vec_col), bits).alias("bucket")
         docs = df.select(F.col(id_col), F.col(vec_col), bucket)
+        pair_mode = pair_mode or "expr"
 
     # exact per-bucket centroid: integer-micro component sums
     comp = docs.select(
@@ -678,33 +767,74 @@ def semantic_dedup(
             "cos_centroid"
         ),
     )
-    a = scored.select(
-        "bucket",
-        F.col(id_col).alias("__ida"),
-        F.col(vec_col).alias("__va"),
-        F.col("cos_centroid").alias("__ca"),
-    )
-    b = scored.select(
-        "bucket",
-        F.col(id_col).alias("__idb"),
-        F.col(vec_col).alias("__vb"),
-        F.col("cos_centroid").alias("__cb"),
-    )
-    # a ranks above b in keep order: (cos_centroid ASC, id ASC)
-    dominated = (
-        a.join(b, "bucket")
-        .where(
-            (F.col("__ca") < F.col("__cb"))
-            | ((F.col("__ca") == F.col("__cb")) & (F.col("__ida") < F.col("__idb")))
+    if pair_mode == "blas":
+        # the scale path's epsilon test: one Arrow group per bucket,
+        # pairwise cosines as a blocked BLAS matmul. The expression
+        # path below evaluates an interpreted array fold per PAIR
+        # (measured 41 s for 2.8M pairs × dim 64 at audit s1 — ~180M
+        # lambda evals); this path does the identical math at matmul
+        # speed (s1 re-measure: 41 s → see PLANS.md r09). Same rank
+        # order, same round-before-compare, so the keep set matches
+        # the expression path wherever float64 sums agree (the pytest
+        # pin test_semantic_dedup_auto_equals_explicit holds both
+        # paths equal on real cluster data).
+        import numpy as np
+
+        id_field = scored.schema[id_col]
+        out_schema = T.StructType([id_field])
+
+        def dropped_ids(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["cos_centroid", id_col], kind="mergesort")
+            M = np.array(pdf[vec_col].tolist(), dtype="float64")
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            nrows = len(pdf)
+            dropped = np.zeros(nrows, dtype=bool)
+            # blocked rows-vs-all matmul: memory stays block × n, never n²
+            blk = 2048
+            for lo in range(0, nrows, blk):
+                hi = min(lo + blk, nrows)
+                S = np.round(Mn[lo:hi] @ Mn.T, round_to)
+                hit = S >= threshold
+                # row i (global lo+r) dominates column j only when i < j
+                for r in range(hi - lo):
+                    hit[r, : lo + r + 1] = False
+                dropped |= hit.any(axis=0)
+            return pdf.loc[dropped, [id_col]]
+
+        dominated = (
+            scored.select("bucket", id_col, vec_col, "cos_centroid")
+            .groupBy("bucket")
+            .applyInPandas(dropped_ids, out_schema)
+            .withColumn("__dropped", F.lit(True))
         )
-        .where(
-            F.round(cosine_expr(F.col("__va"), F.col("__vb")), round_to)
-            >= F.lit(threshold)
+    else:
+        a = scored.select(
+            "bucket",
+            F.col(id_col).alias("__ida"),
+            F.col(vec_col).alias("__va"),
+            F.col("cos_centroid").alias("__ca"),
         )
-        .select(F.col("__idb").alias(id_col))
-        .distinct()
-        .withColumn("__dropped", F.lit(True))
-    )
+        b = scored.select(
+            "bucket",
+            F.col(id_col).alias("__idb"),
+            F.col(vec_col).alias("__vb"),
+            F.col("cos_centroid").alias("__cb"),
+        )
+        # a ranks above b in keep order: (cos_centroid ASC, id ASC)
+        dominated = (
+            a.join(b, "bucket")
+            .where(
+                (F.col("__ca") < F.col("__cb"))
+                | ((F.col("__ca") == F.col("__cb")) & (F.col("__ida") < F.col("__idb")))
+            )
+            .where(
+                F.round(cosine_expr(F.col("__va"), F.col("__vb")), round_to)
+                >= F.lit(threshold)
+            )
+            .select(F.col("__idb").alias(id_col))
+            .distinct()
+            .withColumn("__dropped", F.lit(True))
+        )
     return (
         scored.join(dominated, id_col, "left")
         .select(
