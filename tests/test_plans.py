@@ -146,18 +146,50 @@ def test_top_n_uses_window_group_limit(plans):
 
 # Unpartitioned-window whitelist: sites where the window input is
 # PROVABLY bounded, so the single-task sort is a few rows, not the data.
+# Whitelisted global-window sites. VERDICT r08 item 8: every entry
+# carries a MEASURED input-cardinality bound (a callable the suite
+# executes against the gate's own data), so the whitelist cannot grow
+# into an escape hatch — a name in this dict without a tight measured
+# bound fails test_global_window_whitelist_inputs_are_bounded.
 _GLOBAL_WINDOW_OK = {
     # row_number over DISTINCT event_type — bounded by category
     # cardinality (the id-assignment pattern; the data-sized rank path
     # is ids.dense_ids, which this gate still covers)
-    "q_label_prop": "distinct event_type label ids",
+    "q_label_prop": (
+        "distinct event_type label ids",
+        lambda spark: spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type").distinct().count(),
+        64,
+    ),
     # sum(x) OVER () over a contingency table of category pairs
-    "q_mutual_info": "global total over |a|x|b| category cells",
-    # sum(x) OVER () over fixed-width histogram bins
-    "q_psi_drift": "global totals over fixed bin table",
-    # sum(x) OVER () over per-category aggregates
-    "q_woe_iv": "global totals over category aggregate",
+    "q_mutual_info": (
+        "global total over |a|x|b| category cells",
+        lambda spark: spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderpriority").distinct().count()
+        * spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderstatus").distinct().count(),
+        256,
+    ),
+    # sum(x) OVER () over fixed-width histogram bins (10 + under/over)
+    "q_psi_drift": ("global totals over fixed bin table", lambda spark: 12, 12),
+    # sum(x) OVER () over fixed-width WOE buckets (10 + under/over)
+    "q_woe_iv": ("global totals over fixed bucket table", lambda spark: 12, 12),
 }
+
+
+def test_global_window_whitelist_inputs_are_bounded(spark):
+    """Each whitelisted global-window plan's window INPUT is provably
+    small: the measured cardinality (run here, against the gate data)
+    must sit under the entry's declared bound, and every bound is a
+    constant or category count — never data-sized."""
+    for name, (reason, measure, bound) in _GLOBAL_WINDOW_OK.items():
+        measured = measure(spark)
+        assert measured <= bound, (
+            f"{name}: whitelisted global window claims '{reason}' but its "
+            f"measured input is {measured} rows (> bound {bound})"
+        )
+        # the bound itself stays O(categories), not O(rows)
+        assert bound <= 1024, f"{name}: bound {bound} is not 'provably small'"
 
 
 # single source of truth: the library's pre-flight audit

@@ -1273,3 +1273,85 @@ def test_stream_running_balance_equals_batch_fold(spark, tmp_path):
         if k not in got or r["n_events"] > got[k][0]:
             got[k] = (r["n_events"], r["final_balance"], r["n_stockouts"])
     assert got == want
+
+
+def test_stream_maintain_crash_recovery(spark, tmp_path):
+    """VERDICT r08 item 7: crash-recovery proof for the maintained-state
+    family (the shared _stream_maintain skeleton behind
+    stream_maintain_agg/distinct/tdigest). The query is interrupted
+    after batch k, and the crash window that matters — state pointer
+    flipped but the engine's checkpoint commit NOT yet written — is
+    simulated by deleting the newest commit marker: on restart Spark
+    REPLAYS that batch (at-least-once), and the batch-id idempotence
+    skip must keep the merge from double-counting. Final state must
+    equal the full-replay aggregate over everything ingested before
+    AND after the crash."""
+    import os
+
+    from table_computing_spark.operators import incremental
+    from table_computing_spark.streaming import matview
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    measures = {"total": F.col("value").cast("decimal(20,4)")}
+    all_rows = []
+
+    def add_file(i):
+        rows = [(f"u{j % 3}", i * 10 + j) for j in range(5)]
+        all_rows.extend(rows)
+        spark.createDataFrame(rows, "user_id string, value long").coalesce(
+            1
+        ).write.mode("append").json(str(src))
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema("user_id string, value long")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        q = matview.stream_maintain_agg(
+            sdf, ["user_id"], measures, state_dir=state, checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    for i in range(3):
+        add_file(i)
+    run_once()  # batches 0..2 merged; query terminated after batch k=2
+    ptr = matview._read_pointer(state)
+    assert ptr["last_batch"] == 2
+
+    # crash simulation: the engine never recorded batch 2 as committed
+    # (died between the state-pointer flip and the checkpoint commit) —
+    # drop the marker AND its Hadoop .crc shadow (a stale crc makes the
+    # re-create fail as a phantom concurrent writer)
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if f.isdigit()
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    for i in range(3, 5):
+        add_file(i)
+    run_once()  # restart: batch 2 REPLAYS, then the two new files merge
+
+    ptr2 = matview._read_pointer(state)
+    assert ptr2["last_batch"] > 2
+    got = {
+        r["user_id"]: (r["cnt"], r["total"])
+        for r in matview.read_state(spark, state).collect()
+    }
+    full = spark.createDataFrame(all_rows, "user_id string, value long")
+    want = {
+        r["user_id"]: (r["cnt"], r["total"])
+        for r in incremental.agg_state(full, ["user_id"], measures).collect()
+    }
+    assert got == want and got  # a double-merged replay would inflate cnt/total
+
+    # ping-pong hygiene survives the crash: exactly one live version dir
+    versions = [d for d in os.listdir(state) if d.startswith("v")]
+    assert versions == [f"v{ptr2['version']}"]
