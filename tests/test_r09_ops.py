@@ -314,3 +314,104 @@ def test_semantic_dedup_blas_equals_expr_pairs(spark):
     }
     assert blas == expr
     assert any(not k for _, k in blas)  # some rows actually get dropped
+
+
+# ---------------------------------------------------------------------------
+# r09 new families: spatial grid joins, frequent itemsets
+# ---------------------------------------------------------------------------
+
+def test_grid_radius_join_exact_vs_bruteforce(spark):
+    """The grid join must reproduce the quadratic truth exactly —
+    including pairs that straddle cell borders (the 3×3 probe's job)."""
+    import itertools
+
+    from table_computing_spark.operators.spatial import grid_radius_join
+
+    pts = [(i, (i * 37) % 200, (i * 91) % 200) for i in range(120)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        (r["id_a"], r["id_b"], r["d2"])
+        for r in grid_radius_join(df, "id", "x", "y", radius=25).collect()
+    }
+    want = {
+        (a[0], b[0], (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2)
+        for a, b in itertools.combinations(pts, 2)
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= 625
+    }
+    # combinations() yields ordered-by-position, ids are ordered too
+    assert got == want and len(want) > 0
+
+
+def test_grid_radius_join_negative_coords(spark):
+    """floor-division cells must behave across the origin (negative
+    coordinates land in cell -1, not cell 0)."""
+    from table_computing_spark.operators.spatial import grid_radius_join
+
+    df = spark.createDataFrame(
+        [(1, -3, -3), (2, 2, 2), (3, 40, 40)], "id long, x long, y long"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           grid_radius_join(df, "id", "x", "y", radius=10).collect()}
+    assert got == {(1, 2)}
+
+
+def test_grid_knn_exact_when_ring_covers(spark):
+    """With a ring that covers the whole plane, grid k-NN equals exact
+    brute-force k-NN (distance then id tiebreak)."""
+    import itertools
+
+    from table_computing_spark.operators.spatial import grid_knn_join
+
+    pts = [(i, (i * 53) % 100, (i * 17) % 100) for i in range(60)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in grid_knn_join(df, "id", "x", "y", k=3,
+                               cell_size=100, max_ring=1).collect()
+    }
+    for qid, qx, qy in pts:
+        cand = sorted(
+            ((qx - x) ** 2 + (qy - y) ** 2, nid)
+            for nid, x, y in pts if nid != qid
+        )
+        for rank, (_, nid) in enumerate(cand[:3], start=1):
+            assert got[(qid, rank)] == nid
+
+
+def test_frequent_pairs_mega_basket_guard(spark):
+    """A basket past max_basket_items is dropped entirely; the rest
+    still count."""
+    from table_computing_spark.operators.itemsets import frequent_pairs
+
+    rows = [(1, f"i{j}") for j in range(10)]  # mega basket (10 items)
+    rows += [(b, i) for b in (2, 3, 4) for i in ("a", "b")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in frequent_pairs(
+            df, "basket", "item", min_support=2, max_basket_items=5
+        ).collect()
+    }
+    assert out == {("a", "b"): 3}  # the 10-item basket contributed nothing
+
+
+def test_association_rules_math(spark):
+    """Closed-form check: a→b confidence is support/|a|, lift divides
+    by consequent prevalence."""
+    from table_computing_spark.operators.itemsets import association_rules
+
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"),
+        (4, "b"),
+        (5, "c"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {
+        (r["antecedent"], r["consequent"]): (r["support"], r["confidence"], r["lift"])
+        for r in association_rules(df, "basket", "item", min_support=2).collect()
+    }
+    # |a|=3, |b|=3, |ab|=2, n=5
+    assert out[("a", "b")] == (2, round(2 / 3, 6), round((2 / 3) / (3 / 5), 6))
+    assert out[("b", "a")] == (2, round(2 / 3, 6), round((2 / 3) / (3 / 5), 6))
