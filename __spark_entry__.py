@@ -5368,6 +5368,76 @@ def q_assoc_rules(spark, sf_dir):
     return association_rules(baskets, "basket", "item", min_support=300)
 
 
+def q_quantile_normalize(spark, sf_dir):
+    """Quantile normalization (quantiles.quantile_normalize, Bolstad
+    et al. 2003): align the three return-flag price distributions —
+    each group's rank-r value maps to the cross-group mean at rank r.
+    One PARTITIONED rank window (never global), one rank-keyed hash
+    aggregate with DECIMAL sums divided once, one join back.
+    (New r09.)"""
+    from table_computing_spark.operators.quantiles import quantile_normalize
+
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    return quantile_normalize(li, "grp", "v", "id")
+
+
+def q_quota_allocation(spark, sf_dir):
+    """Integer quota apportionment (operators/allocate.largest_remainder
+    — Hamilton's method, NEW r09): split a 10,000-example sampling
+    budget across nations proportional to exact customer counts.
+    base = floor(total·w/W) in DECIMAL integer math, leftover seats to
+    the largest remainders (key tiebreak) — Σ allocated == total
+    bit-for-bit in any engine. The remainder rank is a window over ONE
+    ROW PER NATION (≤ 25 — measured bound in the plan-gate whitelist).
+    This is how mixture_weights' fractional mixture becomes integer
+    per-source quotas. (New r09.)"""
+    from table_computing_spark.operators.allocate import largest_remainder
+
+    c = _t(spark, sf_dir, "customer").df.withColumn("w", F.lit(1))
+    return largest_remainder(c, "c_nationkey", "w", total=10_000)
+
+
+def q_ab_srm(spark, sf_dir):
+    """Sample-ratio-mismatch gate (drift.srm_check — the first A/B
+    sanity check): observed event-type counts vs the intended 20%
+    uniform split, each group's exact chi-square term. One hash
+    aggregate + a broadcast 5-row expectation table; fixed-order
+    double math rounded once. (New r09.)"""
+    from table_computing_spark.operators.drift import srm_check
+
+    ev = _t(spark, sf_dir, "events").df
+    expected = {t: 0.2 for t in ("click", "error", "purchase", "signup", "view")}
+    return srm_check(ev, "event_type", expected)
+
+
+def q_multi_horizon(spark, sf_dir):
+    """Multi-horizon trailing feature matrix
+    (temporal.multi_horizon_features): per event, trailing 1h and 24h
+    sums/counts of integer-cent value per user — k horizons ride ONE
+    key-partitioned sort as RANGE frames (one Exchange, one WindowExec
+    pass; never k shuffles, never a global window). DECIMAL sums cast
+    once → engine-exact features. (New r09.)"""
+    from table_computing_spark.operators.temporal import multi_horizon_features
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id",
+        tcf.epoch_ms("ts").alias("t_ms"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    out = multi_horizon_features(
+        ev, ["user_id"], "t_ms", "cents",
+        {"1h": 3_600_000, "24h": 86_400_000},
+    )
+    return out.select(
+        "user_id", "t_ms", "cents",
+        "sum_1h", "cnt_1h", "sum_24h", "cnt_24h",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5442,21 +5512,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_anomaly": q_stream_anomaly,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_pairs": q_simhash_pairs,
-        "q_stream_minhash": q_stream_minhash,
-        "q_approx_quantile": q_approx_quantile,
-        "q_approx_distinct": q_approx_distinct,
-        "q_gate_relational": q_gate_relational,
         # --- NEW r09 queries (never verified — displace stale-r04 fillers,
         # which move to the head of the tail below) ---
         "q_spatial_radius_join": q_spatial_radius_join,
         "q_spatial_knn": q_spatial_knn,
         "q_frequent_pairs": q_frequent_pairs,
         "q_assoc_rules": q_assoc_rules,
+        "q_quantile_normalize": q_quantile_normalize,
+        "q_quota_allocation": q_quota_allocation,
+        "q_ab_srm": q_ab_srm,
+        "q_multi_horizon": q_multi_horizon,
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
         # r04 remainder (displaced by new r09 queries / judge-re-verified),
         # then the r08-window rows (freshest green), then r05..r07
+        "q_stream_minhash": q_stream_minhash,
+        "q_approx_quantile": q_approx_quantile,
+        "q_approx_distinct": q_approx_distinct,
+        "q_gate_relational": q_gate_relational,
         "q_gate_rowwise_udf": q_gate_rowwise_udf,
         "q_gate_aggregate": q_gate_aggregate,
         "q_gate_over": q_gate_over,
@@ -10551,6 +10625,85 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS support
         FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
         GROUP BY 1, 2 HAVING count(*) >= 300
+        """,
+        "q_quantile_normalize": """
+        WITH ranked AS (
+          SELECT (l_orderkey * 10 + l_linenumber) AS id,
+                 l_returnflag AS grp, l_extendedprice AS v,
+                 row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice ASC,
+                            (l_orderkey * 10 + l_linenumber) ASC
+                 ) AS rank
+          FROM lineitem
+        ), ref AS (
+          SELECT rank,
+                 round(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+                       / count(*), 6) AS normalized
+          FROM ranked GROUP BY rank
+        )
+        SELECT ranked.id, ranked.grp, ranked.v,
+               CAST(ranked.rank AS INT) AS rank, ref.normalized
+        FROM ranked JOIN ref USING (rank)
+        """,
+        "q_quota_allocation": """
+        WITH per AS (
+          SELECT c_nationkey, CAST(count(*) AS BIGINT) AS weight
+          FROM customer GROUP BY 1
+        ), tot AS (SELECT sum(weight) AS W FROM per),
+        j AS (
+          SELECT c_nationkey, weight,
+                 (weight * 10000) // W AS base,
+                 weight * 10000 - ((weight * 10000) // W) * W AS rem
+          FROM per, tot
+        ), l AS (SELECT 10000 - sum(base) AS leftover FROM j),
+        r AS (
+          SELECT *, row_number() OVER (ORDER BY rem DESC, c_nationkey ASC) AS rk
+          FROM j
+        )
+        SELECT c_nationkey, weight, CAST(base AS BIGINT) AS base,
+               CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS INT) AS extra,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+                 AS allocated
+        FROM r, l
+        """,
+        "q_ab_srm": """
+        WITH ratios(event_type, ratio) AS (
+          VALUES ('click', 0.2), ('error', 0.2), ('purchase', 0.2),
+                 ('signup', 0.2), ('view', 0.2)
+        ), obs AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs
+          FROM events GROUP BY 1
+        ), known AS (
+          SELECT obs.event_type, obs.n_obs, ratios.ratio
+          FROM obs JOIN ratios USING (event_type)
+        ), n AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS N FROM known)
+        SELECT event_type, n_obs,
+               round(n.N * ratio, 6) AS n_expected,
+               round((CAST(n_obs AS DOUBLE) - n.N * ratio)
+                     * (CAST(n_obs AS DOUBLE) - n.N * ratio)
+                     / (n.N * ratio), 6) AS chi2_term
+        FROM known, n
+        """,
+        "q_multi_horizon": """
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS t_ms,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT user_id, t_ms, cents,
+               round(CAST(sum(CAST(cents AS DECIMAL(38,6))) OVER w1 AS DOUBLE), 6)
+                 AS sum_1h,
+               count(*) OVER w1 AS cnt_1h,
+               round(CAST(sum(CAST(cents AS DECIMAL(38,6))) OVER w24 AS DOUBLE), 6)
+                 AS sum_24h,
+               count(*) OVER w24 AS cnt_24h
+        FROM e
+        WINDOW
+          w1 AS (PARTITION BY user_id ORDER BY t_ms
+                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW),
+          w24 AS (PARTITION BY user_id ORDER BY t_ms
+                  RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
         """,
         "q_assoc_rules": """
         WITH bi AS (

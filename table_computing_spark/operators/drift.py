@@ -521,3 +521,41 @@ def cusum_changepoint(
         F.col("__p.d").cast("double").alias("cp_stat_num"),
         F.round(stat, round_to).alias("cp_stat"),
     )
+
+
+def srm_check(
+    df: DataFrame,
+    group_col: str,
+    expected: "dict[str, float]",
+    round_to: int = 6,
+) -> DataFrame:
+    """Sample-ratio-mismatch check (the first A/B-test sanity gate):
+    per-group observed counts vs expected split ratios, with each
+    group's chi-square term — flag the experiment when the total is
+    improbable under the intended split.
+
+        exp_g  = N · ratio_g
+        term_g = (obs_g − exp_g)² / exp_g
+
+    Counts are exact longs from one hash aggregate; N is the exact sum
+    over the DECLARED groups (rows outside `expected` are counted in
+    n_other but excluded from N, so a new variant can't silently skew
+    every term); each term runs in fixed op order on doubles and
+    rounds once — engine-exact. One broadcast of the |groups|-row
+    expectation table."""
+    ratios = df.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in expected.items()],
+        f"{group_col} string, __ratio double",
+    )
+    obs = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_obs"))
+    known = obs.join(F.broadcast(ratios), group_col)
+    n = known.agg(F.sum("n_obs").alias("__N"))
+    out = known.crossJoin(F.broadcast(n))
+    exp = F.col("__N").cast("double") * F.col("__ratio")
+    diff = F.col("n_obs").cast("double") - exp
+    return out.select(
+        group_col,
+        "n_obs",
+        F.round(exp, round_to).alias("n_expected"),
+        F.round(diff * diff / exp, round_to).alias("chi2_term"),
+    )

@@ -391,3 +391,50 @@ def weighted_quantiles(
         )
     )
     return hit.groupBy(*keys, "q").agg(F.min("__v").alias("value"))
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    id_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Quantile normalization (the bioinformatics / feature-alignment
+    standard, Bolstad et al. 2003): each group's value at within-group
+    rank r is replaced by the MEAN across groups of the values at rank
+    r — after which every group has an identical distribution.
+
+    Contract for unequal group sizes (documented, matches the common
+    implementation): rank is `row_number` over (value, id tiebreak)
+    per group, and the rank-r reference is the mean over the groups
+    that HAVE a rank-r value. Integer-exact mean: values aggregate as
+    DECIMAL sums and divide once in fixed order, so the normalized
+    value is engine-exact before the round.
+
+    Shape: one PARTITIONED rank window (never global), one hash
+    aggregate keyed by rank (state = max group size rows), one join
+    back on (group, rank)."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(group_col).orderBy(F.col(col).asc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(id_col), F.col(group_col), F.col(col),
+        F.row_number().over(w).alias("__rank"),
+    )
+    ref = ranked.groupBy("__rank").agg(
+        (
+            F.sum(F.col(col).cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__ref")
+    )
+    return (
+        ranked.join(ref, "__rank")
+        .select(
+            id_col,
+            group_col,
+            F.col(col),
+            F.col("__rank").alias("rank"),
+            F.round("__ref", round_to).alias("normalized"),
+        )
+    )

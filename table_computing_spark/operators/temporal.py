@@ -1103,3 +1103,41 @@ def rolling_quantile(
     return df.withColumn(
         out_col, F.expr(f"percentile({col}, {q})").over(w)
     )
+
+
+def multi_horizon_features(
+    df: DataFrame,
+    keys: Sequence[str],
+    t_col: str,
+    value_col: str,
+    horizons: "dict[str, int]",
+    round_to: int = 6,
+) -> DataFrame:
+    """Multi-horizon trailing features in one pass: for every event,
+    the trailing sum and count of `value_col` over each named horizon
+    (e.g. {"1h": 3_600_000, "24h": 86_400_000} in the t_col unit) —
+    the standard feature-matrix step before training a ranking or
+    fraud model ("activity in the last hour / day / week").
+
+    One key-PARTITIONED sort carries ALL horizons: each horizon is a
+    RANGE BETWEEN frame over the same window ordering, so Spark plans
+    a single Exchange + Sort and evaluates the frames in one
+    WindowExec pass — k horizons never cost k shuffles (and never a
+    global window). Sums aggregate in DECIMAL (integer units) and cast
+    once, so every feature is engine-exact."""
+    keys = list(keys)
+    base = W.partitionBy(*keys).orderBy(F.col(t_col).cast("long"))
+    cols = []
+    for name, span in horizons.items():
+        frame = base.rangeBetween(-int(span), 0)
+        cols.append(
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(38,6)")).over(frame)
+                .cast("double"),
+                round_to,
+            ).alias(f"sum_{name}")
+        )
+        cols.append(F.count(F.lit(1)).over(frame).alias(f"cnt_{name}"))
+    # one select so same-frame expressions share one Window node (sum and
+    # count of a horizon always co-plan; separate withColumns would not)
+    return df.select("*", *cols)

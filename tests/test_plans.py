@@ -172,6 +172,13 @@ _GLOBAL_WINDOW_OK = {
     ),
     # sum(x) OVER () over fixed-width histogram bins (10 + under/over)
     "q_psi_drift": ("global totals over fixed bin table", lambda spark: 12, 12),
+    # largest-remainder seat rank — one row per nation
+    "q_quota_allocation": (
+        "remainder rank over one row per nation",
+        lambda spark: spark.read.parquet(f"{SF}/customer.parquet")
+        .select("c_nationkey").distinct().count(),
+        32,
+    ),
     # sum(x) OVER () over fixed-width WOE buckets (10 + under/over)
     "q_woe_iv": ("global totals over fixed bucket table", lambda spark: 12, 12),
 }

@@ -415,3 +415,93 @@ def test_association_rules_math(spark):
     # |a|=3, |b|=3, |ab|=2, n=5
     assert out[("a", "b")] == (2, round(2 / 3, 6), round((2 / 3) / (3 / 5), 6))
     assert out[("b", "a")] == (2, round(2 / 3, 6), round((2 / 3) / (3 / 5), 6))
+
+
+# ---------------------------------------------------------------------------
+# r09: quantile normalization, quota allocation, SRM, multi-horizon
+# ---------------------------------------------------------------------------
+
+def test_quantile_normalize_aligns_distributions(spark):
+    """Equal-size groups end up with IDENTICAL value multisets (the
+    defining property), and each reference is the cross-group mean."""
+    from table_computing_spark.operators.quantiles import quantile_normalize
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([5, 2, 3, 4])]
+    rows += [(10 + i, "b", float(v)) for i, v in enumerate([8, 1, 9, 6])]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = quantile_normalize(df, "grp", "v", "id").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r["normalized"])
+    assert sorted(by_grp["a"]) == sorted(by_grp["b"])
+    # rank-1 reference = mean(min_a, min_b) = (1+2)/2
+    r1 = {r["rank"]: r["normalized"] for r in out if r["grp"] == "a"}
+    assert r1[1] == 1.5 and r1[4] == (5 + 9) / 2
+
+
+def test_largest_remainder_sums_exactly(spark):
+    from table_computing_spark.operators.allocate import largest_remainder
+
+    # weights 1,1,1 and total 10: base 3 each, 1 leftover -> smallest key
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "k string, w long"
+    )
+    out = {r["k"]: r for r in largest_remainder(df, "k", "w", total=10).collect()}
+    assert sum(r["allocated"] for r in out.values()) == 10
+    assert [out[k]["allocated"] for k in "abc"] == [4, 3, 3]  # tie -> key order
+    # proportional case with distinct remainders
+    df2 = spark.createDataFrame(
+        [("x", 5), ("y", 3), ("z", 2)], "k string, w long"
+    )
+    out2 = {r["k"]: r["allocated"]
+            for r in largest_remainder(df2, "k", "w", total=7).collect()}
+    # quotas 3.5 / 2.1 / 1.4 -> base 3/2/1, leftover 1 -> largest rem (x)
+    assert out2 == {"x": 4, "y": 2, "z": 1}
+
+
+def test_srm_check_math_and_unknown_groups(spark):
+    from table_computing_spark.operators.drift import srm_check
+
+    rows = [("a",)] * 60 + [("b",)] * 40 + [("mystery",)] * 999
+    df = spark.createDataFrame(rows, "grp string")
+    out = {r["grp"]: r for r in
+           srm_check(df, "grp", {"a": 0.5, "b": 0.5}).collect()}
+    # N counts only declared groups (100), so a rogue variant cannot
+    # skew every term
+    assert "mystery" not in out
+    assert out["a"]["n_expected"] == 50.0
+    assert out["a"]["chi2_term"] == round(100 / 50, 6)  # (60-50)^2/50
+    assert out["b"]["chi2_term"] == round(100 / 50, 6)
+
+
+def test_multi_horizon_vs_bruteforce(spark):
+    from table_computing_spark.operators.temporal import multi_horizon_features
+
+    rows = [("u1", t * 10, t) for t in range(20)] + [("u2", 5, 100)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    out = multi_horizon_features(
+        df, ["k"], "t", "v", {"s": 50}
+    ).collect()
+    got = {(r["k"], r["t"]): (r["sum_s"], r["cnt_s"]) for r in out}
+    for k, t, _v in rows:
+        vals = [v2 for k2, t2, v2 in rows if k2 == k and t - 50 <= t2 <= t]
+        assert got[(k, t)] == (float(sum(vals)), len(vals))
+
+
+def test_multi_horizon_single_exchange(spark):
+    """k horizons must ride ONE key-partitioned Exchange (RANGE frames
+    over the same window ordering), not one shuffle per horizon."""
+    import re
+
+    from table_computing_spark.operators.temporal import multi_horizon_features
+    from table_computing_spark.plans import plan_of
+
+    df = spark.createDataFrame(
+        [("u", 1, 1), ("u", 2, 2)], "k string, t long, v long"
+    )
+    out = multi_horizon_features(df, ["k"], "t", "v", {"a": 10, "b": 100})
+    p = plan_of(out)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    # all horizon frames share one ordering -> ONE WindowExec evaluates
+    # every frame (not a Window node per column or per horizon)
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
