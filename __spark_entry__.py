@@ -5438,6 +5438,57 @@ def q_multi_horizon(spark, sf_dir):
     )
 
 
+def q_edit1_pairs(spark, sf_dir):
+    """Edit-distance-1 pairs by symmetric-delete blocking
+    (dedup.edit_distance_pairs — SymSpell/FastSS): every name emits
+    itself + its single-deletions, candidates meet in a variant
+    EQUI-join (two strings within one edit provably share a variant),
+    exact levenshtein verifies collisions only — never the cross
+    product. The oracle IS the quadratic levenshtein join at sf0.01,
+    so the blocking's completeness is what the hash pins. (New r09.)"""
+    from table_computing_spark.operators.dedup import edit_distance_pairs
+
+    c = _t(spark, sf_dir, "customer").df
+    return edit_distance_pairs(c, "c_custkey", "c_name")
+
+
+def q_table_fingerprint(spark, sf_dir):
+    """Order-independent per-group table fingerprints
+    (operators/fingerprint.fingerprint_by_group — NEW r09 family):
+    60-bit portable row hashes (md5 hex→int, the repo-wide oracle
+    trick) summed as DECIMAL per order status — the one-scan
+    replica/migration comparator: any single-row difference moves the
+    sum, and partial map-side sums mean the whole check is one
+    aggregate at any scale. (New r09.)"""
+    from table_computing_spark.operators.fingerprint import fingerprint_by_group
+
+    o = _t(spark, sf_dir, "orders").df
+    return fingerprint_by_group(
+        o, ["o_orderstatus"], ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+
+def q_topk_others(spark, sf_dir):
+    """Top-k + OTHER rollup (frequency.top_k_with_others): top 5
+    brands per return flag by exact DECIMAL quantity, the tail rolled
+    into one OTHER row per group — Σ top-k + OTHER == group total
+    bit-for-bit. One hash aggregate, one PARTITIONED rank window over
+    aggregated rows (items per group, never data rows), one tail
+    re-aggregate. (New r09.)"""
+    from table_computing_spark.operators.frequency import top_k_with_others
+
+    li = _t(spark, sf_dir, "lineitem").df
+    p = _t(spark, sf_dir, "part").df
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    out = top_k_with_others(
+        j, ["l_returnflag"], "p_brand", F.col("l_quantity"), k=5
+    )
+    # hash as DOUBLE: the totals are integral quantities (exact in a
+    # double at any SF here); pandas flattens wide decimals to float64
+    # on the DuckDB side, so decimal output can't be dtype-matched
+    return out.withColumn("total", F.col("total").cast("double"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5509,11 +5560,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_over_duration": q_stream_over_duration,
         "q_stream_enrich": q_stream_enrich,
         "q_stream_interval_join": q_stream_interval_join,
-        "q_stream_anomaly": q_stream_anomaly,
-        "q_minhash_lsh": q_minhash_lsh,
-        "q_simhash_pairs": q_simhash_pairs,
         # --- NEW r09 queries (never verified — displace stale-r04 fillers,
         # which move to the head of the tail below) ---
+        "q_edit1_pairs": q_edit1_pairs,
+        "q_table_fingerprint": q_table_fingerprint,
+        "q_topk_others": q_topk_others,
         "q_spatial_radius_join": q_spatial_radius_join,
         "q_spatial_knn": q_spatial_knn,
         "q_frequent_pairs": q_frequent_pairs,
@@ -5527,6 +5578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail = {
         # r04 remainder (displaced by new r09 queries / judge-re-verified),
         # then the r08-window rows (freshest green), then r05..r07
+        "q_stream_anomaly": q_stream_anomaly,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash_pairs": q_simhash_pairs,
         "q_stream_minhash": q_stream_minhash,
         "q_approx_quantile": q_approx_quantile,
         "q_approx_distinct": q_approx_distinct,
@@ -10625,6 +10679,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS support
         FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
         GROUP BY 1, 2 HAVING count(*) >= 300
+        """,
+        "q_edit1_pairs": """
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        FROM customer a JOIN customer b
+          ON a.c_custkey < b.c_custkey
+         AND levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "q_table_fingerprint": """
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST('0x' || substring(md5(concat_ws('|',
+                    coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
+                    coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+                    coalesce(CAST(o_totalprice AS VARCHAR), chr(0)))), 1, 15)
+                    AS BIGINT)) % 2305843009213693951 AS BIGINT)
+                 AS fingerprint
+        FROM orders GROUP BY 1
+        """,
+        "q_topk_others": """
+        WITH per AS (
+          SELECT l_returnflag, p_brand AS item,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DECIMAL(38,6))
+                   AS total
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2
+        ), r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY l_returnflag ORDER BY total DESC, item ASC
+                 ) AS rk
+          FROM per
+        )
+        SELECT l_returnflag, item, CAST(total AS DOUBLE) AS total,
+               CAST(rk AS INT) AS rank
+        FROM r WHERE rk <= 5
+        UNION ALL
+        SELECT l_returnflag, 'OTHER' AS item,
+               CAST(sum(total) AS DOUBLE) AS total,
+               CAST(NULL AS INT) AS rank
+        FROM r WHERE rk > 5 GROUP BY 1
         """,
         "q_quantile_normalize": """
         WITH ranked AS (

@@ -815,3 +815,50 @@ def minhash_estimate_pairs(
         "id_b",
         F.round(agree.cast("double") / num_hashes, round_to).alias("est_jaccard"),
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs at Levenshtein distance <= 1, by symmetric-delete
+    blocking (SymSpell / FastSS — public technique): every string emits
+    itself plus its single-character deletions; any two strings within
+    one edit SHARE at least one variant (equal → the string itself;
+    substitution → both delete the differing position; insert/delete →
+    the shorter string equals one deletion of the longer), so
+    candidates come from a variant EQUI-join and the exact levenshtein
+    filter runs only on collisions — never on the cross product.
+
+    Cost: len+1 variant rows per string (bounded by string length),
+    one shuffle on the variant value, exact verification per candidate.
+    Returns (id_a < id_b, dist)."""
+    def variants(side: str):
+        s = F.col(text_col)
+        dels = F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(
+                F.substring(s, F.lit(1), i - 1),
+                s.substr(i + 1, F.length(s)),
+            ),
+        )
+        return df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.col(text_col).alias(f"__t{side}"),
+            F.explode(
+                F.array_distinct(F.concat(F.array(s), dels))
+            ).alias("__var"),
+        )
+
+    a, b = variants("a"), variants("b")
+    return (
+        a.join(b, "__var")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.levenshtein(F.col("__ta"), F.col("__tb")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+        .dropDuplicates(["id_a", "id_b"])
+    )

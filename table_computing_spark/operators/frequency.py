@@ -31,10 +31,10 @@ driver hash-match it against a DuckDB GROUP BY/HAVING oracle.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -204,3 +204,48 @@ def cms_estimate(
         joined.groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+def top_k_with_others(
+    df: DataFrame,
+    keys: Sequence[str],
+    item_col: str,
+    measure: Column,
+    k: int = 5,
+    others_label: str = "OTHER",
+) -> DataFrame:
+    """Per-group top-k items by a measure, with everything below the
+    cut rolled into one `others_label` row per group — the standard
+    reporting shape ("top 5 brands per region + other"), done without
+    ever materializing the full ranking twice.
+
+    One hash aggregate to (keys, item, total), one PARTITIONED rank
+    window over the aggregated rows (state = items per group, not data
+    rows), one conditional re-aggregate for the tail. Totals are
+    DECIMAL-exact; ranking ties break by item for a total order.
+    Output: (keys..., item, total, rank) with rank NULL on the OTHER
+    row; group totals are preserved exactly: Σ top-k + OTHER == group
+    total."""
+    from pyspark.sql.window import Window as W
+
+    keys = list(keys)
+    per = df.groupBy(*keys, F.col(item_col).alias("item")).agg(
+        F.sum(measure.cast("decimal(28,6)")).alias("total")
+    )
+    w = W.partitionBy(*keys).orderBy(F.col("total").desc(), F.col("item").asc())
+    ranked = per.withColumn("rank", F.row_number().over(w))
+    top = ranked.filter(F.col("rank") <= k).select(
+        *keys, "item", "total", F.col("rank").cast("int").alias("rank")
+    )
+    others = (
+        ranked.filter(F.col("rank") > k)
+        .groupBy(*keys)
+        .agg(F.sum("total").alias("total"))
+        .select(
+            *keys,
+            F.lit(others_label).alias("item"),
+            F.col("total").cast("decimal(38,6)").alias("total"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+    )
+    return top.unionByName(others)

@@ -505,3 +505,76 @@ def test_multi_horizon_single_exchange(spark):
     # all horizon frames share one ordering -> ONE WindowExec evaluates
     # every frame (not a Window node per column or per horizon)
     assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
+
+
+# ---------------------------------------------------------------------------
+# r09 batch 3: SymSpell edit-1 pairs, table fingerprints, top-k + OTHER
+# ---------------------------------------------------------------------------
+
+def test_edit_distance_pairs_vs_bruteforce(spark):
+    """Symmetric-delete blocking must find EVERY pair at levenshtein
+    <= 1 — substitutions, insertions, deletions, equal strings — and
+    nothing else."""
+    import itertools
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    from table_computing_spark.operators.dedup import edit_distance_pairs
+
+    words = ["cat", "cut", "cats", "at", "dog", "dig", "dogs", "cat",
+             "spark", "spork", "sparky", "park", "sparks", "x", "", "y"]
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "id long, w string")
+    got = {(r["id_a"], r["id_b"], r["dist"])
+           for r in edit_distance_pairs(df, "id", "w").collect()}
+    want = {(a[0], b[0], lev(a[1], b[1]))
+            for a, b in itertools.combinations(rows, 2)
+            if lev(a[1], b[1]) <= 1}
+    assert got == want and len(want) >= 8
+
+
+def test_table_fingerprint_detects_and_ignores(spark):
+    """Same rows in any order/partitioning -> same fingerprint; one
+    changed value -> different fingerprint."""
+    from table_computing_spark.operators.fingerprint import table_fingerprint
+
+    rows = [(i, f"v{i}") for i in range(500)]
+    a = spark.createDataFrame(rows, "id long, v string")
+    b = spark.createDataFrame(list(reversed(rows)), "id long, v string").repartition(13)
+    fa = table_fingerprint(a, ["id", "v"]).collect()[0]
+    fb = table_fingerprint(b, ["id", "v"]).collect()[0]
+    assert (fa["n_rows"], fa["fingerprint"]) == (fb["n_rows"], fb["fingerprint"])
+    rows2 = list(rows)
+    rows2[250] = (250, "CHANGED")
+    c = spark.createDataFrame(rows2, "id long, v string")
+    fc = table_fingerprint(c, ["id", "v"]).collect()[0]
+    assert fc["fingerprint"] != fa["fingerprint"] and fc["n_rows"] == fa["n_rows"]
+    # NULL and the string rendering of NULL must differ
+    d1 = spark.createDataFrame([(1, None)], "id long, v string")
+    d2 = spark.createDataFrame([(1, "")], "id long, v string")
+    assert (table_fingerprint(d1, ["id", "v"]).collect()[0]["fingerprint"]
+            != table_fingerprint(d2, ["id", "v"]).collect()[0]["fingerprint"])
+
+
+def test_top_k_with_others_preserves_totals(spark):
+    from table_computing_spark.operators.frequency import top_k_with_others
+
+    rows = [("g", f"i{j % 7}", j % 5 + 1) for j in range(70)]
+    df = spark.createDataFrame(rows, "grp string, item string, v long")
+    out = top_k_with_others(df, ["grp"], "item", F.col("v"), k=3).collect()
+    total = sum(float(r["total"]) for r in out)
+    assert total == float(sum(v for _, _, v in rows))
+    ranked = [r for r in out if r["rank"] is not None]
+    other = [r for r in out if r["rank"] is None]
+    assert len(ranked) == 3 and len(other) == 1 and other[0]["item"] == "OTHER"
+    assert [r["rank"] for r in sorted(ranked, key=lambda r: r["rank"])] == [1, 2, 3]
