@@ -5326,9 +5326,14 @@ def q_spatial_knn(spark, sf_dir):
     luckier neighbor set. (New r09.)"""
     from table_computing_spark.operators.spatial import grid_knn_join
 
+    pts = _spatial_points(spark, sf_dir)
+    # FIXED query sample (the q_pq_recall rule): all sf0.01 ids, so the
+    # oracle hash is unchanged while sweep cost scales with N, not N²;
+    # cell 5000 pinned because the static oracle replicates the ring
+    # arithmetic literally (the operator's default is cell_size="auto")
     return grid_knn_join(
-        _spatial_points(spark, sf_dir), "id", "x", "y",
-        k=5, cell_size=5000, max_ring=3,
+        pts, "id", "x", "y", k=5, cell_size=5000, max_ring=3,
+        queries=pts.filter(F.col("id") <= 1500),
     )
 
 
@@ -10659,6 +10664,7 @@ def oracle_sql() -> dict[str, str]:
                  (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
           FROM p a JOIN p b
             ON a.id <> b.id
+           AND a.id <= 1500
            AND abs((a.x // 5000) - (b.x // 5000)) <= 3
            AND abs((a.y // 5000) - (b.y // 5000)) <= 3
         ), r AS (

@@ -412,15 +412,24 @@ def quantile_normalize(
     DECIMAL sums and divide once in fixed order, so the normalized
     value is engine-exact before the round.
 
-    Shape: one PARTITIONED rank window (never global), one hash
-    aggregate keyed by rank (state = max group size rows), one join
-    back on (group, rank)."""
-    from pyspark.sql.window import Window as W
+    Shape: the within-group rank comes from ONE distributed global
+    rank (ids.dense_ids range shuffle over (group, value, id)) minus
+    the group's broadcast base offset — a `row_number` window
+    partitioned by group would funnel each group through a single task,
+    and quantile normalization's groups are exactly the few-and-huge
+    kind (3 return flags of 2 TB each at scale). Then one hash
+    aggregate keyed by rank and one join back."""
+    from table_computing_spark.operators.ids import dense_ids
 
-    w = W.partitionBy(group_col).orderBy(F.col(col).asc(), F.col(id_col).asc())
-    ranked = df.select(
+    gid = dense_ids(
+        df.select(F.col(id_col), F.col(group_col), F.col(col)),
+        order_by=[F.col(group_col).asc(), F.col(col).asc(), F.col(id_col).asc()],
+        id_col="__gid",
+    )
+    base = gid.groupBy(group_col).agg(F.min("__gid").alias("__base"))
+    ranked = gid.join(F.broadcast(base), group_col).select(
         F.col(id_col), F.col(group_col), F.col(col),
-        F.row_number().over(w).alias("__rank"),
+        (F.col("__gid") - F.col("__base") + 1).cast("int").alias("__rank"),
     )
     ref = ranked.groupBy("__rank").agg(
         (

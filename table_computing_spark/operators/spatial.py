@@ -91,19 +91,34 @@ def grid_knn_join(
     x_col: str,
     y_col: str,
     k: int,
-    cell_size: int,
+    cell_size: "int | str" = "auto",
     max_ring: int = 3,
+    queries: "DataFrame | None" = None,
 ) -> DataFrame:
-    """Approximate k nearest neighbors per point from its grid
-    neighborhood: candidates are the points within `max_ring` cells
-    (a (2·max_ring+1)² block), ranked by exact squared distance with
-    id tiebreak. Exact whenever each point's true k-NN lie within
+    """Approximate k nearest neighbors per query point from its grid
+    neighborhood: candidates are the corpus points within `max_ring`
+    cells (a (2·max_ring+1)² block), ranked by exact squared distance
+    with id tiebreak. Exact whenever each query's true k-NN lie within
     max_ring·cell_size per axis (pick cell_size ≈ expected k-NN radius;
     the ring bound is the documented recall contract, same spirit as
     lsh_topk's bucket contract).
 
+    `cell_size="auto"` (default) is the scale-safe sizing: a FIXED
+    cell is the fixed-bucket-count scale bug again — at 100× the
+    density the ring covers 100× the points and the candidate join
+    goes quadratic (the r09 sweep hung exactly there). auto targets
+    ~k points per cell from the data's own bounding box:
+    cell = max(1, round(sqrt(area·k/N))), so ring candidates stay
+    O(ring²·k) per query at any density. Costs one bounds-aggregate
+    scan.
+
+    `queries` (default: df itself) bounds WHICH points get neighbors —
+    pass a fixed sample when the verification side must not scale with
+    the corpus (the q_pq_recall rule).
+
     Shape: constant fan-out probe explode → cell equi-join →
-    per-point window on the bounded candidate set."""
+    per-query window on the bounded candidate set (PARTITIONED by
+    query id — never global)."""
     from pyspark.sql.window import Window as W
 
     pt = df.select(
@@ -111,8 +126,23 @@ def grid_knn_join(
         F.col(x_col).cast("long").alias("__x"),
         F.col(y_col).cast("long").alias("__y"),
     )
+    if cell_size == "auto":
+        b = pt.agg(
+            F.min("__x").alias("x0"), F.max("__x").alias("x1"),
+            F.min("__y").alias("y0"), F.max("__y").alias("y1"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        area = max(1, (b["x1"] - b["x0"] + 1)) * max(1, (b["y1"] - b["y0"] + 1))
+        import math as _m
+
+        cell_size = max(1, int(round(_m.sqrt(area * k / max(b["n"], 1)))))
+    qpt = pt if queries is None else queries.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
     ring = range(-max_ring, max_ring + 1)
-    probe = pt.select(
+    probe = qpt.select(
         "__id", "__x", "__y",
         F.explode(
             F.array(*[
