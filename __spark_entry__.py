@@ -5494,6 +5494,85 @@ def q_topk_others(spark, sf_dir):
     return out.withColumn("total", F.col("total").cast("double"))
 
 
+def q_join_cardinality(spark, sf_dir):
+    """Pre-flight join-cardinality probe (plans.join_cardinality_estimate
+    — NEW r09, the runnable companion to plan_report): the EXACT output
+    size of lineitem ⋈ lineitem on l_partkey — Σ_k cnt(k)² — plus the
+    hottest key's contribution, from two hash aggregates and a
+    distinct-key join, never the join's own data shuffle. Run this
+    before a 100 TB join; the answer costs a COUNT. (New r09.)"""
+    from table_computing_spark.plans import join_cardinality_estimate
+
+    li = _t(spark, sf_dir, "lineitem").df
+    return join_cardinality_estimate(li, li, ["l_partkey"])
+
+
+def q_stream_fingerprint(spark, sf_dir):
+    """Streaming maintained table fingerprint (fingerprint.row_hash
+    riding matview.stream_maintain_agg): orders replay as a 3-file
+    stream; each micro-batch merges its DECIMAL hash-sum into the
+    persisted per-status state (commutative — merge order irrelevant),
+    and the read-back state reduces mod 2^61−1. Oracle: the batch
+    fingerprint over everything ingested — the replica-verification
+    primitive maintained INCREMENTALLY, historical rows never
+    rescanned. (New r09.)"""
+    import tempfile
+
+    from table_computing_spark.operators.fingerprint import row_hash
+    from table_computing_spark.streaming import matview
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    o = _t(spark, sf_dir, "orders").df.select("o_orderstatus", *cols)
+    base = tempfile.mkdtemp(prefix="tc_sfp_")
+    src = os.path.join(base, "deltas")
+    for i in range(3):
+        o.where(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    sdf = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    measures = {"hsum": row_hash(cols).cast("decimal(28,0)")}
+    with _state_partitions(spark):
+        q = matview.stream_maintain_agg(
+            sdf,
+            ["o_orderstatus"],
+            measures,
+            os.path.join(base, "state"),
+            os.path.join(base, "ckpt"),
+        )
+        _await_stream(q)
+    st = matview.read_state(spark, os.path.join(base, "state"))
+    return st.select(
+        "o_orderstatus",
+        F.col("cnt").alias("n_rows"),
+        F.pmod(F.col("hsum"), F.lit((1 << 61) - 1).cast("decimal(28,0)"))
+        .cast("long")
+        .alias("fingerprint"),
+    )
+
+
+def q_kmv_intersect(spark, sf_dir):
+    """KMV set-operation sketches (operators/kmv — NEW r09 family,
+    Bar-Yossef et al. 2002): per event type, the k smallest md5 hashes
+    of the user set; click-vs-view union / intersection / Jaccard
+    estimated from two 256-long arrays instead of a join of the
+    underlying sets. The sketch is a pure function of the data (md5),
+    so the DuckDB oracle reproduces the exact arrays AND estimates —
+    the sketch CONTENT is what's hashed. Salted two-stage k-min trim
+    keeps every aggregation buffer bounded. (New r09.)"""
+    from table_computing_spark.operators import kmv
+
+    ev = _t(spark, sf_dir, "events").df
+    a = kmv.kmv_sketch(ev.filter(F.col("event_type") == "click"), [], "user_id", k=256)
+    b = kmv.kmv_sketch(ev.filter(F.col("event_type") == "view"), [], "user_id", k=256)
+    return kmv.kmv_set_ops(
+        a.withColumn("side", F.lit(1)), b.withColumn("side", F.lit(1)), ["side"], k=256
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5562,11 +5641,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_tumble": q_streaming_tumble,
         "q_streaming_slide": q_streaming_slide,
         "q_streaming_session": q_streaming_session,
-        "q_stream_over_duration": q_stream_over_duration,
-        "q_stream_enrich": q_stream_enrich,
-        "q_stream_interval_join": q_stream_interval_join,
         # --- NEW r09 queries (never verified — displace stale-r04 fillers,
         # which move to the head of the tail below) ---
+        "q_join_cardinality": q_join_cardinality,
+        "q_stream_fingerprint": q_stream_fingerprint,
+        "q_kmv_intersect": q_kmv_intersect,
         "q_edit1_pairs": q_edit1_pairs,
         "q_table_fingerprint": q_table_fingerprint,
         "q_topk_others": q_topk_others,
@@ -5583,6 +5662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail = {
         # r04 remainder (displaced by new r09 queries / judge-re-verified),
         # then the r08-window rows (freshest green), then r05..r07
+        "q_stream_over_duration": q_stream_over_duration,
+        "q_stream_enrich": q_stream_enrich,
+        "q_stream_interval_join": q_stream_interval_join,
         "q_stream_anomaly": q_stream_anomaly,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_pairs": q_simhash_pairs,
@@ -10724,6 +10806,56 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(total) AS DOUBLE) AS total,
                CAST(NULL AS INT) AS rank
         FROM r WHERE rk > 5 GROUP BY 1
+        """,
+        "q_join_cardinality": """
+        WITH c AS (
+          SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+          FROM lineitem GROUP BY 1
+        )
+        SELECT CAST(sum(c * c) AS BIGINT) AS join_rows,
+               CAST(max(c * c) AS BIGINT) AS top_key_rows
+        FROM c
+        """,
+        "q_stream_fingerprint": """
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST('0x' || substring(md5(concat_ws('|',
+                    coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
+                    coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+                    coalesce(CAST(o_totalprice AS VARCHAR), chr(0)))), 1, 15)
+                    AS BIGINT)) % 2305843009213693951 AS BIGINT)
+                 AS fingerprint
+        FROM orders GROUP BY 1
+        """,
+        "q_kmv_intersect": """
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS h
+          FROM events WHERE event_type IN ('click', 'view')
+        ), ka AS (SELECT h FROM h WHERE event_type = 'click'
+                  ORDER BY h LIMIT 256),
+        kb AS (SELECT h FROM h WHERE event_type = 'view'
+               ORDER BY h LIMIT 256),
+        u AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+              ORDER BY h LIMIT 256),
+        s AS (
+          SELECT (SELECT count(*) FROM u) AS nu,
+                 (SELECT max(h) FROM u) AS kth,
+                 (SELECT count(*) FROM u
+                  WHERE h IN (SELECT h FROM ka)
+                    AND h IN (SELECT h FROM kb)) AS inter
+        ), e AS (
+          SELECT nu, inter,
+                 CASE WHEN nu < 256 THEN CAST(nu AS DOUBLE)
+                      ELSE (255.0 * 1152921504606846976.0)
+                           / CAST(kth AS DOUBLE) END AS union_raw,
+                 CAST(inter AS DOUBLE) / CAST(least(nu, 256) AS DOUBLE) AS rho
+          FROM s
+        )
+        SELECT 1 AS side, round(union_raw, 4) AS union_est,
+               round(rho * union_raw, 4) AS intersect_est,
+               round(rho, 4) AS jaccard_est
+        FROM e
         """,
         "q_quantile_normalize": """
         WITH ranked AS (

@@ -167,3 +167,43 @@ def plan_report(df: DataFrame, wide_scan_cols: int = 12) -> PlanReport:
         exchanges=len(re.findall(r"\(\d+\) (?:Exchange|BroadcastExchange)", plan)),
         scans=len(re.findall(r"\(\d+\) Scan ", plan)),
     )
+
+
+def join_cardinality_estimate(
+    a, b, keys, exact: bool = True, sample: float = 0.01
+):
+    """Pre-flight EXACT (or sampled) equi-join output cardinality
+    WITHOUT running the join: |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k). Two
+    hash aggregates + one join on the (much smaller) distinct-key
+    tables + one sum — the cost profile of a COUNT, never the join's
+    own shuffle of data rows. The pre-flight companion to
+    `plan_report`: run it before a 100 TB join to learn whether the
+    output explodes (skewed hot keys multiply) while the change is
+    still cheap.
+
+    `exact=False` estimates from a Bernoulli sample of each side
+    (unbiased for the product-sum up to 1/sample² scaling) — for when
+    even the per-key count pass must be cheap.
+
+    Returns a 1-row DataFrame: (join_rows, top_key_rows) where
+    top_key_rows is the single hottest key's contribution — the skew
+    headline."""
+    from pyspark.sql import functions as F
+
+    keys = list(keys)
+    if not exact:
+        a = a.sample(fraction=sample, seed=7)
+        b = b.sample(fraction=sample, seed=11)
+    ca = a.groupBy(*keys).agg(F.count(F.lit(1)).alias("__ca"))
+    cb = b.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cb"))
+    prod = ca.join(cb, keys).select(
+        (F.col("__ca").cast("decimal(28,0)") * F.col("__cb").cast("decimal(28,0)"))
+        .alias("__p")
+    )
+    scale = 1.0 if exact else 1.0 / (sample * sample)
+    return prod.agg(
+        (F.coalesce(F.sum("__p"), F.lit(0).cast("decimal(38,0)")).cast("double")
+         * F.lit(scale)).cast("long").alias("join_rows"),
+        (F.coalesce(F.max("__p"), F.lit(0).cast("decimal(28,0)")).cast("double")
+         * F.lit(scale)).cast("long").alias("top_key_rows"),
+    )

@@ -578,3 +578,67 @@ def test_top_k_with_others_preserves_totals(spark):
     other = [r for r in out if r["rank"] is None]
     assert len(ranked) == 3 and len(other) == 1 and other[0]["item"] == "OTHER"
     assert [r["rank"] for r in sorted(ranked, key=lambda r: r["rank"])] == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# r09 batch 4: KMV sketches, join-cardinality pre-flight
+# ---------------------------------------------------------------------------
+
+def test_kmv_exact_below_k_and_estimates_above(spark):
+    from table_computing_spark.operators import kmv
+
+    # below k: the sketch IS the distinct set -> estimate exact
+    small = spark.createDataFrame([("g", i % 40) for i in range(200)],
+                                  "g string, v long")
+    est = kmv.kmv_estimate(kmv.kmv_sketch(small, ["g"], "v", k=256), ["g"])
+    assert est.collect()[0]["n_est"] == 40.0
+    # above k: within 15% of truth at k=256 (1/sqrt(k) ~ 6% std)
+    big = spark.createDataFrame([("g", i) for i in range(5000)],
+                                "g string, v long")
+    e = kmv.kmv_estimate(kmv.kmv_sketch(big, ["g"], "v", k=256), ["g"]).collect()[0]["n_est"]
+    assert abs(e - 5000) / 5000 < 0.15
+
+
+def test_kmv_merge_equals_union_sketch(spark):
+    from table_computing_spark.operators import kmv
+
+    a = spark.createDataFrame([("g", i) for i in range(0, 3000, 2)],
+                              "g string, v long")
+    b = spark.createDataFrame([("g", i) for i in range(0, 3000, 3)],
+                              "g string, v long")
+    u = spark.createDataFrame(
+        [("g", i) for i in range(0, 3000) if i % 2 == 0 or i % 3 == 0],
+        "g string, v long",
+    )
+    merged = kmv.kmv_merge(kmv.kmv_sketch(a, ["g"], "v"),
+                           kmv.kmv_sketch(b, ["g"], "v"), ["g"])
+    direct = kmv.kmv_sketch(u, ["g"], "v")
+    assert merged.collect()[0]["kmv"] == direct.collect()[0]["kmv"]
+
+
+def test_kmv_set_ops_accuracy(spark):
+    from table_computing_spark.operators import kmv
+
+    a = spark.createDataFrame([("x", i) for i in range(4000)], "g string, v long")
+    b = spark.createDataFrame([("x", i) for i in range(2000, 8000)], "g string, v long")
+    out = kmv.kmv_set_ops(
+        kmv.kmv_sketch(a, ["g"], "v"), kmv.kmv_sketch(b, ["g"], "v"), ["g"]
+    ).collect()[0]
+    assert abs(out["union_est"] - 8000) / 8000 < 0.2
+    assert abs(out["intersect_est"] - 2000) / 2000 < 0.35
+    assert abs(out["jaccard_est"] - 0.25) < 0.1
+
+
+def test_join_cardinality_exact(spark):
+    from table_computing_spark.plans import join_cardinality_estimate
+
+    a = spark.createDataFrame(
+        [(k,) for k in [1] * 10 + [2] * 3 + [3] * 1], "k long"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in [1] * 4 + [2] * 5 + [4] * 9], "k long"
+    )
+    out = join_cardinality_estimate(a, b, ["k"]).collect()[0]
+    actual = a.join(b, "k").count()
+    assert out["join_rows"] == actual == 10 * 4 + 3 * 5
+    assert out["top_key_rows"] == 40
