@@ -538,17 +538,25 @@ def srm_check(
         term_g = (obs_g − exp_g)² / exp_g
 
     Counts are exact longs from one hash aggregate; N is the exact sum
-    over the DECLARED groups (rows outside `expected` are counted in
-    n_other but excluded from N, so a new variant can't silently skew
-    every term); each term runs in fixed op order on doubles and
-    rounds once — engine-exact. One broadcast of the |groups|-row
-    expectation table."""
+    over the DECLARED groups (rows outside `expected` are excluded
+    from N, so a new variant can't silently skew every term); each
+    term runs in fixed op order on doubles and rounds once —
+    engine-exact. One broadcast of the |groups|-row expectation table.
+    A declared group with ZERO observed rows still gets its row
+    (n_obs=0, chi2_term=n_expected) — an arm receiving no traffic is
+    the loudest SRM there is and must not vanish from the report."""
     ratios = df.sparkSession.createDataFrame(
         [(k, float(v)) for k, v in expected.items()],
         f"{group_col} string, __ratio double",
     )
     obs = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_obs"))
-    known = obs.join(F.broadcast(ratios), group_col)
+    # ratios is the preserved (outer) side, so the broadcast hint goes
+    # on obs — itself bounded by observed-group cardinality
+    known = (
+        F.broadcast(obs)
+        .join(ratios, group_col, "right")
+        .fillna(0, subset=["n_obs"])
+    )
     n = known.agg(F.sum("n_obs").alias("__N"))
     out = known.crossJoin(F.broadcast(n))
     exp = F.col("__N").cast("double") * F.col("__ratio")

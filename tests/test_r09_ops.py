@@ -642,3 +642,16 @@ def test_join_cardinality_exact(spark):
     actual = a.join(b, "k").count()
     assert out["join_rows"] == actual == 10 * 4 + 3 * 5
     assert out["top_key_rows"] == 40
+
+
+def test_srm_zero_traffic_arm_reported(spark):
+    """A declared arm that received NO rows must appear with n_obs=0
+    and chi2_term == its expected count — the loudest SRM signal."""
+    from table_computing_spark.operators.drift import srm_check
+
+    df = spark.createDataFrame([("a",)] * 100, "grp string")
+    out = {r["grp"]: r for r in
+           srm_check(df, "grp", {"a": 0.5, "b": 0.5}).collect()}
+    assert out["b"]["n_obs"] == 0
+    assert out["b"]["n_expected"] == 50.0
+    assert out["b"]["chi2_term"] == 50.0  # (0-50)^2/50
