@@ -5573,6 +5573,68 @@ def q_kmv_intersect(spark, sf_dir):
     )
 
 
+def q_seq_pairs(spark, sf_dir):
+    """Sequential-pattern pairs (itemsets.sequence_pairs — the GSP /
+    PrefixSpan length-2 core, Srikant & Agrawal 1996): per user, does
+    event type A's FIRST occurrence precede B's — "view before
+    purchase" as a directed support count, the ordered complement of
+    q_frequent_pairs. One first-occurrence hash aggregate + one
+    session-key self-equi-join (sessions pair only with themselves).
+    Simultaneous firsts carry no order and are excluded —
+    deterministic in any engine. (New r09.)"""
+    from table_computing_spark.operators.itemsets import sequence_pairs
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", "event_type", tcf.epoch_ms("ts").alias("t_ms")
+    )
+    return sequence_pairs(ev, "user_id", "event_type", "t_ms", min_support=50)
+
+
+def q_stream_kmv(spark, sf_dir):
+    """Streaming maintained KMV sketch (matview.stream_maintain_kmv):
+    events replay as a 3-file stream; each micro-batch's per-type user
+    sketch union-merges into the persisted state (KMV merge is the
+    k-min trim — associative, so the maintained state equals the batch
+    sketch of everything ingested BIT-FOR-BIT). Read-back state →
+    distinct-user estimates per event type; the oracle recomputes the
+    exact same k-min hashes and estimate. Completes the maintained-
+    state family: sums, bitmaps, t-digests, hash-sums, and now
+    set-operation sketches. (New r09.)"""
+    import tempfile
+
+    from table_computing_spark.operators import kmv
+    from table_computing_spark.streaming import matview
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type", "user_id", "event_id"
+    )
+    base = tempfile.mkdtemp(prefix="tc_skmv_")
+    src = os.path.join(base, "deltas")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with _state_partitions(spark):
+        q = matview.stream_maintain_kmv(
+            sdf,
+            ["event_type"],
+            "user_id",
+            os.path.join(base, "state"),
+            os.path.join(base, "ckpt"),
+            k=256,
+        )
+        _await_stream(q)
+    st = matview.read_state(spark, os.path.join(base, "state"))
+    return kmv.kmv_estimate(st, ["event_type"], k=256).select(
+        "event_type", F.round("n_est", 4).alias("n_est")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5639,10 +5701,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_session": q_window_session,
         "q_over_by_size": q_over_by_size,
         "q_streaming_tumble": q_streaming_tumble,
-        "q_streaming_slide": q_streaming_slide,
-        "q_streaming_session": q_streaming_session,
         # --- NEW r09 queries (never verified — displace stale-r04 fillers,
         # which move to the head of the tail below) ---
+        "q_seq_pairs": q_seq_pairs,
+        "q_stream_kmv": q_stream_kmv,
         "q_join_cardinality": q_join_cardinality,
         "q_stream_fingerprint": q_stream_fingerprint,
         "q_kmv_intersect": q_kmv_intersect,
@@ -5662,6 +5724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail = {
         # r04 remainder (displaced by new r09 queries / judge-re-verified),
         # then the r08-window rows (freshest green), then r05..r07
+        "q_streaming_slide": q_streaming_slide,
+        "q_streaming_session": q_streaming_session,
         "q_stream_over_duration": q_stream_over_duration,
         "q_stream_enrich": q_stream_enrich,
         "q_stream_interval_join": q_stream_interval_join,
@@ -10806,6 +10870,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(total) AS DOUBLE) AS total,
                CAST(NULL AS INT) AS rank
         FROM r WHERE rk > 5 GROUP BY 1
+        """,
+        "q_seq_pairs": """
+        WITH f AS (
+          SELECT user_id AS session, event_type AS item,
+                 min(epoch_ms(ts)) AS t
+          FROM events GROUP BY 1, 2
+        )
+        SELECT a.item AS antecedent, b.item AS consequent,
+               CAST(count(*) AS BIGINT) AS support
+        FROM f a JOIN f b ON a.session = b.session AND a.t < b.t
+        GROUP BY 1, 2 HAVING count(*) >= 50
+        """,
+        "q_stream_kmv": """
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS h
+          FROM events
+        ), r AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+          FROM h
+        ), s AS (
+          SELECT event_type, count(*) AS nu, max(h) AS kth
+          FROM r WHERE rk <= 256 GROUP BY 1
+        )
+        SELECT event_type,
+               round(CASE WHEN nu < 256 THEN CAST(nu AS DOUBLE)
+                          ELSE (255.0 * 1152921504606846976.0)
+                               / CAST(kth AS DOUBLE) END, 4) AS n_est
+        FROM s
         """,
         "q_join_cardinality": """
         WITH c AS (

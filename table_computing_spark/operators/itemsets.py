@@ -126,3 +126,40 @@ def association_rules(
     if min_confidence > 0.0:
         out = out.filter(F.col("confidence") >= min_confidence)
     return out
+
+
+def sequence_pairs(
+    df: DataFrame,
+    session_col: str,
+    item_col: str,
+    t_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Sequential-pattern pairs (GSP/PrefixSpan's length-2 core,
+    Srikant & Agrawal 1996): (antecedent → consequent, support) where
+    support counts sessions in which the antecedent's FIRST occurrence
+    strictly precedes the consequent's. The ordered complement of
+    frequent_pairs — "view before purchase" is a different fact from
+    "view and purchase together".
+
+    Shape: one hash aggregate to first occurrences (state: one row per
+    (session, item)), one session-key self-equi-join (sessions pair
+    only with themselves), one count aggregate. Simultaneous first
+    occurrences (t_a == t_b) carry no order and are excluded — the
+    deterministic contract any engine reproduces."""
+    first = df.groupBy(
+        F.col(session_col).alias("session"), F.col(item_col).alias("item")
+    ).agg(F.min(t_col).alias("__t"))
+    a = first.select(
+        "session", F.col("item").alias("antecedent"), F.col("__t").alias("__ta")
+    )
+    b = first.select(
+        "session", F.col("item").alias("consequent"), F.col("__t").alias("__tb")
+    )
+    return (
+        a.join(b, "session")
+        .filter(F.col("__ta") < F.col("__tb"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )

@@ -202,3 +202,36 @@ def stream_maintain_tdigest(
         ),
         available_now=available_now,
     )
+
+
+def stream_maintain_kmv(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = 256,
+    available_now: bool = True,
+):
+    """Maintain per-group KMV sketches (operators/kmv.py) from an
+    append stream: each micro-batch sketches its own rows and
+    union-merges with the persisted state under the same versioned
+    ping-pong + batch-id idempotence contract as the other maintainers
+    (sums / bitmaps / t-digests / hash-sums). Because the sketch is a
+    pure md5 function of the data, the maintained state equals the
+    batch sketch of everything ingested BIT-FOR-BIT — which is what
+    the oracle gate hashes. State is k longs per group.
+
+    Query with kmv.kmv_estimate(read_state(...), keys) or feed two
+    maintained states to kmv.kmv_set_ops."""
+    from table_computing_spark.operators import kmv
+
+    keys = list(keys)
+    return _stream_maintain(
+        sdf, state_dir, checkpoint_dir,
+        build_first=lambda b: kmv.kmv_sketch(b, keys, col, k),
+        merge_in=lambda old, b: kmv.kmv_merge(
+            old, kmv.kmv_sketch(b, keys, col, k), keys, k
+        ),
+        available_now=available_now,
+    )

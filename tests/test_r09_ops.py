@@ -655,3 +655,24 @@ def test_srm_zero_traffic_arm_reported(spark):
     assert out["b"]["n_obs"] == 0
     assert out["b"]["n_expected"] == 50.0
     assert out["b"]["chi2_term"] == 50.0  # (0-50)^2/50
+
+
+def test_sequence_pairs_order_and_ties(spark):
+    """First-occurrence precedence: repeated events use the FIRST time;
+    simultaneous firsts carry no order; support counts sessions."""
+    from table_computing_spark.operators.itemsets import sequence_pairs
+
+    rows = [
+        # s1: a@1, b@5 (and a again later — first occurrence rules)
+        (1, "a", 1), (1, "b", 5), (1, "a", 9),
+        # s2: a@2, b@2 simultaneous -> no order
+        (2, "a", 2), (2, "b", 2),
+        # s3: b@1, a@4 -> b before a
+        (3, "b", 1), (3, "a", 4),
+        # s4: a@1, b@3
+        (4, "a", 1), (4, "b", 3),
+    ]
+    df = spark.createDataFrame(rows, "s long, e string, t long")
+    out = {(r["antecedent"], r["consequent"]): r["support"]
+           for r in sequence_pairs(df, "s", "e", "t", min_support=1).collect()}
+    assert out == {("a", "b"): 2, ("b", "a"): 1}
