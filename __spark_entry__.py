@@ -11001,8 +11001,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs
           FROM events GROUP BY 1
         ), known AS (
-          SELECT obs.event_type, obs.n_obs, ratios.ratio
-          FROM obs JOIN ratios USING (event_type)
+          SELECT ratios.event_type, coalesce(obs.n_obs, 0) AS n_obs,
+                 ratios.ratio
+          FROM ratios LEFT JOIN obs USING (event_type)
         ), n AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS N FROM known)
         SELECT event_type, n_obs,
                round(n.N * ratio, 6) AS n_expected,

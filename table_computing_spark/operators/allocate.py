@@ -43,18 +43,23 @@ def largest_remainder(
     )
     tot = per.agg(F.sum("__w").alias("__wtot"))
     j = per.crossJoin(F.broadcast(tot))
+    # all-zero weights: W=0 would NULL every quotient; with W->1 the
+    # zero numerators floor to 0 and every seat goes to the key-order
+    # tiebreak, as the method specifies
+    wtot = F.greatest(F.col("__wtot"), F.lit(1).cast(dec))
+    num = F.col("__w") * F.lit(int(total)).cast(dec)
+    # Spark DECIMAL division rounds the quotient (scale 6, HALF_UP)
+    # BEFORE floor, so a fractional part >= .9999995 floors one too
+    # high; the rounding error is < 1e-6, so one downward correction
+    # restores the exact integer floor (pytest-pinned on the
+    # adversarial quotient 19,999,999/20,000,000)
+    raw = F.floor(num / wtot).cast(dec)
+    base = F.when(raw * wtot > num, raw - 1).otherwise(raw)
     j = j.select(
         key_col,
         F.col("__w").cast("long").alias("weight"),
-        F.floor(
-            (F.col("__w") * F.lit(int(total)).cast(dec)) / F.col("__wtot")
-        ).cast("long").alias("base"),
-        (
-            F.col("__w") * F.lit(int(total)).cast(dec)
-            - F.floor(
-                (F.col("__w") * F.lit(int(total)).cast(dec)) / F.col("__wtot")
-            ).cast(dec) * F.col("__wtot")
-        ).alias("__rem"),
+        base.cast("long").alias("base"),
+        (num - base * wtot).alias("__rem"),
     )
     # leftover seats = total - sum(base): a 1-row broadcast
     left = j.agg((F.lit(int(total)) - F.sum("base")).alias("__left"))

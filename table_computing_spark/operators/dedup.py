@@ -366,8 +366,12 @@ def simhash_pairs(
     if max_hamming > 11:
         raise ValueError("multi-probe blocking guarantees recall only to hamming 11")
     if chunk_bits == "auto":
-        n = df.count()
-        chunk_bits = 32 if (max_hamming <= 3 and n > target_occupancy * 65536) else 16
+        # only max_hamming <= 3 can ever pick the 32-bit layout — skip
+        # the corpus count() when the answer is already forced to 16
+        if max_hamming <= 3:
+            chunk_bits = 32 if df.count() > target_occupancy * 65536 else 16
+        else:
+            chunk_bits = 16
     if chunk_bits not in (16, 32):
         raise ValueError("chunk_bits must be 16 or 32 (64-bit fingerprint)")
     n_chunks = 64 // chunk_bits

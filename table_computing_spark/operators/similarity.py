@@ -48,6 +48,18 @@ def _norm_expr(a: Column) -> Column:
     )
 
 
+def _np_round_half_up(a, round_to: int):
+    """numpy rounding matched to SQL ROUND (half AWAY FROM ZERO):
+    np.round is half-to-even, which disagrees with Spark/DuckDB round
+    exactly on representable midpoints — the BLAS paths must round the
+    way the expression paths do or the pinned blas==expr equalities
+    break on those values."""
+    import numpy as np
+
+    f = 10.0 ** round_to
+    return np.sign(a) * np.floor(np.abs(a) * f + 0.5) / f
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     """Pure-expression cosine. Exact left-to-right fold (engine-portable
     bit-for-bit), but higher-order lambdas are INTERPRETED per element —
@@ -189,7 +201,7 @@ def cosine_pairs(
                     {
                         "id_a": ida[ai],
                         "id_b": C_ids[ci],
-                        "cos_sim": np.round(S[ai, ci], round_to),
+                        "cos_sim": _np_round_half_up(S[ai, ci], round_to),
                     }
                 )
 
@@ -241,7 +253,7 @@ def cosine_pairs(
         blk = 2048  # memory stays blk × |build|, never |probe| × |build|
         for lo in range(0, len(pids), blk):
             hi = min(lo + blk, len(pids))
-            S = np.round(Pn[lo:hi] @ Cn.T, round_to)
+            S = _np_round_half_up(Pn[lo:hi] @ Cn.T, round_to)
             keep = (S >= threshold) & (pids[lo:hi, None] < cids[None, :])
             pi, ci = np.nonzero(keep)
             frames.append(
@@ -793,7 +805,7 @@ def semantic_dedup(
             blk = 2048
             for lo in range(0, nrows, blk):
                 hi = min(lo + blk, nrows)
-                S = np.round(Mn[lo:hi] @ Mn.T, round_to)
+                S = _np_round_half_up(Mn[lo:hi] @ Mn.T, round_to)
                 hit = S >= threshold
                 # row i (global lo+r) dominates column j only when i < j
                 for r in range(hi - lo):

@@ -200,7 +200,16 @@ def join_cardinality_estimate(
         (F.col("__ca").cast("decimal(28,0)") * F.col("__cb").cast("decimal(28,0)"))
         .alias("__p")
     )
-    scale = 1.0 if exact else 1.0 / (sample * sample)
+    if exact:
+        # straight DECIMAL -> long: a double detour would silently lose
+        # exactness above 2^53, precisely at the scale this tool targets
+        return prod.agg(
+            F.coalesce(F.sum("__p"), F.lit(0).cast("decimal(38,0)"))
+            .cast("long").alias("join_rows"),
+            F.coalesce(F.max("__p"), F.lit(0).cast("decimal(28,0)"))
+            .cast("long").alias("top_key_rows"),
+        )
+    scale = 1.0 / (sample * sample)
     return prod.agg(
         (F.coalesce(F.sum("__p"), F.lit(0).cast("decimal(38,0)")).cast("double")
          * F.lit(scale)).cast("long").alias("join_rows"),

@@ -676,3 +676,50 @@ def test_sequence_pairs_order_and_ties(spark):
     out = {(r["antecedent"], r["consequent"]): r["support"]
            for r in sequence_pairs(df, "s", "e", "t", min_support=1).collect()}
     assert out == {("a", "b"): 2, ("b", "a"): 1}
+
+
+# ---------------------------------------------------------------------------
+# r09 review-pass fixes (4th adversarial review of the round diff)
+# ---------------------------------------------------------------------------
+
+def test_largest_remainder_adversarial_quotient(spark):
+    """Spark DECIMAL division rounds the quotient to scale 6 HALF_UP
+    before floor: weight 19,999,999 of W=20,000,000 at total=1 has
+    quotient 0.99999995 -> rounds to 1.000000 -> naive floor gives 1.
+    The correction step must restore the exact floor (0)."""
+    from table_computing_spark.operators.allocate import largest_remainder
+
+    df = spark.createDataFrame(
+        [("big", 19_999_999), ("tiny", 1)], "k string, w long"
+    )
+    out = {r["k"]: r for r in largest_remainder(df, "k", "w", total=1).collect()}
+    assert out["big"]["base"] == 0  # exact floor, not the rounded quotient
+    assert out["big"]["allocated"] == 1  # largest remainder takes the seat
+    assert out["tiny"]["allocated"] == 0
+    assert sum(r["allocated"] for r in out.values()) == 1
+
+
+def test_largest_remainder_all_zero_weights(spark):
+    from table_computing_spark.operators.allocate import largest_remainder
+
+    df = spark.createDataFrame([("a", 0), ("b", 0), ("c", 0)], "k string, w long")
+    out = {r["k"]: r["allocated"]
+           for r in largest_remainder(df, "k", "w", total=2).collect()}
+    assert out == {"a": 1, "b": 1, "c": 0}  # key-order tiebreak, sum == total
+
+
+def test_np_round_half_up_matches_spark_round(spark):
+    """The BLAS paths' rounding must agree with SQL ROUND on exact
+    midpoints (np.round is half-even and does NOT)."""
+    import numpy as np
+
+    from table_computing_spark.operators.similarity import _np_round_half_up
+
+    vals = [0.015625, -0.015625, 0.5, 1.5, 2.5, -2.5, 0.128, -0.37]
+    got = _np_round_half_up(np.array(vals), 2)
+    want = [
+        r["r"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v double")
+        .select(F.round("v", 2).alias("r")).collect()
+    ]
+    assert list(got) == want
