@@ -79,6 +79,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     reruns: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
         try:
@@ -92,10 +93,28 @@ def main() -> None:
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 second = round(time.perf_counter() - t1, 3)
                 reruns[name] = timings[name]
+                warm[name] = second
                 timings[name] = min(timings[name], second)
                 print(
                     f"[bench] {name}: outlier {reruns[name]}s vs prior {base}s,"
                     f" rerun {second}s -> keeping {timings[name]}s",
+                    file=sys.stderr, flush=True,
+                )
+            elif timings[name] > 3.0:
+                # Warm rep (round-9 protocol, VERDICT r08 item 3),
+                # IMMEDIATELY after the cold pass while the JVM state is
+                # comparable — a deferred end-of-run warm loop measured
+                # heap-pressure noise, not plan cost (several "warm" reps
+                # came back 2-3x the cold time after 260 queries).
+                # First executions run 1.5-2.2x warm steady state
+                # (BASELINE.md same-boot study); warm-vs-warm is the
+                # cross-round comparison rule for these heavy queries.
+                spark.catalog.clearCache()
+                t1 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                warm[name] = round(time.perf_counter() - t1, 3)
+                print(
+                    f"[bench] {name}: {timings[name]}s (warm {warm[name]}s)",
                     file=sys.stderr, flush=True,
                 )
             else:
@@ -117,31 +136,6 @@ def main() -> None:
             for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 rdd.unpersist()
         except Exception:  # noqa: BLE001 — hygiene must never fail the bench
-            pass
-
-    # Warm reps (round-9 protocol, VERDICT r08 item 3): the first
-    # execution of a heavy query runs 1.5-2.2× its warm steady state
-    # with code unchanged (BASELINE.md same-boot study) — cross-round
-    # grading on cold numbers kept relitigating phantom regressions
-    # (r07: containment/pagerank; r08: bfs_hops/multimodal_features).
-    # Re-run the N slowest queries once and record the warm time
-    # beside the cold one; BASELINE.md's comparison rule is
-    # warm-vs-warm where both sides have it.
-    warm: dict[str, float] = {}
-    for name in sorted(timings, key=timings.__getitem__, reverse=True)[:20]:
-        try:
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            warm[name] = round(time.perf_counter() - t0, 3)
-            print(f"[bench] warm {name}: {warm[name]}s (cold {timings[name]}s)",
-                  file=sys.stderr, flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(f"[bench] warm {name}: FAILED {e}"[:120], file=sys.stderr, flush=True)
-        spark.catalog.clearCache()
-        try:
-            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                rdd.unpersist()
-        except Exception:  # noqa: BLE001
             pass
 
     streaming = _bench_streaming(spark, sf_dir)
