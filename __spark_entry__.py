@@ -5635,6 +5635,59 @@ def q_stream_kmv(spark, sf_dir):
     )
 
 
+def q_label_noise(spark, sf_dir):
+    """Label-noise suspects by k-NN disagreement
+    (classify.label_noise — the confident-learning retrieval core): a
+    fixed anchor panel (the q_pq_recall sample rule) audits whether
+    each point's 10 nearest neighbors mostly carry a DIFFERENT label —
+    the pre-training mislabel screen for weakly-labeled corpora.
+    Broadcast anchors + partitioned rank window + one hash aggregate;
+    the disagreement rate is one exact division rounded once.
+    (New r09.)"""
+    from table_computing_spark.operators.classify import label_noise
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    anchors = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    return label_noise(emb, anchors, k=10)
+
+
+def q_gap_report(spark, sf_dir):
+    """Data-arrival gap report (temporal.event_gaps): every silence
+    longer than 2 h between a user's consecutive events — which keys
+    went dark, when, for how long. One key-partitioned lag window;
+    the ops-monitoring twin of the sessionizer. (New r09.)"""
+    from table_computing_spark.operators.temporal import event_gaps
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", tcf.epoch_ms("ts").alias("t_ms")
+    )
+    return event_gaps(ev, ["user_id"], "t_ms", min_gap=7_200_000)
+
+
+def q_temporal_split(spark, sf_dir):
+    """Purged temporal split (temporal.purged_split — de Prado 2018):
+    train ≤ split_t; a user's validation rows within a 6 h embargo of
+    that user's LAST training event are quarantined (their features
+    overlap the training window — the leakage an unpurged split ships
+    silently); later rows are val. One filtered aggregate broadcast
+    back + one projection. Output: per-user split counts (the split
+    assignment itself is row-per-event; the counts hash its entire
+    behavior). (New r09.)"""
+    from table_computing_spark.operators.temporal import purged_split
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", "event_id", tcf.epoch_ms("ts").alias("t_ms")
+    )
+    out = purged_split(
+        ev, ["user_id"], "t_ms", split_t=1_705_400_000_000, embargo=21_600_000
+    )
+    return out.groupBy("user_id").agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "embargo").cast("long")).alias("n_embargo"),
+        F.sum((F.col("split") == "val").cast("long")).alias("n_val"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5698,11 +5751,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_over_by_duration": q_over_by_duration,
         "q_window_tumble": q_window_tumble,
         "q_window_slide": q_window_slide,
-        "q_window_session": q_window_session,
-        "q_over_by_size": q_over_by_size,
-        "q_streaming_tumble": q_streaming_tumble,
         # --- NEW r09 queries (never verified — displace stale-r04 fillers,
         # which move to the head of the tail below) ---
+        "q_label_noise": q_label_noise,
+        "q_gap_report": q_gap_report,
+        "q_temporal_split": q_temporal_split,
         "q_seq_pairs": q_seq_pairs,
         "q_stream_kmv": q_stream_kmv,
         "q_join_cardinality": q_join_cardinality,
@@ -5724,6 +5777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail = {
         # r04 remainder (displaced by new r09 queries / judge-re-verified),
         # then the r08-window rows (freshest green), then r05..r07
+        "q_window_session": q_window_session,
+        "q_over_by_size": q_over_by_size,
+        "q_streaming_tumble": q_streaming_tumble,
         "q_streaming_slide": q_streaming_slide,
         "q_streaming_session": q_streaming_session,
         "q_stream_over_duration": q_stream_over_duration,
@@ -10870,6 +10926,68 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(total) AS DOUBLE) AS total,
                CAST(NULL AS INT) AS rank
         FROM r WHERE rk > 5 GROUP BY 1
+        """,
+        "q_label_noise": """
+        WITH q AS (
+          SELECT vec_id AS query_id, label,
+                 CAST(embedding AS DOUBLE[]) AS qvv
+          FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 500
+        ), c AS (
+          SELECT vec_id AS neighbor_id, label AS nl,
+                 CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings
+        ), s AS (
+          SELECT q.query_id, q.label, c.neighbor_id, c.nl,
+                 round(list_cosine_similarity(q.qvv, c.cv), 4) AS cos_sim
+          FROM q, c WHERE q.query_id <> c.neighbor_id
+        ), r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+                 ) AS rk
+          FROM s
+        )
+        SELECT query_id AS vec_id, label,
+               CAST(count(*) AS BIGINT) AS n_neighbors,
+               CAST(sum(CASE WHEN nl <> label THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_disagree,
+               round(CAST(sum(CASE WHEN nl <> label THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 4) AS disagree_rate
+        FROM r WHERE rk <= 10 GROUP BY 1, 2
+        """,
+        "q_gap_report": """
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS t_ms FROM events
+        ), l AS (
+          SELECT user_id, t_ms AS gap_end,
+                 lag(t_ms) OVER (PARTITION BY user_id ORDER BY t_ms)
+                   AS gap_start
+          FROM e
+        )
+        SELECT user_id, gap_start, gap_end, gap_end - gap_start AS gap
+        FROM l WHERE gap_end - gap_start > 7200000
+        """,
+        "q_temporal_split": """
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS t_ms FROM events
+        ), lt AS (
+          SELECT user_id, max(t_ms) AS lt FROM e
+          WHERE t_ms <= 1705400000000 GROUP BY 1
+        ), tagged AS (
+          SELECT e.user_id,
+                 CASE WHEN e.t_ms <= 1705400000000 THEN 'train'
+                      WHEN lt.lt IS NOT NULL
+                           AND e.t_ms - lt.lt <= 21600000 THEN 'embargo'
+                      ELSE 'val' END AS split
+          FROM e LEFT JOIN lt USING (user_id)
+        )
+        SELECT user_id,
+               CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_train,
+               CAST(sum(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_embargo,
+               CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_val
+        FROM tagged GROUP BY 1
         """,
         "q_seq_pairs": """
         WITH f AS (

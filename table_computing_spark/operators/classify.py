@@ -292,3 +292,56 @@ def calibration_bins(
             round_to,
         ).alias("ece"),
     )
+
+
+def label_noise(
+    df: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 4,
+) -> DataFrame:
+    """Label-noise suspects by neighborhood disagreement (the
+    confident-learning / Cleanlab idea reduced to its retrieval core):
+    a point whose k nearest neighbors mostly carry a DIFFERENT label
+    is a mislabeling suspect — the curation step that runs before
+    training on weakly-labeled data.
+
+    Output per anchor: (id, label, n_disagree, disagree_rate) with the
+    rate an exact integer division rounded once. Anchors bound the
+    audited set (the fixed-sample rule — audit a constant panel, or
+    feed ANN candidates for full-corpus sweeps); neighbors come from
+    similarity.cosine_topk, so the plan is broadcast anchors + a
+    partitioned rank window, never an unbounded self-join."""
+    from table_computing_spark.operators import similarity as sim
+
+    nn = sim.cosine_topk(df, anchors, k, id_col, vec_col)
+    lab = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    )
+    own = anchors.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias(label_col)
+    )
+    agg = (
+        nn.join(lab, "neighbor_id")
+        .join(own, "query_id")
+        .groupBy("query_id", label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum((F.col("__nl") != F.col(label_col)).cast("long")).alias(
+                "n_disagree"
+            ),
+        )
+    )
+    return agg.select(
+        F.col("query_id").alias(id_col),
+        label_col,
+        "n_neighbors",
+        "n_disagree",
+        F.round(
+            F.col("n_disagree").cast("double") / F.col("n_neighbors").cast("double"),
+            round_to,
+        ).alias("disagree_rate"),
+    )

@@ -1141,3 +1141,64 @@ def multi_horizon_features(
     # one select so same-frame expressions share one Window node (sum and
     # count of a horizon always co-plan; separate withColumns would not)
     return df.select("*", *cols)
+
+
+def event_gaps(
+    df: DataFrame,
+    keys: Sequence[str],
+    t_col: str,
+    min_gap: int,
+) -> DataFrame:
+    """Data-arrival gap report: per key, every silence between
+    consecutive events longer than `min_gap` (t_col units) —
+    (keys..., gap_start, gap_end, gap). The ops-monitoring question
+    ("which sensors went dark, when, for how long") as one
+    key-PARTITIONED lag window; no shuffle beyond the key partition."""
+    keys = list(keys)
+    w = W.partitionBy(*keys).orderBy(F.col(t_col).asc())
+    lagged = df.select(
+        *keys,
+        F.col(t_col).alias("gap_end"),
+        F.lag(t_col).over(w).alias("gap_start"),
+    )
+    return (
+        lagged.withColumn("gap", F.col("gap_end") - F.col("gap_start"))
+        .filter(F.col("gap") > min_gap)
+        .select(*keys, "gap_start", "gap_end", "gap")
+    )
+
+
+def purged_split(
+    df: DataFrame,
+    keys: Sequence[str],
+    t_col: str,
+    split_t: int,
+    embargo: int,
+) -> DataFrame:
+    """Temporal train/validation split with a PER-KEY leakage embargo
+    (the "purged" split from financial ML, public — de Prado 2018):
+    rows at or before `split_t` train; a key's validation rows within
+    `embargo` of that key's LAST training event are quarantined as
+    'embargo' (their features overlap the training window — the
+    leakage an unpurged split ships silently); everything later is
+    'val'. Keys with no training rows validate from their first event.
+
+    One filtered aggregate for per-key last-train times (broadcast
+    back), one projection — no window, no self-join of data rows."""
+    keys = list(keys)
+    last_train = (
+        df.filter(F.col(t_col) <= split_t)
+        .groupBy(*keys)
+        .agg(F.max(t_col).alias("__lt"))
+    )
+    j = df.join(F.broadcast(last_train), keys, "left")
+    split = (
+        F.when(F.col(t_col) <= split_t, F.lit("train"))
+        .when(
+            F.col("__lt").isNotNull()
+            & (F.col(t_col) - F.col("__lt") <= embargo),
+            F.lit("embargo"),
+        )
+        .otherwise(F.lit("val"))
+    )
+    return j.withColumn("split", split).drop("__lt")

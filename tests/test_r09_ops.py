@@ -723,3 +723,53 @@ def test_np_round_half_up_matches_spark_round(spark):
         .select(F.round("v", 2).alias("r")).collect()
     ]
     assert list(got) == want
+
+
+# ---------------------------------------------------------------------------
+# r09 batch 6: label noise, gap report, purged temporal split
+# ---------------------------------------------------------------------------
+
+def test_label_noise_flags_planted_mislabels(spark):
+    """Two tight clusters; one point carries the WRONG cluster's label
+    -> its neighbors all disagree (rate 1.0); clean points agree."""
+    from table_computing_spark.operators.classify import label_noise
+
+    rows = []
+    for i in range(20):
+        c = 0 if i < 10 else 1
+        vec = [1.0 + 0.01 * i if c == 0 else -1.0 - 0.01 * i, float(c)]
+        lab = "a" if c == 0 else "b"
+        rows.append((i, vec, lab))
+    rows[5] = (5, rows[5][1], "b")  # planted mislabel inside cluster 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = {r["vec_id"]: r for r in label_noise(df, df, k=5).collect()}
+    assert out[5]["disagree_rate"] == 1.0  # every neighbor says 'a'
+    assert out[3]["disagree_rate"] <= 0.2  # clean point, one bad neighbor at most
+
+
+def test_event_gaps_report(spark):
+    from table_computing_spark.operators.temporal import event_gaps
+
+    rows = [("u", 0), ("u", 10), ("u", 500), ("u", 510), ("v", 0), ("v", 1000)]
+    df = spark.createDataFrame(rows, "k string, t long")
+    got = {(r["k"], r["gap_start"], r["gap_end"], r["gap"])
+           for r in event_gaps(df, ["k"], "t", min_gap=100).collect()}
+    assert got == {("u", 10, 500, 490), ("v", 0, 1000, 1000)}
+
+
+def test_purged_split_embargo_semantics(spark):
+    """Rows within the embargo of the KEY'S last training event are
+    quarantined; keys with no training rows validate from the start."""
+    from table_computing_spark.operators.temporal import purged_split
+
+    rows = [
+        ("a", 1, 50), ("a", 2, 90),          # train (t <= 100)
+        ("a", 3, 120), ("a", 4, 140),        # within 90+60 -> embargo
+        ("a", 5, 200),                        # val
+        ("b", 6, 500),                        # no train rows -> val
+    ]
+    df = spark.createDataFrame(rows, "k string, id long, t long")
+    out = {r["id"]: r["split"]
+           for r in purged_split(df, ["k"], "t", split_t=100, embargo=60).collect()}
+    assert out == {1: "train", 2: "train", 3: "embargo", 4: "embargo",
+                   5: "val", 6: "val"}
