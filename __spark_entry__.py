@@ -5688,6 +5688,39 @@ def q_temporal_split(spark, sf_dir):
     )
 
 
+def q_ab_power(spark, sf_dir):
+    """Pre-experiment power sizing (drift.power_mde): per event type,
+    the minimum detectable effect at α=0.05 two-sided / 80% power from
+    DECIMAL-exact sufficient statistics — the third leg of the A/B
+    family (srm_check gates the split, power_mde sizes the test,
+    welch_ttest reads it out). Fixed z constants, fixed op order,
+    one hash aggregate. (New r09.)"""
+    from table_computing_spark.operators.drift import power_mde
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    return power_mde(ev, F.col("cents"), "event_type")
+
+
+def q_golden_record(spark, sf_dir):
+    """MDM survivorship / golden-record construction
+    (dedup.survivorship): per duplicate cluster and field, the MODAL
+    non-null value with smallest-value tie-break — the merge step that
+    runs AFTER record linkage and dedup grouping turn raw rows into
+    clusters. Long-form output keeps the plan two hash aggregates +
+    one min(struct) pick; never a window over data rows. Clusters here
+    are synthetic (custkey mod 300) — the operator is the contract,
+    the clustering came from q_record_linkage/q_dedup_groups.
+    (New r09.)"""
+    from table_computing_spark.operators.dedup import survivorship
+
+    c = _t(spark, sf_dir, "customer").df.withColumn(
+        "cluster", F.col("c_custkey") % 300
+    )
+    return survivorship(c, "cluster", ["c_mktsegment", "c_nationkey"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5749,10 +5782,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unpivot": q_unpivot,
         "q_udaf_apply": q_udaf_apply,
         "q_over_by_duration": q_over_by_duration,
-        "q_window_tumble": q_window_tumble,
-        "q_window_slide": q_window_slide,
         # --- NEW r09 queries (never verified — displace stale-r04 fillers,
         # which move to the head of the tail below) ---
+        "q_ab_power": q_ab_power,
+        "q_golden_record": q_golden_record,
         "q_label_noise": q_label_noise,
         "q_gap_report": q_gap_report,
         "q_temporal_split": q_temporal_split,
@@ -5777,6 +5810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail = {
         # r04 remainder (displaced by new r09 queries / judge-re-verified),
         # then the r08-window rows (freshest green), then r05..r07
+        "q_window_tumble": q_window_tumble,
+        "q_window_slide": q_window_slide,
         "q_window_session": q_window_session,
         "q_over_by_size": q_over_by_size,
         "q_streaming_tumble": q_streaming_tumble,
@@ -10926,6 +10961,52 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(total) AS DOUBLE) AS total,
                CAST(NULL AS INT) AS rank
         FROM r WHERE rk > 5 GROUP BY 1
+        """,
+        "q_ab_power": """
+        WITH e AS (
+          SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM events
+        ), per AS (
+          SELECT event_type, CAST(count(cents) AS BIGINT) AS n,
+                 sum(CAST(cents AS DECIMAL(28,0))) AS s,
+                 sum(CAST(cents AS DECIMAL(28,0))
+                     * CAST(cents AS DECIMAL(28,0))) AS ss
+          FROM e GROUP BY 1
+        )
+        SELECT event_type, n,
+               round((CAST(ss AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1.0), 6) AS var,
+               round((1.959964 + 0.841621)
+                     * sqrt(2.0 * ((CAST(ss AS DOUBLE)
+                                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                      / CAST(n AS DOUBLE))
+                                   / (CAST(n AS DOUBLE) - 1.0))
+                            / CAST(n AS DOUBLE)), 6) AS mde
+        FROM per
+        """,
+        "q_golden_record": """
+        WITH m AS (
+          SELECT c_custkey % 300 AS cluster, 'c_mktsegment' AS field,
+                 CAST(c_mktsegment AS VARCHAR) AS value
+          FROM customer WHERE c_mktsegment IS NOT NULL
+          UNION ALL
+          SELECT c_custkey % 300 AS cluster, 'c_nationkey' AS field,
+                 CAST(c_nationkey AS VARCHAR) AS value
+          FROM customer WHERE c_nationkey IS NOT NULL
+        ), counted AS (
+          SELECT cluster, field, value, CAST(count(*) AS BIGINT) AS n_votes
+          FROM m GROUP BY 1, 2, 3
+        ), pick AS (
+          SELECT cluster, field, value, n_votes,
+                 row_number() OVER (
+                   PARTITION BY cluster, field
+                   ORDER BY n_votes DESC, value ASC
+                 ) AS rk
+          FROM counted
+        )
+        SELECT cluster, field, value, n_votes FROM pick WHERE rk = 1
         """,
         "q_label_noise": """
         WITH q AS (

@@ -866,3 +866,55 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= 1)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def survivorship(
+    df: DataFrame,
+    group_col: str,
+    fields: "list[str]",
+) -> DataFrame:
+    """Golden-record construction (the MDM survivorship step after
+    record linkage / dedup grouping): per duplicate cluster and per
+    field, keep the MODAL non-null value — ties break to the smallest
+    value, so the pick is total and engine-exact.
+
+    Output in long form (group, field, value, n_votes): one hash
+    aggregate over (group, field, value) plus one min(struct) pick per
+    (group, field) — never a window over data rows; long form keeps
+    the plan a pure aggregate (a wide pivot is one groupBy away when
+    wanted)."""
+    melted = df.select(
+        F.col(group_col).alias("group"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(f).alias("field"),
+                    F.col(f).cast("string").alias("value"),
+                )
+                for f in fields
+            ])
+        ).alias("__fv"),
+    ).select("group", "__fv.field", "__fv.value").filter(
+        F.col("value").isNotNull()
+    )
+    counted = melted.groupBy("group", "field", "value").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    # modal pick: min over (-n_votes, value) is (max count, min value);
+    # the winner's vote count rides inside the same struct, so no
+    # self-join back onto the counts is needed at all
+    pick = counted.groupBy("group", "field").agg(
+        F.min(
+            F.struct(
+                (-F.col("n_votes")).alias("nv"),
+                F.col("value"),
+                F.col("n_votes"),
+            )
+        ).alias("__p")
+    )
+    return pick.select(
+        F.col("group").alias(group_col),
+        "field",
+        F.col("__p")["value"].alias("value"),
+        F.col("__p")["n_votes"].alias("n_votes"),
+    )

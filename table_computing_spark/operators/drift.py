@@ -567,3 +567,42 @@ def srm_check(
         F.round(exp, round_to).alias("n_expected"),
         F.round(diff * diff / exp, round_to).alias("chi2_term"),
     )
+
+
+def power_mde(
+    df: DataFrame,
+    value_col: Column,
+    group_col: str,
+    z_alpha: float = 1.959964,
+    z_power: float = 0.841621,
+    round_to: int = 6,
+) -> DataFrame:
+    """Minimum detectable effect per group for a two-sample test at
+    the given z quantiles (defaults: two-sided α=0.05, power 0.80 —
+    fixed public constants, so no normal-quantile function is needed):
+
+        MDE = (z_α + z_β) · sqrt(2 · var / n)
+
+    The pre-experiment sizing readout next to welch_ttest (the
+    post-readout) and srm_check (the sanity gate). Sufficient
+    statistics aggregate in DECIMAL (pass an integer-unit value_col);
+    the variance and MDE arithmetic runs in fixed op order on doubles
+    and rounds once — engine-exact."""
+    x = value_col.cast("decimal(38,0)")
+    per = df.groupBy(group_col).agg(
+        F.count(value_col).alias("n"),
+        F.sum(x).alias("__s"),
+        F.sum(x * x).alias("__ss"),
+    )
+    nd = F.col("n").cast("double")
+    var = (
+        F.col("__ss").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    mde = F.lit(z_alpha + z_power) * F.sqrt(F.lit(2.0) * var / nd)
+    return per.select(
+        group_col,
+        "n",
+        F.round(var, round_to).alias("var"),
+        F.round(mde, round_to).alias("mde"),
+    )

@@ -773,3 +773,38 @@ def test_purged_split_embargo_semantics(spark):
            for r in purged_split(df, ["k"], "t", split_t=100, embargo=60).collect()}
     assert out == {1: "train", 2: "train", 3: "embargo", 4: "embargo",
                    5: "val", 6: "val"}
+
+
+# ---------------------------------------------------------------------------
+# r09 batch 7: power sizing, survivorship
+# ---------------------------------------------------------------------------
+
+def test_power_mde_closed_form(spark):
+    import math as _m
+
+    from table_computing_spark.operators.drift import power_mde
+
+    vals = [10, 20, 30, 40]  # var = 500/3, n = 4
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v long")
+    out = power_mde(df, F.col("v"), "grp").collect()[0]
+    var = 500 / 3
+    assert out["n"] == 4
+    assert out["var"] == round(var, 6)
+    assert out["mde"] == round((1.959964 + 0.841621) * _m.sqrt(2 * var / 4), 6)
+
+
+def test_survivorship_modal_with_ties_and_nulls(spark):
+    from table_computing_spark.operators.dedup import survivorship
+
+    rows = [
+        (1, "x", "A"), (1, "x", "A"), (1, "y", "A"),   # x wins 2-1
+        (1, None, "B"), (1, "z", None),                 # nulls never win
+        (2, "p", "C"), (2, "q", "C"),                   # tie -> smallest value
+    ]
+    df = spark.createDataFrame(rows, "cluster long, f1 string, f2 string")
+    out = {(r["cluster"], r["field"]): (r["value"], r["n_votes"])
+           for r in survivorship(df, "cluster", ["f1", "f2"]).collect()}
+    assert out[(1, "f1")] == ("x", 2)
+    assert out[(1, "f2")] == ("A", 3)
+    assert out[(2, "f1")] == ("p", 1)  # tie p/q at 1 vote -> smallest
+    assert out[(2, "f2")] == ("C", 2)
