@@ -109,14 +109,20 @@ def main() -> None:
                 # First executions run 1.5-2.2x warm steady state
                 # (BASELINE.md same-boot study); warm-vs-warm is the
                 # cross-round comparison rule for these heavy queries.
-                spark.catalog.clearCache()
-                t1 = time.perf_counter()
-                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                warm[name] = round(time.perf_counter() - t1, 3)
-                print(
-                    f"[bench] {name}: {timings[name]}s (warm {warm[name]}s)",
-                    file=sys.stderr, flush=True,
-                )
+                # Its OWN try: a flaky warm rerun must not mark a
+                # cold-green query as FAILED.
+                try:
+                    spark.catalog.clearCache()
+                    t1 = time.perf_counter()
+                    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                    warm[name] = round(time.perf_counter() - t1, 3)
+                    print(
+                        f"[bench] {name}: {timings[name]}s (warm {warm[name]}s)",
+                        file=sys.stderr, flush=True,
+                    )
+                except Exception as we:  # noqa: BLE001 — warm is advisory
+                    print(f"[bench] {name}: warm rep failed {we}"[:120],
+                          file=sys.stderr, flush=True)
             else:
                 print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
         except Exception as e:  # noqa: BLE001 — a failing query must not hide the rest
@@ -156,7 +162,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "streaming": streaming,
-        "warm": warm,  # second-rep times for the 20 slowest (see BASELINE.md)
+        "warm": warm,  # inline second reps: cold > 3s + outlier reruns (BASELINE.md)
         "host": {"boot_id": boot_id, "cpus": os.cpu_count()},
     }
     if failures:

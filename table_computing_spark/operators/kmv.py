@@ -48,7 +48,10 @@ def kmv_sketch(
     hashes of `col` per group. Deterministic; mergeable with
     kmv_merge."""
     keys = list(keys)
-    hashed = df.select(*keys, _h60(F.col(col)).alias("__h")).distinct()
+    # no .distinct() here: the per-cell collect_set dedups at exactly
+    # the same (keys, hash) granularity with map-side partials — a
+    # distinct would add a whole extra Exchange over the widest frame
+    hashed = df.select(*keys, _h60(F.col(col)).alias("__h"))
     cells = hashed.groupBy(*keys, F.pmod("__h", F.lit(256)).alias("__cell")).agg(
         F.slice(F.sort_array(F.collect_set("__h")), 1, k).alias("__part")
     )

@@ -49,15 +49,33 @@ def _norm_expr(a: Column) -> Column:
 
 
 def _np_round_half_up(a, round_to: int):
-    """numpy rounding matched to SQL ROUND (half AWAY FROM ZERO):
-    np.round is half-to-even, which disagrees with Spark/DuckDB round
-    exactly on representable midpoints — the BLAS paths must round the
-    way the expression paths do or the pinned blas==expr equalities
-    break on those values."""
+    """numpy rounding matched to Spark's F.round (BigDecimal.valueOf =
+    SHORTEST DECIMAL REPR, then HALF_UP): np.round is half-to-even,
+    and even a plain floor(x*10^r + 0.5) disagrees on repr-midpoints
+    (0.00015*1e4 = 1.4999999999999998 floats low, but Spark rounds the
+    repr '0.00015' up). The vectorized fast path handles everything
+    except entries whose scaled fraction sits within 1e-7 of .5; those
+    few go through Decimal(repr(x)) — exactly Spark's semantics — so
+    the pinned blas==expr equalities hold on midpoints too."""
     import numpy as np
 
     f = 10.0 ** round_to
-    return np.sign(a) * np.floor(np.abs(a) * f + 0.5) / f
+    scaled = np.abs(a) * f
+    fast = np.sign(a) * np.floor(scaled + 0.5) / f
+    frac = scaled - np.floor(scaled)
+    suspect = np.abs(frac - 0.5) < 1e-7
+    if np.any(suspect):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-round_to)
+        flat = fast.ravel()
+        src = np.asarray(a, dtype="float64").ravel()
+        for i in np.nonzero(suspect.ravel())[0]:
+            flat[i] = float(
+                Decimal(repr(float(src[i]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+        fast = flat.reshape(np.shape(fast))
+    return fast
 
 
 def cosine_expr(a: Column, b: Column) -> Column:

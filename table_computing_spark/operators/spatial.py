@@ -132,10 +132,15 @@ def grid_knn_join(
             F.min("__y").alias("y0"), F.max("__y").alias("y1"),
             F.count(F.lit(1)).alias("n"),
         ).first()
-        area = max(1, (b["x1"] - b["x0"] + 1)) * max(1, (b["y1"] - b["y0"] + 1))
-        import math as _m
+        if not b["n"]:
+            cell_size = 1  # empty corpus: any cell works, result is empty
+        else:
+            area = max(1, (b["x1"] - b["x0"] + 1)) * max(
+                1, (b["y1"] - b["y0"] + 1)
+            )
+            import math as _m
 
-        cell_size = max(1, int(round(_m.sqrt(area * k / max(b["n"], 1)))))
+            cell_size = max(1, int(round(_m.sqrt(area * k / b["n"]))))
     qpt = pt if queries is None else queries.select(
         F.col(id_col).alias("__id"),
         F.col(x_col).cast("long").alias("__x"),

@@ -1183,15 +1183,18 @@ def purged_split(
     leakage an unpurged split ships silently); everything later is
     'val'. Keys with no training rows validate from their first event.
 
-    One filtered aggregate for per-key last-train times (broadcast
-    back), one projection — no window, no self-join of data rows."""
+    One filtered aggregate for per-key last-train times joined back
+    (NO broadcast hint — last_train is one row PER KEY, unbounded at
+    corpus key cardinality; the planner picks broadcast only when it
+    actually fits), one projection — no window, no self-join of data
+    rows."""
     keys = list(keys)
     last_train = (
         df.filter(F.col(t_col) <= split_t)
         .groupBy(*keys)
         .agg(F.max(t_col).alias("__lt"))
     )
-    j = df.join(F.broadcast(last_train), keys, "left")
+    j = df.join(last_train, keys, "left")
     split = (
         F.when(F.col(t_col) <= split_t, F.lit("train"))
         .when(

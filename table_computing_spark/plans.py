@@ -202,12 +202,21 @@ def join_cardinality_estimate(
     )
     if exact:
         # straight DECIMAL -> long: a double detour would silently lose
-        # exactness above 2^53, precisely at the scale this tool targets
+        # exactness above 2^53, precisely at the scale this tool targets.
+        # Past long range the cast would return NULL for exactly the
+        # explosive joins this exists to flag — saturate instead.
+        lmax = F.lit((1 << 63) - 1).cast("decimal(38,0)")
+
+        def sat(c):
+            return F.least(c, lmax).cast("long")
+
         return prod.agg(
-            F.coalesce(F.sum("__p"), F.lit(0).cast("decimal(38,0)"))
-            .cast("long").alias("join_rows"),
-            F.coalesce(F.max("__p"), F.lit(0).cast("decimal(28,0)"))
-            .cast("long").alias("top_key_rows"),
+            sat(F.coalesce(F.sum("__p"), F.lit(0).cast("decimal(38,0)")))
+            .alias("join_rows"),
+            sat(
+                F.coalesce(F.max("__p"), F.lit(0).cast("decimal(28,0)"))
+                .cast("decimal(38,0)")
+            ).alias("top_key_rows"),
         )
     scale = 1.0 / (sample * sample)
     return prod.agg(
