@@ -11168,7 +11168,7 @@ def oracle_sql() -> dict[str, str]:
           FROM ranked GROUP BY rank
         )
         SELECT ranked.id, ranked.grp, ranked.v,
-               CAST(ranked.rank AS INT) AS rank, ref.normalized
+               CAST(ranked.rank AS BIGINT) AS rank, ref.normalized
         FROM ranked JOIN ref USING (rank)
         """,
         "q_quota_allocation": """

@@ -80,12 +80,28 @@ def main() -> None:
     failures: dict[str, str] = {}
     reruns: dict[str, float] = {}
     warm: dict[str, float] = {}
+    plan_sha: dict[str, str] = {}
+    cadence_bound: list[str] = []
+    from table_computing_spark.plans import plan_fingerprint
+
     for name, fn in qs.items():
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+            # plan fingerprint (r09 verdict task 2): hashed OUTSIDE the
+            # timed window, from the already-built df — "plan unchanged,
+            # code unchanged -> host noise" becomes a one-line check
+            plan_sha[name] = plan_fingerprint(df)
+            # Streaming queries run a trigger-driven micro-batch pipeline
+            # inside fn(): their wall time is CADENCE-bound (trigger
+            # scheduling + checkpoint fsyncs), not plan-bound — a warm rep
+            # measures the scheduler, so don't take one and mark the row
+            # so warm/cold ratios aren't read as plan signal (r09 verdict
+            # task 7). Outlier reruns still apply (a 3x swing is worth one
+            # retry regardless of what bounds the query).
+            is_cadence = name.startswith(("q_stream", "q_streaming"))
             base = prior.get(name)
             if base and timings[name] > 3.0 * base and timings[name] > 1.0:
                 spark.catalog.clearCache()
@@ -100,6 +116,10 @@ def main() -> None:
                     f" rerun {second}s -> keeping {timings[name]}s",
                     file=sys.stderr, flush=True,
                 )
+            elif is_cadence and timings[name] > 3.0:
+                cadence_bound.append(name)
+                print(f"[bench] {name}: {timings[name]}s (cadence-bound; no warm rep)",
+                      file=sys.stderr, flush=True)
             elif timings[name] > 3.0:
                 # Warm rep (round-9 protocol, VERDICT r08 item 3),
                 # IMMEDIATELY after the cold pass while the JVM state is
@@ -163,6 +183,8 @@ def main() -> None:
         "n_queries": len(timings),
         "streaming": streaming,
         "warm": warm,  # inline second reps: cold > 3s + outlier reruns (BASELINE.md)
+        "cadence_bound": cadence_bound,  # streaming rows: no warm reps (task 7)
+        "plan_sha": plan_sha,  # normalized physical-plan fingerprints (task 2)
         "host": {"boot_id": boot_id, "cpus": os.cpu_count()},
     }
     if failures:
@@ -196,6 +218,16 @@ def _fit_line(out: dict, limit: int) -> str:
     drop the FASTEST queries one by one (the slow ones are the ones the
     judge grades) until it fits, recording how many were elided."""
     compact = dict(out)
+    # the full per-query plan_sha dict (~5 KB) lives in BENCH_LOCAL.json;
+    # the stdout line carries one combined digest so a changed plan
+    # anywhere is still visible in BENCH_r{N}.json
+    if compact.pop("plan_sha", None) is not None:
+        import hashlib
+
+        combined = hashlib.sha1(
+            json.dumps(out["plan_sha"], sort_keys=True).encode()
+        ).hexdigest()[:12]
+        compact["plan_sha_all"] = combined
     compact["queries"] = {k: round(v, 2) for k, v in out["queries"].items()}
     if compact.get("warm"):
         compact["warm"] = {k: round(v, 2) for k, v in out["warm"].items()}
@@ -218,7 +250,8 @@ def _fit_line(out: dict, limit: int) -> str:
         line = json.dumps(compact, separators=(",", ":"))
     # absolute last resort: the line MUST parse inside the driver's
     # 2000-char tail window no matter what — shed optional sections
-    for drop in ("outlier_reruns", "failures", "streaming", "host", "warm", "queries"):
+    for drop in ("outlier_reruns", "failures", "cadence_bound", "streaming",
+                 "host", "warm", "queries"):
         if len(line) <= limit:
             break
         compact.pop(drop, None)
@@ -226,11 +259,16 @@ def _fit_line(out: dict, limit: int) -> str:
     return line
 
 
-def _bench_streaming(spark, sf_dir: str) -> dict:
-    """Micro-batch throughput: replay the events table as a parquet
-    file stream through a watermarked tumbling aggregation (the
-    reference's canonical workload shape) and report rows/sec from the
-    engine's own progress metrics."""
+def _bench_streaming(spark, sf_dir: str, n_slices: int = 6) -> dict:
+    """SUSTAINED micro-batch throughput (r09 verdict task 5): replay
+    the events table as `n_slices` time-ordered parquet slices through
+    a watermarked tumbling aggregation with maxFilesPerTrigger=1, so
+    the query runs >= 5 REAL micro-batches — each batch pays trigger
+    scheduling, state-store read-merge-write, and checkpoint commits,
+    which is the cost a single 100k-row mega-batch hides. Reports
+    overall rows/s, steady-state rows/s (batches after the first —
+    batch 1 amortizes stream start), and the per-batch duration spread
+    from the engine's own progress metrics."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -238,19 +276,29 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
     from table_computing_spark.streaming.windows import stream_tumble
 
     try:
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        # file streams need a directory source; glob-filter to events
-        sdf = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         # ts physical type varies by testdata generation: int64 epoch-ns
         # under nanosAsLong, or native timestamp[us] (NTZ under UTC).
-        if dict(sdf.dtypes).get("ts") in ("bigint", "int"):
-            sdf = sdf.withColumn("t_ms", F.expr("ts div 1000000"))
+        if dict(ev.dtypes).get("ts") in ("bigint", "int"):
+            t_ms = F.expr("ts div 1000000")
         else:
-            sdf = sdf.withColumn("t_ms", F.unix_millis(F.col("ts").cast("timestamp")))
+            t_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+        # slice by event time (range partition on t_ms), one file per
+        # slice: arrival order == event-time order, so the watermark
+        # advances across batches exactly like a live ingest
+        src_dir = tempfile.mkdtemp(prefix="tc_bench_stream_src_")
+        (
+            ev.withColumn("t_ms", t_ms)
+            .repartitionByRange(n_slices, "t_ms")
+            .write.mode("overwrite")
+            .parquet(src_dir)
+        )
+        schema = spark.read.parquet(src_dir).schema
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
         out = stream_tumble(
             sdf, "t_ms", "1 hour", ["event_type"],
             watermark="10 seconds",
@@ -272,12 +320,23 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
         # events as stack traces after process teardown, which corrupted the
         # round-1 bench capture.
         progresses = q.recentProgress or []
-        input_rows = sum(int(p.get("numInputRows", 0)) for p in progresses)
+        data = [p for p in progresses if int(p.get("numInputRows", 0)) > 0]
+        input_rows = sum(int(p.get("numInputRows", 0)) for p in data)
+        batch_sec = [
+            round(int(p.get("durationMs", {}).get("triggerExecution", 0)) / 1000.0, 3)
+            for p in data
+        ]
+        steady_rows = sum(int(p.get("numInputRows", 0)) for p in data[1:])
+        steady_sec = sum(batch_sec[1:])
         return {
             "input_rows": input_rows,
             "wall_sec": round(wall, 3),
             "rows_per_sec": round(input_rows / wall, 1) if wall else 0.0,
-            "n_batches": sum(1 for p in progresses if int(p.get("numInputRows", 0)) > 0),
+            "n_batches": len(data),
+            "batch_sec": batch_sec,
+            "steady_rows_per_sec": (
+                round(steady_rows / steady_sec, 1) if steady_sec else 0.0
+            ),
         }
     except Exception as e:  # noqa: BLE001 — streaming bench is best-effort
         return {"error": f"{type(e).__name__}: {e}"[:200]}

@@ -358,8 +358,9 @@ def simhash_pairs(
     way (both configurations have full recall at the given
     max_hamming, and the exact hamming filter runs last). Costs one
     count() scan. Explicit chunk_bits=16/32 pins a layout; 32-bit
-    chunks at max_hamming > 3 would need >= 3-bit probes (5489
-    rows/chunk) and are rejected.
+    chunks support max_hamming <= 5 (4-5 resolve to radius 2, 529
+    probe rows/chunk — recall stays complete); max_hamming >= 6 would
+    need >= 3-bit probes (5489 rows/chunk) and is rejected.
 
     Cost: c × n_probes rows on the probe side + c build rows per doc —
     shuffle stays O(docs), candidates O(bucket collisions)."""

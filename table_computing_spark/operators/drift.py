@@ -544,7 +544,18 @@ def srm_check(
     engine-exact. One broadcast of the |groups|-row expectation table.
     A declared group with ZERO observed rows still gets its row
     (n_obs=0, chi2_term=n_expected) — an arm receiving no traffic is
-    the loudest SRM there is and must not vanish from the report."""
+    the loudest SRM there is and must not vanish from the report.
+
+    Expected ratios must be > 0: a ramped-down arm declared with ratio
+    0.0 would divide by zero (null/Inf term) instead of flagging — pass
+    only the arms that are supposed to receive traffic (r09 advice)."""
+    bad = [k for k, v in expected.items() if not float(v) > 0.0]
+    if bad:
+        raise ValueError(
+            f"srm_check: expected ratios must be > 0 (got {bad}); drop "
+            "ramped-down arms from `expected` — their observed rows are "
+            "excluded from N and reported by the per-group counts instead"
+        )
     ratios = df.sparkSession.createDataFrame(
         [(k, float(v)) for k, v in expected.items()],
         f"{group_col} string, __ratio double",
@@ -599,6 +610,9 @@ def power_mde(
         F.col("__ss").cast("double")
         - F.col("__s").cast("double") * F.col("__s").cast("double") / nd
     ) / (nd - F.lit(1.0))
+    # n=1 groups have no sample variance: emit explicit NULLs rather
+    # than the silent Inf/NaN the bare division produces (r09 advice)
+    var = F.when(F.col("n") > 1, var)
     mde = F.lit(z_alpha + z_power) * F.sqrt(F.lit(2.0) * var / nd)
     return per.select(
         group_col,

@@ -20,10 +20,12 @@ estimates hash-comparable across engines.
                  with U_k = the k smallest of sketch(A) ∪ sketch(B)
 
 Shape: distinct (group, hash) pairs → a SALTED two-stage k-min trim:
-stage 1 trims per (group, hash mod 256) cell (collect_set state =
-the cell's distinct hashes, 1/256th of the group), stage 2 merges
-≤ 256·k candidates per group to the final k. No stage ever holds a
-group's full distinct set in one aggregation buffer."""
+stage 1 trims per (group, hash mod n_cells) cell (collect_set state =
+the cell's distinct hashes, 1/n_cells of the group), stage 2 merges
+≤ n_cells·k candidates per group to the final k. No stage ever holds
+a group's full distinct set in one aggregation buffer; n_cells="auto"
+(default) sizes the salt from a cheap approx distinct-count estimate
+so the per-cell buffer stays bounded at any cardinality."""
 
 from __future__ import annotations
 
@@ -41,18 +43,46 @@ def _h60(c: Column) -> Column:
     )
 
 
+# per-cell distinct-hash budget: ~4.2M longs ≈ 34 MB of aggregation
+# buffer — the bound "auto" sizes the salt against
+_CELL_BUDGET = 1 << 22
+
+
 def kmv_sketch(
-    df: DataFrame, keys: Sequence[str], col: str, k: int = 256
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    k: int = 256,
+    n_cells: "int | str" = "auto",
 ) -> DataFrame:
     """(keys..., kmv array<long>): the k smallest distinct 60-bit
     hashes of `col` per group. Deterministic; mergeable with
-    kmv_merge."""
+    kmv_merge. The sketch CONTENT is invariant to `n_cells` (the
+    k-min of a set does not depend on how the set was partitioned) —
+    pinned by tests/test_r09_ops.py::test_kmv_sketch_ncells_invariant.
+
+    n_cells="auto" (default — r09 verdict task 3): a FIXED salt of 256
+    cells bounds the per-cell collect_set buffer at 1/256th of the
+    largest group's distinct set — ~300 MB in one buffer at 10^10
+    distinct values. auto pre-estimates the global distinct count with
+    one approx_count_distinct aggregate (map-side combined, one cheap
+    extra job) and sizes the salt so a cell holds <= ~4M hashes
+    (34 MB) even if one group owns every value; floors at 256."""
     keys = list(keys)
+    if n_cells == "auto":
+        est = df.agg(
+            F.approx_count_distinct(F.col(col)).alias("d")
+        ).first()["d"] or 0
+        n_cells = 256
+        while n_cells < (1 << 20) and est > _CELL_BUDGET * n_cells:
+            n_cells *= 2
     # no .distinct() here: the per-cell collect_set dedups at exactly
     # the same (keys, hash) granularity with map-side partials — a
     # distinct would add a whole extra Exchange over the widest frame
     hashed = df.select(*keys, _h60(F.col(col)).alias("__h"))
-    cells = hashed.groupBy(*keys, F.pmod("__h", F.lit(256)).alias("__cell")).agg(
+    cells = hashed.groupBy(
+        *keys, F.pmod("__h", F.lit(int(n_cells))).alias("__cell")
+    ).agg(
         F.slice(F.sort_array(F.collect_set("__h")), 1, k).alias("__part")
     )
     return (
@@ -63,14 +93,17 @@ def kmv_sketch(
 
 
 def kmv_merge(a: DataFrame, b: DataFrame, keys: Sequence[str], k: int = 256) -> DataFrame:
-    """Union-merge two sketch tables on keys: concat, distinct, trim
-    to the k smallest — the sketch of the UNION of the underlying
-    sets."""
+    """Union-merge two sketch tables on keys: concat, trim to the k
+    smallest — the sketch of the UNION of the underlying sets. No
+    .distinct() on the exploded hashes: collect_set dedups at the
+    same (keys, hash) granularity, so a distinct would only add an
+    extra Exchange over the widest frame (r09 verdict finding #1;
+    plan-gated to exactly one Exchange in
+    tests/test_r09_ops.py::test_kmv_merge_single_exchange)."""
     keys = list(keys)
     u = a.select(*keys, "kmv").unionByName(b.select(*keys, "kmv"))
     return (
         u.select(*keys, F.explode("kmv").alias("__h"))
-        .distinct()
         .groupBy(*keys)
         .agg(F.slice(F.sort_array(F.collect_set("__h")), 1, k).alias("kmv"))
     )

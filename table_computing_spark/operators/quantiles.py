@@ -427,9 +427,12 @@ def quantile_normalize(
         id_col="__gid",
     )
     base = gid.groupBy(group_col).agg(F.min("__gid").alias("__base"))
+    # __rank stays LONG: it only feeds a groupBy key and a join, and the
+    # operator's own target shape (few huge groups, multi-TB each) puts
+    # per-group ranks past 2^31 where an int cast would wrap (r09 advice)
     ranked = gid.join(F.broadcast(base), group_col).select(
         F.col(id_col), F.col(group_col), F.col(col),
-        (F.col("__gid") - F.col("__base") + 1).cast("int").alias("__rank"),
+        (F.col("__gid") - F.col("__base") + 1).alias("__rank"),
     )
     ref = ranked.groupBy("__rank").agg(
         (

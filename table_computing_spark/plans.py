@@ -57,6 +57,30 @@ def plan_of(df: DataFrame, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def plan_fingerprint(df: DataFrame) -> str:
+    """Stable 12-hex fingerprint of a DataFrame's physical plan
+    (r09 verdict task 2): hash of the pre-execution plan simpleString
+    with every session-dependent token normalized away — expression
+    ids (#123 counts up across the session), plan ids, filesystem
+    paths (sf dirs, tempdirs, checkpoint state dirs), and Python
+    object addresses (mapInPandas function reprs). Same code + same
+    data layout → same fingerprint across sessions and rounds, so
+    "plan unchanged, timing swung" is a one-line host-noise check
+    instead of a same-boot re-run study."""
+    import hashlib
+
+    try:
+        s = df._jdf.queryExecution().simpleString()
+    except Exception:  # noqa: BLE001 — fingerprinting is advisory
+        return "na"
+    s = re.sub(r"#\d+", "#", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"0x[0-9a-fA-F]+", "0x", s)
+    s = re.sub(r"(file:)?/[^\s,\)\]]+", "<path>", s)
+    s = re.sub(r"\[id=#?\d*\]", "", s)
+    return hashlib.sha1(s.encode()).hexdigest()[:12]
+
+
 def _top_level_bracket_groups(s: str) -> "list[str]":
     groups, depth, start = [], 0, None
     for i, ch in enumerate(s):

@@ -227,11 +227,14 @@ def stream_maintain_kmv(
     from table_computing_spark.operators import kmv
 
     keys = list(keys)
+    # n_cells pinned: a micro-batch's distinct set is bounded by the
+    # batch size, and "auto"'s approx-distinct pre-estimate would add
+    # an extra job to every trigger
     return _stream_maintain(
         sdf, state_dir, checkpoint_dir,
-        build_first=lambda b: kmv.kmv_sketch(b, keys, col, k),
+        build_first=lambda b: kmv.kmv_sketch(b, keys, col, k, n_cells=256),
         merge_in=lambda old, b: kmv.kmv_merge(
-            old, kmv.kmv_sketch(b, keys, col, k), keys, k
+            old, kmv.kmv_sketch(b, keys, col, k, n_cells=256), keys, k
         ),
         available_now=available_now,
     )

@@ -616,6 +616,41 @@ def test_kmv_merge_equals_union_sketch(spark):
     assert merged.collect()[0]["kmv"] == direct.collect()[0]["kmv"]
 
 
+def test_kmv_sketch_ncells_invariant(spark):
+    """The sketch content is a pure function of the data — the salt
+    width only repartitions the k-min computation (r09 verdict task 3:
+    n_cells="auto" must be output-identical to any fixed salt)."""
+    from table_computing_spark.operators import kmv
+
+    df = spark.createDataFrame(
+        [("a", i * 7) for i in range(3000)] + [("b", i % 50) for i in range(400)],
+        "g string, v long",
+    )
+    fixed = {r["g"]: r["kmv"]
+             for r in kmv.kmv_sketch(df, ["g"], "v", n_cells=256).collect()}
+    wide = {r["g"]: r["kmv"]
+            for r in kmv.kmv_sketch(df, ["g"], "v", n_cells=1024).collect()}
+    auto = {r["g"]: r["kmv"]
+            for r in kmv.kmv_sketch(df, ["g"], "v", n_cells="auto").collect()}
+    assert fixed == wide == auto
+
+
+def test_kmv_merge_single_exchange(spark):
+    """kmv_merge must cost exactly ONE Exchange (the groupBy on keys):
+    the r09 verdict flagged a redundant .distinct() that added a second
+    full-width shuffle (verdict finding #1 / task 3)."""
+    import re
+    from table_computing_spark.operators import kmv
+    from table_computing_spark.plans import plan_of
+
+    a = spark.createDataFrame([("g", [1, 2, 3])], "g string, kmv array<long>")
+    b = spark.createDataFrame([("g", [2, 3, 4])], "g string, kmv array<long>")
+    merged = kmv.kmv_merge(a, b, ["g"])
+    p = plan_of(merged)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert merged.collect()[0]["kmv"] == [1, 2, 3, 4]
+
+
 def test_kmv_set_ops_accuracy(spark):
     from table_computing_spark.operators import kmv
 
@@ -791,6 +826,45 @@ def test_power_mde_closed_form(spark):
     assert out["n"] == 4
     assert out["var"] == round(var, 6)
     assert out["mde"] == round((1.959964 + 0.841621) * _m.sqrt(2 * var / 4), 6)
+
+
+def test_power_mde_single_row_group_emits_null(spark):
+    """n=1 groups have no sample variance — explicit NULL var/mde, not
+    a silent Inf/NaN from the (n-1) division (r09 advice)."""
+    from table_computing_spark.operators.drift import power_mde
+
+    df = spark.createDataFrame(
+        [("solo", 10), ("pair", 10), ("pair", 30)], "grp string, v long"
+    )
+    out = {r["grp"]: r for r in power_mde(df, F.col("v"), "grp").collect()}
+    assert out["solo"]["n"] == 1
+    assert out["solo"]["var"] is None and out["solo"]["mde"] is None
+    assert out["pair"]["var"] == 200.0 and out["pair"]["mde"] is not None
+
+
+def test_srm_check_rejects_zero_ratio(spark):
+    """Declared ratio 0.0 would divide by zero — must raise like
+    welch_ttest's missing-control check (r09 advice)."""
+    import pytest as _pytest
+
+    from table_computing_spark.operators.drift import srm_check
+
+    df = spark.createDataFrame([("a",), ("b",)], "grp string")
+    with _pytest.raises(ValueError, match="ratios must be > 0"):
+        srm_check(df, "grp", {"a": 1.0, "b": 0.0})
+
+
+def test_quantile_normalize_rank_is_long(spark):
+    """The within-group rank must stay LONG end-to-end: the operator
+    targets few-and-huge groups where per-group rank exceeds 2^31
+    (r09 advice)."""
+    from table_computing_spark.operators.quantiles import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(4)], "id long, grp string, v double"
+    )
+    out = quantile_normalize(df, "grp", "v", "id")
+    assert dict(out.dtypes)["rank"] == "bigint"
 
 
 def test_survivorship_modal_with_ties_and_nulls(spark):
