@@ -116,11 +116,50 @@ def grid_knn_join(
     pass a fixed sample when the verification side must not scale with
     the corpus (the q_pq_recall rule).
 
+    Hotspot contract (r09 verdict finding #3): auto sizes cells from
+    the GLOBAL bounding box, so it assumes roughly uniform density. A
+    hotspot cluster with local density ρ× the global average puts ~k·ρ
+    points in each of its cells, and its queries pay ring²·k·ρ
+    candidates — the degradation is a CONSTANT factor bounded by the
+    density ratio, not by corpus size: as N grows at fixed density
+    shape, auto shrinks the cell (∝ 1/√N) and hotspot occupancy stays
+    flat, so total candidate count grows LINEARLY in N
+    (tests/test_skew_stress.py::test_grid_knn_hotspot_candidates_linear
+    pins both properties on an 80%-of-points-in-1%-of-area fixture).
+    The hot cells are also shuffle-skewed; the candidate equi-join is a
+    plain hash/sort-merge join, so AQE's skew-join split spreads them
+    across tasks. If the density ratio itself is extreme (ρ ≫ 100),
+    pass an explicit smaller cell_size for the dense region's scale —
+    sparse-region queries then degrade per the ring recall contract.
+
     Shape: constant fan-out probe explode → cell equi-join →
     per-query window on the bounded candidate set (PARTITIONED by
     query id — never global)."""
     from pyspark.sql.window import Window as W
 
+    cand = _knn_candidates(df, id_col, x_col, y_col, k, cell_size, max_ring, queries)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _knn_candidates(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    k: int,
+    cell_size: "int | str",
+    max_ring: int,
+    queries: "DataFrame | None",
+) -> DataFrame:
+    """The candidate set grid_knn_join ranks: (query_id, neighbor_id,
+    d2) for every corpus point in each query's ring neighborhood.
+    Factored out so the skew test can assert candidate-count bounds
+    directly."""
     pt = df.select(
         F.col(id_col).alias("__id"),
         F.col(x_col).cast("long").alias("__x"),
@@ -172,14 +211,8 @@ def grid_knn_join(
     )
     dx = F.col("xa") - F.col("xb")
     dy = F.col("ya") - F.col("yb")
-    cand = (
+    return (
         probe.join(build, ["cx", "cy"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", (dx * dx + dy * dy).alias("d2"))
-    )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("neighbor_id").asc()
-    )
-    return cand.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
     )
