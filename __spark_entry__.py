@@ -5721,95 +5721,266 @@ def q_golden_record(spark, sf_dir):
     return survivorship(c, "cluster", ["c_mktsegment", "c_nationkey"])
 
 
+# ---------------------------------------------------------------------------
+# round-10 queries
+# ---------------------------------------------------------------------------
+
+def q_item_cf(spark, sf_dir):
+    """Item-item collaborative filtering (recsys.item_cf — Sarwar et
+    al. 2001 / Linden et al. 2003): top-5 co-purchased brands per
+    brand by exact co-occurrence cosine over order baskets. The
+    user-keyed pair join carries the itemsets-style mega-basket guard;
+    support pruning (n_common >= 2) kills the coincidence tail before
+    ranking. (New r10.)"""
+    from table_computing_spark.operators.recsys import item_cf
+
+    li = _t(spark, sf_dir, "lineitem").df
+    p = _t(spark, sf_dir, "part").df
+    ui = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("brand")
+    )
+    return item_cf(ui, "basket", "brand", k=5, min_common=2)
+
+
+def q_link_prediction(spark, sf_dir):
+    """Link prediction by Adamic-Adar common-neighbor weighting
+    (graph.adamic_adar): candidate user-user links over the user <->
+    event-type bipartite graph (q_pagerank's edge fixture), scored
+    1/ln(deg) per common neighbor with integer-pico fixed-point sums
+    (float-order-free). Only pairs sharing >= 2 common neighbors
+    survive (support pruning). Wedge centers above max_degree are
+    dropped by the documented truncation contract — inactive here
+    (bounded degrees), so the scores are exact. (New r10.)"""
+    from pyspark.sql import Window
+    from table_computing_spark.operators.graph import adamic_adar
+
+    ev = _t(spark, sf_dir, "events").df.select("user_id", "event_type").distinct()
+    types = ev.select("event_type").distinct().select(
+        "event_type",
+        (-F.row_number().over(Window.orderBy("event_type"))).cast("long").alias("tid"),
+    )
+    edges = ev.join(types, "event_type").select(
+        F.col("user_id").alias("src"), F.col("tid").alias("dst")
+    )
+    out = adamic_adar(edges)
+    return out.filter(F.col("n_common") >= 2)
+
+
+def q_sssp_weighted(spark, sf_dir):
+    """Weighted single-source shortest paths (graph.sssp_weighted —
+    Bellman-Ford, 4 relaxation sweeps): exact min distance using <= 4
+    edges from a hub user over the co-engagement graph with
+    deterministic integer weights. The bounded-round contract unrolls
+    into a recursive-CTE oracle. (New r10.)"""
+    from table_computing_spark.operators.graph import sssp_weighted
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        (F.col("user_id") % 500).alias("a"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 500).alias("b"),
+    ).filter(F.col("a") != F.col("b")).distinct()
+    edges = ev.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"),
+        ((F.col("a") + F.col("b")) % 10 + 1).alias("weight"),
+    )
+    return sssp_weighted(edges, source=0, rounds=4)
+
+
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curves (survival.kaplan_meier) per event
+    type: time-to-event with right-censoring (event flag from a
+    deterministic id residue). d_i/n_i are exact integers; the product
+    limit is exp of a RUNNING ln-sum in event-time order — sequential
+    summation both engines reproduce term for term. (New r10.)"""
+    from table_computing_spark.operators.survival import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type",
+        (F.col("user_id") % 30 + 1).alias("dur"),
+        (F.col("event_id") % 4 != 0).alias("ev"),
+    )
+    return kaplan_meier(ev, ["event_type"], "dur", F.col("ev"))
+
+
+def q_forecast_eval(spark, sf_dir):
+    """Forecast scorecard (temporal.forecast_eval — Hyndman & Koehler
+    2006): MAE / sMAPE / MASE of a naive-1 forecast (previous hour's
+    count, first row self) against hourly event counts per type, with
+    the 24-hour seasonal naive as MASE's scale. Integer actuals,
+    DECIMAL sums, 12-dp fixed-point sMAPE terms — engine-exact.
+    (New r10.)"""
+    from pyspark.sql import Window
+    from table_computing_spark.operators.temporal import forecast_eval
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type", tcf.epoch_ms("ts").alias("t_ms")
+    ).select("event_type", F.expr("t_ms div 3600000").alias("h"))
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("actual")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    series = hourly.withColumn(
+        "forecast", F.coalesce(F.lag("actual", 1).over(w), F.col("actual"))
+    )
+    return forecast_eval(series, ["event_type"], "h", "actual", "forecast", season=24)
+
+
+def q_conformal(spark, sf_dir):
+    """Split-conformal prediction intervals (classify.conformal_
+    intervals — Papadopoulos 2002): per return flag, calibrate q_hat
+    on even order keys against a crude linear price model
+    (quantity x 100k cents) and report the holdout's empirical
+    coverage next to the 90% guarantee. q_hat is an exact order
+    statistic; coverage one division of exact counts. (New r10.)"""
+    from table_computing_spark.operators.classify import conformal_intervals
+
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        (F.col("l_quantity").cast("long") * 100_000).alias("pred"),
+        "l_orderkey",
+    )
+    return conformal_intervals(
+        li, ["l_returnflag"], "cents", "pred",
+        calib_cond=F.col("l_orderkey") % 2 == 0, alpha=0.1,
+    )
+
+
+def q_did(spark, sf_dir):
+    """Difference-in-differences (drift.diff_in_diff — Card & Krueger
+    1994 design): treatment effect of a (synthetic) assignment on
+    event value across a fixed time split, from the four cell means in
+    one hash aggregate. DECIMAL sums, one division per mean, fixed op
+    order. (New r10.)"""
+    from table_computing_spark.operators.drift import diff_in_diff
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        F.when(F.col("user_id") % 2 == 0, "treat").otherwise("control").alias("grp"),
+        F.when(
+            tcf.epoch_ms("ts") % 1_000_000 < 500_000, "pre"
+        ).otherwise("post").alias("period"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return diff_in_diff(
+        ev, "grp", "period", F.col("cents"),
+        treat_group="treat", control_group="control",
+        pre_period="pre", post_period="post",
+    )
+
+
+def q_js_divergence(spark, sf_dir):
+    """Jensen-Shannon drift (drift.js_divergence — Lin 1991): the
+    bounded symmetric complement of PSI over the same fixed bucketing
+    (q_psi_drift's split fixture). Exact integer bucket counts,
+    integer-nano terms, exact total. (New r10.)"""
+    from table_computing_spark.operators.drift import js_divergence
+
+    o = _t(spark, sf_dir, "orders").df
+    old = o.filter(F.col("o_orderkey") % 2 == 0)
+    new = o.filter(F.col("o_orderkey") % 2 == 1)
+    return js_divergence(old, new, "o_totalprice", 0.0, 600_000.0, bins=10)
+
+
+def q_binpack_files(spark, sf_dir):
+    """Compaction planning (sources/compaction.binpack_plan): bin-pack
+    a simulated file inventory (one file per (returnflag, ship-month,
+    linestatus) with its row count as size) into ~5000-row output bins
+    per return flag — next-fit by running offset in (size desc, name)
+    order, one partitioned window over METADATA rows. Deterministic,
+    integer-exact. (New r10.)"""
+    from table_computing_spark.sources.compaction import binpack_plan
+
+    li = _t(spark, sf_dir, "lineitem").df
+    inv = li.groupBy(
+        "l_returnflag",
+        F.concat_ws(
+            "_", F.date_format("l_shipdate", "yyyy-MM"), "l_linestatus"
+        ).alias("file_name"),
+    ).agg(F.count(F.lit(1)).alias("size_rows"))
+    return binpack_plan(
+        inv, ["l_returnflag"], "file_name", "size_rows", target_bytes=5_000
+    )
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search over a positional inverted index
+    (text.phrase_positions — IR-textbook postings intersection): every
+    start position of the 2-gram "data table" across the corpus.
+    Posting lists are filtered to the phrase's words BEFORE any join;
+    a w-word phrase is w-1 (doc, pos+i) equi-joins. (New r10.)"""
+    from table_computing_spark.operators.text import phrase_positions
+
+    docs = _t(spark, sf_dir, "documents").df
+    return phrase_positions(docs, ["data", "table"])
+
+
+def q_rake_keywords(spark, sf_dir):
+    """Corpus keyword extraction (text.rake_keywords — Rose et al.
+    2010 RAKE): top-20 stopword-delimited phrases by summed word
+    degree/frequency scores over the English slice. Run boundaries
+    from a per-doc running separator count; word stats exact integers;
+    phrase scores fixed-point sums of 9-dp word scores. The final rank
+    is a global window over AGGREGATED phrase rows (bounded,
+    whitelisted). (New r10.)"""
+    from table_computing_spark.operators.text import rake_keywords
+
+    docs = _t(spark, sf_dir, "documents").df.filter(F.col("lang") == "en")
+    return rake_keywords(docs, top_k=20, min_count=2)
+
+
+def q_window_kmv(spark, sf_dir):
+    """Time-windowed distinct sketches (kmv.kmv_sketch over tumbling
+    windows): per (day, event_type), the KMV-64 distinct-user estimate
+    — the sliding/tumbling twin of q_kmv_intersect and the batch shape
+    of the maintained stream_maintain_kmv state. Sketch content is a
+    pure md5 function of the window's rows, so even the estimates
+    hash-match the oracle. (New r10.)"""
+    from table_computing_spark.operators import kmv
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        tcf.epoch_ms("ts").alias("t_ms"), "event_type", "user_id"
+    ).select(F.expr("t_ms div 86400000").alias("day"), "event_type", "user_id")
+    st = kmv.kmv_sketch(ev, ["day", "event_type"], "user_id", k=64, n_cells=256)
+    return kmv.kmv_estimate(st, ["day", "event_type"], k=64).select(
+        "day", "event_type", F.round("n_est", 4).alias("n_est")
+    )
+
+
+def q_grid_dbscan(spark, sf_dir):
+    """Density clustering (spatial.grid_dbscan — Ester et al. 1996
+    DBSCAN) over the customer point cloud (q_spatial fixture):
+    eps-neighborhoods from the grid radius join (cell equi-join, never
+    a cross join), clusters as connected components of the core-core
+    graph labeled by min core id, borders to their smallest
+    neighboring core's cluster (deterministic tie-break). Exact
+    integer distances end to end. (New r10.)"""
+    from table_computing_spark.operators.spatial import grid_dbscan
+
+    pts = _spatial_points(spark, sf_dir)
+    return grid_dbscan(pts, "id", "x", "y", eps=5_000, min_pts=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
-    until every declared query has a green row in some round's
-    CORRECTNESS file.
+    until no stratum is more than a few rounds stale.
 
-    Round-9 window (exactly the r08 verdict's task-1 composition):
-    (a) the 20 r08 late-addition queries, never driver-verified but
-    all green under the r08 judge's independent dtype-strict oracle
-    (q_tdigest_accuracy, q_bitmap_distinct, q_pit_features,
-    q_ks_drift, q_calibration, q_pq_recall, q_impute, q_ivfpq,
-    q_corr_matrix, q_stream_bitmap_distinct, q_cusum, q_winsorize,
-    q_percent_rank_global, q_interval_overlap, q_stream_tdigest,
-    q_weighted_quantiles, q_bootstrap_ci, q_rolling_median,
-    q_profile_diff, q_video_scene_changes); (b) NEW r09 queries,
-    never verified, swapped in for stale-r04 fillers as they land;
-    (c) the stalest rows on the board (last driver-green r04 — the
-    r08 judge re-sampled 8 of these, all green) filling to 50. Zero
-    overlap with the r08 window (pinned by
-    tests/test_queries.py::test_window_rotation_discipline); after
-    this round zero queries remain never-driver-verified. The
-    dtype-strict local sim (tests/oracle.py) is green on ALL entries
-    at sf0.01.
+    Round-10 window (the r09 verdict's task-1 composition, plus the
+    never-verified r10 additions): (a) the 23 stalest rows on the
+    board — last driver-green r04; the r09 judge independently
+    re-oracled 12 of them green; (b) the 13 NEW r10 queries, never
+    driver-verified, all green under the dtype-strict local sim at
+    sf0.01; (c) the 14 stalest r05 rows filling to 50. Zero overlap
+    with the r09 window (pinned by
+    tests/test_queries.py::test_window_rotation_discipline). After
+    this round no row's last green round is older than r05, and the
+    remaining r05 stratum (34 rows) heads the r11 rotation.
     """
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
     tpch = dict(TPCH_QUERIES)
     window_50 = {
-        # (a) the 20 r08 late additions — never driver-verified; all 20
-        # passed the r08 judge's independent dtype-strict oracle
-        "q_tdigest_accuracy": q_tdigest_accuracy,
-        "q_bitmap_distinct": q_bitmap_distinct,
-        "q_pit_features": q_pit_features,
-        "q_ks_drift": q_ks_drift,
-        "q_calibration": q_calibration,
-        "q_pq_recall": q_pq_recall,
-        "q_impute": q_impute,
-        "q_ivfpq": q_ivfpq,
-        "q_corr_matrix": q_corr_matrix,
-        "q_stream_bitmap_distinct": q_stream_bitmap_distinct,
-        "q_cusum": q_cusum,
-        "q_winsorize": q_winsorize,
-        "q_percent_rank_global": q_percent_rank_global,
-        "q_interval_overlap": q_interval_overlap,
-        "q_stream_tdigest": q_stream_tdigest,
-        "q_weighted_quantiles": q_weighted_quantiles,
-        "q_bootstrap_ci": q_bootstrap_ci,
-        "q_rolling_median": q_rolling_median,
-        "q_profile_diff": q_profile_diff,
-        "q_video_scene_changes": q_video_scene_changes,
-        # (b) stalest rows on the board (last driver-green r04) — NEW r09
-        # queries displace from the BOTTOM of this block as they land
-        "q_multimodal_features": q_multimodal_features,
-        "q_data_profile": q_data_profile,
-        "q_histogram": q_histogram,
-        "q_integrity_checks": q_integrity_checks,
-        "q_lag_lead": q_lag_lead,
-        "q_json_extract": q_json_extract,
-        "q_unpivot": q_unpivot,
-        "q_udaf_apply": q_udaf_apply,
-        "q_over_by_duration": q_over_by_duration,
-        # --- NEW r09 queries (never verified — displace stale-r04 fillers,
-        # which move to the head of the tail below) ---
-        "q_ab_power": q_ab_power,
-        "q_golden_record": q_golden_record,
-        "q_label_noise": q_label_noise,
-        "q_gap_report": q_gap_report,
-        "q_temporal_split": q_temporal_split,
-        "q_seq_pairs": q_seq_pairs,
-        "q_stream_kmv": q_stream_kmv,
-        "q_join_cardinality": q_join_cardinality,
-        "q_stream_fingerprint": q_stream_fingerprint,
-        "q_kmv_intersect": q_kmv_intersect,
-        "q_edit1_pairs": q_edit1_pairs,
-        "q_table_fingerprint": q_table_fingerprint,
-        "q_topk_others": q_topk_others,
-        "q_spatial_radius_join": q_spatial_radius_join,
-        "q_spatial_knn": q_spatial_knn,
-        "q_frequent_pairs": q_frequent_pairs,
-        "q_assoc_rules": q_assoc_rules,
-        "q_quantile_normalize": q_quantile_normalize,
-        "q_quota_allocation": q_quota_allocation,
-        "q_ab_srm": q_ab_srm,
-        "q_multi_horizon": q_multi_horizon,
-    }
-    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
-    tail = {
-        # r04 remainder (displaced by new r09 queries / judge-re-verified),
-        # then the r08-window rows (freshest green), then r05..r07
+        # (a) the 23 r04-stale rows — verdict task 1 requires exactly
+        # these inside the r10 window
         "q_window_tumble": q_window_tumble,
         "q_window_slide": q_window_slide,
         "q_window_session": q_window_session,
@@ -5833,6 +6004,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_over": q_stream_over,
         "q_gate_joins": q_gate_joins,
         "q_gate_setops": q_gate_setops,
+        # (b) NEW r10 queries — never driver-verified
+        "q_item_cf": q_item_cf,
+        "q_link_prediction": q_link_prediction,
+        "q_sssp_weighted": q_sssp_weighted,
+        "q_kaplan_meier": q_kaplan_meier,
+        "q_forecast_eval": q_forecast_eval,
+        "q_conformal": q_conformal,
+        "q_did": q_did,
+        "q_js_divergence": q_js_divergence,
+        "q_binpack_files": q_binpack_files,
+        "q_phrase_search": q_phrase_search,
+        "q_rake_keywords": q_rake_keywords,
+        "q_window_kmv": q_window_kmv,
+        "q_grid_dbscan": q_grid_dbscan,
+        # (c) the 14 stalest r05 rows
+        "q_pivot": q_pivot,
+        "q_token_budget": q_token_budget,
+        "q_pipeline_curation": q_pipeline_curation,
+        "q_doc_novelty": q_doc_novelty,
+        "q_embedding_groups": q_embedding_groups,
+        "q_decontaminate": q_decontaminate,
+        "q_dup_spans": q_dup_spans,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_mixture_weights": q_mixture_weights,
+        "q_multimodal_decode": q_multimodal_decode,
+        "q_nb_classify": q_nb_classify,
+        "q_dedup_incremental": q_dedup_incremental,
+        "q_rp_project": q_rp_project,
+        "q_gopher_rules": q_gopher_rules,
+    }
+    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
+    tail = {
+        # remaining r05 stratum (heads the r11 rotation), then r09
+        # (freshest), r08, r06, r07 strata
+        # --- last green r09 (the full r09 driver window) ---
+        "q_tdigest_accuracy": q_tdigest_accuracy,
+        "q_bitmap_distinct": q_bitmap_distinct,
+        "q_pit_features": q_pit_features,
+        "q_ks_drift": q_ks_drift,
+        "q_calibration": q_calibration,
+        "q_pq_recall": q_pq_recall,
+        "q_impute": q_impute,
+        "q_ivfpq": q_ivfpq,
+        "q_corr_matrix": q_corr_matrix,
+        "q_stream_bitmap_distinct": q_stream_bitmap_distinct,
+        "q_cusum": q_cusum,
+        "q_winsorize": q_winsorize,
+        "q_percent_rank_global": q_percent_rank_global,
+        "q_interval_overlap": q_interval_overlap,
+        "q_stream_tdigest": q_stream_tdigest,
+        "q_weighted_quantiles": q_weighted_quantiles,
+        "q_bootstrap_ci": q_bootstrap_ci,
+        "q_rolling_median": q_rolling_median,
+        "q_profile_diff": q_profile_diff,
+        "q_video_scene_changes": q_video_scene_changes,
+        "q_multimodal_features": q_multimodal_features,
+        "q_data_profile": q_data_profile,
+        "q_histogram": q_histogram,
+        "q_integrity_checks": q_integrity_checks,
+        "q_lag_lead": q_lag_lead,
+        "q_json_extract": q_json_extract,
+        "q_unpivot": q_unpivot,
+        "q_udaf_apply": q_udaf_apply,
+        "q_over_by_duration": q_over_by_duration,
+        "q_ab_power": q_ab_power,
+        "q_golden_record": q_golden_record,
+        "q_label_noise": q_label_noise,
+        "q_gap_report": q_gap_report,
+        "q_temporal_split": q_temporal_split,
+        "q_seq_pairs": q_seq_pairs,
+        "q_stream_kmv": q_stream_kmv,
+        "q_join_cardinality": q_join_cardinality,
+        "q_stream_fingerprint": q_stream_fingerprint,
+        "q_kmv_intersect": q_kmv_intersect,
+        "q_edit1_pairs": q_edit1_pairs,
+        "q_table_fingerprint": q_table_fingerprint,
+        "q_topk_others": q_topk_others,
+        "q_spatial_radius_join": q_spatial_radius_join,
+        "q_spatial_knn": q_spatial_knn,
+        "q_frequent_pairs": q_frequent_pairs,
+        "q_assoc_rules": q_assoc_rules,
+        "q_quantile_normalize": q_quantile_normalize,
+        "q_quota_allocation": q_quota_allocation,
+        "q_ab_srm": q_ab_srm,
+        "q_multi_horizon": q_multi_horizon,
         # --- last green r08 (the full r08 driver window) ---
         "q_bfs_hops": q_bfs_hops,
         "q_time_to_convert": q_time_to_convert,
@@ -5884,21 +6140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_json_ingest": q_stream_json_ingest,
         "q_minhash_accuracy": q_minhash_accuracy,
         "q_asof_forward": q_asof_forward,
-        # --- last green r05 ---
-        "q_pivot": q_pivot,
-        "q_token_budget": q_token_budget,
-        "q_pipeline_curation": q_pipeline_curation,
-        "q_doc_novelty": q_doc_novelty,
-        "q_embedding_groups": q_embedding_groups,
-        "q_decontaminate": q_decontaminate,
-        "q_dup_spans": q_dup_spans,
-        "q_unigram_logprob": q_unigram_logprob,
-        "q_mixture_weights": q_mixture_weights,
-        "q_multimodal_decode": q_multimodal_decode,
-        "q_nb_classify": q_nb_classify,
-        "q_dedup_incremental": q_dedup_incremental,
-        "q_rp_project": q_rp_project,
-        "q_gopher_rules": q_gopher_rules,
+        # --- last green r05 (the 14 stalest moved into the r10 window;
+        # these 34 head the r11 rotation) ---
         "q_dup_span_intervals": q_dup_span_intervals,
         "q_stream_curation": q_stream_curation,
         "q_mixture_apply": q_mixture_apply,
@@ -11257,5 +11500,406 @@ def oracle_sql() -> dict[str, str]:
         JOIN items ia ON d.antecedent = ia.item
         JOIN items ib ON d.consequent = ib.item
         CROSS JOIN n
+        """,
+        # ------------------------------------------------- round-10 oracles
+        "q_item_cf": """
+        WITH ui AS (
+          SELECT DISTINCT l_orderkey AS u, p_brand AS i
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), item_n AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM ui GROUP BY i),
+        bsz AS (SELECT u, count(*) AS b FROM ui GROUP BY u),
+        bounded AS (SELECT ui.u, ui.i FROM ui JOIN bsz USING (u) WHERE b <= 1000),
+        co AS (
+          SELECT a.i AS item, b.i AS neighbor, CAST(count(*) AS BIGINT) AS n_common
+          FROM bounded a JOIN bounded b ON a.u = b.u AND a.i <> b.i
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ), scored AS (
+          SELECT item, neighbor, n_common,
+                 round(CAST(n_common AS DOUBLE)
+                       / sqrt(CAST(na.n * nb.n AS DOUBLE)), 6) AS cos_sim
+          FROM co JOIN item_n na ON na.i = co.item
+                  JOIN item_n nb ON nb.i = co.neighbor
+        ), r AS (
+          SELECT *, row_number() OVER (PARTITION BY item
+                     ORDER BY cos_sim DESC, neighbor ASC) AS rank
+          FROM scored
+        )
+        SELECT item, neighbor, n_common, cos_sim, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5
+        """,
+        "q_link_prediction": """
+        WITH t AS (
+          SELECT event_type, -row_number() OVER (ORDER BY event_type) AS tid
+          FROM (SELECT DISTINCT event_type FROM events)
+        ), e0 AS (
+          SELECT DISTINCT e.user_id AS s, t.tid AS d
+          FROM (SELECT DISTINCT user_id, event_type FROM events) e
+          JOIN t USING (event_type)
+        ), sym AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+        deg AS (SELECT s AS w, CAST(count(*) AS BIGINT) AS dg FROM sym GROUP BY 1),
+        adj AS (
+          SELECT sym.s AS w, sym.d AS n, dg
+          FROM sym JOIN deg ON deg.w = sym.s WHERE dg <= 10000
+        ), wed AS (
+          SELECT a.n AS id_a, b.n AS id_b,
+                 CAST(round(1e12 / ln(CAST(a.dg AS DOUBLE))) AS BIGINT) AS tm
+          FROM adj a JOIN adj b ON a.w = b.w AND a.n < b.n
+        ), sc AS (
+          SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_common,
+                 CAST(sum(tm) AS BIGINT) AS st
+          FROM wed GROUP BY 1, 2
+        ), ex AS (
+          SELECT DISTINCT least(s, d) AS id_a, greatest(s, d) AS id_b FROM sym
+        )
+        SELECT sc.id_a, sc.id_b, n_common,
+               round(CAST(st AS DOUBLE) / 1e12, 6) AS score
+        FROM sc ANTI JOIN ex USING (id_a, id_b)
+        WHERE n_common >= 2
+        """,
+        "q_sssp_weighted": """
+        WITH e AS (
+          SELECT DISTINCT (user_id % 500) AS src,
+                 ((user_id * 7 + event_id) % 500) AS dst
+          FROM events
+          WHERE (user_id % 500) <> ((user_id * 7 + event_id) % 500)
+        ), we AS (SELECT src, dst, (src + dst) % 10 + 1 AS w FROM e),
+        d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+        r1 AS (SELECT node, min(dist) AS dist FROM (
+                 SELECT * FROM d0 UNION ALL
+                 SELECT dst, dist + w FROM d0 JOIN we ON we.src = d0.node
+               ) GROUP BY node),
+        r2 AS (SELECT node, min(dist) AS dist FROM (
+                 SELECT * FROM r1 UNION ALL
+                 SELECT dst, dist + w FROM r1 JOIN we ON we.src = r1.node
+               ) GROUP BY node),
+        r3 AS (SELECT node, min(dist) AS dist FROM (
+                 SELECT * FROM r2 UNION ALL
+                 SELECT dst, dist + w FROM r2 JOIN we ON we.src = r2.node
+               ) GROUP BY node),
+        r4 AS (SELECT node, min(dist) AS dist FROM (
+                 SELECT * FROM r3 UNION ALL
+                 SELECT dst, dist + w FROM r3 JOIN we ON we.src = r3.node
+               ) GROUP BY node)
+        SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist FROM r4
+        """,
+        "q_kaplan_meier": """
+        WITH base AS (
+          SELECT event_type, (user_id % 30 + 1) AS t,
+                 CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END AS ev
+          FROM events
+        ), per_t AS (
+          SELECT event_type, CAST(t AS BIGINT) AS t,
+                 CAST(sum(ev) AS BIGINT) AS n_event,
+                 CAST(sum(1 - ev) AS BIGINT) AS n_censor
+          FROM base GROUP BY 1, 2
+        ), r AS (
+          SELECT *,
+                 sum(n_event + n_censor) OVER (PARTITION BY event_type) AS tot,
+                 sum(n_event + n_censor) OVER (PARTITION BY event_type ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS thru
+          FROM per_t
+        ), k AS (
+          SELECT event_type, t, n_event, n_censor,
+                 CAST(tot - thru + n_event + n_censor AS BIGINT) AS n_risk
+          FROM r
+        ), s AS (
+          SELECT *,
+                 exp(sum(CASE WHEN n_event >= n_risk THEN -1e18
+                              WHEN n_event > 0 THEN
+                                ln(1.0 - CAST(n_event AS DOUBLE)
+                                        / CAST(n_risk AS DOUBLE))
+                              ELSE 0.0 END)
+                     OVER (PARTITION BY event_type ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   AS sv
+          FROM k
+        )
+        SELECT event_type, t, n_risk, n_event, n_censor,
+               round(sv, 6) AS survival
+        FROM s
+        """,
+        "q_forecast_eval": """
+        WITH hourly AS (
+          SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+                 CAST(count(*) AS BIGINT) AS actual
+          FROM events GROUP BY 1, 2
+        ), series AS (
+          SELECT *, coalesce(lag(actual, 1) OVER (PARTITION BY event_type
+                     ORDER BY h), actual) AS f,
+                 lag(actual, 24) OVER (PARTITION BY event_type ORDER BY h) AS nv
+          FROM hourly
+        ), filt AS (SELECT * FROM series WHERE nv IS NOT NULL),
+        agg AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(abs(f - actual) AS DECIMAL(28,0))) AS DOUBLE) AS sae,
+                 CAST(sum(CAST(abs(nv - actual) AS DECIMAL(28,0))) AS DOUBLE) AS san,
+                 CAST(sum(CAST(CASE WHEN abs(f) + abs(actual) > 0 THEN
+                       round(2.0 * CAST(abs(f - actual) AS DOUBLE)
+                             / CAST(abs(f) + abs(actual) AS DOUBLE), 12)
+                     ELSE 0.0 END AS DECIMAL(26,12))) AS DOUBLE) AS ssm
+          FROM filt GROUP BY 1
+        )
+        SELECT event_type, n,
+               round(sae / CAST(n AS DOUBLE), 6) AS mae,
+               round(ssm / CAST(n AS DOUBLE), 6) AS smape,
+               round(CASE WHEN san > 0 THEN
+                 (sae / CAST(n AS DOUBLE)) / (san / CAST(n AS DOUBLE)) END, 6)
+                 AS mase
+        FROM agg
+        """,
+        "q_conformal": """
+        WITH li AS (
+          SELECT l_returnflag,
+                 CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+                 CAST(l_quantity AS BIGINT) * 100000 AS pred, l_orderkey
+          FROM lineitem
+        ), cal AS (
+          SELECT l_returnflag, abs(cents - pred) AS r FROM li
+          WHERE l_orderkey % 2 = 0
+        ), sizes AS (
+          SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_cal
+          FROM cal GROUP BY 1
+        ), ranked AS (
+          SELECT l_returnflag, r,
+                 row_number() OVER (PARTITION BY l_returnflag ORDER BY r ASC) AS rk
+          FROM cal
+        ), q AS (
+          SELECT ranked.l_returnflag, r AS q_hat
+          FROM ranked JOIN sizes USING (l_returnflag)
+          WHERE rk = CAST(ceil((n_cal + 1) * 0.9) AS BIGINT)
+        ), per AS (
+          SELECT sizes.l_returnflag, n_cal, q_hat
+          FROM sizes LEFT JOIN q USING (l_returnflag)
+        ), test AS (
+          SELECT li.l_returnflag, abs(cents - pred) AS r, q_hat
+          FROM li JOIN per USING (l_returnflag)
+          WHERE l_orderkey % 2 <> 0
+        ), cov AS (
+          SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_test,
+                 CAST(sum(CASE WHEN r <= q_hat THEN 1 ELSE 0 END) AS BIGINT) AS hit
+          FROM test GROUP BY 1
+        )
+        SELECT per.l_returnflag, n_cal, q_hat,
+               CAST(coalesce(n_test, 0) AS BIGINT) AS n_test,
+               round(CAST(hit AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS coverage
+        FROM per LEFT JOIN cov USING (l_returnflag)
+        """,
+        "q_did": """
+        WITH ev AS (
+          SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END AS grp,
+                 CASE WHEN epoch_ms(ts) % 1000000 < 500000 THEN 'pre'
+                      ELSE 'post' END AS period,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM events
+        ), cells AS (
+          SELECT grp, period, sum(CAST(cents AS DECIMAL(28,0))) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM ev GROUP BY 1, 2
+        ), agg AS (
+          SELECT
+            CAST(sum(CASE WHEN grp = 'treat' AND period = 'pre' THEN s END)
+                 AS DOUBLE)
+              / CAST(sum(CASE WHEN grp = 'treat' AND period = 'pre' THEN n END)
+                 AS DOUBLE) AS tp,
+            CAST(sum(CASE WHEN grp = 'treat' AND period = 'post' THEN s END)
+                 AS DOUBLE)
+              / CAST(sum(CASE WHEN grp = 'treat' AND period = 'post' THEN n END)
+                 AS DOUBLE) AS tq,
+            CAST(sum(CASE WHEN grp = 'control' AND period = 'pre' THEN s END)
+                 AS DOUBLE)
+              / CAST(sum(CASE WHEN grp = 'control' AND period = 'pre' THEN n END)
+                 AS DOUBLE) AS cp,
+            CAST(sum(CASE WHEN grp = 'control' AND period = 'post' THEN s END)
+                 AS DOUBLE)
+              / CAST(sum(CASE WHEN grp = 'control' AND period = 'post' THEN n END)
+                 AS DOUBLE) AS cq
+          FROM cells
+        )
+        SELECT round(tp, 6) AS mean_treat_pre, round(tq, 6) AS mean_treat_post,
+               round(cp, 6) AS mean_ctrl_pre, round(cq, 6) AS mean_ctrl_post,
+               round((tq - tp) - (cq - cp), 6) AS did
+        FROM agg
+        """,
+        "q_js_divergence": """
+        WITH old AS (SELECT o_totalprice AS x FROM orders WHERE o_orderkey % 2 = 0),
+        new AS (SELECT o_totalprice AS x FROM orders WHERE o_orderkey % 2 = 1),
+        ob AS (SELECT least(9, greatest(0, CAST(floor((x - 0.0) / 600000.0 * 10) AS INT))) AS bucket,
+                      count(*) AS n_old FROM old WHERE x IS NOT NULL GROUP BY 1),
+        nb AS (SELECT least(9, greatest(0, CAST(floor((x - 0.0) / 600000.0 * 10) AS INT))) AS bucket,
+                      count(*) AS n_new FROM new WHERE x IS NOT NULL GROUP BY 1),
+        b AS (SELECT CAST(range AS INT) AS bucket FROM range(10)),
+        j AS (SELECT b.bucket, coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+              FROM b LEFT JOIN ob USING (bucket) LEFT JOIN nb USING (bucket)),
+        t AS (SELECT *,
+                     CAST(n_old AS DOUBLE) / sum(n_old) OVER () AS p,
+                     CAST(n_new AS DOUBLE) / sum(n_new) OVER () AS q
+              FROM j),
+        z AS (SELECT *,
+                     CAST(round(((CASE WHEN n_old > 0
+                                   THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END)
+                               + (CASE WHEN n_new > 0
+                                   THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END))
+                               / 2.0 * 1e9) AS BIGINT) AS tn
+              FROM t)
+        SELECT bucket, n_old, n_new,
+               round(p, 6) AS p_old, round(q, 6) AS p_new,
+               round(tn / 1e9, 6) AS js_term,
+               round(CAST(sum(tn) OVER () AS DOUBLE) / 1e9, 6) AS js_total
+        FROM z
+        """,
+        "q_binpack_files": """
+        WITH inv AS (
+          SELECT l_returnflag,
+                 strftime(l_shipdate, '%Y-%m') || '_' || l_linestatus AS file_name,
+                 CAST(count(*) AS BIGINT) AS size_rows
+          FROM lineitem GROUP BY 1, 2
+        ), runs AS (
+          SELECT *, sum(size_rows) OVER (PARTITION BY l_returnflag
+                     ORDER BY size_rows DESC, file_name ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM inv
+        )
+        SELECT l_returnflag, file_name, size_rows,
+               CAST((run - size_rows) // 5000 AS BIGINT) AS bin,
+               CAST(run - size_rows AS BIGINT) AS offset
+        FROM runs
+        """,
+        "q_phrase_search": r"""
+        WITH toks AS (
+          SELECT doc_id AS id, pos - 1 AS pos, tok FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x <> '')) AS tok,
+                   generate_subscripts(list_filter(
+                     string_split_regex(lower(text), '\s+'), x -> x <> ''), 1)
+                     AS pos
+            FROM documents
+          ) WHERE tok IN ('data', 'table')
+        )
+        SELECT a.id, CAST(a.pos AS INT) AS pos
+        FROM (SELECT id, pos FROM toks WHERE tok = 'data') a
+        JOIN (SELECT id, pos - 1 AS pos FROM toks WHERE tok = 'table') b
+          USING (id, pos)
+        """,
+        "q_rake_keywords": r"""
+        WITH tk AS (
+          SELECT doc_id AS id, pos, tok,
+                 (tok IN ('the','a','of','and','to','in','is','that','it','for')
+                  OR regexp_matches(tok, '[^a-z0-9]')) AS sep
+          FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x <> '')) AS tok,
+                   generate_subscripts(list_filter(
+                     string_split_regex(lower(text), '\s+'), x -> x <> ''), 1)
+                     AS pos
+            FROM documents WHERE lang = 'en'
+          )
+        ), runs AS (
+          SELECT *, sum(CASE WHEN sep THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM tk
+        ), phrases AS (
+          SELECT string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                 CAST(count(*) AS INT) AS len
+          FROM runs WHERE NOT sep GROUP BY id, run
+          HAVING count(*) <= 3
+        ), pw AS (
+          SELECT phrase, len, unnest(string_split(phrase, ' ')) AS word
+          FROM phrases
+        ), word_stats AS (
+          SELECT word,
+                 round(CAST(sum(len) AS DOUBLE) / count(*), 9) AS wscore
+          FROM pw GROUP BY word
+        ), per_phrase AS (
+          SELECT phrase, CAST(count(*) AS BIGINT) AS n_slots,
+                 CAST(sum(CAST(wscore * 1e9 AS BIGINT)) AS BIGINT) AS snano
+          FROM pw JOIN word_stats USING (word)
+          GROUP BY phrase
+        ), ranked AS (
+          SELECT phrase,
+                 CAST(n_slots / len(string_split(phrase, ' ')) AS BIGINT)
+                   AS n_phrase,
+                 snano
+          FROM per_phrase
+        ), scored AS (
+          SELECT phrase, n_phrase,
+                 round(CAST(snano AS DOUBLE) / CAST(n_phrase AS DOUBLE) / 1e9, 6)
+                   AS score
+          FROM ranked WHERE n_phrase >= 2
+        ), final AS (
+          SELECT *, row_number() OVER (ORDER BY score DESC, phrase ASC) AS rank
+          FROM scored
+        )
+        SELECT phrase, n_phrase, score, CAST(rank AS INT) AS rank
+        FROM final WHERE rank <= 20
+        """,
+        "q_window_kmv": """
+        WITH h AS (
+          SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, event_type,
+                 CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS h
+          FROM events
+        ), r AS (
+          SELECT day, event_type, h,
+                 row_number() OVER (PARTITION BY day, event_type ORDER BY h) AS rk
+          FROM h
+        ), s AS (
+          SELECT CAST(day AS BIGINT) AS day, event_type,
+                 count(*) AS nu, max(h) AS kth
+          FROM r WHERE rk <= 64 GROUP BY 1, 2
+        )
+        SELECT day, event_type,
+               round(CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+                          ELSE (63.0 * 1152921504606846976.0)
+                               / CAST(kth AS DOUBLE) END, 4) AS n_est
+        FROM s
+        """,
+        "q_grid_dbscan": """
+        WITH RECURSIVE pts AS (
+          SELECT c_custkey AS id, (c_custkey * 7919) % 100000 AS x,
+                 (c_custkey * 104729) % 100000 AS y
+          FROM customer
+        ), pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM pts a JOIN pts b ON a.id < b.id
+          WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                <= 25000000
+        ), sym AS (
+          SELECT id_a AS id, id_b AS nb FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ), cnt AS (SELECT id, count(*) AS n FROM sym GROUP BY 1),
+        flagged AS (
+          SELECT pts.id, coalesce(n, 0) + 1 >= 8 AS core
+          FROM pts LEFT JOIN cnt USING (id)
+        ), cores AS (SELECT id FROM flagged WHERE core),
+        ce AS (
+          SELECT id_a, id_b FROM pairs
+          WHERE id_a IN (SELECT id FROM cores)
+            AND id_b IN (SELECT id FROM cores)
+        ), edges AS (
+          SELECT id_a AS a, id_b AS b FROM ce
+          UNION ALL SELECT id_b, id_a FROM ce
+        ), reach(n, lab) AS (
+          SELECT id, id FROM cores
+          UNION
+          SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.n
+        ), comp AS (SELECT n AS id, min(lab) AS cluster FROM reach GROUP BY n),
+        border_lab AS (
+          SELECT s.id, min(cl.cluster) AS cluster
+          FROM sym s
+          JOIN flagged f ON f.id = s.id AND NOT f.core
+          JOIN comp cl ON cl.id = s.nb
+          GROUP BY s.id
+        ), lab AS (
+          SELECT * FROM comp UNION ALL SELECT * FROM border_lab
+        )
+        SELECT f.id,
+               CASE WHEN f.core THEN 'core'
+                    WHEN l.cluster IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               l.cluster
+        FROM flagged f LEFT JOIN lab l USING (id)
         """,
     }

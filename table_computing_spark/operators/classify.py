@@ -345,3 +345,75 @@ def label_noise(
             round_to,
         ).alias("disagree_rate"),
     )
+
+
+def conformal_intervals(
+    df: DataFrame,
+    keys: Sequence[str],
+    actual_col: str,
+    pred_col: str,
+    calib_cond: Column,
+    alpha: float = 0.1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Split-conformal prediction intervals per group (Vovk et al.;
+    the Papadopoulos 2002 inductive form — public): on the CALIBRATION
+    rows (calib_cond true) take absolute residuals r = |actual − pred|
+    and set
+
+        q_hat = the ⌈(n_cal + 1)·(1 − alpha)⌉-th smallest residual
+
+    then [pred ± q_hat] covers a fresh point with probability
+    ≥ 1 − alpha, distribution-free. The remaining rows act as the
+    holdout: the operator reports their EMPIRICAL coverage next to the
+    guarantee, which is the calibration sanity check a model gate
+    actually wants.
+
+    Output per group: (keys..., n_cal, q_hat, n_test, coverage).
+    q_hat is NULL when the rank exceeds n_cal (too few calibration
+    rows for the requested alpha — the honest "cannot certify" row).
+
+    Engine-exactness: residuals are exact integers (pass integer-unit
+    columns), q_hat is an exact order statistic (rank window ordered
+    by residual), coverage one division of exact counts. The rank
+    window is PARTITIONED by keys over calibration rows only."""
+    from pyspark.sql.window import Window
+
+    keys = list(keys)
+    r = F.abs(F.col(actual_col).cast("long") - F.col(pred_col).cast("long"))
+    cal = df.filter(calib_cond).select(*keys, r.alias("__r"))
+    w = Window.partitionBy(*keys).orderBy(F.col("__r").asc())
+    ranked = cal.withColumn("__rk", F.row_number().over(w))
+    sizes = cal.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_cal"))
+    lvl = float(1.0 - alpha)
+    qhat = (
+        ranked.join(sizes, keys)
+        .filter(
+            F.col("__rk")
+            == F.ceil((F.col("n_cal") + 1) * F.lit(lvl)).cast("long")
+        )
+        .select(*keys, F.col("__r").alias("q_hat"))
+    )
+    per = sizes.join(qhat, keys, "left")  # NULL q_hat = rank out of range
+    test = (
+        df.filter(~calib_cond)
+        .select(*keys, r.alias("__r"))
+        .join(per, keys, "inner")
+    )
+    cov = test.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(
+            F.when(F.col("__r") <= F.col("q_hat"), 1).otherwise(0)
+        ).alias("__hit"),
+    )
+    return (
+        per.join(cov, keys, "left")
+        .select(
+            *keys, "n_cal", "q_hat",
+            F.coalesce(F.col("n_test"), F.lit(0)).alias("n_test"),
+            F.round(
+                F.col("__hit").cast("double") / F.col("n_test").cast("double"),
+                round_to,
+            ).alias("coverage"),
+        )
+    )

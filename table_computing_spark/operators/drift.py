@@ -620,3 +620,119 @@ def power_mde(
         F.round(var, round_to).alias("var"),
         F.round(mde, round_to).alias("mde"),
     )
+
+
+def js_divergence(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Jensen–Shannon divergence between two samples over a fixed
+    bucketing — the bounded, symmetric cousin of PSI (Lin 1991,
+    public): JSD = ½·KL(P‖M) + ½·KL(Q‖M) with M = ½(P+Q), in nats,
+    always in [0, ln 2]. Where PSI explodes on empty buckets (its
+    epsilon dominates), JSD's terms vanish at p=0 — the better gate
+    when distributions have disjoint support regions.
+
+    Engine-exact discipline (the psi_drift pattern): exact integer
+    bucket counts from one scan per side, per-bucket terms rounded to
+    integer NANOS, exact long sum for the total, one final division.
+    Per-bucket report + total repeated on each row:
+    (bucket, n_old, n_new, p_old, p_new, js_term, js_total)."""
+    spark = old.sparkSession
+    all_buckets = spark.range(bins).select(F.col("id").cast("int").alias("bucket"))
+    j = (
+        all_buckets.join(bucket_counts(old, col, lo, hi, bins, "n_old"), "bucket", "left")
+        .join(bucket_counts(new, col, lo, hi, bins, "n_new"), "bucket", "left")
+        .fillna(0, subset=["n_old", "n_new"])
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    p = F.col("n_old") / F.sum("n_old").over(w)
+    q = F.col("n_new") / F.sum("n_new").over(w)
+    m = (p + q) / F.lit(2.0)
+    # x·ln(x/m) with the 0·ln0 = 0 convention, exact at the term level
+    kl_p = F.when(F.col("n_old") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+    kl_q = F.when(F.col("n_new") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    term_nano = F.round((kl_p + kl_q) / F.lit(2.0) * 1e9).cast("long")
+    out = j.select(
+        "bucket", "n_old", "n_new",
+        F.round(p, round_to).alias("p_old"),
+        F.round(q, round_to).alias("p_new"),
+        term_nano.alias("__tn"),
+    )
+    total = F.sum("__tn").over(Window.partitionBy())
+    return out.select(
+        "bucket", "n_old", "n_new", "p_old", "p_new",
+        F.round(F.col("__tn") / 1e9, round_to).alias("js_term"),
+        F.round(total / 1e9, round_to).alias("js_total"),
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: Column,
+    treat_group: str,
+    control_group: str,
+    pre_period: str,
+    post_period: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Difference-in-differences estimate for a natural experiment
+    (Card & Krueger 1994 design, public): the treatment effect under
+    the parallel-trends assumption is
+
+        DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+
+    One hash aggregate over the four cells; sums in DECIMAL (pass an
+    integer-unit value_col), each mean a single division, the estimate
+    a fixed-order expression — engine-exact. Returns one row:
+    (mean_treat_pre, mean_treat_post, mean_ctrl_pre, mean_ctrl_post,
+    did). Raises when any of the four cells is empty — a DiD without
+    all four cells is not an estimate."""
+    x = value_col.cast("decimal(38,0)")
+    cells = (
+        df.filter(
+            F.col(group_col).isin(treat_group, control_group)
+            & F.col(period_col).isin(pre_period, post_period)
+        )
+        .groupBy(group_col, period_col)
+        .agg(F.sum(x).alias("__s"), F.count(F.lit(1)).alias("__n"))
+    )
+
+    def cell(g: str, p: str) -> Column:
+        cond = (F.col(group_col) == g) & (F.col(period_col) == p)
+        return (
+            F.sum(F.when(cond, F.col("__s"))).cast("double")
+            / F.sum(F.when(cond, F.col("__n"))).cast("double")
+        )
+
+    got = {
+        (r[group_col], r[period_col])
+        for r in cells.select(group_col, period_col).collect()
+    }
+    missing = [
+        c for c in [
+            (treat_group, pre_period), (treat_group, post_period),
+            (control_group, pre_period), (control_group, post_period),
+        ] if c not in got
+    ]
+    if missing:
+        raise ValueError(f"diff_in_diff: empty cells {missing} — all four "
+                         "(group, period) cells must have rows")
+    tp, tq = cell(treat_group, pre_period), cell(treat_group, post_period)
+    cp, cq = cell(control_group, pre_period), cell(control_group, post_period)
+    return cells.agg(
+        F.round(tp, round_to).alias("mean_treat_pre"),
+        F.round(tq, round_to).alias("mean_treat_post"),
+        F.round(cp, round_to).alias("mean_ctrl_pre"),
+        F.round(cq, round_to).alias("mean_ctrl_post"),
+        F.round((tq - tp) - (cq - cp), round_to).alias("did"),
+    )

@@ -573,3 +573,117 @@ def bfs_hops(
         )
         frontier = visited.where(F.col("hops") == h)
     return visited
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: "int | None" = 10_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Link prediction by Adamic–Adar common-neighbor weighting
+    (Adamic & Adar 2003, public): for each NON-adjacent pair (a, b)
+    sharing at least one neighbor,
+
+        score(a, b) = Σ_{w ∈ N(a) ∩ N(b)} 1 / ln(deg(w))
+
+    — hubs count for less, mutual rare friends count for more. The
+    standard candidate generator for "people/items you may know".
+
+    Scale shape: wedges are enumerated AT the common neighbor w
+    (adjacency self-join on w), so a degree-d node emits d² wedge
+    rows — the same hub cliff as triangle counting. `max_degree`
+    (default 10,000) drops wedge CENTERS above it: a standard AA
+    truncation, honest because a 10k-degree hub contributes at most
+    1/ln(10⁴) ≈ 0.1 per pair while costing 10⁸ rows; pass None for the
+    exact scores on bounded-degree graphs. Already-adjacent pairs are
+    anti-joined out (they're edges, not predictions).
+
+    Engine-exactness: degrees are exact integers over the symmetrized
+    DISTINCT edge set; each wedge term is rounded to integer PICOS
+    (1e12) and summed exactly — no float-order dependence; ln matches
+    libm across engines (repo rule). Output: (id_a, id_b, n_common,
+    score), id_a < id_b."""
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).filter(F.col("__s") != F.col("__d"))
+    sym = (
+        e.union(e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy(F.col("__s").alias("__w")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    # a wedge center needs >= 2 neighbors; filtering deg-1 nodes here
+    # also keeps the 1/ln(deg) term total (ln 1 = 0 would divide by
+    # zero in the projection BEFORE the pair join prunes those rows —
+    # ANSI mode turns that into a runtime error, plan-dependent)
+    centers = deg.filter(F.col("__deg") >= 2)
+    if max_degree is not None:
+        centers = centers.filter(F.col("__deg") <= int(max_degree))
+    # adjacency keyed by the wedge center, with the center's degree
+    adj = sym.select(F.col("__s").alias("__w"), F.col("__d").alias("__n")).join(
+        centers, "__w"
+    )
+    term_pico = F.round(F.lit(1e12) / F.log(F.col("__deg").cast("double"))).cast(
+        "long"
+    )
+    left = adj.select("__w", F.col("__n").alias("id_a"), term_pico.alias("__t"))
+    right = adj.select("__w", F.col("__n").alias("id_b"))
+    wedges = left.join(right, "__w").filter(F.col("id_a") < F.col("id_b"))
+    scored = wedges.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum("__t").alias("__st"),
+    )
+    existing = sym.select(
+        F.least("__s", "__d").alias("id_a"), F.greatest("__s", "__d").alias("id_b")
+    ).distinct()
+    return scored.join(existing, ["id_a", "id_b"], "left_anti").select(
+        "id_a", "id_b", "n_common",
+        F.round(F.col("__st") / 1e12, round_to).alias("score"),
+    )
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    source: int,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Single-source shortest paths with positive INTEGER edge weights,
+    by `rounds` Bellman–Ford relaxation sweeps (Bellman 1958, public):
+    after r sweeps every node reachable by a shortest path of ≤ r
+    edges carries its exact final distance — the bounded-hop contract,
+    same spirit as bfs_hops. Directed; union the reverse edges for an
+    undirected read.
+
+    Per sweep: one dist⋈edges equi-join on the edge source + one
+    min-aggregation keyed by node — all shuffles on node keys, state
+    is one (node, dist) row per reached node, lineage cut per sweep.
+    Exact integers end to end. Output: (node, dist), unreachable
+    (within the bound) nodes absent."""
+    e = edges.select(
+        F.col(src_col).alias("__s"),
+        F.col(dst_col).alias("__d"),
+        F.col(weight_col).cast("long").alias("__w"),
+    ).localCheckpoint(eager=False)
+    dist = (
+        e.sparkSession.createDataFrame([(int(source), 0)], "node long, dist long")
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(e, dist["node"] == e["__s"])
+            .select(F.col("__d").alias("node"), (F.col("dist") + F.col("__w")).alias("dist"))
+        )
+        dist = (
+            dist.union(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

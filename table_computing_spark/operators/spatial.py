@@ -216,3 +216,75 @@ def _knn_candidates(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", (dx * dx + dy * dy).alias("d2"))
     )
+
+
+def grid_dbscan(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: int,
+    min_pts: int = 4,
+) -> DataFrame:
+    """DBSCAN (Ester et al. 1996, public) with the eps-neighborhood
+    search done by the grid radius join — density clustering at corpus
+    scale with no KD-tree and no cross join.
+
+        core    |N_eps(p)| ≥ min_pts (the point counts itself)
+        cluster connected components of the core-core eps-graph,
+                labeled by the component's MINIMUM core id
+        border  non-core within eps of ≥1 core — assigned to the
+                SMALLEST neighboring core's cluster (classic DBSCAN
+                leaves border ties to scan order; the min rule makes
+                the result deterministic and engine-portable)
+        noise   everything else (cluster NULL)
+
+    Output: (id, role, cluster). Integer coordinates, exact distances
+    (the grid_radius_join contract).
+
+    Scale shape: one radius join (cell equi-join, density-bound), one
+    neighbor-count aggregate, connected components over CORE-CORE
+    edges only (large-star/small-star, linear in edges), one min-
+    aggregate for borders — all shuffles on point/cell ids."""
+    from table_computing_spark.operators.graph import connected_components
+
+    pts = df.select(F.col(id_col).alias("id"))
+    pairs = grid_radius_join(df, id_col, x_col, y_col, eps)
+    sym = pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("nb")).union(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb"))
+    )
+    counts = sym.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    flagged = pts.join(counts, "id", "left").select(
+        "id",
+        (F.coalesce(F.col("__n"), F.lit(0)) + 1 >= min_pts).alias("__core"),
+    )
+    cores = flagged.filter("__core").select("id")
+    core_edges = (
+        pairs.join(cores.select(F.col("id").alias("id_a")), "id_a")
+        .join(cores.select(F.col("id").alias("id_b")), "id_b")
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(core_edges, "id_a", "id_b")
+    # isolated cores (no core neighbor) form their own singleton cluster
+    core_lab = cores.join(
+        comp.withColumnRenamed("node", "id"), "id", "left"
+    ).select("id", F.coalesce(F.col("component"), F.col("id")).alias("cluster"))
+    border_lab = (
+        sym.join(flagged.filter(~F.col("__core")), "id")
+        .join(core_lab.select(F.col("id").alias("nb"), "cluster"), "nb")
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    return (
+        flagged.join(
+            core_lab.unionByName(border_lab.select("id", "cluster")), "id", "left"
+        )
+        .select(
+            "id",
+            F.when(F.col("__core"), F.lit("core"))
+            .when(F.col("cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            "cluster",
+        )
+    )

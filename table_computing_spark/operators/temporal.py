@@ -1205,3 +1205,67 @@ def purged_split(
         .otherwise(F.lit("val"))
     )
     return j.withColumn("split", split).drop("__lt")
+
+
+def forecast_eval(
+    df: DataFrame,
+    keys: Sequence[str],
+    t_col: str,
+    actual_col: str,
+    forecast_col: str,
+    season: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-series forecast accuracy scorecard: MAE, sMAPE, and MASE
+    (Hyndman & Koehler 2006 — the scale-free standard, public) of a
+    forecast column against actuals, with the SEASONAL-NAIVE forecast
+    (actual at t − season steps) as MASE's scale denominator:
+
+        sMAPE = mean( 2|f−a| / (|f|+|a|) )        (rows with |f|+|a|>0)
+        MASE  = MAE(forecast) / MAE(naive)
+
+    MASE < 1 means the model beats "repeat last season" — the first
+    bar any production forecast must clear.
+
+    Engine-exactness: pass INTEGER-UNIT actual/forecast columns
+    (cents, millis); |f−a| sums are exact DECIMAL; each per-row sMAPE
+    ratio is rounded to 12 dp and summed in DECIMAL (fixed point, no
+    float-order dependence); every mean is one final division. Rows
+    whose naive lag is undefined (the first `season` steps) are
+    excluded from ALL metrics so MAE and MASE cover the same rows.
+
+    Plan shape: one lag window per series (partitioned by keys,
+    ordered by t — never global) + one hash aggregate per key."""
+    keys = list(keys)
+    w = W.partitionBy(*keys).orderBy(F.col(t_col).asc())
+    a = F.col(actual_col).cast("long")
+    f = F.col(forecast_col).cast("long")
+    naive = F.lag(a, season).over(w)
+    rows = df.select(
+        *keys,
+        a.alias("__a"), f.alias("__f"), naive.alias("__nv"),
+    ).filter(F.col("__nv").isNotNull())
+    ae = F.abs(F.col("__f") - F.col("__a"))
+    ae_naive = F.abs(F.col("__nv") - F.col("__a"))
+    denom = F.abs(F.col("__f")) + F.abs(F.col("__a"))
+    smape_term = F.when(
+        denom > 0,
+        F.round(F.lit(2.0) * ae.cast("double") / denom.cast("double"), 12),
+    ).otherwise(F.lit(0.0))
+    per = rows.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ae.cast("decimal(38,0)")).alias("__sae"),
+        F.sum(ae_naive.cast("decimal(38,0)")).alias("__san"),
+        F.sum(smape_term.cast("decimal(38,12)")).alias("__ssm"),
+    )
+    nd = F.col("n").cast("double")
+    mae = F.col("__sae").cast("double") / nd
+    mae_naive = F.col("__san").cast("double") / nd
+    return per.select(
+        *keys, "n",
+        F.round(mae, round_to).alias("mae"),
+        F.round(F.col("__ssm").cast("double") / nd, round_to).alias("smape"),
+        F.round(
+            F.when(F.col("__san") > 0, mae / mae_naive), round_to
+        ).alias("mase"),
+    )

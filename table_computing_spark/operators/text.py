@@ -1371,3 +1371,135 @@ def drop_boilerplate_lines(
     return out.select(
         F.col("__id").alias(id_col), "clean_text", "n_kept", "n_dropped"
     )
+
+
+def phrase_positions(
+    df: DataFrame,
+    phrase: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search via a POSITIONAL inverted index — the
+    IR-textbook shape (Manning et al., IIR ch.2, public): tokenize
+    with positions, keep only postings of the phrase's words, and
+    chain (doc, pos+i) equi-joins so word i must sit exactly i tokens
+    after word 0. Returns (id, pos) for every match start.
+
+    Scale shape: the posting lists are FILTERED to the phrase's words
+    before any join (the inverted-index read pattern — candidate
+    volume is the phrase words' document frequency, never the corpus),
+    and every join is an equi-join on (id, position). A w-word phrase
+    costs w−1 joins; all shuffles are on the doc id."""
+    if not phrase:
+        raise ValueError("phrase must have at least one word")
+    words = [w.lower() for w in phrase]
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    ).filter(F.col("tok").isin(*words))
+    out = toks.filter(F.col("tok") == words[0]).select("id", "pos")
+    for i, w in enumerate(words[1:], start=1):
+        nxt = toks.filter(F.col("tok") == w).select(
+            "id", (F.col("pos") - i).alias("pos")
+        )
+        out = out.join(nxt, ["id", "pos"])
+    return out
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    max_phrase_len: int = 3,
+    top_k: int = 20,
+    min_count: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus-level keyword extraction, RAKE-style (Rose et al. 2010,
+    public): candidate phrases are maximal runs of consecutive content
+    tokens (a separator is a stopword of `lang` or any token carrying
+    a non-[a-z0-9] character), capped at `max_phrase_len` words. Each
+    WORD scores degree/frequency where degree = Σ length of phrases
+    containing it and frequency = its phrase-slot occurrences; a
+    PHRASE scores the sum of its word scores — high-degree words
+    (those living in long phrases) pull their phrases up, the RAKE
+    signal.
+
+    Returns the corpus' top_k phrases by (score desc, phrase asc):
+    (phrase, n_phrase, score, rank). Engine-exactness: run boundaries
+    come from a running separator count (a per-document window — never
+    global), word stats are exact integers, the word score is one
+    division rounded to 9 dp, and the phrase score sums those in
+    fixed point (integer nanos) — portable to the SQL oracle with no
+    regex lookahead (RE2 engines lack it).
+
+    Scale shape: one tokenize+posexplode projection, one per-doc
+    running window, three hash aggregates (runs, word stats, phrase
+    stats) — all shuffles on doc/word/phrase keys. The global top_k is
+    orderBy+limit (TakeOrderedAndProject — per-partition heaps, never
+    a global sort); distinct phrases are DATA-sized at corpus scale,
+    so a global rank window over them would be the single-task cliff.
+    Only the rank LABELS come from a window, over the already-LIMITed
+    <= top_k rows (constant input, whitelisted)."""
+    stops = STOPWORDS[lang]
+    tk = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "__tok"),
+    )
+    is_sep = F.col("__tok").isin(*stops) | F.col("__tok").rlike("[^a-z0-9]")
+    w_run = Window.partitionBy("__id").orderBy(F.col("__pos").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    runs = tk.select(
+        "__id", "__pos", "__tok", is_sep.alias("__sep"),
+        F.sum(is_sep.cast("int")).over(w_run).alias("__run"),
+    ).filter(~F.col("__sep"))
+    phrases = (
+        runs.groupBy("__id", "__run")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                    lambda x: x["__tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("__len"),
+        )
+        .filter(F.col("__len") <= max_phrase_len)
+        .select("phrase", "__len")
+    )
+    pw = phrases.select(
+        "phrase", "__len", F.explode(F.split(F.col("phrase"), " ")).alias("word")
+    )
+    word_stats = pw.groupBy("word").agg(
+        F.count(F.lit(1)).alias("__freq"), F.sum("__len").alias("__deg")
+    ).select(
+        "word",
+        F.round(
+            F.col("__deg").cast("double") / F.col("__freq").cast("double"), 9
+        ).alias("__wscore"),
+    )
+    per_phrase = (
+        pw.join(word_stats, "word")
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("__n_slots"),
+            F.sum((F.col("__wscore") * 1e9).cast("long")).alias("__snano"),
+        )
+        .withColumn("__plen", F.size(F.split(F.col("phrase"), " ")))
+        .withColumn(
+            "n_phrase", (F.col("__n_slots") / F.col("__plen")).cast("long")
+        )
+    )
+    ranked = per_phrase.filter(F.col("n_phrase") >= min_count).select(
+        "phrase", "n_phrase",
+        F.round(
+            F.col("__snano").cast("double") / F.col("n_phrase").cast("double") / 1e9,
+            round_to,
+        ).alias("score"),
+    )
+    top = ranked.orderBy(F.col("score").desc(), F.col("phrase").asc()).limit(top_k)
+    w = Window.orderBy(F.col("score").desc(), F.col("phrase").asc())
+    return top.withColumn("rank", F.row_number().over(w))

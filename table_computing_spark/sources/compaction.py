@@ -73,3 +73,43 @@ def write_compacted(
     finally:
         df.unpersist()
     return files
+
+
+def binpack_plan(
+    files: DataFrame,
+    keys,
+    name_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Compaction PLAN for an existing file inventory: within each
+    partition (keys), walk the files in deterministic (size desc,
+    name) order and assign each to the output bin its running byte
+    offset lands in — bin = ⌊offset_before / target⌋ (next-fit by
+    offset). Every bin then holds ~target_bytes, outsized files get
+    bins of their own, and the assignment is a pure function of the
+    inventory: rerunning the planner on the same listing yields the
+    same plan (idempotent orchestration).
+
+    Output: (keys..., `name_col`, `size_col`, bin, offset). The
+    descending-size first pass packs large files tight before the
+    small-file tail fills gaps — the greedy FFD intuition with ONE
+    window pass instead of an O(n·bins) driver loop.
+
+    Scale shape: one running-sum window PARTITIONED by the table
+    partition keys over the file inventory (metadata-sized, millions
+    of rows at most — never the data). Exact integer arithmetic."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(size_col).desc(), F.col(name_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sz = F.col(size_col).cast("long")
+    run = F.sum(sz).over(w)
+    return files.select(
+        *keys, name_col, size_col,
+        ((run - sz) / F.lit(int(target_bytes))).cast("long").alias("bin"),
+        (run - sz).alias("offset"),
+    )

@@ -181,6 +181,13 @@ _GLOBAL_WINDOW_OK = {
     ),
     # sum(x) OVER () over fixed-width WOE buckets (10 + under/over)
     "q_woe_iv": ("global totals over fixed bucket table", lambda spark: 12, 12),
+    # sum(x) OVER () over fixed-width JS-divergence bins (r10 twin of psi)
+    "q_js_divergence": ("global totals over fixed bin table", lambda spark: 12, 12),
+    # rank labels over the already-LIMITed top-k phrase rows; the
+    # data-sized global ordering itself is TakeOrderedAndProject
+    "q_rake_keywords": (
+        "row_number over LIMIT top_k rows (constant)", lambda spark: 20, 20,
+    ),
 }
 
 

@@ -193,12 +193,11 @@ def test_every_query_function_is_registered():
 
 
 def test_window_rotation_discipline():
-    """VERDICT r08 item 1: the first-50 driver window must have ZERO
-    overlap with the previous round's window (CORRECTNESS_r08.json)
+    """VERDICT r09 item 1: the first-50 driver window must have ZERO
+    overlap with the previous round's window (CORRECTNESS_r09.json)
     unless a row went red there — re-verifying green rows burns slots
-    the never-verified tail needs. Also pins that the 20 rows the r08
-    verdict queued (the never-driver-verified r08 late additions) are
-    all inside the r09 window."""
+    the stale strata need. Also pins that the 23 r04-stale rows the
+    r09 verdict queued are ALL inside the r10 window."""
     import itertools
     import json
     import pathlib
@@ -208,7 +207,7 @@ def test_window_rotation_discipline():
     window = list(itertools.islice(m.queries(), 50))
     prev = json.loads(
         pathlib.Path(__file__).with_name("..").resolve().joinpath(
-            "CORRECTNESS_r08.json"
+            "CORRECTNESS_r09.json"
         ).read_text()
     )
     prev_green = {
@@ -219,13 +218,14 @@ def test_window_rotation_discipline():
     overlap = set(window) & prev_green
     assert not overlap, f"window wastes slots on already-green rows: {sorted(overlap)}"
     queued = {
-        "q_tdigest_accuracy", "q_bitmap_distinct", "q_pit_features",
-        "q_ks_drift", "q_calibration", "q_pq_recall", "q_impute",
-        "q_ivfpq", "q_corr_matrix", "q_stream_bitmap_distinct",
-        "q_cusum", "q_winsorize", "q_percent_rank_global",
-        "q_interval_overlap", "q_stream_tdigest", "q_weighted_quantiles",
-        "q_bootstrap_ci", "q_rolling_median", "q_profile_diff",
-        "q_video_scene_changes",
+        "q_window_tumble", "q_window_slide", "q_window_session",
+        "q_over_by_size", "q_streaming_tumble", "q_streaming_slide",
+        "q_streaming_session", "q_stream_over_duration", "q_stream_enrich",
+        "q_stream_interval_join", "q_stream_anomaly", "q_minhash_lsh",
+        "q_simhash_pairs", "q_stream_minhash", "q_approx_quantile",
+        "q_approx_distinct", "q_gate_relational", "q_gate_rowwise_udf",
+        "q_gate_aggregate", "q_gate_over", "q_stream_over", "q_gate_joins",
+        "q_gate_setops",
     }
     missing = queued - set(window)
     assert not missing, f"verdict-queued rows missing from the window: {sorted(missing)}"
