@@ -245,7 +245,16 @@ def grid_dbscan(
     Scale shape: one radius join (cell equi-join, density-bound), one
     neighbor-count aggregate, connected components over CORE-CORE
     edges only (large-star/small-star, linear in edges), one min-
-    aggregate for borders — all shuffles on point/cell ids."""
+    aggregate for borders — all shuffles on point/cell ids.
+
+    Cost contract (measured — the r10 sweep OOM'd the naive config):
+    the eps-graph holds ~N·density·π·eps² edges. eps is a SEMANTIC
+    parameter (it defines the clustering), so the operator never
+    rescales it — but the caller must: on a corpus whose density grows
+    (more points, same extent), a fixed eps grows the edge set
+    quadratically in N. Size eps to the cluster scale you mean
+    (≈ the expected k-NN radius, shrinking ∝ 1/√density); the
+    density-scaled sweep row (.scale/sweep_r10.json) is ~linear."""
     from table_computing_spark.operators.graph import connected_components
 
     pts = df.select(F.col(id_col).alias("id"))

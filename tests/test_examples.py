@@ -312,9 +312,32 @@ def _seed_ns(spark) -> dict:
 
 @pytest.mark.parametrize(("title", "code"), BLOCKS, ids=_ids())
 def test_examples_block_runs(spark, title, code):
-    ns = _seed_ns(spark)
-    code = code.replace("/root/testdata/sf0.01", SF_DIR)
-    exec(compile(code, f"EXAMPLES.md::{title}", "exec"), ns)  # noqa: S102
+    # §1 calls get_spark(), whose tuned defaults (shuffle.partitions=32
+    # etc.) land on the SHARED pytest session via getOrCreate and would
+    # leak into later suites (the skew tests calibrate against the
+    # conftest's 8 partitions) — snapshot and restore the runtime conf
+    from table_computing_spark.session import _DEFAULTS
+
+    guarded = list(_DEFAULTS) + ["spark.sql.shuffle.partitions"]
+    before = {}
+    for k in guarded:
+        try:
+            before[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset key
+            before[k] = None
+    try:
+        ns = _seed_ns(spark)
+        code = code.replace("/root/testdata/sf0.01", SF_DIR)
+        exec(compile(code, f"EXAMPLES.md::{title}", "exec"), ns)  # noqa: S102
+    finally:
+        for k, v in before.items():
+            try:
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+            except Exception:  # noqa: BLE001 — static confs can't be set
+                pass
     # blocks that registered streaming queries must drain + stop cleanly
     proc = ns.get("processing")
     if proc is not None and getattr(proc, "_queries", None):

@@ -50,15 +50,61 @@ def main() -> None:
             pass
         return dt
 
+    path = os.path.join(repo, ".scale", "sweep_r10.json")
+
+    def flush(out: dict) -> None:
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+
     out: dict = {}
     for name in new_queries:
         fn = getattr(entry, name)
-        row = {}
+        row: dict = {}
+        ok = True
         for s, d in scales.items():
-            row[str(s)] = run(fn, d)
+            if name == "q_grid_dbscan":
+                # fixed eps on a densifying fixed-extent cloud grows the
+                # eps-graph ~quadratically (the first r10 sweep attempt
+                # OOM'd at s1 on eps=5000 — adjudicated in PLANS.md).
+                # The per-unit-of-work row holds avg neighborhood size
+                # constant: eps ∝ 1/sqrt(N) (s0.1 keeps the query's 5000)
+                from table_computing_spark.operators.spatial import grid_dbscan
+
+                eps = 5000 if s == 0.1 else 1581
+                pts = spark.read.parquet(os.path.join(d, "customer.parquet"))
+                from pyspark.sql import functions as FF
+                pts = pts.select(
+                    FF.col("c_custkey").alias("id"),
+                    ((FF.col("c_custkey") * 7919) % 100000).alias("x"),
+                    ((FF.col("c_custkey") * 104729) % 100000).alias("y"),
+                )
+                t0 = time.perf_counter()
+                try:
+                    grid_dbscan(pts, "id", "x", "y", eps=eps, min_pts=8).write.mode(
+                        "overwrite").format("noop").save()
+                    row[str(s)] = round(time.perf_counter() - t0, 2)
+                    row[f"eps_{s:g}"] = eps
+                except Exception as e:  # noqa: BLE001
+                    row[str(s)] = None
+                    row["error"] = repr(e)[:120]
+                    ok = False
+                row["note"] = ("density-scaled eps (constant avg neighborhood) "
+                               "— fixed eps=5000 at s1 OOMs on the ~N^2 "
+                               "densified eps-graph, see PLANS.md r10")
+                print(f"{name} @ s{s:g} (eps={eps}): {row[str(s)]}s", flush=True)
+                continue
+            try:
+                row[str(s)] = run(fn, d)
+            except Exception as e:  # noqa: BLE001
+                row[str(s)] = None
+                row["error"] = repr(e)[:120]
+                ok = False
             print(f"{name} @ s{s:g}: {row[str(s)]}s", flush=True)
-        row["decade_ratio"] = round(row["1.0"] / row["0.1"], 2)
+        if ok and row.get("0.1"):
+            row["decade_ratio"] = round(row["1.0"] / row["0.1"], 2)
         out[name] = row
+        flush(out)
 
     # --- spatial DEFAULT-config rows (r09 verdict task 8) -------------
     # grid_knn_join(cell_size="auto", queries=ALL points): work units =
@@ -107,10 +153,7 @@ def main() -> None:
                    "honest per-unit read is time_ratio vs pairs_ratio")
     out["grid_radius_join_default"] = rad
 
-    path = os.path.join(repo, ".scale", "sweep_r10.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-        f.write("\n")
+    flush(out)
     print("wrote", path)
     spark.stop()
 
