@@ -5959,6 +5959,77 @@ def q_grid_dbscan(spark, sf_dir):
     return grid_dbscan(pts, "id", "x", "y", eps=5_000, min_pts=8)
 
 
+def q_exact_k_sample(spark, sf_dir):
+    """Exact-k per-stratum sampling (sampling.exact_k_sample): exactly
+    200 events per type, chosen by md5-hash order of the event id —
+    count-guaranteed, reproducible across reruns/engines/layouts (the
+    eval-set / labeling-budget sampler the fraction-based family can't
+    provide). Verified by aggregate: per-type counts and an md5 hash-sum
+    of the chosen ids (the selection itself, order-free). (New r10.)"""
+    from table_computing_spark.operators.sampling import exact_k_sample
+
+    ev = _t(spark, sf_dir, "events").df.select("event_type", "event_id")
+    picked = exact_k_sample(ev, "event_type", "event_id", k=200)
+    # 48-bit hashes: 200 summands stay far under 2^63 (a 60-bit hash
+    # sum overflowed BIGINT in both engines)
+    return picked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10)
+            .cast("long")
+        ).alias("id_hashsum"),
+    )
+
+
+def q_kmv_rollup(spark, sf_dir):
+    """Sketch rollup (kmv.kmv_rollup): build (day, type) KMV-64
+    sketches once, answer the per-type distinct-user question from the
+    STATE — the k-min trim is associative, so the rollup equals the
+    direct per-type sketch bit-for-bit and even the estimates
+    hash-match the oracle's direct computation. (New r10.)"""
+    from table_computing_spark.operators import kmv
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        tcf.epoch_ms("ts").alias("t_ms"), "event_type", "user_id"
+    ).select(F.expr("t_ms div 86400000").alias("day"), "event_type", "user_id")
+    fine = kmv.kmv_sketch(ev, ["day", "event_type"], "user_id", k=64, n_cells=256)
+    coarse = kmv.kmv_rollup(fine, ["event_type"], k=64)
+    return kmv.kmv_estimate(coarse, ["event_type"], k=64).select(
+        "event_type", F.round("n_est", 4).alias("n_est")
+    )
+
+
+def q_dim_ablation(spark, sf_dir):
+    """Embedding dimension-ablation eval (composition: cosine_topk on
+    TRUNCATED vectors vs the full-dim exact baseline, scored by
+    similarity.ranking_metrics): how much retrieval quality do the
+    first 16 of 64 dims keep — the measurement behind Matryoshka-style
+    embedding compression decisions. Result lists never reach the
+    driver. (New r10.)"""
+    from table_computing_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    truth = sim.cosine_topk(emb, qs, k=10)
+    emb16 = emb.withColumn("emb16", F.slice("embedding", 1, 16))
+    pred = sim.cosine_topk(
+        emb16, emb16.filter(F.col("vec_id") % 50 == 0), k=10, vec_col="emb16"
+    )
+    return sim.ranking_metrics(pred, truth, k=10)
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Corpus Zipf-law fit (text.zipf_fit): least-squares slope of
+    ln(freq) vs ln(rank) over token ranks 11..1000 — the corpus-health
+    twin of q_vocab_growth's Heaps fit (natural text ~ −1; floods and
+    dedup failures bend it). Exact counts; nano-rounded fit terms;
+    the only window runs over the LIMITed top-1000 rows. (New r10.)"""
+    from table_computing_spark.operators.text import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents").df
+    return zipf_fit(docs, top_n=1000, skip_top=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -5967,13 +6038,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-10 window (the r09 verdict's task-1 composition, plus the
     never-verified r10 additions): (a) the 23 stalest rows on the
     board — last driver-green r04; the r09 judge independently
-    re-oracled 12 of them green; (b) the 13 NEW r10 queries, never
+    re-oracled 12 of them green; (b) the 17 NEW r10 queries, never
     driver-verified, all green under the dtype-strict local sim at
-    sf0.01; (c) the 14 stalest r05 rows filling to 50. Zero overlap
+    sf0.01; (c) the 10 stalest r05 rows filling to 50. Zero overlap
     with the r09 window (pinned by
     tests/test_queries.py::test_window_rotation_discipline). After
     this round no row's last green round is older than r05, and the
-    remaining r05 stratum (34 rows) heads the r11 rotation.
+    remaining r05 stratum (38 rows) heads the r11 rotation.
     """
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
@@ -6018,7 +6089,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rake_keywords": q_rake_keywords,
         "q_window_kmv": q_window_kmv,
         "q_grid_dbscan": q_grid_dbscan,
-        # (c) the 14 stalest r05 rows
+        # (b2) late r10 additions — never driver-verified (they outrank
+        # ever-green r05 rows for window slots, the standing rule)
+        "q_exact_k_sample": q_exact_k_sample,
+        "q_kmv_rollup": q_kmv_rollup,
+        "q_dim_ablation": q_dim_ablation,
+        "q_zipf_fit": q_zipf_fit,
+        # (c) the 10 stalest r05 rows
         "q_pivot": q_pivot,
         "q_token_budget": q_token_budget,
         "q_pipeline_curation": q_pipeline_curation,
@@ -6029,10 +6106,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_logprob": q_unigram_logprob,
         "q_mixture_weights": q_mixture_weights,
         "q_multimodal_decode": q_multimodal_decode,
-        "q_nb_classify": q_nb_classify,
-        "q_dedup_incremental": q_dedup_incremental,
-        "q_rp_project": q_rp_project,
-        "q_gopher_rules": q_gopher_rules,
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
@@ -6140,8 +6213,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_json_ingest": q_stream_json_ingest,
         "q_minhash_accuracy": q_minhash_accuracy,
         "q_asof_forward": q_asof_forward,
-        # --- last green r05 (the 14 stalest moved into the r10 window;
-        # these 34 head the r11 rotation) ---
+        # --- last green r05 (the 14 stalest moved into the r10 window,
+        # 4 displaced back by the late r10 additions; these 38 head the
+        # r11 rotation) ---
+        "q_nb_classify": q_nb_classify,
+        "q_dedup_incremental": q_dedup_incremental,
+        "q_rp_project": q_rp_project,
+        "q_gopher_rules": q_gopher_rules,
         "q_dup_span_intervals": q_dup_span_intervals,
         "q_stream_curation": q_stream_curation,
         "q_mixture_apply": q_mixture_apply,
@@ -11855,6 +11933,133 @@ def oracle_sql() -> dict[str, str]:
                           ELSE (63.0 * 1152921504606846976.0)
                                / CAST(kth AS DOUBLE) END, 4) AS n_est
         FROM s
+        """,
+        "q_exact_k_sample": """
+        WITH ranked AS (
+          SELECT event_type, event_id,
+                 row_number() OVER (PARTITION BY event_type ORDER BY
+                   substring(md5(CAST(event_id AS VARCHAR)), 1, 8) ASC,
+                   event_id ASC) AS rk
+          FROM events
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                                               1, 12) AS BIGINT)) AS BIGINT)
+                 AS id_hashsum
+        FROM ranked WHERE rk <= 200 GROUP BY 1
+        """,
+        "q_kmv_rollup": """
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS h
+          FROM events
+        ), r AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+          FROM h
+        ), s AS (
+          SELECT event_type, count(*) AS nu, max(h) AS kth
+          FROM r WHERE rk <= 64 GROUP BY 1
+        )
+        SELECT event_type,
+               round(CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+                          ELSE (63.0 * 1152921504606846976.0)
+                               / CAST(kth AS DOUBLE) END, 4) AS n_est
+        FROM s
+        """,
+        "q_dim_ablation": """
+        WITH qv AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 50 = 0
+        ), cv AS (
+          SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+        ), ts AS (
+          SELECT query_id, neighbor_id,
+                 round(list_cosine_similarity(qv.v, cv.v), 4) AS cos_sim
+          FROM qv, cv WHERE query_id <> neighbor_id
+        ), truth AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM ts QUALIFY rank <= 10
+        ), q16 AS (
+          SELECT vec_id AS query_id, CAST(embedding[1:16] AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 50 = 0
+        ), c16 AS (
+          SELECT vec_id AS neighbor_id, CAST(embedding[1:16] AS DOUBLE[]) AS v
+          FROM embeddings
+        ), ps AS (
+          SELECT query_id, neighbor_id,
+                 round(list_cosine_similarity(q16.v, c16.v), 4) AS cos_sim
+          FROM q16, c16 WHERE query_id <> neighbor_id
+        ), pred AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM ps QUALIFY rank <= 10
+        ), tsz AS (
+          SELECT query_id, count(*) AS nt FROM truth GROUP BY query_id
+        ), hits AS (
+          SELECT p.query_id, p.rank AS pr
+          FROM pred p JOIN truth t
+            ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+        ), per AS (
+          SELECT query_id, count(*) AS nhit, min(pr) AS first,
+                 CAST(sum(CAST(round(1e9 / (ln(pr + 1) / ln(2.0)))
+                      AS BIGINT)) AS BIGINT) AS dcg_nano
+          FROM hits GROUP BY query_id
+        )
+        SELECT t.query_id,
+               round(coalesce(p.nhit, 0) / t.nt, 6) AS recall_at_k,
+               round(coalesce(1.0 / p.first, 0.0), 6) AS mrr,
+               round(coalesce(p.dcg_nano, 0) / CAST(list_sum(
+                 list_transform(range(1, t.nt + 1),
+                   r -> CAST(round(1e9 / (ln(r + 1) / ln(2.0))) AS BIGINT))
+               ) AS BIGINT), 6) AS ndcg_at_k
+        FROM tsz t LEFT JOIN per p USING (query_id)
+        """,
+        "q_zipf_fit": r"""
+        WITH counts AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x <> '')) AS tok
+            FROM documents
+          ) GROUP BY tok
+        ), totals AS (
+          SELECT CAST(sum(freq) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_types
+          FROM counts
+        ), ranked AS (
+          SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+          FROM counts QUALIFY rank <= 1000
+        ), terms AS (
+          SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e9) AS BIGINT) AS xn,
+                 CAST(round(ln(CAST(freq AS DOUBLE)) * 1e9) AS BIGINT) AS yn,
+                 CAST(round(ln(CAST(rank AS DOUBLE))
+                            * ln(CAST(freq AS DOUBLE)) * 1e9) AS BIGINT) AS xyn,
+                 CAST(round(ln(CAST(rank AS DOUBLE))
+                            * ln(CAST(rank AS DOUBLE)) * 1e9) AS BIGINT) AS xxn
+          FROM ranked WHERE rank > 10
+        ), s AS (
+          SELECT count(*) AS n,
+                 CAST(sum(xn) AS BIGINT) AS sxn, CAST(sum(yn) AS BIGINT) AS syn,
+                 CAST(sum(xyn) AS BIGINT) AS sxyn,
+                 CAST(sum(xxn) AS BIGINT) AS sxxn
+          FROM terms
+        ), fit AS (
+          SELECT
+            (CAST(n AS DOUBLE) * (sxyn / 1e9) - (sxn / 1e9) * (syn / 1e9))
+              / (CAST(n AS DOUBLE) * (sxxn / 1e9) - (sxn / 1e9) * (sxn / 1e9))
+              AS slope_raw,
+            CAST(n AS DOUBLE) AS nd, sxn / 1e9 AS sx, syn / 1e9 AS sy
+          FROM s
+        )
+        SELECT totals.n_tokens, totals.n_types,
+               round(slope_raw, 6) AS slope,
+               round((sy - slope_raw * sx) / nd, 6) AS intercept
+        FROM totals, fit
         """,
         "q_grid_dbscan": """
         WITH RECURSIVE pts AS (

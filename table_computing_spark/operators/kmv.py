@@ -159,3 +159,21 @@ def kmv_set_ops(
         F.round(rho * union_est, round_to).alias("intersect_est"),
         F.round(rho, round_to).alias("jaccard_est"),
     )
+
+
+def kmv_rollup(
+    state: DataFrame, to_keys: Sequence[str], k: int = 256
+) -> DataFrame:
+    """Re-aggregate sketches to a COARSER grain: build once at the
+    finest grain, answer every rollup from the state — the bitmap
+    family's rollup_distinct contract for KMV. Because the k-min trim
+    is associative and the hashes are a pure function of the values,
+    the rolled-up sketch equals the direct sketch of the coarser
+    grouping BIT-FOR-BIT (pinned in tests). One explode + one hash
+    aggregate keyed by the coarser keys."""
+    to_keys = list(to_keys)
+    return (
+        state.select(*to_keys, F.explode("kmv").alias("__h"))
+        .groupBy(*to_keys)
+        .agg(F.slice(F.sort_array(F.collect_set("__h")), 1, k).alias("kmv"))
+    )

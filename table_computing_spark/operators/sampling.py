@@ -158,3 +158,29 @@ def weighted_sample(
     return picked.withColumn("priority", F.round("__priority", 6)).drop(
         "__priority"
     )
+
+
+def exact_k_sample(
+    df: DataFrame, strata_col: str, key_col: str, k: int
+) -> DataFrame:
+    """EXACTLY k rows per stratum (fewer only when the stratum is
+    smaller), chosen by md5-hash order of the key with key tiebreak —
+    a uniform without-replacement sample that is a pure function of
+    the data: reruns, retries, engines, and incremental re-extracts
+    all pick the same rows. The fraction-based samplers above cannot
+    promise a COUNT; eval sets and labeling budgets need one.
+
+    Shape: one rank window PARTITIONED by stratum ordered by the key
+    hash (the per-group-exact-order-statistic idiom shared with
+    group_quantiles/conformal) + one filter. Output schema == input
+    schema."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        _hash_prefix(F.col(key_col)).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -1503,3 +1503,66 @@ def rake_keywords(
     top = ranked.orderBy(F.col("score").desc(), F.col("phrase").asc()).limit(top_k)
     w = Window.orderBy(F.col("score").desc(), F.col("phrase").asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+    skip_top: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution (Zipf 1949,
+    public): the least-squares slope of ln(freq) vs ln(rank) over the
+    top `top_n` token ranks (the `skip_top` head ranks excluded — the
+    Zipf head is known to deviate, Piantadosi 2014). Natural corpora
+    sit near slope −1; strong deviation flags boilerplate floods,
+    dedup failures, or synthetic text — the corpus-health twin of
+    vocab_growth's Heaps-law readout.
+
+    Returns one row: (n_tokens, n_types, slope, intercept) with the
+    exact token/type counts alongside the fit.
+
+    Engine-exactness: counts are exact; ranking ties break by token;
+    per-rank (x, y, xy, x²) terms are nano-rounded and summed exactly;
+    the closed-form slope/intercept are fixed-order divisions. The
+    ONLY window runs over the already-LIMITed top_n rows (TakeOrdered
+    picks them distributed — the global token table is data-sized).
+
+    Shape: one tokenize+explode scan, one (token) hash aggregate, one
+    TakeOrderedAndProject, then constant-size arithmetic."""
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    totals = counts.agg(
+        F.sum("freq").alias("n_tokens"), F.count(F.lit(1)).alias("n_types")
+    )
+    top = counts.orderBy(F.col("freq").desc(), F.col("tok").asc()).limit(top_n)
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") > skip_top
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    nano = lambda c: F.round(c * 1e9).cast("long")  # noqa: E731
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(nano(x)).alias("sx"),
+        F.sum(nano(y)).alias("sy"),
+        F.sum(nano(x * y)).alias("sxy"),
+        F.sum(nano(x * x)).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / 1e9
+    sy = F.col("sy").cast("double") / 1e9
+    sxy = F.col("sxy").cast("double") / 1e9
+    sxx = F.col("sxx").cast("double") / 1e9
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    intercept = (sy - slope * sx) / nd
+    fit = s.select(
+        F.round(slope, round_to).alias("slope"),
+        F.round(intercept, round_to).alias("intercept"),
+    )
+    return totals.crossJoin(F.broadcast(fit))

@@ -188,6 +188,10 @@ _GLOBAL_WINDOW_OK = {
     "q_rake_keywords": (
         "row_number over LIMIT top_k rows (constant)", lambda spark: 20, 20,
     ),
+    # zipf rank over the LIMITed top-1000 token rows (same shape)
+    "q_zipf_fit": (
+        "row_number over LIMIT top_n rows (constant)", lambda spark: 1000, 1000,
+    ),
 }
 
 

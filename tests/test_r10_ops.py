@@ -268,3 +268,57 @@ def test_grid_dbscan_border_vs_core(spark):
     out = {r["id"]: r for r in grid_dbscan(pts, "id", "x", "y",
                                            eps=2, min_pts=6).collect()}
     assert out[50]["role"] == "border" and out[50]["cluster"] == 0
+
+
+# ------------------------------------------------------- late r10 batch
+
+def test_exact_k_sample_count_and_determinism(spark):
+    from table_computing_spark.operators.sampling import exact_k_sample
+
+    df = spark.createDataFrame(
+        [(f"s{i % 3}", i) for i in range(100)], "s string, id long"
+    )
+    out = exact_k_sample(df, "s", "id", k=5)
+    per = {r["s"]: r["count"] for r in out.groupBy("s").count().collect()}
+    assert per == {"s0": 5, "s1": 5, "s2": 5}
+    # pure function of the data: a repartitioned rerun picks the SAME ids
+    again = exact_k_sample(df.repartition(7), "s", "id", k=5)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+    # stratum smaller than k: keep all rows, never pad
+    tiny = spark.createDataFrame([("a", 1), ("a", 2)], "s string, id long")
+    assert exact_k_sample(tiny, "s", "id", k=5).count() == 2
+
+
+def test_kmv_rollup_equals_direct_sketch(spark):
+    """Associativity contract: rollup(fine state) == direct coarse
+    sketch, bit for bit."""
+    from table_computing_spark.operators import kmv
+
+    df = spark.createDataFrame(
+        [(i % 4, f"g{i % 2}", i * 13) for i in range(2000)],
+        "day long, g string, v long",
+    )
+    fine = kmv.kmv_sketch(df, ["day", "g"], "v", k=64, n_cells=256)
+    rolled = {r["g"]: r["kmv"]
+              for r in kmv.kmv_rollup(fine, ["g"], k=64).collect()}
+    direct = {r["g"]: r["kmv"]
+              for r in kmv.kmv_sketch(df, ["g"], "v", k=64, n_cells=256).collect()}
+    assert rolled == direct
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    """A corpus built with freq(rank) = C / rank^1.0 must fit slope
+    ~ -1 exactly on the planted range."""
+    from table_computing_spark.operators.text import zipf_fit
+
+    # one doc per token occurrence: token t_r appears floor(2000/r) times
+    rows = []
+    for r in range(1, 60):
+        rows += [(f"t{r:03d}",)] * (2000 // r)
+    docs = spark.createDataFrame(rows, "text string").selectExpr(
+        "text", "monotonically_increasing_id() AS doc_id"
+    )
+    out = zipf_fit(docs, top_n=50, skip_top=5).collect()[0]
+    assert out["n_tokens"] == sum(2000 // r for r in range(1, 60))
+    # floor() quantization wobbles the fit slightly around -1
+    assert -1.05 < out["slope"] < -0.95
