@@ -11759,7 +11759,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT per.l_returnflag, n_cal, q_hat,
                CAST(coalesce(n_test, 0) AS BIGINT) AS n_test,
-               round(CAST(hit AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS coverage
+               round(CASE WHEN q_hat IS NOT NULL THEN
+                 CAST(hit AS DOUBLE) / CAST(n_test AS DOUBLE) END, 6) AS coverage
         FROM per LEFT JOIN cov USING (l_returnflag)
         """,
         "q_did": """

@@ -411,8 +411,13 @@ def conformal_intervals(
         .select(
             *keys, "n_cal", "q_hat",
             F.coalesce(F.col("n_test"), F.lit(0)).alias("n_test"),
+            # NULL q_hat = nothing to certify: coverage must be NULL,
+            # not the misleading 0.0 the bare hit count would produce
             F.round(
-                F.col("__hit").cast("double") / F.col("n_test").cast("double"),
+                F.when(
+                    F.col("q_hat").isNotNull(),
+                    F.col("__hit").cast("double") / F.col("n_test").cast("double"),
+                ),
                 round_to,
             ).alias("coverage"),
         )

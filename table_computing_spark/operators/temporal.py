@@ -1244,7 +1244,7 @@ def forecast_eval(
     rows = df.select(
         *keys,
         a.alias("__a"), f.alias("__f"), naive.alias("__nv"),
-    ).filter(F.col("__nv").isNotNull())
+    ).filter(F.col("__nv").isNotNull() & F.col("__f").isNotNull())
     ae = F.abs(F.col("__f") - F.col("__a"))
     ae_naive = F.abs(F.col("__nv") - F.col("__a"))
     denom = F.abs(F.col("__f")) + F.abs(F.col("__a"))

@@ -98,7 +98,10 @@ def binpack_plan(
 
     Scale shape: one running-sum window PARTITIONED by the table
     partition keys over the file inventory (metadata-sized, millions
-    of rows at most — never the data). Exact integer arithmetic."""
+    of rows at most — never the data). Exact integer arithmetic.
+    `name_col` must be unique within a partition (file listings are) —
+    duplicate (size, name) rows would make the running offsets of the
+    duplicates order-dependent."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 

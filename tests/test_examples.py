@@ -301,6 +301,12 @@ def _seed_ns(spark) -> dict:
         # §20 replica verify
         "orders_site_a": orders,
         "orders_site_b": orders.filter(F.col("o_orderkey") % 41 != 0),
+        # §25 spatial clustering
+        "pts": spark.createDataFrame(
+            [(i, 10 + i % 3, 10 + i // 3) for i in range(9)]
+            + [(100, 500, 500)],
+            "id long, x long, y long",
+        ),
         # §23 leakage-safe prep
         "T0": 1_600_000_000_000,
         "six_hours": 6 * 3_600_000,

@@ -145,6 +145,8 @@ def test_conformal_too_few_rows_null_qhat(spark):
         df, ["g"], "y", "p", calib_cond=F.col("id") == 0, alpha=0.1
     ).collect()[0]
     assert out["n_cal"] == 1 and out["q_hat"] is None
+    # nothing to certify -> NULL coverage, never a misleading 0.0
+    assert out["coverage"] is None
 
 
 # ----------------------------------------------------------------- drift
