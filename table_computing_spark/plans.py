@@ -70,7 +70,23 @@ def plan_fingerprint(df: DataFrame) -> str:
     import hashlib
 
     try:
-        s = df._jdf.queryExecution().simpleString()
+        spark = df.sparkSession
+        # FileScan metadata (DataFilters, ReadSchema...) is truncated at
+        # spark.sql.maxMetadataStringLength CHARS — counted on the
+        # PRE-normalization text, so longer expression ids (a session
+        # counter) shift the cut point and change the visible prefix.
+        # Lift the cap while rendering so the fingerprint sees the whole
+        # string, then restore.
+        key = "spark.sql.maxMetadataStringLength"
+        prev = spark.conf.get(key, None)
+        try:
+            spark.conf.set(key, "100000")
+            s = df._jdf.queryExecution().simpleString()
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
     except Exception:  # noqa: BLE001 — fingerprinting is advisory
         return "na"
     s = re.sub(r"#\d+", "#", s)
@@ -78,6 +94,9 @@ def plan_fingerprint(df: DataFrame) -> str:
     s = re.sub(r"0x[0-9a-fA-F]+", "0x", s)
     s = re.sub(r"(file:)?/[^\s,\)\]]+", "<path>", s)
     s = re.sub(r"\[id=#?\d*\]", "", s)
+    # higher-order-function lambda variables carry a SESSION-global
+    # counter (x_1, x_3, ...) — same query, different session, new name
+    s = re.sub(r"\b([A-Za-z]\w*)_\d+#", r"\1_#", s)
     return hashlib.sha1(s.encode()).hexdigest()[:12]
 
 
