@@ -55,7 +55,12 @@ def kaplan_meier(
     standard convention: a subject censored at t was at risk at t).
 
     survival only steps down at event times; censoring rows keep the
-    running value (they're reported for the at-risk bookkeeping)."""
+    running value (they're reported for the at-risk bookkeeping).
+
+    With keys=[] the running window is global over the DISTINCT-TIME
+    table — fine for discretized durations (days, buckets), but
+    ms-precision times make that table data-sized: pass group keys or
+    discretize t first (the same rule as every global-order path)."""
     keys = list(keys)
     per_t = df.groupBy(*keys, F.col(time_col).alias("t")).agg(
         F.sum(event_col.cast("long")).alias("n_event"),
