@@ -6030,6 +6030,53 @@ def q_zipf_fit(spark, sf_dir):
     return zipf_fit(docs, top_n=1000, skip_top=10)
 
 
+def q_stream_topk(spark, sf_dir):
+    """Streaming maintained top-k (matview.stream_maintain_agg +
+    rank-at-read): events replay as a 3-file stream; per
+    (event_type, user) counts merge into the persisted state each
+    micro-batch; the top-5 users per type are RANKED AT READ TIME from
+    the state — the standard maintained-topk decomposition (counts are
+    self-maintainable, ranks are not; never maintain the rank). The
+    leaderboard question every engagement pipeline serves. Oracle: the
+    full batch GROUP BY + rank — MV correctness by definition.
+    (New r10.)"""
+    import tempfile
+
+    from pyspark.sql import Window
+    from table_computing_spark.streaming import matview
+
+    ev = _t(spark, sf_dir, "events").df.select("event_type", "user_id", "event_id")
+    base = tempfile.mkdtemp(prefix="tc_stopk_")
+    src = os.path.join(base, "deltas")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with _state_partitions(spark):
+        q = matview.stream_maintain_agg(
+            sdf,
+            ["event_type", "user_id"],
+            {},
+            os.path.join(base, "state"),
+            os.path.join(base, "ckpt"),
+        )
+        _await_stream(q)
+    st = matview.read_state(spark, os.path.join(base, "state"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id").asc()
+    )
+    return (
+        st.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("event_type", "user_id", F.col("cnt").alias("n_events"), "rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -6038,13 +6085,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-10 window (the r09 verdict's task-1 composition, plus the
     never-verified r10 additions): (a) the 23 stalest rows on the
     board — last driver-green r04; the r09 judge independently
-    re-oracled 12 of them green; (b) the 17 NEW r10 queries, never
+    re-oracled 12 of them green; (b) the 18 NEW r10 queries, never
     driver-verified, all green under the dtype-strict local sim at
-    sf0.01; (c) the 10 stalest r05 rows filling to 50. Zero overlap
+    sf0.01; (c) the 9 stalest r05 rows filling to 50. Zero overlap
     with the r09 window (pinned by
     tests/test_queries.py::test_window_rotation_discipline). After
     this round no row's last green round is older than r05, and the
-    remaining r05 stratum (38 rows) heads the r11 rotation.
+    remaining r05 stratum (39 rows) heads the r11 rotation.
     """
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
@@ -6095,7 +6142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmv_rollup": q_kmv_rollup,
         "q_dim_ablation": q_dim_ablation,
         "q_zipf_fit": q_zipf_fit,
-        # (c) the 10 stalest r05 rows
+        "q_stream_topk": q_stream_topk,
+        # (c) the 9 stalest r05 rows
         "q_pivot": q_pivot,
         "q_token_budget": q_token_budget,
         "q_pipeline_curation": q_pipeline_curation,
@@ -6105,7 +6153,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_spans": q_dup_spans,
         "q_unigram_logprob": q_unigram_logprob,
         "q_mixture_weights": q_mixture_weights,
-        "q_multimodal_decode": q_multimodal_decode,
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
@@ -6214,8 +6261,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_accuracy": q_minhash_accuracy,
         "q_asof_forward": q_asof_forward,
         # --- last green r05 (the 14 stalest moved into the r10 window,
-        # 4 displaced back by the late r10 additions; these 38 head the
+        # 5 displaced back by the late r10 additions; these 39 head the
         # r11 rotation) ---
+        "q_multimodal_decode": q_multimodal_decode,
         "q_nb_classify": q_nb_classify,
         "q_dedup_incremental": q_dedup_incremental,
         "q_rp_project": q_rp_project,
@@ -11934,6 +11982,18 @@ def oracle_sql() -> dict[str, str]:
                           ELSE (63.0 * 1152921504606846976.0)
                                / CAST(kth AS DOUBLE) END, 4) AS n_est
         FROM s
+        """,
+        "q_stream_topk": """
+        WITH counts AS (
+          SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2
+        ), r AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                     ORDER BY n_events DESC, user_id ASC) AS rank
+          FROM counts
+        )
+        SELECT event_type, user_id, n_events, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5
         """,
         "q_exact_k_sample": """
         WITH ranked AS (
