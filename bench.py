@@ -88,12 +88,16 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            build_s = time.perf_counter() - t0
             # plan fingerprint (r09 verdict task 2): hashed OUTSIDE the
-            # timed window, from the already-built df — "plan unchanged,
-            # code unchanged -> host noise" becomes a one-line check
+            # timed window, BEFORE the write executes — materializing a
+            # cached intermediate changes the rendered plan text, so a
+            # post-execution hash would not reproduce in a build-only
+            # session (tools/promote_plan_fingerprints' recompute)
             plan_sha[name] = plan_fingerprint(df)
+            t1 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(build_s + time.perf_counter() - t1, 3)
             # Streaming queries run a trigger-driven micro-batch pipeline
             # inside fn(): their wall time is CADENCE-bound (trigger
             # scheduling + checkpoint fsyncs), not plan-bound — a warm rep
