@@ -11941,7 +11941,10 @@ def oracle_sql() -> dict[str, str]:
           FROM pw GROUP BY word
         ), per_phrase AS (
           SELECT phrase, CAST(count(*) AS BIGINT) AS n_slots,
-                 CAST(sum(CAST(wscore * 1e9 AS BIGINT)) AS BIGINT) AS snano
+                 -- explicit round: DuckDB's CAST already rounds-to-nearest,
+                 -- but the Spark side now rounds before casting (r10
+                 -- advice) — keep both engines visibly identical
+                 CAST(sum(CAST(round(wscore * 1e9) AS BIGINT)) AS BIGINT) AS snano
           FROM pw JOIN word_stats USING (word)
           GROUP BY phrase
         ), ranked AS (

@@ -82,6 +82,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     plan_sha: dict[str, str] = {}
     cadence_bound: list[str] = []
+    warm_inverted: list[str] = []  # warm >1.2x cold even after a re-run
     from table_computing_spark.plans import plan_fingerprint
 
     for name, fn in qs.items():
@@ -106,6 +107,13 @@ def main() -> None:
             # task 7). Outlier reruns still apply (a 3x swing is worth one
             # retry regardless of what bounds the query).
             is_cadence = name.startswith(("q_stream", "q_streaming"))
+            # cadence annotation is a property of the QUERY, not of which
+            # branch below handles it: a cadence-bound row that trips the
+            # outlier rerun used to skip the append, silently losing the
+            # annotation on exactly the rows most likely to show a
+            # scheduler-noise swing (r10 advice)
+            if is_cadence and timings[name] > 3.0:
+                cadence_bound.append(name)
             base = prior.get(name)
             if base and timings[name] > 3.0 * base and timings[name] > 1.0:
                 spark.catalog.clearCache()
@@ -140,8 +148,25 @@ def main() -> None:
                     t1 = time.perf_counter()
                     fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                     warm[name] = round(time.perf_counter() - t1, 3)
+                    # Inversion guard (r10 verdict task 4): a warm rep
+                    # SLOWER than its cold pass measures session pressure
+                    # (heap growth, GC) rather than plan cost —
+                    # q_minhash_accuracy's r10 warm rep came back 2.5x
+                    # cold late in the 289-query run. Re-run once, keep
+                    # the min; if still >1.2x cold, flag the row in the
+                    # capture so warm-vs-warm grading skips it knowingly.
+                    if warm[name] > 1.2 * timings[name]:
+                        spark.catalog.clearCache()
+                        t1 = time.perf_counter()
+                        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                        warm[name] = min(
+                            warm[name], round(time.perf_counter() - t1, 3)
+                        )
+                        if warm[name] > 1.2 * timings[name]:
+                            warm_inverted.append(name)
                     print(
-                        f"[bench] {name}: {timings[name]}s (warm {warm[name]}s)",
+                        f"[bench] {name}: {timings[name]}s (warm {warm[name]}s"
+                        + (", INVERTED" if name in warm_inverted else "") + ")",
                         file=sys.stderr, flush=True,
                     )
                 except Exception as we:  # noqa: BLE001 — warm is advisory
@@ -188,6 +213,7 @@ def main() -> None:
         "streaming": streaming,
         "warm": warm,  # inline second reps: cold > 3s + outlier reruns (BASELINE.md)
         "cadence_bound": cadence_bound,  # streaming rows: no warm reps (task 7)
+        "warm_inverted": warm_inverted,  # warm >1.2x cold after re-run (r10 task 4)
         "plan_sha": plan_sha,  # normalized physical-plan fingerprints (task 2)
         "host": {"boot_id": boot_id, "cpus": os.cpu_count()},
     }

@@ -650,6 +650,21 @@ def js_divergence(
         .join(bucket_counts(new, col, lo, hi, bins, "n_new"), "bucket", "left")
         .fillna(0, subset=["n_old", "n_new"])
     )
+    # A side with ZERO in-range rows makes every p (or q) 0/0: the
+    # report would come back silently all-NULL (or ANSI-error) instead
+    # of failing loudly — raise, matching the srm_check (ratio<=0) and
+    # diff_in_diff (empty cell) empty-input discipline (r10 advice).
+    # The check aggregates the bins-row count table — metadata-sized.
+    tot = j.agg(
+        F.sum("n_old").alias("__to"), F.sum("n_new").alias("__tn")
+    ).first()
+    empty = [s for s, v in (("old", tot["__to"]), ("new", tot["__tn"])) if not v]
+    if empty:
+        # buckets are clamped, so zero total == zero non-null rows
+        raise ValueError(
+            f"js_divergence: side(s) {empty} have no non-null `{col}` rows "
+            "— JSD against an empty distribution is undefined"
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy()

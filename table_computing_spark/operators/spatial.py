@@ -218,12 +218,50 @@ def _knn_candidates(
     )
 
 
+def dbscan_eps_estimate(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    min_pts: int = 4,
+    scale: float = 1.0,
+) -> int:
+    """Suggested DBSCAN eps = the uniform-density k-NN radius for
+    k = min_pts, estimated from one bounds-aggregate scan (the same
+    machinery grid_knn_join's cell_size="auto" uses):
+
+        density ρ = N / area
+        r_k      = sqrt(k / (π·ρ)) = sqrt(k·area / (π·N))
+
+    This is the eps-advisor for the adjudicated grid_dbscan cost
+    contract (PLANS.md r10): a FIXED eps on a densifying fixed-extent
+    cloud grows the eps-graph ~N² (the r10 s1 sweep OOM'd exactly
+    there), while the k-NN radius shrinks ∝ 1/√density and keeps the
+    average eps-neighborhood — and so the edge count per point —
+    constant. eps stays a SEMANTIC parameter: the estimate anchors the
+    DENSITY scaling; multiply by `scale` (or pass an explicit eps) to
+    reach the cluster scale you actually mean."""
+    import math as _m
+
+    b = df.select(
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    ).agg(
+        F.min("__x").alias("x0"), F.max("__x").alias("x1"),
+        F.min("__y").alias("y0"), F.max("__y").alias("y1"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if not b["n"]:
+        return 1
+    area = max(1, (b["x1"] - b["x0"] + 1)) * max(1, (b["y1"] - b["y0"] + 1))
+    return max(1, int(round(scale * _m.sqrt(min_pts * area / (_m.pi * b["n"])))))
+
+
 def grid_dbscan(
     df: DataFrame,
     id_col: str,
     x_col: str,
     y_col: str,
-    eps: int,
+    eps: "int | str",
     min_pts: int = 4,
 ) -> DataFrame:
     """DBSCAN (Ester et al. 1996, public) with the eps-neighborhood
@@ -254,9 +292,17 @@ def grid_dbscan(
     (more points, same extent), a fixed eps grows the edge set
     quadratically in N. Size eps to the cluster scale you mean
     (≈ the expected k-NN radius, shrinking ∝ 1/√density); the
-    density-scaled sweep row (.scale/sweep_r10.json) is ~linear."""
+    density-scaled sweep row (.scale/sweep_r10.json) is ~linear.
+
+    `eps="auto"` (r10 verdict task 5) applies that sizing rule instead
+    of leaving it as prose: eps = dbscan_eps_estimate(df, x, y,
+    min_pts), the uniform-density min_pts-NN radius — the safe-at-any-
+    density default. Pass an explicit eps whenever the cluster scale
+    you mean is known (it is the semantic knob)."""
     from table_computing_spark.operators.graph import connected_components
 
+    if eps == "auto":
+        eps = dbscan_eps_estimate(df, x_col, y_col, min_pts)
     pts = df.select(F.col(id_col).alias("id"))
     pairs = grid_radius_join(df, id_col, x_col, y_col, eps)
     sym = pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("nb")).union(

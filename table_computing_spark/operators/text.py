@@ -1486,7 +1486,10 @@ def rake_keywords(
         .groupBy("phrase")
         .agg(
             F.count(F.lit(1)).alias("__n_slots"),
-            F.sum((F.col("__wscore") * 1e9).cast("long")).alias("__snano"),
+            # round-then-cast: the bare cast TRUNCATES while DuckDB's
+            # CAST(double AS BIGINT) rounds, and ~1.8% of round(deg/freq,9)
+            # values land just below the integer in double (r10 advice)
+            F.sum(F.round(F.col("__wscore") * 1e9).cast("long")).alias("__snano"),
         )
         .withColumn("__plen", F.size(F.split(F.col("phrase"), " ")))
         .withColumn(

@@ -97,7 +97,84 @@ def plan_fingerprint(df: DataFrame) -> str:
     # higher-order-function lambda variables carry a SESSION-global
     # counter (x_1, x_3, ...) — same query, different session, new name
     s = re.sub(r"\b([A-Za-z]\w*)_\d+#", r"\1_#", s)
+    s = _canonicalize_distinct_rewrite(s)
     return hashlib.sha1(s.encode()).hexdigest()[:12]
+
+
+def _split_top_commas(s: str) -> "list[str]":
+    items, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(s[start:i])
+            start = i + 1
+    items.append(s[start:])
+    return items
+
+
+def _canon_groups(s: str) -> str:
+    """Within every balanced ()/[] group, sort the top-level
+    comma-separated items (recursing into each item first). Applied
+    ONLY to gid# lines, where every list is semantically a SET (hash
+    grouping keys, Expand projection rows, filtered partial aggs)."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "([":
+            close = ")" if ch == "(" else "]"
+            depth, j = 0, i
+            while j < n:
+                if s[j] in "([":
+                    depth += 1
+                elif s[j] in ")]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j >= n:  # unbalanced — leave the tail untouched
+                out.append(s[i:])
+                break
+            items = sorted(
+                _canon_groups(it).strip() for it in _split_top_commas(s[i + 1 : j])
+            )
+            out.append(ch + ", ".join(items) + close)
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _canonicalize_distinct_rewrite(s: str) -> str:
+    """RewriteDistinctAggregates renders as a function of the
+    session-global expression-id counter, not of the physical
+    strategy: gid values are assigned by absolute exprId order, so a
+    plan with 2+ count_distinct aggregates permutes its gid pairing,
+    its Expand projection-row order, and the column order of the
+    gid grouping keys with how many frames were built earlier in the
+    session (found on q_count_distinct in r10; bit q_tpch_q21 when
+    the driver's capture shifted the counter — r10 verdict task 1).
+    Canonicalize instead of name-exempting: on every line that
+    mentions gid#, erase the arbitrary gid literals and sort each
+    bracket/paren group's top-level items — those lists are hash
+    grouping-key sets, Expand row sets, and per-gid filtered partial
+    aggregates, all order-insensitive by construction. Non-gid lines
+    (ordered projections, sort specs) are untouched."""
+    if "gid#" not in s:
+        return s
+    lines = []
+    for ln in s.split("\n"):
+        if "gid#" in ln:
+            ln = re.sub(r"(gid#\s*=\s*)\d+", r"\1G", ln)
+            if "Expand" in ln:
+                # each projection row carries its gid literal last
+                ln = re.sub(r", \d+\]", ", G]", ln)
+            ln = _canon_groups(ln)
+        lines.append(ln)
+    return "\n".join(lines)
 
 
 def _top_level_bracket_groups(s: str) -> "list[str]":

@@ -111,8 +111,12 @@ def binpack_plan(
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sz = F.col(size_col).cast("long")
     run = F.sum(sz).over(w)
+    # long `div` keeps the "exact integer arithmetic" claim true: a
+    # double division would silently lose exactness once cumulative
+    # per-partition offsets pass 2^53 bytes, and could diverge from the
+    # oracle's integer `//` (r10 advice). offset >= 0, so div == floor.
     return files.select(
-        *keys, name_col, size_col,
-        ((run - sz) / F.lit(int(target_bytes))).cast("long").alias("bin"),
-        (run - sz).alias("offset"),
-    )
+        *keys, name_col, size_col, (run - sz).alias("offset")
+    ).withColumn(
+        "bin", F.expr(f"offset div {int(target_bytes)}")
+    ).select(*keys, name_col, size_col, "bin", "offset")

@@ -27,17 +27,14 @@ def _load(name: str) -> dict:
         return json.load(f)
 
 
-# Plans whose RENDERING is a function of the session's expression-id
-# counter, not of the physical strategy: RewriteDistinctAggregates
-# orders its gid assignment by absolute exprId, so multi-count-distinct
-# plans permute (gid=1 <-> gid=2, Expand row order) with how many
-# frames were built earlier in the session — warm reps and outlier
-# reruns shift that count between bench runs. The strategy itself
-# (Expand -> double HashAggregate) is identical; only the text
-# permutes. Exempted by NAME with this explanation — everything else
-# stays exact (verified: full-surface reversed-order fresh-session
-# recompute matches the baseline on all 289).
-_ID_ORDER_SENSITIVE = {"q_count_distinct"}
+# r10 exempted q_count_distinct by name for the RewriteDistinctAggregates
+# gid-ordering rendering instability — and the driver's r10 capture
+# promptly caught the same shape in q_tpch_q21 (verdict task 1: an
+# exemption list that must enumerate every multi-count-distinct query
+# silently misses the next one). The instability is now normalized away
+# inside plans.plan_fingerprint (_canonicalize_distinct_rewrite): gid
+# literals erased, gid-line set-lists sorted. No name exemptions remain.
+_ID_ORDER_SENSITIVE: set = set()
 
 
 def test_plan_sha_changes_are_adjudicated_in_plans_md():
@@ -86,3 +83,40 @@ def test_plan_fingerprint_is_session_stable(spark):
         .agg(F.max("k").alias("s"))
     )
     assert plan_fingerprint(other) != plan_fingerprint(build("a"))
+
+
+def test_multi_count_distinct_fingerprint_is_exprid_stable(spark):
+    """RewriteDistinctAggregates assigns gid values by absolute exprId
+    order, so a 2+ count_distinct plan's RENDERING permutes (gid
+    pairing, Expand row order, gid grouping-key column order) with the
+    session-global expression-id counter — the r10 driver capture
+    flipped q_tpch_q21's sha this way (r11 verdict task 1). The
+    normalizer must make the fingerprint invariant to burned ids,
+    while still distinguishing genuinely different aggregate sets."""
+    from pyspark.sql import functions as F
+
+    from table_computing_spark.plans import plan_fingerprint
+
+    def build():
+        df = spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y")], "k long, v string, w string"
+        )
+        return df.groupBy("k").agg(
+            F.countDistinct("v").alias("dv"), F.countDistinct("w").alias("dw")
+        )
+
+    before = plan_fingerprint(build())
+    # burn an odd number of expression ids — enough to permute the gid
+    # assignment (reproduced: 7 id-consuming frames flip the pairing)
+    for i in range(7):
+        spark.range(3).select((F.col("id") + i).alias("x")).count()
+    assert plan_fingerprint(build()) == before
+    # a different distinct-agg set must NOT collapse to the same sha
+    df = spark.createDataFrame(
+        [(1, "a", "x")], "k long, v string, w string"
+    )
+    other = df.groupBy("k").agg(
+        F.countDistinct("v").alias("dv"),
+        F.countDistinct("v", "w").alias("dvw"),
+    )
+    assert plan_fingerprint(other) != before
