@@ -6077,82 +6077,257 @@ def q_stream_topk(spark, sf_dir):
     )
 
 
+
+# --- round-11 additions -------------------------------------------------
+
+
+def q_roc_auc(spark, sf_dir):
+    """Exact ROC AUC (evaluation.roc_auc — Mann-Whitney rank-sum with
+    midrank ties): does the order price separate finished orders? One
+    hash aggregate onto distinct scores + the distributed prefix sum
+    (prefix.prefix_agg) — no unpartitioned window, integers until one
+    division. (New r11.)"""
+    from table_computing_spark.operators.evaluation import roc_auc
+
+    o = _t(spark, sf_dir, "orders").df
+    return roc_auc(o, (F.col("o_orderstatus") == "F"), F.col("o_totalprice"))
+
+
+def q_eval_f1(spark, sf_dir):
+    """Per-class precision/recall/F1 + macro row
+    (evaluation.classification_report) for a price-threshold status
+    predictor — exact counts, fixed-point micro F1 so the macro mean is
+    an exact long sum. (New r11.)"""
+    from table_computing_spark.operators.evaluation import classification_report
+
+    o = _t(spark, sf_dir, "orders").df
+    pred = (
+        F.when(F.col("o_totalprice") < 150_000, F.lit("O"))
+        .when(F.col("o_totalprice") < 300_000, F.lit("F"))
+        .otherwise(F.lit("P"))
+    )
+    return classification_report(o, F.col("o_orderstatus"), pred)
+
+
+def q_ndcg(spark, sf_dir):
+    """NDCG@10 per event type (evaluation.ndcg_at_k, ln-discount
+    variant — the engine-portable transcendental): value-ranked events
+    scored against a derived graded relevance. Partitioned windows
+    only; per-position terms in nano longs. (New r11.)"""
+    from table_computing_spark.operators.evaluation import ndcg_at_k
+
+    ev = _t(spark, sf_dir, "events").df
+    return ndcg_at_k(
+        ev, "event_type", "event_id", F.col("value"),
+        F.col("event_id") % 4, k=10,
+    )
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (evaluation.rrf_fuse — Cormack 2009) of
+    two bounded top-100 document rankings (length-ranked vs
+    hash-pseudo-relevance): the calibration-free lexical+dense merge.
+    Both lists are orderBy().limit() TakeOrdered output, so every
+    downstream join is top-k-sized regardless of corpus. (New r11.)"""
+    from pyspark.sql.window import Window as W
+
+    from table_computing_spark.operators.evaluation import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents").df
+    a_ord = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    a = (
+        docs.orderBy(*a_ord).limit(100)
+        .select("doc_id", F.row_number().over(W.orderBy(*a_ord)).alias("rank"))
+    )
+    b_key = F.md5(F.col("doc_id").cast("string"))
+    b_ord = [b_key.asc(), F.col("doc_id").asc()]
+    b = (
+        docs.orderBy(*b_ord).limit(100)
+        .select("doc_id", F.row_number().over(W.orderBy(*b_ord)).alias("rank"))
+    )
+    return rrf_fuse([a, b], id_col="doc_id", k=60, top=20)
+
+
+def q_rouge2(spark, sf_dir):
+    """ROUGE-2 recall/precision per candidate-reference pair
+    (evaluation.rouge_n — Lin 2004 clipped bigram overlap) over
+    consecutive-id document pairs — the summarization / paraphrase
+    quality readout. Bigrams from partitioned lead windows, exact
+    clipped counts. (New r11.)"""
+    from table_computing_spark.operators.evaluation import rouge_n
+
+    docs = _t(spark, sf_dir, "documents").df
+    cand = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pair"), F.col("text").alias("cand_text")
+    )
+    ref = docs.select((F.col("doc_id") - 1).alias("pair"),
+                      F.col("text").alias("ref_text"))
+    pairs = cand.join(ref, "pair")
+    return rouge_n(pairs, "cand_text", "ref_text", "pair", n=2)
+
+
+def q_als_rank1(spark, sf_dir):
+    """One exact rank-1 ALS alternation (recsys.als_rank1 — Zhou 2008)
+    over the supplier-part quantity matrix: item factors from
+    user means, float sums through nano fixed-point so the reduce
+    order can never flip a digit. (New r11.)"""
+    from table_computing_spark.operators.recsys import als_rank1
+
+    li = _t(spark, sf_dir, "lineitem").df
+    return als_rank1(li, "l_suppkey", "l_partkey", "l_quantity")
+
+
+def q_changepoint(spark, sf_dir):
+    """Best single change-point per event type
+    (temporal.changepoint_single — binary segmentation's first split):
+    max SSE-reduction split over cent-unit values in event-id order;
+    exact DECIMAL prefix sums, argmax on the rounded gain with
+    smallest-t ties. (New r11.)"""
+    from table_computing_spark.operators.temporal import changepoint_single
+
+    ev = _t(spark, sf_dir, "events").df
+    return changepoint_single(
+        ev, ["event_type"], "event_id", F.round(F.col("value") * 100)
+    )
+
+
+def q_burstiness(spark, sf_dir):
+    """Inter-arrival burstiness per user (temporal.burstiness — Goh &
+    Barabasi B = (sigma-mu)/(sigma+mu)): exact integer-ms gaps from one
+    lag window, DECIMAL sufficient statistics, one rounded readout.
+    (New r11.)"""
+    from table_computing_spark.operators.temporal import burstiness
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", tcf.epoch_ms("ts").alias("t_ms")
+    )
+    return burstiness(ev, ["user_id"], "t_ms")
+
+
+def q_topo_layers(spark, sf_dir):
+    """Topological layering (graph.topo_layers — Kahn level structure,
+    4 bounded longest-path sweeps) of the doubling/tripling DAG over
+    customer keys — the dependency-wave primitive next to
+    bfs_hops/sssp_weighted. Exact integers; oracle = 4 unrolled
+    max-CTEs. (New r11.)"""
+    from table_computing_spark.operators.graph import topo_layers
+
+    keys = _t(spark, sf_dir, "customer").df.select(
+        F.col("c_custkey").alias("k")
+    ).filter(F.col("k") >= 1)
+    hop = keys.select(F.col("k").alias("src"), (F.col("k") * 2).alias("dst")).union(
+        keys.select(F.col("k").alias("src"), (F.col("k") * 3).alias("dst"))
+    )
+    edges = hop.join(keys.withColumnRenamed("k", "dst"), "dst").select("src", "dst")
+    return topo_layers(edges, rounds=4)
+
+
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity (graph.modularity) of the nation partition
+    over the per-segment customer-key chain graph — the clustering
+    quality readout for label_propagation/dedup_groups output. Exact
+    integer counts; per-community terms in nano longs. (New r11.)"""
+    from pyspark.sql.window import Window as W
+
+    from table_computing_spark.operators.graph import modularity
+
+    c = _t(spark, sf_dir, "customer").df
+    w = W.partitionBy("c_mktsegment").orderBy("c_custkey")
+    edges = c.select(
+        F.col("c_custkey").alias("src"),
+        F.lead("c_custkey").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    labels = c.select(
+        F.col("c_custkey").alias("node"), F.col("c_nationkey").alias("label")
+    )
+    return modularity(edges, labels)
+
+
+def q_skipgram_negatives(spark, sf_dir):
+    """Skip-gram pairs with deterministic negatives
+    (text.skipgram_negatives — word2vec data prep with the RNG replaced
+    by portable md5 indexing into the frequency-ranked vocab): the
+    reproducible-sampling property a 100 TB embedding-training run
+    needs. Vocab indexed by ids.dense_ids — no global window.
+    (New r11.)"""
+    from table_computing_spark.operators.text import skipgram_negatives
+
+    docs = _t(spark, sf_dir, "documents").df.filter(F.col("doc_id") % 25 == 0)
+    return skipgram_negatives(docs, "text", "doc_id", k=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
     until no stratum is more than a few rounds stale.
 
-    Round-10 window (the r09 verdict's task-1 composition, plus the
-    never-verified r10 additions): (a) the 23 stalest rows on the
-    board — last driver-green r04; the r09 judge independently
-    re-oracled 12 of them green; (b) the 18 NEW r10 queries, never
-    driver-verified, all green under the dtype-strict local sim at
-    sf0.01; (c) the 9 stalest r05 rows filling to 50. Zero overlap
-    with the r09 window (pinned by
-    tests/test_queries.py::test_window_rotation_discipline). After
-    this round no row's last green round is older than r05, and the
-    remaining r05 stratum (39 rows) heads the r11 rotation.
+    Round-11 window (the r10 verdict's task-2 composition, exactly):
+    (a) the 11 NEW r11 queries, never driver-verified, all green under
+    the dtype-strict local sim at sf0.01; (b) the ENTIRE 39-row
+    r05-stale stratum (the verdict names each row; its own 12-row
+    sample re-oracled green). Zero overlap with the r10 window (pinned
+    by tests/test_queries.py::test_window_rotation_discipline). After
+    this round no row's last driver-green round is older than r06, and
+    the 50-row r06 stratum heads the r12 rotation.
     """
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
     tpch = dict(TPCH_QUERIES)
     window_50 = {
-        # (a) the 23 r04-stale rows — verdict task 1 requires exactly
-        # these inside the r10 window
-        "q_window_tumble": q_window_tumble,
-        "q_window_slide": q_window_slide,
-        "q_window_session": q_window_session,
-        "q_over_by_size": q_over_by_size,
-        "q_streaming_tumble": q_streaming_tumble,
-        "q_streaming_slide": q_streaming_slide,
-        "q_streaming_session": q_streaming_session,
-        "q_stream_over_duration": q_stream_over_duration,
-        "q_stream_enrich": q_stream_enrich,
-        "q_stream_interval_join": q_stream_interval_join,
-        "q_stream_anomaly": q_stream_anomaly,
-        "q_minhash_lsh": q_minhash_lsh,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_stream_minhash": q_stream_minhash,
-        "q_approx_quantile": q_approx_quantile,
-        "q_approx_distinct": q_approx_distinct,
-        "q_gate_relational": q_gate_relational,
-        "q_gate_rowwise_udf": q_gate_rowwise_udf,
-        "q_gate_aggregate": q_gate_aggregate,
-        "q_gate_over": q_gate_over,
-        "q_stream_over": q_stream_over,
-        "q_gate_joins": q_gate_joins,
-        "q_gate_setops": q_gate_setops,
-        # (b) NEW r10 queries — never driver-verified
-        "q_item_cf": q_item_cf,
-        "q_link_prediction": q_link_prediction,
-        "q_sssp_weighted": q_sssp_weighted,
-        "q_kaplan_meier": q_kaplan_meier,
-        "q_forecast_eval": q_forecast_eval,
-        "q_conformal": q_conformal,
-        "q_did": q_did,
-        "q_js_divergence": q_js_divergence,
-        "q_binpack_files": q_binpack_files,
-        "q_phrase_search": q_phrase_search,
-        "q_rake_keywords": q_rake_keywords,
-        "q_window_kmv": q_window_kmv,
-        "q_grid_dbscan": q_grid_dbscan,
-        # (b2) late r10 additions — never driver-verified (they outrank
-        # ever-green r05 rows for window slots, the standing rule)
-        "q_exact_k_sample": q_exact_k_sample,
-        "q_kmv_rollup": q_kmv_rollup,
-        "q_dim_ablation": q_dim_ablation,
-        "q_zipf_fit": q_zipf_fit,
-        "q_stream_topk": q_stream_topk,
-        # (c) the 9 stalest r05 rows
-        "q_pivot": q_pivot,
-        "q_token_budget": q_token_budget,
-        "q_pipeline_curation": q_pipeline_curation,
-        "q_doc_novelty": q_doc_novelty,
-        "q_embedding_groups": q_embedding_groups,
-        "q_decontaminate": q_decontaminate,
-        "q_dup_spans": q_dup_spans,
-        "q_unigram_logprob": q_unigram_logprob,
-        "q_mixture_weights": q_mixture_weights,
+        # (a) the 11 NEW r11 queries — never driver-verified
+        "q_roc_auc": q_roc_auc,
+        "q_eval_f1": q_eval_f1,
+        "q_ndcg": q_ndcg,
+        "q_rrf_fusion": q_rrf_fusion,
+        "q_rouge2": q_rouge2,
+        "q_als_rank1": q_als_rank1,
+        "q_changepoint": q_changepoint,
+        "q_burstiness": q_burstiness,
+        "q_topo_layers": q_topo_layers,
+        "q_graph_modularity": q_graph_modularity,
+        "q_skipgram_negatives": q_skipgram_negatives,
+        # (b) the full 39-row r05-stale stratum (verdict r10 task 2
+        # lists exactly these; after this round nothing is older
+        # than r06-green)
+        "q_audio_spectrum": q_audio_spectrum,
+        "q_bloom_join": q_bloom_join,
+        "q_bm25_topk": q_bm25_topk,
+        "q_cdc_apply": q_cdc_apply,
+        "q_char_entropy": q_char_entropy,
+        "q_dedup_incremental": q_dedup_incremental,
+        "q_doc_chunks_overlap": q_doc_chunks_overlap,
+        "q_dup_span_intervals": q_dup_span_intervals,
+        "q_embedding_quantize": q_embedding_quantize,
+        "q_event_transitions": q_event_transitions,
+        "q_gopher_rules": q_gopher_rules,
+        "q_group_split": q_group_split,
+        "q_hard_negatives": q_hard_negatives,
+        "q_image_dedup": q_image_dedup,
+        "q_key_skew": q_key_skew,
+        "q_linreg": q_linreg,
+        "q_mixture_apply": q_mixture_apply,
+        "q_multimodal_decode": q_multimodal_decode,
+        "q_mutual_info": q_mutual_info,
+        "q_nb_classify": q_nb_classify,
+        "q_ohlc": q_ohlc,
+        "q_pagerank": q_pagerank,
+        "q_png_decode": q_png_decode,
+        "q_psi_drift": q_psi_drift,
+        "q_record_linkage": q_record_linkage,
+        "q_rp_project": q_rp_project,
+        "q_scd2": q_scd2,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_stream_curation": q_stream_curation,
+        "q_stream_drift": q_stream_drift,
+        "q_stream_ohlc": q_stream_ohlc,
+        "q_tpch_q10": tpch["q_tpch_q10"],
+        "q_tpch_q11": tpch["q_tpch_q11"],
+        "q_tpch_q13": tpch["q_tpch_q13"],
+        "q_twap": q_twap,
+        "q_video_frames": q_video_frames,
+        "q_weighted_sample": q_weighted_sample,
+        "q_woe_iv": q_woe_iv,
+        "q_zorder_locality": q_zorder_locality,
     }
     assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
     tail = {
@@ -6404,6 +6579,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_logreg_gd": q_logreg_gd,
         "q_kcore": q_kcore,
         "q_assortativity": q_assortativity,
+        # --- last green r10 (the full r10 driver window) ---
+        "q_window_tumble": q_window_tumble,
+        "q_window_slide": q_window_slide,
+        "q_window_session": q_window_session,
+        "q_over_by_size": q_over_by_size,
+        "q_streaming_tumble": q_streaming_tumble,
+        "q_streaming_slide": q_streaming_slide,
+        "q_streaming_session": q_streaming_session,
+        "q_stream_over_duration": q_stream_over_duration,
+        "q_stream_enrich": q_stream_enrich,
+        "q_stream_interval_join": q_stream_interval_join,
+        "q_stream_anomaly": q_stream_anomaly,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_stream_minhash": q_stream_minhash,
+        "q_approx_quantile": q_approx_quantile,
+        "q_approx_distinct": q_approx_distinct,
+        "q_gate_relational": q_gate_relational,
+        "q_gate_rowwise_udf": q_gate_rowwise_udf,
+        "q_gate_aggregate": q_gate_aggregate,
+        "q_gate_over": q_gate_over,
+        "q_stream_over": q_stream_over,
+        "q_gate_joins": q_gate_joins,
+        "q_gate_setops": q_gate_setops,
+        "q_item_cf": q_item_cf,
+        "q_link_prediction": q_link_prediction,
+        "q_sssp_weighted": q_sssp_weighted,
+        "q_kaplan_meier": q_kaplan_meier,
+        "q_forecast_eval": q_forecast_eval,
+        "q_conformal": q_conformal,
+        "q_did": q_did,
+        "q_js_divergence": q_js_divergence,
+        "q_binpack_files": q_binpack_files,
+        "q_phrase_search": q_phrase_search,
+        "q_rake_keywords": q_rake_keywords,
+        "q_window_kmv": q_window_kmv,
+        "q_grid_dbscan": q_grid_dbscan,
+        "q_exact_k_sample": q_exact_k_sample,
+        "q_kmv_rollup": q_kmv_rollup,
+        "q_dim_ablation": q_dim_ablation,
+        "q_zipf_fit": q_zipf_fit,
+        "q_stream_topk": q_stream_topk,
+        "q_pivot": q_pivot,
+        "q_token_budget": q_token_budget,
+        "q_pipeline_curation": q_pipeline_curation,
+        "q_doc_novelty": q_doc_novelty,
+        "q_embedding_groups": q_embedding_groups,
+        "q_decontaminate": q_decontaminate,
+        "q_dup_spans": q_dup_spans,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_mixture_weights": q_mixture_weights,
     }
     return {**window_50, **tail}
 
@@ -12170,5 +12396,382 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'noise' END AS role,
                l.cluster
         FROM flagged f LEFT JOIN lab l USING (id)
+        """,
+        # --- round-11 additions ---
+        "q_roc_auc": """
+        WITH s AS (
+          SELECT o_totalprice AS sc,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+        ), per AS (
+          SELECT sc, count(*) AS n, sum(y) AS np FROM s GROUP BY sc
+        ), pre AS (
+          SELECT *, coalesce(sum(n) OVER (ORDER BY sc
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM per
+        ), agg AS (
+          SELECT sum(np * (2*cb + n + 1)) AS r2,
+                 sum(np) AS p, sum(n) - sum(np) AS nn
+          FROM pre
+        )
+        SELECT round(CAST(r2 - p*(p+1) AS DOUBLE) / CAST(2*p*nn AS DOUBLE), 6)
+                 AS auc,
+               CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+        FROM agg
+        """,
+        "q_eval_f1": """
+        WITH pairs AS (
+          SELECT o_orderstatus AS l,
+                 CASE WHEN o_totalprice < 150000 THEN 'O'
+                      WHEN o_totalprice < 300000 THEN 'F'
+                      ELSE 'P' END AS p
+          FROM orders
+        ), cnt AS (
+          SELECT l, p, count(*) AS n FROM pairs GROUP BY l, p
+        ), classes AS (
+          SELECT l AS clazz FROM cnt UNION SELECT p FROM cnt
+        ), st AS (
+          SELECT c.clazz,
+                 coalesce(sup.support, 0) AS support,
+                 coalesce(prd.predicted, 0) AS predicted,
+                 coalesce(tp.tp, 0) AS tp
+          FROM classes c
+          LEFT JOIN (SELECT l AS clazz, sum(n) AS support FROM cnt GROUP BY l)
+            sup USING (clazz)
+          LEFT JOIN (SELECT p AS clazz, sum(n) AS predicted FROM cnt GROUP BY p)
+            prd USING (clazz)
+          LEFT JOIN (SELECT l AS clazz, n AS tp FROM cnt WHERE l = p)
+            tp USING (clazz)
+        ), m AS (
+          SELECT clazz, support,
+                 CASE WHEN predicted > 0
+                      THEN CAST(tp AS DOUBLE) / predicted ELSE 0.0 END AS prec,
+                 CASE WHEN support > 0
+                      THEN CAST(tp AS DOUBLE) / support ELSE 0.0 END AS rec
+          FROM st
+        ), u AS (
+          SELECT *, CASE WHEN prec + rec > 0
+                         THEN 2.0 * prec * rec / (prec + rec)
+                         ELSE 0.0 END AS f1
+          FROM m
+        ), x AS (
+          SELECT clazz, CAST(support AS BIGINT) AS support,
+                 round(prec, 6) AS precision, round(rec, 6) AS recall,
+                 CAST(round(prec*1e6) AS BIGINT) AS pu,
+                 CAST(round(rec*1e6) AS BIGINT) AS ru,
+                 CAST(round(f1*1e6) AS BIGINT) AS f1u
+          FROM u
+        )
+        SELECT clazz, support, precision, recall,
+               round(CAST(f1u AS DOUBLE) / 1e6, 6) AS f1 FROM x
+        UNION ALL
+        SELECT '__macro__', CAST(sum(support) AS BIGINT),
+               round(CAST(sum(pu) AS DOUBLE) / count(*) / 1e6, 6),
+               round(CAST(sum(ru) AS DOUBLE) / count(*) / 1e6, 6),
+               round(CAST(sum(f1u) AS DOUBLE) / count(*) / 1e6, 6)
+        FROM x
+        """,
+        "q_ndcg": """
+        WITH b AS (
+          SELECT event_type AS query, event_id AS item, value AS score,
+                 event_id % 4 AS rel
+          FROM events
+        ), r AS (
+          SELECT query,
+                 row_number() OVER (PARTITION BY query
+                   ORDER BY score DESC, item ASC) AS pos,
+                 row_number() OVER (PARTITION BY query
+                   ORDER BY rel DESC, item ASC) AS ipos,
+                 power(2.0, CAST(rel AS DOUBLE)) - 1.0 AS g
+          FROM b
+        ), t AS (
+          SELECT query,
+                 CASE WHEN pos <= 10
+                   THEN CAST(round(g / ln(CAST(pos AS DOUBLE) + 1.0) * 1e9)
+                             AS BIGINT) ELSE 0 END AS dt,
+                 CASE WHEN ipos <= 10
+                   THEN CAST(round(g / ln(CAST(ipos AS DOUBLE) + 1.0) * 1e9)
+                             AS BIGINT) ELSE 0 END AS it
+          FROM r
+        )
+        SELECT query,
+               round(CASE WHEN sum(it) > 0
+                 THEN CAST(sum(dt) AS DOUBLE) / CAST(sum(it) AS DOUBLE)
+                 ELSE 1.0 END, 6) AS ndcg,
+               CAST(count(*) AS BIGINT) AS n_rated
+        FROM t GROUP BY query
+        """,
+        "q_rrf_fusion": """
+        WITH a AS (
+          SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+                   AS rank
+          FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 100
+        ), b AS (
+          SELECT doc_id, row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rank
+          FROM documents
+          ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC LIMIT 100
+        ), c AS (
+          SELECT doc_id AS id,
+                 CAST(round(1e9 / CAST(60 + rank AS DOUBLE)) AS BIGINT) AS nano
+          FROM a
+          UNION ALL
+          SELECT doc_id,
+                 CAST(round(1e9 / CAST(60 + rank AS DOUBLE)) AS BIGINT)
+          FROM b
+        ), f AS (
+          SELECT id, sum(nano) AS s FROM c GROUP BY id
+          ORDER BY s DESC, id ASC LIMIT 20
+        )
+        SELECT id, round(CAST(s AS DOUBLE) / 1e9, 9) AS rrf,
+               CAST(row_number() OVER (ORDER BY s DESC, id ASC) AS INT)
+                 AS fused_rank
+        FROM f
+        """,
+        "q_rouge2": r"""
+        WITH pr AS (
+          SELECT c.doc_id AS pair, c.text AS ct, r.text AS rt
+          FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+          WHERE c.doc_id % 2 = 0
+        ), ctoks AS (
+          SELECT pair, unnest(list_filter(string_split_regex(lower(ct),
+                   '[^a-z0-9]+'), x -> x <> '')) AS tok,
+                 generate_subscripts(list_filter(string_split_regex(lower(ct),
+                   '[^a-z0-9]+'), x -> x <> ''), 1) AS pos
+          FROM pr
+        ), rtoks AS (
+          SELECT pair, unnest(list_filter(string_split_regex(lower(rt),
+                   '[^a-z0-9]+'), x -> x <> '')) AS tok,
+                 generate_subscripts(list_filter(string_split_regex(lower(rt),
+                   '[^a-z0-9]+'), x -> x <> ''), 1) AS pos
+          FROM pr
+        ), cg AS (
+          SELECT pair, tok || ' ' || lead(tok) OVER (PARTITION BY pair
+                   ORDER BY pos) AS g
+          FROM ctoks QUALIFY g IS NOT NULL
+        ), rg AS (
+          SELECT pair, tok || ' ' || lead(tok) OVER (PARTITION BY pair
+                   ORDER BY pos) AS g
+          FROM rtoks QUALIFY g IS NOT NULL
+        ), cc AS (SELECT pair, g, count(*) AS c_cand FROM cg GROUP BY pair, g),
+        rc AS (SELECT pair, g, count(*) AS c_ref FROM rg GROUP BY pair, g),
+        j AS (
+          SELECT coalesce(cc.pair, rc.pair) AS pair,
+                 coalesce(c_cand, 0) AS c_cand, coalesce(c_ref, 0) AS c_ref
+          FROM cc FULL JOIN rc ON cc.pair = rc.pair AND cc.g = rc.g
+        ), agg AS (
+          SELECT p.pair,
+                 coalesce(sum(least(c_cand, c_ref)), 0) AS n_overlap,
+                 coalesce(sum(c_ref), 0) AS n_ref,
+                 coalesce(sum(c_cand), 0) AS n_cand
+          FROM (SELECT DISTINCT pair FROM pr) p LEFT JOIN j USING (pair)
+          GROUP BY p.pair
+        )
+        SELECT pair, CAST(n_overlap AS BIGINT) AS n_overlap,
+               CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cand AS BIGINT) AS n_cand,
+               round(CASE WHEN n_ref > 0
+                 THEN CAST(n_overlap AS DOUBLE) / CAST(n_ref AS DOUBLE) END, 6)
+                 AS rouge_recall,
+               round(CASE WHEN n_cand > 0
+                 THEN CAST(n_overlap AS DOUBLE) / CAST(n_cand AS DOUBLE) END, 6)
+                 AS rouge_precision
+        FROM agg
+        """,
+        "q_als_rank1": """
+        WITH r AS (
+          SELECT l_suppkey AS u, l_partkey AS i,
+                 CAST(l_quantity AS BIGINT) AS rt
+          FROM lineitem WHERE l_quantity IS NOT NULL
+        ), users AS (
+          SELECT u, CAST(sum(rt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS uf
+          FROM r GROUP BY u
+        )
+        SELECT i AS item,
+               round(CAST(sum(CAST(round(CAST(rt AS DOUBLE) * uf * 1e9)
+                                   AS BIGINT)) AS DOUBLE)
+                     / CAST(sum(CAST(round(uf * uf * 1e9) AS BIGINT))
+                            AS DOUBLE), 6) AS v,
+               CAST(count(*) AS BIGINT) AS n_raters
+        FROM r JOIN users USING (u)
+        GROUP BY i
+        """,
+        "q_changepoint": """
+        WITH b AS (
+          SELECT event_type, event_id AS o,
+                 CAST(round(value * 100) AS BIGINT) AS v
+          FROM events
+        ), p AS (
+          SELECT event_type,
+                 row_number() OVER w AS t,
+                 sum(v) OVER w AS S, sum(v*v) OVER w AS Q,
+                 count(*) OVER (PARTITION BY event_type) AS n,
+                 sum(v) OVER (PARTITION BY event_type) AS Sn,
+                 sum(v*v) OVER (PARTITION BY event_type) AS Qn
+          FROM b
+          WINDOW w AS (PARTITION BY event_type ORDER BY o
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), c AS (
+          SELECT event_type, t, n,
+                 round((CAST(Qn AS DOUBLE)
+                        - CAST(Sn AS DOUBLE)*CAST(Sn AS DOUBLE)/CAST(n AS DOUBLE))
+                     - (CAST(Q AS DOUBLE)
+                        - CAST(S AS DOUBLE)*CAST(S AS DOUBLE)/CAST(t AS DOUBLE))
+                     - (CAST(Qn - Q AS DOUBLE)
+                        - CAST(Sn - S AS DOUBLE)*CAST(Sn - S AS DOUBLE)
+                          /CAST(n - t AS DOUBLE)), 6) AS gain
+          FROM p WHERE t < n
+        ), best AS (
+          SELECT event_type, max(gain) AS gain FROM c GROUP BY event_type
+        )
+        SELECT c.event_type, CAST(max(c.n) AS BIGINT) AS n,
+               CAST(min(c.t) AS BIGINT) AS split_t, c.gain
+        FROM c JOIN best ON c.event_type = best.event_type
+                        AND c.gain = best.gain
+        GROUP BY c.event_type, c.gain
+        """,
+        "q_burstiness": """
+        WITH b AS (
+          SELECT user_id, epoch_ms(ts) AS ms FROM events
+        ), g AS (
+          SELECT user_id,
+                 ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS gap
+          FROM b
+        ), a AS (
+          SELECT user_id, count(*) AS m, sum(gap) AS s, sum(gap*gap) AS q
+          FROM g WHERE gap IS NOT NULL GROUP BY user_id
+        )
+        SELECT user_id, CAST(m + 1 AS BIGINT) AS n_events,
+               round(CAST(s AS DOUBLE) / CAST(m AS DOUBLE), 6) AS mean_gap_ms,
+               round(CASE WHEN m >= 2 THEN
+                 (sqrt(greatest(CAST(q AS DOUBLE) / CAST(m AS DOUBLE)
+                        - (CAST(s AS DOUBLE) / CAST(m AS DOUBLE))
+                          * (CAST(s AS DOUBLE) / CAST(m AS DOUBLE)), 0.0))
+                  - CAST(s AS DOUBLE) / CAST(m AS DOUBLE))
+                 / (sqrt(greatest(CAST(q AS DOUBLE) / CAST(m AS DOUBLE)
+                        - (CAST(s AS DOUBLE) / CAST(m AS DOUBLE))
+                          * (CAST(s AS DOUBLE) / CAST(m AS DOUBLE)), 0.0))
+                  + CAST(s AS DOUBLE) / CAST(m AS DOUBLE)) END, 6) AS b
+        FROM a
+        """,
+        "q_topo_layers": """
+        WITH keys AS (
+          SELECT c_custkey AS k FROM customer WHERE c_custkey >= 1
+        ), e AS (
+          SELECT a.k AS s, b.k AS d FROM keys a JOIN keys b ON b.k = a.k * 2
+          UNION ALL
+          SELECT a.k, b.k FROM keys a JOIN keys b ON b.k = a.k * 3
+        ), n0 AS (
+          SELECT DISTINCT node, 0 AS layer FROM (
+            SELECT s AS node FROM e UNION SELECT d FROM e
+          )
+        ), n1 AS (
+          SELECT node, max(layer) AS layer FROM (
+            SELECT node, layer FROM n0
+            UNION ALL
+            SELECT e.d, n0.layer + 1 FROM n0 JOIN e ON n0.node = e.s
+          ) GROUP BY node
+        ), n2 AS (
+          SELECT node, max(layer) AS layer FROM (
+            SELECT node, layer FROM n1
+            UNION ALL
+            SELECT e.d, n1.layer + 1 FROM n1 JOIN e ON n1.node = e.s
+          ) GROUP BY node
+        ), n3 AS (
+          SELECT node, max(layer) AS layer FROM (
+            SELECT node, layer FROM n2
+            UNION ALL
+            SELECT e.d, n2.layer + 1 FROM n2 JOIN e ON n2.node = e.s
+          ) GROUP BY node
+        ), n4 AS (
+          SELECT node, max(layer) AS layer FROM (
+            SELECT node, layer FROM n3
+            UNION ALL
+            SELECT e.d, n3.layer + 1 FROM n3 JOIN e ON n3.node = e.s
+          ) GROUP BY node
+        )
+        SELECT node, CAST(layer AS INT) AS layer FROM n4
+        """,
+        "q_graph_modularity": """
+        WITH raw AS (
+          SELECT c_custkey AS src,
+                 lead(c_custkey) OVER (PARTITION BY c_mktsegment
+                   ORDER BY c_custkey) AS dst
+          FROM customer
+        ), e AS (
+          SELECT DISTINCT greatest(src, dst) AS src, least(src, dst) AS dst
+          FROM raw WHERE dst IS NOT NULL AND src <> dst
+        ), lab AS (
+          SELECT c_custkey AS n, min(c_nationkey) AS c
+          FROM customer GROUP BY c_custkey
+        ), tagged AS (
+          SELECT la.c AS ca, lb.c AS cb
+          FROM e LEFT JOIN lab la ON e.src = la.n
+                 LEFT JOIN lab lb ON e.dst = lb.n
+        ), m AS (SELECT count(*) AS m FROM tagged),
+        deg AS (
+          SELECT label, count(*) AS degree_sum FROM (
+            SELECT ca AS label FROM tagged UNION ALL SELECT cb FROM tagged
+          ) GROUP BY label
+        ), e_in AS (
+          SELECT ca AS label, count(*) AS e_in FROM tagged
+          WHERE ca IS NOT DISTINCT FROM cb GROUP BY ca
+        ), nn AS (
+          SELECT c AS label, count(*) AS n_nodes FROM lab GROUP BY c
+        ), per AS (
+          SELECT d.label,
+                 coalesce(nn.n_nodes, 0) AS n_nodes,
+                 coalesce(e_in.e_in, 0) AS e_in,
+                 d.degree_sum, m.m
+          FROM deg d LEFT JOIN e_in USING (label)
+                     LEFT JOIN nn USING (label) CROSS JOIN m
+        ), z AS (
+          SELECT label, n_nodes, e_in, degree_sum,
+                 CAST(round((CAST(e_in AS DOUBLE) / CAST(m AS DOUBLE)
+                   - (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                     * (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))))
+                   * 1e9) AS BIGINT) AS tn
+          FROM per
+        )
+        SELECT label, CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(e_in AS BIGINT) AS e_in,
+               CAST(degree_sum AS BIGINT) AS degree_sum,
+               round(CAST(tn AS DOUBLE) / 1e9, 6) AS q_term,
+               round(CAST(sum(tn) OVER () AS DOUBLE) / 1e9, 6) AS q_total
+        FROM z
+        """,
+        "q_skipgram_negatives": r"""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+        ), toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '')) AS tok,
+                 generate_subscripts(list_filter(string_split_regex(lower(text),
+                   '[^a-z0-9]+'), x -> x <> ''), 1) AS pos
+          FROM docs
+        ), fwd AS (
+          SELECT tok AS center,
+                 lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS context
+          FROM toks QUALIFY context IS NOT NULL
+        ), pairs AS (
+          SELECT center, context FROM fwd
+          UNION ALL
+          SELECT context, center FROM fwd
+        ), vocab AS (
+          SELECT tok AS v, count(*) AS cnt FROM toks GROUP BY tok
+        ), indexed AS (
+          SELECT v, row_number() OVER (ORDER BY cnt DESC, v ASC) - 1 AS idx
+          FROM vocab
+        ), vc AS (SELECT count(*) AS vn FROM vocab),
+        js AS (
+          SELECT center, context, CAST(j AS INT) AS j,
+                 CAST('0x' || substr(md5(center || chr(31) || context
+                        || chr(31) || CAST(j AS VARCHAR)), 1, 15) AS BIGINT)
+                   % (SELECT vn FROM vc) AS idx
+          FROM pairs CROSS JOIN (SELECT 1 AS j UNION ALL SELECT 2) jj
+        )
+        SELECT center, context, j, indexed.v AS negative
+        FROM js JOIN indexed USING (idx)
         """,
     }

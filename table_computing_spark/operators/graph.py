@@ -687,3 +687,131 @@ def sssp_weighted(
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def topo_layers(
+    edges: DataFrame,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Topological layering of a DAG by bounded longest-path sweeps
+    (Kahn 1962's level structure, public): layer(v) = 0 for sources
+    (no incoming edge), else 1 + max(layer(pred)). After `rounds`
+    sweeps every node whose longest incoming path is ≤ rounds edges
+    carries its exact final layer — the bounded-hop contract shared
+    with bfs_hops/sssp_weighted (deeper nodes still hold their
+    current lower bound; pass a rounds ≥ the DAG depth for the full
+    order). The build-scheduling / dependency-ordering primitive:
+    layer k = everything runnable in wave k.
+
+    Cycles never terminate a true topo sort; here they simply keep
+    ratcheting until the bound — the output is still the exact
+    longest-path-≤-rounds value, which a caller can use to DETECT
+    cycles (a node at layer == rounds on a graph known shallower).
+
+    Per sweep: one layers⋈edges equi-join + one max-aggregate, all
+    shuffled on node keys; exact integers. Output: (node, layer)."""
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    layers = nodes.select("node", F.lit(0).alias("layer"))
+    for _ in range(rounds):
+        bumped = (
+            layers.join(e, layers["node"] == e["__s"])
+            .select(F.col("__d").alias("node"), (F.col("layer") + 1).alias("layer"))
+        )
+        layers = (
+            layers.union(bumped)
+            .groupBy("node")
+            .agg(F.max("layer").alias("layer"))
+            .localCheckpoint(eager=False)
+        )
+    return layers
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Newman modularity of a given partition (Newman & Girvan 2004,
+    public) over an undirected simple graph:
+
+        Q = Σ_c [ e_c/m − (d_c / 2m)² ]
+
+    with m the edge count, e_c the edges INSIDE community c, d_c the
+    degree sum of c's nodes. The quality readout for label_propagation
+    / dedup_groups output — "did the clustering actually concentrate
+    edges?".
+
+    Exact integer counts end to end (edges are canonicalized + deduped
+    like connected_components' input); each community's term is a
+    fixed-order double expression into nano longs, the total one exact
+    long sum — engine-portable. Nodes missing from `labels` form the
+    implicit community NULL (their internal edges count; the standard
+    treatment is to label every node).
+
+    Scale shape: one edge⋈labels join per endpoint (shuffle on node),
+    two hash aggregates — never materializes anything denser than the
+    edge list. Output: one row per community (label, n_nodes, e_in,
+    degree_sum, q_term) plus the repeated total via q_total."""
+    from pyspark.sql.window import Window as W
+
+    e = _canon(
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    lab = labels.select(
+        F.col(node_col).alias("__n"), F.col(label_col).alias("__c")
+    ).groupBy("__n").agg(F.min("__c").alias("__c"))
+    tagged = (
+        e.join(lab.withColumnRenamed("__n", "src"), "src", "left")
+        .withColumnRenamed("__c", "__ca")
+        .join(lab.withColumnRenamed("__n", "dst"), "dst", "left")
+        .withColumnRenamed("__c", "__cb")
+    )
+    m = tagged.count()
+    if m == 0:
+        raise ValueError(
+            "modularity: the canonicalized edge set is empty — Q is "
+            "undefined with m = 0 edges"
+        )
+    deg = (
+        tagged.select(F.col("__ca").alias("label"))
+        .union(tagged.select(F.col("__cb").alias("label")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("degree_sum"))
+    )
+    e_in = (
+        tagged.filter(F.col("__ca").eqNullSafe(F.col("__cb")))
+        .groupBy(F.col("__ca").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    nn = lab.groupBy(F.col("__c").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    per = (
+        deg.join(e_in, "label", "left")
+        .join(nn, "label", "left")
+        .fillna(0, subset=["e_in", "n_nodes"])
+    )
+    md = float(m)
+    frac = F.col("degree_sum").cast("double") / F.lit(2.0 * md)
+    term = F.col("e_in").cast("double") / F.lit(md) - frac * frac
+    per = per.withColumn("__tn", F.round(term * 1e9).cast("long"))
+    total = F.sum("__tn").over(W.partitionBy())  # <= |communities| rows
+    return per.select(
+        "label", "n_nodes", "e_in", "degree_sum",
+        F.round(F.col("__tn").cast("double") / 1e9, round_to).alias("q_term"),
+        F.round(total.cast("double") / 1e9, round_to).alias("q_total"),
+    )

@@ -84,3 +84,56 @@ def item_cf(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def als_rank1(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """One exact alternation of rank-1 ALS (Zhou et al. 2008 — the
+    classic Netflix-prize alternating-least-squares, public), the
+    engine-portable core of matrix factorization: with all item
+    factors initialized to 1.0,
+
+        u_i = Σ_j r_ij · v_j / Σ_j v_j²  =  Σ_j r_ij / n_i   (v ≡ 1)
+        v_j = Σ_i r_ij · u_i / Σ_i u_i²
+
+    u_i is a single division of exact integers (pass INTEGER-UNIT
+    ratings — cents, stars); the second step's float sums go through
+    nano fixed-point longs (round(term·1e9)) so the reduce order can
+    never flip a digit — one final division per item, rounded once.
+    More alternations refine the same shapes; one is the documented
+    oracle-pinned contract (every extra round is two more joins of the
+    identical pattern).
+
+    Scale shape: two equi-join + hash-aggregate rounds, shuffled on
+    user then item — the map-side-combinable ALS step; no matrices, no
+    driver state, skew bounded by the max user/item degree (AQE skew
+    split applies). Output: (item, v, n_raters)."""
+    r = ratings.select(
+        F.col(user_col).alias("__u"),
+        F.col(item_col).alias("__i"),
+        F.col(rating_col).cast("long").alias("__r"),
+    ).filter(F.col("__r").isNotNull())
+    users = r.groupBy("__u").agg(
+        (F.sum("__r").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("__uf")
+    )
+    ru = r.join(users, "__u")
+    num = F.sum(
+        F.round(F.col("__r").cast("double") * F.col("__uf") * 1e9).cast("long")
+    )
+    den = F.sum(F.round(F.col("__uf") * F.col("__uf") * 1e9).cast("long"))
+    per_item = ru.groupBy("__i").agg(
+        num.alias("__num"), den.alias("__den"), F.count(F.lit(1)).alias("n_raters")
+    )
+    return per_item.select(
+        F.col("__i").alias("item"),
+        F.round(
+            F.col("__num").cast("double") / F.col("__den").cast("double"), round_to
+        ).alias("v"),
+        "n_raters",
+    )

@@ -1269,3 +1269,127 @@ def forecast_eval(
             F.when(F.col("__san") > 0, mae / mae_naive), round_to
         ).alias("mase"),
     )
+
+
+def changepoint_single(
+    df: DataFrame,
+    key_cols: "Sequence[str]",
+    order_col: str,
+    value_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Best single change-point per series — binary segmentation's
+    first split (Scott & Knott 1974 / the AMOC variant of PELT, Killick
+    2012, all public): the split index t (1-based count of rows in the
+    LEFT segment) that maximizes the SSE reduction
+
+        gain(t) = SSE(all) − SSE(1..t) − SSE(t+1..n)
+        SSE(a..b) = Q − S²/m     (S, Q = segment sum / sum of squares)
+
+    Engine-exact: pass an INTEGER-UNIT value_col; prefix sums S_t, Q_t
+    are exact DECIMALs from ONE partitioned running window in order-col
+    order; each gain is a fixed-order double expression rounded once
+    (`round_to`), and the argmax — taken on the ROUNDED gain — breaks
+    ties by SMALLEST t: total order, engine-portable. Series with
+    n < 2 produce no row (no valid split exists).
+
+    Scale shape: one window pass partitioned by key (a series' history
+    lives in one task — the bounded-group contract shared with
+    ohlc_bars; for a single series longer than a task, decompose with
+    prefix.prefix_agg), one per-key max-join. Output: (keys..., n,
+    split_t, gain) with gain in squared value units."""
+    from pyspark.sql.window import Window as W
+
+    keys = list(key_cols)
+    v = value_col.cast("long")
+    base = df.select(*keys, F.col(order_col).alias("__o"), v.alias("__v"))
+    # squares and their sums in DECIMAL: long*long overflows at
+    # ~3e9-unit values, and prefix sums of squares overflow far sooner
+    sq = (F.col("__v").cast("decimal(38,0)") * F.col("__v").cast("decimal(38,0)"))
+    w = W.partitionBy(*keys).orderBy("__o").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy(*keys)
+    pre = base.select(
+        *keys,
+        F.row_number().over(W.partitionBy(*keys).orderBy("__o")).alias("__t"),
+        F.sum(F.col("__v").cast("decimal(38,0)")).over(w).alias("__S"),
+        F.sum(sq).over(w).alias("__Q"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+        F.sum(F.col("__v").cast("decimal(38,0)")).over(wall).alias("__Sn"),
+        F.sum(sq).over(wall).alias("__Qn"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    sse_all = d(F.col("__Qn")) - d(F.col("__Sn")) * d(F.col("__Sn")) / d(F.col("__n"))
+    sse_l = d(F.col("__Q")) - d(F.col("__S")) * d(F.col("__S")) / d(F.col("__t"))
+    sr = F.col("__Sn") - F.col("__S")
+    qr = F.col("__Qn") - F.col("__Q")
+    nr = F.col("__n") - F.col("__t")
+    sse_r = d(qr) - d(sr) * d(sr) / d(nr)
+    # round BEFORE the argmax so both engines compare the same value
+    # (the expressions are fixed-order, but rounding makes the tie set
+    # explicit); fixed-point micro longs would overflow on squared
+    # integer-unit gains, so the rounded double IS the portable key
+    cand = pre.filter(F.col("__t") < F.col("__n")).select(
+        *keys, "__t", "__n",
+        F.round(sse_all - sse_l - sse_r, round_to).alias("gain"),
+    )
+    best = cand.groupBy(*keys).agg(F.max("gain").alias("gain"))
+    picked = cand.join(best, [*keys, "gain"]).groupBy(*keys, "gain").agg(
+        F.min("__t").cast("long").alias("split_t"),  # long: row_number is
+        F.max("__n").alias("n"),                     # int, oracles BIGINT
+    )
+    return picked.select(*keys, "n", "split_t", "gain")
+
+
+def burstiness(
+    df: DataFrame,
+    key_cols: "Sequence[str]",
+    time_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Inter-arrival burstiness per key (Goh & Barabási 2008, public):
+    over the gaps Δ between consecutive events (ms),
+
+        B = (σ − μ) / (σ + μ)   ∈ (−1, 1)
+
+    −1 = perfectly periodic, 0 = Poisson, → 1 = heavy-tailed bursts —
+    the traffic-shape readout next to event_gaps (which reports the
+    gaps) and lag_autocorr (values, not arrivals). σ is the population
+    std dev over exact integer-ms gaps: sums and sums-of-squares stay
+    in DECIMAL, variance/σ/B run in fixed op order on doubles, rounded
+    once. Keys with < 3 events (< 2 gaps) report NULL B — a single gap
+    has no dispersion.
+
+    Scale shape: one lag window partitioned by key + one hash
+    aggregate. Output: (keys..., n_events, mean_gap_ms, b)."""
+    from pyspark.sql.window import Window as W
+
+    keys = list(key_cols)
+    dtype = dict(df.dtypes).get(time_col, "")
+    if dtype in ("bigint", "int", "long", "integer"):
+        t_ms = F.col(time_col).cast("long")  # already epoch-ms
+    else:
+        t_ms = F.unix_millis(F.col(time_col).cast("timestamp"))
+    base = df.select(*keys, t_ms.alias("__ms"))
+    w = W.partitionBy(*keys).orderBy("__ms")
+    gaps = base.select(
+        *keys, (F.col("__ms") - F.lag("__ms").over(w)).alias("__g")
+    ).filter(F.col("__g").isNotNull())
+    dec = "decimal(38,0)"
+    agg = gaps.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.sum(F.col("__g").cast(dec)).alias("__s"),
+        F.sum((F.col("__g") * F.col("__g")).cast(dec)).alias("__q"),
+    )
+    m = F.col("__m").cast("double")
+    mu = F.col("__s").cast("double") / m
+    var = F.col("__q").cast("double") / m - mu * mu
+    sig = F.sqrt(F.greatest(var, F.lit(0.0)))
+    b = F.when(F.col("__m") >= 2, (sig - mu) / (sig + mu))
+    return agg.select(
+        *keys,
+        (F.col("__m") + 1).cast("long").alias("n_events"),
+        F.round(mu, round_to).alias("mean_gap_ms"),
+        F.round(b, round_to).alias("b"),
+    )

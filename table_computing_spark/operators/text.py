@@ -1569,3 +1569,73 @@ def zipf_fit(
         F.round(intercept, round_to).alias("intercept"),
     )
     return totals.crossJoin(F.broadcast(fit))
+
+
+def skipgram_negatives(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Skip-gram training pairs (window ±1) with k DETERMINISTIC
+    negatives per pair — the word2vec data-prep step (Mikolov et al.
+    2013, public) with the RNG replaced by the repo's portable-hash
+    discipline: negative j for pair (c, x) is the vocab entry at index
+
+        conv(md5(c · 0x1f · x · 0x1f · j)[:15], 16, 10)  mod  V
+
+    over the frequency-ranked vocab (count desc, token asc — ties
+    total-ordered). Deterministic across engines and runs, so the
+    sampled dataset is reproducible — the property a 100 TB training
+    run actually needs from "random" negatives. (True unigram^0.75
+    sampling weights the index draw; uniform-over-vocab is the
+    oracle-exact baseline and the weighting is a vocab-table change,
+    not a plumbing change.)
+
+    Scale shape: pairs from one partitioned lead window per doc;
+    vocab indexed by ids.dense_ids (distributed rank — no global
+    window over the vocab); the negative lookup is one equi-join on
+    the vocab index, broadcast-sized when the vocab is. Output:
+    (center, context, j, negative)."""
+    from pyspark.sql.window import Window as W
+
+    from table_computing_spark.operators.ids import dense_ids
+
+    toks = docs.select(
+        F.col(doc_col).alias("__doc"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"))
+        .alias("__pos", "__tok"),
+    ).filter(F.col("__tok") != "")
+    w = W.partitionBy("__doc").orderBy("__pos")
+    fwd = toks.select(
+        F.col("__tok").alias("center"),
+        F.lead("__tok").over(w).alias("context"),
+    ).filter(F.col("context").isNotNull())
+    pairs = fwd.union(
+        fwd.select(F.col("context").alias("center"), F.col("center").alias("context"))
+    )
+    vocab = toks.groupBy(F.col("__tok").alias("__v")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    indexed = dense_ids(
+        vocab, [F.col("__cnt").desc(), F.col("__v").asc()], id_col="__idx"
+    )
+    v_count = indexed.count()
+    js = pairs.select(
+        "center", "context",
+        F.explode(F.array(*[F.lit(i + 1) for i in range(k)])).alias("j"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.col("center"), F.col("context"),
+                              F.col("j").cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    js = js.withColumn("__idx", h % F.lit(int(v_count)))
+    # no broadcast hint: natural-language vocabs usually fit one
+    # executor, but a 100 TB token vocab may not — let AQE pick
+    return js.join(
+        indexed.select("__idx", F.col("__v").alias("negative")), "__idx"
+    ).select("center", "context", "j", "negative")

@@ -192,6 +192,18 @@ _GLOBAL_WINDOW_OK = {
     "q_zipf_fit": (
         "row_number over LIMIT top_n rows (constant)", lambda spark: 1000, 1000,
     ),
+    # r11: per-list ranks + the fused rank, each over LIMITed rows
+    # (100-row TakeOrdered lists in, 20-row fused list out)
+    "q_rrf_fusion": (
+        "row_number over LIMIT 100/20 rows (constant)", lambda spark: 100, 100,
+    ),
+    # r11: sum(term) OVER () over one row per community (nation labels)
+    "q_graph_modularity": (
+        "global total over one row per community",
+        lambda spark: spark.read.parquet(f"{SF}/customer.parquet")
+        .select("c_nationkey").distinct().count(),
+        32,
+    ),
 }
 
 

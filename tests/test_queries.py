@@ -193,11 +193,12 @@ def test_every_query_function_is_registered():
 
 
 def test_window_rotation_discipline():
-    """VERDICT r09 item 1: the first-50 driver window must have ZERO
-    overlap with the previous round's window (CORRECTNESS_r09.json)
+    """VERDICT r10 task 2: the first-50 driver window must have ZERO
+    overlap with the previous round's window (CORRECTNESS_r10.json)
     unless a row went red there — re-verifying green rows burns slots
-    the stale strata need. Also pins that the 23 r04-stale rows the
-    r09 verdict queued are ALL inside the r10 window."""
+    the stale strata need. Also pins that the FULL 39-row r05-stale
+    stratum the r10 verdict queued is inside the r11 window (after
+    this round no row's last driver-green is older than r06)."""
     import itertools
     import json
     import pathlib
@@ -207,7 +208,7 @@ def test_window_rotation_discipline():
     window = list(itertools.islice(m.queries(), 50))
     prev = json.loads(
         pathlib.Path(__file__).with_name("..").resolve().joinpath(
-            "CORRECTNESS_r09.json"
+            "CORRECTNESS_r10.json"
         ).read_text()
     )
     prev_green = {
@@ -218,14 +219,17 @@ def test_window_rotation_discipline():
     overlap = set(window) & prev_green
     assert not overlap, f"window wastes slots on already-green rows: {sorted(overlap)}"
     queued = {
-        "q_window_tumble", "q_window_slide", "q_window_session",
-        "q_over_by_size", "q_streaming_tumble", "q_streaming_slide",
-        "q_streaming_session", "q_stream_over_duration", "q_stream_enrich",
-        "q_stream_interval_join", "q_stream_anomaly", "q_minhash_lsh",
-        "q_simhash_pairs", "q_stream_minhash", "q_approx_quantile",
-        "q_approx_distinct", "q_gate_relational", "q_gate_rowwise_udf",
-        "q_gate_aggregate", "q_gate_over", "q_stream_over", "q_gate_joins",
-        "q_gate_setops",
+        "q_audio_spectrum", "q_bloom_join", "q_bm25_topk", "q_cdc_apply",
+        "q_char_entropy", "q_dedup_incremental", "q_doc_chunks_overlap",
+        "q_dup_span_intervals", "q_embedding_quantize", "q_event_transitions",
+        "q_gopher_rules", "q_group_split", "q_hard_negatives", "q_image_dedup",
+        "q_key_skew", "q_linreg", "q_mixture_apply", "q_multimodal_decode",
+        "q_mutual_info", "q_nb_classify", "q_ohlc", "q_pagerank",
+        "q_png_decode", "q_psi_drift", "q_record_linkage", "q_rp_project",
+        "q_scd2", "q_snapshot_diff", "q_stream_curation", "q_stream_drift",
+        "q_stream_ohlc", "q_tpch_q10", "q_tpch_q11", "q_tpch_q13", "q_twap",
+        "q_video_frames", "q_weighted_sample", "q_woe_iv", "q_zorder_locality",
     }
+    assert len(queued) == 39
     missing = queued - set(window)
     assert not missing, f"verdict-queued rows missing from the window: {sorted(missing)}"

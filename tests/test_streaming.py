@@ -1355,3 +1355,56 @@ def test_stream_maintain_crash_recovery(spark, tmp_path):
     # ping-pong hygiene survives the crash: exactly one live version dir
     versions = [d for d in os.listdir(state) if d.startswith("v")]
     assert versions == [f"v{ptr2['version']}"]
+
+
+def test_timewindow_watermark_reorder_goldens(spark, tmp_path_factory):
+    """Port of the last unported §5 tier-2 golden — the watermark
+    reorder buffer (ref window/TimeWindowTest.java:29-66): watermark
+    100 ms over a single BIGINT ts column; batches [3,3,5] and
+    [100,101] stay buffered, the arrival of 105 releases times {3,5}
+    (tables of sizes 2 and 1), then [105,109,109] releases
+    [100],[101],[105,105],[109,109].
+
+    The reference asserts the RELEASE CADENCE (one table per distinct
+    ts, in ts order) — an artifact of its imperative loop that Spark's
+    managed state does not expose. The documented Spark-side
+    equivalent (streaming/windows.py module docstring, FIXTURES.md §3)
+    is on FINAL aggregates: replaying the same rows as ordered
+    micro-batches through a 1 ms tumble with the same 100 ms watermark
+    must (a) group every buffered row into its distinct-ts window
+    exactly once — the reference's released tables — and (b) keep a
+    LATE row that arrives inside the watermark horizon (Spark only
+    guarantees dropping beyond it), mirroring the reorder buffer's
+    whole purpose."""
+    from table_computing_spark.streaming.windows import stream_tumble
+
+    d = tmp_path_factory.mktemp("tw_reorder_src")
+    batches = [
+        [3, 3, 5],        # TimeWindowTest batch 1 — buffered
+        [100, 101],       # batch 2 — buffered
+        [105],            # batch 3 — releases {3: x2, 5: x1}
+        [9],              # EXTRA: late (past rows 100..105) but inside
+                          # the 100 ms horizon — must still aggregate
+        [105, 109, 109],  # batch 4 — releases the rest
+    ]
+    for i, batch in enumerate(batches):
+        p = d / f"batch_{i}.json"
+        with open(p, "w") as f:
+            for ts in batch:
+                f.write(json.dumps({"ts": ts}) + "\n")
+        mt = time.time() + i
+        os.utime(p, (mt, mt))
+
+    sdf = (
+        spark.readStream.schema("ts long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(d))
+    )
+    out = stream_tumble(
+        sdf, "ts", "1 millisecond", [], watermark="100 milliseconds",
+        n=F.count(F.lit(1)),
+    )
+    got = _run_to_table(spark, out, "t_tw_reorder", "complete")
+    assert _rows(got.select("window_start", "n"), "window_start") == [
+        (3, 2), (5, 1), (9, 1), (100, 1), (101, 1), (105, 2), (109, 2),
+    ]
