@@ -129,7 +129,7 @@ def main() -> None:
                     file=sys.stderr, flush=True,
                 )
             elif is_cadence and timings[name] > 3.0:
-                cadence_bound.append(name)
+                # already in cadence_bound via the pre-branch append
                 print(f"[bench] {name}: {timings[name]}s (cadence-bound; no warm rep)",
                       file=sys.stderr, flush=True)
             elif timings[name] > 3.0:
