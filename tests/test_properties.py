@@ -433,3 +433,194 @@ def test_pit_features_property(spark, facts, spine, win):
         inwin = [fv for ft, fv in hist if t - win < ft <= t]
         want = (last, len(inwin), sum(inwin) if inwin else None)
         assert got[sid] == want, (sid, k, t, got[sid], want)
+
+
+# --- r11 operator properties --------------------------------------------
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.floats(min_value=-100, max_value=100, allow_nan=False),
+                  st.booleans()),
+        min_size=2, max_size=25,
+    ).filter(lambda r: 0 < sum(y for _, y in r) < len(r)),
+)
+def test_roc_auc_matches_naive_pair_count(spark, rows):
+    """AUC == P(score⁺ > score⁻) + ½P(tie) by the probabilistic
+    definition — check the rank-sum implementation against the naive
+    O(P·N) pair count on generated data (ties included)."""
+    from table_computing_spark.operators.evaluation import roc_auc
+
+    df = spark.createDataFrame(
+        [(float(s), int(y)) for s, y in rows], "s double, y int"
+    )
+    got = roc_auc(df, F.col("y"), F.col("s")).first()
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    naive = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    assert got["auc"] == round(naive, 6)
+    assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("ab"), st.sampled_from("ab")),
+        min_size=1, max_size=20,
+    ),
+)
+def test_classification_report_matches_naive(spark, rows):
+    from collections import Counter
+
+    from table_computing_spark.operators.evaluation import classification_report
+
+    df = spark.createDataFrame(rows, "l string, p string")
+    got = {
+        r["clazz"]: r
+        for r in classification_report(df, F.col("l"), F.col("p")).collect()
+    }
+    classes = sorted({l for l, _ in rows} | {p for _, p in rows})
+    cnt = Counter(rows)
+
+    def eng_round(x: float, n: int = 6) -> float:
+        # Spark's F.round(double) goes through BigDecimal.valueOf —
+        # the SHORTEST decimal repr — then HALF_UP; DuckDB matches.
+        # Python's round() uses the true binary value and half-even,
+        # which disagrees exactly on decimal .5 boundaries (e.g.
+        # 857143/2/1e6 -> engines 0.428572, python 0.428571).
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP))
+
+    f1us = []
+    for c in classes:
+        tp = cnt[(c, c)]
+        sup = sum(v for (l, _), v in cnt.items() if l == c)
+        prd = sum(v for (_, p), v in cnt.items() if p == c)
+        prec = tp / prd if prd else 0.0
+        rec = tp / sup if sup else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        f1us.append(int(eng_round(f1 * 1e6, 0)))
+        assert got[c]["support"] == sup
+        assert got[c]["precision"] == eng_round(prec)
+        assert got[c]["recall"] == eng_round(rec)
+        assert got[c]["f1"] == eng_round(f1us[-1] / 1e6)
+    assert got["__macro__"]["f1"] == eng_round(sum(f1us) / len(classes) / 1e6)
+
+
+@_SETTINGS
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50),
+                  min_size=2, max_size=20),
+)
+def test_changepoint_matches_naive_argmax(spark, vals):
+    """The windowed prefix-sum gain must equal the O(n²) naive split
+    scan, including the smallest-t tie rule."""
+    from table_computing_spark.operators.temporal import changepoint_single
+
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "k string, o int, v int"
+    )
+    got = changepoint_single(df, ["k"], "o", F.col("v")).first()
+
+    def sse(xs):
+        if not xs:
+            return 0.0
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs)
+
+    total = sse(vals)
+    best_gain, best_t = None, None
+    for t in range(1, len(vals)):
+        gain = round(total - sse(vals[:t]) - sse(vals[t:]), 6)
+        if best_gain is None or gain > best_gain:
+            best_gain, best_t = gain, t
+    assert (got["split_t"], got["n"]) == (best_t, len(vals))
+    assert abs(got["gain"] - best_gain) <= 2e-6  # fp op-order slack
+
+
+@_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 8)).filter(
+            lambda e: e[0] < e[1]  # increasing edges -> guaranteed DAG
+        ),
+        min_size=1, max_size=15,
+    ),
+)
+def test_topo_layers_matches_longest_path(spark, edges):
+    from table_computing_spark.operators.graph import topo_layers
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["layer"] for r in topo_layers(df, rounds=8).collect()}
+    nodes = {n for e in edges for n in e}
+    depth = {n: 0 for n in nodes}
+    for _ in range(len(nodes)):
+        for s, d in edges:
+            depth[d] = max(depth[d], depth[s] + 1)
+    assert got == depth
+
+
+@_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 10), st.integers(1, 10)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1, max_size=20,
+    ),
+)
+def test_modularity_total_matches_naive_and_bounds(spark, edges):
+    """Q total == the naive Σ_c [e_c/m − (d_c/2m)²] over canonical
+    deduped edges, and sits inside Newman's [−0.5, 1) bounds."""
+    from table_computing_spark.operators.graph import modularity
+
+    canon = {(max(a, b), min(a, b)) for a, b in edges}
+    nodes = sorted({n for e in canon for n in e})
+    lab = {n: "even" if n % 2 == 0 else "odd" for n in nodes}
+    e_df = spark.createDataFrame(sorted(canon), "src int, dst int")
+    l_df = spark.createDataFrame(
+        [(n, lab[n]) for n in nodes], "node int, label string"
+    )
+    rows = modularity(e_df, l_df).collect()
+    m = len(canon)
+    total_naive = 0.0
+    for c in sorted({*lab.values()}):
+        e_in = sum(1 for a, b in canon if lab[a] == c and lab[b] == c)
+        deg = sum((lab[a] == c) + (lab[b] == c) for a, b in canon)
+        total_naive += round((e_in / m - (deg / (2 * m)) ** 2) * 1e9) / 1e9
+    got_total = rows[0]["q_total"]
+    assert all(r["q_total"] == got_total for r in rows)
+    assert abs(got_total - total_naive) <= 2e-6
+    assert -0.5 - 1e-9 <= got_total < 1.0
+
+
+@_SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12),
+        min_size=1, max_size=4,
+    ),
+)
+def test_rouge_identical_pair_is_perfect(spark, texts):
+    """ROUGE-N of a text against ITSELF is exactly 1/1 whenever the
+    text has ≥ n tokens, and NULL otherwise — the clipped-count
+    identity."""
+    from table_computing_spark.operators.evaluation import rouge_n
+
+    pairs = spark.createDataFrame(
+        [(i, t, t) for i, t in enumerate(texts)], "pair int, c string, r string"
+    )
+    got = {r["pair"]: r for r in rouge_n(pairs, "c", "r", "pair", n=2).collect()}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().split() if w]
+        n_bigrams = max(0, len(toks) - 1)
+        assert got[i]["n_ref"] == n_bigrams == got[i]["n_cand"]
+        if n_bigrams:
+            assert got[i]["rouge_recall"] == 1.0 == got[i]["rouge_precision"]
+        else:
+            assert got[i]["rouge_recall"] is None
