@@ -422,3 +422,194 @@ def conformal_intervals(
             ).alias("coverage"),
         )
     )
+
+
+def decision_stump(
+    df: DataFrame,
+    feature_col: str,
+    value_col: "F.Column | str",
+    target_col: "F.Column | str",
+    round_to: int = 6,
+) -> DataFrame:
+    """Best single-split regression stump per feature (CART's one-level
+    tree, Breiman 1984 — public): for every candidate threshold t over
+    a feature's DISTINCT values, the SSE reduction of splitting rows
+    into value ≤ t / value > t,
+
+        gain(t) = SSE_all − (SSE_left(t) + SSE_right(t))
+        SSE     = Σy² − (Σy)²/n
+
+    reported at the argmax — THE feature-screening readout (which raw
+    signals carry target information, and where their useful cut sits)
+    and the weak learner under every boosting stack.
+
+    Input is LONG format (feature name, feature value, target), so one
+    call screens any number of features in a single pass. `target_col`
+    must be INTEGER-exact (cents, counts — the welch_ttest contract):
+    per-value sufficient statistics (n, Σy, Σy²) stay in DECIMAL(38,0),
+    prefix sums run per feature over the DISTINCT-VALUE table (never
+    the data rows), and the gain arithmetic is fixed-order doubles
+    rounded BEFORE the argmax (the changepoint_single discipline).
+    Ties: the smallest threshold wins. DISCRETIZE CONTRACT: continuous
+    features should be bucketed first (same rule as kaplan_meier's
+    distinct-time note) or the per-feature window input is data-sized.
+
+    Output: (feature, n, split_value, gain, n_left) — one row per
+    feature; features whose every row ties on value (no valid split)
+    are absent."""
+    from pyspark.sql.window import Window as W
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    y = (F.col(target_col) if isinstance(target_col, str) else target_col).cast(
+        "decimal(38,0)"
+    )
+    per = (
+        df.select(
+            F.col(feature_col).alias("feature"),
+            v.cast("double").alias("__v"),
+            y.alias("__y"),
+        )
+        .filter(F.col("__v").isNotNull() & F.col("__y").isNotNull())
+        .groupBy("feature", "__v")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum("__y").alias("__s"),
+            F.sum(F.col("__y") * F.col("__y")).alias("__q"),
+        )
+    )
+    w = W.partitionBy("feature").orderBy("__v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy("feature")
+    pre = per.select(
+        "feature",
+        "__v",
+        F.sum("__c").over(w).alias("__nl"),
+        F.sum("__s").over(w).alias("__sl"),
+        F.sum("__q").over(w).alias("__ql"),
+        F.sum("__c").over(wall).alias("__n"),
+        F.sum("__s").over(wall).alias("__sn"),
+        F.sum("__q").over(wall).alias("__qn"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    sse_all = d(F.col("__qn")) - d(F.col("__sn")) * d(F.col("__sn")) / d(F.col("__n"))
+    sse_l = d(F.col("__ql")) - d(F.col("__sl")) * d(F.col("__sl")) / d(F.col("__nl"))
+    sr = F.col("__sn") - F.col("__sl")
+    qr = F.col("__qn") - F.col("__ql")
+    nr = F.col("__n") - F.col("__nl")
+    sse_r = d(qr) - d(sr) * d(sr) / d(nr)
+    cand = pre.filter(F.col("__nl") < F.col("__n")).select(
+        "feature",
+        "__v",
+        "__n",
+        "__nl",
+        F.round(sse_all - sse_l - sse_r, round_to).alias("gain"),
+    )
+    best = cand.groupBy("feature").agg(F.max("gain").alias("gain"))
+    picked = cand.join(best, ["feature", "gain"]).groupBy("feature", "gain").agg(
+        F.min("__v").alias("split_value"),
+        F.max("__n").cast("long").alias("n"),
+    )
+    # n_left at the PICKED (feature, threshold) — re-join the prefix row
+    out = picked.join(
+        pre.select(
+            "feature",
+            F.col("__v").alias("split_value"),
+            F.col("__nl").cast("long").alias("n_left"),
+        ),
+        ["feature", "split_value"],
+    )
+    return out.select("feature", "n", "split_value", "gain", "n_left")
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_int: "F.Column | str",
+    scale: int,
+    label_col: "F.Column | str",
+    bins: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Isotonic (monotone nondecreasing) calibration of a classifier
+    score over fixed-width bins, via the minimax representation of
+    pool-adjacent-violators (Ayer 1955 / Robertson 1988 — public):
+
+        fit(b) = max_{j ≤ b} min_{k ≥ b}  Σ_{i∈[j,k]} pos_i / Σ_{i∈[j,k]} n_i
+
+    — the non-parametric alternative to Platt scaling next to
+    calibration_bins (which only REPORTS the reliability gap; this
+    repairs it), with the same integer-score contract (`score_int` /
+    `scale`, the calibration_bins convention).
+
+    Shape: one hash aggregate onto ≤ `bins` rows, then all pooling
+    runs on bounded bins²/bins³ interval tables (j ≤ b ≤ k triples of
+    a ≤20-row table) — exact integer interval sums from two prefix
+    arrays, one division per interval, min/max are selection (no float
+    accumulation). The bins-table windows are bounded-input by
+    construction (the plan-gate whitelist class). Empty bins are
+    absent from the output (no rows → no evidence; neighbors pool
+    THROUGH them since intervals are index-based on present bins).
+
+    Output: (bin, n, n_pos, raw_rate, calibrated) — calibrated is
+    provably nondecreasing in bin order."""
+    from pyspark.sql.window import Window as W
+
+    s = (F.col(score_int) if isinstance(score_int, str) else score_int).cast("long")
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    bin_c = F.least(
+        F.floor(s * F.lit(int(bins)) / F.lit(int(scale))), F.lit(int(bins) - 1)
+    ).cast("int")
+    per = (
+        df.select(bin_c.alias("bin"), y.cast("long").alias("__y"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__y").alias("n_pos"))
+    )
+    # dense index over the ≤bins PRESENT rows + inclusive prefix sums —
+    # bounded global windows (whitelisted with a measured bound in the
+    # plan gate, the q_psi_drift fixed-bin-table class)
+    w1 = W.orderBy("bin")
+    w = w1.rowsBetween(W.unboundedPreceding, W.currentRow)
+    idx = per.select(
+        "bin", "n", "n_pos",
+        F.row_number().over(w1).alias("__i"),
+        F.sum("n").over(w).alias("__cn"),
+        F.sum("n_pos").over(w).alias("__cp"),
+    )
+    lo = idx.select(
+        F.col("__i").alias("__j"),
+        (F.col("__cn") - F.col("n")).alias("__cn0"),
+        (F.col("__cp") - F.col("n_pos")).alias("__cp0"),
+    )
+    hi = idx.select(
+        F.col("__i").alias("__k"),
+        F.col("__cn").alias("__cn1"),
+        F.col("__cp").alias("__cp1"),
+    )
+    ivals = lo.join(hi, F.col("__j") <= F.col("__k")).select(
+        "__j", "__k",
+        (
+            (F.col("__cp1") - F.col("__cp0")).cast("double")
+            / (F.col("__cn1") - F.col("__cn0")).cast("double")
+        ).alias("__avg"),
+    )
+    # per (b, j): min over k >= b; then per b: max over j <= b
+    inner = (
+        idx.select(F.col("__i").alias("__b"))
+        .join(ivals, F.col("__k") >= F.col("__b"))
+        .filter(F.col("__j") <= F.col("__b"))
+        .groupBy("__b", "__j")
+        .agg(F.min("__avg").alias("__mn"))
+    )
+    fit = inner.groupBy("__b").agg(F.max("__mn").alias("__fit"))
+    return (
+        idx.join(fit, idx["__i"] == fit["__b"])
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n").cast("double"), round_to
+            ).alias("raw_rate"),
+            F.round(F.col("__fit"), round_to).alias("calibrated"),
+        )
+    )

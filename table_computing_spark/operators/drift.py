@@ -751,3 +751,353 @@ def diff_in_diff(
         F.round(cq, round_to).alias("mean_ctrl_post"),
         F.round((tq - tp) - (cq - cp), round_to).alias("did"),
     )
+
+
+def mann_whitney(
+    df: DataFrame,
+    in_group_a: Column,
+    value_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test (Mann & Whitney 1947, public) with
+    midrank ties and the tie-corrected normal approximation — the
+    nonparametric two-sample complement of welch_ttest (use it when
+    the drift you're hunting is a location shift in a non-normal
+    metric, e.g. latency or doc-length distributions between two
+    pipeline variants):
+
+        U  = R_A − n_A(n_A+1)/2
+        z  = (U − n_A·n_B/2) / sqrt(n_A·n_B/12 · ((N+1) − Σ(t³−t)/(N(N−1))))
+
+    Everything before the final z expression is exact integer/decimal
+    arithmetic on the DISTINCT-VALUE table (the roc_auc machinery:
+    2·R_A = Σ n_A(v)·(2·cum_before(v) + n(v) + 1) via one hash
+    aggregate + the distributed prefix sum, never an unpartitioned
+    window over data rows). U is reported exactly (an .5-granular
+    double); z is NULL when every value ties (σ = 0) or either group
+    is empty. No continuity correction (the large-N convention).
+    Output one row: (u, z, n_a, n_b)."""
+    from table_computing_spark.operators.prefix import prefix_agg
+
+    s = df.select(
+        value_col.cast("double").alias("__v"),
+        in_group_a.cast("int").alias("__a"),
+    ).filter(F.col("__v").isNotNull() & F.col("__a").isNotNull())
+    per = s.groupBy("__v").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__a").alias("__na")
+    )
+    pre = prefix_agg(
+        per, order_by=["__v"], specs={"__cb": ("sum", "__n")}, exclusive=True
+    )
+    dec = "decimal(38,0)"
+    cb = F.coalesce(F.col("__cb"), F.lit(0)).cast(dec)
+    r2 = F.col("__na").cast(dec) * (
+        F.lit(2).cast(dec) * cb + F.col("__n").cast(dec) + F.lit(1).cast(dec)
+    )
+    t = F.col("__n").cast(dec)
+    agg = pre.agg(
+        F.sum(r2).alias("__r2"),
+        F.sum("__na").cast("long").alias("n_a"),
+        (F.sum("__n") - F.sum("__na")).cast("long").alias("n_b"),
+        F.sum(t * t * t - t).alias("__ties"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    u = (F.col("__r2").cast("double") - na * (na + 1.0)) / 2.0
+    mu = na * nb / 2.0
+    var = (
+        na * nb / 12.0
+        * ((nn + 1.0) - F.col("__ties").cast("double") / (nn * (nn - 1.0)))
+    )
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0),
+        (u - mu) / F.sqrt(var),
+    )
+    return agg.select(
+        u.alias("u"), F.round(z, round_to).alias("z"), "n_a", "n_b"
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    id_col: str,
+    p_col: Column,
+    alpha: float = 0.05,
+    round_to: int = 9,
+) -> DataFrame:
+    """Benjamini–Hochberg false-discovery-rate control (Benjamini &
+    Hochberg 1995, public) over a table of per-test p-values — the
+    multiple-comparisons gate an experimentation platform needs the
+    moment it runs more than one A/B readout (srm_check / welch_ttest
+    / mann_whitney feed this):
+
+        rank tests by p ascending; reject all tests up to the largest
+        rank i with p_(i) ≤ i·alpha/m; adjusted p_(i) =
+        min_{j ≥ i} (m·p_(j)/j), capped at 1.
+
+    Scale shape: both ordered passes are prefix.prefix_agg (the
+    distributed two-pass prefix sum) — rank from an ascending
+    exclusive count, and the suffix min/any from a DESCENDING prefix
+    pass — so no unpartitioned window ever sees the test table (m can
+    be millions of per-segment tests). The total count m joins in as
+    a 1-row broadcast scalar. Each adjusted value is one
+    multiplication + division (no float sums), so engines agree
+    bit-for-bit before the final round. Ties on p are ordered by id —
+    ranks differ but BOTH the threshold rule and the suffix-min make
+    the outputs tie-invariant. Output: (id, p_value, bh_rank, p_adj,
+    rejected)."""
+    from table_computing_spark.operators.prefix import prefix_agg
+
+    base = df.select(
+        F.col(id_col).alias("id"), p_col.cast("double").alias("p_value")
+    ).filter(F.col("p_value").isNotNull())
+    m = base.agg(F.count(F.lit(1)).alias("__m"))
+    ranked = prefix_agg(
+        base,
+        order_by=["p_value", "id"],
+        specs={"__rk0": ("count", "p_value")},
+        exclusive=True,
+    ).select(
+        "id", "p_value", (F.col("__rk0") + 1).cast("long").alias("bh_rank")
+    ).crossJoin(F.broadcast(m))
+    staged = ranked.select(
+        "id",
+        "p_value",
+        "bh_rank",
+        (F.col("__m").cast("double") * F.col("p_value") / F.col("bh_rank").cast("double")).alias("__praw"),
+        (
+            F.col("p_value") * F.col("__m").cast("double")
+            <= F.col("bh_rank").cast("double") * F.lit(float(alpha))
+        ).cast("int").alias("__ok"),
+    )
+    suff = prefix_agg(
+        staged,
+        order_by=[F.col("bh_rank").desc()],
+        specs={"__minp": ("min", "__praw"), "__any": ("max", "__ok")},
+        exclusive=False,
+    )
+    return suff.select(
+        "id",
+        "p_value",
+        "bh_rank",
+        F.round(F.least(F.lit(1.0), F.col("__minp")), round_to).alias("p_adj"),
+        (F.col("__any") == 1).alias("rejected"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: Column,
+    y_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation with midrank ties (Spearman 1904,
+    public) — Pearson on the rank transform; the monotone-association
+    readout that survives outliers and nonlinearity (feature screening
+    against a quality label, metric-vs-metric sanity checks):
+
+        rho = Σ cx·cy / (sqrt(Σ cx²) · sqrt(Σ cy²))
+
+    over CENTERED DOUBLED midranks cx = 2·r_x − (N+1) — integers (a
+    midrank is .5-granular, doubling makes it exact; centering makes
+    Σcx = 0 so the covariance form needs no cross terms). Midranks
+    come per column from the distinct-value hash aggregate + the
+    distributed prefix sum (roc_auc machinery), joined back to rows by
+    value — rows pass through two equi-joins, never a global sort.
+
+    Exactness: all three sums accumulate integers in DECIMAL(38,0)
+    (|cx| ≤ N, so Σcx² ≤ N³ — exact past N = 10¹²); the final
+    expression is two sqrts and one division. Rows with a NULL in
+    either column are dropped (pairwise-complete, documented). NULL
+    rho when either side is constant. Output one row:
+    (spearman_rho, n)."""
+    from table_computing_spark.operators.prefix import prefix_agg
+
+    base = df.select(
+        x_col.cast("double").alias("__x"), y_col.cast("double").alias("__y")
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    n1 = base.agg(F.count(F.lit(1)).alias("__n"))
+
+    def rank_map(col: str) -> DataFrame:
+        per = base.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
+        pre = prefix_agg(
+            per, order_by=[col], specs={"__cb": ("sum", "__c")}, exclusive=True
+        )
+        # doubled midrank 2r = 2·cum_before + c + 1 (exact long)
+        return pre.select(
+            col,
+            (
+                F.lit(2) * F.coalesce(F.col("__cb"), F.lit(0))
+                + F.col("__c")
+                + F.lit(1)
+            ).cast("long").alias(f"__r2{col}"),
+        )
+
+    withr = (
+        base.join(rank_map("__x"), "__x")
+        .join(rank_map("__y"), "__y")
+        .crossJoin(F.broadcast(n1))
+    )
+    dec = "decimal(38,0)"
+    cx = (F.col("__r2__x") - (F.col("__n") + 1)).cast(dec)
+    cy = (F.col("__r2__y") - (F.col("__n") + 1)).cast(dec)
+    agg = withr.agg(
+        F.sum(cx * cy).alias("__sxy"),
+        F.sum(cx * cx).alias("__sxx"),
+        F.sum(cy * cy).alias("__syy"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    rho = F.when(
+        (F.col("__sxx") > 0) & (F.col("__syy") > 0),
+        F.col("__sxy").cast("double")
+        / (F.sqrt(F.col("__sxx").cast("double")) * F.sqrt(F.col("__syy").cast("double"))),
+    )
+    return agg.select(F.round(rho, round_to).alias("spearman_rho"), "n")
+
+
+def chi2_screen(
+    df: DataFrame,
+    feature_col: str,
+    value_col: Column,
+    label_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Chi-square test of independence per feature (Pearson 1900,
+    public) — the categorical feature-screening companion to
+    mutual_information (which measures the same dependence in bits;
+    chi2 adds the classical test statistic and degrees of freedom):
+
+        chi2 = Σ_cells (O − E)² / E,   E = row·col / n
+
+    Input is LONG format (feature name, categorical value, label) so
+    one call screens many features. Cells are enumerated from the
+    CROSS of the per-feature row/column marginals (an observed-cells-
+    only sum would silently drop every O = 0 cell's E contribution),
+    so all tables are category-sized, never row-sized. O/row/col/n are
+    exact integers from hash aggregates; each cell term is fixed-order
+    double arithmetic rounded to a nano long before the per-feature
+    sum (cells ≤ |values|·|labels| — reduce-order-free). Output:
+    (feature, chi2, dof, n)."""
+    base = df.select(
+        F.col(feature_col).alias("feature"),
+        value_col.cast("string").alias("__v"),
+        label_col.cast("string").alias("__l"),
+    ).filter(F.col("__v").isNotNull() & F.col("__l").isNotNull())
+    cells = base.groupBy("feature", "__v", "__l").agg(
+        F.count(F.lit(1)).alias("__o")
+    )
+    rowm = cells.groupBy("feature", "__v").agg(F.sum("__o").alias("__r"))
+    colm = cells.groupBy("feature", "__l").agg(F.sum("__o").alias("__c"))
+    tot = cells.groupBy("feature").agg(F.sum("__o").alias("__n"))
+    grid = rowm.join(colm, "feature").join(tot, "feature").join(
+        cells, ["feature", "__v", "__l"], "left"
+    )
+    o = F.coalesce(F.col("__o"), F.lit(0)).cast("double")
+    e = F.col("__r").cast("double") * F.col("__c").cast("double") / F.col(
+        "__n"
+    ).cast("double")
+    term = F.round((o - e) * (o - e) / e * 1e9).cast("long")
+    agg = grid.groupBy("feature").agg(
+        F.sum(term).alias("__t"),
+        F.count_distinct(F.col("__v")).alias("__nv"),
+        F.count_distinct(F.col("__l")).alias("__nl"),
+        F.first("__n").alias("__nn"),
+    )
+    return agg.select(
+        "feature",
+        F.round(F.col("__t").cast("double") / 1e9, round_to).alias("chi2"),
+        ((F.col("__nv") - 1) * (F.col("__nl") - 1)).cast("long").alias("dof"),
+        F.col("__nn").cast("long").alias("n"),
+    )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: Column,
+    covariate_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """CUPED variance reduction for A/B metrics (Deng, Xu, Kohavi &
+    Walker 2013 — public): shrink each arm's metric with a pre-period
+    covariate before testing,
+
+        θ  = cov(X, Y) / var(X)            (pooled across arms)
+        Y' = Y − θ·(X − mean(X))
+        adjusted mean(arm) = mean_Y(arm) − θ·(mean_X(arm) − mean(X))
+
+    — the standard way to make welch_ttest detect smaller lifts at the
+    same traffic. Both `metric_col` and `covariate_col` must be
+    INTEGER-exact (cents, counts — the welch_ttest contract): the five
+    pooled sufficient statistics (ΣX, ΣY, ΣX², ΣXY, n) and the per-arm
+    sums stay in DECIMAL(38,0); θ and the adjusted means are fixed-
+    order double arithmetic, rounded once. The pooled 1-row aggregate
+    joins back broadcast — fully declarative, no driver round-trip.
+
+    Output per arm: (arm, n, mean_raw, mean_adj, theta,
+    var_reduction_pct) — the last two are pooled values repeated on
+    every row (the readout a dashboard wants next to each arm);
+    var_reduction_pct = 100·ρ²(X,Y), the theoretical variance drop.
+    Raises ValueError when var(X) = 0 (constant covariate — θ
+    undefined; checked with a 1-row probe, the srm_check loud-failure
+    discipline)."""
+    dec = "decimal(38,0)"
+    x = covariate_col.cast(dec)
+    yv = metric_col.cast(dec)
+    base = df.select(
+        F.col(arm_col).alias("arm"), x.alias("__x"), yv.alias("__y")
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    pooled = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    bad = pooled.filter(
+        (F.col("__n") == 0)
+        | (F.col("__sxx") * F.col("__n") == F.col("__sx") * F.col("__sx"))
+    )
+    if bad.take(1):
+        raise ValueError(
+            "cuped_adjust: covariate has zero variance (or no rows) — "
+            "theta is undefined; pick a pre-period signal that varies"
+        )
+    nd = F.col("__n").cast("double")
+    cov = F.col("__sxy").cast("double") - F.col("__sx").cast("double") * F.col(
+        "__sy"
+    ).cast("double") / nd
+    varx = F.col("__sxx").cast("double") - F.col("__sx").cast("double") * F.col(
+        "__sx"
+    ).cast("double") / nd
+    vary = F.col("__syy").cast("double") - F.col("__sy").cast("double") * F.col(
+        "__sy"
+    ).cast("double") / nd
+    scal = pooled.select(
+        (cov / varx).alias("__theta"),
+        (F.col("__sx").cast("double") / nd).alias("__mx"),
+        F.when(vary > 0, F.lit(100.0) * cov * cov / (varx * vary))
+        .otherwise(F.lit(0.0))
+        .alias("__vr"),
+    )
+    per = base.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("__asy"),
+        F.sum("__x").alias("__asx"),
+    )
+    j = per.crossJoin(F.broadcast(scal))  # 1-row scalar join
+    and_ = F.col("n").cast("double")
+    mean_raw = F.col("__asy").cast("double") / and_
+    mean_adj = mean_raw - F.col("__theta") * (
+        F.col("__asx").cast("double") / and_ - F.col("__mx")
+    )
+    return j.select(
+        "arm",
+        F.col("n").cast("long").alias("n"),
+        F.round(mean_raw, round_to).alias("mean_raw"),
+        F.round(mean_adj, round_to).alias("mean_adj"),
+        F.round(F.col("__theta"), round_to).alias("theta"),
+        F.round(F.col("__vr"), round_to).alias("var_reduction_pct"),
+    )

@@ -332,3 +332,549 @@ def rrf_fuse(
         F.round(F.col("__s").cast("double") / 1e9, round_to).alias("rrf"),
         F.row_number().over(w).alias("fused_rank"),
     )
+
+
+def average_precision(
+    df: DataFrame,
+    label_col: Column,
+    score_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve,
+    the step-wise estimator scikit-learn uses — Zhu 2004, public):
+
+        AP = Σ_t (R_t − R_{t−1}) · P_t
+           = (1/P) Σ_groups p_g · cumP_g / cumN_g
+
+    over DISTINCT scores in descending order, where p_g is the number
+    of positives at score group g and cumP/cumN are the inclusive
+    prefix sums (rows at or above the threshold). Ties are handled as
+    one threshold group — the unambiguous convention (a per-row order
+    would make AP depend on the tiebreak).
+
+    Exactness: integer group counts from one hash aggregate; the
+    descending prefix sums come from prefix.prefix_agg (distributed
+    two-pass — never an unpartitioned window over data rows); each
+    group term is one double division rounded to a nano long and the
+    term sum accumulates in DECIMAL(38,0), so engines agree bit-for-bit
+    at any scale. Two final divisions (1e9 and P).
+
+    Returns one row (average_precision, n_pos, n)."""
+    from table_computing_spark.operators.prefix import prefix_agg
+
+    s = df.select(
+        score_col.cast("double").alias("__s"),
+        label_col.cast("int").alias("__y"),
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    per = s.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__np")
+    )
+    pre = prefix_agg(
+        per,
+        order_by=[F.col("__s").desc()],
+        specs={"__cn": ("sum", "__n"), "__cp": ("sum", "__np")},
+        exclusive=False,
+    )
+    term = F.round(
+        F.col("__np").cast("double")
+        * F.col("__cp").cast("double")
+        / F.col("__cn").cast("double")
+        * 1e9
+    ).cast("decimal(38,0)")
+    out = pre.agg(
+        F.sum(term).alias("__t"),
+        F.sum("__np").cast("long").alias("n_pos"),
+        F.sum("__n").cast("long").alias("n"),
+    )
+    return out.select(
+        F.round(
+            F.col("__t").cast("double") / 1e9 / F.col("n_pos").cast("double"),
+            round_to,
+        ).alias("average_precision"),
+        "n_pos",
+        "n",
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: Column,
+    rater_b: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement (Cohen 1960, public) —
+    THE labeling-pipeline QA readout (two human raters, or a model
+    judge against a gold rater):
+
+        kappa = (p_o − p_e) / (1 − p_e)
+              = (n·Σdiag − Σ_k row_k·col_k) / (n² − Σ_k row_k·col_k)
+
+    Everything is exact integers from ONE (a, b) hash aggregate plus
+    two marginal re-aggregations of that tiny table (≤ classes² rows):
+    no float enters until the single final division (DECIMAL(38,0)
+    numerator/denominator). Perfect-chance degenerate input (both
+    raters constant, p_e = 1) yields NULL kappa — undefined, reported
+    explicitly rather than as 0. Returns one row
+    (kappa, po, pe, n_items)."""
+    pairs = df.select(
+        rater_a.cast("string").alias("__a"), rater_b.cast("string").alias("__b")
+    ).groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__n"))
+    dec = "decimal(38,0)"
+    marg = (
+        pairs.groupBy("__a").agg(F.sum("__n").alias("__ra"))
+        .join(
+            pairs.groupBy("__b").agg(F.sum("__n").alias("__rb")),
+            F.col("__a") == F.col("__b"),
+            "inner",
+        )
+        .agg(F.sum(F.col("__ra").cast(dec) * F.col("__rb").cast(dec)).alias("__pe_num"))
+    )
+    tot = pairs.agg(
+        F.sum("__n").cast(dec).alias("__nn"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n")).otherwise(0))
+        .cast(dec)
+        .alias("__po_num"),
+    )
+    j = tot.crossJoin(F.broadcast(marg))  # 1-row x 1-row scalar join
+    pe_num = F.coalesce(F.col("__pe_num"), F.lit(0).cast(dec))
+    num = F.col("__nn") * F.col("__po_num") - pe_num
+    den = F.col("__nn") * F.col("__nn") - pe_num
+    return j.select(
+        F.round(
+            F.when(den != 0, num.cast("double") / den.cast("double")),
+            round_to,
+        ).alias("kappa"),
+        F.round(
+            F.col("__po_num").cast("double") / F.col("__nn").cast("double"), round_to
+        ).alias("po"),
+        F.round(
+            pe_num.cast("double")
+            / (F.col("__nn") * F.col("__nn")).cast("double"),
+            round_to,
+        ).alias("pe"),
+        F.col("__nn").cast("long").alias("n_items"),
+    )
+
+
+def bleu_n(
+    pairs: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    pair_col: str,
+    max_n: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sentence BLEU (Papineni 2002, public; no smoothing) per
+    (candidate, reference) pair — the generation-eval complement of
+    rouge_n:
+
+        BLEU = BP · (Π_{i=1..N} p_i)^(1/N)
+        p_i  = clipped i-gram overlap / candidate i-gram count
+        BP   = min(1, exp(1 − ref_len/cand_len))
+
+    Tokenization and n-gram assembly are the rouge_n machinery
+    (lowercase non-alphanumeric split, posexplode + per-document lead
+    windows — one pass per order i, unioned with an `n` tag, so counts
+    for all orders flow through ONE clipped full join + hash
+    aggregate). Counts are exact integers; the per-pair combination is
+    a single scalar expression (≤ max_n divisions, one pow, one exp —
+    both libm-portable per the repo transcendental rule), so no
+    float-sum order exists to diverge.
+
+    Conventions (explicit, not silent): candidate shorter than max_n
+    tokens → NULL bleu (undefined p_N); any p_i = 0 → bleu = 0.0 (the
+    unsmoothed definition); missing/empty reference with non-empty
+    candidate → bleu 0.0 via zero overlap. Output:
+    (pair, cand_len, ref_len, bleu)."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window as W
+
+    def toks(col: str) -> DataFrame:
+        return pairs.select(
+            F.col(pair_col).alias("pair"),
+            F.posexplode(
+                F.split(F.lower(F.col(col)), r"[^a-z0-9]+")
+            ).alias("__pos", "__tok"),
+        ).filter(F.col("__tok") != "")
+
+    def grams(t: DataFrame, side: str) -> DataFrame:
+        w = W.partitionBy("pair").orderBy("__pos")
+        per_n = []
+        for i in range(1, max_n + 1):
+            parts = [F.col("__tok")] + [F.lead("__tok", j).over(w) for j in range(1, i)]
+            per_n.append(
+                t.select(
+                    "pair",
+                    F.lit(i).alias("__i"),
+                    F.concat_ws(" ", *parts).alias("__g"),
+                    parts[-1].isNotNull().alias("__full"),
+                ).filter(F.col("__full"))
+            )
+        allg = reduce(lambda a, b: a.unionByName(b), per_n)
+        return allg.groupBy("pair", "__i", "__g").agg(
+            F.count(F.lit(1)).alias(f"__c_{side}")
+        )
+
+    c = grams(toks(cand_col), "cand")
+    r = grams(toks(ref_col), "ref")
+    j = c.join(r, ["pair", "__i", "__g"], "full")
+    per_i = j.groupBy("pair", "__i").agg(
+        F.sum(
+            F.least(
+                F.coalesce(F.col("__c_cand"), F.lit(0)),
+                F.coalesce(F.col("__c_ref"), F.lit(0)),
+            )
+        ).alias("__o"),
+        F.sum(F.coalesce(F.col("__c_cand"), F.lit(0))).alias("__c"),
+        F.sum(F.coalesce(F.col("__c_ref"), F.lit(0))).alias("__r"),
+    )
+    agg = per_i.groupBy("pair").agg(
+        *[
+            F.sum(F.when(F.col("__i") == i, F.col("__o")).otherwise(0)).alias(f"__o{i}")
+            for i in range(1, max_n + 1)
+        ],
+        *[
+            F.sum(F.when(F.col("__i") == i, F.col("__c")).otherwise(0)).alias(f"__c{i}")
+            for i in range(1, max_n + 1)
+        ],
+        F.sum(F.when(F.col("__i") == 1, F.col("__r")).otherwise(0)).alias("__rl"),
+    )
+    # keep pairs whose sides produced no grams at all (empty texts)
+    all_pairs = pairs.select(F.col(pair_col).alias("pair")).distinct()
+    agg = all_pairs.join(agg, "pair", "left").fillna(
+        0,
+        subset=[f"__o{i}" for i in range(1, max_n + 1)]
+        + [f"__c{i}" for i in range(1, max_n + 1)]
+        + ["__rl"],
+    )
+    cl = F.col("__c1").cast("double")
+    rl = F.col("__rl").cast("double")
+    prod = reduce(
+        lambda a, i: a
+        * (F.col(f"__o{i}").cast("double") / F.col(f"__c{i}").cast("double")),
+        range(1, max_n + 1),
+        F.lit(1.0),
+    )
+    bp = F.when(F.col("__c1") >= F.col("__rl"), F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - rl / cl)
+    )
+    any_zero = reduce(
+        lambda a, i: a | (F.col(f"__o{i}") == 0), range(1, max_n + 1), F.lit(False)
+    )
+    bleu = (
+        F.when(F.col(f"__c{max_n}") == 0, F.lit(None).cast("double"))
+        .when(any_zero, F.lit(0.0))
+        .otherwise(bp * F.pow(prod, F.lit(1.0 / max_n)))
+    )
+    return agg.select(
+        "pair",
+        F.col("__c1").cast("long").alias("cand_len"),
+        F.col("__rl").cast("long").alias("ref_len"),
+        F.round(bleu, round_to).alias("bleu"),
+    )
+
+
+def pass_at_k(
+    df: DataFrame,
+    problem_col: str,
+    correct_col: Column,
+    k: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """The unbiased pass@k estimator for code/program-synthesis evals
+    (Chen et al. 2021, the Codex paper — public):
+
+        pass@k = 1 − C(n−c, k) / C(n, k)
+               = 1 − Π_{j=0..k−1} (n−c−j) / (n−j)
+
+    per problem with n sampled attempts of which c are correct. The
+    product form avoids factorial overflow; each factor is one double
+    division and the fold order is the fixed j sequence, so the value
+    is bit-identical across engines (plain IEEE arithmetic, no libm).
+
+    Conventions: n < k → NULL (k draws are impossible — reported, not
+    silently clamped); n − c < k → exactly 1.0 (every size-k draw
+    contains a pass). One hash aggregate per problem; the scalar fold
+    is F.aggregate over the literal 0..k−1 sequence. Output:
+    (problem, n_samples, n_correct, pass_at_k)."""
+    if k < 1:
+        raise ValueError(f"pass_at_k: k must be >= 1, got {k}")
+    g = df.groupBy(F.col(problem_col).alias("problem")).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(correct_col.cast("long")).alias("n_correct"),
+    )
+    n = F.col("n_samples").cast("double")
+    c = F.col("n_correct").cast("double")
+    prod = F.aggregate(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        F.lit(1.0),
+        lambda acc, j: acc * (n - c - j.cast("double")) / (n - j.cast("double")),
+    )
+    val = (
+        F.when(F.col("n_samples") < k, F.lit(None).cast("double"))
+        .when(F.col("n_samples") - F.col("n_correct") < k, F.lit(1.0))
+        .otherwise(F.lit(1.0) - prod)
+    )
+    return g.select(
+        "problem",
+        "n_samples",
+        "n_correct",
+        F.round(val, round_to).alias("pass_at_k"),
+    )
+
+
+def bradley_terry(
+    df: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    iters: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bradley–Terry preference-strength fitting (Bradley & Terry
+    1952; the minorization–maximization update of Hunter 2004 —
+    public). THE model behind pairwise human/LLM preference data
+    (RLHF reward baselines, chat-arena leaderboards): from (winner,
+    loser) outcome rows, fit strengths p_i with
+
+        p_i ← W_i / Σ_{j≠i} n_ij / (p_i + p_j)
+
+    (W_i = wins of i, n_ij = games between i and j), renormalized to
+    mean 1 each sweep, for a FIXED `iters` sweeps (bounded lineage,
+    like pagerank_nano / als_rank1 — no data-dependent convergence
+    loop).
+
+    Engine-exactness: strengths live as nano longs between sweeps; the
+    per-opponent terms n_ij/(p_i+p_j) round to nano longs before the
+    per-item sum (reduce-order-free); the mean normalizer is a long
+    nano sum over items via a 1-row broadcast scalar join. Items that
+    never win converge to strength 0; an item whose denominator
+    rounds to zero nanos (astronomically mismatched opponents) keeps
+    its previous strength rather than dividing by zero — both
+    conventions explicit below.
+
+    Scale shape per sweep: games ⋈ strengths (on i) ⋈ strengths (on j)
+    — two shuffles on item keys — then one hash aggregate. Games and
+    strengths are |items|/|pairs|-sized, never outcome-row-sized. The
+    games/wins inputs and each sweep's strengths are localCheckpoint()ed
+    (the pagerank_nano lineage rule — the twice-joined iterate
+    otherwise doubles the analyzed plan per sweep).
+    Output: (item, strength, wins, n_games)."""
+    # the ONE data-sized reduce: outcome rows -> per-pair win counts.
+    # Checkpointed so games/wins/sweeps all derive from it without
+    # re-running the (possibly expensive) upstream pair build.
+    w = (
+        df.select(
+            F.col(winner_col).alias("__i"), F.col(loser_col).alias("__j")
+        )
+        .groupBy("__i", "__j")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .localCheckpoint(eager=False)
+    )
+    games = (
+        w.select("__i", "__j", "__w")
+        .unionByName(
+            w.select(
+                F.col("__j").alias("__i"), F.col("__i").alias("__j"),
+                F.col("__w"),
+            )
+        )
+        .groupBy("__i", "__j")
+        .agg(F.sum("__w").alias("__n"))
+        .localCheckpoint(eager=False)  # joined twice per sweep
+    )
+    wins = games.join(
+        w.groupBy("__i").agg(F.sum("__w").alias("__wins")), "__i", "left"
+    ).groupBy("__i").agg(
+        F.coalesce(F.first("__wins"), F.lit(0)).alias("wins"),
+        F.sum("__n").alias("n_games"),
+    ).localCheckpoint(eager=False)
+    p = wins.select("__i", F.lit(10**9).cast("long").alias("__pn"))
+    for _ in range(iters):
+        joined = (
+            games.join(F.broadcast(p.withColumnRenamed("__i", "__j").withColumnRenamed("__pn", "__pj")), "__j")
+            .join(F.broadcast(p), "__i")
+        )
+        term = F.round(
+            F.col("__n").cast("double")
+            * 1e9
+            / ((F.col("__pn") + F.col("__pj")).cast("double") / 1e9)
+        ).cast("long")
+        den = joined.groupBy("__i").agg(F.sum(term).alias("__dn"))
+        raw = wins.join(den, "__i").join(p, "__i").select(
+            "__i",
+            "__pn",
+            F.when(
+                F.col("__dn") > 0,
+                F.col("wins").cast("double") * 1e9 * 1e9 / F.col("__dn").cast("double"),
+            ).alias("__praw"),
+        )
+        norm = raw.agg(
+            F.sum(F.round(F.coalesce(F.col("__praw"), F.col("__pn").cast("double"))).cast("long")).alias("__sn"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        p = raw.crossJoin(F.broadcast(norm)).select(
+            "__i",
+            F.round(
+                F.coalesce(F.col("__praw"), F.col("__pn").cast("double"))
+                * 1e9
+                / (F.col("__sn").cast("double") / F.col("__cnt").cast("double"))
+            ).cast("long").alias("__pn"),
+        ).localCheckpoint(eager=False)  # cut lineage (pagerank rule);
+        # lazy: the whole sweep chain materializes in the final action
+        # instead of paying one scheduled job per sweep
+    return wins.join(p, "__i").select(
+        F.col("__i").alias("item"),
+        F.round(F.col("__pn").cast("double") / 1e9, round_to).alias("strength"),
+        F.col("wins").cast("long").alias("wins"),
+        F.col("n_games").cast("long").alias("n_games"),
+    )
+
+
+def kendall_tau_grouped(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    x_col: Column,
+    y_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kendall tau-b rank agreement per group (Kendall 1945 tie
+    variant — public): for every unordered item pair within a group,
+    classify concordant / discordant / tied-on-x-only / tied-on-y-only
+    (pairs tied on both count in neither tie term), then
+
+        tau_b = (C − D) / sqrt((C + D + Tx)(C + D + Ty))
+
+    The judge-agreement readout for per-prompt candidate rankings
+    (two LLM judges, or judge vs human) — the grouped complement of
+    the global spearman_corr.
+
+    BOUNDED-GROUP CONTRACT (same as seq_pairs / rouge_n): pairs come
+    from an item<item self-equi-join on the group key, so cost is
+    O(Σ g²) over group sizes — per-prompt candidate lists (k ≤ a few
+    dozen) stay trivially cheap at any corpus size, but a
+    million-row group would cost 10¹² pairs: bound your groups, the
+    operator will not silently sample. Counts are exact longs; one
+    sqrt + one division per group row. Groups with no untied pair
+    (denominator 0, e.g. a single item) report NULL tau.
+    Output: (group, n_items, concordant, discordant, tau_b)."""
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(item_col).alias("__it"),
+        x_col.cast("double").alias("__x"),
+        y_col.cast("double").alias("__y"),
+    )
+    a = base.select("__g", F.col("__it").alias("__ia"), F.col("__x").alias("__xa"), F.col("__y").alias("__ya"))
+    b = base.select("__g", F.col("__it").alias("__ib"), F.col("__x").alias("__xb"), F.col("__y").alias("__yb"))
+    pairs = a.join(b, "__g").filter(F.col("__ia") < F.col("__ib"))
+    sx = F.signum(F.col("__xa") - F.col("__xb"))
+    sy = F.signum(F.col("__ya") - F.col("__yb"))
+    cls = (
+        F.when((sx != 0) & (sy != 0) & (sx == sy), F.lit("c"))
+        .when((sx != 0) & (sy != 0), F.lit("d"))
+        .when((sx == 0) & (sy != 0), F.lit("tx"))
+        .when((sx != 0) & (sy == 0), F.lit("ty"))
+        .otherwise(F.lit("txy"))
+    )
+    counted = pairs.groupBy("__g").agg(
+        F.sum((cls == "c").cast("long")).alias("concordant"),
+        F.sum((cls == "d").cast("long")).alias("discordant"),
+        F.sum((cls == "tx").cast("long")).alias("__tx"),
+        F.sum((cls == "ty").cast("long")).alias("__ty"),
+    )
+    n_items = base.groupBy("__g").agg(F.count(F.lit(1)).alias("n_items"))
+    j = n_items.join(counted, "__g", "left").fillna(
+        0, subset=["concordant", "discordant", "__tx", "__ty"]
+    )
+    cd = (F.col("concordant") + F.col("discordant")).cast("double")
+    den = F.sqrt(cd + F.col("__tx").cast("double")) * F.sqrt(
+        cd + F.col("__ty").cast("double")
+    )
+    tau = F.when(
+        den > 0,
+        (F.col("concordant") - F.col("discordant")).cast("double") / den,
+    )
+    return j.select(
+        F.col("__g").alias("group"),
+        "n_items",
+        "concordant",
+        "discordant",
+        F.round(tau, round_to).alias("tau_b"),
+    )
+
+
+def cumulative_gains(
+    df: DataFrame,
+    id_col: str,
+    label_col: Column,
+    score_col: Column,
+    n_buckets: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cumulative-gains / lift table (the decile readout under every
+    'top-k% capture' targeting decision — standard scoring-model
+    diagnostics, public): rank rows by score descending, cut into
+    `n_buckets` exact ntiles, and per bucket report how much of the
+    total positive mass the cumulative head has captured and its lift
+    over the base rate:
+
+        capture(b) = cum_pos(1..b) / total_pos
+        lift(b)    = (pos_b / n_b) / (total_pos / N)
+
+    Scale shape: the global ranking is ids.ntile_distributed (range
+    shuffle + closed form — never a global window over data rows);
+    bucket statistics are ONE hash aggregate; the cumulative pass and
+    the totals run on the ≤ n_buckets-row bucket table (bounded window
+    — the plan-gate whitelist class). Order is (score desc, id asc) —
+    the deterministic-tiebreak contract, bit-identical to SQL
+    ntile(n) OVER (ORDER BY score DESC, id). Exact integer counts;
+    single divisions; one round. Output: (bucket, n, n_pos, cum_pos,
+    capture_rate, lift)."""
+    from pyspark.sql.window import Window as W
+
+    from table_computing_spark.operators.ids import ntile_distributed
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        label_col.cast("long").alias("__y"),
+        score_col.cast("double").alias("__s"),
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    tiled = ntile_distributed(
+        base,
+        order_by=[F.col("__s").desc(), F.col("__id").asc()],
+        n=n_buckets,
+        out_col="bucket",
+    )
+    per = tiled.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__y").alias("n_pos")
+    )
+    # global windows over the <= n_buckets-row bucket table — bounded
+    # input by construction (whitelisted with a measured bound in the
+    # plan gate, the q_psi_drift fixed-bin-table class)
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy(F.lit(1))
+    staged = per.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(w).alias("cum_pos"),
+        F.sum("n_pos").over(wall).alias("__tp"),
+        F.sum("n").over(wall).alias("__tn"),
+    )
+    rate_all = F.col("__tp").cast("double") / F.col("__tn").cast("double")
+    rate_b = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return staged.select(
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("cum_pos").cast("long").alias("cum_pos"),
+        F.round(
+            F.when(
+                F.col("__tp") > 0,
+                F.col("cum_pos").cast("double") / F.col("__tp").cast("double"),
+            ),
+            round_to,
+        ).alias("capture_rate"),
+        F.round(F.when(F.col("__tp") > 0, rate_b / rate_all), round_to).alias("lift"),
+    )

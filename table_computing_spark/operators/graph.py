@@ -815,3 +815,42 @@ def modularity(
         F.round(F.col("__tn").cast("double") / 1e9, round_to).alias("q_term"),
         F.round(total.cast("double") / 1e9, round_to).alias("q_total"),
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    round_to: int = 6,
+) -> DataFrame:
+    """Local clustering coefficient per node (Watts & Strogatz 1998,
+    public): the fraction of a node's neighbor pairs that are
+    themselves connected,
+
+        cc(v) = 2 · triangles(v) / (deg(v) · (deg(v) − 1))
+
+    — the community-density readout next to modularity (global
+    partition quality) and triangle_counts (the raw closure counts).
+
+    Scale shape: triangle counts come from triangle_counts above
+    (degree-ordered orientation, wedge volume O(m^1.5) — the hub-proof
+    bound); degrees are one hash aggregate over the canonical edge
+    set. Both are exact longs; one division per node row, rounded
+    once. Degree-0/1 nodes (no neighbor pair exists) report NULL —
+    undefined, not 0. Output: (node, degree, n_triangles,
+    clustering)."""
+    e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    e = e.localCheckpoint(eager=False)  # feeds degrees AND triangles
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    tri = triangle_counts(e)
+    d = F.col("degree").cast("double")
+    cc = F.when(
+        F.col("degree") >= 2,
+        F.lit(2.0) * F.col("n_triangles").cast("double") / (d * (d - 1.0)),
+    )
+    return deg.join(tri, "node").select(
+        "node", "degree", "n_triangles", F.round(cc, round_to).alias("clustering")
+    )

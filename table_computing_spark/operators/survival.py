@@ -98,3 +98,58 @@ def kaplan_meier(
         *keys, "t", "n_risk", "n_event", "n_censor",
         F.round(F.exp("__lnS"), round_to).alias("survival"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    keys: Sequence[str],
+    time_col: str,
+    event_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Nelson–Aalen cumulative-hazard estimator (Nelson
+    1972 / Aalen 1978 — the standard nonparametric hazard companion to
+    kaplan_meier above, public statistics):
+
+        H(t) = Σ_{t_i ≤ t} d_i / n_i
+
+    with the same d_i (events at t_i) / n_i (at risk at t_i) risk-set
+    bookkeeping as kaplan_meier — one hash aggregate keyed by
+    (group, t), at-risk via total − running prefix, censoring leaves
+    the risk set AFTER t. Where KM's survival needs ln/exp (a product
+    limit), the hazard is a plain SUM — so here each d/n term rounds
+    to a nano long and the running sum is pure integer arithmetic:
+    bit-identical across engines with no transcendental at all.
+
+    Same window contract as KM: the running window's input is the
+    DISTINCT-TIME table per group; with keys=[] discretize t first.
+    Output: (keys..., t, n_risk, n_event, n_censor, cumhazard)."""
+    keys = list(keys)
+    per_t = df.groupBy(*keys, F.col(time_col).alias("t")).agg(
+        F.sum(event_col.cast("long")).alias("n_event"),
+        F.sum((~event_col).cast("long")).alias("n_censor"),
+    )
+    w_all = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    w_run = w_all.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum(F.col("n_event") + F.col("n_censor")).over(w_all)
+    left_through_t = F.sum(F.col("n_event") + F.col("n_censor")).over(w_run)
+    risked = per_t.select(
+        *keys, "t", "n_event", "n_censor",
+        (total - left_through_t + F.col("n_event") + F.col("n_censor"))
+        .alias("n_risk"),
+    )
+    term = F.when(
+        F.col("n_event") > 0,
+        F.round(
+            F.col("n_event").cast("double")
+            / F.col("n_risk").cast("double")
+            * 1e9
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    stepped = risked.withColumn("__hn", F.sum(term).over(w_run))
+    return stepped.select(
+        *keys, "t", "n_risk", "n_event", "n_censor",
+        F.round(F.col("__hn").cast("double") / 1e9, round_to).alias("cumhazard"),
+    )

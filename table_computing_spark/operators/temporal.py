@@ -1393,3 +1393,59 @@ def burstiness(
         F.round(mu, round_to).alias("mean_gap_ms"),
         F.round(b, round_to).alias("b"),
     )
+
+
+def max_drawdown(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    order_cols: "Sequence[str]",
+    value_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key maximum drawdown — the largest peak-to-trough drop of a
+    time-ordered value series (the standard risk readout for prices,
+    and equally the 'worst regression' readout for any monitored
+    metric: throughput, quality score, cache hit rate):
+
+        peak_t  = max(value_{≤t})        (running, per key)
+        dd_t    = peak_t − value_t
+        dd%_t   = dd_t / peak_t          (NULL while peak ≤ 0)
+        output  = per-key max of both, with the series length
+
+    Plan shape: ONE partitioned running-max window per key in
+    (order_cols) order, then a hash aggregate — no self-joins, no
+    global sort. BOUNDED-GROUP caveat (same as bounded_running_balance):
+    each key's full history flows through one task's window, so keys
+    must be entity-sized (an instrument, a metric, a tenant), not
+    corpus-sized; for a single giant series use prefix.prefix_agg's
+    partitioned-prefix max and aggregate the result.
+
+    Determinism: the running max is order-exact given a TOTAL order —
+    include a unique tiebreak in order_cols (same contract as
+    prefix_agg). max() of per-row doubles is selection, not
+    summation, so no fixed-point staging is needed; values round once
+    at output. Output: (keys..., n_points, max_drawdown,
+    max_drawdown_pct)."""
+    from pyspark.sql.window import Window as W
+
+    keys = list(keys)
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = (
+        W.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    v = value_col.cast("double")
+    staged = df.select(
+        *keys, v.alias("__v"), F.max(v).over(w).alias("__peak")
+    )
+    dd = F.col("__peak") - F.col("__v")
+    ddp = F.when(F.col("__peak") > 0, dd / F.col("__peak"))
+    return (
+        staged.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.max(dd), round_to).alias("max_drawdown"),
+            F.round(F.max(ddp), round_to).alias("max_drawdown_pct"),
+        )
+    )

@@ -117,9 +117,19 @@ def _split_top_commas(s: str) -> "list[str]":
 
 def _canon_groups(s: str) -> str:
     """Within every balanced ()/[] group, sort the top-level
-    comma-separated items (recursing into each item first). Applied
-    ONLY to gid# lines, where every list is semantically a SET (hash
-    grouping keys, Expand projection rows, filtered partial aggs)."""
+    comma-separated items (recursing into each item first), with every
+    BARE-INTEGER item blanked to G before the sort. Applied ONLY to
+    gid# lines, where every list is semantically a SET (hash grouping
+    keys, Expand projection rows, filtered partial aggs) and every
+    bare integer is a session-assigned gid tag: RewriteDistinctAggregates
+    renders the tag at a POSITION that depends on the aggregate shape
+    (q21's rows carry it last — the r10 fix; q_chi2_screen's
+    2-distinct + non-distinct-first shape carries it FIRST, found when
+    two same-code r11b captures disagreed), so positional regexes
+    cannot enumerate it. Blanking all top-level bare ints on gid lines
+    trades a sliver of sensitivity (a literal function arg on a gid
+    line no longer distinguishes plans) for session invariance — the
+    same trade the item sort already makes."""
     out, i, n = [], 0, len(s)
     while i < n:
         ch = s[i]
@@ -138,7 +148,11 @@ def _canon_groups(s: str) -> str:
                 out.append(s[i:])
                 break
             items = sorted(
-                _canon_groups(it).strip() for it in _split_top_commas(s[i + 1 : j])
+                "G" if it.strip().isdigit() else it
+                for it in (
+                    _canon_groups(raw).strip()
+                    for raw in _split_top_commas(s[i + 1 : j])
+                )
             )
             out.append(ch + ", ".join(items) + close)
             i = j + 1

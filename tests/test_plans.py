@@ -197,6 +197,14 @@ _GLOBAL_WINDOW_OK = {
     "q_rrf_fusion": (
         "row_number over LIMIT 100/20 rows (constant)", lambda spark: 100, 100,
     ),
+    # r11b: cumulative capture over the fixed 10-row decile table
+    "q_cumulative_gains": (
+        "running totals over fixed n_buckets decile table", lambda spark: 10, 10,
+    ),
+    # r11b: PAV index/prefix over the fixed 20-row bin table
+    "q_isotonic": (
+        "PAV pooling over fixed bin table", lambda spark: 20, 20,
+    ),
     # r11: sum(term) OVER () over one row per community (nation labels)
     "q_graph_modularity": (
         "global total over one row per community",
