@@ -6552,6 +6552,151 @@ def q_cumulative_gains(spark, sf_dir):
     )
 
 
+def q_acf(spark, sf_dir):
+    """Autocorrelation profile at lags 1..6 (temporal.acf_table) of
+    each type's hourly event counts — one window pass computes every
+    lag column, one hash aggregate per (type, lag); DECIMAL Pearson
+    per lag. The seasonality scan before picking a forecast model.
+    (New r11b.)"""
+    from table_computing_spark.operators.temporal import acf_table
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type",
+        F.floor(tcf.epoch_ms("ts") / 3600000).cast("long").alias("hr"),
+    )
+    series = ev.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("n"))
+    return acf_table(series, ["event_type"], "hr", "n", max_lag=6)
+
+
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition (temporal.seasonal_decompose,
+    period 24) of hourly event counts per type: centered-MA trend,
+    re-centered per-phase seasonal from nano-quantized detrended
+    values, residual. (New r11b.)"""
+    from table_computing_spark.operators.temporal import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type",
+        F.floor(tcf.epoch_ms("ts") / 3600000).cast("long").alias("hr"),
+    )
+    series = ev.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("n"))
+    return seasonal_decompose(series, ["event_type"], "hr", "n", period=24)
+
+
+def q_embedding_standardize(spark, sf_dir):
+    """Per-dimension z-scores (similarity.standardize_embeddings) over
+    a deterministic embedding subsample — micro-quantized components,
+    DECIMAL moments, one <=dim-row broadcast join. (New r11b.)"""
+    from table_computing_spark.operators.similarity import standardize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings").df.filter(F.col("vec_id") % 25 == 0)
+    return standardize_embeddings(emb)
+
+
+def q_flesch(spark, sf_dir):
+    """Flesch reading-ease per document (text.flesch_readability) —
+    regex-split word/sentence/vowel-run counts, one fixed-order
+    formula; the readability axis of the quality-signal board next to
+    gopher_rules. (New r11b.)"""
+    from table_computing_spark.operators.text import flesch_readability
+
+    d = _t(spark, sf_dir, "documents").df
+    return flesch_readability(d, "doc_id", "text")
+
+
+def q_stream_eval(spark, sf_dir):
+    """Streaming maintained model evaluation: the (label, prediction)
+    confusion counts of the q_eval_f1 price-threshold predictor merge
+    into persisted state micro-batch by micro-batch
+    (matview.stream_maintain_agg — counts are self-maintainable);
+    precision/recall/F1 + the macro row are computed AT READ TIME from
+    the state (evaluation.classification_report_from_counts) — the
+    q_stream_topk maintained/at-read decomposition applied to model
+    monitoring. Oracle: the full-batch report — MV correctness by
+    definition. (New r11b.)"""
+    import tempfile
+
+    from table_computing_spark.operators.evaluation import (
+        classification_report_from_counts,
+    )
+    from table_computing_spark.streaming import matview
+
+    o = _t(spark, sf_dir, "orders").df.select(
+        F.col("o_orderstatus").alias("label"),
+        F.when(F.col("o_totalprice") < 150_000, F.lit("O"))
+        .when(F.col("o_totalprice") < 300_000, F.lit("F"))
+        .otherwise(F.lit("P"))
+        .alias("pred"),
+        F.col("o_orderkey"),
+    )
+    base = tempfile.mkdtemp(prefix="tc_seval_")
+    src = os.path.join(base, "deltas")
+    for i in range(3):
+        o.where(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    sdf = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    ).select("label", "pred")
+    with _state_partitions(spark):
+        q = matview.stream_maintain_agg(
+            sdf,
+            ["label", "pred"],
+            {},
+            os.path.join(base, "state"),
+            os.path.join(base, "ckpt"),
+        )
+        _await_stream(q)
+    st = matview.read_state(spark, os.path.join(base, "state"))
+    return classification_report_from_counts(
+        st, F.col("label"), F.col("pred"), F.col("cnt")
+    )
+
+
+def q_wilson(spark, sf_dir):
+    """Wilson lower-bound rate ranking per supplier
+    (rates.wilson_lower_bound): the 'how not to sort by average
+    rating' guardrail on non-returned-line rates — a 1/1 supplier
+    never outranks a 95/100 one. One hash aggregate + one fixed-order
+    formula. (New r11b.)"""
+    from table_computing_spark.operators.rates import wilson_lower_bound
+
+    li = _t(spark, sf_dir, "lineitem").df
+    return wilson_lower_bound(
+        li, ["l_suppkey"], (F.col("l_returnflag") == "N")
+    )
+
+
+def q_eb_shrink(spark, sf_dir):
+    """Empirical-Bayes rate shrinkage (rates.eb_shrink): per-customer
+    finished-order rates shrunk toward a moment-matched Beta prior —
+    the CTR-smoothing estimator (few-order customers pull to the
+    global mean, heavy customers keep their evidence). Nano-staged
+    cross-key moments; 1-row broadcast prior. (New r11b.)"""
+    from table_computing_spark.operators.rates import eb_shrink
+
+    o = _t(spark, sf_dir, "orders").df
+    return eb_shrink(o, ["o_custkey"], (F.col("o_orderstatus") == "F"))
+
+
+def q_trimmed_mean(spark, sf_dir):
+    """Symmetric 10% trimmed mean of line price cents per supplier
+    (quantiles.trimmed_mean): rank-trim per key, DECIMAL sum of the
+    kept slice, one division — the robust location between winsorize
+    and the median. (New r11b.)"""
+    from table_computing_spark.operators.quantiles import trimmed_mean
+
+    li = _t(spark, sf_dir, "lineitem").df
+    return trimmed_mean(
+        li,
+        ["l_suppkey"],
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        trim_pct=0.1,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -6945,6 +7090,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chi2_screen": q_chi2_screen,
         "q_cuped": q_cuped,
         "q_cumulative_gains": q_cumulative_gains,
+        "q_acf": q_acf,
+        "q_seasonal_decompose": q_seasonal_decompose,
+        "q_embedding_standardize": q_embedding_standardize,
+        "q_flesch": q_flesch,
+        "q_stream_eval": q_stream_eval,
+        "q_wilson": q_wilson,
+        "q_eb_shrink": q_eb_shrink,
+        "q_trimmed_mean": q_trimmed_mean,
     }
     return {**window_50, **tail}
 
@@ -13738,5 +13891,267 @@ def oracle_sql() -> dict[str, str]:
                           / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)) END, 6)
                  AS lift
         FROM c
+        """,
+        "q_acf": """
+        WITH hourly AS (
+          SELECT event_type, epoch_ms(ts) // 3600000 AS hr,
+                 CAST(count(*) AS HUGEINT) AS x
+          FROM events GROUP BY 1, 2
+        ), lagged AS (
+          SELECT event_type, hr, x,
+                 lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2,
+                 lag(x, 3) OVER w AS l3, lag(x, 4) OVER w AS l4,
+                 lag(x, 5) OVER w AS l5, lag(x, 6) OVER w AS l6
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+        ), stacked AS (
+          SELECT event_type, 1 AS lag, x, l1 AS y FROM lagged
+          UNION ALL SELECT event_type, 2, x, l2 FROM lagged
+          UNION ALL SELECT event_type, 3, x, l3 FROM lagged
+          UNION ALL SELECT event_type, 4, x, l4 FROM lagged
+          UNION ALL SELECT event_type, 5, x, l5 FROM lagged
+          UNION ALL SELECT event_type, 6, x, l6 FROM lagged
+        ), agg AS (
+          SELECT event_type, lag, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM stacked WHERE y IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+               round(CASE WHEN n > 1
+                 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                 THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 END, 6) AS autocorr
+        FROM agg
+        """,
+        "q_seasonal_decompose": """
+        WITH hourly AS (
+          SELECT event_type, epoch_ms(ts) // 3600000 AS hr,
+                 CAST(count(*) AS HUGEINT) AS v
+          FROM events GROUP BY 1, 2
+        ), b AS (
+          SELECT event_type, hr, v,
+                 (row_number() OVER w - 1) % 24 AS phase,
+                 sum(v) OVER wf AS tsum, count(v) OVER wf AS tcnt
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY hr),
+                 wf AS (PARTITION BY event_type ORDER BY hr
+                        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        ), st AS (
+          SELECT *, CASE WHEN tcnt = 25
+                    THEN CAST(tsum AS DOUBLE) / CAST(tcnt AS DOUBLE) END
+                   AS trend
+          FROM b
+        ), dn AS (
+          SELECT *, CAST(round((CAST(v AS DOUBLE) - trend) * 1e9) AS BIGINT)
+                   AS dnano
+          FROM st
+        ), ph AS (
+          SELECT event_type, phase,
+                 CAST(round(CAST(sum(dnano) AS DOUBLE)
+                            / CAST(count(*) AS DOUBLE)) AS BIGINT) AS snano
+          FROM dn WHERE dnano IS NOT NULL GROUP BY 1, 2
+        ), ce AS (
+          SELECT event_type,
+                 CAST(sum(snano) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cn
+          FROM ph GROUP BY 1
+        )
+        SELECT d.event_type, d.hr, CAST(d.v AS BIGINT) AS value,
+               round(d.trend, 6) AS trend,
+               round((CAST(p.snano AS DOUBLE) - c.cn) / 1e9, 6) AS seasonal,
+               round(CAST(d.v AS DOUBLE) - d.trend
+                     - (CAST(p.snano AS DOUBLE) - c.cn) / 1e9, 6) AS residual
+        FROM dn d
+        LEFT JOIN ph p ON p.event_type = d.event_type AND p.phase = d.phase
+        LEFT JOIN ce c ON c.event_type = d.event_type
+        """,
+        "q_embedding_standardize": """
+        WITH rows_ AS (
+          SELECT vec_id,
+                 generate_subscripts(embedding, 1) - 1 AS j,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+                      AS BIGINT) AS xq
+          FROM embeddings WHERE vec_id % 25 = 0
+        ), stats AS (
+          SELECT j, count(*) AS n,
+                 sum(CAST(xq AS HUGEINT)) AS s,
+                 sum(CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT)) AS q
+          FROM rows_ GROUP BY j
+        )
+        SELECT r.vec_id, r.j,
+               round(CASE WHEN (CAST(q AS DOUBLE)
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                  / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) > 0
+                     THEN (CAST(r.xq AS DOUBLE)
+                           - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                          / sqrt((CAST(q AS DOUBLE)
+                                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                    / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                     END, 6) AS z
+        FROM rows_ r JOIN stats USING (j)
+        """,
+        "q_flesch": """
+        WITH c AS (
+          SELECT doc_id AS id,
+                 CAST(len(list_filter(string_split_regex(lower(text),
+                        '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_words,
+                 greatest(CAST(1 AS BIGINT),
+                   CAST(len(string_split_regex(text, '[.!?]+')) - 1
+                        AS BIGINT)) AS n_sentences,
+                 CAST(len(string_split_regex(lower(text), '[aeiouy]+')) - 1
+                      AS BIGINT) AS vr
+          FROM documents
+        )
+        SELECT id, n_words, n_sentences,
+               greatest(vr, n_words) AS n_syllables,
+               round(CASE WHEN n_words > 0
+                 THEN 206.835
+                      - 1.015 * (CAST(n_words AS DOUBLE)
+                                 / CAST(n_sentences AS DOUBLE))
+                      - 84.6 * (CAST(greatest(vr, n_words) AS DOUBLE)
+                                / CAST(n_words AS DOUBLE))
+                 END, 4) AS flesch
+        FROM c
+        """,
+        "q_stream_eval": """
+        WITH pairs AS (
+          SELECT o_orderstatus AS l,
+                 CASE WHEN o_totalprice < 150000 THEN 'O'
+                      WHEN o_totalprice < 300000 THEN 'F'
+                      ELSE 'P' END AS p
+          FROM orders
+        ), cnt AS (
+          SELECT l, p, count(*) AS n FROM pairs GROUP BY l, p
+        ), classes AS (
+          SELECT l AS clazz FROM cnt UNION SELECT p FROM cnt
+        ), st AS (
+          SELECT c.clazz,
+                 coalesce(sup.support, 0) AS support,
+                 coalesce(prd.predicted, 0) AS predicted,
+                 coalesce(tp.tp, 0) AS tp
+          FROM classes c
+          LEFT JOIN (SELECT l AS clazz, sum(n) AS support FROM cnt GROUP BY l)
+            sup USING (clazz)
+          LEFT JOIN (SELECT p AS clazz, sum(n) AS predicted FROM cnt GROUP BY p)
+            prd USING (clazz)
+          LEFT JOIN (SELECT l AS clazz, n AS tp FROM cnt WHERE l = p)
+            tp USING (clazz)
+        ), m AS (
+          SELECT clazz, support,
+                 CASE WHEN predicted > 0
+                      THEN CAST(tp AS DOUBLE) / predicted ELSE 0.0 END AS prec,
+                 CASE WHEN support > 0
+                      THEN CAST(tp AS DOUBLE) / support ELSE 0.0 END AS rec
+          FROM st
+        ), u AS (
+          SELECT *, CASE WHEN prec + rec > 0
+                         THEN 2.0 * prec * rec / (prec + rec)
+                         ELSE 0.0 END AS f1
+          FROM m
+        ), x AS (
+          SELECT clazz, CAST(support AS BIGINT) AS support,
+                 round(prec, 6) AS precision, round(rec, 6) AS recall,
+                 CAST(round(prec*1e6) AS BIGINT) AS pu,
+                 CAST(round(rec*1e6) AS BIGINT) AS ru,
+                 CAST(round(f1*1e6) AS BIGINT) AS f1u
+          FROM u
+        )
+        SELECT clazz, support, precision, recall,
+               round(CAST(f1u AS DOUBLE) / 1e6, 6) AS f1 FROM x
+        UNION ALL
+        SELECT '__macro__', CAST(sum(support) AS BIGINT),
+               round(CAST(sum(pu) AS DOUBLE) / count(*) / 1e6, 6),
+               round(CAST(sum(ru) AS DOUBLE) / count(*) / 1e6, 6),
+               round(CAST(sum(f1u) AS DOUBLE) / count(*) / 1e6, 6)
+        FROM x
+        """,
+        "q_wilson": """
+        WITH agg AS (
+          SELECT l_suppkey, count(*) AS n,
+                 sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS np
+          FROM lineitem GROUP BY 1
+        )
+        SELECT l_suppkey, CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+               round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+               round((CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+                      + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+                      - 1.96 * sqrt((CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+                                    * (1.0 - CAST(np AS DOUBLE)
+                                             / CAST(n AS DOUBLE))
+                                    / CAST(n AS DOUBLE)
+                                    + (1.96 * 1.96)
+                                      / (4.0 * CAST(n AS DOUBLE)
+                                         * CAST(n AS DOUBLE))))
+                     / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6)
+                 AS wilson_lb
+        FROM agg
+        """,
+        "q_eb_shrink": """
+        WITH agg AS (
+          SELECT o_custkey, count(*) AS n,
+                 sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS np
+          FROM orders GROUP BY 1
+        ), staged AS (
+          SELECT *, CAST(round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE) * 1e9)
+                         AS BIGINT) AS rn
+          FROM agg
+        ), mom AS (
+          SELECT count(*) AS k, CAST(sum(rn) AS BIGINT) AS s,
+                 sum(CAST(rn AS HUGEINT) * CAST(rn AS HUGEINT)) AS q
+          FROM staged
+        ), pr AS (
+          SELECT (CAST(s AS DOUBLE) / CAST(k AS DOUBLE) / 1e9)
+                   * ((CAST(s AS DOUBLE) / CAST(k AS DOUBLE) / 1e9)
+                      * (1.0 - CAST(s AS DOUBLE) / CAST(k AS DOUBLE) / 1e9)
+                      / ((CAST(q AS DOUBLE) / 1e18
+                          - (CAST(s AS DOUBLE) / 1e9)
+                            * (CAST(s AS DOUBLE) / 1e9) / CAST(k AS DOUBLE))
+                         / CAST(k AS DOUBLE)) - 1.0) AS alpha,
+                 (1.0 - CAST(s AS DOUBLE) / CAST(k AS DOUBLE) / 1e9)
+                   * ((CAST(s AS DOUBLE) / CAST(k AS DOUBLE) / 1e9)
+                      * (1.0 - CAST(s AS DOUBLE) / CAST(k AS DOUBLE) / 1e9)
+                      / ((CAST(q AS DOUBLE) / 1e18
+                          - (CAST(s AS DOUBLE) / 1e9)
+                            * (CAST(s AS DOUBLE) / 1e9) / CAST(k AS DOUBLE))
+                         / CAST(k AS DOUBLE)) - 1.0) AS beta
+          FROM mom
+        )
+        SELECT o_custkey, CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+               round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+               round((CAST(np AS DOUBLE) + alpha)
+                     / (CAST(n AS DOUBLE) + alpha + beta), 6) AS shrunk_rate,
+               round(alpha, 6) AS alpha, round(beta, 6) AS beta
+        FROM staged, pr
+        """,
+        "q_trimmed_mean": """
+        WITH base AS (
+          SELECT l_suppkey,
+                 CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+                   AS v
+          FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY l_suppkey ORDER BY v)
+                   AS r,
+                 count(*) OVER (PARTITION BY l_suppkey) AS n
+          FROM base
+        ), kept AS (
+          SELECT * FROM ranked
+          WHERE r > CAST(floor(n * 0.1) AS BIGINT)
+            AND r <= n - CAST(floor(n * 0.1) AS BIGINT)
+        )
+        SELECT l_suppkey, CAST(max(n) AS BIGINT) AS n,
+               CAST(max(CAST(floor(n * 0.1) AS BIGINT)) AS BIGINT)
+                 AS n_trimmed_each_side,
+               round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                 AS trimmed_mean
+        FROM kept GROUP BY l_suppkey
         """,
     }

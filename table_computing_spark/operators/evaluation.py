@@ -96,6 +96,31 @@ def classification_report(
     pairs = df.select(
         label_col.cast("string").alias("__l"), pred_col.cast("string").alias("__p")
     ).groupBy("__l", "__p").agg(F.count(F.lit(1)).alias("__n"))
+    return classification_report_from_counts(
+        pairs, F.col("__l"), F.col("__p"), F.col("__n"), round_to=round_to
+    )
+
+
+def classification_report_from_counts(
+    df: DataFrame,
+    label_col: Column,
+    pred_col: Column,
+    count_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """classification_report over a PRE-AGGREGATED (label, pred, count)
+    confusion table instead of row-level data — the read-time half of
+    a MAINTAINED streaming evaluation (streaming/matview keeps the
+    per-(label, pred) counts, which are self-maintainable; the
+    precision/recall/F1 arithmetic is rank-at-read, never maintained —
+    the q_stream_topk decomposition applied to model monitoring).
+    Identical output contract and fixed-point discipline as
+    classification_report."""
+    pairs = df.select(
+        label_col.cast("string").alias("__l"),
+        pred_col.cast("string").alias("__p"),
+        count_col.cast("long").alias("__n"),
+    ).groupBy("__l", "__p").agg(F.sum("__n").alias("__n"))
     classes = (
         pairs.select(F.col("__l").alias("clazz"))
         .union(pairs.select(F.col("__p").alias("clazz")))

@@ -450,3 +450,59 @@ def quantile_normalize(
             F.round("__ref", round_to).alias("normalized"),
         )
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    value_col: Column,
+    trim_pct: float = 0.1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key symmetric trimmed mean (Tukey's robust location,
+    public): drop the k = floor(trim_pct·n) lowest and highest values
+    BY RANK and average the rest — the outlier-proof aggregate between
+    the mean (trim 0) and the median (trim → 0.5), for metrics where
+    winsorize's clamping is too gentle and the median too coarse.
+
+    `value_col` must be INTEGER-exact (cents, counts — the welch_ttest
+    contract): the kept slice's sum stays in DECIMAL and the mean is
+    one division. Trimming is by row_number over (value) per key —
+    ties order arbitrarily but equal values are interchangeable, so
+    the KEPT MULTISET (hence the mean) is deterministic. One key-
+    partitioned rank window over data rows (the bounded-group caveat:
+    keys must be entity-sized) + one hash aggregate. For trim_pct <
+    0.5 the kept slice is never empty (n − 2·floor(n·t) > 0); at
+    trim_pct ≥ 0.5 a fully-trimmed key is ABSENT from the output, not
+    NULL. Output: (keys..., n, n_trimmed_each_side, trimmed_mean)."""
+    from pyspark.sql.window import Window as W
+
+    keys = list(keys)
+    v = value_col.cast("decimal(38,0)")
+    w = W.partitionBy(*keys).orderBy(F.col("__v").asc())
+    wall = W.partitionBy(*keys)
+    staged = df.select(*keys, v.alias("__v")).filter(
+        F.col("__v").isNotNull()
+    ).select(
+        "*",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+    )
+    k = F.floor(F.col("__n") * F.lit(float(trim_pct))).cast("long")
+    kept = staged.filter(
+        (F.col("__r") > k) & (F.col("__r") <= F.col("__n") - k)
+    )
+    agg = kept.groupBy(*keys).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max(k).cast("long").alias("n_trimmed_each_side"),
+        F.sum("__v").alias("__s"),
+        F.count(F.lit(1)).alias("__kc"),
+    )
+    return agg.select(
+        *keys,
+        "n",
+        "n_trimmed_each_side",
+        F.round(
+            F.col("__s").cast("double") / F.col("__kc").cast("double"), round_to
+        ).alias("trimmed_mean"),
+    )

@@ -1,0 +1,148 @@
+"""Small-sample rate estimation — ranking and smoothing per-key
+success rates when many keys have few trials (the "sort by rating"
+and "CTR smoothing" problems every catalog/feed pipeline hits).
+
+Two public, complementary estimators:
+
+  wilson_lower_bound   the frequentist guardrail: rank by the lower
+                       confidence bound so a 1/1 item never outranks
+                       a 95/100 item (Wilson 1927; popularized for
+                       rating sort by Evan Miller's "How Not To Sort
+                       By Average Rating").
+  eb_shrink            the empirical-Bayes alternative: fit a
+                       Beta(α, β) prior to the observed per-key rates
+                       by moment matching and report the posterior
+                       mean (pos + α) / (n + α + β) — small-n keys
+                       shrink toward the global mean, big-n keys keep
+                       their data (Robinson 2015's batting-average
+                       walkthrough of Efron & Morris 1975).
+
+House exactness discipline: per-key n / pos are exact integer hash
+aggregates; every cross-key accumulation goes through nano fixed-point
+longs (float sums are order-dependent); the closing formulas are
+fixed-order double arithmetic rounded once, so DuckDB reproduces each
+value bit-for-bit.
+
+Reference parity note: the reference engine (alibaba/table-computing)
+has no statistics library — this module is part of the
+pipeline-completing extension surface, like drift.py/evaluation.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def wilson_lower_bound(
+    df: DataFrame,
+    keys: Sequence[str],
+    success_col: Column,
+    z: float = 1.96,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key Wilson score interval lower bound for a Bernoulli rate:
+
+        wlb = (p̂ + z²/2n − z·sqrt(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+
+    Rank by `wilson_lb` instead of the raw rate and small-sample
+    flukes sink to where their evidence puts them. One hash aggregate;
+    keys with n = 0 rows cannot occur (no row, no key); the formula is
+    one fixed-order double expression. Output:
+    (keys..., n, n_pos, rate, wilson_lb)."""
+    keys = list(keys)
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(success_col.cast("long")).alias("n_pos"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("n_pos").cast("double") / nd
+    z2 = float(z) * float(z)
+    wlb = (
+        p
+        + F.lit(z2) / (F.lit(2.0) * nd)
+        - F.lit(float(z))
+        * F.sqrt(p * (F.lit(1.0) - p) / nd + F.lit(z2) / (F.lit(4.0) * nd * nd))
+    ) / (F.lit(1.0) + F.lit(z2) / nd)
+    return agg.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(p, round_to).alias("rate"),
+        F.round(wlb, round_to).alias("wilson_lb"),
+    )
+
+
+def eb_shrink(
+    df: DataFrame,
+    keys: Sequence[str],
+    success_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Empirical-Bayes rate shrinkage with a moment-matched
+    Beta(α, β) prior:
+
+        m = mean of per-key rates,  v = population variance of rates
+        k = m(1−m)/v − 1,   α = m·k,   β = (1−m)·k
+        shrunk_rate = (pos + α) / (n + α + β)
+
+    Engine-exactness: per-key rates are single divisions; the
+    cross-key mean/variance accumulate nano-rounded longs (the
+    reduce-order-free staging); α/β and the posterior means are
+    fixed-order doubles, rounded once. The prior row joins back as a
+    1-row broadcast scalar.
+
+    Degenerate priors fail loudly (the srm_check discipline): fewer
+    than 2 keys, zero rate variance, or v ≥ m(1−m) (over-dispersion
+    beyond what ANY beta prior can express — moment matching would
+    produce a negative α) raise ValueError. Output: (keys..., n,
+    n_pos, rate, shrunk_rate, alpha, beta) with alpha/beta repeated on
+    every row."""
+    keys = list(keys)
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(success_col.cast("long")).alias("n_pos"),
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    staged = agg.withColumn("__rn", F.round(rate * 1e9).cast("long"))
+    mom = staged.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__rn").alias("__s"),
+        F.sum(F.col("__rn").cast("decimal(38,0)") * F.col("__rn").cast("decimal(38,0)"))
+        .alias("__q"),
+    )
+    kd = F.col("__k").cast("double")
+    m = F.col("__s").cast("double") / kd / 1e9
+    v = (
+        F.col("__q").cast("double") / 1e18
+        - (F.col("__s").cast("double") / 1e9) * (F.col("__s").cast("double") / 1e9) / kd
+    ) / kd
+    bad = mom.filter(
+        (F.col("__k") < 2)
+        | (v <= 0)
+        | (v >= m * (F.lit(1.0) - m))
+    )
+    if bad.take(1):
+        raise ValueError(
+            "eb_shrink: cannot moment-match a beta prior — need >= 2 keys, "
+            "non-zero rate variance, and variance < m(1-m)"
+        )
+    kk = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    prior = mom.select(
+        (m * kk).alias("__alpha"), ((F.lit(1.0) - m) * kk).alias("__beta")
+    )
+    j = staged.crossJoin(F.broadcast(prior))  # 1-row scalar join
+    shrunk = (F.col("n_pos").cast("double") + F.col("__alpha")) / (
+        F.col("n").cast("double") + F.col("__alpha") + F.col("__beta")
+    )
+    return j.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(rate, round_to).alias("rate"),
+        F.round(shrunk, round_to).alias("shrunk_rate"),
+        F.round(F.col("__alpha"), round_to).alias("alpha"),
+        F.round(F.col("__beta"), round_to).alias("beta"),
+    )

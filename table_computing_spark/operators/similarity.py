@@ -1381,3 +1381,47 @@ def ivfpq_topk(
         F.col("__r") <= max(candidates, k)
     )
     return _exact_rerank(cand, corpus, queries, k, id_col, vec_col)
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-dimension z-score standardization (whitening's cheap
+    diagonal case) — the preprocessing step before cosine/PQ when
+    dimensions carry wildly different variances, next to
+    quantize_embeddings (storage) and rp_project (dimensionality):
+
+        z[j] = (x[j] − mean_j) / std_j     (population std)
+
+    Engine-exactness: each component is first quantized to a micro
+    long (round(x·1e6) — float sums are order-dependent, integer sums
+    are not), the per-dimension moments accumulate those longs in
+    DECIMAL, and the z arithmetic runs in fixed-order doubles on the
+    QUANTIZED values (the 1e6 scale cancels in the ratio). Dimensions
+    with zero variance yield NULL z — undefined, reported explicitly.
+
+    Shape: one posexplode, one ≤dim-row hash aggregate broadcast back,
+    zero Python. Output rows (id, j, z) — the quantize_embeddings
+    narrow shape; reassemble with collect_list over a (j, z) sort if a
+    vector column is needed."""
+    rows = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: F.round(x.cast("double") * 1e6).cast("long"))
+        ).alias("j", "__xq"),
+    )
+    dec = "decimal(38,0)"
+    stats = rows.groupBy("j").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__xq").cast(dec)).alias("__s"),
+        F.sum(F.col("__xq").cast(dec) * F.col("__xq").cast(dec)).alias("__q"),
+    )
+    nd = F.col("__n").cast("double")
+    mean = F.col("__s").cast("double") / nd
+    var = (F.col("__q").cast("double") - F.col("__s").cast("double") * F.col("__s").cast("double") / nd) / nd
+    j = rows.join(F.broadcast(stats), "j")
+    z = F.when(var > 0, (F.col("__xq").cast("double") - mean) / F.sqrt(var))
+    return j.select(id_col, "j", F.round(z, round_to).alias("z"))

@@ -1449,3 +1449,148 @@ def max_drawdown(
             F.round(F.max(ddp), round_to).alias("max_drawdown_pct"),
         )
     )
+
+
+def acf_table(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    order_col: str,
+    value_col: str,
+    max_lag: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Autocorrelation function per key at every lag 1..max_lag — the
+    multi-lag generalization of lag_autocorr (one row per (key, lag)
+    instead of one call per lag): the seasonality/stickiness profile a
+    forecasting pipeline reads before picking a model or a seasonal
+    period.
+
+    Same exactness contract as lag_autocorr: INTEGER-valued series
+    (counts, cents), Pearson r per lag from pure DECIMAL sufficient
+    statistics, gaps pair with the previous observed point. Plan
+    shape: ONE key-partitioned window pass computes all max_lag lag
+    columns (same window spec → Spark plans a single Window node),
+    then an explode to (lag, pair) rows and ONE hash aggregate on
+    (keys, lag) — cost is ~max_lag output rows per input row, not
+    max_lag passes. Keys × lags with < 2 pairs or a constant side
+    yield NULL r."""
+    from pyspark.sql.window import Window as W
+
+    keys = list(keys)
+    w = W.partitionBy(*keys).orderBy(order_col)
+    x = F.col(value_col).cast("decimal(38,0)")
+    lagged = df.select(*keys, order_col, x.alias("__x")).select(
+        "*",
+        *[F.lag("__x", k).over(w).alias(f"__l{k}") for k in range(1, max_lag + 1)],
+    )
+    stacked = lagged.select(
+        *keys,
+        "__x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"), F.col(f"__l{k}").alias("__y")
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("__p"),
+    ).select(*keys, "__x", F.col("__p.lag").alias("lag"), F.col("__p.__y").alias("__y")
+    ).filter(F.col("__y").isNotNull())
+    agg = stacked.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    num = nd * F.col("__sxy").cast("double") - F.col("__sx").cast("double") * F.col("__sy").cast("double")
+    den_x = nd * F.col("__sxx").cast("double") - F.col("__sx").cast("double") * F.col("__sx").cast("double")
+    den_y = nd * F.col("__syy").cast("double") - F.col("__sy").cast("double") * F.col("__sy").cast("double")
+    r = F.when(
+        (F.col("n_pairs") > 1) & (den_x > 0) & (den_y > 0),
+        num / F.sqrt(den_x * den_y),
+    )
+    return agg.select(*keys, "lag", "n_pairs", F.round(r, round_to).alias("autocorr"))
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    order_col: str,
+    value_col: str,
+    period: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key (the moving-
+    average method of Macaulay 1931 — the 'decompose' every stats
+    package ships; STL's simpler ancestor):
+
+        trend_t    = centered moving average over 2·(period//2)+1 rows
+                     (NULL at the edges where the window is partial)
+        seasonal_p = mean of (value − trend) at phase p = t mod period,
+                     re-centered so the seasonal component sums to ~0
+        residual   = value − trend − seasonal
+
+    The series must be INTEGER-valued (counts, cents — the
+    lag_autocorr contract) and regularly sampled per key in
+    `order_col` order. Engine-exactness: the trend is one exact
+    integer-sum / count division; detrended values round to nano longs
+    BEFORE the per-phase mean (float sums are order-dependent); the
+    phase means and the re-centering run in fixed-order double
+    arithmetic mirrored by the oracle. Plan shape: one key-partitioned
+    centered window + row_number, one (key, phase) hash aggregate
+    joined back, one per-key 1-row aggregate joined back — the
+    bounded-group caveat applies (a key's history flows through one
+    task's window).
+
+    Output: (keys..., order_col, value, trend, seasonal, residual) —
+    trend/residual NULL on the edge rows."""
+    from pyspark.sql.window import Window as W
+
+    keys = list(keys)
+    h = period // 2
+    win = W.partitionBy(*keys).orderBy(order_col)
+    frame = win.rowsBetween(-h, h)
+    v = F.col(value_col).cast("decimal(38,0)")
+    base = df.select(*keys, order_col, v.alias("__v")).select(
+        "*",
+        ((F.row_number().over(win) - 1) % period).alias("__phase"),
+        F.sum("__v").over(frame).alias("__ts"),
+        F.count("__v").over(frame).alias("__tc"),
+    )
+    trend = F.when(
+        F.col("__tc") == 2 * h + 1,
+        F.col("__ts").cast("double") / F.col("__tc").cast("double"),
+    )
+    staged = base.withColumn("__trend", trend).withColumn(
+        "__dn",
+        F.round((F.col("__v").cast("double") - F.col("__trend")) * 1e9).cast("long"),
+    )
+    ph = staged.filter(F.col("__dn").isNotNull()).groupBy(*keys, "__phase").agg(
+        F.sum("__dn").alias("__ps"), F.count(F.lit(1)).alias("__pc")
+    ).select(
+        *keys, "__phase",
+        F.round(
+            F.col("__ps").cast("double") / F.col("__pc").cast("double")
+        ).cast("long").alias("__snano"),
+    )
+    center = ph.groupBy(*keys).agg(
+        (F.sum("__snano").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("__cn")
+    )
+    seasonal = (F.col("__snano").cast("double") - F.col("__cn")) / 1e9
+    out = staged.join(ph, [*keys, "__phase"], "left").join(center, keys, "left")
+    return out.select(
+        *keys,
+        order_col,
+        F.col("__v").cast("long").alias("value"),
+        F.round(F.col("__trend"), round_to).alias("trend"),
+        F.round(seasonal, round_to).alias("seasonal"),
+        F.round(
+            F.col("__v").cast("double") - F.col("__trend") - seasonal, round_to
+        ).alias("residual"),
+    )

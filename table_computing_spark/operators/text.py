@@ -1639,3 +1639,55 @@ def skipgram_negatives(
     return js.join(
         indexed.select("__idx", F.col("__v").alias("negative")), "__idx"
     ).select("center", "context", "j", "negative")
+
+
+def flesch_readability(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948, public) with the
+    standard cheap heuristics — a quality-scoring signal next to
+    gopher_rules / char_entropy (very low or absurdly high scores flag
+    boilerplate, tables, OCR noise):
+
+        flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    Heuristics (documented, engine-portable — every count is a regex
+    split on both engines, no per-row Python):
+      words      = repo-standard lowercase [^a-z0-9]+ split, non-empty
+      sentences  = runs of sentence terminators [.!?]+, floored at 1
+      syllables  = vowel-group runs [aeiouy]+ in the lowercased text,
+                   floored at the word count (≥1 syllable per word)
+
+    Exact integer counts; the formula is one fixed-order double
+    expression, rounded once. Documents with zero words report NULL.
+    Output: (id, n_words, n_sentences, n_syllables, flesch)."""
+    low = F.lower(F.col(text_col))
+    words = F.size(
+        F.filter(F.split(low, r"[^a-z0-9]+"), lambda x: x != "")
+    ).cast("long")
+    sent_runs = (F.size(F.split(F.col(text_col), r"[.!?]+")) - 1).cast("long")
+    vowel_runs = (F.size(F.split(low, r"[aeiouy]+")) - 1).cast("long")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        words.alias("n_words"),
+        F.greatest(F.lit(1).cast("long"), sent_runs).alias("n_sentences"),
+        vowel_runs.alias("__vr"),
+    )
+    syl = F.greatest(F.col("__vr"), F.col("n_words"))
+    wd = F.col("n_words").cast("double")
+    flesch = F.when(
+        F.col("n_words") > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (wd / F.col("n_sentences").cast("double"))
+        - F.lit(84.6) * (syl.cast("double") / wd),
+    )
+    return base.select(
+        "id",
+        "n_words",
+        "n_sentences",
+        syl.alias("n_syllables"),
+        F.round(flesch, round_to).alias("flesch"),
+    )

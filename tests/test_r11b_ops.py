@@ -422,3 +422,166 @@ def test_cumulative_gains_top_half_positive(spark):
     assert [out[b]["capture_rate"] for b in (1, 2, 3, 4)] == [0.5, 1.0, 1.0, 1.0]
     assert out[1]["lift"] == 2.0 and out[4]["lift"] == 0.0
     assert out[1]["n"] == 5 and out[3]["cum_pos"] == 10
+
+
+# -------------------------------------------------- series / text / streams
+
+
+def test_acf_table_alternating_series(spark):
+    """Perfect period-2 alternation: r(1) = −1, r(2) = +1, r(3) = −1."""
+    from table_computing_spark.operators.temporal import acf_table
+
+    rows = [("k", t, 10 if t % 2 == 0 else 20) for t in range(12)]
+    df = spark.createDataFrame(rows, "k string, t int, v int")
+    out = {r["lag"]: r["autocorr"] for r in
+           acf_table(df, ["k"], "t", "v", max_lag=3).collect()}
+    assert out == {1: -1.0, 2: 1.0, 3: -1.0}
+
+
+def test_acf_table_matches_lag_autocorr(spark):
+    """Every acf_table row must equal the single-lag operator's value
+    — same machinery, batched."""
+    from table_computing_spark.operators.temporal import acf_table, lag_autocorr
+
+    rows = [("k", t, (t * t * 7) % 23) for t in range(30)]
+    df = spark.createDataFrame(rows, "k string, t int, v int")
+    multi = {r["lag"]: r["autocorr"] for r in
+             acf_table(df, ["k"], "t", "v", max_lag=4).collect()}
+    for lag in (1, 2, 3, 4):
+        single = lag_autocorr(df, ["k"], "t", "v", lag=lag).collect()[0]["autocorr"]
+        assert multi[lag] == single, (lag, multi[lag], single)
+
+
+def test_seasonal_decompose_pure_pattern(spark):
+    """Flat level 100 + seasonal [0,10,0,-10]: edges have NULL trend,
+    the seasonal component is re-centered (sums to 0) and keeps the
+    phase shape; interior trend+seasonal+residual == value."""
+    from table_computing_spark.operators.temporal import seasonal_decompose
+
+    season = [0, 10, 0, -10]
+    rows = [("k", t, 100 + season[t % 4]) for t in range(16)]
+    df = spark.createDataFrame(rows, "k string, t int, v int")
+    out = {r["t"]: r for r in
+           seasonal_decompose(df, ["k"], "t", "v", period=4).collect()}
+    assert out[0]["trend"] is None and out[15]["trend"] is None
+    ss = [out[t]["seasonal"] for t in range(4)]
+    assert abs(sum(ss)) < 1e-6
+    assert ss[1] > 5 and ss[3] < -5 and abs(ss[0]) < 3
+    mid = out[8]
+    assert mid["residual"] == pytest.approx(
+        mid["value"] - mid["trend"] - mid["seasonal"], abs=2e-6
+    )
+
+
+def test_standardize_embeddings_known_moments(spark):
+    """Dim 0 has mean 3, population std sqrt(8/3); dim 1 is constant
+    (zero variance → NULL z)."""
+    from table_computing_spark.operators.similarity import standardize_embeddings
+
+    rows = [(1, [1.0, 10.0]), (2, [3.0, 10.0]), (3, [5.0, 10.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = {(r["vec_id"], r["j"]): r["z"] for r in standardize_embeddings(df).collect()}
+    exp = round((1 - 3) / math.sqrt(8 / 3), 6)
+    assert out[(1, 0)] == exp and out[(3, 0)] == -exp and out[(2, 0)] == 0.0
+    assert out[(1, 1)] is None
+
+
+def test_flesch_hand_counted(spark):
+    """'The cat sat. The dog ran.' → 6 words, 2 sentences, 6 vowel
+    runs; punctuation-only text → NULL score, 0 words."""
+    from table_computing_spark.operators.text import flesch_readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran."), (2, "...")], "id int, text string"
+    )
+    out = {r["id"]: r for r in flesch_readability(df, "id", "text").collect()}
+    r = out[1]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+    assert r["flesch"] == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)
+    assert out[2]["flesch"] is None and out[2]["n_words"] == 0
+
+
+def test_flesch_syllable_floor(spark):
+    """An all-consonant 'word' still counts >= 1 syllable (the floor
+    at word count)."""
+    from table_computing_spark.operators.text import flesch_readability
+
+    df = spark.createDataFrame([(1, "tsk tsk brr")], "id int, text string")
+    r = flesch_readability(df, "id", "text").collect()[0]
+    assert r["n_words"] == 3 and r["n_syllables"] == 3
+
+
+def test_classification_report_from_counts_equals_rowlevel(spark):
+    from table_computing_spark.operators.evaluation import (
+        classification_report,
+        classification_report_from_counts,
+    )
+
+    rows = [("a", "a")] * 5 + [("a", "b")] * 2 + [("b", "b")] * 3 + [("c", "a")]
+    df = spark.createDataFrame(rows, "l string, p string")
+    full = sorted(map(tuple, classification_report(df, F.col("l"), F.col("p")).collect()))
+    cnt = df.groupBy("l", "p").count()
+    fromc = sorted(map(tuple, classification_report_from_counts(
+        cnt, F.col("l"), F.col("p"), F.col("count")).collect()))
+    assert full == fromc
+
+
+# ------------------------------------------------------ rate estimation
+
+
+def test_wilson_lower_bound_ranks_evidence(spark):
+    """1/1 must rank BELOW 95/100 by the lower bound; the 1/1 value
+    matches the closed form."""
+    from table_computing_spark.operators.rates import wilson_lower_bound
+
+    rows = [("a", True)] + [("b", True)] * 95 + [("b", False)] * 5
+    df = spark.createDataFrame(rows, "k string, s boolean")
+    out = {r["k"]: r for r in wilson_lower_bound(df, ["k"], F.col("s")).collect()}
+    assert out["a"]["rate"] == 1.0 and out["b"]["rate"] == 0.95
+    assert out["a"]["wilson_lb"] < out["b"]["wilson_lb"]
+    z, z2 = 1.96, 1.96 * 1.96
+    exp = round((1.0 + z2 / 2 - z * math.sqrt(z2 / 4)) / (1 + z2), 6)
+    assert out["a"]["wilson_lb"] == exp
+
+
+def test_eb_shrink_pulls_small_samples(spark):
+    """A 1/1 key shrinks hard toward the ~0.3 prior mean; an 18/20 key
+    keeps most of its evidence; alpha/beta are positive."""
+    from table_computing_spark.operators.rates import eb_shrink
+
+    rows = []
+    for i in range(50):
+        pos = 4 + (i % 5)
+        rows += [(f"k{i}", True)] * pos + [(f"k{i}", False)] * (20 - pos)
+    rows += [("tiny", True)]
+    rows += [("big", True)] * 18 + [("big", False)] * 2
+    df = spark.createDataFrame(rows, "k string, s boolean")
+    out = {r["k"]: r for r in eb_shrink(df, ["k"], F.col("s")).collect()}
+    assert out["tiny"]["rate"] == 1.0 and out["tiny"]["shrunk_rate"] < 0.6
+    assert out["big"]["shrunk_rate"] > 0.7
+    assert out["big"]["alpha"] > 0 and out["big"]["beta"] > 0
+
+
+def test_eb_shrink_degenerate_raises(spark):
+    from table_computing_spark.operators.rates import eb_shrink
+
+    df = spark.createDataFrame([("x", True), ("x", False)], "k string, s boolean")
+    with pytest.raises(ValueError, match="moment-match"):
+        eb_shrink(df, ["k"], F.col("s"))
+
+
+def test_trimmed_mean_drops_outlier(spark):
+    """[1..10, 1000] at 10% trim: k = 1 drops the 1 and the 1000 —
+    mean of 2..10 = 6; duplicates at the trim boundary keep the same
+    multiset whatever the tie order."""
+    from table_computing_spark.operators.quantiles import trimmed_mean
+
+    vals = list(range(1, 11)) + [1000]
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, v int")
+    r = trimmed_mean(df, ["k"], F.col("v"), 0.1).collect()[0]
+    assert (r["n"], r["n_trimmed_each_side"], r["trimmed_mean"]) == (11, 1, 6.0)
+    # tie at the boundary: [5,5,5,9] trim .25 -> k=1 -> kept multiset {5,5}... 
+    # kept ranks 2..3 over sorted [5,5,5,9] = {5,5} -> mean 5 regardless of tie order
+    df = spark.createDataFrame([("k", v) for v in (5, 5, 5, 9)], "k string, v int")
+    r = trimmed_mean(df, ["k"], F.col("v"), 0.25).collect()[0]
+    assert r["trimmed_mean"] == 5.0

@@ -34,6 +34,9 @@ NAMES = [
     "q_bh_fdr", "q_max_drawdown", "q_nelson_aalen", "q_clustering_coeff",
     "q_decision_stump", "q_isotonic", "q_chi2_screen", "q_cuped",
     "q_cumulative_gains",
+    # streaming q_stream_eval excluded (cadence-bound, r10 protocol)
+    "q_acf", "q_seasonal_decompose", "q_embedding_standardize", "q_flesch",
+    "q_wilson", "q_eb_shrink", "q_trimmed_mean",
 ]
 
 
