@@ -624,3 +624,194 @@ def test_rouge_identical_pair_is_perfect(spark, texts):
             assert got[i]["rouge_recall"] == 1.0 == got[i]["rouge_precision"]
         else:
             assert got[i]["rouge_recall"] is None
+
+
+# ---------------------------------------------------------- r11b operators
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.booleans(), st.integers(min_value=0, max_value=9)),
+        min_size=2,
+        max_size=25,
+    ).filter(lambda r: any(y for y, _ in r) and any(not y for y, _ in r))
+)
+def test_average_precision_matches_naive(spark, rows):
+    """average_precision == the naive threshold-group scan (ties as one
+    group), and sits in (0, 1]."""
+    from table_computing_spark.operators.evaluation import average_precision
+
+    df = spark.createDataFrame(
+        [(int(y), float(s)) for y, s in rows], "y int, s double"
+    )
+    got = average_precision(df, F.col("y"), F.col("s")).collect()[0]
+    # naive: group by score desc
+    from collections import defaultdict
+
+    g = defaultdict(lambda: [0, 0])
+    for y, s in rows:
+        g[s][0] += 1
+        g[s][1] += int(y)
+    P = sum(int(y) for y, _ in rows)
+    cn = cp = 0
+    ap = 0.0
+    for s in sorted(g, reverse=True):
+        n, p = g[s]
+        cn += n
+        cp += p
+        ap += round(p * cp / cn * 1e9)
+    ap = ap / 1e9 / P
+    assert got["average_precision"] == round(ap, 6)
+    assert 0.0 < got["average_precision"] <= 1.0
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=3,
+        max_size=25,
+    )
+)
+def test_spearman_bounds_and_symmetry(spark, rows):
+    """rho ∈ [−1, 1] (or NULL on a constant side) and rho(x, y) ==
+    rho(y, x)."""
+    from table_computing_spark.operators.drift import spearman_corr
+
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in rows], "x double, y double"
+    )
+    a = spearman_corr(df, F.col("x"), F.col("y")).collect()[0]["spearman_rho"]
+    b = spearman_corr(df, F.col("y"), F.col("x")).collect()[0]["spearman_rho"]
+    assert a == b
+    if a is not None:
+        assert -1.0 <= a <= 1.0
+
+
+@_SETTINGS
+@given(
+    ps=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_bh_fdr_adjusted_p_properties(spark, ps):
+    """p_adj is capped at 1, >= the raw p, and nondecreasing in rank
+    (the step-up monotonization); rejection is downward-closed in
+    rank."""
+    from table_computing_spark.operators.drift import bh_fdr
+
+    df = spark.createDataFrame(
+        [(f"t{i}", float(p)) for i, p in enumerate(ps)], "id string, p double"
+    )
+    rows = sorted(
+        bh_fdr(df, "id", F.col("p"), alpha=0.1).collect(),
+        key=lambda r: r["bh_rank"],
+    )
+    prev_adj = 0.0
+    seen_reject_end = False
+    for r in rows:
+        assert r["p_adj"] <= 1.0 + 1e-12
+        assert r["p_adj"] >= r["p_value"] - 1e-9
+        assert r["p_adj"] >= prev_adj - 1e-9  # nondecreasing
+        prev_adj = r["p_adj"]
+        if not r["rejected"]:
+            seen_reject_end = True
+        else:
+            assert not seen_reject_end  # rejections form a prefix
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["u", "v", "w"]), st.booleans()),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_wilson_lb_below_rate_and_in_unit_interval(spark, rows):
+    from table_computing_spark.operators.rates import wilson_lower_bound
+
+    df = spark.createDataFrame(rows, "k string, s boolean")
+    for r in wilson_lower_bound(df, ["k"], F.col("s")).collect():
+        assert 0.0 <= r["wilson_lb"] <= r["rate"] + 1e-9
+        assert r["wilson_lb"] <= 1.0
+
+
+@_SETTINGS
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=30),
+    trim=st.sampled_from([0.0, 0.1, 0.25]),
+)
+def test_trimmed_mean_between_extremes_and_matches_naive(spark, vals, trim):
+    from table_computing_spark.operators.quantiles import trimmed_mean
+
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, v int")
+    r = trimmed_mean(df, ["k"], F.col("v"), trim).collect()[0]
+    s = sorted(vals)
+    k = int(len(s) * trim)
+    kept = s[k : len(s) - k]
+    naive = sum(kept) / len(kept)
+    assert r["trimmed_mean"] == round(naive, 6)
+    assert min(vals) - 1e-9 <= r["trimmed_mean"] <= max(vals) + 1e-9
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),
+        min_size=4,
+        max_size=25,
+    )
+)
+def test_kendall_tau_antisymmetry(spark, rows):
+    """Negating one ranking negates tau (C and D swap; tie terms are
+    unchanged)."""
+    from table_computing_spark.operators.evaluation import kendall_tau_grouped
+
+    df = spark.createDataFrame(
+        [("g", i, float(x), float(y)) for i, (x, y) in enumerate(rows)],
+        "g string, it int, x double, y double",
+    )
+    a = kendall_tau_grouped(df, "g", "it", F.col("x"), F.col("y")).collect()[0]
+    b = kendall_tau_grouped(df, "g", "it", F.col("x"), -F.col("y")).collect()[0]
+    if a["tau_b"] is None:
+        assert b["tau_b"] is None
+    else:
+        assert abs(a["tau_b"] + b["tau_b"]) < 2e-6
+        assert -1.0 <= a["tau_b"] <= 1.0
+
+
+@_SETTINGS
+@given(
+    groups=st.lists(
+        st.tuples(st.integers(1, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_pass_at_k_bounds_and_monotonicity(spark, groups):
+    """pass@k ∈ [0, 1]; more correct samples at the same n never
+    lowers it; c = 0 → 0, c = n → 1 (when n >= k)."""
+    from table_computing_spark.operators.evaluation import pass_at_k
+
+    rows = []
+    for i, (n, c) in enumerate(groups):
+        c = min(c, n)
+        rows += [(f"p{i}", True)] * c + [(f"p{i}", False)] * (n - c)
+    df = spark.createDataFrame(rows, "prob string, ok boolean")
+    out = {r["problem"]: r for r in pass_at_k(df, "prob", F.col("ok"), 3).collect()}
+    for i, (n, c) in enumerate(groups):
+        c = min(c, n)
+        v = out[f"p{i}"]["pass_at_k"]
+        if n < 3:
+            assert v is None
+        else:
+            assert 0.0 <= v <= 1.0
+            if c == 0:
+                assert v == 0.0
+            if c == n:
+                assert v == 1.0
