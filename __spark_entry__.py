@@ -6018,6 +6018,144 @@ def q_dim_ablation(spark, sf_dir):
     return sim.ranking_metrics(pred, truth, k=10)
 
 
+def q_dim_ablation_fixed(spark, sf_dir):
+    """Bounded-probe twin of q_dim_ablation (VERDICT r11 task 5 — the
+    q_pq_recall discipline): the SAME truncated-vs-full-dim retrieval
+    ablation, but the probe set is FIXED at `vec_id % 50 == 0 AND
+    vec_id < 500` (exactly the sf0.01 oracle's 10 query ids at every
+    scale). q_dim_ablation's whole-corpus probe set grows with the
+    corpus, so both sides of its brute-force cosine scale — the honest
+    cost of a full-eval harness, but the wrong entry to copy into a
+    100 TB job. THIS is the copy-paste-safe form: exact-truth × a
+    constant query set is linear in N per decade. (New r12.)"""
+    from table_computing_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    probe = (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)
+    truth = sim.cosine_topk(emb, emb.filter(probe), k=10)
+    emb16 = emb.withColumn("emb16", F.slice("embedding", 1, 16))
+    pred = sim.cosine_topk(emb16, emb16.filter(probe), k=10, vec_col="emb16")
+    return sim.ranking_metrics(pred, truth, k=10)
+
+
+# --- round-12 additions -------------------------------------------------
+
+
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H (drift.kruskal_wallis): do the three return
+    flags share a price location? The k-sample rank test over the
+    mann_whitney distinct-value prefix machinery — tie-corrected,
+    no unpartitioned window. (New r12.)"""
+    from table_computing_spark.operators.drift import kruskal_wallis
+
+    li = _t(spark, sf_dir, "lineitem").df
+    return kruskal_wallis(li, "l_returnflag", F.col("l_extendedprice"))
+
+
+def q_anova_f(spark, sf_dir):
+    """One-way ANOVA F (drift.anova_f) on order price-cents across the
+    five order priorities — DECIMAL sufficient statistics, nano-staged
+    per-group projections, one F expression. (New r12.)"""
+    from table_computing_spark.operators.drift import anova_f
+
+    o = _t(spark, sf_dir, "orders").df
+    return anova_f(
+        o, "o_orderpriority", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+
+
+def q_levene_bf(spark, sf_dir):
+    """Brown-Forsythe equal-variance test (drift.levene_bf) of line
+    quantity across line statuses — exact per-group DOUBLED medians
+    from the partitioned distinct-value prefix, ANOVA on the integer
+    doubled deviations. (New r12.)"""
+    from table_computing_spark.operators.drift import levene_bf
+
+    li = _t(spark, sf_dir, "lineitem").df
+    return levene_bf(li, "l_linestatus", F.col("l_quantity").cast("long"))
+
+
+def q_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend test (drift.cochran_armitage): does the
+    finished-order rate trend across order months (dose = month 1-12)?
+    Exact DECIMAL numerators, one z expression. (New r12.)"""
+    from table_computing_spark.operators.drift import cochran_armitage
+
+    o = _t(spark, sf_dir, "orders").df
+    return cochran_armitage(
+        o, F.month("o_orderdate"), (F.col("o_orderstatus") == "F")
+    )
+
+
+def q_matthews(spark, sf_dir):
+    """Matthews correlation (evaluation.matthews_corr) of the q_eval_f1
+    price-threshold predictor vs finished status — the imbalance-honest
+    single-number score next to F1/kappa. (New r12.)"""
+    from table_computing_spark.operators.evaluation import matthews_corr
+
+    o = _t(spark, sf_dir, "orders").df
+    return matthews_corr(
+        o, (F.col("o_orderstatus") == "F"), (F.col("o_totalprice") < 150000.0)
+    )
+
+
+def q_krippendorff(spark, sf_dir):
+    """Krippendorff's alpha (evaluation.krippendorff_alpha) treating
+    each order as a unit, its line numbers as raters, and the return
+    flag as the nominal rating — the any-number-of-raters,
+    missing-data agreement statistic cohens_kappa can't give.
+    Coincidence algebra, no pair join. (New r12.)"""
+    from table_computing_spark.operators.evaluation import krippendorff_alpha
+
+    li = _t(spark, sf_dir, "lineitem").df
+    return krippendorff_alpha(
+        li, "l_orderkey", "l_linenumber", F.col("l_returnflag")
+    )
+
+
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend slope (temporal.theil_sen_grouped) of
+    DAILY event counts per type — the outlier-immune alternative to
+    q_linreg for monitored series. Bounded-group pairwise contract
+    (days per type, not rows). (New r12.)"""
+    from table_computing_spark.operators.temporal import theil_sen_grouped
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type",
+        F.floor(tcf.epoch_ms("ts") / 86400000).cast("long").alias("d"),
+    )
+    series = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    return theil_sen_grouped(series, ["event_type"], F.col("d"), F.col("n"))
+
+
+def q_page_hinkley(spark, sf_dir):
+    """Page-Hinkley upward change detection (temporal.page_hinkley)
+    over hourly event counts per type — the sequential drift alarm
+    (nano-staged increments, two stacked key windows, running min).
+    (New r12.)"""
+    from table_computing_spark.operators.temporal import page_hinkley
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type",
+        F.floor(tcf.epoch_ms("ts") / 3600000).cast("long").alias("hr"),
+    )
+    series = ev.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("n"))
+    return page_hinkley(
+        series, ["event_type"], "hr", F.col("n"), delta=0.0, lam=10.0
+    )
+
+
+def q_temperature_weights(spark, sf_dir):
+    """Multilingual temperature-sampling weights (sampling.
+    temperature_weights, alpha=0.3 — the XLM low-resource boost) over
+    document languages: natural share, adjusted share, boost. The
+    mixture decision readout before a training run. (New r12.)"""
+    from table_computing_spark.operators.sampling import temperature_weights
+
+    d = _t(spark, sf_dir, "documents").df
+    return temperature_weights(d, "lang", alpha=0.3)
+
+
 def q_zipf_fit(spark, sf_dir):
     """Corpus Zipf-law fit (text.zipf_fit): least-squares slope of
     ln(freq) vs ln(rank) over token ranks 11..1000 — the corpus-health
@@ -6702,238 +6840,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hashes only the FIRST 50 entries, so the window rotates each round
     until no stratum is more than a few rounds stale.
 
-    Round-11 window (the r10 verdict's task-2 composition, exactly):
-    (a) the 11 NEW r11 queries, never driver-verified, all green under
-    the dtype-strict local sim at sf0.01; (b) the ENTIRE 39-row
-    r05-stale stratum (the verdict names each row; its own 12-row
-    sample re-oracled green). Zero overlap with the r10 window (pinned
-    by tests/test_queries.py::test_window_rotation_discipline). After
-    this round no row's last driver-green round is older than r06, and
-    the 50-row r06 stratum heads the r12 rotation.
+    Round-12 window (the r11 verdict's task-1 composition, exactly):
+    (a) all 25 r11b queries — declared after the r11 window froze, so
+    they carry ZERO driver evidence (the judge's independent sf0.01
+    re-verification passed all 25); (b) the 25 stalest r06 rows the
+    verdict hinted (the TPC-H block + the core relational ops). Zero
+    overlap with the r11 window (pinned by
+    tests/test_queries.py::test_window_rotation_discipline). After this
+    round no never-driver-verified query remains; the 25 remaining
+    r06 rows head the r13 rotation, then the 50-row r07 stratum.
     """
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
     tpch = dict(TPCH_QUERIES)
     window_50 = {
-        # (a) the 11 NEW r11 queries — never driver-verified
-        "q_roc_auc": q_roc_auc,
-        "q_eval_f1": q_eval_f1,
-        "q_ndcg": q_ndcg,
-        "q_rrf_fusion": q_rrf_fusion,
-        "q_rouge2": q_rouge2,
-        "q_als_rank1": q_als_rank1,
-        "q_changepoint": q_changepoint,
-        "q_burstiness": q_burstiness,
-        "q_topo_layers": q_topo_layers,
-        "q_graph_modularity": q_graph_modularity,
-        "q_skipgram_negatives": q_skipgram_negatives,
-        # (b) the full 39-row r05-stale stratum (verdict r10 task 2
-        # lists exactly these; after this round nothing is older
-        # than r06-green)
-        "q_audio_spectrum": q_audio_spectrum,
-        "q_bloom_join": q_bloom_join,
-        "q_bm25_topk": q_bm25_topk,
-        "q_cdc_apply": q_cdc_apply,
-        "q_char_entropy": q_char_entropy,
-        "q_dedup_incremental": q_dedup_incremental,
-        "q_doc_chunks_overlap": q_doc_chunks_overlap,
-        "q_dup_span_intervals": q_dup_span_intervals,
-        "q_embedding_quantize": q_embedding_quantize,
-        "q_event_transitions": q_event_transitions,
-        "q_gopher_rules": q_gopher_rules,
-        "q_group_split": q_group_split,
-        "q_hard_negatives": q_hard_negatives,
-        "q_image_dedup": q_image_dedup,
-        "q_key_skew": q_key_skew,
-        "q_linreg": q_linreg,
-        "q_mixture_apply": q_mixture_apply,
-        "q_multimodal_decode": q_multimodal_decode,
-        "q_mutual_info": q_mutual_info,
-        "q_nb_classify": q_nb_classify,
-        "q_ohlc": q_ohlc,
-        "q_pagerank": q_pagerank,
-        "q_png_decode": q_png_decode,
-        "q_psi_drift": q_psi_drift,
-        "q_record_linkage": q_record_linkage,
-        "q_rp_project": q_rp_project,
-        "q_scd2": q_scd2,
-        "q_snapshot_diff": q_snapshot_diff,
-        "q_stream_curation": q_stream_curation,
-        "q_stream_drift": q_stream_drift,
-        "q_stream_ohlc": q_stream_ohlc,
-        "q_tpch_q10": tpch["q_tpch_q10"],
-        "q_tpch_q11": tpch["q_tpch_q11"],
-        "q_tpch_q13": tpch["q_tpch_q13"],
-        "q_twap": q_twap,
-        "q_video_frames": q_video_frames,
-        "q_weighted_sample": q_weighted_sample,
-        "q_woe_iv": q_woe_iv,
-        "q_zorder_locality": q_zorder_locality,
-    }
-    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
-    tail = {
-        # remaining r05 stratum (heads the r11 rotation), then r09
-        # (freshest), r08, r06, r07 strata
-        # --- last green r09 (the full r09 driver window) ---
-        "q_tdigest_accuracy": q_tdigest_accuracy,
-        "q_bitmap_distinct": q_bitmap_distinct,
-        "q_pit_features": q_pit_features,
-        "q_ks_drift": q_ks_drift,
-        "q_calibration": q_calibration,
-        "q_pq_recall": q_pq_recall,
-        "q_impute": q_impute,
-        "q_ivfpq": q_ivfpq,
-        "q_corr_matrix": q_corr_matrix,
-        "q_stream_bitmap_distinct": q_stream_bitmap_distinct,
-        "q_cusum": q_cusum,
-        "q_winsorize": q_winsorize,
-        "q_percent_rank_global": q_percent_rank_global,
-        "q_interval_overlap": q_interval_overlap,
-        "q_stream_tdigest": q_stream_tdigest,
-        "q_weighted_quantiles": q_weighted_quantiles,
-        "q_bootstrap_ci": q_bootstrap_ci,
-        "q_rolling_median": q_rolling_median,
-        "q_profile_diff": q_profile_diff,
-        "q_video_scene_changes": q_video_scene_changes,
-        "q_multimodal_features": q_multimodal_features,
-        "q_data_profile": q_data_profile,
-        "q_histogram": q_histogram,
-        "q_integrity_checks": q_integrity_checks,
-        "q_lag_lead": q_lag_lead,
-        "q_json_extract": q_json_extract,
-        "q_unpivot": q_unpivot,
-        "q_udaf_apply": q_udaf_apply,
-        "q_over_by_duration": q_over_by_duration,
-        "q_ab_power": q_ab_power,
-        "q_golden_record": q_golden_record,
-        "q_label_noise": q_label_noise,
-        "q_gap_report": q_gap_report,
-        "q_temporal_split": q_temporal_split,
-        "q_seq_pairs": q_seq_pairs,
-        "q_stream_kmv": q_stream_kmv,
-        "q_join_cardinality": q_join_cardinality,
-        "q_stream_fingerprint": q_stream_fingerprint,
-        "q_kmv_intersect": q_kmv_intersect,
-        "q_edit1_pairs": q_edit1_pairs,
-        "q_table_fingerprint": q_table_fingerprint,
-        "q_topk_others": q_topk_others,
-        "q_spatial_radius_join": q_spatial_radius_join,
-        "q_spatial_knn": q_spatial_knn,
-        "q_frequent_pairs": q_frequent_pairs,
-        "q_assoc_rules": q_assoc_rules,
-        "q_quantile_normalize": q_quantile_normalize,
-        "q_quota_allocation": q_quota_allocation,
-        "q_ab_srm": q_ab_srm,
-        "q_multi_horizon": q_multi_horizon,
-        # --- last green r08 (the full r08 driver window) ---
-        "q_bfs_hops": q_bfs_hops,
-        "q_time_to_convert": q_time_to_convert,
-        "q_window_distinct": q_window_distinct,
-        "q_rfm": q_rfm,
-        "q_benford": q_benford,
-        "q_hashed_features": q_hashed_features,
-        "q_running_balance": q_running_balance,
-        "q_stream_running_balance": q_stream_running_balance,
-        "q_decayed_topk": q_decayed_topk,
-        "q_gini": q_gini,
-        "q_tpch_q12": tpch["q_tpch_q12"],
-        "q_transform_explode": q_transform_explode,
-        "q_over_apply": q_over_apply,
-        "q_join_full_outer": q_join_full_outer,
-        "q_join_nullsafe": q_join_nullsafe,
-        "q_flagship_top100": q_flagship_top100,
-        "q_filter_rows": q_filter_rows,
-        "q_transform_rows": q_transform_rows,
-        "q_select_rows": q_select_rows,
-        "q_pack_sequences": q_pack_sequences,
-        "q_anomaly_zscore": q_anomaly_zscore,
-        "q_mode_per_key": q_mode_per_key,
-        "q_latest_per_key": q_latest_per_key,
-        "q_retention_cohort": q_retention_cohort,
-        "q_funnel": q_funnel,
-        "q_fuzzy_pairs": q_fuzzy_pairs,
-        "q_moment_stats": q_moment_stats,
-        "q_embedding_centroids": q_embedding_centroids,
-        "q_sample_split": q_sample_split,
-        "q_stratified_sample": q_stratified_sample,
-        "q_csv_ingest": q_csv_ingest,
-        "q_json_ingest": q_json_ingest,
-        "q_prefix_cumsum": q_prefix_cumsum,
-        "q_skyline": q_skyline,
-        "q_cube": q_cube,
-        "q_ab_ttest": q_ab_ttest,
-        "q_autocorr": q_autocorr,
-        "q_url_canonical": q_url_canonical,
-        "q_url_dedup": q_url_dedup,
-        "q_vocab_growth": q_vocab_growth,
-        "q_quantile_buckets": q_quantile_buckets,
-        "q_knn_classify": q_knn_classify,
-        "q_boilerplate": q_boilerplate,
-        "q_running_balance_scaled": q_running_balance_scaled,
-        "q_peak_concurrency": q_peak_concurrency,
-        "q_langid_confusion": q_langid_confusion,
-        "q_token_fertility": q_token_fertility,
-        "q_stream_json_ingest": q_stream_json_ingest,
-        "q_minhash_accuracy": q_minhash_accuracy,
-        "q_asof_forward": q_asof_forward,
-        # --- last green r05 (the 14 stalest moved into the r10 window,
-        # 5 displaced back by the late r10 additions; these 39 head the
-        # r11 rotation) ---
-        "q_multimodal_decode": q_multimodal_decode,
-        "q_nb_classify": q_nb_classify,
-        "q_dedup_incremental": q_dedup_incremental,
-        "q_rp_project": q_rp_project,
-        "q_gopher_rules": q_gopher_rules,
-        "q_dup_span_intervals": q_dup_span_intervals,
-        "q_stream_curation": q_stream_curation,
-        "q_mixture_apply": q_mixture_apply,
-        "q_embedding_quantize": q_embedding_quantize,
-        "q_png_decode": q_png_decode,
-        "q_audio_spectrum": q_audio_spectrum,
-        "q_image_dedup": q_image_dedup,
-        "q_video_frames": q_video_frames,
-        "q_doc_chunks_overlap": q_doc_chunks_overlap,
-        "q_bm25_topk": q_bm25_topk,
-        "q_snapshot_diff": q_snapshot_diff,
-        "q_scd2": q_scd2,
-        "q_bloom_join": q_bloom_join,
-        "q_event_transitions": q_event_transitions,
-        "q_group_split": q_group_split,
-        "q_weighted_sample": q_weighted_sample,
-        "q_char_entropy": q_char_entropy,
-        "q_hard_negatives": q_hard_negatives,
-        "q_psi_drift": q_psi_drift,
-        "q_cdc_apply": q_cdc_apply,
-        "q_pagerank": q_pagerank,
-        "q_woe_iv": q_woe_iv,
-        "q_key_skew": q_key_skew,
-        "q_stream_drift": q_stream_drift,
-        "q_ohlc": q_ohlc,
-        "q_record_linkage": q_record_linkage,
-        "q_zorder_locality": q_zorder_locality,
-        "q_twap": q_twap,
-        "q_linreg": q_linreg,
-        "q_mutual_info": q_mutual_info,
-        "q_stream_ohlc": q_stream_ohlc,
-        "q_tpch_q10": tpch["q_tpch_q10"],
-        "q_tpch_q11": tpch["q_tpch_q11"],
-        "q_tpch_q13": tpch["q_tpch_q13"],
-        # --- last green r06 ---
-        "q_contract_quarantine": q_contract_quarantine,
-        "q_bpe_merges": q_bpe_merges,
-        "q_jpeg_decode": q_jpeg_decode,
-        "q_linkage_em": q_linkage_em,
-        "q_target_encode": q_target_encode,
-        "q_tpch_q14": tpch["q_tpch_q14"],
-        "q_tpch_q15": tpch["q_tpch_q15"],
-        "q_tpch_q16": tpch["q_tpch_q16"],
-        "q_tpch_q17": tpch["q_tpch_q17"],
-        "q_tpch_q18": tpch["q_tpch_q18"],
-        "q_tpch_q19": tpch["q_tpch_q19"],
+        # (a) the 25 r11b queries — never driver-verified (by
+        # construction; judge-green at sf0.01 this session)
+        "q_avg_precision": q_avg_precision,
+        "q_cohens_kappa": q_cohens_kappa,
+        "q_bleu": q_bleu,
+        "q_pass_at_k": q_pass_at_k,
+        "q_bradley_terry": q_bradley_terry,
+        "q_kendall_tau": q_kendall_tau,
+        "q_spearman": q_spearman,
+        "q_mann_whitney": q_mann_whitney,
+        "q_bh_fdr": q_bh_fdr,
+        "q_max_drawdown": q_max_drawdown,
+        "q_nelson_aalen": q_nelson_aalen,
+        "q_clustering_coeff": q_clustering_coeff,
+        "q_decision_stump": q_decision_stump,
+        "q_isotonic": q_isotonic,
+        "q_chi2_screen": q_chi2_screen,
+        "q_cuped": q_cuped,
+        "q_cumulative_gains": q_cumulative_gains,
+        "q_acf": q_acf,
+        "q_seasonal_decompose": q_seasonal_decompose,
+        "q_embedding_standardize": q_embedding_standardize,
+        "q_flesch": q_flesch,
+        "q_stream_eval": q_stream_eval,
+        "q_wilson": q_wilson,
+        "q_eb_shrink": q_eb_shrink,
+        "q_trimmed_mean": q_trimmed_mean,
+        # (b) the 25 stalest r06 rows: TPC-H block + core relational
         "q_tpch_q2": tpch["q_tpch_q2"],
-        "q_tpch_q20": tpch["q_tpch_q20"],
-        "q_tpch_q21": tpch["q_tpch_q21"],
-        "q_tpch_q22": tpch["q_tpch_q22"],
         "q_tpch_q3": tpch["q_tpch_q3"],
         "q_tpch_q4": tpch["q_tpch_q4"],
         "q_tpch_q5": tpch["q_tpch_q5"],
@@ -6941,21 +6890,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q7": tpch["q_tpch_q7"],
         "q_tpch_q8": tpch["q_tpch_q8"],
         "q_tpch_q9": tpch["q_tpch_q9"],
+        "q_tpch_q14": tpch["q_tpch_q14"],
+        "q_tpch_q15": tpch["q_tpch_q15"],
+        "q_tpch_q16": tpch["q_tpch_q16"],
+        "q_tpch_q17": tpch["q_tpch_q17"],
+        "q_tpch_q18": tpch["q_tpch_q18"],
+        "q_tpch_q19": tpch["q_tpch_q19"],
+        "q_tpch_q20": tpch["q_tpch_q20"],
+        "q_tpch_q21": tpch["q_tpch_q21"],
+        "q_tpch_q22": tpch["q_tpch_q22"],
         "q_filter_select": q_filter_select,
         "q_project_negative": q_project_negative,
         "q_groupby_agg": q_groupby_agg,
+        "q_join_inner": q_join_inner,
+        "q_join_left": q_join_left,
+        "q_join_multi": q_join_multi,
+        "q_over_rank": q_over_rank,
+        "q_window_ranks": q_window_ranks,
+    }
+    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
+    tail = {
+        # remaining r06 stratum (25 — heads the r13 rotation)
+        "q_contract_quarantine": q_contract_quarantine,
+        "q_bpe_merges": q_bpe_merges,
+        "q_jpeg_decode": q_jpeg_decode,
+        "q_linkage_em": q_linkage_em,
+        "q_target_encode": q_target_encode,
         "q_avg_ref_nulls": q_avg_ref_nulls,
         "q_rollup": q_rollup,
         "q_grouping_sets": q_grouping_sets,
         "q_count_distinct": q_count_distinct,
         "q_percentile": q_percentile,
-        "q_join_inner": q_join_inner,
-        "q_join_left": q_join_left,
-        "q_join_multi": q_join_multi,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
-        "q_over_rank": q_over_rank,
-        "q_window_ranks": q_window_ranks,
         "q_group_concat": q_group_concat,
         "q_scalar_functions": q_scalar_functions,
         "q_date_functions": q_date_functions,
@@ -6969,7 +6936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_agg": q_incremental_agg,
         "q_kn_bigram_nll": q_kn_bigram_nll,
         "q_resample_ffill": q_resample_ffill,
-        # --- last green r07 (the full r07 driver window, freshest) ---
+        # --- last green r07 (next-stalest; fills the r13 window) ---
         "q_containment_pairs": q_containment_pairs,
         "q_personalized_pagerank": q_personalized_pagerank,
         "q_exact_global_quantiles": q_exact_global_quantiles,
@@ -7020,7 +6987,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_logreg_gd": q_logreg_gd,
         "q_kcore": q_kcore,
         "q_assortativity": q_assortativity,
-        # --- last green r10 (the full r10 driver window) ---
+        # --- last green r08 ---
+        "q_bfs_hops": q_bfs_hops,
+        "q_time_to_convert": q_time_to_convert,
+        "q_window_distinct": q_window_distinct,
+        "q_rfm": q_rfm,
+        "q_benford": q_benford,
+        "q_hashed_features": q_hashed_features,
+        "q_running_balance": q_running_balance,
+        "q_stream_running_balance": q_stream_running_balance,
+        "q_decayed_topk": q_decayed_topk,
+        "q_gini": q_gini,
+        "q_tpch_q12": tpch["q_tpch_q12"],
+        "q_transform_explode": q_transform_explode,
+        "q_over_apply": q_over_apply,
+        "q_join_full_outer": q_join_full_outer,
+        "q_join_nullsafe": q_join_nullsafe,
+        "q_flagship_top100": q_flagship_top100,
+        "q_filter_rows": q_filter_rows,
+        "q_transform_rows": q_transform_rows,
+        "q_select_rows": q_select_rows,
+        "q_pack_sequences": q_pack_sequences,
+        "q_anomaly_zscore": q_anomaly_zscore,
+        "q_mode_per_key": q_mode_per_key,
+        "q_latest_per_key": q_latest_per_key,
+        "q_retention_cohort": q_retention_cohort,
+        "q_funnel": q_funnel,
+        "q_fuzzy_pairs": q_fuzzy_pairs,
+        "q_moment_stats": q_moment_stats,
+        "q_embedding_centroids": q_embedding_centroids,
+        "q_sample_split": q_sample_split,
+        "q_stratified_sample": q_stratified_sample,
+        "q_csv_ingest": q_csv_ingest,
+        "q_json_ingest": q_json_ingest,
+        "q_prefix_cumsum": q_prefix_cumsum,
+        "q_skyline": q_skyline,
+        "q_cube": q_cube,
+        "q_ab_ttest": q_ab_ttest,
+        "q_autocorr": q_autocorr,
+        "q_url_canonical": q_url_canonical,
+        "q_url_dedup": q_url_dedup,
+        "q_vocab_growth": q_vocab_growth,
+        "q_quantile_buckets": q_quantile_buckets,
+        "q_knn_classify": q_knn_classify,
+        "q_boilerplate": q_boilerplate,
+        "q_running_balance_scaled": q_running_balance_scaled,
+        "q_peak_concurrency": q_peak_concurrency,
+        "q_langid_confusion": q_langid_confusion,
+        "q_token_fertility": q_token_fertility,
+        "q_stream_json_ingest": q_stream_json_ingest,
+        "q_minhash_accuracy": q_minhash_accuracy,
+        "q_asof_forward": q_asof_forward,
+        # --- last green r09 ---
+        "q_tdigest_accuracy": q_tdigest_accuracy,
+        "q_bitmap_distinct": q_bitmap_distinct,
+        "q_pit_features": q_pit_features,
+        "q_ks_drift": q_ks_drift,
+        "q_calibration": q_calibration,
+        "q_pq_recall": q_pq_recall,
+        "q_impute": q_impute,
+        "q_ivfpq": q_ivfpq,
+        "q_corr_matrix": q_corr_matrix,
+        "q_stream_bitmap_distinct": q_stream_bitmap_distinct,
+        "q_cusum": q_cusum,
+        "q_winsorize": q_winsorize,
+        "q_percent_rank_global": q_percent_rank_global,
+        "q_interval_overlap": q_interval_overlap,
+        "q_stream_tdigest": q_stream_tdigest,
+        "q_weighted_quantiles": q_weighted_quantiles,
+        "q_bootstrap_ci": q_bootstrap_ci,
+        "q_rolling_median": q_rolling_median,
+        "q_profile_diff": q_profile_diff,
+        "q_video_scene_changes": q_video_scene_changes,
+        "q_multimodal_features": q_multimodal_features,
+        "q_data_profile": q_data_profile,
+        "q_histogram": q_histogram,
+        "q_integrity_checks": q_integrity_checks,
+        "q_lag_lead": q_lag_lead,
+        "q_json_extract": q_json_extract,
+        "q_unpivot": q_unpivot,
+        "q_udaf_apply": q_udaf_apply,
+        "q_over_by_duration": q_over_by_duration,
+        "q_ab_power": q_ab_power,
+        "q_golden_record": q_golden_record,
+        "q_label_noise": q_label_noise,
+        "q_gap_report": q_gap_report,
+        "q_temporal_split": q_temporal_split,
+        "q_seq_pairs": q_seq_pairs,
+        "q_stream_kmv": q_stream_kmv,
+        "q_join_cardinality": q_join_cardinality,
+        "q_stream_fingerprint": q_stream_fingerprint,
+        "q_kmv_intersect": q_kmv_intersect,
+        "q_edit1_pairs": q_edit1_pairs,
+        "q_table_fingerprint": q_table_fingerprint,
+        "q_topk_others": q_topk_others,
+        "q_spatial_radius_join": q_spatial_radius_join,
+        "q_spatial_knn": q_spatial_knn,
+        "q_frequent_pairs": q_frequent_pairs,
+        "q_assoc_rules": q_assoc_rules,
+        "q_quantile_normalize": q_quantile_normalize,
+        "q_quota_allocation": q_quota_allocation,
+        "q_ab_srm": q_ab_srm,
+        "q_multi_horizon": q_multi_horizon,
+        # --- last green r10 ---
         "q_window_tumble": q_window_tumble,
         "q_window_slide": q_window_slide,
         "q_window_session": q_window_session,
@@ -7071,33 +7140,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_spans": q_dup_spans,
         "q_unigram_logprob": q_unigram_logprob,
         "q_mixture_weights": q_mixture_weights,
-        # --- new in r11b (post-window additions; these 12 head the r12
-        # rotation together with the r06 stratum) ---
-        "q_avg_precision": q_avg_precision,
-        "q_cohens_kappa": q_cohens_kappa,
-        "q_bleu": q_bleu,
-        "q_pass_at_k": q_pass_at_k,
-        "q_bradley_terry": q_bradley_terry,
-        "q_kendall_tau": q_kendall_tau,
-        "q_spearman": q_spearman,
-        "q_mann_whitney": q_mann_whitney,
-        "q_bh_fdr": q_bh_fdr,
-        "q_max_drawdown": q_max_drawdown,
-        "q_nelson_aalen": q_nelson_aalen,
-        "q_clustering_coeff": q_clustering_coeff,
-        "q_decision_stump": q_decision_stump,
-        "q_isotonic": q_isotonic,
-        "q_chi2_screen": q_chi2_screen,
-        "q_cuped": q_cuped,
-        "q_cumulative_gains": q_cumulative_gains,
-        "q_acf": q_acf,
-        "q_seasonal_decompose": q_seasonal_decompose,
-        "q_embedding_standardize": q_embedding_standardize,
-        "q_flesch": q_flesch,
-        "q_stream_eval": q_stream_eval,
-        "q_wilson": q_wilson,
-        "q_eb_shrink": q_eb_shrink,
-        "q_trimmed_mean": q_trimmed_mean,
+        # --- last green r11 (the r11 driver window, freshest) ---
+        "q_roc_auc": q_roc_auc,
+        "q_eval_f1": q_eval_f1,
+        "q_ndcg": q_ndcg,
+        "q_rrf_fusion": q_rrf_fusion,
+        "q_rouge2": q_rouge2,
+        "q_als_rank1": q_als_rank1,
+        "q_changepoint": q_changepoint,
+        "q_burstiness": q_burstiness,
+        "q_topo_layers": q_topo_layers,
+        "q_graph_modularity": q_graph_modularity,
+        "q_skipgram_negatives": q_skipgram_negatives,
+        "q_audio_spectrum": q_audio_spectrum,
+        "q_bloom_join": q_bloom_join,
+        "q_bm25_topk": q_bm25_topk,
+        "q_cdc_apply": q_cdc_apply,
+        "q_char_entropy": q_char_entropy,
+        "q_dedup_incremental": q_dedup_incremental,
+        "q_doc_chunks_overlap": q_doc_chunks_overlap,
+        "q_dup_span_intervals": q_dup_span_intervals,
+        "q_embedding_quantize": q_embedding_quantize,
+        "q_event_transitions": q_event_transitions,
+        "q_gopher_rules": q_gopher_rules,
+        "q_group_split": q_group_split,
+        "q_hard_negatives": q_hard_negatives,
+        "q_image_dedup": q_image_dedup,
+        "q_key_skew": q_key_skew,
+        "q_linreg": q_linreg,
+        "q_mixture_apply": q_mixture_apply,
+        "q_multimodal_decode": q_multimodal_decode,
+        "q_mutual_info": q_mutual_info,
+        "q_nb_classify": q_nb_classify,
+        "q_ohlc": q_ohlc,
+        "q_pagerank": q_pagerank,
+        "q_png_decode": q_png_decode,
+        "q_psi_drift": q_psi_drift,
+        "q_record_linkage": q_record_linkage,
+        "q_rp_project": q_rp_project,
+        "q_scd2": q_scd2,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_stream_curation": q_stream_curation,
+        "q_stream_drift": q_stream_drift,
+        "q_stream_ohlc": q_stream_ohlc,
+        "q_tpch_q10": tpch["q_tpch_q10"],
+        "q_tpch_q11": tpch["q_tpch_q11"],
+        "q_tpch_q13": tpch["q_tpch_q13"],
+        "q_twap": q_twap,
+        "q_video_frames": q_video_frames,
+        "q_weighted_sample": q_weighted_sample,
+        "q_woe_iv": q_woe_iv,
+        "q_zorder_locality": q_zorder_locality,
+        # --- new in r12 (post-window additions; these head the r13
+        # rotation together with the remaining r06 stratum) ---
+        "q_dim_ablation_fixed": q_dim_ablation_fixed,
     }
     return {**window_50, **tail}
 
@@ -7424,6 +7520,65 @@ def _em_oracle_sql(iters: int = 5) -> str:
         SELECT 'keymod', round(m3, 6), round(u3, 6), round(p, 6) FROM params{iters}
     """)
     return "".join(parts)
+
+
+def _dim_ablation_oracle_sql(probe_where: str) -> str:
+    """Mirror of the dim-ablation composition (cosine_topk truncated
+    16-dim vs full-dim exact truth, scored by ranking_metrics@10) with
+    a parameterized probe predicate — q_dim_ablation uses the growing
+    whole-corpus probe set, q_dim_ablation_fixed the bounded one."""
+    return f"""
+        WITH qv AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE {probe_where}
+        ), cv AS (
+          SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+        ), ts AS (
+          SELECT query_id, neighbor_id,
+                 round(list_cosine_similarity(qv.v, cv.v), 4) AS cos_sim
+          FROM qv, cv WHERE query_id <> neighbor_id
+        ), truth AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM ts QUALIFY rank <= 10
+        ), q16 AS (
+          SELECT vec_id AS query_id, CAST(embedding[1:16] AS DOUBLE[]) AS v
+          FROM embeddings WHERE {probe_where}
+        ), c16 AS (
+          SELECT vec_id AS neighbor_id, CAST(embedding[1:16] AS DOUBLE[]) AS v
+          FROM embeddings
+        ), ps AS (
+          SELECT query_id, neighbor_id,
+                 round(list_cosine_similarity(q16.v, c16.v), 4) AS cos_sim
+          FROM q16, c16 WHERE query_id <> neighbor_id
+        ), pred AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM ps QUALIFY rank <= 10
+        ), tsz AS (
+          SELECT query_id, count(*) AS nt FROM truth GROUP BY query_id
+        ), hits AS (
+          SELECT p.query_id, p.rank AS pr
+          FROM pred p JOIN truth t
+            ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+        ), per AS (
+          SELECT query_id, count(*) AS nhit, min(pr) AS first,
+                 CAST(sum(CAST(round(1e9 / (ln(pr + 1) / ln(2.0)))
+                      AS BIGINT)) AS BIGINT) AS dcg_nano
+          FROM hits GROUP BY query_id
+        )
+        SELECT t.query_id,
+               round(coalesce(p.nhit, 0) / t.nt, 6) AS recall_at_k,
+               round(coalesce(1.0 / p.first, 0.0), 6) AS mrr,
+               round(coalesce(p.dcg_nano, 0) / CAST(list_sum(
+                 list_transform(range(1, t.nt + 1),
+                   r -> CAST(round(1e9 / (ln(r + 1) / ln(2.0))) AS BIGINT))
+               ) AS BIGINT), 6) AS ndcg_at_k
+        FROM tsz t LEFT JOIN per p USING (query_id)
+        """
 
 
 def _bleu_oracle_sql(max_n: int = 4) -> str:
@@ -12879,58 +13034,10 @@ def oracle_sql() -> dict[str, str]:
                                / CAST(kth AS DOUBLE) END, 4) AS n_est
         FROM s
         """,
-        "q_dim_ablation": """
-        WITH qv AS (
-          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings WHERE vec_id % 50 = 0
-        ), cv AS (
-          SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings
-        ), ts AS (
-          SELECT query_id, neighbor_id,
-                 round(list_cosine_similarity(qv.v, cv.v), 4) AS cos_sim
-          FROM qv, cv WHERE query_id <> neighbor_id
-        ), truth AS (
-          SELECT query_id, neighbor_id,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
-          FROM ts QUALIFY rank <= 10
-        ), q16 AS (
-          SELECT vec_id AS query_id, CAST(embedding[1:16] AS DOUBLE[]) AS v
-          FROM embeddings WHERE vec_id % 50 = 0
-        ), c16 AS (
-          SELECT vec_id AS neighbor_id, CAST(embedding[1:16] AS DOUBLE[]) AS v
-          FROM embeddings
-        ), ps AS (
-          SELECT query_id, neighbor_id,
-                 round(list_cosine_similarity(q16.v, c16.v), 4) AS cos_sim
-          FROM q16, c16 WHERE query_id <> neighbor_id
-        ), pred AS (
-          SELECT query_id, neighbor_id,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
-          FROM ps QUALIFY rank <= 10
-        ), tsz AS (
-          SELECT query_id, count(*) AS nt FROM truth GROUP BY query_id
-        ), hits AS (
-          SELECT p.query_id, p.rank AS pr
-          FROM pred p JOIN truth t
-            ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
-        ), per AS (
-          SELECT query_id, count(*) AS nhit, min(pr) AS first,
-                 CAST(sum(CAST(round(1e9 / (ln(pr + 1) / ln(2.0)))
-                      AS BIGINT)) AS BIGINT) AS dcg_nano
-          FROM hits GROUP BY query_id
-        )
-        SELECT t.query_id,
-               round(coalesce(p.nhit, 0) / t.nt, 6) AS recall_at_k,
-               round(coalesce(1.0 / p.first, 0.0), 6) AS mrr,
-               round(coalesce(p.dcg_nano, 0) / CAST(list_sum(
-                 list_transform(range(1, t.nt + 1),
-                   r -> CAST(round(1e9 / (ln(r + 1) / ln(2.0))) AS BIGINT))
-               ) AS BIGINT), 6) AS ndcg_at_k
-        FROM tsz t LEFT JOIN per p USING (query_id)
-        """,
+        "q_dim_ablation_fixed": _dim_ablation_oracle_sql(
+            "vec_id % 50 = 0 AND vec_id < 500"
+        ),
+        "q_dim_ablation": _dim_ablation_oracle_sql("vec_id % 50 = 0"),
         "q_zipf_fit": r"""
         WITH counts AS (
           SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -13477,6 +13584,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(o_totalprice AS DOUBLE) AS x,
                  CAST(epoch_ms(o_orderdate) // 1000 AS DOUBLE) AS y
           FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
         ), p AS (
           SELECT a.g, sign(a.x - c.x) AS sx, sign(a.y - c.y) AS sy
           FROM b a JOIN b c ON a.g = c.g AND a.it < c.it
@@ -13810,7 +13918,7 @@ def oracle_sql() -> dict[str, str]:
                                    * CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
                                 / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
                                    / CAST(nn AS DOUBLE)) * 1e9)
-                          AS BIGINT)) AS t,
+                          AS HUGEINT)) AS t,
                  count(DISTINCT v) AS nv, count(DISTINCT l) AS nl,
                  any_value(nn) AS nn
           FROM grid GROUP BY feat
@@ -13940,14 +14048,17 @@ def oracle_sql() -> dict[str, str]:
         ), b AS (
           SELECT event_type, hr, v,
                  (row_number() OVER w - 1) % 24 AS phase,
-                 sum(v) OVER wf AS tsum, count(v) OVER wf AS tcnt
+                 sum(v) OVER wf AS tsum, count(v) OVER wf AS tcnt,
+                 lag(v, 12) OVER w AS vfirst, lead(v, 12) OVER w AS vlast
           FROM hourly
           WINDOW w AS (PARTITION BY event_type ORDER BY hr),
                  wf AS (PARTITION BY event_type ORDER BY hr
                         ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
         ), st AS (
+          -- even period: classical 2x24 MA — half weight at the two
+          -- window ends = (2*sum - first - last) / 48
           SELECT *, CASE WHEN tcnt = 25
-                    THEN CAST(tsum AS DOUBLE) / CAST(tcnt AS DOUBLE) END
+                    THEN CAST(2 * tsum - vfirst - vlast AS DOUBLE) / 48.0 END
                    AS trend
           FROM b
         ), dn AS (

@@ -60,6 +60,18 @@ def main() -> None:
     for t in TABLES:
         load_df(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
 
+    # Cross-boot calibration panel (r11 verdict task 8): three tiny
+    # fixed probes — JVM scan+agg, shuffle, Arrow/Python round-trip —
+    # each 3 warm reps recorded per capture. Cross-boot captures have
+    # drifted 15-20% (BASELINE.md r10/r11 adjudications) with identical
+    # plans; the panel turns that band into a measurable per-capture
+    # factor: divide a query's warm time by the matching panel min
+    # before calling a cross-boot ratio a regression (reading rule in
+    # BASELINE.md). Runs BEFORE the query loop on a clean JVM so the
+    # panel itself is comparable across captures.
+    calibration = _calibration_panel(spark, sf_dir)
+    print(f"[bench] calibration {json.dumps(calibration)}", file=sys.stderr, flush=True)
+
     # Outlier guard (round-6): a single GC/contention spike during one
     # query's window printed a fake 4× regression in r05 (q_salted_join
     # 10.4 s captured vs 2.3-2.9 s on re-measurement). If a query runs
@@ -215,6 +227,7 @@ def main() -> None:
         "cadence_bound": cadence_bound,  # streaming rows: no warm reps (task 7)
         "warm_inverted": warm_inverted,  # warm >1.2x cold after re-run (r10 task 4)
         "plan_sha": plan_sha,  # normalized physical-plan fingerprints (task 2)
+        "calibration": calibration,  # cross-boot normalization panel (r11 task 8)
         "host": {"boot_id": boot_id, "cpus": os.cpu_count()},
     }
     if failures:
@@ -241,6 +254,47 @@ def main() -> None:
     sys.stderr.flush()
     sys.stdout.flush()
     print(line, flush=True)
+
+
+def _calibration_panel(spark, sf_dir: str, reps: int = 3) -> dict:
+    """Three fixed environment probes, `reps` warm timings each (one
+    untimed warm-up first). Values are per-rep seconds plus the min —
+    the min is the least-contended estimate and the normalization
+    denominator. Probes are deliberately tiny (<1 s each) and span the
+    three cost regimes the query surface exercises: whole-stage-codegen
+    scan+agg, a key shuffle, and the Arrow/pandas round-trip."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+    @pandas_udf("double")
+    def _calib_udf(s: pd.Series) -> pd.Series:
+        return s * 1.0000001
+
+    probes = {
+        "calib_scan_agg": lambda: spark.read.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")
+        ).selectExpr("sum(l_quantity)", "count(*)"),
+        "calib_shuffle": lambda: li.groupBy("l_suppkey").agg(
+            F.sum("l_extendedprice").alias("s")
+        ),
+        "calib_arrow": lambda: li.select(_calib_udf("l_extendedprice").alias("z"))
+        .selectExpr("sum(z)"),
+    }
+    panel: dict[str, dict] = {}
+    for name, build in probes.items():
+        try:
+            build().write.mode("overwrite").format("noop").save()  # warm-up
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                build().write.mode("overwrite").format("noop").save()
+                times.append(round(time.perf_counter() - t0, 3))
+            panel[name] = {"reps": times, "min": min(times)}
+        except Exception as e:  # noqa: BLE001 — calibration is advisory
+            panel[name] = {"error": f"{type(e).__name__}: {e}"[:120]}
+    return panel
 
 
 def _fit_line(out: dict, limit: int) -> str:
@@ -281,7 +335,7 @@ def _fit_line(out: dict, limit: int) -> str:
     # absolute last resort: the line MUST parse inside the driver's
     # 2000-char tail window no matter what — shed optional sections
     for drop in ("outlier_reruns", "failures", "cadence_bound", "streaming",
-                 "host", "warm", "queries"):
+                 "calibration", "host", "warm", "queries"):
         if len(line) <= limit:
             break
         compact.pop(drop, None)

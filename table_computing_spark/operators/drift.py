@@ -976,9 +976,13 @@ def chi2_screen(
     only sum would silently drop every O = 0 cell's E contribution),
     so all tables are category-sized, never row-sized. O/row/col/n are
     exact integers from hash aggregates; each cell term is fixed-order
-    double arithmetic rounded to a nano long before the per-feature
-    sum (cells ≤ |values|·|labels| — reduce-order-free). Output:
-    (feature, chi2, dof, n)."""
+    double arithmetic rounded to a nano DECIMAL(38,0) before the
+    per-feature sum (cells ≤ |values|·|labels| — reduce-order-free).
+    Unlike most nano stagings the cell term is UNBOUNDED (a strongly
+    dependent feature contributes up to ~n·1e9 per cell), so the
+    accumulator is DECIMAL, not long — a long would silently wrap past
+    ~9e9 effective rows in non-ANSI Spark (r11 ADVICE finding).
+    Output: (feature, chi2, dof, n)."""
     base = df.select(
         F.col(feature_col).alias("feature"),
         value_col.cast("string").alias("__v"),
@@ -997,7 +1001,7 @@ def chi2_screen(
     e = F.col("__r").cast("double") * F.col("__c").cast("double") / F.col(
         "__n"
     ).cast("double")
-    term = F.round((o - e) * (o - e) / e * 1e9).cast("long")
+    term = F.round((o - e) * (o - e) / e * 1e9).cast("decimal(38,0)")
     agg = grid.groupBy("feature").agg(
         F.sum(term).alias("__t"),
         F.count_distinct(F.col("__v")).alias("__nv"),
@@ -1100,4 +1104,249 @@ def cuped_adjust(
         F.round(mean_adj, round_to).alias("mean_adj"),
         F.round(F.col("__theta"), round_to).alias("theta"),
         F.round(F.col("__vr"), round_to).alias("var_reduction_pct"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kruskal–Wallis H test (Kruskal & Wallis 1952, public) — the
+    k-sample extension of mann_whitney: do k pipeline variants share a
+    location, judged on ranks? The one-way-ANOVA-on-ranks every
+    multi-arm experiment readout needs when the metric is non-normal:
+
+        H  = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+        H' = H / (1 − Σ(t³−t)/(N³−N))        (tie correction)
+
+    Machinery: the roc_auc/mann_whitney distinct-value rank-sum shape.
+    Midranks never materialize per row — per (group, value) counts
+    join the distinct-value prefix table, so the DOUBLED rank sum
+    2·R_g = Σ_v n_gv·(2·cum_before(v) + n_v + 1) is an exact DECIMAL
+    per group. The per-group term R_g²/n_g is one fixed-order double
+    rounded to a nano DECIMAL before the ≤k-row sum (the chi2_screen
+    discipline — reduce-order-free, no long wrap). NULL rows drop;
+    h_adj is NULL when every value ties (correction 0) or k < 2.
+    Output one row: (h, h_adj, dof, n)."""
+    from table_computing_spark.operators.prefix import prefix_agg
+
+    s = df.select(
+        F.col(group_col).alias("__g"), value_col.cast("double").alias("__v")
+    ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+    dec = "decimal(38,0)"
+    per_v = s.groupBy("__v").agg(F.count(F.lit(1)).alias("__n"))
+    pre = prefix_agg(
+        per_v, order_by=["__v"], specs={"__cb": ("sum", "__n")}, exclusive=True
+    )
+    per_gv = s.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__ngv"))
+    j = per_gv.join(pre, "__v")
+    cb = F.coalesce(F.col("__cb"), F.lit(0)).cast(dec)
+    r2_term = F.col("__ngv").cast(dec) * (
+        F.lit(2).cast(dec) * cb + F.col("__n").cast(dec) + F.lit(1).cast(dec)
+    )
+    per_g = j.groupBy("__g").agg(
+        F.sum(r2_term).alias("__r2"), F.sum("__ngv").alias("__ng")
+    )
+    # per-group nano term: (R2_g/2)²/n_g = R2_g²/(4·n_g) — fixed-order
+    # double, nano-rounded BEFORE the ≤k-row decimal sum
+    term = F.round(
+        F.col("__r2").cast("double") * F.col("__r2").cast("double")
+        / (4.0 * F.col("__ng").cast("double")) * 1e9
+    ).cast(dec)
+    t = F.col("__n").cast(dec)
+    ties = per_v.agg(F.sum(t * t * t - t).alias("__tt"))
+    agg = per_g.agg(
+        F.sum(term).alias("__st"),
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__ng").alias("__nn"),
+    ).crossJoin(F.broadcast(ties))
+    nd = F.col("__nn").cast("double")
+    h = 12.0 * (F.col("__st").cast("double") / 1e9) / (nd * (nd + 1.0)) - 3.0 * (
+        nd + 1.0
+    )
+    corr = 1.0 - F.col("__tt").cast("double") / (nd * nd * nd - nd)
+    return agg.select(
+        F.round(F.when(F.col("__k") >= 2, h), round_to).alias("h"),
+        F.round(
+            F.when((F.col("__k") >= 2) & (corr > 0), h / corr), round_to
+        ).alias("h_adj"),
+        (F.col("__k") - 1).cast("long").alias("dof"),
+        F.col("__nn").cast("long").alias("n"),
+    )
+
+
+def anova_f(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-way ANOVA F statistic (Fisher 1925, public) — the k-group
+    parametric complement of kruskal_wallis and the multi-arm
+    extension of welch_ttest's pooled question (equal means across
+    arms?), under the classical equal-variance model:
+
+        F = (SSB/(k−1)) / (SSW/(N−k))
+
+    `value_col` must be INTEGER-exact (cents, counts — the
+    welch_ttest contract): per-group (n, Σx, Σx²) are exact
+    DECIMAL(38,0) hash aggregates; the per-group projection term
+    S_g²/n_g is one fixed-order double nano-rounded before the ≤k-row
+    decimal sum, so SSB = Σ S_g²/n_g − S²/N and SSW = Σx² − Σ S_g²/n_g
+    have no float-reduce order. F is NULL when k < 2, N ≤ k, or
+    SSW = 0 (degenerate within-variance). Output one row:
+    (f, dof_between, dof_within, n)."""
+    dec = "decimal(38,0)"
+    x = value_col.cast(dec)
+    s = df.select(F.col(group_col).alias("__g"), x.alias("__x")).filter(
+        F.col("__g").isNotNull() & F.col("__x").isNotNull()
+    )
+    per_g = s.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__ng"),
+        F.sum("__x").alias("__sg"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__qg"),
+    )
+    proj = F.round(
+        F.col("__sg").cast("double") * F.col("__sg").cast("double")
+        / F.col("__ng").cast("double") * 1e9
+    ).cast(dec)
+    agg = per_g.agg(
+        F.sum("__ng").alias("__nn"),
+        F.sum("__sg").alias("__ss"),
+        F.sum("__qg").alias("__qq"),
+        F.sum(proj).alias("__pn"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    nd = F.col("__nn").cast("double")
+    kd = F.col("__k").cast("double")
+    proj_sum = F.col("__pn").cast("double") / 1e9
+    ssb = proj_sum - F.col("__ss").cast("double") * F.col("__ss").cast("double") / nd
+    ssw = F.col("__qq").cast("double") - proj_sum
+    f_stat = (ssb / (kd - 1.0)) / (ssw / (nd - kd))
+    return agg.select(
+        F.round(
+            F.when(
+                (F.col("__k") >= 2) & (F.col("__nn") > F.col("__k")) & (ssw > 0),
+                f_stat,
+            ),
+            round_to,
+        ).alias("f"),
+        (F.col("__k") - 1).cast("long").alias("dof_between"),
+        (F.col("__nn") - F.col("__k")).cast("long").alias("dof_within"),
+        F.col("__nn").cast("long").alias("n"),
+    )
+
+
+def levene_bf(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Brown–Forsythe test for equal variances (Brown & Forsythe 1974
+    — Levene's test with the MEDIAN center, the robust form every
+    stats package defaults to): one-way ANOVA on the absolute
+    deviations z_ij = |x_ij − median_g|. The variance-homogeneity gate
+    in front of anova_f — unequal spread across arms is itself drift.
+
+    Exactness: `value_col` must be INTEGER-exact. The per-group exact
+    median comes from the distinct-value prefix table (cum_before
+    covers rank ⌊(n+1)/2⌋ and ⌊n/2⌋+1), kept DOUBLED (lo+hi) so it is
+    an integer even when n is even — and therefore the doubled
+    deviation |2x − med2| is an exact integer too. F is computed on
+    the doubled deviations (F is scale-invariant, so this is exactly
+    the Brown–Forsythe statistic). Output one row:
+    (f, dof_between, dof_within, n) — anova_f's shape."""
+    from table_computing_spark.operators.prefix import prefix_agg
+
+    dec = "decimal(38,0)"
+    s = df.select(
+        F.col(group_col).alias("__g"), value_col.cast("long").alias("__x")
+    ).filter(F.col("__g").isNotNull() & F.col("__x").isNotNull())
+    per_gv = s.groupBy("__g", "__x").agg(F.count(F.lit(1)).alias("__c"))
+    pre = prefix_agg(
+        per_gv,
+        order_by=["__x"],
+        specs={"__cb": ("sum", "__c")},
+        exclusive=True,
+        partition_by=["__g"],
+    )
+    ng = per_gv.groupBy("__g").agg(F.sum("__c").alias("__ng"))
+    jj = pre.join(ng, "__g")
+    cb = F.coalesce(F.col("__cb"), F.lit(0))
+    r_lo = F.floor((F.col("__ng") + 1) / 2)
+    r_hi = F.floor(F.col("__ng") / 2) + 1
+    covers = lambda r: (cb < r) & (r <= cb + F.col("__c"))  # noqa: E731
+    med2 = jj.groupBy("__g").agg(
+        (
+            F.sum(F.when(covers(r_lo), F.col("__x")).otherwise(0))
+            + F.sum(F.when(covers(r_hi), F.col("__x")).otherwise(0))
+        ).alias("__med2")
+    )
+    z = s.join(med2, "__g").select(
+        "__g",
+        F.abs(
+            F.lit(2).cast(dec) * F.col("__x").cast(dec)
+            - F.col("__med2").cast(dec)
+        ).alias("__z"),
+    )
+    return anova_f(z, "__g", F.col("__z"), round_to=round_to)
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: Column,
+    label_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cochran–Armitage trend test (Cochran 1954 / Armitage 1955,
+    public): is a binary rate monotone in an ORDERED categorical dose
+    (bucketed model score, data-recency tier, document-length band)?
+    The dose-response readout a binned rate table can't give you —
+    chi2_screen sees dependence, this sees DIRECTION:
+
+        T   = Σ_i c_i (r_i − n_i·R/N)
+        Var = R(N−R)/N² · [Σ c_i²n_i − (Σ c_i n_i)²/N]
+        z   = T / sqrt(Var)
+
+    `score_col` must be integer (the dose codes). Per-level counts
+    (n_i, r_i) are one hash aggregate; N·T = Σ c_i(r_i·N − n_i·R) and
+    N²·Var's bracket stay exact in DECIMAL(38,0); z is one fixed-order
+    double expression. z is NULL when Var = 0 (one level, or no
+    positives/negatives). Positive z = rate RISES with the dose.
+    Output one row: (z, n, n_pos, levels)."""
+    dec = "decimal(38,0)"
+    s = df.select(
+        score_col.cast("long").alias("__c"), label_col.cast("long").alias("__y")
+    ).filter(F.col("__c").isNotNull() & F.col("__y").isNotNull())
+    per = s.groupBy("__c").agg(
+        F.count(F.lit(1)).alias("__ni"), F.sum("__y").alias("__ri")
+    )
+    c = F.col("__c").cast(dec)
+    agg = per.agg(
+        F.sum("__ni").cast(dec).alias("__nn"),
+        F.sum("__ri").cast(dec).alias("__rr"),
+        F.sum(c * F.col("__ni").cast(dec)).alias("__cn"),
+        F.sum(c * F.col("__ri").cast(dec)).alias("__cr"),
+        F.sum(c * c * F.col("__ni").cast(dec)).alias("__ccn"),
+        F.count(F.lit(1)).alias("__levels"),
+    )
+    # N·T = Σc_i·r_i·N − Σc_i·n_i·R ; bracket = N·Σc²n − (Σcn)² — exact
+    nt = F.col("__cr") * F.col("__nn") - F.col("__cn") * F.col("__rr")
+    bracket = F.col("__nn") * F.col("__ccn") - F.col("__cn") * F.col("__cn")
+    nd = F.col("__nn").cast("double")
+    # z = (N·T) / sqrt(R(N−R)·bracket)  — the N² factors cancel
+    varnum = (
+        F.col("__rr").cast("double")
+        * (nd - F.col("__rr").cast("double"))
+        * bracket.cast("double")
+    )
+    z = F.when(varnum > 0, nt.cast("double") / F.sqrt(varnum))
+    return agg.select(
+        F.round(z, round_to).alias("z"),
+        F.col("__nn").cast("long").alias("n"),
+        F.col("__rr").cast("long").alias("n_pos"),
+        F.col("__levels").cast("long").alias("levels"),
     )

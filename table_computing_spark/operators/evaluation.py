@@ -509,8 +509,18 @@ def bleu_n(
     Conventions (explicit, not silent): candidate shorter than max_n
     tokens → NULL bleu (undefined p_N); any p_i = 0 → bleu = 0.0 (the
     unsmoothed definition); missing/empty reference with non-empty
-    candidate → bleu 0.0 via zero overlap. Output:
-    (pair, cand_len, ref_len, bleu)."""
+    candidate → bleu 0.0 via zero overlap.
+
+    ONE-ROW-PER-PAIR CONTRACT (the seq_pairs/rouge_n bounded-group
+    class of documented contract): `pair_col` must uniquely identify
+    an input row. With duplicate pair ids the posexplode token
+    positions of the duplicated texts interleave inside one window
+    partition and the assembled n-grams are garbage — silently, since
+    nothing downstream can tell a crossed n-gram from a real one.
+    Dedupe (or disambiguate the id) upstream; the operator will not
+    pay a per-call duplicate scan for well-formed inputs.
+
+    Output: (pair, cand_len, ref_len, bleu)."""
     from functools import reduce
 
     from pyspark.sql.window import Window as W
@@ -756,6 +766,48 @@ def bradley_terry(
     )
 
 
+def _count_strict_inversions(ranks, u: int) -> int:
+    """Count pairs i<j with ranks[i] > ranks[j] — the Knight (1966)
+    merge-counting inversion number — in O(n log² n) FULLY VECTORIZED
+    numpy (bottom-up merge rounds; no per-element Python).
+
+    `ranks` is an int64 dense-rank array with values in [0, u). The
+    trick that keeps each round one numpy call: offset every block
+    into a disjoint value range (block b shifted by b·(u+1)), so one
+    GLOBAL np.searchsorted answers every per-block "how many left-half
+    elements strictly exceed this right-half element" query at once.
+    Tail padding uses the sentinel u (greater than every real rank):
+    pads start as a contiguous suffix and per-block sorts keep them
+    suffix-heavy, so a left half containing pads implies an all-pad
+    right half — pads never contribute a strict inversion."""
+    import numpy as np
+
+    n = int(ranks.shape[0])
+    if n < 2:
+        return 0
+    size = 1
+    while size < n:
+        size *= 2
+    a = np.full(size, u, dtype=np.int64)
+    a[:n] = ranks
+    inv = 0
+    width = 1
+    while width < size:
+        nblk = size // (2 * width)
+        blocks = a.reshape(nblk, 2 * width)
+        off = np.arange(nblk, dtype=np.int64) * np.int64(u + 1)
+        flat_left = (blocks[:, :width] + off[:, None]).ravel()
+        queries = (blocks[:, width:] + off[:, None]).ravel()
+        pos = np.searchsorted(flat_left, queries, side="right")
+        block_end = np.repeat(
+            (np.arange(nblk, dtype=np.int64) + 1) * width, width
+        )
+        inv += int((block_end - pos).sum())
+        a = np.sort(blocks, axis=1).ravel()
+        width *= 2
+    return inv
+
+
 def kendall_tau_grouped(
     df: DataFrame,
     group_col: str,
@@ -763,33 +815,71 @@ def kendall_tau_grouped(
     x_col: Column,
     y_col: Column,
     round_to: int = 6,
+    method: str = "sort",
 ) -> DataFrame:
     """Kendall tau-b rank agreement per group (Kendall 1945 tie
-    variant — public): for every unordered item pair within a group,
-    classify concordant / discordant / tied-on-x-only / tied-on-y-only
+    variant — public): classify every unordered item pair within a
+    group as concordant / discordant / tied-on-x-only / tied-on-y-only
     (pairs tied on both count in neither tie term), then
 
         tau_b = (C − D) / sqrt((C + D + Tx)(C + D + Ty))
 
     The judge-agreement readout for per-prompt candidate rankings
     (two LLM judges, or judge vs human) — the grouped complement of
-    the global spearman_corr.
+    the global spearman_corr. Rows with NULL x or y are dropped first
+    (the spearman_corr/mann_whitney convention).
 
-    BOUNDED-GROUP CONTRACT (same as seq_pairs / rouge_n): pairs come
-    from an item<item self-equi-join on the group key, so cost is
-    O(Σ g²) over group sizes — per-prompt candidate lists (k ≤ a few
-    dozen) stay trivially cheap at any corpus size, but a
-    million-row group would cost 10¹² pairs: bound your groups, the
-    operator will not silently sample. Counts are exact longs; one
-    sqrt + one division per group row. Groups with no untied pair
-    (denominator 0, e.g. a single item) report NULL tau.
-    Output: (group, n_items, concordant, discordant, tau_b)."""
+    method="sort" (default): the Knight (1966) O(g log g)-class path —
+    one Arrow applyInPandas per group sorts by (x asc, y asc) and
+    counts strict y-inversions with vectorized merge rounds (x-tied
+    pairs sort y-ascending, so inversions are EXACTLY the discordant
+    pairs); tie terms come from run-length counts, and
+    C = n(n−1)/2 − D − Tx' − Ty' + Txy. A million-row group costs
+    ~g log² g vectorized ops instead of the pair join's 10¹² pairs —
+    the contract is only that one group's rows fit one task (the
+    over_apply/UDAF bounded-group shape).
+
+    method="pairs": the exact all-pairs classification via an
+    item<item self-equi-join — O(Σ g²) over group sizes, the fast path
+    for per-prompt candidate lists (k ≤ a few dozen) and the oracle-
+    mirrored reference semantics. Both methods produce bit-identical
+    counts (pytest-pinned), so tau is identical too.
+
+    Counts are exact longs; one sqrt + one division per group row.
+    Groups with no untied pair (denominator 0, e.g. a single item)
+    report NULL tau. Output: (group, n_items, concordant, discordant,
+    tau_b)."""
     base = df.select(
         F.col(group_col).alias("__g"),
         F.col(item_col).alias("__it"),
         x_col.cast("double").alias("__x"),
         y_col.cast("double").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    if method == "sort":
+        j = _kendall_counts_sorted(base)
+    elif method == "pairs":
+        j = _kendall_counts_pairs(base)
+    else:
+        raise ValueError(f"kendall_tau_grouped: unknown method {method!r}")
+    cd = (F.col("concordant") + F.col("discordant")).cast("double")
+    den = F.sqrt(cd + F.col("__tx").cast("double")) * F.sqrt(
+        cd + F.col("__ty").cast("double")
     )
+    tau = F.when(
+        den > 0,
+        (F.col("concordant") - F.col("discordant")).cast("double") / den,
+    )
+    return j.select(
+        F.col("__g").alias("group"),
+        "n_items",
+        "concordant",
+        "discordant",
+        F.round(tau, round_to).alias("tau_b"),
+    )
+
+
+def _kendall_counts_pairs(base: DataFrame) -> DataFrame:
+    """Pair-join path: classify each unordered within-group pair."""
     a = base.select("__g", F.col("__it").alias("__ia"), F.col("__x").alias("__xa"), F.col("__y").alias("__ya"))
     b = base.select("__g", F.col("__it").alias("__ib"), F.col("__x").alias("__xb"), F.col("__y").alias("__yb"))
     pairs = a.join(b, "__g").filter(F.col("__ia") < F.col("__ib"))
@@ -809,24 +899,70 @@ def kendall_tau_grouped(
         F.sum((cls == "ty").cast("long")).alias("__ty"),
     )
     n_items = base.groupBy("__g").agg(F.count(F.lit(1)).alias("n_items"))
-    j = n_items.join(counted, "__g", "left").fillna(
+    return n_items.join(counted, "__g", "left").fillna(
         0, subset=["concordant", "discordant", "__tx", "__ty"]
     )
-    cd = (F.col("concordant") + F.col("discordant")).cast("double")
-    den = F.sqrt(cd + F.col("__tx").cast("double")) * F.sqrt(
-        cd + F.col("__ty").cast("double")
+
+
+def _kendall_counts_sorted(base: DataFrame) -> DataFrame:
+    """Inversion-count path: one Arrow group pass, numpy merge rounds.
+
+    Per group: sort by (x asc, y asc); strict y-inversions = D exactly
+    (x-tied pairs are y-ascending so they never invert); tie-pair
+    counts Tx' / Ty' / Txy from run lengths; the rest by complement:
+    C = n(n−1)/2 − D − Tx' − Ty' + Txy. All counts exact int64 — the
+    downstream tau expression is shared with the pairs path, so the
+    two methods are bit-identical."""
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    gtype = base.schema["__g"].dataType.simpleString()
+    out_schema = (
+        f"__g {gtype}, n_items long, concordant long, discordant long, "
+        "__tx long, __ty long"
     )
-    tau = F.when(
-        den > 0,
-        (F.col("concordant") - F.col("discordant")).cast("double") / den,
-    )
-    return j.select(
-        F.col("__g").alias("group"),
-        "n_items",
-        "concordant",
-        "discordant",
-        F.round(tau, round_to).alias("tau_b"),
-    )
+
+    def counts(pdf):
+        import numpy as np
+        import pandas as pd
+
+        x = pdf["__x"].to_numpy(dtype="float64")
+        y = pdf["__y"].to_numpy(dtype="float64")
+        n = len(x)
+        n0 = n * (n - 1) // 2
+        order = np.lexsort((y, x))
+        ys = y[order]
+        xs = x[order]
+        uniq, ranks = np.unique(ys, return_inverse=True)
+        d = _count_strict_inversions(ranks.astype(np.int64), len(uniq))
+
+        def tie_pairs(counts_arr):
+            c = counts_arr.astype(np.int64)
+            return int((c * (c - 1) // 2).sum())
+
+        _, cx = np.unique(x, return_counts=True)
+        _, cy = np.unique(y, return_counts=True)
+        tx_prime = tie_pairs(cx)
+        ty_prime = tie_pairs(cy)
+        # both-tied pairs from run lengths of the (x, y)-sorted stream
+        if n:
+            brk = np.flatnonzero((xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1]))
+            runs = np.diff(np.concatenate(([0], brk + 1, [n])))
+            txy = tie_pairs(runs)
+        else:
+            txy = 0
+        c = n0 - d - tx_prime - ty_prime + txy
+        return pd.DataFrame(
+            {
+                "__g": [pdf["__g"].iloc[0]],
+                "n_items": [n],
+                "concordant": [c],
+                "discordant": [d],
+                "__tx": [tx_prime - txy],
+                "__ty": [ty_prime - txy],
+            }
+        )
+
+    return base.groupBy("__g").applyInPandas(counts, schema=out_schema)
 
 
 def cumulative_gains(
@@ -902,4 +1038,126 @@ def cumulative_gains(
             round_to,
         ).alias("capture_rate"),
         F.round(F.when(F.col("__tp") > 0, rate_b / rate_all), round_to).alias("lift"),
+    )
+
+
+def matthews_corr(
+    df: DataFrame,
+    label_col: Column,
+    pred_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Matthews correlation coefficient (Matthews 1975, public) — the
+    single-number binary-classifier score that stays honest under
+    class imbalance (accuracy and F1 both inflate on skewed labels;
+    MCC is the φ coefficient of the confusion matrix):
+
+        MCC = (TP·TN − FP·FN) / sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+
+    One (label, pred) hash aggregate; the four products stay in
+    DECIMAL(38,0) (n⁴ magnitude — a long wraps past n ≈ 55k), one
+    sqrt + one division. NULL when any marginal is 0 (a degenerate
+    classifier or degenerate labels — the undefined-by-convention
+    case, reported as NULL rather than the sometimes-seen 0). Rows
+    with NULL label or pred drop. Output one row:
+    (n, tp, tn, fp, fn, mcc)."""
+    dec = "decimal(38,0)"
+    s = df.select(
+        label_col.cast("boolean").alias("__y"),
+        pred_col.cast("boolean").alias("__p"),
+    ).filter(F.col("__y").isNotNull() & F.col("__p").isNotNull())
+    agg = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("__y") & F.col("__p")).cast("long")).alias("tp"),
+        F.sum((~F.col("__y") & ~F.col("__p")).cast("long")).alias("tn"),
+        F.sum((~F.col("__y") & F.col("__p")).cast("long")).alias("fp"),
+        F.sum((F.col("__y") & ~F.col("__p")).cast("long")).alias("fn"),
+    )
+    tp, tn = F.col("tp").cast(dec), F.col("tn").cast(dec)
+    fp, fn = F.col("fp").cast(dec), F.col("fn").cast(dec)
+    num = tp * tn - fp * fn
+    d1, d2, d3, d4 = tp + fp, tp + fn, tn + fp, tn + fn
+    den2 = d1 * d2 * d3 * d4
+    mcc = F.when(
+        den2 > 0, num.cast("double") / F.sqrt(den2.cast("double"))
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        "tp", "tn", "fp", "fn",
+        F.round(mcc, round_to).alias("mcc"),
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    rater_col: str,
+    value_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Krippendorff's alpha for NOMINAL data (Krippendorff 1970,
+    public) — the annotator-agreement statistic that, unlike
+    cohens_kappa, handles ANY number of raters per unit and missing
+    ratings (real labeling jobs never have two complete annotators):
+
+        α = 1 − D_o/D_e
+          = 1 − (n−1)·O / (n² − Σ_c n_c²)
+
+    where, over units with m_u ≥ 2 ratings, O = Σ_u (m_u² − Σ_c m_uc²)
+    / (m_u − 1) is the observed-disagreement numerator, n_c = Σ_u m_uc
+    the coincidence marginal (an exact integer), and n = Σ_u m_u.
+
+    Shape: one (unit, value) hash aggregate → per-unit disagreement
+    term (a rational with denominator m_u − 1, nano-rounded to
+    DECIMAL(38,0) before the unit sum — reduce-order-free), plus
+    category-sized marginal aggregates. No pair join at all — the
+    coincidence algebra collapses it. NULL-valued ratings drop;
+    single-rating units are excluded (they carry no agreement
+    information). alpha is NULL when D_e = 0 (every pairable rating
+    is one category). Output one row:
+    (n_units, n_ratings, n_categories, alpha)."""
+    dec = "decimal(38,0)"
+    s = df.select(
+        F.col(unit_col).alias("__u"),
+        F.col(rater_col).alias("__r"),
+        value_col.cast("string").alias("__c"),
+    ).filter(
+        F.col("__u").isNotNull() & F.col("__r").isNotNull() & F.col("__c").isNotNull()
+    )
+    uc = s.groupBy("__u", "__c").agg(F.count(F.lit(1)).alias("__muc"))
+    per_u = uc.groupBy("__u").agg(
+        F.sum("__muc").alias("__mu"),
+        F.sum(F.col("__muc").cast(dec) * F.col("__muc").cast(dec)).alias("__mq"),
+    ).filter(F.col("__mu") >= 2)
+    # observed-disagreement nano term: (m_u² − Σ m_uc²)/(m_u − 1)
+    mu = F.col("__mu").cast("double")
+    o_term = F.round(
+        (mu * mu - F.col("__mq").cast("double")) / (mu - 1.0) * 1e9
+    ).cast(dec)
+    totals = per_u.agg(
+        F.sum(o_term).alias("__on"),
+        F.sum("__mu").alias("__n"),
+        F.count(F.lit(1)).alias("n_units"),
+    )
+    # coincidence marginals over PAIRABLE units only
+    nc = (
+        uc.join(per_u.select("__u"), "__u")
+        .groupBy("__c")
+        .agg(F.sum("__muc").alias("__nc"))
+    )
+    marg = nc.agg(
+        F.sum(F.col("__nc").cast(dec) * F.col("__nc").cast(dec)).alias("__nc2"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+    j = totals.crossJoin(F.broadcast(marg))
+    nd = F.col("__n").cast("double")
+    de = nd * nd - F.col("__nc2").cast("double")
+    alpha = F.when(
+        de > 0, 1.0 - (nd - 1.0) * (F.col("__on").cast("double") / 1e9) / de
+    )
+    return j.select(
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("__n").cast("long").alias("n_ratings"),
+        F.col("n_categories").cast("long").alias("n_categories"),
+        F.round(alpha, round_to).alias("alpha"),
     )

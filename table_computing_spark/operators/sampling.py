@@ -184,3 +184,55 @@ def exact_k_sample(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Temperature-based sampling weights across corpus groups
+    (languages, domains, sources) — the multilingual rebalancing rule
+    from XLM/mBERT-era training (Conneau & Lample 2019, public; α=0.3
+    is the canonical low-resource boost, α=1 is proportional):
+
+        p_g ∝ n_g/N,    q_g = p_g^α / Σ_h p_h^α
+
+    The readout every mixture decision needs before a 100 TB training
+    run: per group its natural share, its temperature-adjusted share,
+    and the boost factor q/p (>1 = upsampled).
+
+    Shape: ONE hash aggregate to the ≤|groups| count table; p^α terms
+    are fixed-order doubles nano-rounded to DECIMAL before the
+    group-count-sized normalization sum (reduce-order-free); the
+    normalizer joins back broadcast. NULL groups drop. Output:
+    (group, n, p_raw, p_sampled, boost)."""
+    dec = "decimal(38,0)"
+    per = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = per.agg(F.sum("n").alias("__nn"))
+    staged = per.crossJoin(F.broadcast(tot)).withColumn(
+        "__pa",
+        F.round(
+            F.pow(
+                F.col("n").cast("double") / F.col("__nn").cast("double"),
+                F.lit(float(alpha)),
+            )
+            * 1e9
+        ).cast(dec),
+    )
+    norm = staged.agg(F.sum("__pa").alias("__za"))
+    out = staged.crossJoin(F.broadcast(norm))
+    p = F.col("n").cast("double") / F.col("__nn").cast("double")
+    q = F.col("__pa").cast("double") / F.col("__za").cast("double")
+    return out.select(
+        "group",
+        F.col("n").cast("long").alias("n"),
+        F.round(p, round_to).alias("p_raw"),
+        F.round(q, round_to).alias("p_sampled"),
+        F.round(q / p, round_to).alias("boost"),
+    )

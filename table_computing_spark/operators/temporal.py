@@ -1529,23 +1529,34 @@ def seasonal_decompose(
     average method of Macaulay 1931 — the 'decompose' every stats
     package ships; STL's simpler ancestor):
 
-        trend_t    = centered moving average over 2·(period//2)+1 rows
+        trend_t    = classical centered moving average: for ODD period
+                     the simple period-row mean; for EVEN period the
+                     standard 2×period MA (period+1 rows with HALF
+                     weight at the two ends — equivalently the mean of
+                     the two period-row means starting at t−p/2 and
+                     t−p/2+1), so no phase is double-counted
                      (NULL at the edges where the window is partial)
         seasonal_p = mean of (value − trend) at phase p = t mod period,
                      re-centered so the seasonal component sums to ~0
         residual   = value − trend − seasonal
 
+    The even-period half-weight ends matter: an equal-weight
+    (period+1)-row window covers one phase twice, shrinking the
+    seasonal component by period/(period+1) (r11 ADVICE finding) —
+    the 2×period form is what statsmodels/R `decompose` compute.
+
     The series must be INTEGER-valued (counts, cents — the
     lag_autocorr contract) and regularly sampled per key in
-    `order_col` order. Engine-exactness: the trend is one exact
-    integer-sum / count division; detrended values round to nano longs
-    BEFORE the per-phase mean (float sums are order-dependent); the
-    phase means and the re-centering run in fixed-order double
-    arithmetic mirrored by the oracle. Plan shape: one key-partitioned
-    centered window + row_number, one (key, phase) hash aggregate
-    joined back, one per-key 1-row aggregate joined back — the
-    bounded-group caveat applies (a key's history flows through one
-    task's window).
+    `order_col` order. Engine-exactness: the trend numerator stays in
+    DECIMAL(38,0) (for even periods: 2·Σwindow − first − last, one
+    exact integer expression) with a single division; detrended values
+    round to nano longs BEFORE the per-phase mean (float sums are
+    order-dependent); the phase means and the re-centering run in
+    fixed-order double arithmetic mirrored by the oracle. Plan shape:
+    one key-partitioned centered window + row_number, one (key, phase)
+    hash aggregate joined back, one per-key 1-row aggregate joined
+    back — the bounded-group caveat applies (a key's history flows
+    through one task's window).
 
     Output: (keys..., order_col, value, trend, seasonal, residual) —
     trend/residual NULL on the edge rows."""
@@ -1561,11 +1572,27 @@ def seasonal_decompose(
         ((F.row_number().over(win) - 1) % period).alias("__phase"),
         F.sum("__v").over(frame).alias("__ts"),
         F.count("__v").over(frame).alias("__tc"),
+        F.lag("__v", h).over(win).alias("__vfirst"),
+        F.lead("__v", h).over(win).alias("__vlast"),
     )
-    trend = F.when(
-        F.col("__tc") == 2 * h + 1,
-        F.col("__ts").cast("double") / F.col("__tc").cast("double"),
-    )
+    if period % 2 == 0:
+        # 2×period MA: half weight at the window's two end rows —
+        # exact DECIMAL numerator, one division by 2·period
+        num = (
+            F.lit(2).cast("decimal(38,0)") * F.col("__ts")
+            - F.col("__vfirst")
+            - F.col("__vlast")
+        )
+        trend = F.when(
+            F.col("__tc") == 2 * h + 1,
+            num.cast("double") / F.lit(float(2 * period)),
+        )
+    else:
+        # odd period: simple centered period-row mean (h = (p−1)/2)
+        trend = F.when(
+            F.col("__tc") == 2 * h + 1,
+            F.col("__ts").cast("double") / F.col("__tc").cast("double"),
+        )
     staged = base.withColumn("__trend", trend).withColumn(
         "__dn",
         F.round((F.col("__v").cast("double") - F.col("__trend")) * 1e9).cast("long"),
@@ -1593,4 +1620,148 @@ def seasonal_decompose(
         F.round(
             F.col("__v").cast("double") - F.col("__trend") - seasonal, round_to
         ).alias("residual"),
+    )
+
+
+def theil_sen_grouped(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    order_col: Column,
+    value_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Theil–Sen robust trend slope per key (Theil 1950 / Sen 1968,
+    public): the median of all pairwise slopes (v_j − v_i)/(t_j − t_i)
+    — the 29%-breakdown-point alternative to linreg's least squares,
+    the right trend readout when a monitored series has spikes (a
+    single outlier day can flip an OLS slope; it barely moves this
+    one).
+
+    BOUNDED-GROUP CONTRACT (the kendall pairs / seq_pairs class): the
+    pairs come from a t_i < t_j self-equi-join on the key, so cost is
+    O(Σ g²) over group sizes — per-entity monitoring series (hundreds
+    to a few thousand points) are cheap at any entity count; do not
+    point it at a million-row single key. Pairs with equal timestamps
+    are excluded (slope undefined — the classical convention). The
+    median is an exact order statistic per key: odd pair count → the
+    middle slope; even → the mean of the two middles (both engines
+    compute the same double average). Slopes are IEEE double divisions
+    — deterministic across engines. Output:
+    (keys..., n_points, n_pairs, slope) — slope NULL when no valid
+    pair exists."""
+    from pyspark.sql.window import Window as W
+
+    keys = list(keys)
+    base = df.select(
+        *keys,
+        order_col.cast("double").alias("__t"),
+        value_col.cast("double").alias("__v"),
+    ).filter(F.col("__t").isNotNull() & F.col("__v").isNotNull())
+    a = base.select(*keys, F.col("__t").alias("__ta"), F.col("__v").alias("__va"))
+    b = base.select(*keys, F.col("__t").alias("__tb"), F.col("__v").alias("__vb"))
+    pairs = a.join(b, keys).filter(F.col("__ta") < F.col("__tb"))
+    slopes = pairs.select(
+        *keys,
+        (
+            (F.col("__vb") - F.col("__va")) / (F.col("__tb") - F.col("__ta"))
+        ).alias("__s"),
+    )
+    w = W.partitionBy(*keys).orderBy("__s")
+    ranked = slopes.select(
+        *keys,
+        "__s",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(W.partitionBy(*keys)).alias("__np"),
+    )
+    r_lo = F.floor((F.col("__np") + 1) / 2)
+    r_hi = F.floor(F.col("__np") / 2) + 1
+    med = ranked.filter(
+        (F.col("__rn") == r_lo) | (F.col("__rn") == r_hi)
+    ).groupBy(*keys).agg(
+        (F.sum("__s") / F.count(F.lit(1))).alias("__slope"),
+        F.first("__np").alias("n_pairs"),
+    )
+    n_pts = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_points"))
+    out = n_pts.join(med, keys, "left")
+    return out.select(
+        *keys,
+        "n_points",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.round(F.col("__slope"), round_to).alias("slope"),
+    )
+
+
+def page_hinkley(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    order_col: str,
+    value_col: Column,
+    delta: float = 0.0,
+    lam: float = 50.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Page–Hinkley upward change detection per key (Page 1954 /
+    Hinkley 1971, public) — the sequential drift alarm for a monitored
+    metric stream (the classical test behind most online
+    concept-drift detectors):
+
+        m_t  = Σ_{i≤t} (x_i − x̄_i − δ)     (x̄_i = running mean)
+        PH_t = m_t − min_{i≤t} m_i
+        alarm when PH_t > λ
+
+    Exactness: `value_col` should be INTEGER-exact (counts, cents).
+    The running mean division makes each increment rational, so each
+    term is nano-rounded to a long BEFORE the running sum (the
+    cumulative sums and the running min then operate on exact
+    integers — reduce-order-free and engine-portable). Plan: two
+    stacked key-partitioned ordered windows (running sum/count →
+    terms; running term-sum + running min) — the max_drawdown
+    bounded-group shape (a key's history flows through one task; use
+    per-entity keys, not one global key). Ties in `order_col` within
+    a key are broken by the value for a total order. Output per row:
+    (keys..., order_col, value, ph, alarm)."""
+    from pyspark.sql.window import Window as W
+
+    keys = list(keys)
+    dec = "decimal(38,0)"
+    base = df.select(
+        *keys,
+        F.col(order_col).alias("__o"),
+        value_col.cast("long").alias("__x"),
+    ).filter(F.col("__x").isNotNull())
+    w = W.partitionBy(*keys).orderBy("__o", "__x").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    staged = base.select(
+        *keys,
+        "__o",
+        "__x",
+        F.sum(F.col("__x").cast(dec)).over(w).alias("__rs"),
+        F.count(F.lit(1)).over(w).alias("__rc"),
+    )
+    term = F.round(
+        (
+            F.col("__x").cast("double")
+            - F.col("__rs").cast("double") / F.col("__rc").cast("double")
+            - F.lit(float(delta))
+        )
+        * 1e9
+    ).cast(dec)
+    w2 = W.partitionBy(*keys).orderBy("__o", "__x").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    staged2 = staged.withColumn("__tn", term).select(
+        *keys,
+        "__o",
+        "__x",
+        F.sum("__tn").over(w2).alias("__m"),
+    )
+    ph_nano = F.col("__m") - F.min("__m").over(w2)
+    ph = ph_nano.cast("double") / 1e9
+    return staged2.select(
+        *keys,
+        F.col("__o").alias(order_col),
+        F.col("__x").alias("value"),
+        F.round(ph, round_to).alias("ph"),
+        (ph > F.lit(float(lam))).alias("alarm"),
     )

@@ -193,12 +193,12 @@ def test_every_query_function_is_registered():
 
 
 def test_window_rotation_discipline():
-    """VERDICT r10 task 2: the first-50 driver window must have ZERO
-    overlap with the previous round's window (CORRECTNESS_r10.json)
+    """VERDICT r11 task 1: the first-50 driver window must have ZERO
+    overlap with the previous round's window (CORRECTNESS_r11.json)
     unless a row went red there — re-verifying green rows burns slots
-    the stale strata need. Also pins that the FULL 39-row r05-stale
-    stratum the r10 verdict queued is inside the r11 window (after
-    this round no row's last driver-green is older than r06)."""
+    the stale strata need. Also pins that ALL 25 r11b queries (the
+    only rows with zero driver evidence) are inside the r12 window,
+    with the other 25 slots drawn from the r06-stale stratum."""
     import itertools
     import json
     import pathlib
@@ -206,11 +206,8 @@ def test_window_rotation_discipline():
     import __spark_entry__ as m
 
     window = list(itertools.islice(m.queries(), 50))
-    prev = json.loads(
-        pathlib.Path(__file__).with_name("..").resolve().joinpath(
-            "CORRECTNESS_r10.json"
-        ).read_text()
-    )
+    root = pathlib.Path(__file__).with_name("..").resolve()
+    prev = json.loads(root.joinpath("CORRECTNESS_r11.json").read_text())
     prev_green = {
         k
         for k, v in prev.items()
@@ -218,18 +215,27 @@ def test_window_rotation_discipline():
     }
     overlap = set(window) & prev_green
     assert not overlap, f"window wastes slots on already-green rows: {sorted(overlap)}"
-    queued = {
-        "q_audio_spectrum", "q_bloom_join", "q_bm25_topk", "q_cdc_apply",
-        "q_char_entropy", "q_dedup_incremental", "q_doc_chunks_overlap",
-        "q_dup_span_intervals", "q_embedding_quantize", "q_event_transitions",
-        "q_gopher_rules", "q_group_split", "q_hard_negatives", "q_image_dedup",
-        "q_key_skew", "q_linreg", "q_mixture_apply", "q_multimodal_decode",
-        "q_mutual_info", "q_nb_classify", "q_ohlc", "q_pagerank",
-        "q_png_decode", "q_psi_drift", "q_record_linkage", "q_rp_project",
-        "q_scd2", "q_snapshot_diff", "q_stream_curation", "q_stream_drift",
-        "q_stream_ohlc", "q_tpch_q10", "q_tpch_q11", "q_tpch_q13", "q_twap",
-        "q_video_frames", "q_weighted_sample", "q_woe_iv", "q_zorder_locality",
+    r11b = {
+        "q_avg_precision", "q_cohens_kappa", "q_bleu", "q_pass_at_k",
+        "q_bradley_terry", "q_kendall_tau", "q_spearman", "q_mann_whitney",
+        "q_bh_fdr", "q_max_drawdown", "q_nelson_aalen", "q_clustering_coeff",
+        "q_decision_stump", "q_isotonic", "q_chi2_screen", "q_cuped",
+        "q_cumulative_gains", "q_acf", "q_seasonal_decompose",
+        "q_embedding_standardize", "q_flesch", "q_stream_eval", "q_wilson",
+        "q_eb_shrink", "q_trimmed_mean",
     }
-    assert len(queued) == 39
-    missing = queued - set(window)
-    assert not missing, f"verdict-queued rows missing from the window: {sorted(missing)}"
+    assert len(r11b) == 25
+    missing = r11b - set(window)
+    assert not missing, f"never-driver-verified rows missing from window: {sorted(missing)}"
+    # the other 25 slots must come from the stalest stratum (last
+    # driver-green r06) — recompute staleness from the committed
+    # CORRECTNESS history so the pin can't drift from the evidence
+    last_green: dict = {}
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int(f.stem.split("_r")[1])
+        for k, v in json.loads(f.read_text()).items():
+            if v.get("hash_match"):
+                last_green[k] = max(last_green.get(k, 0), rnd)
+    rest = [q for q in window if q not in r11b]
+    not_stale = [q for q in rest if last_green.get(q) != 6]
+    assert not not_stale, f"non-r06 rows burn window slots: {not_stale}"

@@ -156,6 +156,65 @@ def test_kendall_tau_perfect_reversed_and_ties(spark):
     assert out["single"]["tau_b"] is None and out["single"]["n_items"] == 1
 
 
+def test_kendall_tau_sort_matches_pairs_bit_identical(spark):
+    """The Knight inversion-count path (method='sort', the default)
+    must reproduce the all-pairs classification bit-for-bit: identical
+    (n_items, C, D, tau_b) on an adversarial mix of heavy x-ties,
+    y-ties, both-ties, and NULLs (dropped by both paths)."""
+    from table_computing_spark.operators.evaluation import kendall_tau_grouped
+
+    rows = []
+    # deterministic pseudo-random groups with tie mass (values mod small bases)
+    for g in range(6):
+        size = 3 + 7 * g  # up to 38 items — crosses several merge levels
+        for i in range(size):
+            h = (i * 2654435761 + g * 97) % 2**32
+            x = float((h >> 3) % 7)  # heavy x ties
+            y = float((h >> 9) % 5)  # heavy y ties
+            rows.append((f"g{g}", i, x, y))
+    # nulls must be dropped identically by both methods
+    rows += [("g0", 990, None, 1.0), ("g1", 991, 2.0, None), ("g2", 992, None, None)]
+    df = spark.createDataFrame(rows, "g string, it int, x double, y double")
+    args = (df, "g", "it", F.col("x"), F.col("y"))
+    srt = {r["group"]: r.asDict() for r in kendall_tau_grouped(*args, method="sort").collect()}
+    prs = {r["group"]: r.asDict() for r in kendall_tau_grouped(*args, method="pairs").collect()}
+    assert srt == prs
+    # null rows were excluded from n_items
+    assert srt["g0"]["n_items"] == 3
+
+
+def test_kendall_tau_drops_null_rows(spark):
+    """NULL x or y rows are filtered (the spearman/mann_whitney
+    convention) — not silently classified as both-tied."""
+    from table_computing_spark.operators.evaluation import kendall_tau_grouped
+
+    df = spark.createDataFrame(
+        [("g", 0, 1.0, 1.0), ("g", 1, 2.0, 2.0), ("g", 2, None, 9.0), ("g", 3, 3.0, None)],
+        "g string, it int, x double, y double",
+    )
+    r = kendall_tau_grouped(df, "g", "it", F.col("x"), F.col("y")).collect()[0]
+    assert r["n_items"] == 2 and r["concordant"] == 1 and r["tau_b"] == 1.0
+
+
+def test_count_strict_inversions_vs_bruteforce():
+    """The vectorized merge counter == O(n²) brute force on dense-rank
+    arrays with ties, across sizes that exercise padding and several
+    merge levels (no SparkSession needed)."""
+    import numpy as np
+
+    from table_computing_spark.operators.evaluation import _count_strict_inversions
+
+    for n in (0, 1, 2, 3, 5, 8, 13, 33, 64, 100, 257):
+        h = (np.arange(n, dtype=np.int64) * 2654435761 + 12345) % 2**31
+        vals = (h >> 7) % max(1, n // 3 + 2)  # dense with ties
+        uniq, ranks = np.unique(vals, return_inverse=True)
+        got = _count_strict_inversions(ranks.astype(np.int64), len(uniq))
+        brute = sum(
+            int(vals[i] > vals[j]) for i in range(n) for j in range(i + 1, n)
+        )
+        assert got == brute, f"n={n}: {got} != {brute}"
+
+
 # ------------------------------------------------------------------- stats
 
 
@@ -453,9 +512,12 @@ def test_acf_table_matches_lag_autocorr(spark):
 
 
 def test_seasonal_decompose_pure_pattern(spark):
-    """Flat level 100 + seasonal [0,10,0,-10]: edges have NULL trend,
-    the seasonal component is re-centered (sums to 0) and keeps the
-    phase shape; interior trend+seasonal+residual == value."""
+    """Flat level 100 + seasonal [0,10,0,-10], EVEN period 4: the
+    classical 2×4 MA (half-weight ends) recovers the trend EXACTLY
+    (100.0 on every interior row — an equal-weight 5-row window would
+    double-count one phase and shrink the seasonal by 4/5, the r11
+    ADVICE finding), and the seasonal component is the exact pattern
+    re-centered; interior trend+seasonal+residual == value."""
     from table_computing_spark.operators.temporal import seasonal_decompose
 
     season = [0, 10, 0, -10]
@@ -464,13 +526,30 @@ def test_seasonal_decompose_pure_pattern(spark):
     out = {r["t"]: r for r in
            seasonal_decompose(df, ["k"], "t", "v", period=4).collect()}
     assert out[0]["trend"] is None and out[15]["trend"] is None
+    assert out[8]["trend"] == 100.0  # exact — no phase double-counting
     ss = [out[t]["seasonal"] for t in range(4)]
     assert abs(sum(ss)) < 1e-6
-    assert ss[1] > 5 and ss[3] < -5 and abs(ss[0]) < 3
+    assert ss == [0.0, 10.0, 0.0, -10.0]  # exact amplitude, no 4/5 shrink
     mid = out[8]
     assert mid["residual"] == pytest.approx(
         mid["value"] - mid["trend"] - mid["seasonal"], abs=2e-6
     )
+
+
+def test_seasonal_decompose_odd_period_simple_ma(spark):
+    """ODD period 3 keeps the simple centered 3-row mean: pure pattern
+    [0,9,-9] over level 50 → exact flat trend and exact seasonal."""
+    from table_computing_spark.operators.temporal import seasonal_decompose
+
+    season = [0, 9, -9]
+    rows = [("k", t, 50 + season[t % 3]) for t in range(12)]
+    df = spark.createDataFrame(rows, "k string, t int, v int")
+    out = {r["t"]: r for r in
+           seasonal_decompose(df, ["k"], "t", "v", period=3).collect()}
+    assert out[0]["trend"] is None and out[11]["trend"] is None
+    assert out[5]["trend"] == 50.0
+    ss = [out[t]["seasonal"] for t in range(3)]
+    assert ss == [0.0, 9.0, -9.0]
 
 
 def test_standardize_embeddings_known_moments(spark):
