@@ -7194,6 +7194,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r12 (post-window additions; these head the r13
         # rotation together with the remaining r06 stratum) ---
         "q_dim_ablation_fixed": q_dim_ablation_fixed,
+        "q_kruskal_wallis": q_kruskal_wallis,
+        "q_anova_f": q_anova_f,
+        "q_levene_bf": q_levene_bf,
+        "q_cochran_armitage": q_cochran_armitage,
+        "q_matthews": q_matthews,
+        "q_krippendorff": q_krippendorff,
+        "q_theil_sen": q_theil_sen,
+        "q_page_hinkley": q_page_hinkley,
+        "q_temperature_weights": q_temperature_weights,
     }
     return {**window_50, **tail}
 
@@ -13038,6 +13047,303 @@ def oracle_sql() -> dict[str, str]:
             "vec_id % 50 = 0 AND vec_id < 500"
         ),
         "q_dim_ablation": _dim_ablation_oracle_sql("vec_id % 50 = 0"),
+        # --- r12 additions ---
+        "q_kruskal_wallis": """
+        WITH s AS (
+          SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+          FROM lineitem
+          WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        ), per_v AS (
+          SELECT v, count(*) AS n FROM s GROUP BY v
+        ), pre AS (
+          SELECT v, n, coalesce(sum(n) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM per_v
+        ), per_gv AS (
+          SELECT g, v, count(*) AS ngv FROM s GROUP BY g, v
+        ), j AS (
+          SELECT g, ngv,
+                 CAST(ngv AS HUGEINT)
+                   * (2 * CAST(cb AS HUGEINT) + CAST(n AS HUGEINT) + 1) AS r2t
+          FROM per_gv JOIN pre USING (v)
+        ), per_g AS (
+          SELECT g, sum(r2t) AS r2, sum(ngv) AS ng FROM j GROUP BY g
+        ), ties AS (
+          SELECT sum(CAST(n AS HUGEINT) * n * n - n) AS tt FROM per_v
+        ), agg AS (
+          SELECT sum(CAST(round(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+                                / (4.0 * CAST(ng AS DOUBLE)) * 1e9)
+                      AS HUGEINT)) AS st,
+                 count(*) AS k, sum(ng) AS nn
+          FROM per_g
+        )
+        SELECT round(CASE WHEN k >= 2 THEN
+                 12.0 * (CAST(st AS DOUBLE) / 1e9)
+                 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+                 - 3.0 * (CAST(nn AS DOUBLE) + 1.0) END, 6) AS h,
+               round(CASE WHEN k >= 2 AND
+                 1.0 - CAST(tt AS DOUBLE) / (CAST(nn AS DOUBLE)
+                   * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                   - CAST(nn AS DOUBLE)) > 0
+               THEN (12.0 * (CAST(st AS DOUBLE) / 1e9)
+                 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+                 - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
+                 / (1.0 - CAST(tt AS DOUBLE) / (CAST(nn AS DOUBLE)
+                    * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                    - CAST(nn AS DOUBLE))) END, 6) AS h_adj,
+               CAST(k - 1 AS BIGINT) AS dof, CAST(nn AS BIGINT) AS n
+        FROM agg, ties
+        """,
+        "q_anova_f": """
+        WITH s AS (
+          SELECT o_orderpriority AS g,
+                 CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT) AS x
+          FROM orders
+          WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        ), per_g AS (
+          SELECT g, count(*) AS ng, sum(x) AS sg, sum(x * x) AS qg
+          FROM s GROUP BY g
+        ), agg AS (
+          SELECT sum(ng) AS nn, sum(sg) AS ss, sum(qg) AS qq,
+                 sum(CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                                / CAST(ng AS DOUBLE) * 1e9) AS HUGEINT)) AS pn,
+                 count(*) AS k
+          FROM per_g
+        )
+        SELECT round(CASE WHEN k >= 2 AND nn > k AND
+                 CAST(qq AS DOUBLE) - CAST(pn AS DOUBLE) / 1e9 > 0
+               THEN ((CAST(pn AS DOUBLE) / 1e9
+                      - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                        / CAST(nn AS DOUBLE))
+                     / (CAST(k AS DOUBLE) - 1.0))
+                    / ((CAST(qq AS DOUBLE) - CAST(pn AS DOUBLE) / 1e9)
+                       / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))) END, 6) AS f,
+               CAST(k - 1 AS BIGINT) AS dof_between,
+               CAST(nn - k AS BIGINT) AS dof_within,
+               CAST(nn AS BIGINT) AS n
+        FROM agg
+        """,
+        "q_levene_bf": """
+        WITH s AS (
+          SELECT l_linestatus AS g, CAST(l_quantity AS BIGINT) AS x
+          FROM lineitem
+          WHERE l_linestatus IS NOT NULL AND l_quantity IS NOT NULL
+        ), per_gv AS (
+          SELECT g, x, count(*) AS c FROM s GROUP BY g, x
+        ), pre AS (
+          SELECT g, x, c, coalesce(sum(c) OVER (PARTITION BY g ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM per_gv
+        ), ng AS (
+          SELECT g, sum(c) AS ng FROM per_gv GROUP BY g
+        ), med AS (
+          SELECT pre.g,
+                 sum(CASE WHEN cb < (ng + 1) // 2 AND (ng + 1) // 2 <= cb + c
+                          THEN x ELSE 0 END)
+                 + sum(CASE WHEN cb < ng // 2 + 1 AND ng // 2 + 1 <= cb + c
+                            THEN x ELSE 0 END) AS med2
+          FROM pre JOIN ng USING (g) GROUP BY pre.g
+        ), z AS (
+          SELECT s.g, abs(2 * CAST(x AS HUGEINT) - med2) AS zv
+          FROM s JOIN med USING (g)
+        ), per_g AS (
+          SELECT g, count(*) AS ngz, sum(zv) AS sg, sum(zv * zv) AS qg
+          FROM z GROUP BY g
+        ), agg AS (
+          SELECT sum(ngz) AS nn, sum(sg) AS ss, sum(qg) AS qq,
+                 sum(CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                                / CAST(ngz AS DOUBLE) * 1e9) AS HUGEINT)) AS pn,
+                 count(*) AS k
+          FROM per_g
+        )
+        SELECT round(CASE WHEN k >= 2 AND nn > k AND
+                 CAST(qq AS DOUBLE) - CAST(pn AS DOUBLE) / 1e9 > 0
+               THEN ((CAST(pn AS DOUBLE) / 1e9
+                      - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                        / CAST(nn AS DOUBLE))
+                     / (CAST(k AS DOUBLE) - 1.0))
+                    / ((CAST(qq AS DOUBLE) - CAST(pn AS DOUBLE) / 1e9)
+                       / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))) END, 6) AS f,
+               CAST(k - 1 AS BIGINT) AS dof_between,
+               CAST(nn - k AS BIGINT) AS dof_within,
+               CAST(nn AS BIGINT) AS n
+        FROM agg
+        """,
+        "q_cochran_armitage": """
+        WITH s AS (
+          SELECT CAST(month(o_orderdate) AS BIGINT) AS c,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders
+          WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL
+        ), per AS (
+          SELECT c, count(*) AS ni, sum(y) AS ri FROM s GROUP BY c
+        ), agg AS (
+          SELECT sum(CAST(ni AS HUGEINT)) AS nn,
+                 sum(CAST(ri AS HUGEINT)) AS rr,
+                 sum(CAST(c AS HUGEINT) * ni) AS cn,
+                 sum(CAST(c AS HUGEINT) * ri) AS cr,
+                 sum(CAST(c AS HUGEINT) * c * ni) AS ccn,
+                 count(*) AS levels
+          FROM per
+        )
+        SELECT round(CASE WHEN CAST(rr AS DOUBLE)
+                 * (CAST(nn AS DOUBLE) - CAST(rr AS DOUBLE))
+                 * CAST(nn * ccn - cn * cn AS DOUBLE) > 0
+               THEN CAST(cr * nn - cn * rr AS DOUBLE)
+                    / sqrt(CAST(rr AS DOUBLE)
+                           * (CAST(nn AS DOUBLE) - CAST(rr AS DOUBLE))
+                           * CAST(nn * ccn - cn * cn AS DOUBLE)) END, 6) AS z,
+               CAST(nn AS BIGINT) AS n, CAST(rr AS BIGINT) AS n_pos,
+               CAST(levels AS BIGINT) AS levels
+        FROM agg
+        """,
+        "q_matthews": """
+        WITH s AS (
+          SELECT (o_orderstatus = 'F') AS y, (o_totalprice < 150000.0) AS p
+          FROM orders
+          WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+        ), agg AS (
+          SELECT count(*) AS n,
+                 sum(CASE WHEN y AND p THEN 1 ELSE 0 END) AS tp,
+                 sum(CASE WHEN NOT y AND NOT p THEN 1 ELSE 0 END) AS tn,
+                 sum(CASE WHEN NOT y AND p THEN 1 ELSE 0 END) AS fp,
+                 sum(CASE WHEN y AND NOT p THEN 1 ELSE 0 END) AS fn
+          FROM s
+        )
+        SELECT CAST(n AS BIGINT) AS n, CAST(tp AS BIGINT) AS tp,
+               CAST(tn AS BIGINT) AS tn, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
+               round(CASE WHEN (CAST(tp AS HUGEINT) + fp)
+                             * (CAST(tp AS HUGEINT) + fn)
+                             * (CAST(tn AS HUGEINT) + fp)
+                             * (CAST(tn AS HUGEINT) + fn) > 0
+                     THEN CAST(CAST(tp AS HUGEINT) * tn
+                               - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+                          / sqrt(CAST((CAST(tp AS HUGEINT) + fp)
+                                      * (CAST(tp AS HUGEINT) + fn)
+                                      * (CAST(tn AS HUGEINT) + fp)
+                                      * (CAST(tn AS HUGEINT) + fn) AS DOUBLE))
+                     END, 6) AS mcc
+        FROM agg
+        """,
+        "q_krippendorff": """
+        WITH s AS (
+          SELECT l_orderkey AS u, l_linenumber AS r,
+                 CAST(l_returnflag AS VARCHAR) AS c
+          FROM lineitem
+          WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+            AND l_returnflag IS NOT NULL
+        ), uc AS (
+          SELECT u, c, count(*) AS muc FROM s GROUP BY u, c
+        ), per_u AS (
+          SELECT u, sum(muc) AS mu,
+                 sum(CAST(muc AS HUGEINT) * muc) AS mq
+          FROM uc GROUP BY u HAVING sum(muc) >= 2
+        ), totals AS (
+          SELECT sum(CAST(round((CAST(mu AS DOUBLE) * CAST(mu AS DOUBLE)
+                                 - CAST(mq AS DOUBLE))
+                                / (CAST(mu AS DOUBLE) - 1.0) * 1e9)
+                     AS HUGEINT)) AS onn,
+                 sum(mu) AS n, count(*) AS n_units
+          FROM per_u
+        ), nc AS (
+          SELECT c, sum(muc) AS nc
+          FROM uc JOIN per_u USING (u) GROUP BY c
+        ), marg AS (
+          SELECT sum(CAST(nc AS HUGEINT) * nc) AS nc2,
+                 count(*) AS n_categories
+          FROM nc
+        )
+        SELECT CAST(n_units AS BIGINT) AS n_units,
+               CAST(n AS BIGINT) AS n_ratings,
+               CAST(n_categories AS BIGINT) AS n_categories,
+               round(CASE WHEN CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                               - CAST(nc2 AS DOUBLE) > 0
+                     THEN 1.0 - (CAST(n AS DOUBLE) - 1.0)
+                          * (CAST(onn AS DOUBLE) / 1e9)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             - CAST(nc2 AS DOUBLE)) END, 6) AS alpha
+        FROM totals, marg
+        """,
+        "q_theil_sen": """
+        WITH series AS (
+          SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        ), base AS (
+          SELECT event_type, CAST(d AS DOUBLE) AS t, CAST(n AS DOUBLE) AS v
+          FROM series
+        ), slopes AS (
+          SELECT a.event_type, (b.v - a.v) / (b.t - a.t) AS s
+          FROM base a JOIN base b ON a.event_type = b.event_type
+                                 AND a.t < b.t
+        ), ranked AS (
+          SELECT event_type, s,
+                 row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS np
+          FROM slopes
+        ), med AS (
+          SELECT event_type, sum(s) / count(*) AS slope, any_value(np) AS np
+          FROM ranked
+          WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
+          GROUP BY event_type
+        ), pts AS (
+          SELECT event_type, count(*) AS n_points FROM base GROUP BY 1
+        )
+        SELECT p.event_type, CAST(p.n_points AS BIGINT) AS n_points,
+               CAST(coalesce(m.np, 0) AS BIGINT) AS n_pairs,
+               round(m.slope, 6) AS slope
+        FROM pts p LEFT JOIN med m USING (event_type)
+        """,
+        "q_page_hinkley": """
+        WITH series AS (
+          SELECT event_type, epoch_ms(ts) // 3600000 AS hr,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1, 2
+        ), staged AS (
+          SELECT event_type, hr, v,
+                 sum(CAST(v AS HUGEINT)) OVER w AS rs,
+                 count(*) OVER w AS rc
+          FROM series
+          WINDOW w AS (PARTITION BY event_type ORDER BY hr, v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), terms AS (
+          SELECT event_type, hr, v,
+                 sum(CAST(round((CAST(v AS DOUBLE)
+                                 - CAST(rs AS DOUBLE) / CAST(rc AS DOUBLE)
+                                 - 0.0) * 1e9) AS HUGEINT)) OVER w2 AS m
+          FROM staged
+          WINDOW w2 AS (PARTITION BY event_type ORDER BY hr, v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), ph AS (
+          SELECT event_type, hr, v,
+                 CAST(m - min(m) OVER w2 AS DOUBLE) / 1e9 AS ph_raw
+          FROM terms
+          WINDOW w2 AS (PARTITION BY event_type ORDER BY hr, v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, hr, CAST(v AS BIGINT) AS value,
+               round(ph_raw, 6) AS ph, ph_raw > 10.0 AS alarm
+        FROM ph
+        """,
+        "q_temperature_weights": """
+        WITH per AS (
+          SELECT lang AS "group", count(*) AS n
+          FROM documents WHERE lang IS NOT NULL GROUP BY 1
+        ), tot AS (SELECT sum(n) AS nn FROM per),
+        staged AS (
+          SELECT "group", n, nn,
+                 CAST(round(pow(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 0.3)
+                            * 1e9) AS HUGEINT) AS pa
+          FROM per, tot
+        ), norm AS (SELECT sum(pa) AS za FROM staged)
+        SELECT "group", CAST(n AS BIGINT) AS n,
+               round(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS p_raw,
+               round(CAST(pa AS DOUBLE) / CAST(za AS DOUBLE), 6) AS p_sampled,
+               round((CAST(pa AS DOUBLE) / CAST(za AS DOUBLE))
+                     / (CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)), 6) AS boost
+        FROM staged, norm
+        """,
         "q_zipf_fit": r"""
         WITH counts AS (
           SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM (
