@@ -6156,6 +6156,194 @@ def q_temperature_weights(spark, sf_dir):
     return temperature_weights(d, "lang", alpha=0.3)
 
 
+def q_fleiss(spark, sf_dir):
+    """Fleiss' kappa (evaluation.fleiss_kappa) over the fixed-panel
+    subset: orders with EXACTLY four lineitems, each line's return
+    flag as one of four raters' nominal ratings — the classic
+    multi-rater agreement next to krippendorff (which handles the
+    variable-panel remainder). (New r12b.)"""
+    from table_computing_spark.operators.evaluation import fleiss_kappa
+
+    li = _t(spark, sf_dir, "lineitem").df
+    four = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == 4)
+        .select("l_orderkey")
+    )
+    panel = li.join(four, "l_orderkey")
+    return fleiss_kappa(panel, "l_orderkey", F.col("l_returnflag"))
+
+
+def q_friedman(spark, sf_dir):
+    """Friedman test (drift.friedman_test): order months as blocks,
+    priorities as treatments, per-cell total price cents as the
+    repeated measure — do priorities rank consistently across months?
+    Within-block doubled midranks; incomplete blocks dropped and
+    counted. (New r12b.)"""
+    from table_computing_spark.operators.drift import friedman_test
+
+    o = _t(spark, sf_dir, "orders").df
+    cell = o.groupBy(
+        F.month("o_orderdate").alias("m"), "o_orderpriority"
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    return friedman_test(cell, "m", "o_orderpriority", F.col("cents"))
+
+
+def q_dirichlet_lm(spark, sf_dir):
+    """Query-likelihood retrieval with Dirichlet smoothing
+    (text.dirichlet_lm_topk, mu=2000) for the same query as
+    q_bm25_topk — the language-modeling ranker next to BM25; every
+    document scores (smoothing covers tf=0). Fixed-order per-term
+    conditional aggregates keep the double engine-exact. (New r12b.)"""
+    from table_computing_spark.operators import text as tx
+
+    return tx.dirichlet_lm_topk(
+        _t(spark, sf_dir, "documents").df, ("table", "spark", "hash"), k=20
+    )
+
+
+def q_rbo(spark, sf_dir):
+    """Rank-biased overlap (evaluation.rbo_overlap, p=0.9, k=5)
+    between two per-order line rankings — by price vs by quantity:
+    how much do the two orderings agree, top-weighted? The
+    ranking-similarity readout next to rrf_fusion/ndcg. (New r12b.)"""
+    from pyspark.sql.window import Window as W
+
+    from table_computing_spark.operators.evaluation import rbo_overlap
+
+    li = _t(spark, sf_dir, "lineitem").df.filter(F.col("l_orderkey") % 5 == 0)
+    wa = W.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    wb = W.partitionBy("l_orderkey").orderBy(
+        F.col("l_quantity").desc(), F.col("l_linenumber")
+    )
+    a = li.select(
+        "l_orderkey", "l_linenumber", F.row_number().over(wa).alias("rank")
+    )
+    b = li.select(
+        "l_orderkey", "l_linenumber", F.row_number().over(wb).alias("rank")
+    )
+    return rbo_overlap(a, b, "l_orderkey", "l_linenumber", "rank", k=5, p=0.9)
+
+
+def q_stream_page_hinkley(spark, sf_dir):
+    """Streaming Page-Hinkley (streaming/stateful.stream_page_hinkley)
+    under the full value-hash oracle: event milli-values per type
+    replayed as 3 event-id-ordered slices; the four-scalar PH state
+    extends across micro-batches and the union of emitted rows equals
+    the batch recursion row-for-row (the q_stream_ohlc gate shape).
+    (New r12b.)"""
+    import tempfile
+
+    from table_computing_spark.streaming.stateful import stream_page_hinkley
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 1000).cast("long").alias("mval"),
+    )
+    src = tempfile.mkdtemp(prefix="tc_sph_")
+    # range-sliced replay via SEQUENTIAL appends (the
+    # q_stream_running_balance pattern): one range per write, so file
+    # mtimes — the file source's batch order — match event_id order and
+    # each key's rows arrive nondecreasing across micro-batches (the
+    # stream_over_by_size ordering contract). A single
+    # repartitionByRange write does NOT guarantee this: all parts share
+    # one mtime and the source's tie-break processed them out of order
+    # (measured: batch 3 first, PH state extended from the wrong end).
+    n = ev.count()  # bounded driver scalar (the bm25 n_docs discipline)
+    cuts = (n // 3, 2 * n // 3)
+    for cond in (
+        F.col("event_id") < cuts[0],
+        (F.col("event_id") >= cuts[0]) & (F.col("event_id") < cuts[1]),
+        F.col("event_id") >= cuts[1],
+    ):
+        ev.where(cond).coalesce(1).write.mode("append").parquet(src)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stream_page_hinkley(
+        sdf, ["event_type"], "event_id", "mval", delta=0.0, lam=500.0
+    )
+    with _state_partitions(spark):
+        return _run_stream_to_df(spark, out, "append")
+
+
+def q_holt(spark, sf_dir):
+    """Holt linear smoothing (temporal.holt_linear, α=0.5 β=0.25 —
+    dyadic constants so the oracle's recursive CTE replays the exact
+    IEEE recursion) over hourly event counts per type: level, trend,
+    one-step forecast per row. The trend-aware forecaster next to
+    ema_trailing. (New r12c.)"""
+    from table_computing_spark.operators.temporal import holt_linear
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type",
+        F.floor(tcf.epoch_ms("ts") / 3600000).cast("long").alias("hr"),
+    )
+    series = ev.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("n"))
+    return holt_linear(
+        series, ["event_type"], "hr", F.col("n"), alpha=0.5, beta=0.25
+    )
+
+
+def q_logrank(spark, sf_dir):
+    """Two-sample log-rank test (survival.logrank_test): do even- and
+    odd-part lineitems ship on different day-latency curves?
+    Duration = order→ship days (discrete — the KM grid contract),
+    event = returned/accepted ('N' lines censored as still-in-flight
+    proxies). Completes the survival wing next to kaplan_meier /
+    nelson_aalen. (New r12c.)"""
+    from table_computing_spark.operators.survival import logrank_test
+
+    li = _t(spark, sf_dir, "lineitem").df
+    o = _t(spark, sf_dir, "orders").df.select("o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("l_partkey") % 2 == 0).alias("ga"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("dur"),
+        (F.col("l_returnflag") != "N").alias("ev"),
+    )
+    return logrank_test(j, F.col("ga"), "dur", F.col("ev"))
+
+
+def q_textrank(spark, sf_dir):
+    """TextRank keywords (text.textrank_keywords, window 2, 3
+    pagerank iterations): top-20 corpus keywords by word-graph
+    centrality — the graph-ranking complement of q_rake_keywords and
+    q_tfidf_terms. Integer-nano pagerank unrolls into the exact SQL
+    oracle. (New r12c.)"""
+    from table_computing_spark.operators import text as tx
+
+    return tx.textrank_keywords(
+        _t(spark, sf_dir, "documents").df, window=2, iterations=3, k=20
+    )
+
+
+def q_brier(spark, sf_dir):
+    """Brier score + log loss (classify.brier_logloss, scale 100) of
+    a price-derived pseudo-probability against finished status — the
+    proper-scoring-rule readout next to q_calibration's ECE and
+    q_roc_auc. (New r12c.)"""
+    from table_computing_spark.operators.classify import brier_logloss
+
+    o = _t(spark, sf_dir, "orders").df
+    score = F.least(
+        F.lit(100), F.floor(F.col("o_totalprice") / 6000).cast("long")
+    )
+    return brier_logloss(
+        o.select(score.alias("s"), (F.col("o_orderstatus") == "F").alias("y")),
+        "s",
+        100,
+        "y",
+    )
+
+
 def q_zipf_fit(spark, sf_dir):
     """Corpus Zipf-law fit (text.zipf_fit): least-squares slope of
     ln(freq) vs ln(rank) over token ranks 11..1000 — the corpus-health
@@ -7203,6 +7391,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_theil_sen": q_theil_sen,
         "q_page_hinkley": q_page_hinkley,
         "q_temperature_weights": q_temperature_weights,
+        "q_fleiss": q_fleiss,
+        "q_friedman": q_friedman,
+        "q_dirichlet_lm": q_dirichlet_lm,
+        "q_rbo": q_rbo,
+        "q_stream_page_hinkley": q_stream_page_hinkley,
+        "q_holt": q_holt,
+        "q_logrank": q_logrank,
+        "q_textrank": q_textrank,
+        "q_brier": q_brier,
     }
     return {**window_50, **tail}
 
@@ -13325,6 +13522,412 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, hr, CAST(v AS BIGINT) AS value,
                round(ph_raw, 6) AS ph, ph_raw > 10.0 AS alarm
         FROM ph
+        """,
+        "q_fleiss": """
+        WITH four AS (
+          SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+          HAVING count(*) = 4
+        ), s AS (
+          SELECT l.l_orderkey AS u, CAST(l_returnflag AS VARCHAR) AS c
+          FROM lineitem l JOIN four USING (l_orderkey)
+          WHERE l.l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+        ), uc AS (
+          SELECT u, c, count(*) AS nij FROM s GROUP BY u, c
+        ), per_u AS (
+          SELECT u, sum(nij) AS n, sum(CAST(nij AS HUGEINT) * nij) AS q
+          FROM uc GROUP BY u
+        ), tot AS (
+          SELECT count(*) AS n_units, any_value(n) AS nr, sum(q) AS sq
+          FROM per_u
+        ), cat AS (
+          SELECT c, CAST(sum(nij) AS HUGEINT) AS cj FROM uc GROUP BY c
+        ), marg AS (
+          SELECT sum(cj * cj) AS c2, count(*) AS n_categories FROM cat
+        )
+        SELECT CAST(n_units AS BIGINT) AS n_units,
+               CAST(nr AS BIGINT) AS n_raters,
+               CAST(n_categories AS BIGINT) AS n_categories,
+               round(CASE WHEN CAST(c2 AS DOUBLE)
+                       / ((CAST(n_units AS DOUBLE) * CAST(nr AS DOUBLE))
+                          * (CAST(n_units AS DOUBLE) * CAST(nr AS DOUBLE)))
+                       < 1.0
+                 THEN ((CAST(sq AS DOUBLE)
+                        - CAST(n_units AS DOUBLE) * CAST(nr AS DOUBLE))
+                       / (CAST(n_units AS DOUBLE) * CAST(nr AS DOUBLE)
+                          * (CAST(nr AS DOUBLE) - 1.0))
+                       - CAST(c2 AS DOUBLE)
+                         / ((CAST(n_units AS DOUBLE) * CAST(nr AS DOUBLE))
+                            * (CAST(n_units AS DOUBLE) * CAST(nr AS DOUBLE))))
+                      / (1.0 - CAST(c2 AS DOUBLE)
+                         / ((CAST(n_units AS DOUBLE) * CAST(nr AS DOUBLE))
+                            * (CAST(n_units AS DOUBLE) * CAST(nr AS DOUBLE))))
+                 END, 6) AS kappa
+        FROM tot, marg
+        """,
+        "q_friedman": """
+        WITH cell AS (
+          SELECT month(o_orderdate) AS m, o_orderpriority AS t,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS DOUBLE) AS v
+          FROM orders GROUP BY 1, 2
+        ), s AS (
+          SELECT m AS b, t, v FROM cell
+          WHERE m IS NOT NULL AND t IS NOT NULL AND v IS NOT NULL
+        ), kk AS (SELECT count(DISTINCT t) AS k FROM s),
+        per_b AS (
+          SELECT b, count(*) AS n, count(DISTINCT t) AS nt FROM s GROUP BY b
+        ), complete AS (
+          SELECT b FROM per_b, kk WHERE n = kk.k AND nt = kk.k
+        ), sc AS (
+          SELECT s.* FROM s JOIN complete USING (b)
+        ), runs AS (
+          SELECT b, v, count(*) AS c FROM sc GROUP BY b, v
+        ), ranked AS (
+          SELECT b, v, c, coalesce(sum(c) OVER (PARTITION BY b ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM runs
+        ), rr AS (
+          SELECT sc.b, sc.t,
+                 2 * CAST(cb AS HUGEINT) + CAST(c AS HUGEINT) + 1 AS r2
+          FROM sc JOIN ranked ON ranked.b = sc.b AND ranked.v = sc.v
+        ), per_t AS (
+          SELECT t, sum(r2) AS r2s FROM rr GROUP BY t
+        ), stt AS (
+          SELECT sum(CAST(round(CAST(r2s AS DOUBLE) * CAST(r2s AS DOUBLE)
+                                / 4.0 * 1e9) AS HUGEINT)) AS st
+          FROM per_t
+        ), ties AS (
+          SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS tt FROM runs
+        ), nb AS (SELECT count(DISTINCT b) AS nb FROM sc),
+        ntot AS (SELECT count(*) AS n_total FROM per_b)
+        SELECT round(CASE WHEN k >= 2 THEN
+                 12.0 * (CAST(st AS DOUBLE) / 1e9)
+                 / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+                    * (CAST(k AS DOUBLE) + 1.0))
+                 - 3.0 * CAST(nb AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+               END, 6) AS q,
+               round(CASE WHEN k >= 2 AND
+                 1.0 - CAST(tt AS DOUBLE)
+                   / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+                      * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)) > 0
+               THEN (12.0 * (CAST(st AS DOUBLE) / 1e9)
+                 / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+                    * (CAST(k AS DOUBLE) + 1.0))
+                 - 3.0 * CAST(nb AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
+                 / (1.0 - CAST(tt AS DOUBLE)
+                    / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+                       * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)))
+               END, 6) AS q_adj,
+               CAST(k - 1 AS BIGINT) AS dof,
+               CAST(nb AS BIGINT) AS n_blocks,
+               CAST(n_total - nb AS BIGINT) AS n_blocks_dropped
+        FROM stt, ties, nb, ntot, kk
+        """,
+        "q_dirichlet_lm": r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS t
+          FROM documents
+        ), dl AS (
+          SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+        ), nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+        cf AS (
+          SELECT t, CAST(count(*) AS DOUBLE) AS cf
+          FROM tok WHERE t IN ('table', 'spark', 'hash') GROUP BY t
+        ), tf AS (
+          SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+          FROM tok WHERE t IN ('table', 'spark', 'hash')
+          GROUP BY doc_id, t
+        ), sc AS (
+          SELECT d.doc_id,
+            ln((coalesce(t1.tf, 0.0)
+                + 2000.0 * ((SELECT cf FROM cf WHERE t = 'table') / n.n))
+               / (CAST(d.dl AS DOUBLE) + 2000.0))
+          + ln((coalesce(t2.tf, 0.0)
+                + 2000.0 * ((SELECT cf FROM cf WHERE t = 'spark') / n.n))
+               / (CAST(d.dl AS DOUBLE) + 2000.0))
+          + ln((coalesce(t3.tf, 0.0)
+                + 2000.0 * ((SELECT cf FROM cf WHERE t = 'hash') / n.n))
+               / (CAST(d.dl AS DOUBLE) + 2000.0)) AS score
+          FROM dl d CROSS JOIN nt n
+          LEFT JOIN tf t1 ON t1.doc_id = d.doc_id AND t1.t = 'table'
+          LEFT JOIN tf t2 ON t2.doc_id = d.doc_id AND t2.t = 'spark'
+          LEFT JOIN tf t3 ON t3.doc_id = d.doc_id AND t3.t = 'hash'
+        )
+        SELECT doc_id, round(score, 6) AS score,
+               CAST(3 AS INT) AS n_terms_scored
+        FROM sc ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "q_rbo": """
+        WITH li AS (
+          SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+          FROM lineitem WHERE l_orderkey % 5 = 0
+        ), a AS (
+          SELECT l_orderkey AS q, l_linenumber AS it,
+                 row_number() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_extendedprice DESC, l_linenumber) AS ra
+          FROM li QUALIFY ra <= 5
+        ), b AS (
+          SELECT l_orderkey AS q, l_linenumber AS it,
+                 row_number() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_quantity DESC, l_linenumber) AS rb
+          FROM li QUALIFY rb <= 5
+        ), pairs AS (
+          SELECT a.q, greatest(ra, rb) AS d0
+          FROM a JOIN b ON a.q = b.q AND a.it = b.it
+        ), depths AS (
+          SELECT CAST(unnest(range(1, 6)) AS INT) AS d
+        ), counted AS (
+          SELECT q, d, count(*) AS x
+          FROM pairs JOIN depths ON d0 <= d GROUP BY q, d
+        ), per_q AS (
+          SELECT q,
+                 sum(CAST(round(pow(0.9, d - 1) * CAST(x AS DOUBLE)
+                                / CAST(d AS DOUBLE) * 1e9) AS HUGEINT)) AS tn,
+                 max(x) AS n_common
+          FROM counted GROUP BY q
+        ), queries AS (
+          SELECT DISTINCT q FROM (
+            SELECT q FROM a UNION ALL SELECT q FROM b
+          )
+        )
+        SELECT queries.q AS query,
+               CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+               round(coalesce(CAST(tn AS DOUBLE), 0.0) / 1e9
+                     * ((1.0 - 0.9) / (1.0 - pow(0.9, 5))), 6) AS rbo
+        FROM queries LEFT JOIN per_q USING (q)
+        """,
+        "q_stream_page_hinkley": """
+        WITH s AS (
+          SELECT event_type, event_id,
+                 CAST(round(value * 1000) AS BIGINT) AS mval
+          FROM events
+        ), staged AS (
+          SELECT event_type, event_id, mval,
+                 sum(CAST(mval AS HUGEINT)) OVER w AS rs,
+                 count(*) OVER w AS rc
+          FROM s
+          WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), terms AS (
+          SELECT event_type, event_id, mval,
+                 sum(CAST(round((CAST(mval AS DOUBLE)
+                                 - CAST(rs AS DOUBLE) / CAST(rc AS DOUBLE)
+                                 - 0.0) * 1e9) AS HUGEINT)) OVER w2 AS m
+          FROM staged
+          WINDOW w2 AS (PARTITION BY event_type ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), ph AS (
+          SELECT event_type, event_id, mval,
+                 CAST(m - min(m) OVER w2 AS DOUBLE) / 1e9 AS ph_raw
+          FROM terms
+          WINDOW w2 AS (PARTITION BY event_type ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, event_id, mval,
+               round(ph_raw, 6) AS ph, ph_raw > 500.0 AS alarm
+        FROM ph
+        """,
+        "q_holt": """
+        WITH RECURSIVE hourly AS (
+          SELECT event_type, epoch_ms(ts) // 3600000 AS hr,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1, 2
+        ), seq AS (
+          SELECT event_type, hr, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS nk
+          FROM hourly
+        ), second AS (
+          SELECT event_type, CAST(v AS DOUBLE) AS x2 FROM seq WHERE rn = 2
+        ), rec AS (
+          SELECT s.event_type, s.rn, s.hr, s.v,
+                 CAST(s.v AS DOUBLE) AS level,
+                 CASE WHEN s.nk > 1
+                      THEN sec.x2 - CAST(s.v AS DOUBLE) ELSE 0.0 END AS trend
+          FROM seq s LEFT JOIN second sec USING (event_type)
+          WHERE s.rn = 1
+          UNION ALL
+          SELECT h.event_type, h.rn, h.hr, h.v,
+                 0.5 * CAST(h.v AS DOUBLE) + 0.5 * (r.level + r.trend),
+                 0.25 * ((0.5 * CAST(h.v AS DOUBLE)
+                          + 0.5 * (r.level + r.trend)) - r.level)
+                 + 0.75 * r.trend
+          FROM rec r JOIN seq h
+            ON h.event_type = r.event_type AND h.rn = r.rn + 1
+        )
+        SELECT event_type, hr, CAST(v AS BIGINT) AS value,
+               round(level, 6) AS level, round(trend, 6) AS trend,
+               round(level + trend, 6) AS forecast
+        FROM rec
+        """,
+        "q_logrank": """
+        WITH s2 AS (
+          SELECT CASE WHEN l_partkey % 2 = 0 THEN 1 ELSE 0 END AS g,
+                 date_diff('day', o_orderdate, l_shipdate) AS t,
+                 CASE WHEN l_returnflag <> 'N' THEN 1 ELSE 0 END AS e
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL
+            AND o_orderdate IS NOT NULL AND l_returnflag IS NOT NULL
+        ), per_gt AS (
+          SELECT g, t, sum(e) AS n_event, sum(1 - e) AS n_censor
+          FROM s2 GROUP BY g, t
+        ), times AS (SELECT DISTINCT t FROM per_gt),
+        grid AS (
+          SELECT gg.g, times.t, coalesce(p.n_event, 0) AS n_event,
+                 coalesce(p.n_censor, 0) AS n_censor
+          FROM times CROSS JOIN (SELECT 0 AS g UNION ALL SELECT 1) gg
+          LEFT JOIN per_gt p ON p.g = gg.g AND p.t = times.t
+        ), risked AS (
+          SELECT g, t, n_event,
+                 sum(n_event + n_censor) OVER (PARTITION BY g)
+                 - sum(n_event + n_censor) OVER (PARTITION BY g ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 + n_event + n_censor AS n_risk
+          FROM grid
+        ), j AS (
+          SELECT a.t, a.n_event AS da, a.n_risk AS na,
+                 b.n_event AS db, b.n_risk AS nb
+          FROM risked a JOIN risked b ON a.t = b.t AND a.g = 1 AND b.g = 0
+          WHERE a.n_event + b.n_event > 0
+        ), terms AS (
+          SELECT da,
+            CAST(round(CAST(da + db AS DOUBLE)
+                       * (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                       * 1e9) AS HUGEINT) AS en,
+            CAST(round(CASE WHEN CAST(na + nb AS DOUBLE) > 1.0 THEN
+                CAST(da + db AS DOUBLE)
+                * (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                * (1.0 - CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                * (CAST(na + nb AS DOUBLE) - CAST(da + db AS DOUBLE))
+                / (CAST(na + nb AS DOUBLE) - 1.0)
+              ELSE 0.0 END * 1e9) AS HUGEINT) AS vn
+          FROM j
+        ), agg AS (
+          SELECT sum(da) AS o_a, sum(en) AS en, sum(vn) AS vn FROM terms
+        ), tot AS (
+          SELECT sum(g) AS n_a, sum(1 - g) AS n_b FROM s2
+        )
+        SELECT CAST(o_a AS BIGINT) AS o_a,
+               round(CAST(en AS DOUBLE) / 1e9, 6) AS e_a,
+               round(CASE WHEN CAST(vn AS DOUBLE) / 1e9 > 0
+                 THEN (CAST(o_a AS DOUBLE) - CAST(en AS DOUBLE) / 1e9)
+                      / sqrt(CAST(vn AS DOUBLE) / 1e9) END, 6) AS z,
+               round(CASE WHEN CAST(vn AS DOUBLE) / 1e9 > 0
+                 THEN ((CAST(o_a AS DOUBLE) - CAST(en AS DOUBLE) / 1e9)
+                       / sqrt(CAST(vn AS DOUBLE) / 1e9))
+                      * ((CAST(o_a AS DOUBLE) - CAST(en AS DOUBLE) / 1e9)
+                         / sqrt(CAST(vn AS DOUBLE) / 1e9)) END, 6) AS chi2,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+        FROM agg, tot
+        """,
+        "q_textrank": r"""
+        WITH lists AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(toks) AS t,
+                 generate_subscripts(toks, 1) AS pos
+          FROM lists
+        ), p1 AS (
+          SELECT t AS a,
+                 lead(t, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+          FROM tok
+        ), p2 AS (
+          SELECT t AS a,
+                 lead(t, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+          FROM tok
+        ), pairs AS (
+          SELECT DISTINCT a, b FROM (
+            SELECT * FROM p1 UNION ALL SELECT * FROM p2
+          ) WHERE b IS NOT NULL AND a <> b
+        ), edges AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL SELECT b AS src, a AS dst FROM pairs
+          )
+        ), nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+          )
+        ), cnt AS (SELECT count(*) AS n FROM nodes),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        r0 AS (
+          SELECT node, CAST(floor(1e9 / cnt.n + 0.5) AS BIGINT) AS rank_nano
+          FROM nodes, cnt
+        ),
+        s1 AS (
+          SELECT e.dst AS node,
+                 CAST(sum(CAST(round(0.85 * r.rank_nano / d.deg) AS BIGINT))
+                      AS BIGINT) AS s
+          FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        ),
+        r1 AS (
+          SELECT n.node,
+                 CAST(CAST(floor((1.0 - 0.85) / cnt.n * 1e9 + 0.5) AS BIGINT)
+                      + coalesce(s1.s, 0) AS BIGINT) AS rank_nano
+          FROM nodes n CROSS JOIN cnt LEFT JOIN s1 ON s1.node = n.node
+        ),
+        s2 AS (
+          SELECT e.dst AS node,
+                 CAST(sum(CAST(round(0.85 * r.rank_nano / d.deg) AS BIGINT))
+                      AS BIGINT) AS s
+          FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        ),
+        r2 AS (
+          SELECT n.node,
+                 CAST(CAST(floor((1.0 - 0.85) / cnt.n * 1e9 + 0.5) AS BIGINT)
+                      + coalesce(s2.s, 0) AS BIGINT) AS rank_nano
+          FROM nodes n CROSS JOIN cnt LEFT JOIN s2 ON s2.node = n.node
+        ),
+        s3 AS (
+          SELECT e.dst AS node,
+                 CAST(sum(CAST(round(0.85 * r.rank_nano / d.deg) AS BIGINT))
+                      AS BIGINT) AS s
+          FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        ),
+        r3 AS (
+          SELECT n.node,
+                 CAST(CAST(floor((1.0 - 0.85) / cnt.n * 1e9 + 0.5) AS BIGINT)
+                      + coalesce(s3.s, 0) AS BIGINT) AS rank_nano
+          FROM nodes n CROSS JOIN cnt LEFT JOIN s3 ON s3.node = n.node
+        )
+        SELECT node AS word, round(rank_nano / 1e9, 9) AS rank
+        FROM r3 ORDER BY rank DESC, word LIMIT 20
+        """,
+        "q_brier": """
+        WITH base AS (
+          SELECT least(100, CAST(floor(o_totalprice / 6000) AS BIGINT)) AS s,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+        ), t AS (
+          SELECT s, y,
+            CAST(round((CAST(s AS DOUBLE) / 100.0 - CAST(y AS DOUBLE))
+                       * (CAST(s AS DOUBLE) / 100.0 - CAST(y AS DOUBLE))
+                       * 1e9) AS BIGINT) AS bt,
+            CAST(round(-(CAST(y AS DOUBLE)
+                         * ln(least(greatest(CAST(s AS DOUBLE) / 100.0,
+                                             0.5 / 100.0), 1.0 - 0.5 / 100.0))
+                         + (1.0 - CAST(y AS DOUBLE))
+                           * ln(1.0 - least(greatest(CAST(s AS DOUBLE) / 100.0,
+                                                     0.5 / 100.0),
+                                            1.0 - 0.5 / 100.0)))
+                       * 1e9) AS BIGINT) AS lt
+          FROM base
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(bt) AS DOUBLE) / 1e9
+                     / CAST(count(*) AS DOUBLE), 6) AS brier,
+               round(CAST(sum(lt) AS DOUBLE) / 1e9
+                     / CAST(count(*) AS DOUBLE), 6) AS logloss
+        FROM t
         """,
         "q_temperature_weights": """
         WITH per AS (

@@ -613,3 +613,53 @@ def isotonic_calibrate(
             F.round(F.col("__fit"), round_to).alias("calibrated"),
         )
     )
+
+
+def brier_logloss(
+    df: DataFrame,
+    score_int: "F.Column | str",
+    scale: int,
+    label_col: "F.Column | str",
+    round_to: int = 6,
+) -> DataFrame:
+    """Proper scoring rules for probabilistic classifiers (Brier 1950;
+    log loss — both public): the two numbers that, next to
+    calibration_bins' ECE and roc_auc's ranking, complete the
+    probability-quality readout:
+
+        brier   = mean (p − y)²
+        logloss = −mean [y·ln p + (1−y)·ln(1−p)]
+
+    Same integer-score contract as calibration_bins: the score enters
+    as `score_int`/`scale` ∈ [0, 1]. For logloss, p is clamped to
+    [½/scale, 1 − ½/scale] (half a score quantum — the deterministic
+    version of sklearn's eps clip; a hard 0 or 1 score would be ±inf).
+    Each per-row term is fixed-order double arithmetic rounded to a
+    nano long before the sum (terms are ≤ 1 for brier and ≤ ln(2·scale)
+    for logloss — a long holds 9e9 rows worth either way), then one
+    division each. Rows with NULL score/label drop. Output one row:
+    (n, brier, logloss)."""
+    s = F.col(score_int) if isinstance(score_int, str) else score_int
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    base = df.select(
+        s.cast("long").alias("__s"), y.cast("long").alias("__y")
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    p = F.col("__s").cast("double") / F.lit(float(scale))
+    yd = F.col("__y").cast("double")
+    brier_t = F.round((p - yd) * (p - yd) * 1e9).cast("long")
+    lo = 0.5 / float(scale)
+    pc = F.least(F.greatest(p, F.lit(lo)), F.lit(1.0 - lo))
+    ll_t = F.round(
+        -(yd * F.log(pc) + (1.0 - yd) * F.log(F.lit(1.0) - pc)) * 1e9
+    ).cast("long")
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(brier_t).alias("__bn"),
+        F.sum(ll_t).alias("__ln"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("__bn").cast("double") / 1e9 / nd, round_to).alias("brier"),
+        F.round(F.col("__ln").cast("double") / 1e9 / nd, round_to).alias("logloss"),
+    )

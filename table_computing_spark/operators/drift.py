@@ -1350,3 +1350,103 @@ def cochran_armitage(
         F.col("__rr").cast("long").alias("n_pos"),
         F.col("__levels").cast("long").alias("levels"),
     )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Friedman test (Friedman 1937, public) — the repeated-measures
+    complement of kruskal_wallis: k treatments measured on the SAME b
+    blocks (the same queries scored by k model versions, the same days
+    under k pipeline variants), ranked WITHIN each block so
+    between-block level differences cancel:
+
+        Q  = 12/(b·k(k+1)) · Σ_j R_j² − 3·b(k+1)
+        Q' = Q / (1 − ΣT_i / (b·k(k²−1))),   T_i = Σ_ties (t³−t)
+
+    COMPLETE-BLOCK CONTRACT: a block enters only if it carries exactly
+    one value for EVERY treatment (k = global distinct treatments);
+    incomplete blocks are dropped and reported in `n_blocks_dropped` —
+    loud in the output, silent in no statistic. Within-block midranks
+    use the DOUBLED-rank form (2r = 2·cum_before + t + 1 per tied run,
+    exact integers; blocks are k rows, so the within-block window is
+    bounded by construction). 2R_j sums in DECIMAL(38,0); the
+    per-treatment (2R_j)² term is one fixed-order double nano-rounded
+    before the ≤k-row sum. Q' is NULL when every block is fully tied
+    (correction 0) or k < 2. Output one row:
+    (q, q_adj, dof, n_blocks, n_blocks_dropped)."""
+    from pyspark.sql.window import Window as W
+
+    dec = "decimal(38,0)"
+    s = df.select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__t"),
+        value_col.cast("double").alias("__v"),
+    ).filter(
+        F.col("__b").isNotNull() & F.col("__t").isNotNull() & F.col("__v").isNotNull()
+    )
+    k_treat = s.select("__t").distinct().count()
+    per_b = s.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__n"), F.count_distinct("__t").alias("__nt")
+    )
+    complete = per_b.filter(
+        (F.col("__n") == k_treat) & (F.col("__nt") == k_treat)
+    ).select("__b")
+    n_total = per_b.count()
+    sc = s.join(complete, "__b")
+    # within-block doubled midranks from tied-run counts (block = k rows)
+    runs = sc.groupBy("__b", "__v").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.collect_list("__t").alias("__ts"),
+    )
+    wb = W.partitionBy("__b").orderBy("__v").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    ranked = runs.select(
+        "__b",
+        "__v",
+        "__c",
+        "__ts",
+        F.coalesce(F.sum("__c").over(wb), F.lit(0)).alias("__cb"),
+    )
+    r2 = (
+        F.lit(2).cast(dec) * F.col("__cb").cast(dec)
+        + F.col("__c").cast(dec)
+        + F.lit(1).cast(dec)
+    )
+    exploded = ranked.select(
+        "__b", F.explode("__ts").alias("__t"), r2.alias("__r2"),
+        F.col("__c").cast(dec).alias("__cd"),
+    )
+    per_t = exploded.groupBy("__t").agg(F.sum("__r2").alias("__r2s"))
+    term = F.round(
+        F.col("__r2s").cast("double") * F.col("__r2s").cast("double") / 4.0 * 1e9
+    ).cast(dec)
+    ties = ranked.agg(
+        F.sum(
+            F.col("__c").cast(dec) * F.col("__c").cast(dec) * F.col("__c").cast(dec)
+            - F.col("__c").cast(dec)
+        ).alias("__tt")
+    )
+    nb = sc.select("__b").distinct().count()
+    agg = per_t.agg(F.sum(term).alias("__st")).crossJoin(F.broadcast(ties))
+    bd = float(nb)
+    kd = float(k_treat)
+    q = (
+        12.0 * (F.col("__st").cast("double") / 1e9) / (bd * kd * (kd + 1.0))
+        - 3.0 * bd * (kd + 1.0)
+    )
+    corr = 1.0 - F.col("__tt").cast("double") / (bd * kd * (kd * kd - 1.0))
+    return agg.select(
+        F.round(F.when(F.lit(k_treat) >= 2, q), round_to).alias("q"),
+        F.round(
+            F.when((F.lit(k_treat) >= 2) & (corr > 0), q / corr), round_to
+        ).alias("q_adj"),
+        F.lit(k_treat - 1).cast("long").alias("dof"),
+        F.lit(nb).cast("long").alias("n_blocks"),
+        F.lit(n_total - nb).cast("long").alias("n_blocks_dropped"),
+    )

@@ -904,15 +904,25 @@ def _kendall_counts_pairs(base: DataFrame) -> DataFrame:
     )
 
 
-def _kendall_counts_sorted(base: DataFrame) -> DataFrame:
-    """Inversion-count path: one Arrow group pass, numpy merge rounds.
+def _kendall_counts_sorted(base: DataFrame, n_buckets: int = 256) -> DataFrame:
+    """Inversion-count path: Arrow group passes, numpy merge rounds.
 
     Per group: sort by (x asc, y asc); strict y-inversions = D exactly
     (x-tied pairs are y-ascending so they never invert); tie-pair
     counts Tx' / Ty' / Txy from run lengths; the rest by complement:
     C = n(n−1)/2 − D − Tx' − Ty' + Txy. All counts exact int64 — the
     downstream tau expression is shared with the pairs path, so the
-    two methods are bit-identical."""
+    two methods are bit-identical.
+
+    Batching: a plain groupBy(group).applyInPandas pays one Arrow
+    round-trip PER GROUP — measured 19× the pair join on 15k ten-row
+    groups (.scale/audit_r12.json first cut). The shuffle therefore
+    keys on a 256-bucket hash of the group (every group still lands
+    whole in one bucket) and the function loops the bucket's groups
+    in numpy — thousands of tiny groups per Arrow call, while a huge
+    group still gets its O(g log² g) merge count. The hash is internal
+    partitioning only (never in the output), so engine portability is
+    unaffected."""
     import pandas as pd  # noqa: F401 — applyInPandas contract
 
     gtype = base.schema["__g"].dataType.simpleString()
@@ -925,44 +935,53 @@ def _kendall_counts_sorted(base: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        x = pdf["__x"].to_numpy(dtype="float64")
-        y = pdf["__y"].to_numpy(dtype="float64")
-        n = len(x)
-        n0 = n * (n - 1) // 2
-        order = np.lexsort((y, x))
-        ys = y[order]
-        xs = x[order]
-        uniq, ranks = np.unique(ys, return_inverse=True)
-        d = _count_strict_inversions(ranks.astype(np.int64), len(uniq))
+        out = {
+            "__g": [], "n_items": [], "concordant": [], "discordant": [],
+            "__tx": [], "__ty": [],
+        }
+        for g, sub in pdf.groupby("__g", sort=False):
+            x = sub["__x"].to_numpy(dtype="float64")
+            y = sub["__y"].to_numpy(dtype="float64")
+            n = len(x)
+            n0 = n * (n - 1) // 2
+            order = np.lexsort((y, x))
+            ys = y[order]
+            xs = x[order]
+            uniq, ranks = np.unique(ys, return_inverse=True)
+            d = _count_strict_inversions(ranks.astype(np.int64), len(uniq))
 
-        def tie_pairs(counts_arr):
-            c = counts_arr.astype(np.int64)
-            return int((c * (c - 1) // 2).sum())
+            def tie_pairs(counts_arr):
+                c = counts_arr.astype(np.int64)
+                return int((c * (c - 1) // 2).sum())
 
-        _, cx = np.unique(x, return_counts=True)
-        _, cy = np.unique(y, return_counts=True)
-        tx_prime = tie_pairs(cx)
-        ty_prime = tie_pairs(cy)
-        # both-tied pairs from run lengths of the (x, y)-sorted stream
-        if n:
-            brk = np.flatnonzero((xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1]))
-            runs = np.diff(np.concatenate(([0], brk + 1, [n])))
-            txy = tie_pairs(runs)
-        else:
-            txy = 0
-        c = n0 - d - tx_prime - ty_prime + txy
-        return pd.DataFrame(
-            {
-                "__g": [pdf["__g"].iloc[0]],
-                "n_items": [n],
-                "concordant": [c],
-                "discordant": [d],
-                "__tx": [tx_prime - txy],
-                "__ty": [ty_prime - txy],
-            }
+            _, cx = np.unique(x, return_counts=True)
+            _, cy = np.unique(y, return_counts=True)
+            tx_prime = tie_pairs(cx)
+            ty_prime = tie_pairs(cy)
+            # both-tied pairs from run lengths of the (x, y)-sorted stream
+            if n:
+                brk = np.flatnonzero((xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1]))
+                runs = np.diff(np.concatenate(([0], brk + 1, [n])))
+                txy = tie_pairs(runs)
+            else:
+                txy = 0
+            out["__g"].append(g)
+            out["n_items"].append(n)
+            out["concordant"].append(n0 - d - tx_prime - ty_prime + txy)
+            out["discordant"].append(d)
+            out["__tx"].append(tx_prime - txy)
+            out["__ty"].append(ty_prime - txy)
+        return pd.DataFrame(out)
+
+    bucketed = base.withColumn(
+        "__gb", F.pmod(F.xxhash64("__g"), F.lit(int(n_buckets)))
+    )
+    return (
+        bucketed.groupBy("__gb")
+        .applyInPandas(
+            lambda pdf: counts(pdf.drop(columns=["__gb"])), schema=out_schema
         )
-
-    return base.groupBy("__g").applyInPandas(counts, schema=out_schema)
+    )
 
 
 def cumulative_gains(
@@ -1160,4 +1179,144 @@ def krippendorff_alpha(
         F.col("__n").cast("long").alias("n_ratings"),
         F.col("n_categories").cast("long").alias("n_categories"),
         F.round(alpha, round_to).alias("alpha"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    unit_col: str,
+    value_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971, public) — multi-rater agreement for
+    the FIXED-PANEL design: every unit rated by exactly n raters into
+    k nominal categories (krippendorff_alpha is the
+    missing-data/variable-panel generalization; when the panel IS
+    fixed, Fleiss is the number reviewers expect):
+
+        P_i  = (Σ_j n_ij² − n) / (n(n−1))
+        κ    = (P̄ − P̄_e) / (1 − P̄_e),   P̄_e = Σ_j p_j²,
+               p_j = Σ_i n_ij / (N·n)
+
+    Exactness: everything is a ratio of exact integers —
+    P̄ = (Σ_i Σ_j n_ij² − N·n) / (N·n(n−1)) and
+    P̄_e = Σ_j (Σ_i n_ij)² / (N·n)² — so κ is a few fixed-order double
+    operations on DECIMAL(38,0) sums, no nano staging needed at all.
+
+    FIXED-PANEL CONTRACT (validated loudly, the srm_check discipline):
+    every unit must carry the same rating count; a 1-row probe raises
+    ValueError naming the deviant count rather than silently averaging
+    a malformed panel. NULL ratings drop BEFORE the probe, so a
+    partially-null unit is a contract violation, not silent data loss.
+    κ is NULL when P̄_e = 1 (every rating one category). Output one
+    row: (n_units, n_raters, n_categories, kappa)."""
+    dec = "decimal(38,0)"
+    s = df.select(
+        F.col(unit_col).alias("__u"), value_col.cast("string").alias("__c")
+    ).filter(F.col("__u").isNotNull() & F.col("__c").isNotNull())
+    uc = s.groupBy("__u", "__c").agg(F.count(F.lit(1)).alias("__nij"))
+    per_u = uc.groupBy("__u").agg(
+        F.sum("__nij").alias("__n"),
+        F.sum(F.col("__nij").cast(dec) * F.col("__nij").cast(dec)).alias("__q"),
+    )
+    counts = per_u.select("__n").distinct()
+    bad = counts.take(2)
+    if len(bad) > 1:
+        raise ValueError(
+            "fleiss_kappa: units carry different rating counts "
+            f"({sorted(r['__n'] for r in bad)}…) — the fixed-panel contract; "
+            "use krippendorff_alpha for variable panels / missing ratings"
+        )
+    tot = per_u.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.first("__n").alias("__nr"),
+        F.sum("__q").alias("__sq"),
+    )
+    cat = uc.groupBy("__c").agg(F.sum("__nij").cast(dec).alias("__cj"))
+    marg = cat.agg(
+        F.sum(F.col("__cj") * F.col("__cj")).alias("__c2"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+    j = tot.crossJoin(F.broadcast(marg))
+    nu = F.col("n_units").cast("double")
+    nr = F.col("__nr").cast("double")
+    p_bar = (F.col("__sq").cast("double") - nu * nr) / (nu * nr * (nr - 1.0))
+    p_e = F.col("__c2").cast("double") / ((nu * nr) * (nu * nr))
+    kappa = F.when(p_e < 1.0, (p_bar - p_e) / (1.0 - p_e))
+    return j.select(
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("__nr").cast("long").alias("n_raters"),
+        F.col("n_categories").cast("long").alias("n_categories"),
+        F.round(kappa, round_to).alias("kappa"),
+    )
+
+
+def rbo_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    query_col: str,
+    item_col: str,
+    rank_col: str,
+    k: int = 10,
+    p: float = 0.9,
+    round_to: int = 6,
+) -> DataFrame:
+    """Rank-biased overlap between two top-k rankings per query
+    (Webber, Moffat & Zobel 2010, public) — the ranking-similarity
+    readout RRF/NDCG can't give: how much do two retrieval systems (or
+    two model versions) AGREE, weighted toward the top:
+
+        RBO@k = (1−p)/(1−p^k)·… — here the standard truncated form
+        RBO@k = (Σ_{d=1..k} p^{d−1} · |A_d ∩ B_d| / d) · (1−p) / (1−p^k)
+
+    (normalized so identical k-deep lists score exactly 1.0).
+
+    Shape: inputs are already top-k lists (TakeOrdered-sized), so
+    everything is k-bounded per query: the A⋈B item join finds each
+    item's rank pair, the overlap-at-depth d counts pairs with
+    max(rank_a, rank_b) ≤ d via one k-row depth join (broadcast range
+    table), and the weighted sum is a ≤k-row aggregate with
+    fixed-order double terms (p^d from a broadcast constant table —
+    reduce-order-free after the nano round). Queries present in only
+    one input score the defined overlap 0 at every depth. Output:
+    (query, n_common, rbo)."""
+    dec = "decimal(38,0)"
+    spark = a.sparkSession
+    ra = a.select(
+        F.col(query_col).alias("__q"),
+        F.col(item_col).alias("__it"),
+        F.col(rank_col).cast("int").alias("__ra"),
+    ).filter(F.col("__ra") <= k)
+    rb = b.select(
+        F.col(query_col).alias("__q"),
+        F.col(item_col).alias("__it"),
+        F.col(rank_col).cast("int").alias("__rb"),
+    ).filter(F.col("__rb") <= k)
+    pairs = ra.join(rb, ["__q", "__it"]).select(
+        "__q", F.greatest("__ra", "__rb").alias("__d0")
+    )
+    depths = spark.range(1, k + 1).select(F.col("id").cast("int").alias("__d"))
+    # overlap at depth d = pairs with max-rank <= d; weight p^{d-1}/d
+    counted = (
+        pairs.join(F.broadcast(depths), pairs["__d0"] <= depths["__d"])
+        .groupBy("__q", "__d")
+        .agg(F.count(F.lit(1)).alias("__x"))
+    )
+    term = F.round(
+        F.pow(F.lit(float(p)), F.col("__d") - 1)
+        * F.col("__x").cast("double")
+        / F.col("__d").cast("double")
+        * 1e9
+    ).cast(dec)
+    per_q = counted.groupBy("__q").agg(
+        F.sum(term).alias("__tn"), F.max("__x").alias("n_common")
+    )
+    queries = ra.select("__q").union(rb.select("__q")).distinct()
+    out = queries.join(per_q, "__q", "left")
+    norm = (1.0 - float(p)) / (1.0 - float(p) ** k)
+    rbo = F.coalesce(F.col("__tn").cast("double"), F.lit(0.0)) / 1e9 * F.lit(norm)
+    return out.select(
+        F.col("__q").alias("query"),
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+        F.round(rbo, round_to).alias("rbo"),
     )

@@ -153,3 +153,103 @@ def nelson_aalen(
         *keys, "t", "n_risk", "n_event", "n_censor",
         F.round(F.col("__hn").cast("double") / 1e9, round_to).alias("cumhazard"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    in_group_a: Column,
+    time_col: str,
+    event_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966 / Peto 1972, public) —
+    the hypothesis test that completes the survival wing: kaplan_meier
+    draws the two curves, nelson_aalen their hazards, THIS says
+    whether they differ:
+
+        O_a = Σ_t d_at                     (observed events, group a)
+        E_a = Σ_t d_t · n_at / n_t         (expected under H0)
+        V   = Σ_t d_t (n_at/n_t)(1 − n_at/n_t)(n_t − d_t)/(n_t − 1)
+        z   = (O_a − E_a)/√V,   chi2 = z²
+
+    Risk-set bookkeeping is the kaplan_meier machinery on a GRID: the
+    distinct-time axis crossed with both groups (zero-filled), so the
+    per-group running prefix yields n_g(t) at EVERY event time even
+    where that group has no row. O is an exact long; each E/V term is
+    fixed-order double arithmetic nano-rounded to DECIMAL(38,0) before
+    the distinct-time sum (reduce-order-free). Censoring leaves the
+    risk set AFTER t (the KM convention); times with no event
+    contribute nothing. Same contract as KM: the grid is the
+    distinct-time table — discretize ms-precision durations first.
+    z/chi2 are NULL when V = 0 (no events, or every subject events at
+    one time with n_t = 1). Output one row:
+    (o_a, e_a, z, chi2, n_a, n_b)."""
+    dec = "decimal(38,0)"
+    s = df.select(
+        in_group_a.cast("int").alias("__g"),
+        F.col(time_col).alias("t"),
+        event_col.cast("long").alias("__e"),
+    ).filter(
+        F.col("__g").isNotNull() & F.col("t").isNotNull() & F.col("__e").isNotNull()
+    )
+    per_gt = s.groupBy("__g", "t").agg(
+        F.sum("__e").alias("n_event"),
+        F.sum(F.lit(1) - F.col("__e")).alias("n_censor"),
+    )
+    times = per_gt.select("t").distinct()
+    groups = s.sparkSession.range(2).select(F.col("id").cast("int").alias("__g"))
+    grid = (
+        times.crossJoin(F.broadcast(groups))
+        .join(per_gt, ["__g", "t"], "left")
+        .fillna(0, subset=["n_event", "n_censor"])
+    )
+    w_all = Window.partitionBy("__g")
+    w_run = w_all.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum(F.col("n_event") + F.col("n_censor")).over(w_all)
+    left_through = F.sum(F.col("n_event") + F.col("n_censor")).over(w_run)
+    risked = grid.select(
+        "__g", "t", "n_event",
+        (total - left_through + F.col("n_event") + F.col("n_censor"))
+        .alias("n_risk"),
+    )
+    a = risked.filter(F.col("__g") == 1).select(
+        "t", F.col("n_event").alias("__da"), F.col("n_risk").alias("__na")
+    )
+    b = risked.filter(F.col("__g") == 0).select(
+        "t", F.col("n_event").alias("__db"), F.col("n_risk").alias("__nb")
+    )
+    j = a.join(b, "t").filter((F.col("__da") + F.col("__db")) > 0)
+    dt = (F.col("__da") + F.col("__db")).cast("double")
+    nt = (F.col("__na") + F.col("__nb")).cast("double")
+    pa = F.col("__na").cast("double") / nt
+    e_term = F.round(dt * pa * 1e9).cast(dec)
+    v_term = F.round(
+        F.when(
+            nt > 1.0,
+            dt * pa * (1.0 - pa) * (nt - dt) / (nt - 1.0),
+        ).otherwise(F.lit(0.0))
+        * 1e9
+    ).cast(dec)
+    agg = j.agg(
+        F.sum("__da").alias("o_a"),
+        F.sum(e_term).alias("__en"),
+        F.sum(v_term).alias("__vn"),
+    )
+    totals = s.groupBy().agg(
+        F.sum(F.col("__g")).alias("__cnt_a"),
+        F.sum(F.lit(1) - F.col("__g")).alias("__cnt_b"),
+    )
+    out = agg.crossJoin(F.broadcast(totals))
+    e_a = F.col("__en").cast("double") / 1e9
+    v = F.col("__vn").cast("double") / 1e9
+    z = F.when(v > 0, (F.col("o_a").cast("double") - e_a) / F.sqrt(v))
+    return out.select(
+        F.col("o_a").cast("long").alias("o_a"),
+        F.round(e_a, round_to).alias("e_a"),
+        F.round(z, round_to).alias("z"),
+        F.round(F.when(v > 0, z * z), round_to).alias("chi2"),
+        F.col("__cnt_a").cast("long").alias("n_a"),
+        F.col("__cnt_b").cast("long").alias("n_b"),
+    )

@@ -1765,3 +1765,98 @@ def page_hinkley(
         F.round(ph, round_to).alias("ph"),
         (ph > F.lit(float(lam))).alias("alarm"),
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    order_col: str,
+    value_col: Column,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    round_to: int = 6,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per key (Holt
+    1957, public) — the trend-aware forecaster between ema_trailing
+    (no trend) and a model server (too much machinery):
+
+        l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        one-step forecast f_{t+1} = l_t + b_t
+
+    Init: l_1 = x_1, b_1 = x_2 − x_1 (the standard two-point slope;
+    b_1 = 0 for a single-row key). The recursion is inherently
+    sequential per key, so it runs in the kendall-sort Arrow shape: a
+    256-bucket hash of the key shuffles WHOLE keys together and each
+    Arrow call loops its bucket's keys in numpy — one pass, no
+    per-group round-trips. Engine-exactness: every step is the same
+    fixed sequence of IEEE double ops the oracle's recursive CTE
+    replays, so outputs are bit-identical (the q_running_balance
+    sequential-fold precedent); inputs are cast to double once.
+    Rows with NULL order or value drop; values must be INTEGER-exact
+    (counts, cents — the lag_autocorr contract; the reported `value`
+    column is a long). BOUNDED-GROUP caveat: one key's history must
+    fit one task (the page_hinkley/max_drawdown contract). Output:
+    (keys..., order_col, value, level, trend, forecast) — forecast is
+    the NEXT-step prediction from this row."""
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    keys = list(keys)
+    base = df.select(
+        *keys,
+        F.col(order_col).alias("__o"),
+        value_col.cast("double").alias("__x"),
+    ).filter(F.col("__o").isNotNull() & F.col("__x").isNotNull())
+    ktypes = ", ".join(
+        f"{k} {base.schema[k].dataType.simpleString()}" for k in keys
+    )
+    otype = base.schema["__o"].dataType.simpleString()
+    out_schema = (
+        f"{ktypes}, {order_col} {otype}, value long, "
+        "level double, trend double, forecast double"
+    )
+
+    def fit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        frames = []
+        for kv, sub in pdf.groupby(keys, sort=False):
+            sub = sub.sort_values("__o", kind="mergesort")
+            x = sub["__x"].to_numpy(dtype="float64")
+            n = len(x)
+            lvl = np.empty(n)
+            trd = np.empty(n)
+            lvl[0] = x[0]
+            trd[0] = (x[1] - x[0]) if n > 1 else 0.0
+            for t in range(1, n):
+                prev = lvl[t - 1]
+                lvl[t] = alpha * x[t] + (1.0 - alpha) * (prev + trd[t - 1])
+                trd[t] = beta * (lvl[t] - prev) + (1.0 - beta) * trd[t - 1]
+            out = pd.DataFrame({order_col: sub["__o"].values,
+                                "value": x.astype("int64"),
+                                "level": lvl, "trend": trd,
+                                "forecast": lvl + trd})
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            for k, v in zip(keys, kv):
+                out[k] = v
+            frames.append(out[[*keys, order_col, "value", "level", "trend",
+                               "forecast"]])
+        return pd.concat(frames, ignore_index=True)
+
+    bucketed = base.withColumn(
+        "__gb", F.pmod(F.xxhash64(*keys), F.lit(int(n_buckets)))
+    )
+    raw = bucketed.groupBy("__gb").applyInPandas(
+        lambda pdf: fit(pdf.drop(columns=["__gb"])), schema=out_schema
+    )
+    return raw.select(
+        *keys,
+        order_col,
+        "value",
+        F.round("level", round_to).alias("level"),
+        F.round("trend", round_to).alias("trend"),
+        F.round("forecast", round_to).alias("forecast"),
+    )

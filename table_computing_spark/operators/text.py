@@ -1691,3 +1691,144 @@ def flesch_readability(
         syl.alias("n_syllables"),
         F.round(flesch, round_to).alias("flesch"),
     )
+
+
+def dirichlet_lm_topk(
+    df: DataFrame,
+    query_terms: "Sequence[str]",
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mu: float = 2000.0,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001, public) — the language-modeling complement of
+    bm25_topk (the other classical lexical ranker; they disagree most
+    on short vs long documents, which is exactly why an evaluation
+    stack wants both):
+
+        score(d, q) = Σ_t ln( (tf_td + μ·p_c(t)) / (dl_d + μ) )
+        p_c(t)      = cf_t / total_corpus_tokens
+
+    Every document gets a defined score (smoothing covers tf = 0), so
+    the ranking is total — unlike BM25 a doc matching no term still
+    scores Σ ln(μ·p_c(t)) − |q|·ln(dl+μ) and ranks by length.
+
+    FP determinism (the bm25_topk rule): the per-doc score is one
+    conditional aggregate PER TERM in FIXED term order — never a
+    data-ordered float SUM. Collection stats (cf_t, total tokens) are
+    |query|+1 driver scalars — the same bounded pull as BM25's df.
+    Unknown terms (cf = 0) are skipped with their count reported by
+    the caller's term list vs the returned `n_terms_scored` constant
+    column (a p_c of zero would be −inf for every document — the
+    standard convention is to drop OOV terms). Top-k ties break by id.
+    Scale shape: one token explode, (doc, term) hash agg pre-filtered
+    to the query terms, corpus length agg, TakeOrderedAndProject."""
+    import math
+
+    terms = list(dict.fromkeys(query_terms))
+    tok = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t")
+    )
+    dl = tok.groupBy("__id").agg(F.count(F.lit(1)).alias("__dl"))
+    totals = tok.agg(F.count(F.lit(1)).alias("__n")).collect()[0]
+    n_tokens = int(totals["__n"])
+    cf = {
+        r["__t"]: int(r["__cf"])
+        for r in tok.filter(F.col("__t").isin(*terms))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__cf"))
+        .collect()
+    }  # |query| scalars — the bm25 bounded-pull discipline
+    scored_terms = [t for t in terms if cf.get(t, 0) > 0]
+    tf = (
+        tok.filter(F.col("__t").isin(*scored_terms))
+        .groupBy("__id", "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    ) if scored_terms else None
+    base = dl if tf is None else dl.join(tf, "__id", "left")
+    score = None
+    for t in scored_terms:
+        p_c = cf[t] / n_tokens
+        tf_t = F.coalesce(
+            F.sum(F.when(F.col("__t") == t, F.col("__tf"))), F.lit(0)
+        ).cast("double")
+        s_t = F.log(
+            (tf_t + F.lit(float(mu) * p_c))
+            / (F.col("__dl").cast("double") + F.lit(float(mu)))
+        )
+        score = s_t if score is None else (score + s_t)
+    if score is None:
+        raise ValueError(
+            "dirichlet_lm_topk: no query term occurs in the corpus — "
+            "every score would be the empty sum; check the term list"
+        )
+    scored = base.groupBy("__id", "__dl").agg(score.alias("__score"))
+    return (
+        scored.orderBy(F.col("__score").desc(), F.col("__id"))
+        .limit(k)
+        .select(
+            F.col("__id").alias(id_col),
+            F.round("__score", 6).alias("score"),
+            F.lit(len(scored_terms)).alias("n_terms_scored"),
+        )
+    )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 2,
+    iterations: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004, public):
+    PageRank over the word co-occurrence graph — words that keep
+    company with many well-connected words rank up. The
+    graph-centrality alternative to rake_keywords (phrase statistics)
+    and tf_idf_top_terms (frequency contrast); corpora where all three
+    agree have stable vocabularies, which is itself a curation signal.
+
+    Graph: DISTINCT undirected edges between tokens co-occurring
+    within `window` positions in any document (Heaps-law-bounded:
+    vocabulary-sized nodes, distinct-pair edges — never data-sized),
+    built from per-document lead windows (the skipgram_negatives
+    shape). Ranking is graph.pagerank_nano — integer-nano
+    contributions, so the fixed iteration count unrolls into the exact
+    SQL oracle (the q_pagerank discipline). Top-k words by (rank desc,
+    word) via TakeOrderedAndProject. Output: (word, rank)."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window as W
+
+    from table_computing_spark.operators.graph import pagerank_nano
+
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "__t"),
+    )
+    w = W.partitionBy("__id").orderBy("__pos")
+    pair_frames = [
+        tok.select(
+            F.col("__t").alias("__a"), F.lead("__t", d).over(w).alias("__b")
+        )
+        for d in range(1, window + 1)
+    ]
+    pairs = (
+        reduce(lambda a, b: a.unionByName(b), pair_frames)
+        .filter(F.col("__b").isNotNull() & (F.col("__a") != F.col("__b")))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("__a").alias("src"), F.col("__b").alias("dst")
+    ).union(pairs.select(F.col("__b").alias("src"), F.col("__a").alias("dst")))
+    # both directions of the same unordered pair can coincide when the
+    # corpus contains (a,b) and (b,a) — dedupe to ONE edge per direction
+    edges = edges.distinct()
+    ranks = pagerank_nano(edges, iterations=iterations)
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(k)
+        .select(F.col("node").alias("word"), "rank")
+    )

@@ -545,3 +545,75 @@ def stream_running_balance(
     return sdf.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def stream_page_hinkley(
+    sdf: DataFrame,
+    partition_by: Sequence[str],
+    order_col: str,
+    value_col: str,
+    delta: float = 0.0,
+    lam: float = 50.0,
+) -> DataFrame:
+    """Streaming Page–Hinkley upward change detection per key — the
+    maintained twin of operators/temporal.page_hinkley, with the
+    matview decomposition: the PH recursion is FULLY incremental
+    (state per key = n, Σx, m, running-min m — four scalars; no
+    history buffer at all), so each micro-batch extends the statistic
+    exactly where the batch operator would, and the union of all
+    emitted rows equals the batch output row-for-row (the
+    q_stream_ohlc gate shape).
+
+    Rows must arrive per key in nondecreasing `order_col` across
+    micro-batches (the stream_over_by_size ordering contract); within
+    a batch they are sorted. Increments are nano-quantized BEFORE the
+    running sum (the batch operator's rule), accumulated in Python
+    ints inside the JSON state (arbitrary precision — no wrap), and
+    the per-batch extension is one numpy cumsum/accumulate pass, not a
+    per-row loop. Output: input key/order/value rows + (ph, alarm)."""
+    out_schema = T.StructType(
+        [f for f in sdf.schema.fields if f.name in (*partition_by, order_col, value_col)]
+        + [T.StructField("ph", T.DoubleType()), T.StructField("alarm", T.BooleanType())]
+    )
+    state_schema = T.StructType([T.StructField("buf", T.StringType())])
+    cols = [*partition_by, order_col, value_col]
+
+    def fn(key, pdfs, state):
+        import json as _json
+
+        import numpy as np
+
+        if state.exists:
+            st = _json.loads(state.get[0])
+        else:
+            st = {"n": 0, "sum": 0, "m": 0, "min": 0}
+        batch = pd.concat(list(pdfs), ignore_index=True)[cols]
+        batch = batch.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        x = batch[value_col].to_numpy(dtype="float64")
+        k = len(x)
+        run_n = st["n"] + np.arange(1, k + 1, dtype="float64")
+        run_sum = float(st["sum"]) + np.cumsum(x)
+        # HALF_UP (away from zero), matching Spark's F.round — np.rint
+        # would round half-to-even and diverge on exact .5 nano ties
+        raw = (x - run_sum / run_n - delta) * 1e9
+        terms = (np.sign(raw) * np.floor(np.abs(raw) + 0.5)).astype("int64")
+        m = st["m"] + np.cumsum(terms)
+        mins = np.minimum.accumulate(np.concatenate(([st["min"]], m)))[1:]
+        ph = (m - mins) / 1e9
+        # HALF_UP again for the 6-decimal readout (ph is nano-exact, so
+        # a .5 micro tie is reachable); alarm tests the UNROUNDED value
+        batch["ph"] = np.floor(ph * 1e6 + 0.5) / 1e6  # ph >= 0 by construction
+        batch["alarm"] = ph > lam
+        state.update((
+            _json.dumps({
+                "n": int(st["n"] + k),
+                "sum": int(st["sum"] + int(np.sum(x.astype("int64")))),
+                "m": int(m[-1]) if k else st["m"],
+                "min": int(mins[-1]) if k else st["min"],
+            }),
+        ))
+        yield batch
+
+    return sdf.groupBy(*partition_by).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )

@@ -295,3 +295,235 @@ def test_temperature_weights_alpha_one_is_proportional(spark):
     }
     assert out["a"]["p_sampled"] == out["a"]["p_raw"] == 0.6
     assert out["a"]["boost"] == 1.0 and out["b"]["boost"] == 1.0
+
+
+# --------------------------------------------------------------- r12b
+
+
+def test_fleiss_kappa_hand_computed(spark):
+    """Two raters, units (a,a), (a,b), (b,b): P_i = [1, 0, 1], P̄ = 2/3,
+    p = [.5, .5] → P̄e = .5 → κ = (2/3 − 1/2)/(1/2) = 1/3."""
+    from table_computing_spark.operators.evaluation import fleiss_kappa
+
+    rows = [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, "b"), (3, "b")]
+    df = spark.createDataFrame(rows, "u int, c string")
+    r = fleiss_kappa(df, "u", F.col("c")).collect()[0]
+    assert r["kappa"] == round(1 / 3, 6)
+    assert (r["n_units"], r["n_raters"], r["n_categories"]) == (3, 2, 2)
+
+
+def test_fleiss_kappa_rejects_variable_panels(spark):
+    from table_computing_spark.operators.evaluation import fleiss_kappa
+
+    rows = [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (2, "b")]
+    df = spark.createDataFrame(rows, "u int, c string")
+    with pytest.raises(ValueError, match="fixed-panel"):
+        fleiss_kappa(df, "u", F.col("c"))
+
+
+def test_friedman_textbook_and_incomplete_blocks(spark):
+    """3 blocks × 3 treatments with identical within-block order:
+    R = [3, 6, 9] → Q = 12/(3·3·4)·126 − 36 = 6.0 (no ties →
+    q_adj == q); a 4th block missing one treatment is dropped."""
+    from table_computing_spark.operators.drift import friedman_test
+
+    rows = []
+    for b in range(3):
+        rows += [(b, "t1", 10 + b), (b, "t2", 20 + b), (b, "t3", 30 + b)]
+    rows += [(9, "t1", 1), (9, "t2", 2)]  # incomplete — dropped
+    df = spark.createDataFrame(rows, "b int, t string, v int")
+    r = friedman_test(df, "b", "t", F.col("v")).collect()[0]
+    assert r["q"] == 6.0 and r["q_adj"] == 6.0
+    assert (r["dof"], r["n_blocks"], r["n_blocks_dropped"]) == (2, 3, 1)
+
+
+def test_friedman_all_tied_blocks_null_adjustment(spark):
+    """Every block fully tied → correction 0 → q_adj NULL (q = −3b(k+1)
+    + 12/(bk(k+1))·Σ(k·midrank2/2)²/... just assert the NULL)."""
+    from table_computing_spark.operators.drift import friedman_test
+
+    rows = [(b, t, 7) for b in range(2) for t in ("x", "y")]
+    df = spark.createDataFrame(rows, "b int, t string, v int")
+    r = friedman_test(df, "b", "t", F.col("v")).collect()[0]
+    assert r["q_adj"] is None
+
+
+def test_dirichlet_lm_hand_computed(spark):
+    """Corpus d1='a b', d2='a a', query ('a',), μ=2: p_c(a) = 3/4 →
+    score(d1) = ln((1 + 1.5)/4), score(d2) = ln((2 + 1.5)/4) — d2
+    ranks first."""
+    import math
+
+    from table_computing_spark.operators.text import dirichlet_lm_topk
+
+    df = spark.createDataFrame([(1, "a b"), (2, "a a")], "doc_id int, text string")
+    out = dirichlet_lm_topk(df, ("a",), k=10, mu=2.0).collect()
+    assert [r["doc_id"] for r in out] == [2, 1]
+    assert out[0]["score"] == round(math.log((2 + 2.0 * 0.75) / 4.0), 6)
+    assert out[1]["score"] == round(math.log((1 + 2.0 * 0.75) / 4.0), 6)
+    assert out[0]["n_terms_scored"] == 1
+
+
+def test_dirichlet_lm_oov_handling(spark):
+    """OOV terms are skipped (n_terms_scored drops); all-OOV raises."""
+    from table_computing_spark.operators.text import dirichlet_lm_topk
+
+    df = spark.createDataFrame([(1, "a b"), (2, "a a")], "doc_id int, text string")
+    out = dirichlet_lm_topk(df, ("a", "zzz"), k=10, mu=2.0).collect()
+    assert out[0]["n_terms_scored"] == 1
+    with pytest.raises(ValueError, match="no query term"):
+        dirichlet_lm_topk(df, ("zzz",), k=10)
+
+
+def test_rbo_identical_disjoint_and_half(spark):
+    from table_computing_spark.operators.evaluation import rbo_overlap
+
+    def lists(rows):
+        return spark.createDataFrame(rows, "q int, it string, rank int")
+
+    same = lists([(1, "x", 1), (1, "y", 2)])
+    r = rbo_overlap(same, same, "q", "it", "rank", k=2, p=0.5).collect()[0]
+    assert r["rbo"] == 1.0 and r["n_common"] == 2
+    disjoint = rbo_overlap(
+        lists([(1, "x", 1)]), lists([(1, "z", 1)]), "q", "it", "rank", k=2, p=0.5
+    ).collect()[0]
+    assert disjoint["rbo"] == 0.0 and disjoint["n_common"] == 0
+    # A=[x,y], B=[x,z], k=2, p=.5: overlap@1 = 1, overlap@2 = 1 →
+    # (1 + 0.5·1/2) · (1−.5)/(1−.25) = 1.25 · 2/3
+    half = rbo_overlap(
+        lists([(1, "x", 1), (1, "y", 2)]),
+        lists([(1, "x", 1), (1, "z", 2)]),
+        "q", "it", "rank", k=2, p=0.5,
+    ).collect()[0]
+    assert half["rbo"] == round(1.25 * (0.5 / 0.75), 6)
+
+
+def test_stream_page_hinkley_matches_batch(spark, tmp_path):
+    """The streaming PH (two sequential micro-batches, state carried)
+    must equal the batch operator row-for-row — including rows whose
+    running mean crosses the batch boundary."""
+    import os
+
+    from table_computing_spark.operators.temporal import page_hinkley
+    from table_computing_spark.streaming.stateful import stream_page_hinkley
+
+    rows = [("k", t, v) for t, v in enumerate([5, 5, 5, 5, 30, 30, 5, 5, 40, 40])]
+    rows += [("j", t, v) for t, v in enumerate([2, 2, 2, 9, 9])]
+    df = spark.createDataFrame(rows, "g string, t int, x int")
+    src = os.path.join(str(tmp_path), "src")
+    for cond in (F.col("t") < 5, F.col("t") >= 5):
+        df.where(cond).coalesce(1).write.mode("append").parquet(src)
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stream_page_hinkley(sdf, ["g"], "t", "x", delta=0.0, lam=10.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tc_sph_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["g"], r["t"]): (r["ph"], r["alarm"])
+        for r in spark.table("tc_sph_test").collect()
+    }
+    want = {
+        (r["g"], r["t"]): (r["ph"], r["alarm"])
+        for r in page_hinkley(df, ["g"], "t", F.col("x"), lam=10.0).collect()
+    }
+    assert got == want and len(got) == 15
+    assert any(a for _, a in got.values())  # the jumps do alarm
+
+
+# --------------------------------------------------------------- r12c
+
+
+def test_holt_linear_hand_computed(spark):
+    """α=0.5, β=0.25, x=[10,14,8,20]: l1=10, b1=4; l2=14, b2=4;
+    l3=13, b3=2.75; l4=17.875, b4=3.28125 — forecast = l+b."""
+    from table_computing_spark.operators.temporal import holt_linear
+
+    rows = [("k", t, v) for t, v in enumerate([10, 14, 8, 20])]
+    df = spark.createDataFrame(rows, "g string, t int, v int")
+    out = {r["t"]: r for r in holt_linear(
+        df, ["g"], "t", F.col("v"), alpha=0.5, beta=0.25).collect()}
+    assert (out[0]["level"], out[0]["trend"]) == (10.0, 4.0)
+    assert (out[1]["level"], out[1]["trend"]) == (14.0, 4.0)
+    assert (out[2]["level"], out[2]["trend"]) == (13.0, 2.75)
+    assert (out[3]["level"], out[3]["trend"]) == (17.875, 3.28125)
+    assert out[3]["forecast"] == 17.875 + 3.28125
+    single = holt_linear(
+        spark.createDataFrame([("s", 0, 7)], "g string, t int, v int"),
+        ["g"], "t", F.col("v")).collect()[0]
+    assert (single["level"], single["trend"]) == (7.0, 0.0)
+
+
+def test_logrank_identical_and_separated(spark):
+    """Identical survival in both groups → z = 0; fully separated
+    event times (A at t=1, B at t=5) → z = 1/sqrt(1/3)."""
+    import math
+
+    from table_computing_spark.operators.survival import logrank_test
+
+    same = spark.createDataFrame(
+        [(True, 1, True), (True, 2, True), (False, 1, True), (False, 2, True)],
+        "ga boolean, t int, e boolean",
+    )
+    r = logrank_test(same, F.col("ga"), "t", F.col("e")).collect()[0]
+    assert r["z"] == 0.0 and r["o_a"] == 2 and r["e_a"] == 2.0
+    sep = spark.createDataFrame(
+        [(True, 1, True), (True, 1, True), (False, 5, True), (False, 5, True)],
+        "ga boolean, t int, e boolean",
+    )
+    r = logrank_test(sep, F.col("ga"), "t", F.col("e")).collect()[0]
+    # t=1: d=2, na=2, nb=2 → E += 1, V += 2·.5·.5·(2/3); t=5: na=0 → 0
+    assert r["e_a"] == 1.0
+    assert r["z"] == round(1.0 / math.sqrt(1.0 / 3.0), 6)
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+
+
+def test_logrank_censoring_leaves_risk_after_t(spark):
+    """A censored subject at t counts in n_risk at t but never as an
+    event: with one A event at t=1 and one B censored at t=1,
+    E_a = 1·(1/2) = 0.5."""
+    from table_computing_spark.operators.survival import logrank_test
+
+    df = spark.createDataFrame(
+        [(True, 1, True), (False, 1, False)], "ga boolean, t int, e boolean"
+    )
+    r = logrank_test(df, F.col("ga"), "t", F.col("e")).collect()[0]
+    assert r["o_a"] == 1 and r["e_a"] == 0.5
+    # V = 1·(1/2)(1/2)·(2−1)/(2−1) = 0.25 → z = (1 − 0.5)/0.5 = 1.0
+    assert r["z"] == 1.0 and r["chi2"] == 1.0
+
+
+def test_textrank_hub_ranks_first(spark):
+    """'h x h y h z': the hub co-occurs with everything — top rank."""
+    from table_computing_spark.operators.text import textrank_keywords
+
+    df = spark.createDataFrame([(1, "h x h y h z")], "doc_id int, text string")
+    out = textrank_keywords(df, window=2, iterations=3, k=10).collect()
+    assert out[0]["word"] == "h"
+    assert {r["word"] for r in out} == {"h", "x", "y", "z"}
+    # ranks form a probability-ish vector (dangling mass aside)
+    assert 0.9 < sum(r["rank"] for r in out) <= 1.000001
+
+
+def test_brier_logloss_hand_computed(spark):
+    """scale 10: rows (10,1), (0,0), (5,1): brier = (0 + 0 + .25)/3;
+    logloss = (−ln .95 − ln .95 − ln .5)/3 with the half-quantum
+    clamp at 0.05/0.95."""
+    import math
+
+    from table_computing_spark.operators.classify import brier_logloss
+
+    df = spark.createDataFrame([(10, 1), (0, 0), (5, 1)], "s int, y int")
+    r = brier_logloss(df, "s", 10, "y").collect()[0]
+    assert r["n"] == 3
+    assert r["brier"] == round(0.25 / 3, 6)
+    want = (-math.log(0.95) - math.log(0.95) - math.log(0.5)) / 3
+    assert abs(r["logloss"] - want) < 2e-6
