@@ -6325,6 +6325,75 @@ def q_textrank(spark, sf_dir):
     )
 
 
+def q_cohens_d(spark, sf_dir):
+    """Cohen's d / Hedges' g (drift.cohens_d) of line price-cents,
+    open vs finished lines — the effect-size readout next to
+    welch_ttest's p-value (at 100 TB everything is significant; d says
+    whether it matters). (New r12d.)"""
+    from table_computing_spark.operators.drift import cohens_d
+
+    li = _t(spark, sf_dir, "lineitem").df
+    return cohens_d(
+        li,
+        (F.col("l_linestatus") == "O"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+    )
+
+
+def q_cramers_v(spark, sf_dir):
+    """Cramér's V (drift.cramers_v) for the q_chi2_screen features —
+    the [0,1]-normalized dependence strength chi2 alone can't give.
+    (New r12d.)"""
+    from table_computing_spark.operators.drift import cramers_v
+
+    o = _t(spark, sf_dir, "orders").df
+    long_fmt = o.select(
+        F.lit("priority").alias("feat"),
+        F.col("o_orderpriority").alias("v"),
+        F.col("o_orderstatus").alias("l"),
+    ).unionByName(
+        o.select(
+            F.lit("cust_mod").alias("feat"),
+            (F.col("o_custkey") % 5).cast("string").alias("v"),
+            F.col("o_orderstatus").alias("l"),
+        )
+    )
+    return cramers_v(long_fmt, "feat", F.col("v"), F.col("l"))
+
+
+def q_sprt(spark, sf_dir):
+    """Wald SPRT per priority arm (drift.sprt_bernoulli, H0 p=0.4 vs
+    H1 p=0.55 on the finished-order rate, α=0.05 β=0.2): exact
+    integer-nano LLR walk in o_orderkey order, earliest crossing via
+    min_by — the early-stopping readout for streaming experiments.
+    (New r12d.)"""
+    from table_computing_spark.operators.drift import sprt_bernoulli
+
+    o = _t(spark, sf_dir, "orders").df
+    return sprt_bernoulli(
+        o,
+        "o_orderpriority",
+        F.col("o_orderkey"),
+        (F.col("o_orderstatus") == "F"),
+        p0=0.4,
+        p1=0.55,
+        alpha=0.05,
+        beta_err=0.2,
+    )
+
+
+def q_calinski(spark, sf_dir):
+    """Calinski-Harabasz index (similarity.calinski_harabasz) of the
+    embeddings table's labeled clusters — the O(n·dim) variance-ratio
+    quality score next to q_silhouette (which needs pair distances).
+    Micro-quantized integer moments; ANOVA-F-across-dims algebra.
+    (New r12d.)"""
+    from table_computing_spark.operators.similarity import calinski_harabasz
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    return calinski_harabasz(emb, "label")
+
+
 def q_brier(spark, sf_dir):
     """Brier score + log loss (classify.brier_logloss, scale 100) of
     a price-derived pseudo-probability against finished status — the
@@ -7400,6 +7469,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_logrank": q_logrank,
         "q_textrank": q_textrank,
         "q_brier": q_brier,
+        "q_cohens_d": q_cohens_d,
+        "q_cramers_v": q_cramers_v,
+        "q_sprt": q_sprt,
+        "q_calinski": q_calinski,
     }
     return {**window_50, **tail}
 
@@ -13900,6 +13973,152 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node AS word, round(rank_nano / 1e9, 9) AS rank
         FROM r3 ORDER BY rank DESC, word LIMIT 20
+        """,
+        "q_cohens_d": """
+        WITH s AS (
+          SELECT CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS a,
+                 CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      AS HUGEINT) AS x
+          FROM lineitem
+          WHERE l_linestatus IS NOT NULL AND l_extendedprice IS NOT NULL
+        ), per AS (
+          SELECT a, count(*) AS n, sum(x) AS s, sum(x * x) AS q
+          FROM s GROUP BY a
+        ), j AS (
+          SELECT pa.n AS n_a, pa.s AS sa, pa.q AS qa,
+                 pb.n AS n_b, pb.s AS sb, pb.q AS qb
+          FROM (SELECT * FROM per WHERE a = 1) pa,
+               (SELECT * FROM per WHERE a = 0) pb
+        ), c AS (
+          SELECT n_a, n_b,
+                 CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+                 CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+                 CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                   / CAST(n_a AS DOUBLE) AS ssa,
+                 CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                   / CAST(n_b AS DOUBLE) AS ssb,
+                 CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0 AS nu
+          FROM j
+        )
+        SELECT round(CASE WHEN n_a >= 2 AND n_b >= 2
+                       AND sqrt((ssa + ssb) / nu) > 0
+                     THEN (ma - mb) / sqrt((ssa + ssb) / nu) END, 6) AS d,
+               round(CASE WHEN n_a >= 2 AND n_b >= 2
+                       AND sqrt((ssa + ssb) / nu) > 0
+                     THEN (ma - mb) / sqrt((ssa + ssb) / nu)
+                          * (1.0 - 3.0 / (4.0 * nu - 1.0)) END, 6) AS g,
+               round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+        FROM c
+        """,
+        "q_cramers_v": """
+        WITH base AS (
+          SELECT feat, v, l FROM (
+            SELECT 'priority' AS feat, o_orderpriority AS v,
+                   o_orderstatus AS l FROM orders
+            UNION ALL
+            SELECT 'cust_mod', CAST(o_custkey % 5 AS VARCHAR), o_orderstatus
+            FROM orders
+          ) WHERE v IS NOT NULL AND l IS NOT NULL
+        ), cells AS (
+          SELECT feat, v, l, count(*) AS o FROM base GROUP BY 1, 2, 3
+        ), rowm AS (SELECT feat, v, sum(o) AS r FROM cells GROUP BY 1, 2),
+        colm AS (SELECT feat, l, sum(o) AS c FROM cells GROUP BY 1, 2),
+        tot AS (SELECT feat, sum(o) AS nn FROM cells GROUP BY 1),
+        grid AS (
+          SELECT rowm.feat, rowm.v, colm.l, rowm.r, colm.c, tot.nn,
+                 coalesce(cells.o, 0) AS o
+          FROM rowm JOIN colm USING (feat) JOIN tot USING (feat)
+          LEFT JOIN cells ON cells.feat = rowm.feat AND cells.v = rowm.v
+                          AND cells.l = colm.l
+        ), agg AS (
+          SELECT feat,
+                 sum(CAST(round((CAST(o AS DOUBLE) - CAST(r AS DOUBLE)
+                                 * CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+                                * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE)
+                                   * CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+                                / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                                   / CAST(nn AS DOUBLE)) * 1e9)
+                          AS HUGEINT)) AS t,
+                 count(DISTINCT v) AS nv, count(DISTINCT l) AS nl,
+                 any_value(nn) AS nn
+          FROM grid GROUP BY feat
+        )
+        SELECT feat AS feature, round(CAST(t AS DOUBLE) / 1e9, 6) AS chi2,
+               round(CASE WHEN CAST(least(nv, nl) AS DOUBLE) - 1.0 > 0
+                 THEN sqrt(CAST(t AS DOUBLE) / 1e9 / CAST(nn AS DOUBLE)
+                           / (CAST(least(nv, nl) AS DOUBLE) - 1.0)) END,
+                 6) AS v,
+               CAST((nv - 1) * (nl - 1) AS BIGINT) AS dof,
+               CAST(nn AS BIGINT) AS n
+        FROM agg
+        """,
+        "q_sprt": """
+        WITH c AS (
+          SELECT CAST(round(ln(0.55 / 0.4) * 1e9) AS BIGINT) AS c1,
+                 CAST(round(ln((1.0 - 0.55) / (1.0 - 0.4)) * 1e9)
+                      AS BIGINT) AS c2,
+                 CAST(round(ln((1.0 - 0.2) / 0.05) * 1e9) AS BIGINT) AS an,
+                 CAST(round(ln(0.2 / (1.0 - 0.05)) * 1e9) AS BIGINT) AS bn
+        ), s AS (
+          SELECT o_orderpriority AS arm, o_orderkey AS o,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders WHERE o_orderstatus IS NOT NULL
+        ), staged AS (
+          SELECT arm,
+                 count(*) OVER w AS t, sum(y) OVER w AS k
+          FROM s
+          WINDOW w AS (PARTITION BY arm ORDER BY o, y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), llr AS (
+          SELECT arm, t, k, k * c.c1 + (t - k) * c.c2 AS llr
+          FROM staged, c
+        ), marked AS (
+          SELECT arm, t, k, llr,
+                 CASE WHEN llr >= c.an THEN 'accept_h1'
+                      WHEN llr <= c.bn THEN 'accept_h0' END AS dec
+          FROM llr, c
+        )
+        SELECT arm, CAST(max(t) AS BIGINT) AS n,
+               CAST(max(k) AS BIGINT) AS conversions,
+               round(CAST(arg_max(llr, t) AS DOUBLE) / 1e9, 6) AS llr_final,
+               coalesce(arg_min(dec, CASE WHEN dec IS NOT NULL THEN t END),
+                        'continue') AS decision,
+               CAST(min(CASE WHEN dec IS NOT NULL THEN t END) AS BIGINT)
+                 AS n_at_decision
+        FROM marked GROUP BY arm
+        """,
+        "q_calinski": """
+        WITH rows_ AS (
+          SELECT label AS g, generate_subscripts(embedding, 1) AS j,
+                 CAST(CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+                           AS BIGINT) AS HUGEINT) AS xq
+          FROM embeddings WHERE label IS NOT NULL
+        ), per AS (
+          SELECT g, j, count(*) AS n, sum(xq) AS s, sum(xq * xq) AS q
+          FROM rows_ GROUP BY g, j
+        ), per_j AS (
+          SELECT j, sum(n) AS nj, sum(s) AS sj, sum(q) AS qj,
+                 sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                / CAST(n AS DOUBLE) * 1e3) AS HUGEINT)) AS pj,
+                 count(*) AS kj
+          FROM per GROUP BY j
+        ), agg AS (
+          SELECT any_value(nj) AS n, any_value(kj) AS k,
+                 sum(qj * 1000) AS q3, sum(pj) AS p3,
+                 sum(CAST(round(CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+                                / CAST(nj AS DOUBLE) * 1e3) AS HUGEINT)) AS g3
+          FROM per_j
+        )
+        SELECT round(CASE WHEN k >= 2 AND n > k
+                       AND CAST(q3 AS DOUBLE) - CAST(p3 AS DOUBLE) > 0
+                     THEN ((CAST(p3 AS DOUBLE) - CAST(g3 AS DOUBLE))
+                           / (CAST(k AS DOUBLE) - 1.0))
+                          / ((CAST(q3 AS DOUBLE) - CAST(p3 AS DOUBLE))
+                             / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                     END, 6) AS ch,
+               CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n
+        FROM agg
         """,
         "q_brier": """
         WITH base AS (

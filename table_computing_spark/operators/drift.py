@@ -1450,3 +1450,203 @@ def friedman_test(
         F.lit(nb).cast("long").alias("n_blocks"),
         F.lit(n_total - nb).cast("long").alias("n_blocks_dropped"),
     )
+
+
+def cohens_d(
+    df: DataFrame,
+    in_group_a: Column,
+    metric_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohen's d and Hedges' g standardized effect sizes (Cohen 1969 /
+    Hedges 1981, public) — the magnitude readout welch_ttest's p-value
+    deliberately is not (at 100 TB row counts EVERYTHING is
+    significant; d says whether it matters):
+
+        d = (mean_a − mean_b) / s_pooled
+        s_pooled² = ((n_a−1)s_a² + (n_b−1)s_b²) / (n_a+n_b−2)
+        g = d · (1 − 3/(4ν − 1)),  ν = n_a+n_b−2   (small-sample fix)
+
+    `metric_col` must be INTEGER-exact (cents, counts — the
+    welch_ttest contract): per-arm (n, Σx, Σx²) stay DECIMAL(38,0);
+    d/g are fixed-order double arithmetic, rounded once. NULL when
+    either arm has < 2 rows or s_pooled = 0. Output one row:
+    (d, g, mean_a, mean_b, n_a, n_b)."""
+    dec = "decimal(38,0)"
+    s = df.select(
+        in_group_a.cast("int").alias("__a"), metric_col.cast(dec).alias("__x")
+    ).filter(F.col("__a").isNotNull() & F.col("__x").isNotNull())
+    per = s.groupBy("__a").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__q"),
+    )
+    a = per.filter(F.col("__a") == 1).select(
+        F.col("__n").alias("n_a"), F.col("__s").alias("__sa"), F.col("__q").alias("__qa")
+    )
+    b = per.filter(F.col("__a") == 0).select(
+        F.col("__n").alias("n_b"), F.col("__s").alias("__sb"), F.col("__q").alias("__qb")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("__sa").cast("double") / na
+    mb = F.col("__sb").cast("double") / nb
+    ssa = F.col("__qa").cast("double") - F.col("__sa").cast("double") * F.col(
+        "__sa"
+    ).cast("double") / na
+    ssb = F.col("__qb").cast("double") - F.col("__sb").cast("double") * F.col(
+        "__sb"
+    ).cast("double") / nb
+    nu = na + nb - 2.0
+    sp = F.sqrt((ssa + ssb) / nu)
+    d = F.when(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (sp > 0), (ma - mb) / sp
+    )
+    g = d * (1.0 - 3.0 / (4.0 * nu - 1.0))
+    return j.select(
+        F.round(d, round_to).alias("d"),
+        F.round(g, round_to).alias("g"),
+        F.round(ma, round_to).alias("mean_a"),
+        F.round(mb, round_to).alias("mean_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    feature_col: str,
+    value_col: Column,
+    label_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cramér's V effect size per feature (Cramér 1946, public) — the
+    [0, 1]-normalized companion of chi2_screen's test statistic (chi2
+    grows with n; V says how STRONG the dependence is regardless of
+    volume):
+
+        V = sqrt( (χ²/n) / (min(r, c) − 1) )
+
+    Same cell algebra and DECIMAL nano accumulation as chi2_screen
+    (cells enumerated from the marginal cross so O = 0 cells
+    contribute E); V is NULL for degenerate 1×c / r×1 tables. Output:
+    (feature, chi2, v, dof, n)."""
+    base = df.select(
+        F.col(feature_col).alias("feature"),
+        value_col.cast("string").alias("__v"),
+        label_col.cast("string").alias("__l"),
+    ).filter(F.col("__v").isNotNull() & F.col("__l").isNotNull())
+    cells = base.groupBy("feature", "__v", "__l").agg(
+        F.count(F.lit(1)).alias("__o")
+    )
+    rowm = cells.groupBy("feature", "__v").agg(F.sum("__o").alias("__r"))
+    colm = cells.groupBy("feature", "__l").agg(F.sum("__o").alias("__c"))
+    tot = cells.groupBy("feature").agg(F.sum("__o").alias("__n"))
+    grid = rowm.join(colm, "feature").join(tot, "feature").join(
+        cells, ["feature", "__v", "__l"], "left"
+    )
+    o = F.coalesce(F.col("__o"), F.lit(0)).cast("double")
+    e = F.col("__r").cast("double") * F.col("__c").cast("double") / F.col(
+        "__n"
+    ).cast("double")
+    term = F.round((o - e) * (o - e) / e * 1e9).cast("decimal(38,0)")
+    agg = grid.groupBy("feature").agg(
+        F.sum(term).alias("__t"),
+        F.count_distinct(F.col("__v")).alias("__nv"),
+        F.count_distinct(F.col("__l")).alias("__nl"),
+        F.first("__n").alias("__nn"),
+    )
+    chi2 = F.col("__t").cast("double") / 1e9
+    mind = F.least(F.col("__nv"), F.col("__nl")).cast("double") - 1.0
+    v = F.when(
+        mind > 0, F.sqrt(chi2 / F.col("__nn").cast("double") / mind)
+    )
+    return agg.select(
+        "feature",
+        F.round(chi2, round_to).alias("chi2"),
+        F.round(v, round_to).alias("v"),
+        ((F.col("__nv") - 1) * (F.col("__nl") - 1)).cast("long").alias("dof"),
+        F.col("__nn").cast("long").alias("n"),
+    )
+
+
+def sprt_bernoulli(
+    df: DataFrame,
+    arm_col: str,
+    order_col: Column,
+    convert_col: Column,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta_err: float = 0.2,
+) -> DataFrame:
+    """Wald's sequential probability ratio test per arm (Wald 1945,
+    public) — the early-stopping readout for streaming experiments and
+    rolling model evals: after each observation, the Bernoulli
+    log-likelihood ratio
+
+        LLR_t = k_t·ln(p1/p0) + (t − k_t)·ln((1−p1)/(1−p0))
+
+    is compared to A = ln((1−β)/α) (accept H1) and B = ln(β/(1−α))
+    (accept H0); the test stops at the FIRST crossing.
+
+    Engine-exactness: the two ln constants are driver doubles rounded
+    to integer nanos ONCE, so every LLR_t is an exact integer
+    (k·c1_nano + (t−k)·c2_nano) — no per-row float sum at all; the
+    crossing decision compares exact longs against nano thresholds.
+    Plan: one arm-partitioned ordered window (running count/sum — the
+    max_drawdown bounded-group shape; `order_col` plus the conversion
+    value break ties for a total order), then one hash aggregate
+    taking the earliest crossing via min_by. Output per arm:
+    (arm, n, conversions, llr_final, decision, n_at_decision) —
+    decision in {'accept_h1','accept_h0','continue'};
+    n_at_decision NULL when the test never stops."""
+    import math
+
+    from pyspark.sql.window import Window as W
+
+    c1 = int(round(math.log(p1 / p0) * 1e9))
+    c2 = int(round(math.log((1.0 - p1) / (1.0 - p0)) * 1e9))
+    a_n = int(round(math.log((1.0 - beta_err) / alpha) * 1e9))
+    b_n = int(round(math.log(beta_err / (1.0 - alpha)) * 1e9))
+    s = df.select(
+        F.col(arm_col).alias("arm"),
+        order_col.alias("__o"),
+        convert_col.cast("long").alias("__y"),
+    ).filter(F.col("__y").isNotNull())
+    w = W.partitionBy("arm").orderBy("__o", "__y").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    staged = s.select(
+        "arm",
+        F.count(F.lit(1)).over(w).alias("__t"),
+        F.sum("__y").over(w).alias("__k"),
+    ).select(
+        "arm",
+        "__t",
+        "__k",
+        (
+            F.col("__k") * F.lit(c1)
+            + (F.col("__t") - F.col("__k")) * F.lit(c2)
+        ).alias("__llr"),
+    )
+    crossed = F.when(F.col("__llr") >= a_n, F.lit("accept_h1")).when(
+        F.col("__llr") <= b_n, F.lit("accept_h0")
+    )
+    agg = staged.groupBy("arm").agg(
+        F.max("__t").alias("n"),
+        F.max("__k").alias("conversions"),
+        F.max_by("__llr", "__t").alias("__llr_final"),
+        F.min(F.when(crossed.isNotNull(), F.col("__t"))).alias("n_at_decision"),
+        F.min_by(crossed, F.when(crossed.isNotNull(), F.col("__t"))).alias(
+            "__dec"
+        ),
+    )
+    return agg.select(
+        "arm",
+        F.col("n").cast("long").alias("n"),
+        F.col("conversions").cast("long").alias("conversions"),
+        F.round(F.col("__llr_final").cast("double") / 1e9, 6).alias("llr_final"),
+        F.coalesce(F.col("__dec"), F.lit("continue")).alias("decision"),
+        F.col("n_at_decision").cast("long").alias("n_at_decision"),
+    )

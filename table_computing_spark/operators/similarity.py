@@ -1425,3 +1425,79 @@ def standardize_embeddings(
     j = rows.join(F.broadcast(stats), "j")
     z = F.when(var > 0, (F.col("__xq").cast("double") - mean) / F.sqrt(var))
     return j.select(id_col, "j", F.round(z, round_to).alias("z"))
+
+
+def calinski_harabasz(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Calinski–Harabasz clustering-quality index (Calinski & Harabasz
+    1974, public) — the variance-ratio companion of silhouette_score
+    (CH is O(n·dim) where silhouette needs pair distances; on a 100 TB
+    corpus CH is the one you can afford at full coverage):
+
+        CH = [B/(k−1)] / [W/(n−k)]
+        B  = Σ_g n_g·‖c_g − c‖²,   W = Σ_g Σ_{x∈g} ‖x − c_g‖²
+
+    which is exactly one-way ANOVA's F summed across vector
+    dimensions: per (cluster, dim) integer moments give
+    W = Σq − Σ_g S_g²/n_g and B = Σ_g S_g²/n_g − S²/n per dim.
+    Components micro-quantize to longs (round(x·1e6) — the
+    standardize_embeddings rule), moments accumulate in DECIMAL(38,0),
+    per-(dim, group) projection terms are fixed-order doubles
+    nano-rounded before the (k·dim)-row sum. The 1e12 quantization
+    scale cancels in the B/W ratio. NULL when k < 2, n ≤ k, or W = 0.
+    Output one row: (ch, k, n)."""
+    dec = "decimal(38,0)"
+    rows = df.select(
+        F.col(label_col).alias("__g"),
+        F.posexplode(F.col(vec_col)).alias("__j", "__x"),
+    ).select(
+        "__g",
+        "__j",
+        F.round(F.col("__x").cast("double") * 1e6).cast("long").alias("__xq"),
+    ).filter(F.col("__g").isNotNull() & F.col("__xq").isNotNull())
+    per = rows.groupBy("__g", "__j").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__xq").cast(dec)).alias("__s"),
+        F.sum(F.col("__xq").cast(dec) * F.col("__xq").cast(dec)).alias("__q"),
+    )
+    proj = F.round(
+        F.col("__s").cast("double") * F.col("__s").cast("double")
+        / F.col("__n").cast("double") * 1e3
+    ).cast(dec)  # milli-staged: terms are (1e6-scaled)² ≈ 1e12·moment
+    per_j = per.groupBy("__j").agg(
+        F.sum("__n").alias("__nj"),
+        F.sum("__s").alias("__sj"),
+        F.sum("__q").alias("__qj"),
+        F.sum(proj).alias("__pj"),
+        F.count(F.lit(1)).alias("__kj"),
+    )
+    gproj = F.round(
+        F.col("__sj").cast("double") * F.col("__sj").cast("double")
+        / F.col("__nj").cast("double") * 1e3
+    ).cast(dec)
+    agg = per_j.select(
+        "__nj", "__kj", "__qj", "__pj", gproj.alias("__gp")
+    ).agg(
+        F.first("__nj").alias("__n"),  # rows per dim == corpus size
+        F.first("__kj").alias("__k"),
+        F.sum(F.col("__qj").cast(dec) * F.lit(1000).cast(dec)).alias("__q3"),
+        F.sum("__pj").alias("__p3"),
+        F.sum("__gp").alias("__g3"),
+    )
+    nd = F.col("__n").cast("double")
+    kd = F.col("__k").cast("double")
+    w = F.col("__q3").cast("double") - F.col("__p3").cast("double")
+    b = F.col("__p3").cast("double") - F.col("__g3").cast("double")
+    ch = (b / (kd - 1.0)) / (w / (nd - kd))
+    return agg.select(
+        F.round(
+            F.when((F.col("__k") >= 2) & (F.col("__n") > F.col("__k")) & (w > 0), ch),
+            round_to,
+        ).alias("ch"),
+        F.col("__k").cast("long").alias("k"),
+        F.col("__n").cast("long").alias("n"),
+    )

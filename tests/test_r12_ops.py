@@ -527,3 +527,83 @@ def test_brier_logloss_hand_computed(spark):
     assert r["brier"] == round(0.25 / 3, 6)
     want = (-math.log(0.95) - math.log(0.95) - math.log(0.5)) / 3
     assert abs(r["logloss"] - want) < 2e-6
+
+
+# --------------------------------------------------------------- r12d
+
+
+def test_cohens_d_hand_computed(spark):
+    """A=[1,2,3] vs B=[4,5,6]: pooled s² = (2+2)/4 = 1 → d = −3;
+    g = d·(1 − 3/15) = −2.4."""
+    from table_computing_spark.operators.drift import cohens_d
+
+    rows = [(True, 1), (True, 2), (True, 3), (False, 4), (False, 5), (False, 6)]
+    df = spark.createDataFrame(rows, "a boolean, x int")
+    r = cohens_d(df, F.col("a"), F.col("x")).collect()[0]
+    assert r["d"] == -3.0 and r["g"] == -2.4
+    assert (r["mean_a"], r["mean_b"], r["n_a"], r["n_b"]) == (2.0, 5.0, 3, 3)
+
+
+def test_cohens_d_degenerate_null(spark):
+    """Constant values in both arms → s_pooled = 0 → NULL d."""
+    from table_computing_spark.operators.drift import cohens_d
+
+    df = spark.createDataFrame(
+        [(True, 5), (True, 5), (False, 9), (False, 9)], "a boolean, x int"
+    )
+    assert cohens_d(df, F.col("a"), F.col("x")).collect()[0]["d"] is None
+
+
+def test_cramers_v_perfect_and_independent(spark):
+    """Perfect 2×2 dependence → χ² = n → V = 1; independence → V = 0."""
+    from table_computing_spark.operators.drift import cramers_v
+
+    rows = [("dep", "a", "x")] * 20 + [("dep", "b", "y")] * 20
+    rows += [("ind", v, l) for v in ("a", "b") for l in ("x", "y") for _ in range(10)]
+    df = spark.createDataFrame(rows, "feature string, v string, l string")
+    out = {r["feature"]: r for r in
+           cramers_v(df, "feature", F.col("v"), F.col("l")).collect()}
+    assert out["dep"]["v"] == 1.0 and out["dep"]["chi2"] == 40.0
+    assert out["ind"]["v"] == 0.0 and out["ind"]["chi2"] == 0.0
+
+
+def test_sprt_crossings_and_continue(spark):
+    """All conversions → LLR walks up by ln(p1/p0) per row and crosses
+    A; all failures → crosses B; a short balanced arm continues."""
+    import math
+
+    from table_computing_spark.operators.drift import sprt_bernoulli
+
+    rows = [("up", i, 1) for i in range(40)]
+    rows += [("down", i, 0) for i in range(40)]
+    rows += [("flat", 0, 1), ("flat", 1, 0)]
+    df = spark.createDataFrame(rows, "arm string, o int, y int")
+    out = {r["arm"]: r for r in sprt_bernoulli(
+        df, "arm", F.col("o"), F.col("y") == 1,
+        p0=0.4, p1=0.55, alpha=0.05, beta_err=0.2).collect()}
+    assert out["up"]["decision"] == "accept_h1"
+    c1 = round(math.log(0.55 / 0.4) * 1e9)
+    a_n = round(math.log(0.8 / 0.05) * 1e9)
+    assert out["up"]["n_at_decision"] == math.ceil(a_n / c1)
+    assert out["down"]["decision"] == "accept_h0"
+    assert out["flat"]["decision"] == "continue"
+    assert out["flat"]["n_at_decision"] is None
+
+
+def test_calinski_harabasz_separated_vs_mixed(spark):
+    """Two tight, well-separated clusters score far higher than the
+    same points with shuffled labels; hand check on a 1-D case:
+    A={0,2}, B={10,12}: W = 2+2 = 4, B = 2·25+2·25 = 100,
+    CH = (100/1)/(4/2) = 50."""
+    from table_computing_spark.operators.similarity import calinski_harabasz
+
+    rows = [(0, [0.0]), (0, [2.0]), (1, [10.0]), (1, [12.0])]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    r = calinski_harabasz(df, "label").collect()[0]
+    assert r["ch"] == 50.0 and (r["k"], r["n"]) == (2, 4)
+    mixed = spark.createDataFrame(
+        [(0, [0.0]), (1, [2.0]), (0, [10.0]), (1, [12.0])],
+        "label int, embedding array<float>",
+    )
+    rm = calinski_harabasz(mixed, "label").collect()[0]
+    assert rm["ch"] < 0.1  # shuffled labels → almost no between-variance
