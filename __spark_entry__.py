@@ -6325,6 +6325,41 @@ def q_textrank(spark, sf_dir):
     )
 
 
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test per event type
+    (temporal.mann_kendall_grouped) over hourly counts — the
+    significance companion of q_theil_sen's slope, computed on the r12
+    inversion-count machinery (S = C − D against time; never the pair
+    join). (New r12e.)"""
+    from table_computing_spark.operators.temporal import mann_kendall_grouped
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type",
+        F.floor(tcf.epoch_ms("ts") / 3600000).cast("long").alias("hr"),
+    )
+    series = ev.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("n"))
+    return mann_kendall_grouped(series, "event_type", F.col("hr"), F.col("n"))
+
+
+def q_by_fdr(spark, sf_dir):
+    """Benjamini-Yekutieli FDR (drift.bh_fdr method='by') over the
+    q_bh_fdr p-value batch — the arbitrary-dependence variant with the
+    exact nano-integer harmonic factor. (New r12e.)"""
+    from table_computing_spark.operators.drift import bh_fdr
+
+    p = _t(spark, sf_dir, "part").df
+    u = (
+        F.conv(F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000003
+    ).cast("double") / F.lit(1000003.0)
+    return bh_fdr(
+        p.select("p_partkey", (u * u).alias("pv")), "p_partkey", F.col("pv"),
+        alpha=0.05,
+        method="by",
+    )
+
+
 def q_cohens_d(spark, sf_dir):
     """Cohen's d / Hedges' g (drift.cohens_d) of line price-cents,
     open vs finished lines — the effect-size readout next to
@@ -7473,6 +7508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cramers_v": q_cramers_v,
         "q_sprt": q_sprt,
         "q_calinski": q_calinski,
+        "q_mann_kendall": q_mann_kendall,
+        "q_by_fdr": q_by_fdr,
     }
     return {**window_50, **tail}
 
@@ -13973,6 +14010,85 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node AS word, round(rank_nano / 1e9, 9) AS rank
         FROM r3 ORDER BY rank DESC, word LIMIT 20
+        """,
+        "q_mann_kendall": """
+        WITH series AS (
+          SELECT event_type AS g, CAST(epoch_ms(ts) // 3600000 AS DOUBLE) AS x,
+                 CAST(count(*) AS DOUBLE) AS y
+          FROM events GROUP BY event_type, epoch_ms(ts) // 3600000
+        ), p AS (
+          SELECT a.g, sign(a.x - c.x) AS sx, sign(a.y - c.y) AS sy
+          FROM series a JOIN series c ON a.g = c.g AND a.x < c.x
+        ), cntd AS (
+          SELECT g,
+                 sum(CASE WHEN sx <> 0 AND sy <> 0 AND sx = sy
+                          THEN 1 ELSE 0 END) AS concordant,
+                 sum(CASE WHEN sx <> 0 AND sy <> 0 AND sx <> sy
+                          THEN 1 ELSE 0 END) AS discordant
+          FROM p GROUP BY g
+        ), ni AS (SELECT g, count(*) AS n FROM series GROUP BY g),
+        ties AS (
+          SELECT g, sum(CAST(c AS HUGEINT) * (c - 1) * (2 * c + 5)) AS tt
+          FROM (SELECT g, y, count(*) AS c FROM series GROUP BY g, y)
+          GROUP BY g
+        ), j AS (
+          SELECT ni.g, ni.n,
+                 coalesce(concordant, 0) - coalesce(discordant, 0) AS s,
+                 coalesce(tt, 0) AS tt
+          FROM ni LEFT JOIN cntd USING (g) LEFT JOIN ties USING (g)
+        ), v AS (
+          SELECT g, n, s,
+                 CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tt
+                      AS DOUBLE) / 18.0 AS var
+          FROM j
+        )
+        SELECT g AS "group", CAST(n AS BIGINT) AS n_points,
+               CAST(s AS BIGINT) AS s,
+               round(CASE WHEN n >= 2 AND var > 0 THEN
+                 CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var)
+                      WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var)
+                      ELSE 0.0 END END, 6) AS z
+        FROM v
+        """,
+        "q_by_fdr": """
+        WITH u0 AS (
+          SELECT p_partkey AS id,
+                 CAST(CAST('0x' || substring(md5(CAST(p_partkey AS VARCHAR)),
+                                             1, 8) AS BIGINT)
+                      % 1000003 AS DOUBLE) / 1000003.0 AS u
+          FROM part
+        ), base AS (
+          SELECT id, u * u AS p_value FROM u0 WHERE u IS NOT NULL
+        ), ranked AS (
+          SELECT id, p_value,
+                 row_number() OVER (ORDER BY p_value, id) AS bh_rank,
+                 count(*) OVER () AS m
+          FROM base
+        ), hm AS (
+          SELECT CAST(sum(CAST(round(1e9 / CAST(bh_rank AS DOUBLE))
+                               AS BIGINT)) AS BIGINT) AS h
+          FROM ranked
+        ), staged AS (
+          SELECT id, p_value, bh_rank,
+                 CAST(m AS DOUBLE) * (CAST(h AS DOUBLE) / 1e9) * p_value
+                   / CAST(bh_rank AS DOUBLE) AS praw,
+                 CASE WHEN p_value * CAST(m AS DOUBLE)
+                             * (CAST(h AS DOUBLE) / 1e9)
+                           <= CAST(bh_rank AS DOUBLE) * 0.05
+                      THEN 1 ELSE 0 END AS ok
+          FROM ranked, hm
+        ), suff AS (
+          SELECT *,
+                 min(praw) OVER (ORDER BY bh_rank
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS minp,
+                 max(ok) OVER (ORDER BY bh_rank
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS anyok
+          FROM staged
+        )
+        SELECT id, p_value, CAST(bh_rank AS BIGINT) AS bh_rank,
+               round(least(1.0, minp), 9) AS p_adj,
+               anyok = 1 AS rejected
+        FROM suff
         """,
         "q_cohens_d": """
         WITH s AS (

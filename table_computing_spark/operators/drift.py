@@ -825,6 +825,7 @@ def bh_fdr(
     p_col: Column,
     alpha: float = 0.05,
     round_to: int = 9,
+    method: str = "bh",
 ) -> DataFrame:
     """Benjamini–Hochberg false-discovery-rate control (Benjamini &
     Hochberg 1995, public) over a table of per-test p-values — the
@@ -846,8 +847,19 @@ def bh_fdr(
     bit-for-bit before the final round. Ties on p are ordered by id —
     ranks differ but BOTH the threshold rule and the suffix-min make
     the outputs tie-invariant. Output: (id, p_value, bh_rank, p_adj,
-    rejected)."""
+    rejected).
+
+    method="by" switches to Benjamini–Yekutieli (2001): the same
+    step-up rule with the threshold and adjustment inflated by the
+    harmonic factor c(m) = Σ_{i≤m} 1/i — valid under ARBITRARY
+    dependence between the tests (BH assumes positive dependence).
+    c(m) is computed as an exact nano-integer sum over a distributed
+    range (round(1e9/i) per i — both engines produce the identical
+    long), never a float accumulation."""
     from table_computing_spark.operators.prefix import prefix_agg
+
+    if method not in ("bh", "by"):
+        raise ValueError(f"bh_fdr: unknown method {method!r}; use bh|by")
 
     base = df.select(
         F.col(id_col).alias("id"), p_col.cast("double").alias("p_value")
@@ -861,14 +873,37 @@ def bh_fdr(
     ).select(
         "id", "p_value", (F.col("__rk0") + 1).cast("long").alias("bh_rank")
     ).crossJoin(F.broadcast(m))
+    if method == "by":
+        # ranks are exactly 1..m, so the harmonic sum is one aggregate
+        # over the ranked table — an exact nano-integer in both engines
+        hm = (
+            ranked.agg(
+                F.sum(
+                    F.round(F.lit(1e9) / F.col("bh_rank")).cast("long")
+                ).alias("h")
+            ).collect()[0]["h"]
+            or 0
+        )
+        cfac = hm / 1e9  # one division, mirrored by the oracle
+    else:
+        cfac = 1.0
     staged = ranked.select(
         "id",
         "p_value",
         "bh_rank",
-        (F.col("__m").cast("double") * F.col("p_value") / F.col("bh_rank").cast("double")).alias("__praw"),
         (
-            F.col("p_value") * F.col("__m").cast("double")
-            <= F.col("bh_rank").cast("double") * F.lit(float(alpha))
+            (F.col("__m").cast("double") * F.lit(cfac) * F.col("p_value")
+             / F.col("bh_rank").cast("double"))
+            if method == "by"
+            else (F.col("__m").cast("double") * F.col("p_value")
+                  / F.col("bh_rank").cast("double"))
+        ).alias("__praw"),
+        (
+            (F.col("p_value") * F.col("__m").cast("double") * F.lit(cfac)
+             <= F.col("bh_rank").cast("double") * F.lit(float(alpha)))
+            if method == "by"
+            else (F.col("p_value") * F.col("__m").cast("double")
+                  <= F.col("bh_rank").cast("double") * F.lit(float(alpha)))
         ).cast("int").alias("__ok"),
     )
     suff = prefix_agg(

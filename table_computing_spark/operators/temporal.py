@@ -1860,3 +1860,82 @@ def holt_linear(
         F.round("trend", round_to).alias("trend"),
         F.round("forecast", round_to).alias("forecast"),
     )
+
+
+def mann_kendall_grouped(
+    df: DataFrame,
+    group_col: str,
+    order_col: Column,
+    value_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mann–Kendall trend test per key (Mann 1945 / Kendall 1975,
+    public) — the significance companion of theil_sen_grouped (Sen
+    gives the slope, MK says whether a monotone trend EXISTS, with no
+    distribution assumption):
+
+        S = Σ_{i<j} sign(x_j − x_i)      (time-ordered pairs)
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+        z = (S−1)/σ if S>0, 0 if S=0, (S+1)/σ if S<0   (continuity)
+
+    S is exactly concordant − discordant of Kendall's tau against
+    time, so it reuses the r12 inversion-count machinery
+    (`evaluation._kendall_counts_sorted` — O(g log² g) vectorized
+    merge rounds batched whole-key per Arrow call; never the O(g²)
+    pair join). The tie term needs run SIZES, not pair counts: one
+    extra (key, value) hash aggregate supplies Σ t(t−1)(2t+5) in
+    DECIMAL(38,0). `order_col` must be UNIQUE per key (the classical
+    no-time-ties assumption; the variance formula above is only valid
+    then — duplicate timestamps should be pre-aggregated, as every
+    series query here does). z is NULL below 2 points or when
+    Var = 0 (all values tied). Output:
+    (group, n_points, s, z)."""
+    from table_computing_spark.operators.evaluation import (
+        _kendall_counts_sorted,
+    )
+
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        order_col.cast("double").alias("__x"),
+        value_col.cast("double").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull()).withColumn(
+        "__it", F.col("__x")
+    )
+    counts = _kendall_counts_sorted(base)
+    ties = (
+        base.groupBy("__g", "__y")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("__g")
+        .agg(
+            F.sum(
+                F.col("__c").cast(dec)
+                * (F.col("__c") - 1).cast(dec)
+                * (F.lit(2).cast(dec) * F.col("__c").cast(dec) + F.lit(5).cast(dec))
+            ).alias("__tt")
+        )
+    )
+    j = counts.join(ties, "__g")
+    s = (F.col("concordant") - F.col("discordant")).cast("long")
+    n = F.col("n_items").cast(dec)
+    var = (
+        (
+            n * (n - F.lit(1).cast(dec))
+            * (F.lit(2).cast(dec) * n + F.lit(5).cast(dec))
+            - F.col("__tt")
+        ).cast("double")
+        / 18.0
+    )
+    sigma = F.sqrt(var)
+    z = F.when(
+        (F.col("n_items") >= 2) & (var > 0),
+        F.when(s > 0, (s.cast("double") - 1.0) / sigma)
+        .when(s < 0, (s.cast("double") + 1.0) / sigma)
+        .otherwise(F.lit(0.0)),
+    )
+    return j.select(
+        F.col("__g").alias("group"),
+        F.col("n_items").cast("long").alias("n_points"),
+        s.alias("s"),
+        F.round(z, round_to).alias("z"),
+    )

@@ -607,3 +607,65 @@ def test_calinski_harabasz_separated_vs_mixed(spark):
     )
     rm = calinski_harabasz(mixed, "label").collect()[0]
     assert rm["ch"] < 0.1  # shuffled labels → almost no between-variance
+
+
+# --------------------------------------------------------------- r12e
+
+
+def test_mann_kendall_monotone_flat_and_tied(spark):
+    """Strictly increasing n=5: S = 10, Var = 5·4·15/18 = 50/3,
+    z = 9/sqrt(50/3); strictly decreasing flips the sign exactly;
+    all-tied values → Var 0 → z NULL."""
+    import math
+
+    from table_computing_spark.operators.temporal import mann_kendall_grouped
+
+    rows = [("up", t, t * 2) for t in range(5)]
+    rows += [("down", t, 100 - 3 * t) for t in range(5)]
+    rows += [("tied", t, 7) for t in range(5)]
+    df = spark.createDataFrame(rows, "g string, t int, v int")
+    out = {r["group"]: r for r in mann_kendall_grouped(
+        df, "g", F.col("t"), F.col("v")).collect()}
+    assert out["up"]["s"] == 10 and out["down"]["s"] == -10
+    z = 9.0 / math.sqrt(5 * 4 * 15 / 18.0)
+    assert out["up"]["z"] == round(z, 6)
+    assert out["down"]["z"] == round(-z, 6)
+    assert out["tied"]["s"] == 0 and out["tied"]["z"] is None
+
+
+def test_mann_kendall_tie_correction(spark):
+    """Values [1, 1, 2]: S = 2 (two concordant, one tied pair);
+    Var = [3·2·11 − 2·1·9]/18 = 48/18; z = 1/sqrt(48/18)."""
+    import math
+
+    from table_computing_spark.operators.temporal import mann_kendall_grouped
+
+    df = spark.createDataFrame(
+        [("g", 0, 1), ("g", 1, 1), ("g", 2, 2)], "g string, t int, v int"
+    )
+    r = mann_kendall_grouped(df, "g", F.col("t"), F.col("v")).collect()[0]
+    assert r["s"] == 2
+    assert r["z"] == round(1.0 / math.sqrt(48 / 18.0), 6)
+
+
+def test_by_fdr_harmonic_inflation(spark):
+    """BY divides the effective alpha by c(m) = Σ1/i: with m = 4 and
+    p-values [.01, .02, .2, .9], BH at α=.2 rejects the first two
+    (p₂ = .02 ≤ 2·.05) while BY (c(4) ≈ 2.0833) rejects only under
+    the stiffer threshold; p_adj_by == p_adj_bh · c(m)."""
+    from table_computing_spark.operators.drift import bh_fdr
+
+    df = spark.createDataFrame(
+        [(1, 0.01), (2, 0.02), (3, 0.2), (4, 0.9)], "id int, p double"
+    )
+    bh = {r["id"]: r for r in bh_fdr(df, "id", F.col("p"), alpha=0.2).collect()}
+    by = {r["id"]: r for r in bh_fdr(
+        df, "id", F.col("p"), alpha=0.2, method="by").collect()}
+    c4 = (round(1e9 / 1) + round(1e9 / 2) + round(1e9 / 3) + round(1e9 / 4)) / 1e9
+    for i in (1, 2, 3):  # id 4 caps at 1.0 under both
+        assert abs(by[i]["p_adj"] - min(1.0, bh[i]["p_adj"] * c4)) < 1e-7
+    assert bh[1]["rejected"] and by[1]["rejected"]
+    assert bh[3]["rejected"] is False
+    # method guard
+    with pytest.raises(ValueError, match="unknown method"):
+        bh_fdr(df, "id", F.col("p"), method="zzz")
