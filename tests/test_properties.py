@@ -815,3 +815,266 @@ def test_pass_at_k_bounds_and_monotonicity(spark, groups):
                 assert v == 0.0
             if c == n:
                 assert v == 1.0
+
+
+# ------------------------------------------------------------------ r12 ops
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 30)),
+        min_size=4,
+        max_size=24,
+    ),
+)
+def test_kendall_sort_equals_pairs_property(spark, rows):
+    """The inversion-count path is bit-identical to the all-pairs
+    classification on ANY generated tie structure (property form of
+    the fixed adversarial pin)."""
+    from table_computing_spark.operators.evaluation import kendall_tau_grouped
+
+    df = spark.createDataFrame(
+        [(g, i, float(v), float((v * 7) % 11)) for i, (g, v) in enumerate(rows)],
+        "g string, it int, x double, y double",
+    )
+    args = (df, "g", "it", F.col("x"), F.col("y"))
+    srt = sorted(
+        (r["group"], r["n_items"], r["concordant"], r["discordant"], r["tau_b"])
+        for r in kendall_tau_grouped(*args, method="sort").collect()
+    )
+    prs = sorted(
+        (r["group"], r["n_items"], r["concordant"], r["discordant"], r["tau_b"])
+        for r in kendall_tau_grouped(*args, method="pairs").collect()
+    )
+    assert srt == prs
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["u", "v"]), st.integers(0, 15)),
+        min_size=4,
+        max_size=20,
+    ),
+)
+def test_kruskal_wallis_monotone_invariance(spark, rows):
+    """A rank test must be invariant under any strictly monotone value
+    transform: H(x) == H(3x + 7) exactly."""
+    from table_computing_spark.operators.drift import kruskal_wallis
+
+    df = spark.createDataFrame(rows, "g string, v int")
+    h1 = kruskal_wallis(df, "g", F.col("v")).collect()[0]
+    h2 = kruskal_wallis(
+        df.select("g", (F.col("v") * 3 + 7).alias("v")), "g", F.col("v")
+    ).collect()[0]
+    assert (h1["h"], h1["h_adj"], h1["n"]) == (h2["h"], h2["h_adj"], h2["n"])
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["u", "v"]), st.integers(-20, 20)),
+        min_size=4,
+        max_size=20,
+    ),
+)
+def test_anova_f_translation_invariance(spark, rows):
+    """F is invariant under a common shift: F(x) == F(x + 13)."""
+    from table_computing_spark.operators.drift import anova_f
+
+    df = spark.createDataFrame(rows, "g string, v int")
+    f1 = anova_f(df, "g", F.col("v")).collect()[0]
+    f2 = anova_f(
+        df.select("g", (F.col("v") + 13).alias("v")), "g", F.col("v")
+    ).collect()[0]
+    assert f1["f"] == f2["f"] and f1["n"] == f2["n"]
+
+
+@_SETTINGS
+@given(
+    vals=st.lists(st.integers(0, 40), min_size=2, max_size=25),
+)
+def test_page_hinkley_nonnegative_and_alarm_consistency(spark, vals):
+    """PH_t ≥ 0 always (m − running-min m); alarm ⇔ ph > λ at 6-decimal
+    resolution; a constant series never alarms."""
+    from table_computing_spark.operators.temporal import page_hinkley
+
+    df = spark.createDataFrame(
+        [("k", t, v) for t, v in enumerate(vals)], "g string, t int, v int"
+    )
+    out = page_hinkley(df, ["g"], "t", F.col("v"), lam=3.0).collect()
+    for r in out:
+        assert r["ph"] >= 0.0
+        # rounded readout vs exact alarm can only disagree inside half
+        # a micro of the threshold
+        if r["ph"] > 3.0 + 1e-6:
+            assert r["alarm"]
+        if r["ph"] < 3.0 - 1e-6:
+            assert not r["alarm"]
+    const = spark.createDataFrame(
+        [("k", t, 9) for t in range(6)], "g string, t int, v int"
+    )
+    assert all(
+        not r["alarm"]
+        for r in page_hinkley(const, ["g"], "t", F.col("v"), lam=0.001).collect()
+    )
+
+
+@_SETTINGS
+@given(
+    counts=st.lists(st.integers(1, 50), min_size=1, max_size=5),
+    alpha=st.sampled_from([0.3, 0.5, 1.0]),
+)
+def test_temperature_weights_simplex_and_direction(spark, counts, alpha):
+    """q sums to 1 (±nano staging); α < 1 boosts every below-average
+    group (boost ≥ 1 iff p_raw ≤ max share); α = 1 is proportional."""
+    from table_computing_spark.operators.sampling import temperature_weights
+
+    rows = [(f"g{i}",) for i, c in enumerate(counts) for _ in range(c)]
+    df = spark.createDataFrame(rows, "lang string")
+    out = temperature_weights(df, "lang", alpha=alpha).collect()
+    assert abs(sum(r["p_sampled"] for r in out) - 1.0) < 1e-5
+    if alpha == 1.0:
+        for r in out:
+            assert abs(r["boost"] - 1.0) < 1e-5
+    else:
+        smallest = min(out, key=lambda r: r["n"])
+        largest = max(out, key=lambda r: r["n"])
+        assert smallest["boost"] >= largest["boost"] - 1e-9
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(st.tuples(st.booleans(), st.booleans()), min_size=2, max_size=30),
+)
+def test_matthews_swap_symmetry_and_bounds(spark, rows):
+    """|MCC| ≤ 1; swapping label and prediction roles leaves MCC
+    unchanged (the confusion matrix transposes, the formula is
+    symmetric in FP↔FN)."""
+    from table_computing_spark.operators.evaluation import matthews_corr
+
+    df = spark.createDataFrame(rows, "y boolean, p boolean")
+    m1 = matthews_corr(df, F.col("y"), F.col("p")).collect()[0]["mcc"]
+    m2 = matthews_corr(df, F.col("p"), F.col("y")).collect()[0]["mcc"]
+    assert m1 == m2
+    if m1 is not None:
+        assert -1.0 <= m1 <= 1.0
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 5), st.sampled_from(["r1", "r2", "r3"]),
+                  st.sampled_from(["x", "y"])),
+        min_size=2,
+        max_size=25,
+    ),
+)
+def test_krippendorff_rater_permutation_invariance(spark, rows):
+    """alpha ignores WHICH rater said what — permuting rater ids never
+    changes it; alpha ≤ 1 always."""
+    from table_computing_spark.operators.evaluation import krippendorff_alpha
+
+    dedup = {(u, r): c for u, r, c in rows}  # one rating per (unit, rater)
+    rows = [(u, r, c) for (u, r), c in dedup.items()]
+    df = spark.createDataFrame(rows, "u int, r string, c string")
+    perm = {"r1": "r3", "r2": "r1", "r3": "r2"}
+    df2 = spark.createDataFrame(
+        [(u, perm[r], c) for u, r, c in rows], "u int, r string, c string"
+    )
+    a1 = krippendorff_alpha(df, "u", "r", F.col("c")).collect()
+    a2 = krippendorff_alpha(df2, "u", "r", F.col("c")).collect()
+    v1 = a1[0]["alpha"] if a1 else None
+    v2 = a2[0]["alpha"] if a2 else None
+    assert v1 == v2
+    if v1 is not None:
+        assert v1 <= 1.0
+
+
+@_SETTINGS
+@given(
+    vals=st.lists(st.integers(0, 100), min_size=3, max_size=15),
+)
+def test_theil_sen_affine_equivariance(spark, vals):
+    """slope(a·x + b over t) == a·slope(x over t) + 0 when x IS the
+    series; with x = 2t+c the slope is exactly 2; adding a constant
+    never changes the slope."""
+    from table_computing_spark.operators.temporal import theil_sen_grouped
+
+    rows = [("k", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t int, v int")
+    s1 = theil_sen_grouped(df, ["k"], F.col("t"), F.col("v")).collect()[0]["slope"]
+    df2 = spark.createDataFrame(
+        [("k", t, v + 55) for t, v in enumerate(vals)], "k string, t int, v int"
+    )
+    s2 = theil_sen_grouped(df2, ["k"], F.col("t"), F.col("v")).collect()[0]["slope"]
+    assert s1 == s2
+
+
+@_SETTINGS
+@given(
+    vals=st.lists(st.integers(-30, 30), min_size=3, max_size=15),
+)
+def test_mann_kendall_antisymmetry(spark, vals):
+    """Negating the series flips S and z exactly; |S| ≤ n(n−1)/2."""
+    from table_computing_spark.operators.temporal import mann_kendall_grouped
+
+    df = spark.createDataFrame(
+        [("k", t, v) for t, v in enumerate(vals)], "k string, t int, v int"
+    )
+    neg = spark.createDataFrame(
+        [("k", t, -v) for t, v in enumerate(vals)], "k string, t int, v int"
+    )
+    r1 = mann_kendall_grouped(df, "k", F.col("t"), F.col("v")).collect()[0]
+    r2 = mann_kendall_grouped(neg, "k", F.col("t"), F.col("v")).collect()[0]
+    n = len(vals)
+    assert r1["s"] == -r2["s"] and abs(r1["s"]) <= n * (n - 1) // 2
+    if r1["z"] is not None:
+        assert r2["z"] is not None and abs(r1["z"] + r2["z"]) < 2e-6
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 10), st.booleans()),
+                  min_size=2, max_size=30),
+)
+def test_brier_bounds_and_perfect_scores(spark, rows):
+    """0 ≤ brier ≤ 1; a perfect hard scorer has brier 0 and the
+    minimal clamped logloss."""
+    import math
+
+    from table_computing_spark.operators.classify import brier_logloss
+
+    df = spark.createDataFrame(
+        [(s, int(y)) for s, y in rows], "s int, y int"
+    )
+    r = brier_logloss(df, "s", 10, "y").collect()[0]
+    assert 0.0 <= r["brier"] <= 1.0 and r["logloss"] >= 0.0
+    perfect = spark.createDataFrame(
+        [(10 * int(y), int(y)) for _, y in rows], "s int, y int"
+    )
+    rp = brier_logloss(perfect, "s", 10, "y").collect()[0]
+    assert rp["brier"] == 0.0
+    assert abs(rp["logloss"] - (-math.log(0.95))) < 2e-6
+
+
+@_SETTINGS
+@given(
+    ranks=st.permutations(list(range(1, 6))),
+)
+def test_rbo_self_similarity_and_range(spark, ranks):
+    """RBO(A, A) == 1 for any permutation; RBO against a disjoint list
+    is 0; always within [0, 1]."""
+    from table_computing_spark.operators.evaluation import rbo_overlap
+
+    a = spark.createDataFrame(
+        [(1, f"i{i}", r) for i, r in enumerate(ranks)], "q int, it string, rank int"
+    )
+    self_r = rbo_overlap(a, a, "q", "it", "rank", k=5, p=0.8).collect()[0]
+    assert self_r["rbo"] == 1.0
+    b = spark.createDataFrame(
+        [(1, f"z{i}", r) for i, r in enumerate(ranks)], "q int, it string, rank int"
+    )
+    dis = rbo_overlap(a, b, "q", "it", "rank", k=5, p=0.8).collect()[0]
+    assert dis["rbo"] == 0.0
