@@ -6325,6 +6325,54 @@ def q_textrank(spark, sf_dir):
     )
 
 
+def q_stream_sprt(spark, sf_dir):
+    """Streaming maintained SPRT monitor: per-arm (trials,
+    conversions) counts merge into persisted state micro-batch by
+    micro-batch (matview.stream_maintain_agg — counts are
+    self-maintainable); the LLR position and the decision the test
+    would take NOW are computed AT READ TIME (drift.sprt_from_counts)
+    — the q_stream_eval maintained/at-read decomposition applied to
+    experiment early-stopping. Counts cannot recover WHEN a boundary
+    was first touched (that is batch q_sprt's job); the monitor
+    answers 'should we stop now'. Oracle: the full-batch counts
+    through the same formula — MV correctness. (New r12e.)"""
+    import tempfile
+
+    from table_computing_spark.operators.drift import sprt_from_counts
+    from table_computing_spark.streaming import matview
+
+    o = _t(spark, sf_dir, "orders").df.select(
+        F.col("o_orderpriority").alias("arm"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+        "o_orderkey",
+    )
+    base = tempfile.mkdtemp(prefix="tc_ssprt_")
+    src = os.path.join(base, "deltas")
+    for i in range(3):
+        o.where(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    sdf = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    ).select("arm", "y")
+    with _state_partitions(spark):
+        q = matview.stream_maintain_agg(
+            sdf,
+            ["arm"],
+            {"k": F.col("y")},
+            os.path.join(base, "state"),
+            os.path.join(base, "ckpt"),
+        )
+        _await_stream(q)
+    st = matview.read_state(spark, os.path.join(base, "state"))
+    return sprt_from_counts(
+        st, "arm", F.col("cnt"), F.col("k"), p0=0.4, p1=0.55,
+        alpha=0.05, beta_err=0.2,
+    )
+
+
 def q_mann_kendall(spark, sf_dir):
     """Mann-Kendall trend test per event type
     (temporal.mann_kendall_grouped) over hourly counts — the
@@ -7510,6 +7558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_calinski": q_calinski,
         "q_mann_kendall": q_mann_kendall,
         "q_by_fdr": q_by_fdr,
+        "q_stream_sprt": q_stream_sprt,
     }
     return {**window_50, **tail}
 
@@ -14010,6 +14059,27 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node AS word, round(rank_nano / 1e9, 9) AS rank
         FROM r3 ORDER BY rank DESC, word LIMIT 20
+        """,
+        "q_stream_sprt": """
+        WITH per AS (
+          SELECT o_orderpriority AS arm, count(*) AS n,
+                 sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS k
+          FROM orders GROUP BY 1
+        ), c AS (
+          SELECT CAST(round(ln(0.55 / 0.4) * 1e9) AS BIGINT) AS c1,
+                 CAST(round(ln((1.0 - 0.55) / (1.0 - 0.4)) * 1e9)
+                      AS BIGINT) AS c2,
+                 CAST(round(ln((1.0 - 0.2) / 0.05) * 1e9) AS BIGINT) AS an,
+                 CAST(round(ln(0.2 / (1.0 - 0.05)) * 1e9) AS BIGINT) AS bn
+        ), l AS (
+          SELECT arm, n, k, k * c.c1 + (n - k) * c.c2 AS llr FROM per, c
+        )
+        SELECT arm, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS conversions,
+               round(CAST(llr AS DOUBLE) / 1e9, 6) AS llr,
+               CASE WHEN llr >= (SELECT an FROM c) THEN 'accept_h1'
+                    WHEN llr <= (SELECT bn FROM c) THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM l
         """,
         "q_mann_kendall": """
         WITH series AS (

@@ -1685,3 +1685,55 @@ def sprt_bernoulli(
         F.coalesce(F.col("__dec"), F.lit("continue")).alias("decision"),
         F.col("n_at_decision").cast("long").alias("n_at_decision"),
     )
+
+
+def sprt_from_counts(
+    df: DataFrame,
+    arm_col: str,
+    n_col: Column,
+    k_col: Column,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta_err: float = 0.2,
+) -> DataFrame:
+    """The read-time half of a MAINTAINED sequential test: given
+    per-arm (trials n, successes k) counts — which are
+    self-maintainable streaming state — report the current Bernoulli
+    SPRT position and the decision the test would take NOW:
+
+        LLR = k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0))
+
+    This is sprt_bernoulli's statistic WITHOUT the ordered
+    first-crossing semantics (those need the full observation order;
+    counts can't recover WHEN a boundary was first touched — the
+    q_stream_topk maintained/at-read decomposition says: maintain the
+    counts, decide at read). Same exactness: ln constants nano-rounded
+    once, LLR an exact integer expression. Output per arm:
+    (arm, n, conversions, llr, decision)."""
+    import math
+
+    c1 = int(round(math.log(p1 / p0) * 1e9))
+    c2 = int(round(math.log((1.0 - p1) / (1.0 - p0)) * 1e9))
+    a_n = int(round(math.log((1.0 - beta_err) / alpha) * 1e9))
+    b_n = int(round(math.log(beta_err / (1.0 - alpha)) * 1e9))
+    base = df.select(
+        F.col(arm_col).alias("arm"),
+        n_col.cast("long").alias("n"),
+        k_col.cast("long").alias("conversions"),
+    )
+    llr = F.col("conversions") * F.lit(c1) + (
+        F.col("n") - F.col("conversions")
+    ) * F.lit(c2)
+    decision = (
+        F.when(llr >= a_n, F.lit("accept_h1"))
+        .when(llr <= b_n, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    return base.select(
+        "arm",
+        "n",
+        "conversions",
+        F.round(llr.cast("double") / 1e9, 6).alias("llr"),
+        decision.alias("decision"),
+    )

@@ -669,3 +669,28 @@ def test_by_fdr_harmonic_inflation(spark):
     # method guard
     with pytest.raises(ValueError, match="unknown method"):
         bh_fdr(df, "id", F.col("p"), method="zzz")
+
+
+def test_sprt_from_counts_matches_sequential_final_state(spark):
+    """The at-read half over final counts equals sprt_bernoulli's
+    final LLR (decision-at-now vs first-crossing: the 'up' arm crossed
+    long ago AND still reads accept_h1 from its counts)."""
+    from table_computing_spark.operators.drift import (
+        sprt_bernoulli, sprt_from_counts,
+    )
+
+    rows = [("up", i, 1) for i in range(40)] + [("flat", 0, 1), ("flat", 1, 0)]
+    df = spark.createDataFrame(rows, "arm string, o int, y int")
+    seq = {r["arm"]: r for r in sprt_bernoulli(
+        df, "arm", F.col("o"), F.col("y") == 1,
+        p0=0.4, p1=0.55).collect()}
+    counts = df.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("k")
+    )
+    now = {r["arm"]: r for r in sprt_from_counts(
+        counts, "arm", F.col("n"), F.col("k"), p0=0.4, p1=0.55).collect()}
+    for arm in ("up", "flat"):
+        assert now[arm]["llr"] == seq[arm]["llr_final"]
+        assert now[arm]["n"] == seq[arm]["n"]
+    assert now["up"]["decision"] == "accept_h1"
+    assert now["flat"]["decision"] == "continue"
