@@ -7180,77 +7180,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hashes only the FIRST 50 entries, so the window rotates each round
     until no stratum is more than a few rounds stale.
 
-    Round-12 window (the r11 verdict's task-1 composition, exactly):
-    (a) all 25 r11b queries — declared after the r11 window froze, so
-    they carry ZERO driver evidence (the judge's independent sf0.01
-    re-verification passed all 25); (b) the 25 stalest r06 rows the
-    verdict hinted (the TPC-H block + the core relational ops). Zero
-    overlap with the r11 window (pinned by
-    tests/test_queries.py::test_window_rotation_discipline). After this
-    round no never-driver-verified query remains; the 25 remaining
-    r06 rows head the r13 rotation, then the 50-row r07 stratum.
+    Round-13 window (the r12 verdict's task-1 composition, exactly):
+    (a) all 26 r12 post-window queries — declared after the r12 window
+    froze, so they carry ZERO driver evidence (the judge's independent
+    sf0.01 re-verification passed all 26); (b) 24 of the 25 remaining
+    r06-stale rows (q_union_distinct spills to r14 — its set-ops twin
+    q_set_ops is in-window, so the semantics are still exercised).
+    Zero overlap with the r12 window (pinned by
+    tests/test_queries.py::test_window_rotation_discipline, now
+    round-boundary-safe per the r12 verdict's task 2). After this round
+    no never-driver-verified query remains and the staleness floor is
+    r07 except the single spilled r06 row; the r07 stratum (50 rows)
+    fills the r14/r15 windows.
     """
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
     tpch = dict(TPCH_QUERIES)
     window_50 = {
-        # (a) the 25 r11b queries — never driver-verified (by
-        # construction; judge-green at sf0.01 this session)
-        "q_avg_precision": q_avg_precision,
-        "q_cohens_kappa": q_cohens_kappa,
-        "q_bleu": q_bleu,
-        "q_pass_at_k": q_pass_at_k,
-        "q_bradley_terry": q_bradley_terry,
-        "q_kendall_tau": q_kendall_tau,
-        "q_spearman": q_spearman,
-        "q_mann_whitney": q_mann_whitney,
-        "q_bh_fdr": q_bh_fdr,
-        "q_max_drawdown": q_max_drawdown,
-        "q_nelson_aalen": q_nelson_aalen,
-        "q_clustering_coeff": q_clustering_coeff,
-        "q_decision_stump": q_decision_stump,
-        "q_isotonic": q_isotonic,
-        "q_chi2_screen": q_chi2_screen,
-        "q_cuped": q_cuped,
-        "q_cumulative_gains": q_cumulative_gains,
-        "q_acf": q_acf,
-        "q_seasonal_decompose": q_seasonal_decompose,
-        "q_embedding_standardize": q_embedding_standardize,
-        "q_flesch": q_flesch,
-        "q_stream_eval": q_stream_eval,
-        "q_wilson": q_wilson,
-        "q_eb_shrink": q_eb_shrink,
-        "q_trimmed_mean": q_trimmed_mean,
-        # (b) the 25 stalest r06 rows: TPC-H block + core relational
-        "q_tpch_q2": tpch["q_tpch_q2"],
-        "q_tpch_q3": tpch["q_tpch_q3"],
-        "q_tpch_q4": tpch["q_tpch_q4"],
-        "q_tpch_q5": tpch["q_tpch_q5"],
-        "q_tpch_q6": tpch["q_tpch_q6"],
-        "q_tpch_q7": tpch["q_tpch_q7"],
-        "q_tpch_q8": tpch["q_tpch_q8"],
-        "q_tpch_q9": tpch["q_tpch_q9"],
-        "q_tpch_q14": tpch["q_tpch_q14"],
-        "q_tpch_q15": tpch["q_tpch_q15"],
-        "q_tpch_q16": tpch["q_tpch_q16"],
-        "q_tpch_q17": tpch["q_tpch_q17"],
-        "q_tpch_q18": tpch["q_tpch_q18"],
-        "q_tpch_q19": tpch["q_tpch_q19"],
-        "q_tpch_q20": tpch["q_tpch_q20"],
-        "q_tpch_q21": tpch["q_tpch_q21"],
-        "q_tpch_q22": tpch["q_tpch_q22"],
-        "q_filter_select": q_filter_select,
-        "q_project_negative": q_project_negative,
-        "q_groupby_agg": q_groupby_agg,
-        "q_join_inner": q_join_inner,
-        "q_join_left": q_join_left,
-        "q_join_multi": q_join_multi,
-        "q_over_rank": q_over_rank,
-        "q_window_ranks": q_window_ranks,
-    }
-    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
-    tail = {
-        # remaining r06 stratum (25 — heads the r13 rotation)
+        # (a) the 26 r12 post-window queries — never driver-verified (by
+        # construction; judge-green at sf0.01 in the r12 verdict session)
+        "q_dim_ablation_fixed": q_dim_ablation_fixed,
+        "q_kruskal_wallis": q_kruskal_wallis,
+        "q_anova_f": q_anova_f,
+        "q_levene_bf": q_levene_bf,
+        "q_cochran_armitage": q_cochran_armitage,
+        "q_matthews": q_matthews,
+        "q_krippendorff": q_krippendorff,
+        "q_theil_sen": q_theil_sen,
+        "q_page_hinkley": q_page_hinkley,
+        "q_temperature_weights": q_temperature_weights,
+        "q_fleiss": q_fleiss,
+        "q_friedman": q_friedman,
+        "q_dirichlet_lm": q_dirichlet_lm,
+        "q_rbo": q_rbo,
+        "q_stream_page_hinkley": q_stream_page_hinkley,
+        "q_holt": q_holt,
+        "q_logrank": q_logrank,
+        "q_textrank": q_textrank,
+        "q_brier": q_brier,
+        "q_cohens_d": q_cohens_d,
+        "q_cramers_v": q_cramers_v,
+        "q_sprt": q_sprt,
+        "q_calinski": q_calinski,
+        "q_mann_kendall": q_mann_kendall,
+        "q_by_fdr": q_by_fdr,
+        "q_stream_sprt": q_stream_sprt,
+        # (b) 24 of the 25 remaining r06-stale rows (q_union_distinct
+        # spills to r14; q_set_ops covers the set-ops semantics here)
         "q_contract_quarantine": q_contract_quarantine,
         "q_bpe_merges": q_bpe_merges,
         "q_jpeg_decode": q_jpeg_decode,
@@ -7266,7 +7242,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_concat": q_group_concat,
         "q_scalar_functions": q_scalar_functions,
         "q_date_functions": q_date_functions,
-        "q_union_distinct": q_union_distinct,
         "q_set_ops": q_set_ops,
         "q_bpe_segment": q_bpe_segment,
         "q_triangle_counts": q_triangle_counts,
@@ -7276,7 +7251,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_agg": q_incremental_agg,
         "q_kn_bigram_nll": q_kn_bigram_nll,
         "q_resample_ffill": q_resample_ffill,
-        # --- last green r07 (next-stalest; fills the r13 window) ---
+    }
+    assert len(window_50) == 50, f"driver window must hold 50, got {len(window_50)}"
+    tail = {
+        # remaining r06 stratum (1 — the r13 spill; heads the r14 rotation)
+        "q_union_distinct": q_union_distinct,
+        # --- last green r07 (next-stalest; fills the r14/r15 windows) ---
         "q_containment_pairs": q_containment_pairs,
         "q_personalized_pagerank": q_personalized_pagerank,
         "q_exact_global_quantiles": q_exact_global_quantiles,
@@ -7531,34 +7511,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": q_weighted_sample,
         "q_woe_iv": q_woe_iv,
         "q_zorder_locality": q_zorder_locality,
-        # --- new in r12 (post-window additions; these head the r13
-        # rotation together with the remaining r06 stratum) ---
-        "q_dim_ablation_fixed": q_dim_ablation_fixed,
-        "q_kruskal_wallis": q_kruskal_wallis,
-        "q_anova_f": q_anova_f,
-        "q_levene_bf": q_levene_bf,
-        "q_cochran_armitage": q_cochran_armitage,
-        "q_matthews": q_matthews,
-        "q_krippendorff": q_krippendorff,
-        "q_theil_sen": q_theil_sen,
-        "q_page_hinkley": q_page_hinkley,
-        "q_temperature_weights": q_temperature_weights,
-        "q_fleiss": q_fleiss,
-        "q_friedman": q_friedman,
-        "q_dirichlet_lm": q_dirichlet_lm,
-        "q_rbo": q_rbo,
-        "q_stream_page_hinkley": q_stream_page_hinkley,
-        "q_holt": q_holt,
-        "q_logrank": q_logrank,
-        "q_textrank": q_textrank,
-        "q_brier": q_brier,
-        "q_cohens_d": q_cohens_d,
-        "q_cramers_v": q_cramers_v,
-        "q_sprt": q_sprt,
-        "q_calinski": q_calinski,
-        "q_mann_kendall": q_mann_kendall,
-        "q_by_fdr": q_by_fdr,
-        "q_stream_sprt": q_stream_sprt,
+        # --- last green r12 (the r12 driver window, freshest) ---
+        "q_avg_precision": q_avg_precision,
+        "q_cohens_kappa": q_cohens_kappa,
+        "q_bleu": q_bleu,
+        "q_pass_at_k": q_pass_at_k,
+        "q_bradley_terry": q_bradley_terry,
+        "q_kendall_tau": q_kendall_tau,
+        "q_spearman": q_spearman,
+        "q_mann_whitney": q_mann_whitney,
+        "q_bh_fdr": q_bh_fdr,
+        "q_max_drawdown": q_max_drawdown,
+        "q_nelson_aalen": q_nelson_aalen,
+        "q_clustering_coeff": q_clustering_coeff,
+        "q_decision_stump": q_decision_stump,
+        "q_isotonic": q_isotonic,
+        "q_chi2_screen": q_chi2_screen,
+        "q_cuped": q_cuped,
+        "q_cumulative_gains": q_cumulative_gains,
+        "q_acf": q_acf,
+        "q_seasonal_decompose": q_seasonal_decompose,
+        "q_embedding_standardize": q_embedding_standardize,
+        "q_flesch": q_flesch,
+        "q_stream_eval": q_stream_eval,
+        "q_wilson": q_wilson,
+        "q_eb_shrink": q_eb_shrink,
+        "q_trimmed_mean": q_trimmed_mean,
+        "q_tpch_q2": tpch["q_tpch_q2"],
+        "q_tpch_q3": tpch["q_tpch_q3"],
+        "q_tpch_q4": tpch["q_tpch_q4"],
+        "q_tpch_q5": tpch["q_tpch_q5"],
+        "q_tpch_q6": tpch["q_tpch_q6"],
+        "q_tpch_q7": tpch["q_tpch_q7"],
+        "q_tpch_q8": tpch["q_tpch_q8"],
+        "q_tpch_q9": tpch["q_tpch_q9"],
+        "q_tpch_q14": tpch["q_tpch_q14"],
+        "q_tpch_q15": tpch["q_tpch_q15"],
+        "q_tpch_q16": tpch["q_tpch_q16"],
+        "q_tpch_q17": tpch["q_tpch_q17"],
+        "q_tpch_q18": tpch["q_tpch_q18"],
+        "q_tpch_q19": tpch["q_tpch_q19"],
+        "q_tpch_q20": tpch["q_tpch_q20"],
+        "q_tpch_q21": tpch["q_tpch_q21"],
+        "q_tpch_q22": tpch["q_tpch_q22"],
+        "q_filter_select": q_filter_select,
+        "q_project_negative": q_project_negative,
+        "q_groupby_agg": q_groupby_agg,
+        "q_join_inner": q_join_inner,
+        "q_join_left": q_join_left,
+        "q_join_multi": q_join_multi,
+        "q_over_rank": q_over_rank,
+        "q_window_ranks": q_window_ranks,
     }
     return {**window_50, **tail}
 

@@ -67,10 +67,15 @@ def main() -> None:
     # plans; the panel turns that band into a measurable per-capture
     # factor: divide a query's warm time by the matching panel min
     # before calling a cross-boot ratio a regression (reading rule in
-    # BASELINE.md). Runs BEFORE the query loop on a clean JVM so the
-    # panel itself is comparable across captures.
-    calibration = _calibration_panel(spark, sf_dir)
-    print(f"[bench] calibration {json.dumps(calibration)}", file=sys.stderr, flush=True)
+    # BASELINE.md). r12 verdict task 3: a START-only panel is blind to
+    # MID-RUN drift — two same-boot r12 captures both carried clean
+    # start panels yet disagreed 1.41x overall — so the panel now runs
+    # at start, after every ~100 queries, and at END; a capture whose
+    # end/start min-ratio exceeds 1.5 is self-flagged `drifted` the way
+    # the contaminated 707.8 s r11 capture was.
+    calib_start = _calibration_panel(spark, sf_dir)
+    calib_mid: list[dict] = []
+    print(f"[bench] calibration(start) {json.dumps(calib_start)}", file=sys.stderr, flush=True)
 
     # Outlier guard (round-6): a single GC/contention spike during one
     # query's window printed a fake 4× regression in r05 (q_salted_join
@@ -97,7 +102,13 @@ def main() -> None:
     warm_inverted: list[str] = []  # warm >1.2x cold even after a re-run
     from table_computing_spark.plans import plan_fingerprint
 
-    for name, fn in qs.items():
+    for q_idx, (name, fn) in enumerate(qs.items()):
+        if q_idx and q_idx % 100 == 0:
+            mid = _calibration_panel(spark, sf_dir)
+            mid["after_query"] = q_idx
+            calib_mid.append(mid)
+            print(f"[bench] calibration(mid@{q_idx}) {json.dumps(mid)}",
+                  file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -207,6 +218,26 @@ def main() -> None:
 
     streaming = _bench_streaming(spark, sf_dir)
 
+    # End-of-run panel: same probes, same JVM, after the full query loop
+    # AND the streaming bench — this is the sample that catches the
+    # mid-run drift the start panel certified away in r12.
+    calib_end = _calibration_panel(spark, sf_dir)
+    print(f"[bench] calibration(end) {json.dumps(calib_end)}", file=sys.stderr, flush=True)
+    drift_ratio = _panel_drift(calib_start, calib_end)
+    calibration = {
+        "start": calib_start,
+        "mid": calib_mid,
+        "end": calib_end,
+        "end_over_start": drift_ratio,
+        # reading rule (BASELINE.md): a drifted capture's absolute
+        # timings are not comparable across rounds — re-capture or
+        # normalize per-segment by the nearest panel
+        "drifted": bool(drift_ratio is not None and drift_ratio > 1.5),
+    }
+    if calibration["drifted"]:
+        print(f"[bench] WARNING capture self-flagged DRIFTED: end/start panel "
+              f"ratio {drift_ratio}", file=sys.stderr, flush=True)
+
     # Host fingerprint: cross-round total comparisons have been bitten by
     # host variance twice (BASELINE.md §measured); record boot_id + core
     # count so a changed host is mechanically detectable, not remembered.
@@ -297,6 +328,20 @@ def _calibration_panel(spark, sf_dir: str, reps: int = 3) -> dict:
     return panel
 
 
+def _panel_drift(start: dict, end: dict) -> float | None:
+    """Max over probes of end.min/start.min — the capture's worst-case
+    environment slowdown between its first and last minutes. None when
+    no probe pair is comparable (a probe errored)."""
+    ratios = []
+    for k, s in start.items():
+        e = end.get(k, {})
+        if isinstance(s, dict) and isinstance(e, dict):
+            smin, emin = s.get("min"), e.get("min")
+            if smin and emin and smin > 0:
+                ratios.append(emin / smin)
+    return round(max(ratios), 3) if ratios else None
+
+
 def _fit_line(out: dict, limit: int) -> str:
     """Compact JSON line guaranteed ≤ limit chars: round timings, then
     drop the FASTEST queries one by one (the slow ones are the ones the
@@ -312,6 +357,18 @@ def _fit_line(out: dict, limit: int) -> str:
             json.dumps(out["plan_sha"], sort_keys=True).encode()
         ).hexdigest()[:12]
         compact["plan_sha_all"] = combined
+    # full per-rep panels live in BENCH_LOCAL.json; the stdout line
+    # carries the probe mins at start/end + the drift verdict
+    cal = out.get("calibration")
+    if isinstance(cal, dict) and "start" in cal:
+        compact["calibration"] = {
+            "start": {k: v.get("min") for k, v in cal["start"].items()
+                      if isinstance(v, dict)},
+            "end": {k: v.get("min") for k, v in cal["end"].items()
+                    if isinstance(v, dict)},
+            "end_over_start": cal.get("end_over_start"),
+            "drifted": cal.get("drifted"),
+        }
     compact["queries"] = {k: round(v, 2) for k, v in out["queries"].items()}
     if compact.get("warm"):
         compact["warm"] = {k: round(v, 2) for k, v in out["warm"].items()}

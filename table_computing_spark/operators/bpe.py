@@ -119,6 +119,12 @@ def _safe_prefix(top_rows, pairs: DataFrame, budget: int):
     lefts = [l for l, _, _ in prefix]
     rights = [r for _, r, _ in prefix]
     merged_syms = [l + r for l, r, _ in prefix]
+    # persist (NOT localCheckpoint): reused across the three bounded
+    # collects below, then released before return. adj is rebuilt from
+    # scratch every merge round, so lineage never accumulates — and a
+    # checkpoint's blocks would outlive catalog.clearCache() and pile
+    # up for the session lifetime, one per round (the q_bpe_merges
+    # warm-inversion mechanism, BENCH r12 / r12 verdict #4).
     adj = pairs.filter(
         F.col("r").isin(lefts + merged_syms) | F.col("l").isin(rights + merged_syms)
     ).select(
@@ -130,7 +136,7 @@ def _safe_prefix(top_rows, pairs: DataFrame, budget: int):
             F.when(F.col("r").isin(merged_syms), F.col("r"))
         ).alias("preexisting"),
         "cnt",
-    ).localCheckpoint(eager=False)
+    ).persist()
     bounds = {
         ("L", row["as_left"]): row["m"]
         for row in adj.filter(F.col("as_left").isNotNull())
@@ -145,6 +151,7 @@ def _safe_prefix(top_rows, pairs: DataFrame, budget: int):
         for row in adj.filter(F.col("preexisting").isNotNull())
         .select("preexisting").distinct().collect()
     }
+    adj.unpersist()
     safe = []
     max_created = -1
     for l, r, cnt in prefix:
@@ -156,6 +163,39 @@ def _safe_prefix(top_rows, pairs: DataFrame, budget: int):
         a = max(bounds.get(("L", l), 0), bounds.get(("R", r), 0))
         max_created = max(max_created, min(cnt, a))
     return safe
+
+
+def _swap_checkpoint(df: DataFrame, prev_ids: "set[int]"):
+    """Eagerly localCheckpoint `df`, then release the storage blocks of
+    the PREVIOUS checkpoint (`prev_ids` = its RDD ids). localCheckpoint
+    truncates lineage — which the vocab loop needs — but its blocks
+    survive catalog.clearCache(), so superseded checkpoints otherwise
+    accumulate for the session lifetime: the q_bpe_merges warm-inversion
+    mechanism (BENCH r12, the only warm_inverted row) and a genuine leak
+    for a production 32k-merge build (one block set per checkpoint_every
+    rounds). The new checkpoint is materialized BEFORE the old one is
+    released, so there is no recomputation window. Returns
+    (checkpointed df, its RDD ids)."""
+    sc = df.sparkSession.sparkContext
+
+    def _ids():
+        try:
+            return set(sc._jsc.getPersistentRDDs().keys())
+        except Exception:  # noqa: BLE001 — hygiene must never fail the build
+            return set()
+
+    before = _ids()
+    out = df.localCheckpoint()
+    new_ids = _ids() - before
+    try:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in prev_ids:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist()
+    except Exception:  # noqa: BLE001
+        pass
+    return out, new_ids
 
 
 def learn_bpe(
@@ -170,10 +210,8 @@ def learn_bpe(
     vocab_df is the final (word, n, tokens) vocabulary. `batch_size`
     caps merges per driver round (1 = the classic one-job-per-merge
     loop; the merge LIST is identical either way)."""
-    vocab = (
-        word_vocab(df, text_col)
-        .withColumn("tokens", _initial_tokens())
-        .localCheckpoint()
+    vocab, vocab_ids = _swap_checkpoint(
+        word_vocab(df, text_col).withColumn("tokens", _initial_tokens()), set()
     )
     merges: "list[tuple[int, str, str, int]]" = []
     rounds_since_ckpt = 0
@@ -193,13 +231,21 @@ def learn_bpe(
             .agg(F.sum("n").alias("cnt"))
         )
         if batch_size > 1:
-            pairs = pairs.localCheckpoint(eager=False)  # top-k + adj bounds
+            # persist (NOT localCheckpoint): reused by the top-k pull and
+            # _safe_prefix's adjacency bounds, then RELEASED this round —
+            # pairs is rebuilt from the checkpointed vocab every round, so
+            # lineage never accumulates, while an unreleased checkpoint's
+            # blocks would (r12 verdict #4: one leaked block set per merge
+            # round was exactly the q_bpe_merges warm-inversion pressure)
+            pairs = pairs.persist()
         top = (
             pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
             .limit(max(batch_size, 1))
             .collect()
         )
         batch = _safe_prefix(top, pairs, num_merges - len(merges))
+        if batch_size > 1:
+            pairs.unpersist()
         if not batch:
             break
         col = F.col("tokens")
@@ -209,7 +255,7 @@ def learn_bpe(
         vocab = vocab.withColumn("tokens", col)
         rounds_since_ckpt += 1
         if rounds_since_ckpt >= checkpoint_every:
-            vocab = vocab.localCheckpoint()
+            vocab, vocab_ids = _swap_checkpoint(vocab, vocab_ids)
             rounds_since_ckpt = 0
     return merges, vocab
 
