@@ -1504,8 +1504,11 @@ def cohens_d(
 
     `metric_col` must be INTEGER-exact (cents, counts — the
     welch_ttest contract): per-arm (n, Σx, Σx²) stay DECIMAL(38,0);
-    d/g are fixed-order double arithmetic, rounded once. NULL when
-    either arm has < 2 rows or s_pooled = 0. Output one row:
+    d/g are fixed-order double arithmetic, rounded once. d/g are NULL
+    when either arm has < 2 rows or s_pooled = 0; when an arm has ZERO
+    rows the output is EMPTY (no confusion-prone half-populated row —
+    an absent arm is an upstream filter bug, and n_a/mean_b etc. would
+    all be undefined). Output one row:
     (d, g, mean_a, mean_b, n_a, n_b)."""
     dec = "decimal(38,0)"
     s = df.select(

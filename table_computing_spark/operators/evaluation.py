@@ -1278,8 +1278,14 @@ def rbo_overlap(
     table), and the weighted sum is a ≤k-row aggregate with
     fixed-order double terms (p^d from a broadcast constant table —
     reduce-order-free after the nano round). Queries present in only
-    one input score the defined overlap 0 at every depth. Output:
-    (query, n_common, rbo)."""
+    one input score the defined overlap 0 at every depth.
+
+    ONE-ROW-PER-(query, item) CONTRACT (the bleu_n pair-id rule): each
+    input must carry each item at most once per query — a duplicated
+    item fans out in the rank join and inflates the overlap count at
+    every depth ≥ its max rank, silently pushing RBO past 1. Rankings
+    produced by top_n/TakeOrdered satisfy this by construction; dedupe
+    anything else upstream. Output: (query, n_common, rbo)."""
     dec = "decimal(38,0)"
     spark = a.sparkSession
     ra = a.select(

@@ -1449,6 +1449,12 @@ def calinski_harabasz(
     per-(dim, group) projection terms are fixed-order doubles
     nano-rounded before the (k·dim)-row sum. The 1e12 quantization
     scale cancels in the B/W ratio. NULL when k < 2, n ≤ k, or W = 0.
+    RECTANGULAR-INPUT CONTRACT: every vector must carry every
+    dimension with non-NULL/non-NaN components (the embeddings-table
+    shape) — a NaN component drops ONLY its own (row, dim) element, so
+    n would differ across dims and the per-dim moment algebra silently
+    mixes cohort sizes; scrub ragged vectors upstream
+    (embedding_quantize/standardize both enforce the same shape).
     Output one row: (ch, k, n)."""
     dec = "decimal(38,0)"
     rows = df.select(

@@ -1796,7 +1796,10 @@ def holt_linear(
     sequential-fold precedent); inputs are cast to double once.
     Rows with NULL order or value drop; values must be INTEGER-exact
     (counts, cents — the lag_autocorr contract; the reported `value`
-    column is a long). BOUNDED-GROUP caveat: one key's history must
+    column is a long). Ties in `order_col` within a key are broken by
+    the value (the page_hinkley/sprt total-order rule) so the
+    sequential recursion is deterministic under any partition layout.
+    BOUNDED-GROUP caveat: one key's history must
     fit one task (the page_hinkley/max_drawdown contract). Output:
     (keys..., order_col, value, level, trend, forecast) — forecast is
     the NEXT-step prediction from this row."""
@@ -1823,7 +1826,14 @@ def holt_linear(
 
         frames = []
         for kv, sub in pdf.groupby(keys, sort=False):
-            sub = sub.sort_values("__o", kind="mergesort")
+            # (__o, __x) — the page_hinkley/sprt total-order rule: a
+            # sort on __o alone leaves tied timestamps in Arrow-batch
+            # arrival order, which is partition-layout-dependent, and
+            # the sequential recursion would amplify that into
+            # nondeterministic level/trend for every later row (r13
+            # ADVICE finding). Tied (__o, __x) rows are interchangeable
+            # inputs to the recursion, so this order is total in effect.
+            sub = sub.sort_values(["__o", "__x"], kind="mergesort")
             x = sub["__x"].to_numpy(dtype="float64")
             n = len(x)
             lvl = np.empty(n)
