@@ -7175,6 +7175,112 @@ def q_trimmed_mean(spark, sf_dir):
     )
 
 
+def q_wasserstein(spark, sf_dir):
+    """Exact 1-D earth-mover distance (drift.wasserstein_1d) between
+    returned ('R') and accepted ('A') line quantities — the
+    magnitude-aware drift readout next to q_ks_drift (KS caps at the
+    max CDF gap; W1 is the actual mass-transport cost in quantity
+    units). Distinct-value prefix sums + a rank successor equi-join;
+    exact DECIMAL numerator, ONE final division. (New r13.)"""
+    from table_computing_spark.operators.drift import wasserstein_1d
+
+    li = _t(spark, sf_dir, "lineitem").df
+    return wasserstein_1d(
+        li.filter(F.col("l_returnflag") == "R"),
+        li.filter(F.col("l_returnflag") == "A"),
+        F.col("l_quantity"),
+    )
+
+
+def q_cvm_drift(spark, sf_dir):
+    """Two-sample Cramér–von Mises statistic (drift.cvm_2sample)
+    between returned and accepted line price cents — the
+    whole-distribution companion of q_ks_drift (squared-CDF-gap
+    integral: many small gaps KS's single max never sees). Exact
+    DECIMAL numerator over the pooled distinct-value table. (New
+    r13.)"""
+    from table_computing_spark.operators.drift import cvm_2sample
+
+    li = _t(spark, sf_dir, "lineitem").df
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return cvm_2sample(
+        li.filter(F.col("l_returnflag") == "R").select(cents.alias("c")),
+        li.filter(F.col("l_returnflag") == "A").select(cents.alias("c")),
+        F.col("c"),
+    )
+
+
+def q_cliffs_delta(spark, sf_dir):
+    """Cliff's delta ordinal effect size (drift.cliffs_delta) of
+    returned vs non-returned line quantities — the magnitude readout
+    for q_mann_whitney's p-value (with Romano 2006 |δ| bands). No pair
+    join: distinct-value prefix sums give #(a>b)/#(a<b) exactly. (New
+    r13.)"""
+    from table_computing_spark.operators.drift import cliffs_delta
+
+    li = _t(spark, sf_dir, "lineitem").df
+    return cliffs_delta(
+        li, (F.col("l_returnflag") == "R"), F.col("l_quantity")
+    )
+
+
+def q_err_at_k(spark, sf_dir):
+    """Expected Reciprocal Rank @10 per event type (evaluation.
+    err_at_k, Chapelle 2009 cascade model) with graded relevance
+    event_id % 4 — the stop-probability ranking metric next to q_ndcg
+    (one great top hit dominates; DCG's independent discounts can't
+    say that). Sequential cascade fold as one row-local F.aggregate in
+    fixed rank order — bit-identical to the oracle's recursive CTE
+    (the q_holt IEEE-replay precedent). (New r13.)"""
+    from table_computing_spark.operators.evaluation import err_at_k
+
+    ev = _t(spark, sf_dir, "events").df
+    return err_at_k(
+        ev, "event_type", "event_id", F.col("value"),
+        F.col("event_id") % 4, k=10, max_rel=3,
+    )
+
+
+def q_brier_decomp(spark, sf_dir):
+    """Murphy decomposition of the Brier score (evaluation.
+    brier_decomposition) for the price-derived pseudo-probability of
+    q_brier over 10 bins: reliability (miscalibration) vs resolution
+    (outcome separation) vs irreducible uncertainty, with the binned
+    Brier identity REL − RES + UNC. Nano-quantized probabilities,
+    exact per-bin integer aggregates. (New r13.)"""
+    from table_computing_spark.operators.evaluation import brier_decomposition
+
+    o = _t(spark, sf_dir, "orders").df
+    p = F.least(F.lit(100), F.floor(F.col("o_totalprice") / 6000).cast("long")) / 100.0
+    return brier_decomposition(
+        o.select(p.alias("p"), (F.col("o_orderstatus") == "F").alias("y")),
+        F.col("p"),
+        F.col("y"),
+        n_bins=10,
+    )
+
+
+def q_qini_uplift(spark, sf_dir):
+    """Qini / uplift decile table (evaluation.qini_uplift, Radcliffe
+    2007): with odd-key orders as the 'treated' arm and finished
+    status as conversion, how many INCREMENTAL conversions does each
+    cumulative price-ranked decile hold over the treated-scaled
+    control baseline? ids.ntile_distributed ranking (no global window
+    over rows); cumulative pass on the 10-row bucket table. (New
+    r13.)"""
+    from table_computing_spark.operators.evaluation import qini_uplift
+
+    o = _t(spark, sf_dir, "orders").df
+    return qini_uplift(
+        o,
+        "o_orderkey",
+        (F.col("o_orderkey") % 2 == 1),
+        (F.col("o_orderstatus") == "F"),
+        F.col("o_totalprice"),
+        n_buckets=10,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -7562,6 +7668,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_multi": q_join_multi,
         "q_over_rank": q_over_rank,
         "q_window_ranks": q_window_ranks,
+        # --- new in r13 (post-window additions; these head the r14
+        # rotation together with the spilled r06 row) ---
+        "q_wasserstein": q_wasserstein,
+        "q_cvm_drift": q_cvm_drift,
+        "q_cliffs_delta": q_cliffs_delta,
+        "q_err_at_k": q_err_at_k,
+        "q_brier_decomp": q_brier_decomp,
+        "q_qini_uplift": q_qini_uplift,
     }
     return {**window_50, **tail}
 
@@ -15581,5 +15695,249 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
                  AS trimmed_mean
         FROM kept GROUP BY l_suppkey
+        """,
+        # ---- new in r13 ----
+        "q_wasserstein": """
+        WITH o AS (
+          SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem
+          WHERE l_returnflag = 'R' AND l_quantity IS NOT NULL
+        ), nw AS (
+          SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem
+          WHERE l_returnflag = 'A' AND l_quantity IS NOT NULL
+        ), po AS (SELECT v, count(*) AS c FROM o GROUP BY v),
+        pn AS (SELECT v, count(*) AS c FROM nw GROUP BY v),
+        m AS (
+          SELECT COALESCE(po.v, pn.v) AS v,
+                 COALESCE(po.c, 0) AS co, COALESCE(pn.c, 0) AS cn
+          FROM po FULL OUTER JOIN pn ON po.v = pn.v
+        ), t AS (
+          SELECT CAST(sum(co) AS HUGEINT) AS no_,
+                 CAST(sum(cn) AS HUGEINT) AS nn_,
+                 count(*) AS n_values
+          FROM m
+        ), c AS (
+          SELECT v,
+                 sum(co) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_o,
+                 sum(cn) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+                 lead(v) OVER (ORDER BY v) AS v_next
+          FROM m
+        ), num AS (
+          SELECT sum(
+                   abs(CAST(cum_o AS HUGEINT) * (SELECT nn_ FROM t)
+                       - CAST(cum_n AS HUGEINT) * (SELECT no_ FROM t))
+                   * CAST(v_next - v AS HUGEINT)
+                 ) AS w1n
+          FROM c WHERE v_next IS NOT NULL
+        )
+        SELECT round(COALESCE(
+                 CAST(w1n AS DOUBLE)
+                 / (CAST(no_ AS DOUBLE) * CAST(nn_ AS DOUBLE)), 0.0), 6) AS w1,
+               CAST(no_ AS BIGINT) AS n_old, CAST(nn_ AS BIGINT) AS n_new,
+               CAST(n_values AS BIGINT) AS n_values
+        FROM num, t
+        """,
+        "q_cvm_drift": """
+        WITH o AS (
+          SELECT CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+                   AS v
+          FROM lineitem WHERE l_returnflag = 'R'
+        ), nw AS (
+          SELECT CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+                   AS v
+          FROM lineitem WHERE l_returnflag = 'A'
+        ), po AS (SELECT v, count(*) AS c FROM o GROUP BY v),
+        pn AS (SELECT v, count(*) AS c FROM nw GROUP BY v),
+        m AS (
+          SELECT COALESCE(po.v, pn.v) AS v,
+                 COALESCE(po.c, 0) AS co, COALESCE(pn.c, 0) AS cn
+          FROM po FULL OUTER JOIN pn ON po.v = pn.v
+        ), t AS (
+          SELECT CAST(sum(co) AS HUGEINT) AS no_,
+                 CAST(sum(cn) AS HUGEINT) AS nn_
+          FROM m
+        ), c AS (
+          SELECT co, cn,
+                 sum(co) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_o,
+                 sum(cn) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+          FROM m
+        ), num AS (
+          SELECT sum(
+                   CAST(co + cn AS HUGEINT)
+                   * (CAST(cum_o AS HUGEINT) * (SELECT nn_ FROM t)
+                      - CAST(cum_n AS HUGEINT) * (SELECT no_ FROM t))
+                   * (CAST(cum_o AS HUGEINT) * (SELECT nn_ FROM t)
+                      - CAST(cum_n AS HUGEINT) * (SELECT no_ FROM t))
+                 ) AS tnum
+          FROM c
+        )
+        SELECT round(
+                 CAST(tnum AS DOUBLE)
+                 / (CAST(no_ AS DOUBLE) * CAST(nn_ AS DOUBLE)
+                    * CAST(no_ + nn_ AS DOUBLE) * CAST(no_ + nn_ AS DOUBLE)),
+                 6) AS t,
+               CAST(no_ AS BIGINT) AS n_old, CAST(nn_ AS BIGINT) AS n_new
+        FROM num, t
+        """,
+        "q_cliffs_delta": """
+        WITH s AS (
+          SELECT CAST(l_quantity AS DOUBLE) AS v,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+        ), per AS (
+          SELECT v, sum(a) AS na, sum(1 - a) AS nb FROM s GROUP BY v
+        ), pre AS (
+          SELECT *,
+                 COALESCE(sum(nb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cbb
+          FROM per
+        ), agg AS (
+          SELECT sum(CAST(na AS HUGEINT) * CAST(cbb AS HUGEINT)) AS gt,
+                 sum(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)) AS eq,
+                 CAST(sum(na) AS BIGINT) AS n_a,
+                 CAST(sum(nb) AS BIGINT) AS n_b
+          FROM pre
+        ), d AS (
+          SELECT *,
+                 CASE WHEN n_a > 0 AND n_b > 0 THEN
+                   CAST(gt - (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+                              - gt - eq) AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                 END AS delta_raw
+          FROM agg
+        )
+        SELECT round(delta_raw, 6) AS delta,
+               CASE WHEN delta_raw IS NULL THEN NULL
+                    WHEN abs(delta_raw) < 0.147 THEN 'negligible'
+                    WHEN abs(delta_raw) < 0.33 THEN 'small'
+                    WHEN abs(delta_raw) < 0.474 THEN 'medium'
+                    ELSE 'large' END AS magnitude,
+               n_a, n_b
+        FROM d
+        """,
+        "q_err_at_k": """
+        WITH RECURSIVE ranked AS (
+          SELECT event_type AS query,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id) AS pos,
+                 (pow(2.0, CAST(event_id % 4 AS DOUBLE)) - 1.0) / 8.0 AS r,
+                 count(*) OVER (PARTITION BY event_type) AS n_rated
+          FROM events
+        ), steps AS (
+          SELECT * FROM ranked WHERE pos <= 10
+        ), fold AS (
+          SELECT query, 0 AS pos, CAST(0.0 AS DOUBLE) AS err,
+                 CAST(1.0 AS DOUBLE) AS p
+          FROM (SELECT DISTINCT query FROM ranked)
+          UNION ALL
+          SELECT s.query, s.pos,
+                 f.err + f.p * s.r / CAST(s.pos AS DOUBLE),
+                 f.p * (1.0 - s.r)
+          FROM fold f JOIN steps s
+            ON s.query = f.query AND s.pos = f.pos + 1
+        )
+        SELECT f.query, round(f.err, 6) AS err,
+               CAST(max(r2.n_rated) AS BIGINT) AS n_rated
+        FROM fold f
+        JOIN (SELECT query, max(pos) AS mp FROM fold GROUP BY query) last
+          ON last.query = f.query AND last.mp = f.pos
+        JOIN ranked r2 ON r2.query = f.query
+        GROUP BY f.query, f.err
+        """,
+        "q_brier_decomp": """
+        WITH s AS (
+          SELECT CAST(round(
+                   least(100, CAST(floor(o_totalprice / 6000) AS BIGINT))
+                   / 100.0 * 1e9) AS BIGINT) AS pn,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+        ), binned AS (
+          SELECT least(CAST(floor(pn * 10 / 1000000000) AS INT), 9) AS b,
+                 pn, y
+          FROM s
+        ), per AS (
+          SELECT b, count(*) AS n, CAST(sum(pn) AS HUGEINT) AS sp,
+                 sum(y) AS sy
+          FROM binned GROUP BY b
+        ), tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sy) AS BIGINT) AS yy
+          FROM per
+        ), terms AS (
+          SELECT
+            CAST(round(CAST(n AS DOUBLE)
+              * (CAST(sp AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)
+                 - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(sp AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)
+                 - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+              * 1e9) AS HUGEINT) AS rel_t,
+            CAST(round(CAST(n AS DOUBLE)
+              * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST((SELECT yy FROM tot) AS DOUBLE)
+                   / CAST((SELECT nn FROM tot) AS DOUBLE))
+              * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST((SELECT yy FROM tot) AS DOUBLE)
+                   / CAST((SELECT nn FROM tot) AS DOUBLE))
+              * 1e9) AS HUGEINT) AS res_t
+          FROM per
+        ), agg AS (
+          SELECT sum(rel_t) AS rel_n, sum(res_t) AS res_n,
+                 count(*) AS n_bins_used
+          FROM terms
+        ), fin AS (
+          SELECT CAST(rel_n AS DOUBLE) / 1e9 / CAST(nn AS DOUBLE) AS rel,
+                 CAST(res_n AS DOUBLE) / 1e9 / CAST(nn AS DOUBLE) AS res,
+                 (CAST(yy AS DOUBLE) / CAST(nn AS DOUBLE))
+                 * (1.0 - CAST(yy AS DOUBLE) / CAST(nn AS DOUBLE)) AS unc,
+                 nn, n_bins_used
+          FROM agg, tot
+        )
+        SELECT round(rel, 6) AS reliability,
+               round(res, 6) AS resolution,
+               round(unc, 6) AS uncertainty,
+               round(rel - res + unc, 6) AS brier_binned,
+               CAST(nn AS BIGINT) AS n,
+               CAST(n_bins_used AS BIGINT) AS n_bins_used
+        FROM fin
+        """,
+        "q_qini_uplift": """
+        WITH t AS (
+          SELECT ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                   AS bucket,
+                 CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS tr,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+        ), per AS (
+          SELECT bucket,
+                 CAST(sum(tr) AS BIGINT) AS n_treat,
+                 CAST(sum(1 - tr) AS BIGINT) AS n_ctrl,
+                 CAST(sum(tr * y) AS BIGINT) AS conv_treat,
+                 CAST(sum((1 - tr) * y) AS BIGINT) AS conv_ctrl
+          FROM t GROUP BY bucket
+        ), c AS (
+          SELECT *,
+                 sum(n_treat) OVER w AS cnt, sum(n_ctrl) OVER w AS cnc,
+                 sum(conv_treat) OVER w AS cyt, sum(conv_ctrl) OVER w AS cyc
+          FROM per
+          WINDOW w AS (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               n_treat, n_ctrl, conv_treat, conv_ctrl,
+               round(CASE WHEN cnt > 0 AND cnc > 0 THEN
+                 CAST(cyt AS DOUBLE)
+                 - CAST(cyc AS DOUBLE) * CAST(cnt AS DOUBLE)
+                   / CAST(cnc AS DOUBLE) END, 6) AS qini,
+               round(CASE WHEN cnt > 0 AND cnc > 0 THEN
+                 CAST(cyt AS DOUBLE) / CAST(cnt AS DOUBLE)
+                 - CAST(cyc AS DOUBLE) / CAST(cnc AS DOUBLE) END, 6)
+                 AS uplift_cum
+        FROM c
         """,
     }

@@ -1740,3 +1740,243 @@ def sprt_from_counts(
         F.round(llr.cast("double") / 1e9, 6).alias("llr"),
         decision.alias("decision"),
     )
+
+
+def wasserstein_1d(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between two
+    samples (Vaserstein 1969 / the classical CDF identity, public):
+
+        W1 = ∫ |F_old(x) − F_new(x)| dx
+           = Σ_i |F_old(v_i) − F_new(v_i)| · (v_{i+1} − v_i)
+
+    over the pooled distinct values v_1 < … < v_m. The magnitude-aware
+    companion of ks_drift (KS takes the max CDF gap and ignores HOW FAR
+    mass moved; W1 is exactly the cost of moving it) — the drift
+    readout that answers "by how much", in the metric's own units.
+
+    Engine-exactness: `value_col` must be INTEGER-exact (cents, counts
+    — the welch_ttest contract). Then EVERYTHING is exact integers
+    until one final division:
+
+        W1 = Σ_i |cum_old(v_i)·N_new − cum_new(v_i)·N_old| · gap_i
+             / (N_old · N_new)
+
+    with all products in DECIMAL(38,0) — no nano staging, no float
+    sum, bit-identical on any engine and any partitioning.
+
+    Scale shape: one hash aggregate per side to the pooled
+    distinct-value table, inclusive prefix sums + a global dense rank
+    via prefix.prefix_agg (the distributed two-pass prefix — never an
+    unpartitioned window), and the successor gap from a rank → rank+1
+    self-equi-join on the distinct table (one hash shuffle on the
+    rank). NULL values drop. Raises when either side is empty (W1
+    against an empty distribution is undefined — the js_divergence
+    discipline). Output one row: (w1, n_old, n_new, n_values)."""
+    from table_computing_spark.operators.prefix import prefix_agg
+
+    dec = "decimal(38,0)"
+    o = old.select(value_col.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    n = new.select(value_col.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    per = (
+        o.groupBy("__v").agg(F.count(F.lit(1)).alias("__no"))
+        .join(
+            n.groupBy("__v").agg(F.count(F.lit(1)).alias("__nn")),
+            "__v",
+            "full_outer",
+        )
+        .fillna(0, subset=["__no", "__nn"])
+    )
+    pre = prefix_agg(
+        per,
+        order_by=["__v"],
+        specs={
+            "__co": ("sum", "__no"),   # inclusive running count, old
+            "__cn": ("sum", "__nn"),   # inclusive running count, new
+            "__rk0": ("count", "__v"),
+        },
+        exclusive=False,
+    ).select(
+        "__v", "__co", "__cn", F.col("__rk0").cast("long").alias("__rk")
+    )
+    tot = pre.agg(
+        F.max("__co").alias("__to"), F.max("__cn").alias("__tn")
+    ).first()
+    if not tot["__to"] or not tot["__tn"]:
+        empty = [s for s, v in (("old", tot["__to"]), ("new", tot["__tn"])) if not v]
+        raise ValueError(
+            f"wasserstein_1d: side(s) {empty} have no non-null rows — "
+            "W1 against an empty distribution is undefined"
+        )
+    nxt = pre.select(
+        (F.col("__rk") - 1).alias("__rk"), F.col("__v").alias("__v_next")
+    )
+    stepped = pre.join(nxt, "__rk")  # drops the last value: no successor
+    num = F.abs(
+        F.col("__co").cast(dec) * F.lit(int(tot["__tn"])).cast(dec)
+        - F.col("__cn").cast(dec) * F.lit(int(tot["__to"])).cast(dec)
+    ) * (F.col("__v_next") - F.col("__v")).cast(dec)
+    agg = stepped.agg(F.sum(num).alias("__w1n"))
+    w1 = F.col("__w1n").cast("double") / (
+        float(tot["__to"]) * float(tot["__tn"])
+    )
+    return agg.select(
+        # a single pooled value has no successor row: W1 is exactly 0
+        F.round(F.coalesce(w1, F.lit(0.0)), round_to).alias("w1"),
+        F.lit(int(tot["__to"])).cast("long").alias("n_old"),
+        F.lit(int(tot["__tn"])).cast("long").alias("n_new"),
+    ).crossJoin(
+        F.broadcast(per.agg(F.count(F.lit(1)).cast("long").alias("n_values")))
+    )
+
+
+def cvm_2sample(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic (Anderson 1962, public)
+    in the pooled-CDF integral form:
+
+        T = N_o·N_n/N² · Σ_i n_i · (F_old(v_i) − F_new(v_i))²
+
+    summed over the pooled distinct values with pooled counts n_i —
+    the whole-distribution companion of ks_drift (KS is the sup of the
+    CDF gap, CvM its squared integral: sensitive to many small gaps a
+    single max never sees, and to tail differences W1 discounts).
+
+    Engine-exactness: with D_i = cum_old(v_i)·N_n − cum_new(v_i)·N_o
+    (exact integers), T = Σ_i n_i·D_i² / (N_o·N_n·N²) — the numerator
+    is an exact DECIMAL(38,0) sum (≈ N⁵: fine to ~10⁷ rows; past that
+    the per-value nano-staged variant applies), one final division.
+    Works for any value type orderable by cast to double — CDF gaps
+    only need counts, not gaps in the value metric (unlike
+    wasserstein_1d, which is why THIS one has no integer-exact
+    contract). Scale shape: the mann_whitney distinct-value machinery
+    (hash agg per side + one distributed prefix pass). Raises when
+    either side is empty. Output one row: (t, n_old, n_new)."""
+    from table_computing_spark.operators.prefix import prefix_agg
+
+    dec = "decimal(38,0)"
+    o = old.select(value_col.cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    n = new.select(value_col.cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    per = (
+        o.groupBy("__v").agg(F.count(F.lit(1)).alias("__no"))
+        .join(
+            n.groupBy("__v").agg(F.count(F.lit(1)).alias("__nn")),
+            "__v",
+            "full_outer",
+        )
+        .fillna(0, subset=["__no", "__nn"])
+    )
+    pre = prefix_agg(
+        per,
+        order_by=["__v"],
+        specs={"__co": ("sum", "__no"), "__cn": ("sum", "__nn")},
+        exclusive=False,
+    )
+    tot = pre.agg(
+        F.max("__co").alias("__to"), F.max("__cn").alias("__tn")
+    ).first()
+    if not tot["__to"] or not tot["__tn"]:
+        empty = [s for s, v in (("old", tot["__to"]), ("new", tot["__tn"])) if not v]
+        raise ValueError(
+            f"cvm_2sample: side(s) {empty} have no non-null rows — "
+            "CvM against an empty distribution is undefined"
+        )
+    no, nn = int(tot["__to"]), int(tot["__tn"])
+    d = (
+        F.col("__co").cast(dec) * F.lit(nn).cast(dec)
+        - F.col("__cn").cast(dec) * F.lit(no).cast(dec)
+    )
+    num = (F.col("__no") + F.col("__nn")).cast(dec) * d * d
+    agg = pre.agg(F.sum(num).alias("__tnum"))
+    big_n = float(no + nn)
+    t = F.col("__tnum").cast("double") / (
+        float(no) * float(nn) * big_n * big_n
+    )
+    return agg.select(
+        F.round(t, round_to).alias("t"),
+        F.lit(no).cast("long").alias("n_old"),
+        F.lit(nn).cast("long").alias("n_new"),
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    in_group_a: Column,
+    value_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size (Cliff 1993, public) — the
+    nonparametric companion of cohens_d, and the magnitude readout for
+    mann_whitney's p-value (at 100 TB row counts EVERYTHING is
+    significant; δ says whether the shift matters):
+
+        δ = [#(a > b) − #(a < b)] / (n_a · n_b)   over all cross pairs
+
+    with the conventional |δ| bands (Romano et al. 2006): < 0.147
+    negligible, < 0.33 small, < 0.474 medium, else large.
+
+    No pair join: on the distinct-value table, #(a > b) =
+    Σ_v n_a(v)·cum_b_before(v) and #(a < b) =
+    Σ_v n_a(v)·(N_b − cum_b_before(v) − n_b(v)) — exact DECIMAL
+    products via one hash aggregate + one distributed prefix pass (the
+    mann_whitney machinery), one final division. NULL value/flag rows
+    drop. δ is NULL when either group is empty. Output one row:
+    (delta, magnitude, n_a, n_b)."""
+    from table_computing_spark.operators.prefix import prefix_agg
+
+    dec = "decimal(38,0)"
+    s = df.select(
+        value_col.cast("double").alias("__v"),
+        in_group_a.cast("int").alias("__a"),
+    ).filter(F.col("__v").isNotNull() & F.col("__a").isNotNull())
+    per = s.groupBy("__v").agg(
+        F.sum("__a").alias("__na"),
+        F.sum(F.lit(1) - F.col("__a")).alias("__nb"),
+    )
+    pre = prefix_agg(
+        per, order_by=["__v"], specs={"__cbb": ("sum", "__nb")}, exclusive=True
+    )
+    cb = F.coalesce(F.col("__cbb"), F.lit(0)).cast(dec)
+    na_v = F.col("__na").cast(dec)
+    agg = pre.agg(
+        F.sum(na_v * cb).alias("__gt"),
+        F.sum(na_v * F.col("__nb").cast(dec)).alias("__eq"),
+        F.sum("__na").cast("long").alias("n_a"),
+        F.sum("__nb").cast("long").alias("n_b"),
+    )
+    tot_b = F.col("n_b").cast(dec)
+    lt = F.col("n_a").cast(dec) * tot_b - F.col("__gt") - F.col("__eq")
+    delta = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        (F.col("__gt") - lt).cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+    )
+    mag = (
+        F.when(delta.isNull(), F.lit(None).cast("string"))
+        .when(F.abs(delta) < 0.147, F.lit("negligible"))
+        .when(F.abs(delta) < 0.33, F.lit("small"))
+        .when(F.abs(delta) < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return agg.select(
+        F.round(delta, round_to).alias("delta"),
+        mag.alias("magnitude"),
+        "n_a",
+        "n_b",
+    )

@@ -1326,3 +1326,243 @@ def rbo_overlap(
         F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
         F.round(rbo, round_to).alias("rbo"),
     )
+
+
+def err_at_k(
+    df: DataFrame,
+    query_col: str,
+    item_col: str,
+    score_col: Column,
+    rel_col: Column,
+    k: int = 10,
+    max_rel: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Expected Reciprocal Rank at k per query (Chapelle, Metlzer,
+    Zhang & Grinspan 2009, public) — the cascade-model ranking metric
+    next to ndcg_at_k: a simulated user scans down the list and stops
+    at the first satisfying result, so one great hit at rank 1
+    dominates in a way DCG's independent-position discounts can't
+    express:
+
+        R_r  = (2^rel_r − 1) / 2^max_rel          (stop probability)
+        ERR  = Σ_{r≤k} (1/r) · R_r · Π_{i<r} (1 − R_i)
+
+    Ranking order is (score desc, item asc) — the deterministic-
+    tiebreak contract. The prefix product makes this a SEQUENTIAL fold
+    per query: positions sort into an array (k-bounded) and ONE
+    row-local F.aggregate replays the cascade in fixed rank order —
+    the exact sequence of IEEE double ops a recursive-CTE oracle
+    replays (the q_running_balance/holt precedent), so results are
+    bit-identical across engines. rel is clamped to [0, max_rel].
+    All windows PARTITIONED by query. Output: (query, err, n_rated)."""
+    from pyspark.sql.window import Window as W
+
+    base = df.select(
+        F.col(query_col).alias("query"),
+        F.col(item_col).alias("__item"),
+        score_col.cast("double").alias("__score"),
+        F.least(
+            F.greatest(rel_col.cast("int"), F.lit(0)), F.lit(int(max_rel))
+        ).alias("__rel"),
+    )
+    run = W.partitionBy("query").orderBy(
+        F.col("__score").desc(), F.col("__item").asc()
+    )
+    rprob = (
+        F.pow(F.lit(2.0), F.col("__rel").cast("double")) - F.lit(1.0)
+    ) / F.lit(float(2 ** int(max_rel)))
+    ranked = base.select(
+        "query",
+        F.row_number().over(run).alias("__pos"),
+        rprob.alias("__r"),
+    )
+    per_q = ranked.groupBy("query").agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("__pos") <= k,
+                    F.struct(F.col("__pos").alias("pos"), F.col("__r").alias("r")),
+                )
+            )
+        ).alias("__steps"),
+        F.count(F.lit(1)).alias("n_rated"),
+    )
+    # cascade fold: acc = (err, p_continue); err += p·r/pos; p *= (1−r)
+    fold = F.aggregate(
+        F.col("__steps"),
+        F.struct(
+            F.lit(0.0).alias("err"), F.lit(1.0).alias("p")
+        ),
+        lambda acc, s: F.struct(
+            (
+                acc["err"]
+                + acc["p"] * s["r"] / s["pos"].cast("double")
+            ).alias("err"),
+            (acc["p"] * (F.lit(1.0) - s["r"])).alias("p"),
+        ),
+    )
+    return per_q.select(
+        "query",
+        F.round(fold["err"], round_to).alias("err"),
+        F.col("n_rated").cast("long").alias("n_rated"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: Column,
+    label_col: Column,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score (Murphy 1973, public)
+    over `n_bins` equal-width forecast bins — the WHY behind
+    brier_logloss's single number: is a bad score mis-CALIBRATION
+    (reliability: bin mean forecast vs bin base rate) or lack of
+    RESOLUTION (bins don't separate outcomes)?
+
+        REL = Σ_b n_b·(f̄_b − ȳ_b)² / N      (lower is better)
+        RES = Σ_b n_b·(ȳ_b − ȳ)² / N        (higher is better)
+        UNC = ȳ·(1 − ȳ)
+        brier_binned = REL − RES + UNC       (exact identity when the
+                                              forecast is replaced by
+                                              its bin mean)
+
+    Exactness: probabilities quantize to integer NANOS on ingest (the
+    calibration-table rule), so per-bin (n, Σp_nano, Σy) are exact
+    integer aggregates; each bin's REL/RES term is fixed-order double
+    arithmetic nano-rounded before the ≤n_bins-row sum. Probabilities
+    outside [0, 1] raise at the contract gate. p = 1.0 lands in the
+    top bin. Output one row: (reliability, resolution, uncertainty,
+    brier_binned, n, n_bins_used)."""
+    dec = "decimal(38,0)"
+    s = df.select(
+        F.round(prob_col.cast("double") * 1e9).cast("long").alias("__pn"),
+        label_col.cast("long").alias("__y"),
+    ).filter(F.col("__pn").isNotNull() & F.col("__y").isNotNull())
+    bad = s.filter((F.col("__pn") < 0) | (F.col("__pn") > 1_000_000_000)).count()
+    if bad:
+        raise ValueError(
+            f"brier_decomposition: {bad} probabilities outside [0, 1] — "
+            "scores must be calibrated probabilities, not raw margins"
+        )
+    b = int(n_bins)
+    binned = s.withColumn(
+        "__b",
+        F.least(
+            F.floor(F.col("__pn") * b / F.lit(1_000_000_000)).cast("int"),
+            F.lit(b - 1),
+        ),
+    )
+    per_b = binned.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__pn").cast(dec)).alias("__sp"),
+        F.sum("__y").alias("__sy"),
+    )
+    tot = per_b.agg(
+        F.sum("__n").alias("__nn"), F.sum("__sy").alias("__yy")
+    ).first()
+    n_total, y_total = int(tot["__nn"] or 0), int(tot["__yy"] or 0)
+    if not n_total:
+        raise ValueError("brier_decomposition: no valid (prob, label) rows")
+    ybar = y_total / n_total
+    nb = F.col("__n").cast("double")
+    fbar = F.col("__sp").cast("double") / 1e9 / nb
+    ybar_b = F.col("__sy").cast("double") / nb
+    rel_t = F.round(nb * (fbar - ybar_b) * (fbar - ybar_b) * 1e9).cast(dec)
+    res_t = F.round(
+        nb * (ybar_b - F.lit(ybar)) * (ybar_b - F.lit(ybar)) * 1e9
+    ).cast(dec)
+    agg = per_b.agg(
+        F.sum(rel_t).alias("__rel"),
+        F.sum(res_t).alias("__res"),
+        F.count(F.lit(1)).alias("n_bins_used"),
+    )
+    rel = F.col("__rel").cast("double") / 1e9 / n_total
+    res = F.col("__res").cast("double") / 1e9 / n_total
+    unc = ybar * (1.0 - ybar)
+    return agg.select(
+        F.round(rel, round_to).alias("reliability"),
+        F.round(res, round_to).alias("resolution"),
+        F.round(F.lit(unc), round_to).alias("uncertainty"),
+        F.round(rel - res + F.lit(unc), round_to).alias("brier_binned"),
+        F.lit(n_total).cast("long").alias("n"),
+        F.col("n_bins_used").cast("long").alias("n_bins_used"),
+    )
+
+
+def qini_uplift(
+    df: DataFrame,
+    id_col: str,
+    treat_col: Column,
+    label_col: Column,
+    score_col: Column,
+    n_buckets: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Qini / uplift decile table (Radcliffe 2007, public) — the
+    targeting readout for treatment-effect models (cumulative_gains
+    for INCREMENTAL conversions): rank the population by predicted
+    uplift descending, cut into `n_buckets` exact ntiles, and per
+    cumulative head report the incremental conversions over the
+    treated-scaled control baseline:
+
+        qini(b)   = cumY_T(b) − cumY_C(b) · cumN_T(b)/cumN_C(b)
+        uplift(b) = cumY_T(b)/cumN_T(b) − cumY_C(b)/cumN_C(b)
+
+    Scale shape: the cumulative_gains machinery — ids.ntile_distributed
+    for the global ranking (range shuffle + closed form, never a
+    global window over data rows), ONE hash aggregate to the bucket
+    table, cumulative pass on the ≤n_buckets-row table (bounded
+    window, the plan-gate whitelist class). Order is
+    (score desc, id asc) — the deterministic-tiebreak contract. Exact
+    integer counts; fixed-order double divisions; qini/uplift NULL
+    while a cumulative head has no control (or no treated) rows yet.
+    Output: (bucket, n_treat, n_ctrl, conv_treat, conv_ctrl, qini,
+    uplift_cum)."""
+    from pyspark.sql.window import Window as W
+
+    from table_computing_spark.operators.ids import ntile_distributed
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        treat_col.cast("int").alias("__t"),
+        label_col.cast("long").alias("__y"),
+        score_col.cast("double").alias("__s"),
+    ).filter(
+        F.col("__t").isNotNull() & F.col("__y").isNotNull() & F.col("__s").isNotNull()
+    )
+    tiled = ntile_distributed(
+        base,
+        [F.col("__s").desc(), F.col("__id").asc()],
+        n_buckets,
+        out_col="bucket",
+    )
+    per_b = tiled.groupBy("bucket").agg(
+        F.sum("__t").cast("long").alias("n_treat"),
+        F.sum(F.lit(1) - F.col("__t")).cast("long").alias("n_ctrl"),
+        F.sum(F.col("__t") * F.col("__y")).cast("long").alias("conv_treat"),
+        F.sum((F.lit(1) - F.col("__t")) * F.col("__y")).cast("long").alias(
+            "conv_ctrl"
+        ),
+    )
+    wc = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_b.select(
+        "bucket", "n_treat", "n_ctrl", "conv_treat", "conv_ctrl",
+        F.sum("n_treat").over(wc).alias("__cnt"),
+        F.sum("n_ctrl").over(wc).alias("__cnc"),
+        F.sum("conv_treat").over(wc).alias("__cyt"),
+        F.sum("conv_ctrl").over(wc).alias("__cyc"),
+    )
+    cnt = F.col("__cnt").cast("double")
+    cnc = F.col("__cnc").cast("double")
+    cyt = F.col("__cyt").cast("double")
+    cyc = F.col("__cyc").cast("double")
+    ok = (F.col("__cnt") > 0) & (F.col("__cnc") > 0)
+    return cum.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_treat", "n_ctrl", "conv_treat", "conv_ctrl",
+        F.round(F.when(ok, cyt - cyc * cnt / cnc), round_to).alias("qini"),
+        F.round(F.when(ok, cyt / cnt - cyc / cnc), round_to).alias("uplift_cum"),
+    )

@@ -205,6 +205,11 @@ _GLOBAL_WINDOW_OK = {
     "q_isotonic": (
         "PAV pooling over fixed bin table", lambda spark: 20, 20,
     ),
+    # r13: cumulative treated/control totals over the fixed 10-row
+    # uplift-decile table (the cumulative_gains shape)
+    "q_qini_uplift": (
+        "running totals over fixed n_buckets decile table", lambda spark: 10, 10,
+    ),
     # r11: sum(term) OVER () over one row per community (nation labels)
     "q_graph_modularity": (
         "global total over one row per community",

@@ -1,0 +1,304 @@
+"""Unit pins for the r13 operators (wasserstein_1d, cvm_2sample,
+cliffs_delta, err_at_k, brier_decomposition, qini_uplift) —
+hand-computed goldens + edge/contract cases, the test strategy of
+SURVEY.md §5 (the reference pins operator semantics with small exact
+fixtures, e.g. TableTest/SlideWindowTest)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _vals(spark, xs, col="v"):
+    return spark.createDataFrame([(x,) for x in xs], f"{col} long")
+
+
+# ------------------------------------------------------ wasserstein_1d
+
+
+def test_wasserstein_unit_shift(spark):
+    from table_computing_spark.operators.drift import wasserstein_1d
+
+    old = _vals(spark, [1, 2, 3])
+    new = _vals(spark, [2, 3, 4])
+    r = wasserstein_1d(old, new, F.col("v")).collect()[0]
+    # shifting every point by +1 moves exactly 1.0 units of mass·distance
+    assert r["w1"] == 1.0
+    assert r["n_old"] == 3 and r["n_new"] == 3 and r["n_values"] == 4
+
+
+def test_wasserstein_symmetric_and_identical(spark):
+    from table_computing_spark.operators.drift import wasserstein_1d
+
+    a = _vals(spark, [1, 5, 5, 9])
+    b = _vals(spark, [2, 2, 7, 11])
+    ab = wasserstein_1d(a, b, F.col("v")).collect()[0]["w1"]
+    ba = wasserstein_1d(b, a, F.col("v")).collect()[0]["w1"]
+    assert ab == ba > 0
+    same = wasserstein_1d(a, a, F.col("v")).collect()[0]["w1"]
+    assert same == 0.0
+
+
+def test_wasserstein_unequal_sizes_golden(spark):
+    from table_computing_spark.operators.drift import wasserstein_1d
+
+    # F_old = [1/2, 1, 1] at v=0,1,2 ; F_new = [0, 0, 1] (all mass at 2)
+    # W1 = |1/2-0|·1 + |1-0|·1 = 1.5
+    old = _vals(spark, [0, 1])
+    new = _vals(spark, [2])
+    assert wasserstein_1d(old, new, F.col("v")).collect()[0]["w1"] == 1.5
+
+
+def test_wasserstein_empty_side_raises(spark):
+    from table_computing_spark.operators.drift import wasserstein_1d
+
+    with pytest.raises(ValueError, match="empty distribution"):
+        wasserstein_1d(
+            _vals(spark, [1]), _vals(spark, []).filter("v > 0"), F.col("v")
+        )
+
+
+def test_wasserstein_single_pooled_value_is_zero(spark):
+    from table_computing_spark.operators.drift import wasserstein_1d
+
+    r = wasserstein_1d(
+        _vals(spark, [7, 7]), _vals(spark, [7]), F.col("v")
+    ).collect()[0]
+    assert r["w1"] == 0.0 and r["n_values"] == 1
+
+
+# -------------------------------------------------------- cvm_2sample
+
+
+def test_cvm_golden(spark):
+    from table_computing_spark.operators.drift import cvm_2sample
+
+    # old=[1,2], new=[1,3]: pooled D terms (see derivation) sum to 4;
+    # T = 4 / (2·2·4²) = 0.0625
+    r = cvm_2sample(
+        _vals(spark, [1, 2]), _vals(spark, [1, 3]), F.col("v")
+    ).collect()[0]
+    assert r["t"] == 0.0625
+    assert r["n_old"] == 2 and r["n_new"] == 2
+
+
+def test_cvm_identical_samples_zero(spark):
+    from table_computing_spark.operators.drift import cvm_2sample
+
+    a = _vals(spark, [1, 2, 2, 5])
+    assert cvm_2sample(a, a, F.col("v")).collect()[0]["t"] == 0.0
+
+
+def test_cvm_empty_side_raises(spark):
+    from table_computing_spark.operators.drift import cvm_2sample
+
+    with pytest.raises(ValueError, match="empty distribution"):
+        cvm_2sample(
+            _vals(spark, []).filter("v > 0"), _vals(spark, [1]), F.col("v")
+        )
+
+
+# ------------------------------------------------------- cliffs_delta
+
+
+def _ab(spark, a_vals, b_vals):
+    rows = [(v, True) for v in a_vals] + [(v, False) for v in b_vals]
+    return spark.createDataFrame(rows, "v long, a boolean")
+
+
+def test_cliffs_delta_extremes_and_zero(spark):
+    from table_computing_spark.operators.drift import cliffs_delta
+
+    full = cliffs_delta(
+        _ab(spark, [3, 4], [1, 2]), F.col("a"), F.col("v")
+    ).collect()[0]
+    assert full["delta"] == 1.0 and full["magnitude"] == "large"
+    inv = cliffs_delta(
+        _ab(spark, [1, 2], [3, 4]), F.col("a"), F.col("v")
+    ).collect()[0]
+    assert inv["delta"] == -1.0 and inv["magnitude"] == "large"
+    z = cliffs_delta(
+        _ab(spark, [1, 2], [1, 2]), F.col("a"), F.col("v")
+    ).collect()[0]
+    assert z["delta"] == 0.0 and z["magnitude"] == "negligible"
+
+
+def test_cliffs_delta_matches_bruteforce(spark):
+    from table_computing_spark.operators.drift import cliffs_delta
+
+    a = [1, 3, 3, 7, 9]
+    b = [2, 3, 5, 5]
+    gt = sum(1 for x in a for y in b if x > y)
+    lt = sum(1 for x in a for y in b if x < y)
+    want = round((gt - lt) / (len(a) * len(b)), 6)
+    r = cliffs_delta(_ab(spark, a, b), F.col("a"), F.col("v")).collect()[0]
+    assert r["delta"] == want
+    assert r["n_a"] == 5 and r["n_b"] == 4
+
+
+def test_cliffs_delta_empty_group_null(spark):
+    from table_computing_spark.operators.drift import cliffs_delta
+
+    r = cliffs_delta(_ab(spark, [1, 2], []), F.col("a"), F.col("v")).collect()[0]
+    assert r["delta"] is None and r["magnitude"] is None
+
+
+# ----------------------------------------------------------- err_at_k
+
+
+def _ranking(spark, rows):
+    # rows: (query, item, score, rel)
+    return spark.createDataFrame(
+        rows, "q string, item long, score double, rel int"
+    )
+
+
+def test_err_single_perfect_hit(spark):
+    from table_computing_spark.operators.evaluation import err_at_k
+
+    df = _ranking(spark, [("a", 1, 2.0, 3), ("a", 2, 1.0, 0)])
+    r = err_at_k(df, "q", "item", F.col("score"), F.col("rel"),
+                 k=10, max_rel=3).collect()[0]
+    # R1 = 7/8 stops most users at rank 1; rank 2 has R=0
+    assert r["err"] == 0.875 and r["n_rated"] == 2
+
+
+def test_err_cascade_golden(spark):
+    from table_computing_spark.operators.evaluation import err_at_k
+
+    # rank1 rel=1 (R=1/8), rank2 rel=3 (R=7/8):
+    # ERR = 1/8 + (1/2)·(7/8)·(7/8) = 0.5078125 — a HALF tie at the
+    # 6th decimal: F.round is HALF_UP (DuckDB agrees), python round()
+    # is banker's, so pin the literal, not round()
+    df = _ranking(spark, [("a", 1, 2.0, 1), ("a", 2, 1.0, 3)])
+    r = err_at_k(df, "q", "item", F.col("score"), F.col("rel"),
+                 k=10, max_rel=3).collect()[0]
+    assert r["err"] == 0.507813
+
+
+def test_err_k_truncates_and_rel_clamps(spark):
+    from table_computing_spark.operators.evaluation import err_at_k
+
+    rows = [("a", i, float(100 - i), 3) for i in range(1, 6)]
+    r1 = err_at_k(_ranking(spark, rows), "q", "item", F.col("score"),
+                  F.col("rel"), k=2, max_rel=3).collect()[0]
+    want = 7 / 8 + 0.5 * (7 / 8) * (1 / 8)
+    assert r1["err"] == round(want, 6)
+    # rel above max_rel clamps to max_rel (same ERR as rel == max)
+    rows_hi = [("a", i, float(100 - i), 9) for i in range(1, 6)]
+    r2 = err_at_k(_ranking(spark, rows_hi), "q", "item", F.col("score"),
+                  F.col("rel"), k=2, max_rel=3).collect()[0]
+    assert r2["err"] == r1["err"]
+
+
+# ------------------------------------------------- brier_decomposition
+
+
+def test_brier_decomposition_golden(spark):
+    from table_computing_spark.operators.evaluation import brier_decomposition
+
+    rows = [(0.2, 0), (0.2, 0), (0.8, 1), (0.8, 1)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    r = brier_decomposition(df, F.col("p"), F.col("y"), n_bins=10).collect()[0]
+    assert r["reliability"] == 0.04
+    assert r["resolution"] == 0.25
+    assert r["uncertainty"] == 0.25
+    assert r["brier_binned"] == 0.04
+    assert r["n"] == 4 and r["n_bins_used"] == 2
+
+
+def test_brier_decomposition_identity_on_real_data(spark):
+    """REL − RES + UNC must equal the Brier score of the BINNED
+    forecast (each p replaced by its bin mean) — Murphy's exact
+    identity, checked against an independent computation."""
+    from table_computing_spark.operators.evaluation import brier_decomposition
+
+    rows = [((i % 10) / 10.0 + 0.05, 1 if (i * 7) % 10 < (i % 10) else 0)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    r = brier_decomposition(df, F.col("p"), F.col("y"), n_bins=10).collect()[0]
+    import collections
+
+    bins = collections.defaultdict(list)
+    for p, y in rows:
+        bins[min(int(p * 10), 9)].append((p, y))
+    n = len(rows)
+    binned_brier = sum(
+        (sum(p for p, _ in g) / len(g) - y) ** 2
+        for g in bins.values()
+        for _, y in g
+    ) / n
+    assert abs((r["reliability"] - r["resolution"] + r["uncertainty"])
+               - binned_brier) < 1e-6
+    assert r["brier_binned"] == round(
+        r["reliability"] - r["resolution"] + r["uncertainty"], 6
+    ) or abs(r["brier_binned"]
+             - (r["reliability"] - r["resolution"] + r["uncertainty"])) < 2e-6
+
+
+def test_brier_decomposition_rejects_out_of_range(spark):
+    from table_computing_spark.operators.evaluation import brier_decomposition
+
+    df = spark.createDataFrame([(1.2, 1), (0.5, 0)], "p double, y int")
+    with pytest.raises(ValueError, match="outside"):
+        brier_decomposition(df, F.col("p"), F.col("y"))
+
+
+def test_brier_decomposition_top_edge_bin(spark):
+    from table_computing_spark.operators.evaluation import brier_decomposition
+
+    df = spark.createDataFrame([(1.0, 1), (0.0, 0)], "p double, y int")
+    r = brier_decomposition(df, F.col("p"), F.col("y"), n_bins=10).collect()[0]
+    # perfectly calibrated, perfectly resolved
+    assert r["reliability"] == 0.0
+    assert r["resolution"] == 0.25
+    assert r["brier_binned"] == 0.0
+
+
+# ---------------------------------------------------------- qini_uplift
+
+
+def test_qini_golden(spark):
+    from table_computing_spark.operators.evaluation import qini_uplift
+
+    rows = [(1, True, 1, 4.0), (2, False, 0, 3.0),
+            (3, True, 0, 2.0), (4, False, 0, 1.0)]
+    df = spark.createDataFrame(rows, "id long, t boolean, y int, s double")
+    out = {
+        r["bucket"]: r
+        for r in qini_uplift(df, "id", F.col("t"), F.col("y"), F.col("s"),
+                             n_buckets=2).collect()
+    }
+    b1, b2 = out[1], out[2]
+    assert (b1["n_treat"], b1["n_ctrl"], b1["conv_treat"], b1["conv_ctrl"]) \
+        == (1, 1, 1, 0)
+    assert b1["qini"] == 1.0 and b1["uplift_cum"] == 1.0
+    assert b2["qini"] == 1.0 and b2["uplift_cum"] == 0.5
+
+
+def test_qini_no_control_head_is_null(spark):
+    from table_computing_spark.operators.evaluation import qini_uplift
+
+    rows = [(1, True, 1, 4.0), (2, True, 0, 3.0),
+            (3, False, 1, 2.0), (4, False, 0, 1.0)]
+    df = spark.createDataFrame(rows, "id long, t boolean, y int, s double")
+    out = {
+        r["bucket"]: r
+        for r in qini_uplift(df, "id", F.col("t"), F.col("y"), F.col("s"),
+                             n_buckets=2).collect()
+    }
+    # first decile is all-treated: no control baseline yet
+    assert out[1]["qini"] is None and out[1]["uplift_cum"] is None
+    assert out[2]["qini"] is not None
+
+
+def test_qini_plan_has_no_global_window_over_rows(spark):
+    """The ranking must be ntile_distributed (range shuffle + closed
+    form); only the 10-row bucket table may see an unpartitioned
+    window — the q_cumulative_gains plan contract."""
+    import __spark_entry__ as m
+    from tests.test_plans import _unpartitioned_windows, plan_of
+
+    df = m.queries()["q_qini_uplift"](spark, "/root/testdata/sf0.001")
+    ws = _unpartitioned_windows(plan_of(df))
+    # the only global window is the bounded bucket cumulative pass
+    assert len(ws) <= 1
