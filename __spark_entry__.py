@@ -7281,6 +7281,69 @@ def q_qini_uplift(spark, sf_dir):
     )
 
 
+def q_holt_winters(spark, sf_dir):
+    """Holt–Winters additive seasonal smoothing (temporal.holt_winters,
+    α=0.5 β=0.25 γ=0.5 — dyadic so the oracle's recursive CTE replays
+    the exact IEEE recursion, carrying the 24-slot seasonal window as
+    a list) over hourly event counts per type: level, trend, seasonal,
+    one-step forecast per row after the first full day. The seasonal
+    forecaster above q_holt. (New r13.)"""
+    from table_computing_spark.operators.temporal import holt_winters
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type",
+        F.floor(tcf.epoch_ms("ts") / 3600000).cast("long").alias("hr"),
+    )
+    series = ev.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("n"))
+    return holt_winters(
+        series, ["event_type"], "hr", F.col("n"),
+        period=24, alpha=0.5, beta=0.25, gamma=0.5,
+    )
+
+
+def q_prop_compare(spark, sf_dir):
+    """Two-proportion comparison (rates.prop_compare): odd- vs
+    even-key orders' finished rates — pooled z test plus relative risk
+    (Katz log CI) and odds ratio (Woolf log CI), the effect-size
+    readouts an experiment report quotes next to q_ab_srm/q_ab_ttest.
+    One hash aggregate to four exact cells. (New r13.)"""
+    from table_computing_spark.operators.rates import prop_compare
+
+    o = _t(spark, sf_dir, "orders").df
+    return prop_compare(
+        o, (F.col("o_orderkey") % 2 == 1), (F.col("o_orderstatus") == "F")
+    )
+
+
+def q_vocab_richness(spark, sf_dir):
+    """Chao1 vocabulary-size lower bound + Good–Turing coverage
+    (text.vocab_richness) over the documents corpus — the lexical-
+    saturation readout next to q_vocab_growth's Heaps fit: chao1 far
+    ahead of observed distinct tokens = keep crawling; coverage = the
+    probability the next token is already known. (New r13.)"""
+    from table_computing_spark.operators.text import vocab_richness
+
+    docs = _t(spark, sf_dir, "documents").df
+    return vocab_richness(docs)
+
+
+def q_mantel_haenszel(spark, sf_dir):
+    """Mantel–Haenszel order-priority-adjusted odds ratio + CMH
+    chi-square (drift.mantel_haenszel): does odd-key 'exposure'
+    associate with finished status AFTER controlling for order
+    priority strata? The confounder-adjusted companion of q_did.
+    Per-stratum exact cells; nano-staged E/V terms. (New r13.)"""
+    from table_computing_spark.operators.drift import mantel_haenszel
+
+    o = _t(spark, sf_dir, "orders").df
+    return mantel_haenszel(
+        o,
+        "o_orderpriority",
+        (F.col("o_orderkey") % 2 == 1),
+        (F.col("o_orderstatus") == "F"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -7676,6 +7739,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_err_at_k": q_err_at_k,
         "q_brier_decomp": q_brier_decomp,
         "q_qini_uplift": q_qini_uplift,
+        "q_holt_winters": q_holt_winters,
+        "q_prop_compare": q_prop_compare,
+        "q_vocab_richness": q_vocab_richness,
+        "q_mantel_haenszel": q_mantel_haenszel,
     }
     return {**window_50, **tail}
 
@@ -15939,5 +16006,172 @@ def oracle_sql() -> dict[str, str]:
                  - CAST(cyc AS DOUBLE) / CAST(cnc AS DOUBLE) END, 6)
                  AS uplift_cum
         FROM c
+        """,
+        "q_holt_winters": """
+        WITH RECURSIVE hourly AS (
+          SELECT event_type, epoch_ms(ts) // 3600000 AS hr,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1, 2
+        ), seq AS (
+          SELECT event_type, hr, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+          FROM hourly
+        ), init AS (
+          SELECT event_type,
+                 CAST(sum(v) AS DOUBLE) / 24.0 AS m,
+                 list(CAST(v AS DOUBLE) ORDER BY rn) AS xs
+          FROM seq WHERE rn <= 24 GROUP BY event_type
+          HAVING count(*) = 24
+        ), rec AS (
+          SELECT i.event_type, CAST(24 AS BIGINT) AS rn,
+                 CAST(NULL AS BIGINT) AS hr, CAST(NULL AS BIGINT) AS v,
+                 i.m AS l, CAST(0.0 AS DOUBLE) AS b,
+                 list_transform(i.xs, x -> x - i.m) AS slist
+          FROM init i
+          UNION ALL
+          SELECT h.event_type, h.rn, h.hr, h.v,
+                 0.5 * (CAST(h.v AS DOUBLE) - r.slist[1])
+                   + 0.5 * (r.l + r.b),
+                 0.25 * ((0.5 * (CAST(h.v AS DOUBLE) - r.slist[1])
+                          + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b,
+                 r.slist[2:] || [
+                   0.5 * (CAST(h.v AS DOUBLE)
+                          - (0.5 * (CAST(h.v AS DOUBLE) - r.slist[1])
+                             + 0.5 * (r.l + r.b)))
+                   + 0.5 * r.slist[1]]
+          FROM rec r JOIN seq h
+            ON h.event_type = r.event_type AND h.rn = r.rn + 1
+        )
+        SELECT event_type, hr, v AS value,
+               round(l, 6) AS level, round(b, 6) AS trend,
+               round(slist[24], 6) AS seasonal,
+               round(l + b + slist[1], 6) AS forecast
+        FROM rec WHERE rn > 24
+        """,
+        "q_prop_compare": """
+        WITH s AS (
+          SELECT CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS a,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders
+          WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+        ), agg AS (
+          SELECT CAST(sum(a) AS BIGINT) AS n_a,
+                 CAST(sum(1 - a) AS BIGINT) AS n_b,
+                 CAST(sum(a * y) AS BIGINT) AS x_a,
+                 CAST(sum((1 - a) * y) AS BIGINT) AS x_b
+          FROM s
+        ), d AS (
+          SELECT *,
+                 CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+                 CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+                 (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool
+          FROM agg
+        ), e AS (
+          SELECT *,
+                 pool * (1.0 - pool)
+                 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+                   AS var,
+                 CASE WHEN x_a > 0 AND x_b > 0 THEN pa / pb END AS rr,
+                 sqrt((1.0 - pa) / CAST(x_a AS DOUBLE)
+                      + (1.0 - pb) / CAST(x_b AS DOUBLE)) AS rr_se,
+                 CASE WHEN x_a > 0 AND x_b > 0
+                       AND n_a > x_a AND n_b > x_b THEN
+                   (CAST(x_a AS DOUBLE)
+                    * (CAST(n_b AS DOUBLE) - CAST(x_b AS DOUBLE)))
+                   / (CAST(x_b AS DOUBLE)
+                      * (CAST(n_a AS DOUBLE) - CAST(x_a AS DOUBLE)))
+                 END AS orr,
+                 sqrt(1.0 / CAST(x_a AS DOUBLE)
+                      + 1.0 / (CAST(n_a AS DOUBLE) - CAST(x_a AS DOUBLE))
+                      + 1.0 / CAST(x_b AS DOUBLE)
+                      + 1.0 / (CAST(n_b AS DOUBLE) - CAST(x_b AS DOUBLE)))
+                   AS or_se
+          FROM d
+        )
+        SELECT n_a, x_a, n_b, x_b,
+               round(CASE WHEN n_a > 0 THEN pa END, 6) AS p_a,
+               round(CASE WHEN n_b > 0 THEN pb END, 6) AS p_b,
+               round(CASE WHEN n_a > 0 AND n_b > 0 AND var > 0
+                     THEN (pa - pb) / sqrt(var) END, 6) AS z_stat,
+               round(rr, 6) AS rr,
+               round(exp(ln(rr) - 1.959963984540054 * rr_se), 6) AS rr_lo,
+               round(exp(ln(rr) + 1.959963984540054 * rr_se), 6) AS rr_hi,
+               round(orr, 6) AS or_,
+               round(exp(ln(orr) - 1.959963984540054 * or_se), 6) AS or_lo,
+               round(exp(ln(orr) + 1.959963984540054 * or_se), 6) AS or_hi
+        FROM e
+        """,
+        "q_vocab_richness": r"""
+        WITH tok AS (
+          SELECT unnest(list_filter(
+                   string_split_regex(lower(text), '\s+'), x -> x <> ''))
+                   AS t
+          FROM documents
+        ), counts AS (
+          SELECT t, count(*) AS c FROM tok GROUP BY t
+        ), agg AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                 CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+          FROM counts
+        )
+        SELECT n_tokens, n_distinct, f1, f2,
+               round(CAST(n_distinct AS DOUBLE)
+                     + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+                       / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) AS chao1,
+               round(CASE WHEN n_tokens > 0 THEN
+                 1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 6)
+                 AS coverage
+        FROM agg
+        """,
+        "q_mantel_haenszel": """
+        WITH s AS (
+          SELECT o_orderpriority AS st,
+                 CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS e,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders
+          WHERE o_orderpriority IS NOT NULL AND o_orderkey IS NOT NULL
+            AND o_orderstatus IS NOT NULL
+        ), per AS (
+          SELECT st,
+                 CAST(sum(e * y) AS DOUBLE) AS a,
+                 CAST(sum(e * (1 - y)) AS DOUBLE) AS b,
+                 CAST(sum((1 - e) * y) AS DOUBLE) AS c,
+                 CAST(sum((1 - e) * (1 - y)) AS DOUBLE) AS d
+          FROM s GROUP BY st
+        ), terms AS (
+          SELECT a, b, c, d, a + b + c + d AS n,
+                 CAST(round(a * d / (a + b + c + d) * 1e9) AS HUGEINT)
+                   AS num_t,
+                 CAST(round(b * c / (a + b + c + d) * 1e9) AS HUGEINT)
+                   AS den_t,
+                 CAST(round((a + b) * (a + c) / (a + b + c + d) * 1e9)
+                   AS HUGEINT) AS e_t,
+                 CASE WHEN a + b + c + d > 1.0 THEN
+                   CAST(round((a + b) * (c + d) * (a + c) * (b + d)
+                     / ((a + b + c + d) * (a + b + c + d)
+                        * (a + b + c + d - 1.0)) * 1e9) AS HUGEINT)
+                 ELSE CAST(0 AS HUGEINT) END AS v_t
+          FROM per
+        ), agg AS (
+          SELECT sum(num_t) AS num, sum(den_t) AS den,
+                 sum(CAST(a AS HUGEINT)) AS sa, sum(e_t) AS se,
+                 sum(v_t) AS sv, count(*) AS n_strata,
+                 CAST(sum(CAST(n AS BIGINT)) AS BIGINT) AS nn
+          FROM terms
+        ), fin AS (
+          SELECT *,
+                 greatest(abs(CAST(sa AS DOUBLE)
+                              - CAST(se AS DOUBLE) / 1e9) - 0.5, 0.0) AS dev
+          FROM agg
+        )
+        SELECT CAST(n_strata AS BIGINT) AS n_strata, nn AS n,
+               round(CASE WHEN den > 0 THEN
+                 CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END, 6) AS or_mh,
+               round(CASE WHEN sv > 0 THEN
+                 dev * dev / (CAST(sv AS DOUBLE) / 1e9) END, 6) AS cmh_chi2
+        FROM fin
         """,
     }

@@ -1980,3 +1980,90 @@ def cliffs_delta(
         "n_a",
         "n_b",
     )
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    exposed_col: Column,
+    outcome_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mantel–Haenszel stratum-adjusted odds ratio (Mantel & Haenszel
+    1959, public) — the confounder-adjusted effect estimate next to
+    diff_in_diff: pool per-stratum 2×2 tables (a=exposed-outcome,
+    b=exposed-no, c=unexposed-outcome, d=unexposed-no) without the
+    small-cell instability of per-stratum ORs:
+
+        OR_MH = Σ_i (a_i·d_i/n_i) / Σ_i (b_i·c_i/n_i)
+
+    plus the Cochran–Mantel–Haenszel chi-square (continuity-corrected,
+    the classical form):
+
+        CMH = (|Σ a_i − Σ E_i| − ½)² / Σ V_i
+        E_i = (a+b)(a+c)/n,  V_i = (a+b)(c+d)(a+c)(b+d)/(n²(n−1))
+
+    Exactness: per-stratum cells are ONE exact-integer hash aggregate;
+    each stratum's OR_MH numerator/denominator and E/V terms are
+    fixed-order doubles nano-rounded to DECIMAL(38,0) before the
+    ≤|strata|-row sum (the chi2_screen discipline). OR_MH is NULL when
+    the denominator is 0; CMH is NULL when ΣV = 0. Strata with n < 2
+    contribute nothing to CMH (V undefined) but still feed OR_MH.
+    Output one row: (n_strata, n, or_mh, cmh_chi2)."""
+    dec = "decimal(38,0)"
+    s = df.select(
+        F.col(stratum_col).alias("__s"),
+        exposed_col.cast("int").alias("__e"),
+        outcome_col.cast("int").alias("__y"),
+    ).filter(
+        F.col("__s").isNotNull() & F.col("__e").isNotNull() & F.col("__y").isNotNull()
+    )
+    per = s.groupBy("__s").agg(
+        F.sum(F.col("__e") * F.col("__y")).alias("__a"),
+        F.sum(F.col("__e") * (F.lit(1) - F.col("__y"))).alias("__b"),
+        F.sum((F.lit(1) - F.col("__e")) * F.col("__y")).alias("__c"),
+        F.sum((F.lit(1) - F.col("__e")) * (F.lit(1) - F.col("__y"))).alias("__d"),
+    )
+    a = F.col("__a").cast("double")
+    b = F.col("__b").cast("double")
+    c = F.col("__c").cast("double")
+    d = F.col("__d").cast("double")
+    n = a + b + c + d
+    num_t = F.round(a * d / n * 1e9).cast(dec)
+    den_t = F.round(b * c / n * 1e9).cast(dec)
+    e_t = F.round((a + b) * (a + c) / n * 1e9).cast(dec)
+    v_t = F.when(
+        n > 1.0,
+        F.round(
+            (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1.0)) * 1e9
+        ).cast(dec),
+    ).otherwise(F.lit(0).cast(dec))
+    agg = per.agg(
+        F.sum(num_t).alias("__num"),
+        F.sum(den_t).alias("__den"),
+        F.sum("__a").alias("__sa"),
+        F.sum(e_t).alias("__se"),
+        F.sum(v_t).alias("__sv"),
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d")).alias(
+            "__nn"
+        ),
+    )
+    or_mh = F.when(
+        F.col("__den") > 0,
+        F.col("__num").cast("double") / F.col("__den").cast("double"),
+    )
+    dev = F.abs(
+        F.col("__sa").cast("double") - F.col("__se").cast("double") / 1e9
+    ) - 0.5
+    dev = F.greatest(dev, F.lit(0.0))  # |O−E| < ½: corrected CMH is 0
+    cmh = F.when(
+        F.col("__sv") > 0,
+        dev * dev / (F.col("__sv").cast("double") / 1e9),
+    )
+    return agg.select(
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.col("__nn").cast("long").alias("n"),
+        F.round(or_mh, round_to).alias("or_mh"),
+        F.round(cmh, round_to).alias("cmh_chi2"),
+    )

@@ -146,3 +146,103 @@ def eb_shrink(
         F.round(F.col("__alpha"), round_to).alias("alpha"),
         F.round(F.col("__beta"), round_to).alias("beta"),
     )
+
+
+def prop_compare(
+    df: DataFrame,
+    in_group_a: Column,
+    success_col: Column,
+    z: float = 1.959963984540054,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-proportion comparison in one pass (classical large-sample
+    theory, public): the pooled two-proportion z test plus the two
+    effect-size readouts experimentation reports actually quote —
+    relative risk with the Katz (1978) log CI and the odds ratio with
+    the Woolf (1955) log CI:
+
+        z_stat = (p_a − p_b) / sqrt( p̂(1−p̂)(1/n_a + 1/n_b) )
+        RR = p_a/p_b,  CI = exp(ln RR ± z·sqrt((1−p_a)/x_a + (1−p_b)/x_b))
+        OR = (x_a·(n_b−x_b)) / (x_b·(n_a−x_a)),
+             CI = exp(ln OR ± z·sqrt(1/x_a + 1/(n_a−x_a)
+                                     + 1/x_b + 1/(n_b−x_b)))
+
+    The srm_check/cohens_d discipline: ONE hash aggregate to the four
+    exact integer cells, every statistic a fixed-order double
+    expression on them, rounded once. z_stat is NULL when either arm
+    is empty or the pooled rate is degenerate (0 or 1); RR and its CI
+    are NULL when either arm has zero successes; OR and its CI are
+    NULL when any cell is zero (the classical undefined cases,
+    reported as NULL — never an Inf that poisons a downstream sort).
+    Output one row: (n_a, x_a, n_b, x_b, p_a, p_b, z_stat, rr, rr_lo,
+    rr_hi, or_, or_lo, or_hi)."""
+    s = df.select(
+        in_group_a.cast("int").alias("__a"),
+        success_col.cast("long").alias("__y"),
+    ).filter(F.col("__a").isNotNull() & F.col("__y").isNotNull())
+    agg = s.agg(
+        F.sum("__a").alias("n_a"),
+        F.sum(F.lit(1) - F.col("__a")).alias("n_b"),
+        F.sum(F.col("__a") * F.col("__y")).alias("x_a"),
+        F.sum((F.lit(1) - F.col("__a")) * F.col("__y")).alias("x_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    xa, xb = F.col("x_a").cast("double"), F.col("x_b").cast("double")
+    # every division sits INSIDE its guard: ANSI mode raises
+    # DIVIDE_BY_ZERO for an unguarded expression even when the result
+    # would be discarded; CASE WHEN evaluates only the taken branch
+    pa = F.when(F.col("n_a") > 0, xa / na)
+    pb = F.when(F.col("n_b") > 0, xb / nb)
+    pool = (xa + xb) / (na + nb)
+    var = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        pool * (1.0 - pool) * (1.0 / na + 1.0 / nb),
+    )
+    z_stat = F.when(var > 0, (pa - pb) / F.sqrt(var))
+    rr_ok = (F.col("x_a") > 0) & (F.col("x_b") > 0)
+    rr = F.when(rr_ok, pa / pb)
+    rr_se = F.sqrt((1.0 - pa) / xa + (1.0 - pb) / xb)
+    or_ok = (
+        rr_ok
+        & (F.col("n_a") > F.col("x_a")) & (F.col("n_b") > F.col("x_b"))
+    )
+    orr = F.when(or_ok, (xa * (nb - xb)) / (xb * (na - xa)))
+    or_se = F.sqrt(
+        1.0 / xa + 1.0 / (na - xa) + 1.0 / xb + 1.0 / (nb - xb)
+    )
+    zl = F.lit(float(z))
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("x_a").cast("long").alias("x_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("x_b").cast("long").alias("x_b"),
+        F.round(pa, round_to).alias("p_a"),
+        F.round(pb, round_to).alias("p_b"),
+        F.round(z_stat, round_to).alias("z_stat"),
+        F.round(rr, round_to).alias("rr"),
+        F.round(
+            F.when(rr_ok, F.exp(F.log(pa / pb) - zl * rr_se)), round_to
+        ).alias("rr_lo"),
+        F.round(
+            F.when(rr_ok, F.exp(F.log(pa / pb) + zl * rr_se)), round_to
+        ).alias("rr_hi"),
+        F.round(orr, round_to).alias("or_"),
+        F.round(
+            F.when(
+                or_ok,
+                F.exp(
+                    F.log((xa * (nb - xb)) / (xb * (na - xa))) - zl * or_se
+                ),
+            ),
+            round_to,
+        ).alias("or_lo"),
+        F.round(
+            F.when(
+                or_ok,
+                F.exp(
+                    F.log((xa * (nb - xb)) / (xb * (na - xa))) + zl * or_se
+                ),
+            ),
+            round_to,
+        ).alias("or_hi"),
+    )

@@ -1872,6 +1872,128 @@ def holt_linear(
     )
 
 
+def holt_winters(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    order_col: str,
+    value_col: Column,
+    period: int,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.5,
+    round_to: int = 6,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Holt–Winters ADDITIVE seasonal (triple exponential) smoothing
+    per key (Winters 1960, public) — holt_linear plus a seasonal
+    component of length `period`; the forecaster for metrics with a
+    daily/weekly shape (hourly event volume, daily ingest):
+
+        l_t = α(x_t − s_{t−p}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ(x_t − l_t) + (1−γ)·s_{t−p}
+        one-step forecast f_{t+1} = l_t + b_t + s_{t+1−p}
+
+    Init (the documented simple convention, exactly replayable): after
+    the first full season x_1..x_p, l_p = Σx/p (exact-integer sum, one
+    division), b_p = 0, s_i = x_i − l_p; the recursion starts at
+    t = p+1 and only rows t > p are emitted — keys with ≤ period
+    points produce NO rows (no season to learn from).
+
+    Engine-exactness: the holt_linear contract — values INTEGER-exact,
+    the recursion a fixed sequence of IEEE double ops bit-identical to
+    the oracle's recursive CTE (which carries the rolling seasonal
+    window as a p-element list). Ties in `order_col` break by value.
+    Runs in the kendall-shape bucketed Arrow batching (whole keys per
+    bucket, numpy loops inside). BOUNDED-GROUP caveat: one key's
+    history must fit one task. Output: (keys..., order_col, value,
+    level, trend, seasonal, forecast)."""
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    keys = list(keys)
+    p = int(period)
+    if p < 1:
+        raise ValueError(f"holt_winters: period must be >= 1, got {period}")
+    base = df.select(
+        *keys,
+        F.col(order_col).alias("__o"),
+        value_col.cast("double").alias("__x"),
+    ).filter(F.col("__o").isNotNull() & F.col("__x").isNotNull())
+    ktypes = ", ".join(
+        f"{k} {base.schema[k].dataType.simpleString()}" for k in keys
+    )
+    otype = base.schema["__o"].dataType.simpleString()
+    out_schema = (
+        f"{ktypes}, {order_col} {otype}, value long, "
+        "level double, trend double, seasonal double, forecast double"
+    )
+
+    def fit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        frames = []
+        for kv, sub in pdf.groupby(keys, sort=False):
+            sub = sub.sort_values(["__o", "__x"], kind="mergesort")
+            x = sub["__x"].to_numpy(dtype="float64")
+            n = len(x)
+            if n <= p:
+                continue
+            m = x[:p].sum() / p
+            s = np.empty(n)
+            s[:p] = x[:p] - m
+            lvl = m
+            trd = 0.0
+            out_lvl = np.empty(n - p)
+            out_trd = np.empty(n - p)
+            out_sea = np.empty(n - p)
+            out_fc = np.empty(n - p)
+            for t in range(p, n):
+                s_prev = s[t - p]
+                l_new = alpha * (x[t] - s_prev) + (1.0 - alpha) * (lvl + trd)
+                trd = beta * (l_new - lvl) + (1.0 - beta) * trd
+                s[t] = gamma * (x[t] - l_new) + (1.0 - gamma) * s_prev
+                lvl = l_new
+                i = t - p
+                out_lvl[i] = lvl
+                out_trd[i] = trd
+                out_sea[i] = s[t]
+                out_fc[i] = lvl + trd + s[t + 1 - p]
+            out = pd.DataFrame({order_col: sub["__o"].values[p:],
+                                "value": x[p:].astype("int64"),
+                                "level": out_lvl, "trend": out_trd,
+                                "seasonal": out_sea, "forecast": out_fc})
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            for k, v in zip(keys, kv):
+                out[k] = v
+            frames.append(out[[*keys, order_col, "value", "level", "trend",
+                               "seasonal", "forecast"]])
+        if not frames:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in
+                 [*keys, order_col, "value", "level", "trend", "seasonal",
+                  "forecast"]}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    bucketed = base.withColumn(
+        "__gb", F.pmod(F.xxhash64(*keys), F.lit(int(n_buckets)))
+    )
+    raw = bucketed.groupBy("__gb").applyInPandas(
+        lambda pdf: fit(pdf.drop(columns=["__gb"])), schema=out_schema
+    )
+    return raw.select(
+        *keys,
+        order_col,
+        "value",
+        F.round("level", round_to).alias("level"),
+        F.round("trend", round_to).alias("trend"),
+        F.round("seasonal", round_to).alias("seasonal"),
+        F.round("forecast", round_to).alias("forecast"),
+    )
+
+
 def mann_kendall_grouped(
     df: DataFrame,
     group_col: str,

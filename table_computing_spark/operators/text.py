@@ -1832,3 +1832,50 @@ def textrank_keywords(
         .limit(k)
         .select(F.col("node").alias("word"), "rank")
     )
+
+
+def vocab_richness(df: DataFrame, text_col: str = "text",
+                   round_to: int = 6) -> DataFrame:
+    """Corpus vocabulary-richness estimators from the count-of-counts
+    profile (all public classics): Chao1's lower bound on the TRUE
+    vocabulary size (Chao 1984) and Good–Turing sample coverage
+    (Good 1953) —
+
+        chao1    = D + f1·(f1 − 1) / (2·(f2 + 1))   (bias-corrected)
+        coverage = 1 − f1/N                          (Good–Turing)
+
+    where D = observed distinct tokens, f1/f2 = tokens seen exactly
+    once/twice, N = total tokens. The corpus-health readout next to
+    zipf_fit/vocab_growth: a crawl whose chao1 keeps running far ahead
+    of D is nowhere near lexically saturated (keep crawling); coverage
+    is the probability the NEXT token is one you've already seen —
+    the number a tokenizer-vocab decision needs.
+
+    Exactness: two hash aggregates (token counts → count-of-counts),
+    every statistic a fixed-order double expression on four exact
+    integers. The bias-corrected chao1 is defined for f2 = 0 (unlike
+    the classical f1²/(2f2)) — no NULL case at all on a non-empty
+    corpus. Output one row: (n_tokens, n_distinct, f1, f2, chao1,
+    coverage)."""
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("__t"))
+    counts = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    agg = counts.agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum((F.col("__c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("__c") == 2).cast("long")).alias("f2"),
+    )
+    d = F.col("n_distinct").cast("double")
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    nn = F.col("n_tokens").cast("double")
+    chao1 = d + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0))
+    coverage = F.when(F.col("n_tokens") > 0, 1.0 - f1 / nn)
+    return agg.select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        F.round(chao1, round_to).alias("chao1"),
+        F.round(coverage, round_to).alias("coverage"),
+    )

@@ -302,3 +302,132 @@ def test_qini_plan_has_no_global_window_over_rows(spark):
     ws = _unpartitioned_windows(plan_of(df))
     # the only global window is the bounded bucket cumulative pass
     assert len(ws) <= 1
+
+
+# --------------------------------------------------------- holt_winters
+
+
+def test_holt_winters_periodic_golden(spark):
+    """Perfectly periodic series, period 2: level locks to the mean,
+    trend to 0, seasonal to +-1, and every one-step forecast is exact
+    (hand-derived recursion with alpha=0.5 beta=0.25 gamma=0.5)."""
+    from table_computing_spark.operators.temporal import holt_winters
+
+    rows = [("k", i, v) for i, v in enumerate([1, 3, 1, 3, 1, 3])]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    out = sorted(
+        holt_winters(df, ["k"], "t", F.col("x"), period=2).collect(),
+        key=lambda r: r["t"],
+    )
+    assert [r["t"] for r in out] == [2, 3, 4, 5]
+    for r in out:
+        assert r["level"] == 2.0 and r["trend"] == 0.0
+    assert [r["seasonal"] for r in out] == [-1.0, 1.0, -1.0, 1.0]
+    # forecast for the NEXT step alternates with the season
+    assert [r["forecast"] for r in out] == [3.0, 1.0, 3.0, 1.0]
+
+
+def test_holt_winters_short_key_emits_nothing(spark):
+    from table_computing_spark.operators.temporal import holt_winters
+
+    rows = [("k", i, i) for i in range(3)]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    assert holt_winters(df, ["k"], "t", F.col("x"), period=3).count() == 0
+    with pytest.raises(ValueError, match="period"):
+        holt_winters(df, ["k"], "t", F.col("x"), period=0)
+
+
+# --------------------------------------------------------- prop_compare
+
+
+def test_prop_compare_symmetric_and_degenerate(spark):
+    from table_computing_spark.operators.rates import prop_compare
+
+    rows = [(True, 1), (True, 0), (False, 1), (False, 0)]
+    df = spark.createDataFrame(rows, "a boolean, y int")
+    r = prop_compare(df, F.col("a"), F.col("y")).collect()[0]
+    assert r["z_stat"] == 0.0 and r["rr"] == 1.0 and r["or_"] == 1.0
+    assert r["rr_lo"] < 1.0 < r["rr_hi"]
+    assert r["or_lo"] < 1.0 < r["or_hi"]
+    # all-success: pooled rate degenerate -> z NULL; d=0 cells -> OR NULL
+    allw = spark.createDataFrame([(True, 1), (False, 1)], "a boolean, y int")
+    r2 = prop_compare(allw, F.col("a"), F.col("y")).collect()[0]
+    assert r2["z_stat"] is None and r2["or_"] is None
+    assert r2["rr"] == 1.0  # RR is still defined at p=1 vs p=1
+
+
+def test_prop_compare_matches_hand_computation(spark):
+    import math
+
+    from table_computing_spark.operators.rates import prop_compare
+
+    rows = [(True, 1)] * 30 + [(True, 0)] * 70 + [(False, 1)] * 20 + [(False, 0)] * 80
+    df = spark.createDataFrame(rows, "a boolean, y int")
+    r = prop_compare(df, F.col("a"), F.col("y")).collect()[0]
+    pa, pb, pool = 0.3, 0.2, 0.25
+    z = (pa - pb) / math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 100))
+    assert r["z_stat"] == round(z, 6)
+    assert r["rr"] == 1.5
+    orr = (30 * 80) / (20 * 70)
+    assert r["or_"] == round(orr, 6)
+    se = math.sqrt(1 / 30 + 1 / 70 + 1 / 20 + 1 / 80)
+    assert r["or_lo"] == round(math.exp(math.log(orr) - 1.959963984540054 * se), 6)
+
+
+# ------------------------------------------------------- vocab_richness
+
+
+def test_vocab_richness_golden(spark):
+    from table_computing_spark.operators.text import vocab_richness
+
+    df = spark.createDataFrame([("a b a",), ("c b",)], "text string")
+    r = vocab_richness(df).collect()[0]
+    assert (r["n_tokens"], r["n_distinct"], r["f1"], r["f2"]) == (5, 3, 1, 2)
+    assert r["chao1"] == 3.0  # f1*(f1-1) = 0: no unseen-mass evidence
+    assert r["coverage"] == 0.8
+
+
+def test_vocab_richness_singletons_dominate(spark):
+    from table_computing_spark.operators.text import vocab_richness
+
+    # every token unique: chao1 = D + D(D-1)/2, coverage = 0
+    df = spark.createDataFrame([("w x y z",)], "text string")
+    r = vocab_richness(df).collect()[0]
+    assert r["f1"] == 4 and r["f2"] == 0
+    assert r["chao1"] == 4 + 4 * 3 / 2
+    assert r["coverage"] == 0.0
+
+
+# ----------------------------------------------------- mantel_haenszel
+
+
+def test_mantel_haenszel_single_stratum_golden(spark):
+    from table_computing_spark.operators.drift import mantel_haenszel
+
+    rows = ([("s", 1, 1)] * 10 + [("s", 1, 0)] * 5
+            + [("s", 0, 1)] * 5 + [("s", 0, 0)] * 10)
+    df = spark.createDataFrame(rows, "st string, e int, y int")
+    r = mantel_haenszel(df, "st", F.col("e"), F.col("y")).collect()[0]
+    assert r["or_mh"] == 4.0
+    # E = 7.5, V = 50625/26100, dev = 2.0 -> chi2 = 4/V
+    v = 15 * 15 * 15 * 15 / (30 * 30 * 29)
+    assert abs(r["cmh_chi2"] - 4.0 / v) < 1e-6
+    assert r["n_strata"] == 1 and r["n"] == 30
+
+
+def test_mantel_haenszel_confounder_reversal(spark):
+    """Two strata each with OR = 1 inside must pool to OR_MH = 1 even
+    when the CRUDE (collapsed) OR is far from 1 — the Simpson's-paradox
+    case this estimator exists for."""
+    from table_computing_spark.operators.drift import mantel_haenszel
+
+    rows = (
+        [("hi", 1, 1)] * 80 + [("hi", 1, 0)] * 20      # exposed-heavy,
+        + [("hi", 0, 1)] * 8 + [("hi", 0, 0)] * 2      # high base rate
+        + [("lo", 1, 1)] * 2 + [("lo", 1, 0)] * 8      # exposed-light,
+        + [("lo", 0, 1)] * 20 + [("lo", 0, 0)] * 80    # low base rate
+    )
+    df = spark.createDataFrame(rows, "st string, e int, y int")
+    r = mantel_haenszel(df, "st", F.col("e"), F.col("y")).collect()[0]
+    assert r["or_mh"] == 1.0
+    assert r["n_strata"] == 2

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""Round-13 scaling-exponent audit: fitted log-log slopes for the six
+"""Round-13 scaling-exponent audit: fitted log-log slopes for the ten
 operators added this round (wasserstein_1d, cvm_2sample, cliffs_delta,
-err_at_k, brier_decomposition, qini_uplift) plus the two cost-board
+err_at_k, brier_decomposition, qini_uplift, holt_winters,
+prop_compare, vocab_richness, mantel_haenszel) plus the two cost-board
 anchors (q_groupby_agg, q_dedup_exact) so this host window
 cross-checks against the r11-r12 tables.
 
@@ -32,6 +33,8 @@ NAMES = [
     "q_groupby_agg", "q_dedup_exact",  # host-window anchors
     "q_wasserstein", "q_cvm_drift", "q_cliffs_delta",
     "q_err_at_k", "q_brier_decomp", "q_qini_uplift",
+    "q_holt_winters", "q_prop_compare", "q_vocab_richness",
+    "q_mantel_haenszel",
 ]
 
 
