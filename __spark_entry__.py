@@ -7344,6 +7344,48 @@ def q_mantel_haenszel(spark, sf_dir):
     )
 
 
+def q_stream_wasserstein(spark, sf_dir):
+    """STREAMING earth-mover drift monitor — the maintained/at-read
+    decomposition of q_wasserstein (drift.wasserstein_from_counts):
+    the baseline side ('R' quantities) is a batch distinct-value count
+    table; the incoming side ('A' quantities) maintains its per-value
+    counts as a complete-mode streaming aggregate (state is
+    distinct-value-sized — ~50 rows here, never data-sized); the W1
+    read joins the two count tables and runs the same exact-integer
+    CDF algebra. Oracle = the full-batch q_wasserstein SQL (the
+    matview MV-correctness convention). (New r13.)"""
+    from table_computing_spark.operators.drift import wasserstein_from_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    li = _t(spark, sf_dir, "lineitem").df
+    baseline = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_quantity").cast("long").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__no"))
+    )
+    schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("l_returnflag") == "A")
+        .select(F.col("l_quantity").cast("long").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+    )
+    streamed = _run_stream_to_df(
+        spark, sdf.groupBy("__v").agg(F.count(F.lit(1)).alias("__nn")),
+        "complete",
+    )
+    per = baseline.join(streamed, "__v", "full_outer").fillna(
+        0, subset=["__no", "__nn"]
+    )
+    return wasserstein_from_counts(per)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -7743,6 +7785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prop_compare": q_prop_compare,
         "q_vocab_richness": q_vocab_richness,
         "q_mantel_haenszel": q_mantel_haenszel,
+        "q_stream_wasserstein": q_stream_wasserstein,
     }
     return {**window_50, **tail}
 
@@ -8292,7 +8335,7 @@ def oracle_sql() -> dict[str, str]:
     _ensure_csv_ingest_fixture()
     _ensure_json_ingest_fixture()
 
-    return {
+    oracles = {
         **TPCH_ORACLES,
         "q_stream_json_ingest": rf"""
         WITH raw AS (
@@ -16175,3 +16218,7 @@ def oracle_sql() -> dict[str, str]:
         FROM fin
         """,
     }
+    # streaming maintained W1: the matview MV-correctness convention —
+    # the stream replays the full table, so the oracle is the batch SQL
+    oracles["q_stream_wasserstein"] = oracles["q_wasserstein"]
+    return oracles

@@ -1777,9 +1777,6 @@ def wasserstein_1d(
     rank). NULL values drop. Raises when either side is empty (W1
     against an empty distribution is undefined — the js_divergence
     discipline). Output one row: (w1, n_old, n_new, n_values)."""
-    from table_computing_spark.operators.prefix import prefix_agg
-
-    dec = "decimal(38,0)"
     o = old.select(value_col.cast("long").alias("__v")).filter(
         F.col("__v").isNotNull()
     )
@@ -1795,6 +1792,20 @@ def wasserstein_1d(
         )
         .fillna(0, subset=["__no", "__nn"])
     )
+    return wasserstein_from_counts(per, round_to=round_to)
+
+
+def wasserstein_from_counts(per: DataFrame, round_to: int = 6) -> DataFrame:
+    """The read-time half of wasserstein_1d: W1 from a pooled
+    per-value count table (__v long, __no, __nn) — the
+    maintained/at-read decomposition (the sprt_from_counts rule):
+    per-value counts are self-maintainable streaming state (one
+    complete-mode hash aggregate, state is distinct-value-sized), and
+    W1 is this bounded read on top. Same exact-integer algebra and
+    empty-side contract as wasserstein_1d."""
+    from table_computing_spark.operators.prefix import prefix_agg
+
+    dec = "decimal(38,0)"
     pre = prefix_agg(
         per,
         order_by=["__v"],
@@ -1813,7 +1824,7 @@ def wasserstein_1d(
     if not tot["__to"] or not tot["__tn"]:
         empty = [s for s, v in (("old", tot["__to"]), ("new", tot["__tn"])) if not v]
         raise ValueError(
-            f"wasserstein_1d: side(s) {empty} have no non-null rows — "
+            f"wasserstein: side(s) {empty} have no non-null rows — "
             "W1 against an empty distribution is undefined"
         )
     nxt = pre.select(
