@@ -7386,6 +7386,22 @@ def q_stream_wasserstein(spark, sf_dir):
     return wasserstein_from_counts(per)
 
 
+def q_cka(spark, sf_dir):
+    """Linear CKA (similarity.cka_linear, Kornblith 2019) between the
+    full 64-dim embeddings and their first-32-dims ablation — the
+    geometry answer to q_dim_ablation's recall-based question: how
+    much representation structure survives halving the dims? Exact
+    DECIMAL moments; per-cell nano-staged Frobenius terms; linear in N
+    with a dim² constant. (New r13.)"""
+    from table_computing_spark.operators.similarity import cka_linear
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    half = emb.select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    return cka_linear(emb, half, "vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -7786,6 +7802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_richness": q_vocab_richness,
         "q_mantel_haenszel": q_mantel_haenszel,
         "q_stream_wasserstein": q_stream_wasserstein,
+        "q_cka": q_cka,
     }
     return {**window_50, **tail}
 
@@ -16218,6 +16235,68 @@ def oracle_sql() -> dict[str, str]:
         FROM fin
         """,
     }
+    oracles["q_cka"] = """
+        WITH ea AS (
+          SELECT vec_id AS id, CAST(i AS INT) AS di,
+                 CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1e6)
+                   AS BIGINT) AS xq
+          FROM embeddings, unnest(range(len(embedding))) AS u(i)
+        ), eb AS (
+          SELECT vec_id AS id, CAST(i AS INT) AS dj,
+                 CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1e6)
+                   AS BIGINT) AS yq
+          FROM embeddings, unnest(range(32)) AS u(i)
+        ), nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+        sx AS (SELECT di, sum(CAST(xq AS HUGEINT)) AS m FROM ea GROUP BY di),
+        sy AS (SELECT dj, sum(CAST(yq AS HUGEINT)) AS m FROM eb GROUP BY dj),
+        sxy AS (
+          SELECT di, dj, sum(CAST(xq AS HUGEINT) * CAST(yq AS HUGEINT)) AS s
+          FROM ea JOIN eb USING (id) GROUP BY di, dj
+        ), sxx AS (
+          SELECT e1.di AS a, e2.di AS b,
+                 sum(CAST(e1.xq AS HUGEINT) * CAST(e2.xq AS HUGEINT)) AS s
+          FROM ea e1 JOIN ea e2 USING (id) GROUP BY 1, 2
+        ), syy AS (
+          SELECT e1.dj AS a, e2.dj AS b,
+                 sum(CAST(e1.yq AS HUGEINT) * CAST(e2.yq AS HUGEINT)) AS s
+          FROM eb e1 JOIN eb e2 USING (id) GROUP BY 1, 2
+        ), fxy AS (
+          SELECT sum(CAST(round(
+            (CAST((SELECT n FROM nn) * s - mx.m * my.m AS DOUBLE)
+             / (CAST((SELECT n FROM nn) AS DOUBLE) * 1e12))
+            * (CAST((SELECT n FROM nn) * s - mx.m * my.m AS DOUBLE)
+               / (CAST((SELECT n FROM nn) AS DOUBLE) * 1e12))
+            * 1e9) AS HUGEINT)) AS f
+          FROM sxy JOIN sx mx ON mx.di = sxy.di
+                   JOIN sy my ON my.dj = sxy.dj
+        ), fxx AS (
+          SELECT sum(CAST(round(
+            (CAST((SELECT n FROM nn) * s - m1.m * m2.m AS DOUBLE)
+             / (CAST((SELECT n FROM nn) AS DOUBLE) * 1e12))
+            * (CAST((SELECT n FROM nn) * s - m1.m * m2.m AS DOUBLE)
+               / (CAST((SELECT n FROM nn) AS DOUBLE) * 1e12))
+            * 1e9) AS HUGEINT)) AS f
+          FROM sxx JOIN sx m1 ON m1.di = sxx.a
+                   JOIN sx m2 ON m2.di = sxx.b
+        ), fyy AS (
+          SELECT sum(CAST(round(
+            (CAST((SELECT n FROM nn) * s - m1.m * m2.m AS DOUBLE)
+             / (CAST((SELECT n FROM nn) AS DOUBLE) * 1e12))
+            * (CAST((SELECT n FROM nn) * s - m1.m * m2.m AS DOUBLE)
+               / (CAST((SELECT n FROM nn) AS DOUBLE) * 1e12))
+            * 1e9) AS HUGEINT)) AS f
+          FROM syy JOIN sy m1 ON m1.dj = syy.a
+                   JOIN sy m2 ON m2.dj = syy.b
+        )
+        SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n,
+               CAST((SELECT max(di) + 1 FROM ea) AS BIGINT) AS dim_a,
+               CAST((SELECT max(dj) + 1 FROM eb) AS BIGINT) AS dim_b,
+               round(CASE WHEN fxx.f > 0 AND fyy.f > 0 THEN
+                 (CAST(fxy.f AS DOUBLE) / 1e9)
+                 / (sqrt(CAST(fxx.f AS DOUBLE) / 1e9)
+                    * sqrt(CAST(fyy.f AS DOUBLE) / 1e9)) END, 6) AS cka
+        FROM fxy, fxx, fyy
+        """
     # streaming maintained W1: the matview MV-correctness convention —
     # the stream replays the full table, so the oracle is the batch SQL
     oracles["q_stream_wasserstein"] = oracles["q_wasserstein"]

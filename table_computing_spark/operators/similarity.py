@@ -1507,3 +1507,160 @@ def calinski_harabasz(
         F.col("__k").cast("long").alias("k"),
         F.col("__n").cast("long").alias("n"),
     )
+
+
+def cka_linear(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    vec_col_a: str = "embedding",
+    vec_col_b: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Linear Centered Kernel Alignment between two representations of
+    the SAME items (Kornblith et al. 2019, public) — the geometry
+    answer to "how similar are two embedding versions" (old vs new
+    model, full vs ablated dims, original vs quantized):
+
+        CKA = ‖C_xy‖_F² / (‖C_xx‖_F · ‖C_yy‖_F)
+
+    over the centered cross-covariance matrices; 1.0 = same geometry
+    up to rotation/scale, and the two sides may have DIFFERENT
+    dimensionalities. The representation-drift readout next to
+    q_dim_ablation's recall-based one.
+
+    Exactness: components micro-quantize to longs (the
+    standardize_embeddings rule); every raw moment (S_xy[i,j], S_x[i],
+    S_y[j]) is an exact DECIMAL(38,0) aggregate, each centered cell
+    N·S_xy − S_x·S_y stays exact, and the per-cell squared term is one
+    fixed-order double nano-rounded before the dim²-row sum (the
+    chi2_screen discipline; the 1e12 quantization scale cancels in the
+    ratio). Items are matched on `id_col`; only ids present on BOTH
+    sides count (N = |common ids|). Raises on zero common ids; CKA is
+    NULL when either self-covariance is all-zero (constant features).
+
+    Scale shape (the 100 TB path): ONE id-equi-join of the whole
+    vectors, then per-Arrow-batch INTEGER matrix products
+    (Xᵀa·Xb / Xᵀa·Xa / Xᵀb·Xb over ≤4096-row slices — exact int64, with
+    the slice size shrunk adaptively when component magnitude could
+    overflow a 64-bit partial) emitted as dim²-cell partial rows into a
+    DECIMAL hash aggregate. One data pass, map-side combine, no
+    N·dim² row explosion (the first cut exploded components and paid
+    slope 0.892 with a 9·dim² row constant — this path is the same
+    exact integers at matmul speed). dim² cells must be comparable to
+    a shuffle (64-dim = 4096 cells; project 4k-dim vectors first, the
+    rp_project path). Output one row: (n, dim_a, dim_b, cka)."""
+    dec = "decimal(38,0)"
+    qa = a.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            F.col(vec_col_a),
+            lambda v: F.round(v.cast("double") * 1e6).cast("long"),
+        ).alias("__xa"),
+    ).filter(F.col("__id").isNotNull() & F.col("__xa").isNotNull())
+    qb = b.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            F.col(vec_col_b),
+            lambda v: F.round(v.cast("double") * 1e6).cast("long"),
+        ).alias("__xb"),
+    ).filter(F.col("__id").isNotNull() & F.col("__xb").isNotNull())
+    j = qa.join(qb, "__id").select("__xa", "__xb")
+    n = j.count()
+    if not n:
+        raise ValueError("cka_linear: no common ids between the two sides")
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        def cells(tag, m):
+            ii, jj = np.indices(m.shape)
+            return pd.DataFrame({
+                "tag": tag, "ia": ii.ravel().astype("int32"),
+                "ib": jj.ravel().astype("int32"), "s": m.ravel(),
+            })
+
+        for pdf in it:
+            lo = 0
+            while lo < len(pdf):
+                sl = pdf.iloc[lo:lo + 4096]
+                xa = np.array(sl["__xa"].tolist(), dtype=np.int64)
+                xb = np.array(sl["__xb"].tolist(), dtype=np.int64)
+                # adaptive slice: chunk·max|q|² must fit an int64 partial
+                mx = max(int(np.abs(xa).max(initial=1)),
+                         int(np.abs(xb).max(initial=1)))
+                cap = max(1, min(4096, int(9e18 // (mx * mx))))
+                if cap < len(sl):
+                    sl = sl.iloc[:cap]
+                    xa, xb = xa[:cap], xb[:cap]
+                lo += len(sl)
+                frames = [
+                    cells("xy", xa.T @ xb),
+                    cells("xx", xa.T @ xa),
+                    cells("yy", xb.T @ xb),
+                    pd.DataFrame({"tag": "ma",
+                                  "ia": np.arange(xa.shape[1], dtype="int32"),
+                                  "ib": 0, "s": xa.sum(axis=0)}),
+                    pd.DataFrame({"tag": "mb",
+                                  "ia": np.arange(xb.shape[1], dtype="int32"),
+                                  "ib": 0, "s": xb.sum(axis=0)}),
+                ]
+                yield pd.concat(frames, ignore_index=True)
+
+    moments = (
+        j.mapInPandas(gen, schema="tag string, ia int, ib int, s long")
+        .groupBy("tag", "ia", "ib")
+        .agg(F.sum(F.col("s").cast(dec)).alias("__s"))
+    )
+    sx = moments.filter(F.col("tag") == "ma").select(
+        F.col("ia").alias("__a"), F.col("__s").alias("__m1")
+    )
+    sy0 = moments.filter(F.col("tag") == "mb").select(
+        F.col("ia").alias("__j0"), F.col("__s").alias("__my")
+    )
+
+    def _cross(tag):
+        return moments.filter(F.col("tag") == tag).select(
+            F.col("ia").alias("__a"), F.col("ib").alias("__b"), "__s"
+        )
+
+    def _frob(cross_df, m1, m2):
+        jj = cross_df.join(m1, "__a").join(m2, "__b")
+        c = (
+            F.lit(int(n)).cast(dec) * F.col("__s")
+            - F.col("__m1") * F.col("__m2")
+        )
+        cn = c.cast("double") / F.lit(float(n) * 1e12)
+        term = F.round(cn * cn * 1e9).cast(dec)
+        return jj.agg(F.sum(term).alias("__f"))
+
+    sx_as_m2 = sx.select(F.col("__a").alias("__b"), F.col("__m1").alias("__m2"))
+    sy_as_m1 = sy0.select(F.col("__j0").alias("__a"), F.col("__my").alias("__m1"))
+    sy_as_m2 = sy0.select(F.col("__j0").alias("__b"), F.col("__my").alias("__m2"))
+    fxy = _frob(_cross("xy"), sx, sy_as_m2)
+    fxx = _frob(_cross("xx"), sx, sx_as_m2)
+    fyy = _frob(_cross("yy"), sy_as_m1, sy_as_m2)
+    dims_a = sx.agg((F.max("__a") + 1).alias("da"))
+    dims_b = sy0.agg((F.max("__j0") + 1).alias("db"))
+    out = (
+        fxy.select(F.col("__f").alias("__fxy"))
+        .crossJoin(F.broadcast(fxx.select(F.col("__f").alias("__fxx"))))
+        .crossJoin(F.broadcast(fyy.select(F.col("__f").alias("__fyy"))))
+        .crossJoin(F.broadcast(dims_a))
+        .crossJoin(F.broadcast(dims_b))
+    )
+    cka = F.when(
+        (F.col("__fxx") > 0) & (F.col("__fyy") > 0),
+        (F.col("__fxy").cast("double") / 1e9)
+        / (
+            F.sqrt(F.col("__fxx").cast("double") / 1e9)
+            * F.sqrt(F.col("__fyy").cast("double") / 1e9)
+        ),
+    )
+    return out.select(
+        F.lit(int(n)).cast("long").alias("n"),
+        F.col("da").cast("long").alias("dim_a"),
+        F.col("db").cast("long").alias("dim_b"),
+        F.round(cka, round_to).alias("cka"),
+    )

@@ -431,3 +431,62 @@ def test_mantel_haenszel_confounder_reversal(spark):
     r = mantel_haenszel(df, "st", F.col("e"), F.col("y")).collect()[0]
     assert r["or_mh"] == 1.0
     assert r["n_strata"] == 2
+
+
+# ----------------------------------------------------------- cka_linear
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_cka_self_is_one(spark):
+    from table_computing_spark.operators.similarity import cka_linear
+
+    vecs = [[1.0, 2.0, 3.0], [4.0, 0.5, -1.0], [0.0, 1.5, 2.5], [2.0, 2.0, 0.0]]
+    df = _emb_df(spark, vecs)
+    r = cka_linear(df, df, "vec_id").collect()[0]
+    assert r["cka"] == 1.0
+    assert r["n"] == 4 and r["dim_a"] == 3 and r["dim_b"] == 3
+
+
+def test_cka_invariant_to_rotation_and_scale(spark):
+    """CKA is invariant to orthogonal transforms and isotropic scaling
+    — a permuted, uniformly doubled copy scores 1.0 (up to the 1e-6
+    component quantization)."""
+    from table_computing_spark.operators.similarity import cka_linear
+
+    x = _emb_df(spark, [[1.0, 2.0, 3.0], [4.0, 0.5, -1.0],
+                        [0.0, 1.5, 2.5], [2.0, 2.0, 0.0]])
+    y = x.select(
+        "vec_id",
+        F.transform(F.reverse("embedding"), lambda v: v * 2.0).alias("embedding"),
+    )
+    r = cka_linear(x, y, "vec_id").collect()[0]
+    assert r["cka"] >= 0.999998
+
+
+def test_cka_mismatched_pairing_is_low(spark):
+    """Breaking the item pairing (a deterministic id shuffle) destroys
+    the alignment: CKA far below the self score."""
+    from table_computing_spark.operators.similarity import cka_linear
+
+    import math
+
+    vecs = [[math.sin(i * 1.7 + j) for j in range(4)] for i in range(40)]
+    x = _emb_df(spark, vecs)
+    y = x.select(((F.col("vec_id") * 7) % 40).alias("vec_id"), "embedding")
+    r = cka_linear(x, y, "vec_id").collect()[0]
+    assert r["cka"] is not None and r["cka"] < 0.5
+
+
+def test_cka_no_common_ids_raises(spark):
+    from table_computing_spark.operators.similarity import cka_linear
+
+    x = _emb_df(spark, [[1.0, 2.0]])
+    y = x.select((F.col("vec_id") + 100).alias("vec_id"), "embedding")
+    with pytest.raises(ValueError, match="common ids"):
+        cka_linear(x, y, "vec_id")
