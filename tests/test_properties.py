@@ -1078,3 +1078,128 @@ def test_rbo_self_similarity_and_range(spark, ranks):
     )
     dis = rbo_overlap(a, b, "q", "it", "rank", k=5, p=0.8).collect()[0]
     assert dis["rbo"] == 0.0
+
+
+# ------------------------------------------------------ r13 properties
+
+
+vals = st.integers(min_value=-20, max_value=20)
+
+
+@_SETTINGS
+@given(
+    a=st.lists(vals, min_size=1, max_size=12),
+    b=st.lists(vals, min_size=1, max_size=12),
+    c=st.lists(vals, min_size=1, max_size=12),
+)
+def test_wasserstein_is_a_metric(spark, a, b, c):
+    """W1 symmetry, identity-of-indiscernibles (on equal samples), and
+    the triangle inequality — checked against a naive O(m²) CDF scan."""
+    from table_computing_spark.operators.drift import wasserstein_1d
+
+    def df(xs):
+        return spark.createDataFrame([(x,) for x in xs], "v long")
+
+    def naive(x, y):
+        pool = sorted(set(x) | set(y))
+        tot = 0.0
+        for v0, v1 in zip(pool, pool[1:]):
+            fo = sum(1 for t in x if t <= v0) / len(x)
+            fn = sum(1 for t in y if t <= v0) / len(y)
+            tot += abs(fo - fn) * (v1 - v0)
+        return round(tot, 6)
+
+    def w1(x, y):
+        return wasserstein_1d(df(x), df(y), F.col("v")).collect()[0]["w1"]
+
+    ab, ba = w1(a, b), w1(b, a)
+    assert ab == ba
+    assert abs(ab - naive(a, b)) <= 2e-6
+    assert w1(a, a) == 0.0
+    assert ab <= w1(a, c) + w1(c, b) + 2e-6  # triangle (rounding slack)
+
+
+@_SETTINGS
+@given(
+    a=st.lists(vals, min_size=1, max_size=12),
+    b=st.lists(vals, min_size=1, max_size=12),
+)
+def test_cliffs_delta_antisymmetry_and_bounds(spark, a, b):
+    """delta(a, b) == -delta(b, a), |delta| <= 1, and equality with the
+    brute-force pair classification."""
+    from table_computing_spark.operators.drift import cliffs_delta
+
+    def df(avals, bvals):
+        rows = [(v, True) for v in avals] + [(v, False) for v in bvals]
+        return spark.createDataFrame(rows, "v long, a boolean")
+
+    d_ab = cliffs_delta(df(a, b), F.col("a"), F.col("v")).collect()[0]["delta"]
+    d_ba = cliffs_delta(df(b, a), F.col("a"), F.col("v")).collect()[0]["delta"]
+    gt = sum(1 for x in a for y in b if x > y)
+    lt = sum(1 for x in a for y in b if x < y)
+    assert d_ab == round((gt - lt) / (len(a) * len(b)), 6)
+    assert abs(d_ab + d_ba) <= 2e-6
+    assert -1.0 <= d_ab <= 1.0
+
+
+@_SETTINGS
+@given(
+    a=st.lists(vals, min_size=1, max_size=12),
+    b=st.lists(vals, min_size=1, max_size=12),
+)
+def test_cvm_symmetry_and_naive_equality(spark, a, b):
+    """CvM is symmetric in the two samples and equals the naive pooled
+    integral computed rationally."""
+    from fractions import Fraction
+
+    from table_computing_spark.operators.drift import cvm_2sample
+
+    def df(xs):
+        return spark.createDataFrame([(x,) for x in xs], "v long")
+
+    def t(x, y):
+        return cvm_2sample(df(x), df(y), F.col("v")).collect()[0]["t"]
+
+    def naive(x, y):
+        pool = sorted(set(x) | set(y))
+        no, nn = len(x), len(y)
+        tot = Fraction(0)
+        for v in pool:
+            ni = sum(1 for u in x if u == v) + sum(1 for u in y if u == v)
+            d = Fraction(sum(1 for u in x if u <= v), no) - Fraction(
+                sum(1 for u in y if u <= v), nn
+            )
+            tot += Fraction(ni) * d * d
+        t_exact = Fraction(no * nn, (no + nn) ** 2) * tot
+        return float(t_exact)
+
+    ab, ba = t(a, b), t(b, a)
+    assert ab == ba
+    assert abs(ab - naive(a, b)) <= 2e-6
+
+
+@_SETTINGS
+@given(
+    probs=st.lists(
+        st.integers(min_value=0, max_value=100), min_size=2, max_size=30
+    ),
+    labels=st.lists(st.booleans(), min_size=2, max_size=30),
+)
+def test_brier_murphy_identity(spark, probs, labels):
+    """REL − RES + UNC == Brier score of the binned forecast, for any
+    prob/label sample (the exact Murphy identity)."""
+    from table_computing_spark.operators.evaluation import brier_decomposition
+
+    n = min(len(probs), len(labels))
+    rows = [(probs[i] / 100.0, int(labels[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    r = brier_decomposition(df, F.col("p"), F.col("y"), n_bins=10).collect()[0]
+    import collections
+
+    bins = collections.defaultdict(list)
+    for p, y in rows:
+        bins[min(int(p * 10), 9)].append((p, y))
+    binned = sum(
+        (sum(p for p, _ in g) / len(g) - y) ** 2 for g in bins.values() for _, y in g
+    ) / n
+    assert abs((r["reliability"] - r["resolution"] + r["uncertainty"]) - binned) < 3e-6
