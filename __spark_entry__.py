@@ -7402,6 +7402,39 @@ def q_cka(spark, sf_dir):
     return cka_linear(emb, half, "vec_id")
 
 
+def q_tv_drift(spark, sf_dir):
+    """Total variation distance (drift.tv_distance) between odd- and
+    even-key orders' PRIORITY distributions — the metric-valued
+    categorical drift readout next to q_psi_drift/q_js_divergence (no
+    bins, no epsilon; TV is the worst-case probability gap over any
+    event). Exact DECIMAL numerator, one division. (New r13.)"""
+    from table_computing_spark.operators.drift import tv_distance
+
+    o = _t(spark, sf_dir, "orders").df
+    return tv_distance(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        o.filter(F.col("o_orderkey") % 2 == 1),
+        F.col("o_orderpriority"),
+    )
+
+
+def q_energy_dist(spark, sf_dir):
+    """Two-sample energy distance (drift.energy_distance, Székely &
+    Rizzo 2004) between returned and accepted line quantities — the
+    all-moments distribution metric completing the distance wing
+    (W1 = CDF area, CvM = squared gaps, KS = max gap, energy = the
+    energy-test statistic). O(n²) pair expectations collapsed to exact
+    gap algebra on the pooled distinct-value axis. (New r13.)"""
+    from table_computing_spark.operators.drift import energy_distance
+
+    li = _t(spark, sf_dir, "lineitem").df
+    return energy_distance(
+        li.filter(F.col("l_returnflag") == "R"),
+        li.filter(F.col("l_returnflag") == "A"),
+        F.col("l_quantity"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -7803,6 +7836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mantel_haenszel": q_mantel_haenszel,
         "q_stream_wasserstein": q_stream_wasserstein,
         "q_cka": q_cka,
+        "q_tv_drift": q_tv_drift,
+        "q_energy_dist": q_energy_dist,
     }
     return {**window_50, **tail}
 
@@ -16296,6 +16331,84 @@ def oracle_sql() -> dict[str, str]:
                  / (sqrt(CAST(fxx.f AS DOUBLE) / 1e9)
                     * sqrt(CAST(fyy.f AS DOUBLE) / 1e9)) END, 6) AS cka
         FROM fxy, fxx, fyy
+        """
+    oracles["q_tv_drift"] = """
+        WITH o AS (
+          SELECT o_orderpriority AS v FROM orders
+          WHERE o_orderkey % 2 = 0 AND o_orderpriority IS NOT NULL
+        ), nw AS (
+          SELECT o_orderpriority AS v FROM orders
+          WHERE o_orderkey % 2 = 1 AND o_orderpriority IS NOT NULL
+        ), po AS (SELECT v, count(*) AS c FROM o GROUP BY v),
+        pn AS (SELECT v, count(*) AS c FROM nw GROUP BY v),
+        m AS (
+          SELECT COALESCE(po.v, pn.v) AS v,
+                 COALESCE(po.c, 0) AS co, COALESCE(pn.c, 0) AS cn
+          FROM po FULL OUTER JOIN pn ON po.v = pn.v
+        ), t AS (
+          SELECT CAST(sum(co) AS HUGEINT) AS no_,
+                 CAST(sum(cn) AS HUGEINT) AS nn_, count(*) AS ncat
+          FROM m
+        ), num AS (
+          SELECT sum(abs(CAST(co AS HUGEINT) * (SELECT nn_ FROM t)
+                         - CAST(cn AS HUGEINT) * (SELECT no_ FROM t))) AS s
+          FROM m
+        )
+        SELECT round(CAST(s AS DOUBLE)
+                     / (2.0 * CAST(no_ AS DOUBLE) * CAST(nn_ AS DOUBLE)), 6)
+                 AS tv,
+               CAST(no_ AS BIGINT) AS n_old, CAST(nn_ AS BIGINT) AS n_new,
+               CAST(ncat AS BIGINT) AS n_categories
+        FROM num, t
+        """
+    oracles["q_energy_dist"] = """
+        WITH o AS (
+          SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem
+          WHERE l_returnflag = 'R' AND l_quantity IS NOT NULL
+        ), nw AS (
+          SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem
+          WHERE l_returnflag = 'A' AND l_quantity IS NOT NULL
+        ), po AS (SELECT v, count(*) AS c FROM o GROUP BY v),
+        pn AS (SELECT v, count(*) AS c FROM nw GROUP BY v),
+        m AS (
+          SELECT COALESCE(po.v, pn.v) AS v,
+                 COALESCE(po.c, 0) AS co, COALESCE(pn.c, 0) AS cn
+          FROM po FULL OUTER JOIN pn ON po.v = pn.v
+        ), t AS (
+          SELECT CAST(sum(co) AS HUGEINT) AS no_,
+                 CAST(sum(cn) AS HUGEINT) AS nn_
+          FROM m
+        ), c AS (
+          SELECT v,
+                 sum(co) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS co,
+                 sum(cn) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+                 lead(v) OVER (ORDER BY v) AS v_next
+          FROM m
+        ), sums AS (
+          SELECT
+            sum(CAST(v_next - v AS HUGEINT)
+                * (CAST(co AS HUGEINT) * ((SELECT nn_ FROM t)
+                                          - CAST(cn AS HUGEINT))
+                   + CAST(cn AS HUGEINT) * ((SELECT no_ FROM t)
+                                            - CAST(co AS HUGEINT)))) AS axy,
+            sum(CAST(v_next - v AS HUGEINT) * 2 * CAST(co AS HUGEINT)
+                * ((SELECT no_ FROM t) - CAST(co AS HUGEINT))) AS axx,
+            sum(CAST(v_next - v AS HUGEINT) * 2 * CAST(cn AS HUGEINT)
+                * ((SELECT nn_ FROM t) - CAST(cn AS HUGEINT))) AS ayy
+          FROM c WHERE v_next IS NOT NULL
+        )
+        SELECT round(COALESCE(
+                 2.0 * CAST(axy AS DOUBLE)
+                 / (CAST(no_ AS DOUBLE) * CAST(nn_ AS DOUBLE))
+                 - CAST(axx AS DOUBLE)
+                   / (CAST(no_ AS DOUBLE) * CAST(no_ AS DOUBLE))
+                 - CAST(ayy AS DOUBLE)
+                   / (CAST(nn_ AS DOUBLE) * CAST(nn_ AS DOUBLE)), 0.0), 6)
+                 AS e_dist,
+               CAST(no_ AS BIGINT) AS n_old, CAST(nn_ AS BIGINT) AS n_new
+        FROM sums, t
         """
     # streaming maintained W1: the matview MV-correctness convention —
     # the stream replays the full table, so the oracle is the batch SQL

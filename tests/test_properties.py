@@ -1203,3 +1203,30 @@ def test_brier_murphy_identity(spark, probs, labels):
         (sum(p for p, _ in g) / len(g) - y) ** 2 for g in bins.values() for _, y in g
     ) / n
     assert abs((r["reliability"] - r["resolution"] + r["uncertainty"]) - binned) < 3e-6
+
+
+@_SETTINGS
+@given(
+    a=st.lists(vals, min_size=1, max_size=12),
+    b=st.lists(vals, min_size=1, max_size=12),
+)
+def test_energy_distance_nonneg_symmetric_naive(spark, a, b):
+    """Energy distance >= 0, symmetric, equals the naive O(n²) pair
+    computation (and 0 on identical samples)."""
+    from table_computing_spark.operators.drift import energy_distance
+
+    def df(xs):
+        return spark.createDataFrame([(x,) for x in xs], "v long")
+
+    def e(x, y):
+        return energy_distance(df(x), df(y), F.col("v")).collect()[0]["e_dist"]
+
+    def mean_abs(u, w):
+        return sum(abs(p - q) for p in u for q in w) / (len(u) * len(w))
+
+    ab = e(a, b)
+    assert ab == e(b, a)
+    assert ab >= 0.0
+    naive = 2 * mean_abs(a, b) - mean_abs(a, a) - mean_abs(b, b)
+    assert abs(ab - naive) <= 2e-6
+    assert e(a, a) == 0.0

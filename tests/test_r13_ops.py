@@ -490,3 +490,67 @@ def test_cka_no_common_ids_raises(spark):
     y = x.select((F.col("vec_id") + 100).alias("vec_id"), "embedding")
     with pytest.raises(ValueError, match="common ids"):
         cka_linear(x, y, "vec_id")
+
+
+# ------------------------------------------------------- tv_distance
+
+
+def test_tv_distance_golden_and_bounds(spark):
+    from table_computing_spark.operators.drift import tv_distance
+
+    def cats(xs):
+        return spark.createDataFrame([(x,) for x in xs], "v string")
+
+    # p = (1/2, 1/2), q = (1/4, 3/4): TV = 1/2(1/4 + 1/4) = 0.25
+    r = tv_distance(
+        cats(["a", "b"]), cats(["a", "b", "b", "b"]), F.col("v")
+    ).collect()[0]
+    assert r["tv"] == 0.25 and r["n_categories"] == 2
+    # disjoint supports: TV = 1; identical: TV = 0
+    assert tv_distance(cats(["a"]), cats(["b"]), F.col("v")).collect()[0]["tv"] == 1.0
+    same = cats(["a", "b", "b"])
+    assert tv_distance(same, same, F.col("v")).collect()[0]["tv"] == 0.0
+
+
+def test_tv_distance_empty_side_raises(spark):
+    from table_computing_spark.operators.drift import tv_distance
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="empty distribution"):
+        tv_distance(df, df.filter("v = 'zz'"), F.col("v"))
+
+
+# ---------------------------------------------------- energy_distance
+
+
+def test_energy_distance_golden(spark):
+    from table_computing_spark.operators.drift import energy_distance
+
+    def df(xs):
+        return spark.createDataFrame([(x,) for x in xs], "v long")
+
+    # X={0}, Y={1}: E = 2·1 − 0 − 0 = 2
+    r = energy_distance(df([0]), df([1]), F.col("v")).collect()[0]
+    assert r["e_dist"] == 2.0
+    # identical samples: 0 (and the within terms cancel exactly)
+    a = df([1, 3, 3, 8])
+    assert energy_distance(a, a, F.col("v")).collect()[0]["e_dist"] == 0.0
+
+
+def test_energy_distance_matches_bruteforce(spark):
+    from table_computing_spark.operators.drift import energy_distance
+
+    x = [1, 4, 4, 9, 12]
+    y = [2, 2, 7, 11]
+
+    def mean_abs(u, w):
+        return sum(abs(a - b) for a in u for b in w) / (len(u) * len(w))
+
+    want = round(2 * mean_abs(x, y) - mean_abs(x, x) - mean_abs(y, y), 6)
+    got = energy_distance(
+        spark.createDataFrame([(v,) for v in x], "v long"),
+        spark.createDataFrame([(v,) for v in y], "v long"),
+        F.col("v"),
+    ).collect()[0]["e_dist"]
+    assert abs(got - want) <= 1e-6
+    assert got >= 0.0
