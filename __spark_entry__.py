@@ -7435,6 +7435,67 @@ def q_energy_dist(spark, sf_dir):
     )
 
 
+def q_mcnemar(spark, sf_dir):
+    """McNemar's paired-classifier test (evaluation.mcnemar_test):
+    do the price rule and the clerk-parity rule disagree SYSTEMATICALLY
+    about finished status on the same orders? The eval readout
+    accuracy deltas get wrong on shared examples — only discordant
+    pairs carry signal. (New r13.)"""
+    from table_computing_spark.operators.evaluation import mcnemar_test
+
+    o = _t(spark, sf_dir, "orders").df
+    y = F.col("o_orderstatus") == "F"
+    pred_a = F.col("o_totalprice") < 150000
+    pred_b = F.col("o_orderkey") % 3 == 0
+    return mcnemar_test(o, pred_a == y, pred_b == y)
+
+
+def q_cochrans_q(spark, sf_dir):
+    """Cochran's Q (evaluation.cochrans_q): THREE rule-based
+    classifiers scored on every order — do they share a success rate?
+    The binary-outcome leaderboard gate next to q_friedman (graded
+    scores) and q_mcnemar (k=2). Complete panel by construction (each
+    rule scores every order). (New r13.)"""
+    from table_computing_spark.operators.evaluation import cochrans_q
+
+    o = _t(spark, sf_dir, "orders").df.filter(
+        F.col("o_orderkey").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+        & F.col("o_custkey").isNotNull()
+    )
+    y = F.col("o_orderstatus") == "F"
+    rules = {
+        "price": F.col("o_totalprice") < 150000,
+        "parity": F.col("o_orderkey") % 3 == 0,
+        "clerk": F.col("o_custkey") % 2 == 0,
+    }
+    stacked = None
+    for name, pred in rules.items():
+        part = o.select(
+            F.col("o_orderkey").alias("item"),
+            F.lit(name).alias("model"),
+            (pred == y).cast("int").alias("correct"),
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    return cochrans_q(stacked, "item", "model", F.col("correct"))
+
+
+def q_kuiper(spark, sf_dir):
+    """Two-sample Kuiper statistic (drift.kuiper_2sample) between
+    returned and accepted line quantities — the tail-equal-weight KS
+    variant (V = D⁺ + D⁻) closing the distance wing. Exact integer
+    signed CDF gaps; two max aggregates. (New r13.)"""
+    from table_computing_spark.operators.drift import kuiper_2sample
+
+    li = _t(spark, sf_dir, "lineitem").df
+    return kuiper_2sample(
+        li.filter(F.col("l_returnflag") == "R"),
+        li.filter(F.col("l_returnflag") == "A"),
+        F.col("l_quantity"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is load-bearing: the driver's correctness gate
     hashes only the FIRST 50 entries, so the window rotates each round
@@ -7838,6 +7899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cka": q_cka,
         "q_tv_drift": q_tv_drift,
         "q_energy_dist": q_energy_dist,
+        "q_mcnemar": q_mcnemar,
+        "q_cochrans_q": q_cochrans_q,
+        "q_kuiper": q_kuiper,
     }
     return {**window_50, **tail}
 
@@ -16409,6 +16473,125 @@ def oracle_sql() -> dict[str, str]:
                  AS e_dist,
                CAST(no_ AS BIGINT) AS n_old, CAST(nn_ AS BIGINT) AS n_new
         FROM sums, t
+        """
+    oracles["q_mcnemar"] = """
+        WITH s AS (
+          SELECT (CASE WHEN o_totalprice < 150000 THEN 1 ELSE 0 END
+                  = CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS a,
+                 (CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END
+                  = CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS b
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+            AND o_orderkey IS NOT NULL
+        ), agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS both_right,
+                 CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS both_wrong,
+                 CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS a_only,
+                 CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b_only
+          FROM s
+        )
+        SELECT n, both_right, both_wrong, a_only, b_only,
+               round(CASE WHEN a_only + b_only > 0 THEN
+                 greatest(abs(CAST(a_only AS DOUBLE)
+                              - CAST(b_only AS DOUBLE)) - 1.0, 0.0)
+                 * greatest(abs(CAST(a_only AS DOUBLE)
+                                - CAST(b_only AS DOUBLE)) - 1.0, 0.0)
+                 / (CAST(a_only AS DOUBLE) + CAST(b_only AS DOUBLE))
+               END, 6) AS chi2
+        FROM agg
+        """
+    oracles["q_cochrans_q"] = """
+        WITH s AS (
+          SELECT o_orderkey AS item, m.model,
+                 CASE m.model
+                   WHEN 'price' THEN CASE WHEN
+                     (CASE WHEN o_totalprice < 150000 THEN 1 ELSE 0 END)
+                     = (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                     THEN 1 ELSE 0 END
+                   WHEN 'parity' THEN CASE WHEN
+                     (CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                     = (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                     THEN 1 ELSE 0 END
+                   ELSE CASE WHEN
+                     (CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END)
+                     = (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                     THEN 1 ELSE 0 END
+                 END AS y
+          FROM orders,
+               (SELECT 'price' AS model UNION ALL SELECT 'parity'
+                UNION ALL SELECT 'clerk') m
+          WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+            AND o_orderstatus IS NOT NULL AND o_custkey IS NOT NULL
+        ), kk AS (SELECT count(DISTINCT model) AS k FROM s),
+        per_m AS (SELECT model, CAST(sum(y) AS HUGEINT) AS cj FROM s GROUP BY model),
+        mm AS (SELECT sum(cj * cj) AS c2, sum(cj) AS cs FROM per_m),
+        per_i AS (SELECT item, CAST(sum(y) AS HUGEINT) AS r FROM s GROUP BY item),
+        ii AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_items,
+                 sum(r) AS rs, sum(r * r) AS r2
+          FROM per_i
+        )
+        SELECT n_items, CAST(k AS BIGINT) AS n_models,
+               round(CASE WHEN CAST(k AS DOUBLE) * CAST(rs AS DOUBLE)
+                               - CAST(r2 AS DOUBLE) > 0 THEN
+                 (CAST(k AS DOUBLE) - 1.0)
+                 * (CAST(k AS DOUBLE) * CAST(c2 AS DOUBLE)
+                    - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE))
+                 / (CAST(k AS DOUBLE) * CAST(rs AS DOUBLE)
+                    - CAST(r2 AS DOUBLE))
+               END, 6) AS q
+        FROM ii, mm, kk
+        """
+    oracles["q_kuiper"] = """
+        WITH o AS (
+          SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+          WHERE l_returnflag = 'R' AND l_quantity IS NOT NULL
+        ), nw AS (
+          SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+          WHERE l_returnflag = 'A' AND l_quantity IS NOT NULL
+        ), po AS (SELECT v, count(*) AS c FROM o GROUP BY v),
+        pn AS (SELECT v, count(*) AS c FROM nw GROUP BY v),
+        m AS (
+          SELECT COALESCE(po.v, pn.v) AS v,
+                 COALESCE(po.c, 0) AS co, COALESCE(pn.c, 0) AS cn
+          FROM po FULL OUTER JOIN pn ON po.v = pn.v
+        ), t AS (
+          SELECT CAST(sum(co) AS HUGEINT) AS no_,
+                 CAST(sum(cn) AS HUGEINT) AS nn_
+          FROM m
+        ), c AS (
+          SELECT sum(co) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS co,
+                 sum(cn) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+          FROM m
+        ), d AS (
+          SELECT greatest(max(CAST(co AS HUGEINT) * (SELECT nn_ FROM t)
+                              - CAST(cn AS HUGEINT) * (SELECT no_ FROM t)),
+                          CAST(0 AS HUGEINT)) AS dp,
+                 greatest(max(CAST(cn AS HUGEINT) * (SELECT no_ FROM t)
+                              - CAST(co AS HUGEINT) * (SELECT nn_ FROM t)),
+                          CAST(0 AS HUGEINT)) AS dm
+          FROM c
+        )
+        SELECT round(CAST(dp AS DOUBLE)
+                     / (CAST(no_ AS DOUBLE) * CAST(nn_ AS DOUBLE))
+                     + CAST(dm AS DOUBLE)
+                       / (CAST(no_ AS DOUBLE) * CAST(nn_ AS DOUBLE)), 6)
+                 AS v,
+               round(CAST(dp AS DOUBLE)
+                     / (CAST(no_ AS DOUBLE) * CAST(nn_ AS DOUBLE)), 6)
+                 AS d_plus,
+               round(CAST(dm AS DOUBLE)
+                     / (CAST(no_ AS DOUBLE) * CAST(nn_ AS DOUBLE)), 6)
+                 AS d_minus,
+               CAST(no_ AS BIGINT) AS n_old, CAST(nn_ AS BIGINT) AS n_new
+        FROM d, t
         """
     # streaming maintained W1: the matview MV-correctness convention —
     # the stream replays the full table, so the oracle is the batch SQL

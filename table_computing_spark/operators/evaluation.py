@@ -1566,3 +1566,111 @@ def qini_uplift(
         F.round(F.when(ok, cyt - cyc * cnt / cnc), round_to).alias("qini"),
         F.round(F.when(ok, cyt / cnt - cyc / cnc), round_to).alias("uplift_cum"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    correct_a: Column,
+    correct_b: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """McNemar's test for two classifiers on the SAME examples
+    (McNemar 1947, public) — the paired eval comparison accuracy
+    deltas get wrong (shared examples correlate the errors; only the
+    DISCORDANT pairs carry signal):
+
+        b = A right, B wrong;  c = A wrong, B right
+        χ² = (|b − c| − 1)² / (b + c)     (Edwards continuity form)
+
+    The model-A-vs-model-B readout for paired eval sets (two model
+    versions on one benchmark) next to q_eval_f1's single-model
+    scores. One exact-integer hash aggregate; χ² is NULL when b+c = 0
+    (no disagreements — the test is undefined, not zero); the |b−c|≤1
+    continuity floor clamps at 0. Rows with NULL flags drop. Output
+    one row: (n, both_right, both_wrong, a_only, b_only, chi2)."""
+    s = df.select(
+        correct_a.cast("boolean").alias("__a"),
+        correct_b.cast("boolean").alias("__b"),
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    agg = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("__a") & F.col("__b")).cast("long")).alias("both_right"),
+        F.sum((~F.col("__a") & ~F.col("__b")).cast("long")).alias("both_wrong"),
+        F.sum((F.col("__a") & ~F.col("__b")).cast("long")).alias("a_only"),
+        F.sum((~F.col("__a") & F.col("__b")).cast("long")).alias("b_only"),
+    )
+    b, c = F.col("a_only").cast("double"), F.col("b_only").cast("double")
+    dev = F.greatest(F.abs(b - c) - 1.0, F.lit(0.0))
+    chi2 = F.when(F.col("a_only") + F.col("b_only") > 0, dev * dev / (b + c))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        "both_right", "both_wrong", "a_only", "b_only",
+        F.round(chi2, round_to).alias("chi2"),
+    )
+
+
+def cochrans_q(
+    df: DataFrame,
+    item_col: str,
+    model_col: str,
+    correct_col: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cochran's Q test (Cochran 1950, public) — McNemar's k-model
+    generalization: do k classifiers scored on the SAME items share a
+    success rate?
+
+        Q = (k−1)·[k·Σ_j C_j² − (Σ C_j)²] / (k·Σ_i R_i − Σ_i R_i²)
+
+    with C_j = model j's correct count and R_i = item i's correct
+    count. The multi-model leaderboard significance gate (pairs with
+    q_friedman for graded scores; this is the binary-outcome form).
+
+    COMPLETE-PANEL CONTRACT (the fleiss_kappa discipline, validated
+    loudly): every item must carry exactly one flag per model — a
+    2-row probe raises ValueError on ragged panels. Everything is a
+    ratio of exact DECIMAL integers; Q is NULL when the denominator is
+    0 (every item all-right or all-wrong). NULL flags drop BEFORE the
+    probe. Output one row: (n_items, n_models, q)."""
+    dec = "decimal(38,0)"
+    s = df.select(
+        F.col(item_col).alias("__i"),
+        F.col(model_col).alias("__m"),
+        correct_col.cast("long").alias("__y"),
+    ).filter(
+        F.col("__i").isNotNull() & F.col("__m").isNotNull() & F.col("__y").isNotNull()
+    )
+    k = s.select("__m").distinct().count()
+    per_i = s.groupBy("__i").agg(
+        F.count(F.lit(1)).alias("__c"), F.sum("__y").alias("__r")
+    )
+    bad = per_i.select("__c").distinct().take(2)
+    if len(bad) > 1 or (bad and bad[0]["__c"] != k):
+        raise ValueError(
+            "cochrans_q: items carry different flag counts "
+            f"(distinct counts {sorted(r['__c'] for r in bad)}, k={k}) — "
+            "the complete-panel contract; score every item with every model"
+        )
+    per_m = s.groupBy("__m").agg(F.sum("__y").cast(dec).alias("__cj"))
+    mm = per_m.agg(
+        F.sum(F.col("__cj") * F.col("__cj")).alias("__c2"),
+        F.sum("__cj").alias("__cs"),
+    )
+    ii = per_i.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("__r").cast(dec)).alias("__rs"),
+        F.sum(F.col("__r").cast(dec) * F.col("__r").cast(dec)).alias("__r2"),
+    )
+    j = ii.crossJoin(F.broadcast(mm))
+    kd = F.lit(float(k))
+    num = (kd - 1.0) * (
+        kd * F.col("__c2").cast("double")
+        - F.col("__cs").cast("double") * F.col("__cs").cast("double")
+    )
+    den = kd * F.col("__rs").cast("double") - F.col("__r2").cast("double")
+    q = F.when(den > 0, num / den)
+    return j.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.lit(int(k)).cast("long").alias("n_models"),
+        F.round(q, round_to).alias("q"),
+    )

@@ -554,3 +554,94 @@ def test_energy_distance_matches_bruteforce(spark):
     ).collect()[0]["e_dist"]
     assert abs(got - want) <= 1e-6
     assert got >= 0.0
+
+
+# --------------------------------------------------------- mcnemar_test
+
+
+def test_mcnemar_golden_and_continuity(spark):
+    from table_computing_spark.operators.evaluation import mcnemar_test
+
+    # b = 6, c = 1: chi2 = (|6-1|-1)^2 / 7 = 16/7
+    rows = ([(True, True)] * 3 + [(False, False)] * 2
+            + [(True, False)] * 6 + [(False, True)] * 1)
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = mcnemar_test(df, F.col("a"), F.col("b")).collect()[0]
+    assert (r["both_right"], r["both_wrong"], r["a_only"], r["b_only"]) \
+        == (3, 2, 6, 1)
+    assert r["chi2"] == round(16 / 7, 6)
+    # |b-c| <= 1: continuity floor clamps at exactly 0
+    tie = spark.createDataFrame([(True, False), (False, True)],
+                                "a boolean, b boolean")
+    assert mcnemar_test(tie, F.col("a"), F.col("b")).collect()[0]["chi2"] == 0.0
+    # no disagreements: undefined -> NULL
+    agree = spark.createDataFrame([(True, True), (False, False)],
+                                  "a boolean, b boolean")
+    assert mcnemar_test(agree, F.col("a"), F.col("b")).collect()[0]["chi2"] is None
+
+
+# ---------------------------------------------------------- cochrans_q
+
+
+def test_cochrans_q_textbook_golden(spark):
+    """Classic 3-treatment example: Q reduces to the closed form and a
+    hand computation; also the all-equal case is NULL-denominator-free
+    but Q = 0."""
+    from table_computing_spark.operators.evaluation import cochrans_q
+
+    # 4 items x 3 models; rows (item, model, correct)
+    panel = {
+        1: (1, 1, 0), 2: (1, 0, 0), 3: (1, 1, 1), 4: (0, 0, 0),
+    }
+    rows = [
+        (i, m, panel[i][k])
+        for i in panel
+        for k, m in enumerate(["m1", "m2", "m3"])
+    ]
+    df = spark.createDataFrame(rows, "item long, model string, correct int")
+    r = cochrans_q(df, "item", "model", F.col("correct")).collect()[0]
+    # C = (3, 2, 1), R = (2, 1, 3, 0): k=3
+    # num = 2*(3*(9+4+1) - 36) = 2*6 = 12; den = 3*6 - (4+1+9+0) = 4
+    assert r["q"] == 3.0
+    assert r["n_items"] == 4 and r["n_models"] == 3
+
+
+def test_cochrans_q_ragged_panel_raises(spark):
+    from table_computing_spark.operators.evaluation import cochrans_q
+
+    rows = [(1, "a", 1), (1, "b", 0), (2, "a", 1)]  # item 2 missing "b"
+    df = spark.createDataFrame(rows, "item long, model string, correct int")
+    with pytest.raises(ValueError, match="complete-panel"):
+        cochrans_q(df, "item", "model", F.col("correct"))
+
+
+def test_cochrans_q_degenerate_null(spark):
+    from table_computing_spark.operators.evaluation import cochrans_q
+
+    rows = [(i, m, 1) for i in range(3) for m in ("a", "b")]  # all right
+    df = spark.createDataFrame(rows, "item long, model string, correct int")
+    assert cochrans_q(df, "item", "model", F.col("correct")).collect()[0]["q"] is None
+
+
+# -------------------------------------------------------- kuiper_2sample
+
+
+def test_kuiper_golden_and_vs_ks(spark):
+    from table_computing_spark.operators.drift import kuiper_2sample
+
+    def df(xs):
+        return spark.createDataFrame([(x,) for x in xs], "v long")
+
+    # X={1,3}, Y={2,4}: F diffs at pooled values: v=1:+1/2, v=2:0,
+    # v=3:+1/2, v=4:0 -> D+ = 1/2, D- = 0, V = 1/2
+    r = kuiper_2sample(df([1, 3]), df([2, 4]), F.col("v")).collect()[0]
+    assert r["v"] == 0.5 and r["d_plus"] == 0.5 and r["d_minus"] == 0.0
+    # a symmetric swap flips the directions, V unchanged
+    r2 = kuiper_2sample(df([2, 4]), df([1, 3]), F.col("v")).collect()[0]
+    assert r2["v"] == 0.5 and r2["d_plus"] == 0.0 and r2["d_minus"] == 0.5
+    # crossing CDFs: both directions contribute (V > KS's single sup)
+    r3 = kuiper_2sample(df([1, 4]), df([2, 3]), F.col("v")).collect()[0]
+    assert r3["d_plus"] == 0.5 and r3["d_minus"] == 0.5 and r3["v"] == 1.0
+    # identical samples: V = 0
+    a = df([1, 2, 2, 7])
+    assert kuiper_2sample(a, a, F.col("v")).collect()[0]["v"] == 0.0
