@@ -7501,18 +7501,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hashes only the FIRST 50 entries, so the window rotates each round
     until no stratum is more than a few rounds stale.
 
-    Round-13 window (the r12 verdict's task-1 composition, exactly):
-    (a) all 26 r12 post-window queries — declared after the r12 window
-    froze, so they carry ZERO driver evidence (the judge's independent
-    sf0.01 re-verification passed all 26); (b) 24 of the 25 remaining
-    r06-stale rows (q_union_distinct spills to r14 — its set-ops twin
-    q_set_ops is in-window, so the semantics are still exercised).
-    Zero overlap with the r12 window (pinned by
-    tests/test_queries.py::test_window_rotation_discipline, now
-    round-boundary-safe per the r12 verdict's task 2). After this round
-    no never-driver-verified query remains and the staleness floor is
-    r07 except the single spilled r06 row; the r07 stratum (50 rows)
-    fills the r14/r15 windows.
+    Round-14 window (the r13 verdict's task-1 composition, exactly):
+    (a) the 17 r13 post-window queries — declared after the r13 window
+    froze, so they carry ZERO driver evidence (all judge-green in the
+    r13 verdict's full 368-query independent sim); (b) q_union_distinct,
+    the single r06-stale spill declared in r13; (c) the 32
+    alphabetically-first rows of the r07 stratum (50 rows; the
+    remaining 18 head the r15 rotation). Zero overlap with the r13
+    window (pinned by
+    tests/test_queries.py::test_window_rotation_discipline,
+    round-boundary-safe: staleness is recomputed only from CORRECTNESS
+    rounds < WINDOW_ROUND). After this round the staleness floor is
+    r08 except the 18 remaining r07 rows.
+
+    The body declares the full registry (legacy r13 grouping kept for
+    diff locality); the R14_WINDOW list at the bottom imposes the
+    actual first-50 order.
     """
     from table_computing_spark.queries_tpch import TPCH_QUERIES
 
@@ -7903,7 +7907,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cochrans_q": q_cochrans_q,
         "q_kuiper": q_kuiper,
     }
-    return {**window_50, **tail}
+    reg = {**window_50, **tail}
+    # r14 driver window: 17 r13 post-window (zero driver evidence) +
+    # the r06 spill + the 32 alphabetically-first r07-stale rows.
+    r14_window = [
+        "q_wasserstein", "q_stream_wasserstein", "q_cvm_drift",
+        "q_cliffs_delta", "q_err_at_k", "q_brier_decomp",
+        "q_qini_uplift", "q_holt_winters", "q_prop_compare",
+        "q_vocab_richness", "q_mantel_haenszel", "q_cka", "q_tv_drift",
+        "q_energy_dist", "q_mcnemar", "q_cochrans_q", "q_kuiper",
+        "q_union_distinct",
+        "q_ann_recall", "q_assortativity", "q_attribution",
+        "q_changed_partitions", "q_containment_pairs", "q_cooccur_pmi",
+        "q_cosine_topk", "q_curation_canonical", "q_dedup_exact",
+        "q_dedup_groups", "q_dedup_jaccard", "q_doc_chunks",
+        "q_ema_trailing", "q_embedding_neardup",
+        "q_exact_global_quantiles", "q_funnel_within",
+        "q_group_quantiles", "q_heavy_hitters", "q_hits",
+        "q_interval_coverage", "q_ivf_topk", "q_jaccard_prefix",
+        "q_join_explosion", "q_kcore", "q_label_prop", "q_logreg_gd",
+        "q_lsh_bucketed_topk", "q_lsh_multiprobe",
+        "q_maintain_distinct", "q_order_by_limit", "q_path_counts",
+        "q_personalized_pagerank",
+    ]
+    assert len(r14_window) == 50, f"driver window must hold 50, got {len(r14_window)}"
+    ordered = {k: reg[k] for k in r14_window}
+    # tail: remaining 18 r07 rows first (they head the r15 rotation),
+    # then everything else in its legacy stale-first declaration order.
+    r07_rest = [
+        "q_repetition_metrics", "q_resample_interp", "q_robust_outliers",
+        "q_rolling_corr", "q_salted_join", "q_scd2_lookup",
+        "q_seasonal_anomaly", "q_semi_anti_join", "q_session_capped",
+        "q_silhouette", "q_stream_dedup", "q_stream_ivf_assign",
+        "q_stream_matview", "q_text_analysis", "q_text_scrub",
+        "q_tfidf_terms", "q_top_n", "q_tpch_q1",
+    ]
+    ordered.update({k: reg[k] for k in r07_rest})
+    ordered.update({k: v for k, v in reg.items() if k not in ordered})
+    return ordered
 
 
 # ---------------------------------------------------------------------------
@@ -16054,6 +16095,7 @@ def oracle_sql() -> dict[str, str]:
                  (pow(2.0, CAST(event_id % 4 AS DOUBLE)) - 1.0) / 8.0 AS r,
                  count(*) OVER (PARTITION BY event_type) AS n_rated
           FROM events
+          WHERE value IS NOT NULL AND event_id IS NOT NULL
         ), steps AS (
           SELECT * FROM ranked WHERE pos <= 10
         ), fold AS (

@@ -73,7 +73,9 @@ def main() -> None:
     # at start, after every ~100 queries, and at END; a capture whose
     # end/start min-ratio exceeds 1.5 is self-flagged `drifted` the way
     # the contaminated 707.8 s r11 capture was.
+    t_bench0 = time.perf_counter()
     calib_start = _calibration_panel(spark, sf_dir)
+    calib_start["at_sec"] = 0.0
     calib_mid: list[dict] = []
     print(f"[bench] calibration(start) {json.dumps(calib_start)}", file=sys.stderr, flush=True)
 
@@ -97,6 +99,14 @@ def main() -> None:
     failures: dict[str, str] = {}
     reruns: dict[str, float] = {}
     warm: dict[str, float] = {}
+    # r13 verdict task 2 (per-query load attribution): elapsed offset of
+    # each query's timing window from the bench start, so every warm
+    # time can be matched to the calibration panel nearest IN TIME —
+    # the r13 capture proved runs start loaded and recover, but without
+    # offsets a per-query reading (q_ivf_topk 10.69 s driver vs 2.6-3.5
+    # s quiet-window study) could not be normalized by name.
+    query_at: dict[str, float] = {}
+    warm_at: dict[str, float] = {}
     plan_sha: dict[str, str] = {}
     cadence_bound: list[str] = []
     warm_inverted: list[str] = []  # warm >1.2x cold even after a re-run
@@ -106,10 +116,12 @@ def main() -> None:
         if q_idx and q_idx % 100 == 0:
             mid = _calibration_panel(spark, sf_dir)
             mid["after_query"] = q_idx
+            mid["at_sec"] = round(time.perf_counter() - t_bench0, 1)
             calib_mid.append(mid)
             print(f"[bench] calibration(mid@{q_idx}) {json.dumps(mid)}",
                   file=sys.stderr, flush=True)
         t0 = time.perf_counter()
+        query_at[name] = round(t0 - t_bench0, 1)
         try:
             df = fn(spark, sf_dir)
             build_s = time.perf_counter() - t0
@@ -145,6 +157,7 @@ def main() -> None:
                 second = round(time.perf_counter() - t1, 3)
                 reruns[name] = timings[name]
                 warm[name] = second
+                warm_at[name] = round(t1 - t_bench0, 1)
                 timings[name] = min(timings[name], second)
                 print(
                     f"[bench] {name}: outlier {reruns[name]}s vs prior {base}s,"
@@ -171,6 +184,7 @@ def main() -> None:
                     t1 = time.perf_counter()
                     fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                     warm[name] = round(time.perf_counter() - t1, 3)
+                    warm_at[name] = round(t1 - t_bench0, 1)
                     # Inversion guard (r10 verdict task 4): a warm rep
                     # SLOWER than its cold pass measures session pressure
                     # (heap growth, GC) rather than plan cost —
@@ -222,6 +236,7 @@ def main() -> None:
     # AND the streaming bench — this is the sample that catches the
     # mid-run drift the start panel certified away in r12.
     calib_end = _calibration_panel(spark, sf_dir)
+    calib_end["at_sec"] = round(time.perf_counter() - t_bench0, 1)
     print(f"[bench] calibration(end) {json.dumps(calib_end)}", file=sys.stderr, flush=True)
     drift_ratio = _panel_drift(calib_start, calib_end)
     calibration = {
@@ -237,6 +252,16 @@ def main() -> None:
     if calibration["drifted"]:
         print(f"[bench] WARNING capture self-flagged DRIFTED: end/start panel "
               f"ratio {drift_ratio}", file=sys.stderr, flush=True)
+
+    # r13 verdict task 2: normalize every warm time by the load factor
+    # of the panel nearest IN TIME to its own timing window. factor = 1
+    # at the capture's quietest panel; warm_norm is the quiet-window-
+    # equivalent warm time the judge can compare across rounds by name.
+    panel_load = _panel_load_factors([calib_start, *calib_mid, calib_end])
+    warm_norm = {
+        name: round(w / _nearest_factor(panel_load, warm_at.get(name, query_at.get(name, 0.0))), 3)
+        for name, w in warm.items()
+    }
 
     # Host fingerprint: cross-round total comparisons have been bitten by
     # host variance twice (BASELINE.md §measured); record boot_id + core
@@ -255,6 +280,10 @@ def main() -> None:
         "n_queries": len(timings),
         "streaming": streaming,
         "warm": warm,  # inline second reps: cold > 3s + outlier reruns (BASELINE.md)
+        "warm_norm": warm_norm,  # warm / nearest-panel load factor (r13 task 2)
+        "warm_at": warm_at,  # elapsed-offset (s) of each warm rep's window
+        "query_at": query_at,  # elapsed-offset (s) of each cold timing window
+        "panel_load": panel_load,  # per-panel {at_sec, factor>=1 vs quietest}
         "cadence_bound": cadence_bound,  # streaming rows: no warm reps (task 7)
         "warm_inverted": warm_inverted,  # warm >1.2x cold after re-run (r10 task 4)
         "plan_sha": plan_sha,  # normalized physical-plan fingerprints (task 2)
@@ -328,6 +357,47 @@ def _calibration_panel(spark, sf_dir: str, reps: int = 3) -> dict:
     return panel
 
 
+def _panel_load_factors(panels: list[dict]) -> list[dict]:
+    """Per-panel load factor relative to the capture's QUIETEST reading
+    of each probe: for probe k, ratio_k = panel_k.min / best_k; the
+    panel factor is the median ratio over its valid probes (median, so
+    one probe hitting a JIT/GC pocket can't swing the factor). 1.0 =
+    this panel ran in the capture's quietest window; 2.0 = the
+    environment was reading 2x slow when this panel ran."""
+    import statistics
+
+    probe_names = {
+        k for p in panels for k, v in p.items()
+        if isinstance(v, dict) and v.get("min")
+    }
+    best = {
+        k: min(p[k]["min"] for p in panels
+               if isinstance(p.get(k), dict) and p[k].get("min"))
+        for k in probe_names
+    }
+    out = []
+    for p in panels:
+        ratios = [
+            p[k]["min"] / best[k]
+            for k in probe_names
+            if isinstance(p.get(k), dict) and p[k].get("min") and best[k] > 0
+        ]
+        out.append({
+            "at_sec": p.get("at_sec", 0.0),
+            "factor": round(statistics.median(ratios), 3) if ratios else 1.0,
+        })
+    return out
+
+
+def _nearest_factor(panel_load: list[dict], at_sec: float) -> float:
+    """Load factor of the panel nearest in time to at_sec (>=1.0;
+    1.0 when no panel is usable)."""
+    if not panel_load:
+        return 1.0
+    nearest = min(panel_load, key=lambda p: abs(p["at_sec"] - at_sec))
+    return max(float(nearest.get("factor") or 1.0), 1e-9)
+
+
 def _panel_drift(start: dict, end: dict) -> float | None:
     """Max over probes of end.min/start.min — the capture's worst-case
     environment slowdown between its first and last minutes. None when
@@ -372,6 +442,12 @@ def _fit_line(out: dict, limit: int) -> str:
     compact["queries"] = {k: round(v, 2) for k, v in out["queries"].items()}
     if compact.get("warm"):
         compact["warm"] = {k: round(v, 2) for k, v in out["warm"].items()}
+    # panel-normalized warm column (r13 task 2): quiet-window-equivalent
+    # warm times; full offsets live in BENCH_LOCAL.json
+    if compact.get("warm_norm"):
+        compact["warm_norm"] = {k: round(v, 2) for k, v in out["warm_norm"].items()}
+    compact.pop("warm_at", None)
+    compact.pop("query_at", None)
     if compact.get("failures"):
         compact["failures"] = {k: v[:60] for k, v in out["failures"].items()}
         # cap the failures section up front (count + first few) so a
@@ -392,7 +468,8 @@ def _fit_line(out: dict, limit: int) -> str:
     # absolute last resort: the line MUST parse inside the driver's
     # 2000-char tail window no matter what — shed optional sections
     for drop in ("outlier_reruns", "failures", "cadence_bound", "streaming",
-                 "calibration", "host", "warm", "queries"):
+                 "panel_load", "calibration", "host", "warm_norm", "warm",
+                 "queries"):
         if len(line) <= limit:
             break
         compact.pop(drop, None)

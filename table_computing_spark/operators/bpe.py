@@ -182,11 +182,20 @@ def _swap_checkpoint(df: DataFrame, prev_ids: "set[int]"):
         try:
             return set(sc._jsc.getPersistentRDDs().keys())
         except Exception:  # noqa: BLE001 — hygiene must never fail the build
-            return set()
+            return None
 
     before = _ids()
     out = df.localCheckpoint()
-    new_ids = _ids() - before
+    after = _ids()
+    # r13 ADVICE: if the BEFORE probe failed, diffing `after` against an
+    # empty baseline would claim EVERY persistent RDD in the session —
+    # including caches the caller owns — and the next swap would
+    # unpersist them. Skip tracking that round instead (the block leaks
+    # for one cycle; nothing foreign is ever released).
+    if before is None or after is None:
+        new_ids: "set[int]" = set()
+    else:
+        new_ids = after - before
     try:
         jmap = sc._jsc.getPersistentRDDs()
         for rid in prev_ids:

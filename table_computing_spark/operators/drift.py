@@ -1776,7 +1776,11 @@ def wasserstein_1d(
     self-equi-join on the distinct table (one hash shuffle on the
     rank). NULL values drop. Raises when either side is empty (W1
     against an empty distribution is undefined — the js_divergence
-    discipline). Output one row: (w1, n_old, n_new, n_values)."""
+    discipline). A NaN value violates the integer-exact contract and
+    raises at the ANSI long cast (loud, though the error names the
+    cast rather than this function — r14 pass, documented contract:
+    NULLs drop, NaN refuses). Output one row:
+    (w1, n_old, n_new, n_values)."""
     o = old.select(value_col.cast("long").alias("__v")).filter(
         F.col("__v").isNotNull()
     )
@@ -1948,7 +1952,10 @@ def cliffs_delta(
     products via one hash aggregate + one distributed prefix pass (the
     mann_whitney machinery), one final division. NULL value/flag rows
     drop. δ is NULL when either group is empty. Output one row:
-    (delta, magnitude, n_a, n_b)."""
+    (delta, magnitude, n_a, n_b). INDICATOR CONTRACT (r14 pass):
+    `in_group_a` must be 0/1 or boolean — a non-indicator numeric
+    silently drives the (1−a) complement counts negative (the
+    mantel_haenszel note)."""
     from table_computing_spark.operators.prefix import prefix_agg
 
     dec = "decimal(38,0)"
@@ -2020,6 +2027,10 @@ def mantel_haenszel(
     ≤|strata|-row sum (the chi2_screen discipline). OR_MH is NULL when
     the denominator is 0; CMH is NULL when ΣV = 0. Strata with n < 2
     contribute nothing to CMH (V undefined) but still feed OR_MH.
+    INDICATOR CONTRACT (r14 pass): `exposed_col`/`outcome_col` must be
+    0/1 (or boolean — the int cast maps true→1); a non-indicator
+    numeric (e.g. a count of 2) silently drives cells NEGATIVE via the
+    (1−e)/(1−y) complements and corrupts every statistic downstream.
     Output one row: (n_strata, n, or_mh, cmh_chi2)."""
     dec = "decimal(38,0)"
     s = df.select(
@@ -2163,8 +2174,9 @@ def energy_distance(
     an exact DECIMAL(38,0) gap-weighted sum — the wasserstein_1d
     machinery with a second-moment-free exactness story (no nano
     staging anywhere; three final divisions in fixed order).
-    `value_col` must be INTEGER-exact (the welch_ttest contract).
-    Raises when either side is empty. Output one row:
+    `value_col` must be INTEGER-exact (the welch_ttest contract; NaN
+    raises at the ANSI long cast — the wasserstein_1d note). Raises
+    when either side is empty. Output one row:
     (e_dist, n_old, n_new)."""
     from table_computing_spark.operators.prefix import prefix_agg
 

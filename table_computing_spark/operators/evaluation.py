@@ -1260,6 +1260,7 @@ def rbo_overlap(
     k: int = 10,
     p: float = 0.9,
     round_to: int = 6,
+    validate: bool = False,
 ) -> DataFrame:
     """Rank-biased overlap between two top-k rankings per query
     (Webber, Moffat & Zobel 2010, public) — the ranking-similarity
@@ -1285,9 +1286,17 @@ def rbo_overlap(
     item fans out in the rank join and inflates the overlap count at
     every depth ≥ its max rank, silently pushing RBO past 1. Rankings
     produced by top_n/TakeOrdered satisfy this by construction; dedupe
-    anything else upstream. Output: (query, n_common, rbo)."""
+    anything else upstream — or pass validate=True to enforce the
+    contract for one extra early-out hash aggregate per side (r13
+    verdict task 6; default off, so the default plan is unchanged).
+    Output: (query, n_common, rbo)."""
     dec = "decimal(38,0)"
     spark = a.sparkSession
+    if validate:
+        from table_computing_spark.operators.contracts import check_unique
+
+        check_unique(a, [query_col, item_col], "rbo_overlap(side=a)")
+        check_unique(b, [query_col, item_col], "rbo_overlap(side=b)")
     ra = a.select(
         F.col(query_col).alias("__q"),
         F.col(item_col).alias("__it"),
@@ -1355,16 +1364,30 @@ def err_at_k(
     the exact sequence of IEEE double ops a recursive-CTE oracle
     replays (the q_running_balance/holt precedent), so results are
     bit-identical across engines. rel is clamped to [0, max_rel].
-    All windows PARTITIONED by query. Output: (query, err, n_rated)."""
+    NULL-score and NULL-relevance rows are DROPPED up front (the
+    cohens_d/cliffs_delta sibling discipline; r13 ADVICE — greatest()
+    skips NULLs, so an un-dropped NULL rel would silently read as 0
+    and a NULL score would rank last while still inflating n_rated);
+    n_rated counts only fully-rated rows. All windows PARTITIONED by
+    query. Output: (query, err, n_rated)."""
     from pyspark.sql.window import Window as W
 
-    base = df.select(
-        F.col(query_col).alias("query"),
-        F.col(item_col).alias("__item"),
-        score_col.cast("double").alias("__score"),
-        F.least(
-            F.greatest(rel_col.cast("int"), F.lit(0)), F.lit(int(max_rel))
-        ).alias("__rel"),
+    base = (
+        df.select(
+            F.col(query_col).alias("query"),
+            F.col(item_col).alias("__item"),
+            score_col.cast("double").alias("__score"),
+            rel_col.cast("int").alias("__rel0"),
+        )
+        .filter(F.col("__score").isNotNull() & F.col("__rel0").isNotNull())
+        .select(
+            "query",
+            "__item",
+            "__score",
+            F.least(
+                F.greatest(F.col("__rel0"), F.lit(0)), F.lit(int(max_rel))
+            ).alias("__rel"),
+        )
     )
     run = W.partitionBy("query").orderBy(
         F.col("__score").desc(), F.col("__item").asc()
@@ -1433,26 +1456,46 @@ def brier_decomposition(
     calibration-table rule), so per-bin (n, Σp_nano, Σy) are exact
     integer aggregates; each bin's REL/RES term is fixed-order double
     arithmetic nano-rounded before the ≤n_bins-row sum. Probabilities
-    outside [0, 1] raise at the contract gate. p = 1.0 lands in the
-    top bin. Output one row: (reliability, resolution, uncertainty,
+    outside [0, 1] — and NaN, which would otherwise die at the ANSI
+    long cast with an opaque executor error — raise at the contract
+    gate, which is FOLDED into the main per-bin aggregate (r13 ADVICE:
+    the old standalone count() gate cost one extra full scan of the
+    input per call; bad rows now land in a NULL pseudo-bin counted by
+    the same action that totals the data). p = 1.0 lands in the top
+    bin. Output one row: (reliability, resolution, uncertainty,
     brier_binned, n, n_bins_used)."""
     dec = "decimal(38,0)"
+    pd_ = prob_col.cast("double")
+    # NaN / ±Inf / |p| beyond any plausible probability would die at
+    # the ANSI long cast before the contract gate — route them to the
+    # gate instead of the cast
+    uncastable = F.isnan(pd_) | (F.abs(pd_) > F.lit(1e9))
     s = df.select(
-        F.round(prob_col.cast("double") * 1e9).cast("long").alias("__pn"),
+        F.when(uncastable, F.lit(None))
+        .otherwise(F.round(pd_ * 1e9))
+        .cast("long")
+        .alias("__pn"),
+        F.coalesce(uncastable, F.lit(False)).alias("__nan"),
         label_col.cast("long").alias("__y"),
-    ).filter(F.col("__pn").isNotNull() & F.col("__y").isNotNull())
-    bad = s.filter((F.col("__pn") < 0) | (F.col("__pn") > 1_000_000_000)).count()
-    if bad:
-        raise ValueError(
-            f"brier_decomposition: {bad} probabilities outside [0, 1] — "
-            "scores must be calibrated probabilities, not raw margins"
-        )
+    ).filter(
+        (F.col("__pn").isNotNull() | F.col("__nan")) & F.col("__y").isNotNull()
+    )
     b = int(n_bins)
+    bad_cond = (
+        F.col("__nan")
+        | (F.col("__pn") < 0)
+        | (F.col("__pn") > 1_000_000_000)
+    )
+    # contract-violating rows fall into the NULL pseudo-bin; one action
+    # both gates and totals (no separate gate scan)
     binned = s.withColumn(
         "__b",
-        F.least(
-            F.floor(F.col("__pn") * b / F.lit(1_000_000_000)).cast("int"),
-            F.lit(b - 1),
+        F.when(
+            ~bad_cond,
+            F.least(
+                F.floor(F.col("__pn") * b / F.lit(1_000_000_000)).cast("int"),
+                F.lit(b - 1),
+            ),
         ),
     )
     per_b = binned.groupBy("__b").agg(
@@ -1461,8 +1504,17 @@ def brier_decomposition(
         F.sum("__y").alias("__sy"),
     )
     tot = per_b.agg(
-        F.sum("__n").alias("__nn"), F.sum("__sy").alias("__yy")
+        F.sum(F.when(F.col("__b").isNotNull(), F.col("__n"))).alias("__nn"),
+        F.sum(F.when(F.col("__b").isNotNull(), F.col("__sy"))).alias("__yy"),
+        F.sum(F.when(F.col("__b").isNull(), F.col("__n"))).alias("__bad"),
     ).first()
+    if int(tot["__bad"] or 0):
+        raise ValueError(
+            f"brier_decomposition: {int(tot['__bad'])} probabilities outside "
+            "[0, 1] (or NaN) — scores must be calibrated probabilities, not "
+            "raw margins"
+        )
+    per_b = per_b.filter(F.col("__b").isNotNull())
     n_total, y_total = int(tot["__nn"] or 0), int(tot["__yy"] or 0)
     if not n_total:
         raise ValueError("brier_decomposition: no valid (prob, label) rows")
@@ -1519,6 +1571,9 @@ def qini_uplift(
     (score desc, id asc) — the deterministic-tiebreak contract. Exact
     integer counts; fixed-order double divisions; qini/uplift NULL
     while a cumulative head has no control (or no treated) rows yet.
+    INDICATOR CONTRACT (r14 pass): `treat_col`/`label_col` must be 0/1
+    or boolean — a non-indicator numeric silently drives the (1−t)
+    complements negative (the mantel_haenszel note).
     Output: (bucket, n_treat, n_ctrl, conv_treat, conv_ctrl, qini,
     uplift_cum)."""
     from pyspark.sql.window import Window as W
@@ -1627,11 +1682,17 @@ def cochrans_q(
     q_friedman for graded scores; this is the binary-outcome form).
 
     COMPLETE-PANEL CONTRACT (the fleiss_kappa discipline, validated
-    loudly): every item must carry exactly one flag per model — a
-    2-row probe raises ValueError on ragged panels. Everything is a
-    ratio of exact DECIMAL integers; Q is NULL when the denominator is
-    0 (every item all-right or all-wrong). NULL flags drop BEFORE the
-    probe. Output one row: (n_items, n_models, q)."""
+    loudly): every item must carry exactly one flag per model — ragged
+    panels raise ValueError. The probe is FOLDED into the statistic's
+    own aggregates (r14 pass, the brier_decomposition precedent: the
+    old standalone distinct-model count + 2-row probe cost two extra
+    full scans per call; min/max flag counts and the model count now
+    ride the same one-row action). `correct_col` is a 0/1 flag (cast
+    to long — a non-indicator numeric silently inflates R_i/C_j; cast
+    booleans or explicit indicators only). Everything is a ratio of
+    exact DECIMAL integers; Q is NULL when the denominator is 0 (every
+    item all-right or all-wrong). NULL flags drop BEFORE the probe.
+    Output one row: (n_items, n_models, q)."""
     dec = "decimal(38,0)"
     s = df.select(
         F.col(item_col).alias("__i"),
@@ -1640,28 +1701,34 @@ def cochrans_q(
     ).filter(
         F.col("__i").isNotNull() & F.col("__m").isNotNull() & F.col("__y").isNotNull()
     )
-    k = s.select("__m").distinct().count()
     per_i = s.groupBy("__i").agg(
         F.count(F.lit(1)).alias("__c"), F.sum("__y").alias("__r")
     )
-    bad = per_i.select("__c").distinct().take(2)
-    if len(bad) > 1 or (bad and bad[0]["__c"] != k):
-        raise ValueError(
-            "cochrans_q: items carry different flag counts "
-            f"(distinct counts {sorted(r['__c'] for r in bad)}, k={k}) — "
-            "the complete-panel contract; score every item with every model"
-        )
     per_m = s.groupBy("__m").agg(F.sum("__y").cast(dec).alias("__cj"))
     mm = per_m.agg(
         F.sum(F.col("__cj") * F.col("__cj")).alias("__c2"),
         F.sum("__cj").alias("__cs"),
+        F.count(F.lit(1)).alias("__k"),
     )
     ii = per_i.agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("__r").cast(dec)).alias("__rs"),
         F.sum(F.col("__r").cast(dec) * F.col("__r").cast(dec)).alias("__r2"),
+        F.min("__c").alias("__cmin"),
+        F.max("__c").alias("__cmax"),
     )
     j = ii.crossJoin(F.broadcast(mm))
+    probe = j.first()
+    k = int(probe["__k"] or 0)
+    if probe["n_items"] and (
+        probe["__cmin"] != k or probe["__cmax"] != k
+    ):
+        raise ValueError(
+            "cochrans_q: items carry different flag counts "
+            f"(per-item counts span [{probe['__cmin']}, {probe['__cmax']}], "
+            f"k={k}) — the complete-panel contract; score every item "
+            "with every model"
+        )
     kd = F.lit(float(k))
     num = (kd - 1.0) * (
         kd * F.col("__c2").cast("double")

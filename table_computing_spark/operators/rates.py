@@ -174,6 +174,9 @@ def prop_compare(
     are NULL when either arm has zero successes; OR and its CI are
     NULL when any cell is zero (the classical undefined cases,
     reported as NULL — never an Inf that poisons a downstream sort).
+    INDICATOR CONTRACT (r14 pass): `in_group_a`/`success_col` must be
+    0/1 or boolean — a non-indicator numeric silently drives the (1−a)
+    complement cells negative (the mantel_haenszel note).
     Output one row: (n_a, x_a, n_b, x_b, p_a, p_b, z_stat, rr, rr_lo,
     rr_hi, or_, or_lo, or_hi)."""
     s = df.select(

@@ -1432,6 +1432,7 @@ def calinski_harabasz(
     label_col: str,
     vec_col: str = "embedding",
     round_to: int = 6,
+    validate: bool = False,
 ) -> DataFrame:
     """Calinski–Harabasz clustering-quality index (Calinski & Harabasz
     1974, public) — the variance-ratio companion of silhouette_score
@@ -1454,9 +1455,20 @@ def calinski_harabasz(
     shape) — a NaN component drops ONLY its own (row, dim) element, so
     n would differ across dims and the per-dim moment algebra silently
     mixes cohort sizes; scrub ragged vectors upstream
-    (embedding_quantize/standardize both enforce the same shape).
+    (embedding_quantize/standardize both enforce the same shape) — or
+    pass validate=True to enforce the contract for one extra aggregate
+    (r13 verdict task 6; default off, default plan unchanged).
     Output one row: (ch, k, n)."""
     dec = "decimal(38,0)"
+    if validate:
+        from table_computing_spark.operators.contracts import check_rectangular
+
+        check_rectangular(
+            df.filter(F.col(label_col).isNotNull()),
+            vec_col,
+            "calinski_harabasz",
+            check_nan=True,
+        )
     rows = df.select(
         F.col(label_col).alias("__g"),
         F.posexplode(F.col(vec_col)).alias("__j", "__x"),
@@ -1516,6 +1528,7 @@ def cka_linear(
     vec_col_a: str = "embedding",
     vec_col_b: str = "embedding",
     round_to: int = 6,
+    validate: bool = False,
 ) -> DataFrame:
     """Linear Centered Kernel Alignment between two representations of
     the SAME items (Kornblith et al. 2019, public) — the geometry
@@ -1549,8 +1562,28 @@ def cka_linear(
     slope 0.892 with a 9·dim² row constant — this path is the same
     exact integers at matmul speed). dim² cells must be comparable to
     a shuffle (64-dim = 4096 cells; project 4k-dim vectors first, the
-    rp_project path). Output one row: (n, dim_a, dim_b, cka)."""
+    rp_project path).
+
+    ONE-ROW-PER-ID CONTRACT (r13 ADVICE): duplicate ids on either side
+    fan out the equi-join, silently reweighting N and every moment;
+    and a NULL vector COMPONENT passes the whole-array isNotNull
+    filter only to die inside numpy with an opaque executor error.
+    Deduplicate/scrub upstream, or pass validate=True to enforce both
+    (one extra early-out aggregate per side; default off, default plan
+    unchanged). Output one row: (n, dim_a, dim_b, cka)."""
     dec = "decimal(38,0)"
+    if validate:
+        from table_computing_spark.operators.contracts import (
+            check_rectangular,
+            check_unique,
+        )
+
+        for side, d_, vc in (("a", a, vec_col_a), ("b", b, vec_col_b)):
+            scoped = d_.filter(F.col(id_col).isNotNull())
+            check_unique(scoped, [id_col], f"cka_linear(side={side})")
+            check_rectangular(
+                scoped, vc, f"cka_linear(side={side})", check_nan=True
+            )
     qa = a.select(
         F.col(id_col).alias("__id"),
         F.transform(
@@ -1590,6 +1623,18 @@ def cka_linear(
                 # adaptive slice: chunk·max|q|² must fit an int64 partial
                 mx = max(int(np.abs(xa).max(initial=1)),
                          int(np.abs(xb).max(initial=1)))
+                # r14 adversarial pass: when mx² alone exceeds the
+                # budget, cap floors at 1 but a SINGLE product already
+                # wraps int64 silently in numpy — raise instead (the
+                # caller must rescale; |component| <= ~3000 after the
+                # 1e6 quantization is the representable envelope)
+                if mx * mx > int(9e18):
+                    raise ValueError(
+                        "cka_linear: component magnitude "
+                        f"{mx / 1e6:.3g} overflows the exact int64 "
+                        "matmul envelope (|component| <= ~3e3); "
+                        "standardize or rescale the embeddings first"
+                    )
                 cap = max(1, min(4096, int(9e18 // (mx * mx))))
                 if cap < len(sl):
                     sl = sl.iloc[:cap]

@@ -1802,7 +1802,13 @@ def holt_linear(
     BOUNDED-GROUP caveat: one key's history must
     fit one task (the page_hinkley/max_drawdown contract). Output:
     (keys..., order_col, value, level, trend, forecast) — forecast is
-    the NEXT-step prediction from this row."""
+    the NEXT-step prediction from this row.
+
+    NULL-KEY rows drop (r14 adversarial pass: pandas `groupby` silently
+    discards NULL-key groups inside the Arrow batch, so the drop
+    happened EITHER WAY — the explicit filter makes the semantics
+    engine-portable and visible in the plan instead of an Arrow-side
+    accident a SQL oracle would disagree with)."""
     import pandas as pd  # noqa: F401 — applyInPandas contract
 
     keys = list(keys)
@@ -1811,6 +1817,8 @@ def holt_linear(
         F.col(order_col).alias("__o"),
         value_col.cast("double").alias("__x"),
     ).filter(F.col("__o").isNotNull() & F.col("__x").isNotNull())
+    for k in keys:
+        base = base.filter(F.col(k).isNotNull())
     ktypes = ", ".join(
         f"{k} {base.schema[k].dataType.simpleString()}" for k in keys
     )
@@ -1907,7 +1915,11 @@ def holt_winters(
     Runs in the kendall-shape bucketed Arrow batching (whole keys per
     bucket, numpy loops inside). BOUNDED-GROUP caveat: one key's
     history must fit one task. Output: (keys..., order_col, value,
-    level, trend, seasonal, forecast)."""
+    level, trend, seasonal, forecast).
+
+    NULL-KEY rows drop (r14 adversarial pass — the holt_linear note:
+    pandas `groupby` silently discards NULL-key groups either way; the
+    explicit filter makes the semantics visible and oracle-portable)."""
     import pandas as pd  # noqa: F401 — applyInPandas contract
 
     keys = list(keys)
@@ -1919,6 +1931,8 @@ def holt_winters(
         F.col(order_col).alias("__o"),
         value_col.cast("double").alias("__x"),
     ).filter(F.col("__o").isNotNull() & F.col("__x").isNotNull())
+    for k in keys:
+        base = base.filter(F.col(k).isNotNull())
     ktypes = ", ".join(
         f"{k} {base.schema[k].dataType.simpleString()}" for k in keys
     )

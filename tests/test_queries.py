@@ -198,17 +198,17 @@ def test_every_query_function_is_registered():
 # holds both before AND after the driver delivers this round's file
 # (the r12 verdict's What's-wrong #1: the old recompute scanned ALL
 # rounds, so its own delivery flipped it red at every round boundary).
-WINDOW_ROUND = 13
+WINDOW_ROUND = 14
 
-# The 26 r12 post-window queries — the only rows with zero driver
-# evidence entering r13 (judge-verified independently at sf0.01).
-R12_POST_WINDOW = {
-    "q_dim_ablation_fixed", "q_kruskal_wallis", "q_anova_f", "q_levene_bf",
-    "q_cochran_armitage", "q_matthews", "q_krippendorff", "q_theil_sen",
-    "q_page_hinkley", "q_temperature_weights", "q_fleiss", "q_friedman",
-    "q_dirichlet_lm", "q_rbo", "q_stream_page_hinkley", "q_holt",
-    "q_logrank", "q_textrank", "q_brier", "q_cohens_d", "q_cramers_v",
-    "q_sprt", "q_calinski", "q_mann_kendall", "q_by_fdr", "q_stream_sprt",
+# The 17 r13 post-window queries — the only rows with zero driver
+# evidence entering r14 (all judge-green in the r13 verdict's full
+# 368-query independent sim at sf0.01).
+R13_POST_WINDOW = {
+    "q_wasserstein", "q_stream_wasserstein", "q_cvm_drift",
+    "q_cliffs_delta", "q_err_at_k", "q_brier_decomp", "q_qini_uplift",
+    "q_holt_winters", "q_prop_compare", "q_vocab_richness",
+    "q_mantel_haenszel", "q_cka", "q_tv_drift", "q_energy_dist",
+    "q_mcnemar", "q_cochrans_q", "q_kuiper",
 }
 
 
@@ -231,12 +231,12 @@ def _last_green_by_round(root, before_round):
 
 
 def test_window_rotation_discipline():
-    """VERDICT r12 task 1: the first-50 driver window = the 26 r12
-    post-window queries (zero driver evidence) + 24 rows from the
-    stalest stratum (last driver-green r06), with ZERO overlap with the
-    previous round's green rows. Staleness is recomputed from committed
-    evidence BEFORE WINDOW_ROUND so the pin is stable across the round
-    boundary (task 2)."""
+    """VERDICT r13 task 1: the first-50 driver window = the 17 r13
+    post-window queries (zero driver evidence) + the single r06 spill
+    (q_union_distinct) + the 32 alphabetically-first rows of the r07
+    stratum, with ZERO overlap with the previous round's green rows.
+    Staleness is recomputed from committed evidence BEFORE WINDOW_ROUND
+    so the pin is stable across the round boundary."""
     import itertools
     import json
     import pathlib
@@ -255,16 +255,23 @@ def test_window_rotation_discipline():
     }
     overlap = set(window) & prev_green
     assert not overlap, f"window wastes slots on already-green rows: {sorted(overlap)}"
-    assert len(R12_POST_WINDOW) == 26
-    missing = R12_POST_WINDOW - set(window)
+    assert len(R13_POST_WINDOW) == 17
+    missing = R13_POST_WINDOW - set(window)
     assert not missing, f"never-driver-verified rows missing from window: {sorted(missing)}"
-    # the other 24 slots must come from the stalest stratum (last
-    # driver-green r06) — recomputed from evidence before WINDOW_ROUND
     last_green = _last_green_by_round(root, WINDOW_ROUND)
-    rest = [q for q in window if q not in R12_POST_WINDOW]
-    assert len(rest) == 24
-    not_stale = [q for q in rest if last_green.get(q) != 6]
-    assert not not_stale, f"non-r06 rows burn window slots: {not_stale}"
+    rest = [q for q in window if q not in R13_POST_WINDOW]
+    assert len(rest) == 33
+    # the r06 spill must be in-window
+    assert "q_union_distinct" in rest and last_green["q_union_distinct"] == 6
+    # the remaining 32 slots must be exactly the alphabetically-first
+    # 32 rows of the r07 stratum (the verdict's prescribed composition)
+    r07 = sorted(q for q, r in last_green.items() if r == 7)
+    expect = set(r07[:32])
+    got = {q for q in rest if q != "q_union_distinct"}
+    assert got == expect, (
+        f"window r07 slots diverge: extra={sorted(got - expect)}, "
+        f"missing={sorted(expect - got)}"
+    )
 
 
 def test_window_rotation_pin_survives_round_boundary(tmp_path):
