@@ -1965,7 +1965,12 @@ def q_stream_minhash(spark, sf_dir):
         # |Δt| bound and were silently unpaired at sf0.1.
         .withColumn("ts", F.timestamp_millis(F.lit(1000) + F.col("doc_id") * 10))
     )
-    out = stream_minhash_pairs(sdf, "ts", watermark="10 seconds")
+    out = stream_minhash_pairs(
+        sdf, "ts", watermark="10 seconds",
+        # single-file replay = 1 source partition; spread the signature
+        # UDF (evaluated on both self-join branches) across the cores
+        spread=min(16, spark.sparkContext.defaultParallelism),
+    )
     with _state_partitions(spark):
         raw = _run_stream_to_df(spark, out, "append")
     pairs = raw.select(

@@ -48,6 +48,23 @@ _POISSON1_CUM = [
 _POISSON1_HEX = [format(int(p * 16**8), "08x") for p in _POISSON1_CUM]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the ×R explode + md5 draw stage that follows can use every
+    core: small local inputs often arrive as one parquet split (one row
+    group), which pins the whole replica-weight computation — explode,
+    hash, threshold sums, and the map-side partial aggregate — to a
+    single task. One round-robin shuffle of the narrow input rows buys
+    full-width parallelism for the R× heavier stage after it (measured
+    at sf0.1: 10.1 s → 1.5 s warm for bootstrap_mean_ci; results are
+    row-order independent — every draw is keyed by (id, replica) md5
+    and every aggregate is an exact integer/decimal sum). No-op when
+    the scan already has enough splits (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def poisson1_weight(hex8) -> "F.Column":
     """Poisson(1) multiplicity from an 8-hex-digit uniform draw."""
     w = F.lit(len(_POISSON1_HEX))  # capped tail
@@ -79,7 +96,7 @@ def bootstrap_mean_ci(
     deterministic draw; silently hashing NULL would give them weight 0
     in Spark but weight 11 in a SQL CASE replay)."""
     keys = list(keys)
-    df = df.where(F.col(id_col).isNotNull())
+    df = _spread(df.where(F.col(id_col).isNotNull()))
     # one md5 yields 32 hex chars = FOUR independent 8-hex draws:
     # replica r = 4*rg + lane reads lane `lane` of md5("<id>:<rg>").
     # Structured as a TWO-LEVEL explode so each md5 computes once per

@@ -839,6 +839,12 @@ def edit_distance_pairs(
     Cost: len+1 variant rows per string (bounded by string length),
     one shuffle on the variant value, exact verification per candidate.
     Returns (id_a < id_b, dist)."""
+    # the deletion lambda is an interpreted higher-order transform —
+    # len(s)+1 substring/concat evaluations per row; spread so a
+    # single-split scan doesn't pin that stage (and both join branches,
+    # which share it via ReusedExchange) to one task
+    df = _spread(df)
+
     def variants(side: str):
         s = F.col(text_col)
         dels = F.transform(

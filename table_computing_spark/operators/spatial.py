@@ -29,6 +29,21 @@ def _cell(c: Column, size: int) -> Column:
     return F.floor(c / F.lit(size)).cast("long")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the ring explode + join-side shuffle write that follows
+    can use every core: a small local input often arrives as one
+    parquet split, which would pin the (2·ring+1)²-way cell fan-out —
+    and the serialization of its output into the cell-join exchange —
+    to a single task. One round-robin shuffle of the narrow (id, x, y)
+    rows first is far cheaper than writing the exploded rows from one
+    task. No-op when the scan already has enough splits (the 100 TB
+    case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def grid_radius_join(
     df: DataFrame,
     id_col: str,
@@ -45,7 +60,11 @@ def grid_radius_join(
     from one (cell_x, cell_y) equi-join whose per-cell cost is bounded
     by local density, not corpus size. Each qualifying pair meets
     exactly once — the probe row of the SMALLER id in the build cell of
-    the larger — so there is no dedup pass."""
+    the larger — so there is no dedup pass. (No _spread here: the 9-cell
+    fan-out is small and this join often feeds plans that re-derive the
+    pair set on several branches — an alternating A/B at sf0.1 measured
+    the extra exchange ~1 s SLOWER for grid_dbscan, unlike the 49-cell
+    kNN probe where the spread wins.)"""
     pt = df.select(
         F.col(id_col).alias("__id"),
         F.col(x_col).cast("long").alias("__x"),
@@ -160,11 +179,11 @@ def _knn_candidates(
     d2) for every corpus point in each query's ring neighborhood.
     Factored out so the skew test can assert candidate-count bounds
     directly."""
-    pt = df.select(
+    pt = _spread(df.select(
         F.col(id_col).alias("__id"),
         F.col(x_col).cast("long").alias("__x"),
         F.col(y_col).cast("long").alias("__y"),
-    )
+    ))
     if cell_size == "auto":
         b = pt.agg(
             F.min("__x").alias("x0"), F.max("__x").alias("x1"),
@@ -180,11 +199,11 @@ def _knn_candidates(
             import math as _m
 
             cell_size = max(1, int(round(_m.sqrt(area * k / b["n"]))))
-    qpt = pt if queries is None else queries.select(
+    qpt = pt if queries is None else _spread(queries.select(
         F.col(id_col).alias("__id"),
         F.col(x_col).cast("long").alias("__x"),
         F.col(y_col).cast("long").alias("__y"),
-    )
+    ))
     ring = range(-max_ring, max_ring + 1)
     probe = qpt.select(
         "__id", "__x", "__y",

@@ -126,6 +126,7 @@ def stream_minhash_pairs(
     shingle_k: int = 3,
     watermark: str = "10 seconds",
     state_retention_ms: int = 3_600_000,
+    spread: "int | None" = None,
 ) -> DataFrame:
     """Streaming MinHash+LSH near-dup candidate pairs.
 
@@ -135,7 +136,18 @@ def stream_minhash_pairs(
     signature collided in that band within `state_retention_ms` of the
     anchor. Both stateful operators are JVM-native; the symmetric time
     bound lets Spark expire both sides' join state at the watermark.
-    """
+
+    `spread` repartitions the raw doc stream before the signature UDF:
+    a micro-batch whose source has fewer partitions than cores (a
+    single-file replay, a 1-partition Kafka topic) runs the signature
+    matrix on one task — and the self-join shape evaluates the UDF on
+    BOTH branches, so the serialization is paid twice. One narrow
+    shuffle of the raw rows buys full-width Arrow batches on each
+    branch (measured at sf0.1: 5.7 → 4.6 s per run). Leave None when
+    the source is already well-partitioned — the shuffle would just
+    move the text payload."""
+    if spread:
+        sdf = sdf.repartition(spread)
     sdf = sdf.withWatermark(event_time_col, watermark)
     mk = _band_buckets_udf(num_hashes, bands, shingle_k)
     ex = sdf.select(
