@@ -36,7 +36,15 @@ _DEFAULTS = {
     # testdata events.ts is TIMESTAMP(NANOS) which Spark has no native
     # type for — read as epoch-ns BIGINT; sources.parquet converts.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
-    "spark.sql.shuffle.partitions": "32",
+    # Initial shuffle partitioning — a CEILING that AQE coalesces down
+    # from, so it is capacity sizing, not a tuned constant: the local
+    # default matches the bench harness's core count; on a cluster set
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS to ~2-3x total executor cores (or
+    # bytes/256MB for the largest shuffle) and AQE's advisory size still
+    # owns the final partition count per exchange.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }
