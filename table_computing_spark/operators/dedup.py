@@ -391,7 +391,16 @@ def simhash_pairs(
             f"radius {radius} at chunk_bits={chunk_bits} explodes the probe "
             f"side; use chunk_bits=16 for max_hamming > 3"
         )
-    fps = simhash(df, text_col, id_col).withColumnRenamed(id_col, "__id")
+    # fps feeds BOTH the probe and build branches with different
+    # projections, so without a lineage cut the fingerprint computation
+    # (shingle hash + 64 bit-votes) runs twice; the lazy checkpoint
+    # materializes it once (r14 alternating A/B: faster all 4 rounds,
+    # output identical — same house pattern as grid_dbscan).
+    fps = (
+        simhash(df, text_col, id_col)
+        .withColumnRenamed(id_col, "__id")
+        .localCheckpoint(eager=False)
+    )
     cmask = (1 << chunk_bits) - 1
 
     def chunk_val(i: int) -> F.Column:
