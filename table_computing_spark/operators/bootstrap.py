@@ -48,21 +48,12 @@ _POISSON1_CUM = [
 _POISSON1_HEX = [format(int(p * 16**8), "08x") for p in _POISSON1_CUM]
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure the ×R explode + md5 draw stage that follows can use every
-    core: small local inputs often arrive as one parquet split (one row
-    group), which pins the whole replica-weight computation — explode,
-    hash, threshold sums, and the map-side partial aggregate — to a
-    single task. One round-robin shuffle of the narrow input rows buys
-    full-width parallelism for the R× heavier stage after it (measured
-    at sf0.1: 10.1 s → 1.5 s warm for bootstrap_mean_ci; results are
-    row-order independent — every draw is keyed by (id, replica) md5
-    and every aggregate is an exact integer/decimal sum). No-op when
-    the scan already has enough splits (the 100 TB case)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# _spread before the ×R replica explode + md5 draw stage (measured at
+# sf0.1: 10.1 s → 1.5 s warm for bootstrap_mean_ci; results are
+# row-order independent — every draw is keyed by (id, replica) md5 and
+# every aggregate is an exact integer/decimal sum). Shared helper
+# (r14 ADVICE: three verbatim copies consolidated).
+from table_computing_spark.operators._util import _spread
 
 
 def poisson1_weight(hex8) -> "F.Column":

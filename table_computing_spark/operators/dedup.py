@@ -25,18 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from table_computing_spark.operators._util import _reuse, _spread
 from table_computing_spark.operators.text import fingerprint, shingles, tokens
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure the narrow per-row compute that follows can use every
-    core: small local inputs often arrive as one parquet split, which
-    would pin an explode+hash stage to a single task. No-op when the
-    scan already has enough splits (the 100 TB case)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -392,15 +382,12 @@ def simhash_pairs(
             f"side; use chunk_bits=16 for max_hamming > 3"
         )
     # fps feeds BOTH the probe and build branches with different
-    # projections, so without a lineage cut the fingerprint computation
-    # (shingle hash + 64 bit-votes) runs twice; the lazy checkpoint
+    # projections, so without a materialize-once cut the fingerprint
+    # computation (shingle hash + 64 bit-votes) runs twice; _reuse
     # materializes it once (r14 alternating A/B: faster all 4 rounds,
-    # output identical — same house pattern as grid_dbscan).
-    fps = (
-        simhash(df, text_col, id_col)
-        .withColumnRenamed(id_col, "__id")
-        .localCheckpoint(eager=False)
-    )
+    # output identical — same house pattern as grid_dbscan) and carries
+    # the cluster fault-tolerance knob (r15, _util._reuse docstring).
+    fps = _reuse(simhash(df, text_col, id_col).withColumnRenamed(id_col, "__id"))
     cmask = (1 << chunk_bits) - 1
 
     def chunk_val(i: int) -> F.Column:
@@ -448,8 +435,15 @@ def simhash_pairs(
             F.greatest(F.col("a.__id"), F.col("b.__id")).alias("id_b"),
             ham.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # exact-Hamming filter BEFORE the distinct: hamming is a pure
+        # function of the pair (both fingerprints), so the output set is
+        # identical either way, but the filter prunes the candidate
+        # stream ~85x before the dropDuplicates exchange (measured at
+        # sf0.1: 3.39M bucket-collision rows -> 40k pairs; Catalyst
+        # pushes the predicate into the join, so the 3.39M rows are
+        # never shuffled; 6.8 -> 4.7 s isolated, r15 §2.3).
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

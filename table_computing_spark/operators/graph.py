@@ -69,7 +69,14 @@ def _cc_local_finish(edges: DataFrame) -> DataFrame:
     bit-identical to the converged star iteration: (node,
     component=min id) for every node in `edges`. Never called above
     `local_threshold` edges (caller-guarded), so the single task holds
-    a bounded few-hundred-MB pandas frame, not the corpus."""
+    a bounded few-hundred-MB pandas frame, not the corpus.
+
+    Id ordering (r14 ADVICE): for string ids, np.unique sorts by
+    Unicode code point while the distributed star path uses Spark's
+    UTF8 binary comparison — these agree for ALL valid Unicode strings
+    (UTF-8 byte order preserves code-point order by construction), so
+    the 'minimum id' is the same on both paths including non-ASCII ids
+    (pinned in tests/test_r15_ops.py)."""
     out_fields = [
         T.StructField("node", edges.schema["u"].dataType),
         T.StructField("component", edges.schema["u"].dataType),
@@ -706,6 +713,7 @@ def adamic_adar(
         "long"
     )
     left = adj.select("__w", F.col("__n").alias("id_a"), term_pico.alias("__t"))
+    right = adj.select("__w", F.col("__n").alias("id_b"))
     # Pre-spread the probe side of the wedge join on (center, neighbor):
     # the join builds/broadcasts `right`, so the d² wedge blow-up runs
     # at the LEFT side's parallelism — which AQE has just coalesced to a
@@ -714,10 +722,34 @@ def adamic_adar(
     # fan-out; measured 3 tasks carrying an 11M-row wedge stage at
     # sf0.1). (w, id_a) has far more distinct values than partitions,
     # so hot centers spread instead of hashing to one task (§2.5).
-    left = left.repartition(
-        edges.sparkSession.sparkContext.defaultParallelism, "__w", "id_a"
+    #
+    # r14 ADVICE pin: the (__w, id_a) spread only helps when `right` IS
+    # broadcast — under a sort-merge/shuffled-hash join the wedge join
+    # requires hashpartitioning(__w), so the spread would be replaced by
+    # another exchange and be pure waste. Catalyst's static estimate for
+    # the checkpointed `sym` is "unknown = huge" (the r14 plan's
+    # BroadcastHashJoin came from AQE's RUNTIME conversion), so decide
+    # both together from an exact count of the canonical edge set
+    # instead: counting `sym` materializes the lazy checkpoint the query
+    # needs anyway, so the probe's cost is reused, and adjacency rows
+    # are bounded by that count. Small adjacency (bounded-degree graphs
+    # after the max_degree cut) pins the broadcast and spreads the
+    # probe; a huge one keeps the planner's shuffle join and skips the
+    # spread (AQE skew-split handles hub centers there).
+    from table_computing_spark.operators._util import _broadcast_threshold_bytes
+
+    # conservative broadcast-row width: 8B header + 8B per numeric id,
+    # 24B per string/other id (PySpark exposes no defaultSize)
+    row_w = 8 + sum(
+        8 if f.dataType.typeName() in ("long", "integer", "short", "byte", "double", "float")
+        else 24
+        for f in right.schema.fields
     )
-    right = adj.select("__w", F.col("__n").alias("id_b"))
+    if sym.count() * row_w <= _broadcast_threshold_bytes(edges.sparkSession):
+        right = F.broadcast(right)
+        left = left.repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, "__w", "id_a"
+        )
     wedges = left.join(right, "__w").filter(F.col("id_a") < F.col("id_b"))
     scored = wedges.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("n_common"),

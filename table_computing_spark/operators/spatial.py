@@ -29,19 +29,10 @@ def _cell(c: Column, size: int) -> Column:
     return F.floor(c / F.lit(size)).cast("long")
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure the ring explode + join-side shuffle write that follows
-    can use every core: a small local input often arrives as one
-    parquet split, which would pin the (2·ring+1)²-way cell fan-out —
-    and the serialization of its output into the cell-join exchange —
-    to a single task. One round-robin shuffle of the narrow (id, x, y)
-    rows first is far cheaper than writing the exploded rows from one
-    task. No-op when the scan already has enough splits (the 100 TB
-    case)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# _spread before the (2·ring+1)²-way kNN cell fan-out: one round-robin
+# shuffle of the narrow (id, x, y) rows is far cheaper than serializing
+# the exploded rows from a single scan task (shared helper, r14 ADVICE).
+from table_computing_spark.operators._util import _reuse, _spread
 
 
 def grid_radius_join(
@@ -325,27 +316,24 @@ def grid_dbscan(
     pts = df.select(F.col(id_col).alias("id"))
     # pairs/sym/flagged are each consumed by several downstream branches
     # (neighbor counts, core-edge derivation, border assignment, final
-    # role join); without a lineage cut Spark re-derives the radius-join
-    # subtree on every branch — a same-session alternating A/B read the
-    # lazy checkpoints ~1.5-2.5 s faster per run at sf0.1 with
+    # role join); without a materialize-once cut Spark re-derives the
+    # radius-join subtree on every branch — a same-session alternating
+    # A/B read the cuts ~1.5-2.5 s faster per run at sf0.1 with
     # bit-identical output (r14; house pattern, cf. evaluation.py's
-    # reused-subtree checkpoints).
-    pairs = grid_radius_join(df, id_col, x_col, y_col, eps).localCheckpoint(
-        eager=False
-    )
-    sym = (
+    # reused-subtree checkpoints). _reuse carries the cluster
+    # fault-tolerance knob (r15, _util._reuse docstring).
+    pairs = _reuse(grid_radius_join(df, id_col, x_col, y_col, eps))
+    sym = _reuse(
         pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("nb"))
         .union(pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb")))
-        .localCheckpoint(eager=False)
     )
     counts = sym.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
-    flagged = (
+    flagged = _reuse(
         pts.join(counts, "id", "left")
         .select(
             "id",
             (F.coalesce(F.col("__n"), F.lit(0)) + 1 >= min_pts).alias("__core"),
         )
-        .localCheckpoint(eager=False)
     )
     cores = flagged.filter("__core").select("id")
     core_edges = (
