@@ -32,6 +32,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from table_computing_spark.operators._util import _reuse
+
 _EPS = 1e-6
 
 
@@ -1810,6 +1812,25 @@ def wasserstein_from_counts(per: DataFrame, round_to: int = 6) -> DataFrame:
     from table_computing_spark.operators.prefix import prefix_agg
 
     dec = "decimal(38,0)"
+    # totals = plain sums over the distinct-value table; reading them
+    # from `pre` (max of the running sum) re-executed the whole
+    # prefix window+join chain once per call JUST for two scalars.
+    # Materialize `per` once (_reuse), take totals from it directly,
+    # and only then build the prefix pass over the same materialized
+    # rows — one window-chain execution per call instead of two, and
+    # the empty-side raise no longer pays the prefix build at all
+    # (r15, VERDICT task 4; output identical: counts are >= 0 so
+    # max(running sum) == sum).
+    per = _reuse(per)
+    tot = per.agg(
+        F.sum("__no").alias("__to"), F.sum("__nn").alias("__tn")
+    ).first()
+    if not tot["__to"] or not tot["__tn"]:
+        empty = [s for s, v in (("old", tot["__to"]), ("new", tot["__tn"])) if not v]
+        raise ValueError(
+            f"wasserstein: side(s) {empty} have no non-null rows — "
+            "W1 against an empty distribution is undefined"
+        )
     pre = prefix_agg(
         per,
         order_by=["__v"],
@@ -1822,15 +1843,6 @@ def wasserstein_from_counts(per: DataFrame, round_to: int = 6) -> DataFrame:
     ).select(
         "__v", "__co", "__cn", F.col("__rk0").cast("long").alias("__rk")
     )
-    tot = pre.agg(
-        F.max("__co").alias("__to"), F.max("__cn").alias("__tn")
-    ).first()
-    if not tot["__to"] or not tot["__tn"]:
-        empty = [s for s, v in (("old", tot["__to"]), ("new", tot["__tn"])) if not v]
-        raise ValueError(
-            f"wasserstein: side(s) {empty} have no non-null rows — "
-            "W1 against an empty distribution is undefined"
-        )
     nxt = pre.select(
         (F.col("__rk") - 1).alias("__rk"), F.col("__v").alias("__v_next")
     )
@@ -1897,14 +1909,18 @@ def cvm_2sample(
         )
         .fillna(0, subset=["__no", "__nn"])
     )
-    pre = prefix_agg(
-        per,
-        order_by=["__v"],
-        specs={"__co": ("sum", "__no"), "__cn": ("sum", "__nn")},
-        exclusive=False,
-    )
-    tot = pre.agg(
-        F.max("__co").alias("__to"), F.max("__cn").alias("__tn")
+    # totals = plain sums over the distinct-value table; reading them
+    # from `pre` (max of the running sum) re-executed the whole
+    # prefix window+join chain once per call JUST for two scalars.
+    # Materialize `per` once (_reuse), take totals from it directly,
+    # and only then build the prefix pass over the same materialized
+    # rows — one window-chain execution per call instead of two, and
+    # the empty-side raise no longer pays the prefix build at all
+    # (r15, VERDICT task 4; output identical: counts are >= 0 so
+    # max(running sum) == sum).
+    per = _reuse(per)
+    tot = per.agg(
+        F.sum("__no").alias("__to"), F.sum("__nn").alias("__tn")
     ).first()
     if not tot["__to"] or not tot["__tn"]:
         empty = [s for s, v in (("old", tot["__to"]), ("new", tot["__tn"])) if not v]
@@ -1912,6 +1928,12 @@ def cvm_2sample(
             f"cvm_2sample: side(s) {empty} have no non-null rows — "
             "CvM against an empty distribution is undefined"
         )
+    pre = prefix_agg(
+        per,
+        order_by=["__v"],
+        specs={"__co": ("sum", "__no"), "__cn": ("sum", "__nn")},
+        exclusive=False,
+    )
     no, nn = int(tot["__to"]), int(tot["__tn"])
     d = (
         F.col("__co").cast(dec) * F.lit(nn).cast(dec)
@@ -2196,6 +2218,25 @@ def energy_distance(
         )
         .fillna(0, subset=["__no", "__nn"])
     )
+    # totals = plain sums over the distinct-value table; reading them
+    # from `pre` (max of the running sum) re-executed the whole
+    # prefix window+join chain once per call JUST for two scalars.
+    # Materialize `per` once (_reuse), take totals from it directly,
+    # and only then build the prefix pass over the same materialized
+    # rows — one window-chain execution per call instead of two, and
+    # the empty-side raise no longer pays the prefix build at all
+    # (r15, VERDICT task 4; output identical: counts are >= 0 so
+    # max(running sum) == sum).
+    per = _reuse(per)
+    tot = per.agg(
+        F.sum("__no").alias("__to"), F.sum("__nn").alias("__tn")
+    ).first()
+    if not tot["__to"] or not tot["__tn"]:
+        empty = [s for s, v in (("old", tot["__to"]), ("new", tot["__tn"])) if not v]
+        raise ValueError(
+            f"energy_distance: side(s) {empty} have no non-null rows — "
+            "the energy distance to an empty distribution is undefined"
+        )
     pre = prefix_agg(
         per,
         order_by=["__v"],
@@ -2208,15 +2249,6 @@ def energy_distance(
     ).select(
         "__v", "__co", "__cn", F.col("__rk0").cast("long").alias("__rk")
     )
-    tot = pre.agg(
-        F.max("__co").alias("__to"), F.max("__cn").alias("__tn")
-    ).first()
-    if not tot["__to"] or not tot["__tn"]:
-        empty = [s for s, v in (("old", tot["__to"]), ("new", tot["__tn"])) if not v]
-        raise ValueError(
-            f"energy_distance: side(s) {empty} have no non-null rows — "
-            "the energy distance to an empty distribution is undefined"
-        )
     no, nn = int(tot["__to"]), int(tot["__tn"])
     nxt = pre.select(
         (F.col("__rk") - 1).alias("__rk"), F.col("__v").alias("__v_next")
@@ -2287,14 +2319,18 @@ def kuiper_2sample(
         )
         .fillna(0, subset=["__no", "__nn"])
     )
-    pre = prefix_agg(
-        per,
-        order_by=["__v"],
-        specs={"__co": ("sum", "__no"), "__cn": ("sum", "__nn")},
-        exclusive=False,
-    )
-    tot = pre.agg(
-        F.max("__co").alias("__to"), F.max("__cn").alias("__tn")
+    # totals = plain sums over the distinct-value table; reading them
+    # from `pre` (max of the running sum) re-executed the whole
+    # prefix window+join chain once per call JUST for two scalars.
+    # Materialize `per` once (_reuse), take totals from it directly,
+    # and only then build the prefix pass over the same materialized
+    # rows — one window-chain execution per call instead of two, and
+    # the empty-side raise no longer pays the prefix build at all
+    # (r15, VERDICT task 4; output identical: counts are >= 0 so
+    # max(running sum) == sum).
+    per = _reuse(per)
+    tot = per.agg(
+        F.sum("__no").alias("__to"), F.sum("__nn").alias("__tn")
     ).first()
     if not tot["__to"] or not tot["__tn"]:
         empty = [s for s, v in (("old", tot["__to"]), ("new", tot["__tn"])) if not v]
@@ -2302,6 +2338,12 @@ def kuiper_2sample(
             f"kuiper_2sample: side(s) {empty} have no non-null rows — "
             "Kuiper against an empty distribution is undefined"
         )
+    pre = prefix_agg(
+        per,
+        order_by=["__v"],
+        specs={"__co": ("sum", "__no"), "__cn": ("sum", "__nn")},
+        exclusive=False,
+    )
     no, nn = int(tot["__to"]), int(tot["__tn"])
     d = (
         F.col("__co").cast(dec) * F.lit(nn).cast(dec)
