@@ -50,11 +50,17 @@ from pyspark.sql import DataFrame
 
 
 def plan_of(df: DataFrame, mode: str = "formatted") -> str:
-    """The formatted physical plan as a string."""
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain(mode)
-    return buf.getvalue()
+    """The formatted physical plan as a string.
+
+    Uses the explainString JVM API directly instead of capturing
+    `df.explain()` prints with redirect_stdout: byte-identical output
+    (explain() prints exactly this string), and THREAD-SAFE — process-
+    global stdout redirection races when plans are built from a pool
+    (r15: tests/test_plans.py builds its 342-plan fixture concurrently)."""
+    s = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+    return s + "\n"
 
 
 def plan_fingerprint(df: DataFrame) -> str:
