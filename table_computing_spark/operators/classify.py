@@ -188,9 +188,11 @@ def logreg_gd(
     the corpus (k+1 integer sums); no shuffle wider than the scalar
     aggregate, nothing but k+1 longs ever reaches the driver."""
     k = len(feature_cols)
-    n = df.count()
-    if n == 0:
-        raise ValueError("logreg_gd: empty training set")
+    # n is folded into the FIRST iteration's gradient aggregate (one
+    # count column riding the same scan) instead of a standalone
+    # count() — a full extra pass over the corpus per call (guide §6,
+    # same fold as brier/cochrans/the drift-wing totals)
+    n: "int | None" = None
     w = [0.0] * k
     b = 0.0
     for _ in range(iterations):
@@ -205,10 +207,20 @@ def logreg_gd(
             ).alias(f"g{j}")
             for j, c in enumerate(feature_cols)
         ] + [F.sum(F.round(resid * F.lit(1e9)).cast("long")).alias("gb")]
+        if n is None:
+            aggs.append(F.count(F.lit(1)).alias("__n"))
         row = df.agg(*aggs).collect()[0]
+        if n is None:
+            n = int(row["__n"])
+            if n == 0:
+                raise ValueError("logreg_gd: empty training set")
         for j in range(k):
             w[j] -= lr * (row[f"g{j}"] / 1e9) / n
         b -= lr * (row["gb"] / 1e9) / n
+    if n is None:  # iterations == 0: the count is the only scan
+        n = df.count()
+        if n == 0:
+            raise ValueError("logreg_gd: empty training set")
     spark = df.sparkSession
     out = [(iterations, n, *w, b)]
     schema = ("iterations int, n long, "

@@ -1173,7 +1173,11 @@ def kruskal_wallis(
         F.col(group_col).alias("__g"), value_col.cast("double").alias("__v")
     ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
     dec = "decimal(38,0)"
-    per_v = s.groupBy("__v").agg(F.count(F.lit(1)).alias("__n"))
+    # materialize the distinct-value count table once (_reuse, the
+    # cvm/wasserstein pattern): it feeds BOTH the prefix build and the
+    # tie-correction aggregate — without the cut the s-scan + __v
+    # shuffle executes twice
+    per_v = _reuse(s.groupBy("__v").agg(F.count(F.lit(1)).alias("__n")))
     pre = prefix_agg(
         per_v, order_by=["__v"], specs={"__cb": ("sum", "__n")}, exclusive=True
     )

@@ -33,6 +33,12 @@ def basket_items(
     ).distinct()
     if max_basket_items is None:
         return bi
+    # the distinct set feeds both the size aggregate and the guard
+    # join; materialize once so the upstream (often a join + distinct)
+    # doesn't execute per branch
+    from table_computing_spark.operators._util import _reuse
+
+    bi = _reuse(bi)
     sizes = bi.groupBy("basket").agg(F.count(F.lit(1)).alias("__n"))
     return (
         bi.join(sizes.filter(F.col("__n") <= max_basket_items), "basket")
@@ -78,11 +84,31 @@ def association_rules(
     All counts are exact longs from two hash aggregates (pair supports
     + item supports); the two divisions run in a fixed order on doubles
     and round once, so the output is engine-exact. Item supports are
-    broadcast back onto the (filtered, min_support-bounded) pair set."""
-    bi = basket_items(df, basket_col, item_col, max_basket_items)
-    n_baskets = bi.select("basket").distinct().count()
-    pairs = frequent_pairs(
-        df, basket_col, item_col, min_support, max_basket_items
+    broadcast back onto the (filtered, min_support-bounded) pair set.
+
+    The (basket, item) set is materialized ONCE (`_reuse`) and feeds
+    all three consumers — the pair self-join, the item supports, and
+    the basket total; the basket total itself is a lazy one-row
+    aggregate broadcast into the lift division rather than a
+    construction-time driver count() (which re-executed the whole
+    basket chain once per call before the query ran it 3x more)."""
+    from table_computing_spark.operators._util import _reuse
+
+    bi = _reuse(basket_items(df, basket_col, item_col, max_basket_items))
+    # exact distinct-basket total as a broadcastable one-row frame;
+    # cast to double HERE so the lift division below is the same
+    # double/double division the lit(float(n)) form ran
+    n_b = bi.agg(
+        F.countDistinct("basket").cast("double").alias("__nbask")
+    )
+    a = bi.select("basket", F.col("item").alias("item_a"))
+    b = bi.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
     )
     item_n = bi.groupBy("item").agg(F.count(F.lit(1)).alias("__n"))
     # both directions of every surviving pair
@@ -108,6 +134,7 @@ def association_rules(
                         .withColumnRenamed("__n", "__nb")),
             "consequent",
         )
+        .crossJoin(F.broadcast(n_b))
         .select(
             "antecedent",
             "consequent",
@@ -118,7 +145,7 @@ def association_rules(
             ).alias("confidence"),
             F.round(
                 (F.col("support").cast("double") / F.col("__na").cast("double"))
-                / (F.col("__nb").cast("double") / F.lit(float(n_baskets))),
+                / (F.col("__nb").cast("double") / F.col("__nbask")),
                 round_to,
             ).alias("lift"),
         )

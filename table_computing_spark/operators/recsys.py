@@ -41,10 +41,19 @@ def item_cf(
     """Top-k most similar items per item by co-occurrence cosine:
     (item, neighbor, n_common, cos_sim, rank). Pairs below
     `min_common` shared users are pruned BEFORE ranking (support
-    pruning — rare coincidences are noise and most of the volume)."""
-    ui = interactions.select(
-        F.col(user_col).alias("__u"), F.col(item_col).alias("__i")
-    ).distinct()
+    pruning — rare coincidences are noise and most of the volume).
+
+    The distinct (user, item) set feeds FOUR branches (item supports,
+    basket sizes, both self-join sides) at different partitionings —
+    materialize it once (`_reuse`) so the upstream interaction build
+    (often a join + distinct) runs once, not per branch."""
+    from table_computing_spark.operators._util import _reuse
+
+    ui = _reuse(
+        interactions.select(
+            F.col(user_col).alias("__u"), F.col(item_col).alias("__i")
+        ).distinct()
+    )
     item_n = ui.groupBy(F.col("__i").alias("item")).agg(
         F.count(F.lit(1)).alias("__n")
     )

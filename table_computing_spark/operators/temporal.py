@@ -455,23 +455,45 @@ def rolling_corr(
     window frames over an ambiguous order are nondeterministic in any
     engine. Rows with fewer than `n` trailing observations get the
     correlation of the rows available (m >= 2) or NULL (m < 2 or zero
-    variance). One shuffle on the key; the frame scan is the same cost
-    as any over-window."""
+    variance). One shuffle on the key.
+
+    The five trailing-frame sums are computed as RUNNING-sum
+    differences (cum_i − cum_{i−n}) rather than a sliding ROWS frame:
+    Spark's sliding-frame aggregation has no retraction, so each row
+    re-accumulates its whole n-row frame (O(n) decimal adds per row),
+    while the unbounded-preceding frame accumulates once per row and
+    lag() is O(1) — a ~n× cut in decimal ops for identical values
+    (integer decimals subtract exactly; an all-NULL frame yields
+    var = 0 here vs NULL before, and both fall through the var > 0
+    guard to the same NULL correlation). The running sums put the
+    PARTITION's total in a decimal(38,0) where the frame form only
+    ever held n rows — overflow needs |x|·rows ≥ 10^38 per key, far
+    beyond any real corpus (10^9 rows of 10^7-unit values is 10^16)."""
     keys = [F.col(k) for k in key_cols]
     xi = F.round(F.col(x_col) * (10**x_scale)).cast("decimal(38,0)")
     yi = F.round(F.col(y_col) * (10**y_scale)).cast("decimal(38,0)")
     base = df.withColumn("__x", xi).withColumn("__y", yi)
-    w = (
-        W.partitionBy(*keys)
-        .orderBy(*[F.col(c) for c in order_by])
-        .rowsBetween(-(n - 1), 0)
+    ord_cols = [F.col(c) for c in order_by]
+    w_ord = W.partitionBy(*keys).orderBy(*ord_cols)
+    w_cum = w_ord.rowsBetween(W.unboundedPreceding, 0)
+    cums = base.withColumns(
+        {
+            "__rn": F.row_number().over(w_ord),
+            "__cx": F.sum("__x").over(w_cum),
+            "__cy": F.sum("__y").over(w_cum),
+            "__cxx": F.sum(F.col("__x") * F.col("__x")).over(w_cum),
+            "__cyy": F.sum(F.col("__y") * F.col("__y")).over(w_cum),
+            "__cxy": F.sum(F.col("__x") * F.col("__y")).over(w_cum),
+        }
     )
-    m = F.count(F.lit(1)).over(w).cast("decimal(38,0)")
-    sx = F.sum("__x").over(w)
-    sy = F.sum("__y").over(w)
-    sxx = F.sum(F.col("__x") * F.col("__x")).over(w)
-    syy = F.sum(F.col("__y") * F.col("__y")).over(w)
-    sxy = F.sum(F.col("__x") * F.col("__y")).over(w)
+    zero = F.lit(0).cast("decimal(38,0)")
+
+    def trail(c: str) -> Column:
+        return F.col(c) - F.coalesce(F.lag(c, n).over(w_ord), zero)
+
+    m = F.least(F.col("__rn"), F.lit(n)).cast("decimal(38,0)")
+    sx, sy = trail("__cx"), trail("__cy")
+    sxx, syy, sxy = trail("__cxx"), trail("__cyy"), trail("__cxy")
     var_x = (m * sxx - sx * sx).cast("double")
     var_y = (m * syy - sy * sy).cast("double")
     num = (m * sxy - sx * sy).cast("double")
@@ -479,7 +501,9 @@ def rolling_corr(
         (m.cast("long") >= 2) & (var_x > 0) & (var_y > 0),
         F.round(num / (F.sqrt(var_x) * F.sqrt(var_y)), round_to),
     )
-    return base.withColumn(out_col, corr).drop("__x", "__y")
+    return cums.withColumn(out_col, corr).drop(
+        "__x", "__y", "__rn", "__cx", "__cy", "__cxx", "__cyy", "__cxy"
+    )
 
 
 def funnel_within(
