@@ -525,6 +525,14 @@ def bleu_n(
 
     from pyspark.sql.window import Window as W
 
+    from table_computing_spark.operators._util import _reuse
+
+    # the pair table feeds three branches (candidate tokens, reference
+    # tokens, the all-pairs keep join) — materialize the projected
+    # input once so an expensive upstream (a self-join of the corpus)
+    # doesn't execute per branch
+    pairs = _reuse(pairs.select(pair_col, cand_col, ref_col))
+
     def toks(col: str) -> DataFrame:
         return pairs.select(
             F.col(pair_col).alias("pair"),

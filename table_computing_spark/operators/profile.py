@@ -33,7 +33,15 @@ from pyspark.sql import functions as F
 def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Per-column (col_name, n_rows, n_present, n_distinct, min_s,
     max_s) in ONE pass: columns unpivot to narrow (col_name, value)
-    rows so a single shuffle serves every column."""
+    rows so a single shuffle serves every column.
+
+    Two-level aggregation instead of count_distinct-next-to-plain-aggs:
+    the mixed form plans an Expand that DOUBLES every unpivoted row
+    before the exchange, while groupBy(col, value) first is map-side
+    combinable — the shuffle carries only distinct (col, value) pairs
+    (guide §2.3). Values are identical: n_rows = Σ group counts,
+    n_present = Σ counts of non-NULL values, n_distinct = count of
+    non-NULL groups, min/max over group keys."""
     stacked = df.select(
         F.explode(
             F.array(
@@ -47,10 +55,13 @@ def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             )
         ).alias("kv")
     ).select("kv.*")
-    return stacked.groupBy("col_name").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("v").alias("n_present"),
-        F.count_distinct(F.col("v")).alias("n_distinct"),
+    per_v = stacked.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("__c"))
+    return per_v.groupBy("col_name").agg(
+        F.sum("__c").alias("n_rows"),
+        F.sum(
+            F.when(F.col("v").isNotNull(), F.col("__c")).otherwise(F.lit(0))
+        ).alias("n_present"),
+        F.count("v").alias("n_distinct"),
         F.min("v").alias("min_s"),
         F.max("v").alias("max_s"),
     )

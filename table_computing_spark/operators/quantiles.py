@@ -310,9 +310,12 @@ def global_percent_rank(
     DISTINCT values only, then a value-keyed join back (AQE broadcasts
     small value tables). Nothing global-sorts the data."""
     from table_computing_spark.operators.prefix import prefix_agg
+    from table_computing_spark.operators._util import _reuse
 
     vals = df.select(F.col(col).alias("__v")).where(F.col("__v").isNotNull())
-    counts = vals.groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
+    # the per-value count table feeds the prefix build AND the total
+    # aggregate — materialize once (the kruskal/cvm _reuse pattern)
+    counts = _reuse(vals.groupBy("__v").agg(F.count(F.lit(1)).alias("__c")))
     cum = prefix_agg(
         counts,
         order_by=["__v"],
@@ -360,6 +363,7 @@ def weighted_quantiles(
     Output: (keys..., q, value). NULL values and NULL/non-positive
     weights are ignored (a NULL weight is not a multiplicity)."""
     from table_computing_spark.operators.prefix import prefix_agg
+    from table_computing_spark.operators._util import _reuse
 
     keys = list(keys)
     dec = "decimal(38,0)"
@@ -368,7 +372,9 @@ def weighted_quantiles(
         & F.col(weight_col).isNotNull()
         & (F.col(weight_col) > 0)
     ).select(*keys, F.col(col).alias("__v"), F.col(weight_col).cast("long").alias("__w"))
-    counts = base.groupBy(*keys, "__v").agg(F.sum("__w").alias("__wi"))
+    # the per-(group, value) weight table feeds the prefix build AND
+    # the totals aggregate — materialize once (the kruskal/cvm pattern)
+    counts = _reuse(base.groupBy(*keys, "__v").agg(F.sum("__w").alias("__wi")))
     cum = prefix_agg(
         counts,
         order_by=["__v"],
