@@ -47,12 +47,24 @@ def nb_train(
                    (tot_y + alpha*|V|))
     Both stay distributed; join them into a scoring plan via nb_score.
     """
+    from table_computing_spark.operators._util import _reuse
+
     tok = df.select(
         F.col(label_col).alias("__y"), F.explode(tokens(F.col(text_col))).alias("__tok")
     )
     n_docs = df.count()
-    vocab_size = tok.select("__tok").distinct().count()
-    class_tok = tok.groupBy("__y", "__tok").agg(F.count(F.lit(1)).alias("__n"))
+    # the (class, token) count table is the single expensive aggregate
+    # (corpus explode + shuffle); materialize it once and derive the
+    # vocab AND its size from it — the old form re-ran the explode for
+    # the vocab_size count at construction, for class_tok, and for the
+    # vocab subtree in the final plan (3 corpus explodes -> 1). Every
+    # token row carries some __y (NULL labels group as a class), so
+    # distinct __tok over class_tok is exactly distinct __tok over tok.
+    class_tok = _reuse(
+        tok.groupBy("__y", "__tok").agg(F.count(F.lit(1)).alias("__n"))
+    )
+    vocab = class_tok.select("__tok").distinct()
+    vocab_size = vocab.count()
     class_tot = class_tok.groupBy("__y").agg(F.sum("__n").alias("__tot"))
     priors = (
         df.groupBy(F.col(label_col).alias("__y"))
@@ -64,7 +76,6 @@ def nb_train(
             "__tot",
         )
     )
-    vocab = tok.select("__tok").distinct()
     likelihood = (
         vocab.crossJoin(F.broadcast(priors.select("__y", "__tot")))
         .join(class_tok, ["__y", "__tok"], "left")

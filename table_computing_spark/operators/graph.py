@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from table_computing_spark.operators._util import _reuse
+
 
 def _canon(edges: DataFrame) -> DataFrame:
     """Undirected edge set as (u > v) canonical pairs, no self loops."""
@@ -421,8 +423,16 @@ def hits_nano(
     hub = nodes.withColumn("hub_nano", F.lit(1_000_000_000).cast("long"))
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
-        filled = nodes.join(raw, "node", "left").select(
-            "node", F.coalesce(F.col("__x"), F.lit(0)).cast("long").alias("__x")
+        # filled feeds the L1 total AND the per-node division, and each
+        # iteration's output feeds the next iteration's join — without a
+        # materialize-once cut here the plan DOUBLES per normalize (the
+        # deepest subtree re-executes ~2^(2·iterations) times; 21 jobs
+        # measured at 2 iterations). _reuse makes growth linear — the
+        # canonical iterative lineage-truncation use.
+        filled = _reuse(
+            nodes.join(raw, "node", "left").select(
+                "node", F.coalesce(F.col("__x"), F.lit(0)).cast("long").alias("__x")
+            )
         )
         total = filled.agg(F.sum("__x").alias("__sum"))
         return filled.crossJoin(F.broadcast(total)).select(
