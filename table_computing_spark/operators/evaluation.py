@@ -744,13 +744,20 @@ def bradley_terry(
             / ((F.col("__pn") + F.col("__pj")).cast("double") / 1e9)
         ).cast("long")
         den = joined.groupBy("__i").agg(F.sum(term).alias("__dn"))
-        raw = wins.join(den, "__i").join(p, "__i").select(
-            "__i",
-            "__pn",
-            F.when(
-                F.col("__dn") > 0,
-                F.col("wins").cast("double") * 1e9 * 1e9 / F.col("__dn").cast("double"),
-            ).alias("__praw"),
+        # raw feeds BOTH the mean normalizer and the update — without a
+        # materialize-once cut the games⋈p⋈p join + aggregate chain
+        # executes twice per sweep (the hits_nano normalize shape)
+        from table_computing_spark.operators._util import _reuse
+
+        raw = _reuse(
+            wins.join(den, "__i").join(p, "__i").select(
+                "__i",
+                "__pn",
+                F.when(
+                    F.col("__dn") > 0,
+                    F.col("wins").cast("double") * 1e9 * 1e9 / F.col("__dn").cast("double"),
+                ).alias("__praw"),
+            )
         )
         norm = raw.agg(
             F.sum(F.round(F.coalesce(F.col("__praw"), F.col("__pn").cast("double"))).cast("long")).alias("__sn"),

@@ -502,7 +502,7 @@ def label_propagation(
     nodes = sym.select(F.col("__s").alias("node")).distinct().localCheckpoint()
     # one label per seed node — conflicting seed rows would duplicate
     # every downstream join row; min() makes the resolution deterministic
-    seed = (
+    seed = _reuse(
         seeds.select(F.col(node_col).alias("node"), F.col(label_col).alias("__seed"))
         .groupBy("node")
         .agg(F.min("__seed").alias("__seed"))
@@ -526,7 +526,11 @@ def label_propagation(
             .select("node", F.col("__lab").alias("__pick"))
         )
         prev = cur.select("node", F.col("__lab").alias("__prev"))
-        cur = (
+        # cur feeds TWO consumers per iteration (this round's votes and
+        # the keep-previous fallback) — materialize each round's state
+        # or the unrolled plan re-executes the prior round's chain
+        # twice per iteration (the hits_nano normalize shape)
+        cur = _reuse(
             nodes.join(seed, "node", "left")
             .join(pick, "node", "left")
             .join(prev, "node", "left")
@@ -569,6 +573,10 @@ def kcore_peel(
     for _ in range(rounds):
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("__deg"))
+        # keep feeds both semi-joins, but a _reuse cut here measured
+        # SLOWER (r15 A/B 1.45 -> 1.64 s): the two consumers share one
+        # partitioning, so ReusedExchange already computes deg once —
+        # unlike the hits_nano normalize, whose consumers diverge
         keep = deg.where(F.col("__deg") >= k).select(F.col("u").alias("node"))
         e = (
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
