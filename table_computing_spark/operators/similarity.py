@@ -489,21 +489,28 @@ def quantize_embeddings(
     dequantize with q * scale.
 
     Scale shape: pure per-row expressions + one posexplode; zero
-    shuffle, zero Python. The per-element transform runs on small
-    per-row arrays (embedding dims), where Spark's interpreted
-    higher-order functions are fine — this is NOT the corpus-explode
-    hot path _ngram_rows exists for."""
+    shuffle, zero Python.
+
+    The per-vector scale is computed ONCE per row in its own
+    projection and the per-element division runs AFTER the posexplode
+    in whole-stage codegen: embedding `scale` inside the transform
+    lambda inlined the array_max(transform(abs)) subtree into EVERY
+    element's interpreted evaluation — O(dim²) lambda evals per row
+    (quiet A/B at sf0.1: warm 2.04 → 1.11 s, cold 2.61 → 1.74).
+    Values are identical: same cast, same division, same round."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
-    q = F.transform(v, lambda x: F.round(x / scale).cast("int"))
-    return (
-        df.select(
-            F.col(id_col),
-            F.round(scale, 9).alias("scale"),
-            F.posexplode(q).alias("j", "q"),
-        )
-        .select(id_col, "j", "q", "scale")
+    staged = df.select(
+        F.col(id_col),
+        scale.alias("__s"),
+        F.posexplode(v).alias("j", "__x"),
+    )
+    return staged.select(
+        id_col,
+        "j",
+        F.round(F.col("__x") / F.col("__s")).cast("int").alias("q"),
+        F.round(F.col("__s"), 9).alias("scale"),
     )
 
 
