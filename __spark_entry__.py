@@ -1439,9 +1439,13 @@ def q_minhash_accuracy(spark, sf_dir):
     the census — same scoping precedent as q_jaccard_prefix.
     (New r08.)"""
     from table_computing_spark.operators import dedup
+    from table_computing_spark.operators._util import _reuse
 
     d = _t(spark, sf_dir, "documents").df.filter(F.col("doc_id") % 10 == 0)
-    exact = dedup.ngram_jaccard_pairs(d, threshold=0.5)
+    # the exact pair set feeds BOTH the estimate's pair list and the
+    # final audit join — materialize once so the inverted-index
+    # Jaccard join doesn't execute twice (guide §6)
+    exact = _reuse(dedup.ngram_jaccard_pairs(d, threshold=0.5))
     est = dedup.minhash_estimate_pairs(
         d, exact.select("id_a", "id_b"), use_tokens=True
     )
