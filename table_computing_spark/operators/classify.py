@@ -504,15 +504,21 @@ def decision_stump(
         W.unboundedPreceding, W.currentRow
     )
     wall = W.partitionBy("feature")
-    pre = per.select(
-        "feature",
-        "__v",
-        F.sum("__c").over(w).alias("__nl"),
-        F.sum("__s").over(w).alias("__sl"),
-        F.sum("__q").over(w).alias("__ql"),
-        F.sum("__c").over(wall).alias("__n"),
-        F.sum("__s").over(wall).alias("__sn"),
-        F.sum("__q").over(wall).alias("__qn"),
+    # pre (per-value aggregate + two window passes) feeds the gain
+    # candidates AND the final n_left join-back — materialize once
+    from table_computing_spark.operators._util import _reuse
+
+    pre = _reuse(
+        per.select(
+            "feature",
+            "__v",
+            F.sum("__c").over(w).alias("__nl"),
+            F.sum("__s").over(w).alias("__sl"),
+            F.sum("__q").over(w).alias("__ql"),
+            F.sum("__c").over(wall).alias("__n"),
+            F.sum("__s").over(wall).alias("__sn"),
+            F.sum("__q").over(wall).alias("__qn"),
+        )
     )
     d = lambda c: c.cast("double")  # noqa: E731
     sse_all = d(F.col("__qn")) - d(F.col("__sn")) * d(F.col("__sn")) / d(F.col("__n"))

@@ -1306,7 +1306,9 @@ def levene_bf(
     s = df.select(
         F.col(group_col).alias("__g"), value_col.cast("long").alias("__x")
     ).filter(F.col("__g").isNotNull() & F.col("__x").isNotNull())
-    per_gv = s.groupBy("__g", "__x").agg(F.count(F.lit(1)).alias("__c"))
+    # per_gv feeds the prefix build AND the group totals (the
+    # kruskal/cvm pattern) — materialize once
+    per_gv = _reuse(s.groupBy("__g", "__x").agg(F.count(F.lit(1)).alias("__c")))
     pre = prefix_agg(
         per_gv,
         order_by=["__x"],

@@ -52,12 +52,19 @@ def target_encode(
     Plan: one hash aggregation of (category, fold) cells, a tiny
     re-aggregation to category totals, a broadcast-sized join back —
     the label of a row can never reach its own feature."""
+    from table_computing_spark.operators._util import _reuse
+
     t = target.cast("double")
     tagged = df.withColumn("__fold", fold_of(F.col(key_col), k_folds)).withColumn(
         "__t", t
     )
-    cells = tagged.groupBy(cat_col, "__fold").agg(
-        F.sum("__t").alias("__s"), F.count(F.lit(1)).alias("__c")
+    # the (category, fold) cell table feeds FOUR branches (category
+    # totals, fold totals, the global total, the enriched join) —
+    # materialize once so the corpus aggregate runs once (guide §6)
+    cells = _reuse(
+        tagged.groupBy(cat_col, "__fold").agg(
+            F.sum("__t").alias("__s"), F.count(F.lit(1)).alias("__c")
+        )
     )
     cat_tot = cells.groupBy(cat_col).agg(
         F.sum("__s").alias("__cat_s"), F.sum("__c").alias("__cat_c")

@@ -266,6 +266,14 @@ def rouge_n(
     rouge_recall, rouge_precision)."""
     from pyspark.sql.window import Window as W
 
+    from table_computing_spark.operators._util import _reuse
+
+    # the pair table feeds three branches (candidate grams, reference
+    # grams, the all-pairs keep join) — materialize the projected input
+    # once so an expensive upstream (a corpus self-join at the q_rouge2
+    # call site) doesn't execute per branch (the bleu_n fix)
+    pairs = _reuse(pairs.select(pair_col, cand_col, ref_col))
+
     def grams(col: str, side: str) -> DataFrame:
         toks = pairs.select(
             F.col(pair_col).alias("pair"),

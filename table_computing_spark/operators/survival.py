@@ -209,10 +209,17 @@ def logrank_test(
     )
     total = F.sum(F.col("n_event") + F.col("n_censor")).over(w_all)
     left_through = F.sum(F.col("n_event") + F.col("n_censor")).over(w_run)
-    risked = grid.select(
-        "__g", "t", "n_event",
-        (total - left_through + F.col("n_event") + F.col("n_censor"))
-        .alias("n_risk"),
+    # risked feeds BOTH per-group slices (the __g filters push below
+    # the windows, so a/b are separate executions of the whole
+    # grid + window chain without a cut) — materialize once (guide §6)
+    from table_computing_spark.operators._util import _reuse
+
+    risked = _reuse(
+        grid.select(
+            "__g", "t", "n_event",
+            (total - left_through + F.col("n_event") + F.col("n_censor"))
+            .alias("n_risk"),
+        )
     )
     a = risked.filter(F.col("__g") == 1).select(
         "t", F.col("n_event").alias("__da"), F.col("n_risk").alias("__na")

@@ -1133,11 +1133,21 @@ def kn_bigram_nll(
     )
     w = W.partitionBy("__id").orderBy("__pos")
     nxt = F.lead("__tok", 1).over(w)
-    bgr = tok_rows.select(
-        "__id", F.col("__tok").alias("__w1"), nxt.alias("__w2")
-    ).filter(F.col("__w2").isNotNull())
+    # bgr (corpus explode + per-doc window) feeds the bigram counts AND
+    # the scored join; c12 feeds FOUR consumers (left-context mass,
+    # continuation counts, the type total, the scored join) —
+    # materialize each once (guide §6)
+    from table_computing_spark.operators._util import _reuse
 
-    c12 = bgr.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c12"))
+    bgr = _reuse(
+        tok_rows.select(
+            "__id", F.col("__tok").alias("__w1"), nxt.alias("__w2")
+        ).filter(F.col("__w2").isNotNull())
+    )
+
+    c12 = _reuse(
+        bgr.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c12"))
+    )
     c1 = c12.groupBy("__w1").agg(
         F.sum("__c12").alias("__c1"),
         F.count(F.lit(1)).alias("__nfollow"),
@@ -1216,8 +1226,13 @@ def cooccur_pmi(
     pairs = df.select(
         F.explode(F.flatten(F.array(*pair_arrays))).alias("p")
     ).select("p.a", "p.b")
-    cab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
-    uni = (
+    # cab feeds the pair total AND the scored join; uni feeds the token
+    # total AND both unigram joins — materialize each once so the
+    # corpus explode + shuffle doesn't execute per consumer (guide §6)
+    from table_computing_spark.operators._util import _reuse
+
+    cab = _reuse(pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab")))
+    uni = _reuse(
         df.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c_w"))
